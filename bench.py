@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline query set at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed to completion (count() materializes the full plan);
+the session is warmed once with a trivial job so JVM startup isn't billed to
+the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from k_means_map_reduce_spark.session import get_spark  # noqa: E402
+from k_means_map_reduce_spark.registry import QUERIES  # noqa: E402
+
+# Headline set: one per operator family (SURVEY.md §2), weighted toward the
+# shapes that dominate at scale (fact-fact joins, windows, dedup, ANN).
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "join_theta_price_above_retail",
+    "agg_rollup_nation_segment",
+    "window_topk_parts_per_brand",
+    "window_running_spend_per_customer",
+    "events_tumbling_hourly",
+    "events_session_windows",
+    "scalar_json_funcs",
+    "text_stats_per_doc",
+    "text_ngram_profile",
+    "dedup_exact",
+    "dedup_minhash_lsh_pairs",
+    "sim_cosine_topk",
+    "kmeans_mllib_clusters",
+    "kmeans_native_clusters",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark("kmmr-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    # Warm the JVM / executor pool.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

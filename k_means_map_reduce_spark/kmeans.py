@@ -1,0 +1,231 @@
+"""K-Means: the reference engine's entire query surface, Spark-first.
+
+Two implementations:
+
+1. ``kmeans_mllib`` — delegate the whole loop to ``pyspark.ml.clustering.KMeans``
+   (Lloyd's + k-means|| init, squared-distance, tol-based early stop). This is
+   what a production 100 TB job should use.
+
+2. ``kmeans_native`` — a transparent DataFrame-native Lloyd's loop that
+   re-expresses every operator of the reference's MapReduce dataflow
+   (SURVEY.md §2a ops #5-#17) with Catalyst-optimizable expressions:
+
+   reference (file:line)                          → here
+   ---------------------------------------------- → ----------------------------
+   ranged text scan, per-iter re-read
+     (/root/reference/mapper.py:15-24,46)         → ``df.cache()`` once
+   random-sample init (master.py:54-65)           → seeded ``rdd.takeSample``
+   nearest-centroid map, broadcast cross-join +
+     argmin (mapper.py:45-87)                     → centroid literal array +
+                                                    ``array_sort`` argmin expr
+                                                    (broadcast, zero shuffle)
+   hash partition by cid % R (mapper.py:32-38)    → Spark hash shuffle (implicit)
+   group-by-key (reducer.py:58-61)                → ``groupBy("cid")``
+   per-group vector mean (reducer.py:19-30)       → per-dimension ``avg`` with
+                                                    map-side partial aggregation
+   gather (master.py:238-247)                     → ``collect()`` of k×dim rows
+   convergence ε=1e-6 (master.py:97-103)          → max centroid shift, joined
+                                                    BY ID (fixes the reference's
+                                                    positional-zip bug)
+   fault tolerance (master.py:161-235)            → Spark task retry / lineage
+
+   Deliberate semantic fixes vs the reference (SURVEY.md §2a quirks):
+   - N-dimensional (reference hard-codes 2-D at mapper.py:27-28, 99).
+   - Empty clusters keep their previous centroid instead of vanishing
+     (reference drops them, reducer.py:65-67, shrinking k).
+   - Ties broken deterministically toward the lowest centroid id (reference
+     keeps first-in-iteration-order, mapper.py:64 — same outcome).
+
+Scale notes: the per-iteration plan is scan(cached) → project(argmin expr) →
+partial agg → single k×dim shuffle → final agg → collect(k rows). No cross
+join, no window, no Python on the hot path. Centroids ride into executors as
+a code-generated literal array (fine for k·dim ≤ ~64k; beyond that, swap the
+literal for a broadcast join — interface unchanged).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.vectors import sq_euclidean
+
+
+@dataclass
+class KMeansResult:
+    centers: list[list[float]]  # index = cluster id
+    iterations: int
+    converged: bool
+    wssse_history: list[float] = field(default_factory=list)
+
+
+def _centroid_literal(centroids: list[list[float]]) -> Column:
+    """Centroids as a literal array<struct<cid:int, cvec:array<double>>>."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(cid).alias("cid"),
+                F.array(*[F.lit(float(x)) for x in vec]).alias("cvec"),
+            )
+            for cid, vec in enumerate(centroids)
+        ]
+    )
+
+
+def assign_clusters(
+    df: DataFrame, centroids: list[list[float]], vec_col: str = "vec"
+) -> DataFrame:
+    """Add ``cid``/``dist2``: nearest centroid per row (reference op #7).
+
+    argmin = transform each centroid to struct(dist2, cid), array_sort (struct
+    ordering = lexicographic ⇒ ties break toward the lowest cid), take head.
+    Pure codegen expression — the map side of the reference's MapReduce, with
+    the broadcast of centroids compiled into the plan.
+    """
+    cents = _centroid_literal(centroids)
+    best = F.element_at(
+        F.array_sort(
+            F.transform(
+                cents,
+                lambda c: F.struct(
+                    sq_euclidean(F.col(vec_col), c["cvec"]).alias("dist2"),
+                    c["cid"].alias("cid"),
+                ),
+            )
+        ),
+        1,
+    )
+    return df.withColumn("cid", best["cid"]).withColumn("dist2", best["dist2"])
+
+
+def _mean_by_cluster(assigned: DataFrame, dim: int) -> list[tuple[int, int, list[float], float]]:
+    """groupBy(cid) → per-dimension avg + count + sum(dist2); single shuffle.
+
+    Returns [(cid, n, mean_vec, sum_dist2)]. Catalyst plans this as partial
+    (map-side) + final aggregation: the shuffle carries k×(dim+2) partials per
+    input partition, not data rows — the same asymptotics as the reference's
+    combiner-less reducer, minus the materialized partition files
+    (/root/reference/mapper.py:72-84).
+    """
+    aggs = [F.count(F.lit(1)).alias("n"), F.sum("dist2").alias("sum_dist2")]
+    aggs += [
+        F.avg(F.element_at(F.col("vec"), i + 1)).alias(f"m{i}") for i in range(dim)
+    ]
+    rows = assigned.groupBy("cid").agg(*aggs).collect()
+    return [
+        (r["cid"], r["n"], [r[f"m{i}"] for i in range(dim)], r["sum_dist2"])
+        for r in rows
+    ]
+
+
+def kmeans_native(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 8,
+    max_iter: int = 20,
+    tol: float = 1e-6,
+    seed: int = 42,
+) -> KMeansResult:
+    """DataFrame-native Lloyd's loop (reference master.start, master.py:106-159)."""
+    pts = (
+        df.select(F.col(vec_col).cast("array<double>").alias("vec"))
+        .where(F.col("vec").isNotNull() & (F.size("vec") > 0))
+        .cache()
+    )
+    first = pts.first()
+    if first is None:
+        raise ValueError("empty input")
+    dim = len(first["vec"])
+
+    # Init (reference op #5, master.py:54-65): seeded uniform sample of k
+    # distinct points. takeSample is a driver-coordinated reservoir sample —
+    # exactly the reference's random.sample, but distributed and seeded.
+    sample = pts.distinct().rdd.takeSample(False, k, seed=seed)
+    if len(sample) < k:
+        raise ValueError(f"k={k} but only {len(sample)} distinct points")
+    centroids = [list(r["vec"]) for r in sample]
+
+    wssse_history: list[float] = []
+    converged = False
+    it = 0
+    for it in range(1, max_iter + 1):
+        assigned = assign_clusters(pts, centroids, "vec")
+        stats = _mean_by_cluster(assigned, dim)
+        new_centroids = list(centroids)  # empty clusters keep old centroid
+        for cid, _n, mean_vec, _sd in stats:
+            new_centroids[cid] = mean_vec
+        wssse_history.append(sum(s[3] for s in stats))
+        # Convergence (reference op #15, fixed to pair by id): every centroid
+        # moved < tol in Euclidean distance.
+        shift = max(
+            math.sqrt(sum((a - b) ** 2 for a, b in zip(old, new)))
+            for old, new in zip(centroids, new_centroids)
+        )
+        centroids = new_centroids
+        if shift < tol:
+            converged = True
+            break
+    pts.unpersist()
+    return KMeansResult(centroids, it, converged, wssse_history)
+
+
+def kmeans_native_df(
+    spark: SparkSession,
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    max_iter: int = 20,
+    tol: float = 1e-6,
+    seed: int = 42,
+) -> DataFrame:
+    """Run kmeans_native and return (cluster_id, size, center) as a DataFrame."""
+    result = kmeans_native(df, vec_col=vec_col, k=k, max_iter=max_iter, tol=tol, seed=seed)
+    assigned = assign_clusters(
+        df.select(F.col(vec_col).cast("array<double>").alias("vec")), result.centers, "vec"
+    )
+    sizes = {r["cid"]: r["n"] for r in assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("n")).collect()}
+    rows = [
+        (cid, int(sizes.get(cid, 0)), [float(x) for x in vec])
+        for cid, vec in enumerate(result.centers)
+    ]
+    return spark.createDataFrame(
+        rows, "cluster_id INT, size BIGINT, center ARRAY<DOUBLE>"
+    )
+
+
+def kmeans_mllib(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 8,
+    max_iter: int = 20,
+    tol: float = 1e-6,
+    seed: int = 42,
+) -> DataFrame:
+    """MLlib KMeans; returns (cluster_id, size, center ARRAY<DOUBLE>).
+
+    array_to_vector / vector_to_array keep VectorUDT confined to the MLlib
+    boundary (SURVEY.md §7 risk note).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = df.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    ).cache()
+    model = KMeans(k=k, maxIter=max_iter, tol=tol, seed=seed).fit(feats)
+    pred = model.transform(feats)
+    sizes = {
+        r["prediction"]: r["n"]
+        for r in pred.groupBy("prediction").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    feats.unpersist()
+    spark = df.sparkSession
+    rows = [
+        (cid, int(sizes.get(cid, 0)), [float(x) for x in center])
+        for cid, center in enumerate(model.clusterCenters())
+    ]
+    return spark.createDataFrame(rows, "cluster_id INT, size BIGINT, center ARRAY<DOUBLE>")

@@ -1,0 +1,61 @@
+"""K-Means queries — the reference engine's query surface as driver entries.
+
+Both implementations are seeded ⇒ deterministic across runs, but the math is
+iterative/non-SQL, so these register rows-only (no oracle). Cross-checks
+(MLlib ≡ native on separable data, WSSSE monotonicity, reference 2-D parity)
+live in tests/test_kmeans.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import load_table
+from ..kmeans import kmeans_mllib, kmeans_native_df
+
+
+@query("kmeans_mllib_clusters")
+def kmeans_mllib_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib KMeans over embeddings: (cluster_id, size, center)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    out = kmeans_mllib(e, vec_col="embedding", k=8, max_iter=20, tol=1e-6, seed=42)
+    return out.select("cluster_id", "size", F.round(F.element_at("center", 1), 4).alias("c0"))
+
+
+@query("kmeans_native_clusters")
+def kmeans_native_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame-native Lloyd's loop (reference rebuild): (cluster_id, size, c0)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    out = kmeans_native_df(
+        spark, e, vec_col="embedding", id_col="vec_id", k=8, max_iter=20, tol=1e-4, seed=42
+    )
+    return out.select("cluster_id", "size", F.round(F.element_at("center", 1), 4).alias("c0"))
+
+
+@query(
+    "kmeans_label_purity",
+    oracle=None,
+)
+def kmeans_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-vs-label contingency: majority-label purity per native cluster."""
+    from ..kmeans import assign_clusters, kmeans_native
+
+    e = load_table(spark, sf_dir, "embeddings")
+    pts = e.select("vec_id", "label", F.col("embedding").cast("array<double>").alias("vec"))
+    res = kmeans_native(pts, vec_col="vec", k=10, max_iter=15, tol=1e-4, seed=42)
+    assigned = assign_clusters(pts, res.centers, "vec")
+    contingency = assigned.groupBy("cid", "label").agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cid").orderBy(F.col("n").desc(), "label")
+    return (
+        contingency.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("cid").alias("cluster_id"),
+            F.col("label").alias("majority_label"),
+            F.col("n").alias("majority_count"),
+        )
+    )

@@ -1,0 +1,222 @@
+"""Deduplication suite over `documents` (SURVEY.md §2b LLM-pipeline, M3).
+
+Four tiers, cheapest to fuzziest:
+1. exact        — hash-groupBy on normalized text (one shuffle of hashes)
+2. ngram_jaccard— shingle-set Jaccard with length blocking (quadratic within
+                  block; the correctness baseline for the LSH tiers)
+3. minhash_lsh  — MLlib MinHashLSH: shingle → minhash → band-bucket join;
+                  the 100 TB path (candidate pairs only, no quadratic blowup)
+4. simhash      — 64-bit simhash fingerprints via expression-only bit math;
+                  near-dups = small Hamming distance
+
+The reference engine has no dedup; this is driver-mandated capability. Exact
+and jaccard tiers are DuckDB-oracled; LSH tiers are rows-only + recall tests
+(tests/test_dedup.py) against the jaccard baseline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import load_table
+
+_NORM = lambda c: F.lower(F.regexp_replace(F.trim(c), r"\s+", " "))  # noqa: E731
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, md5(LOWER(regexp_replace(TRIM(text), '\\s+', ' ', 'g'))) AS k
+      FROM documents
+    )
+    SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id, COUNT(*) AS n_copies
+    FROM keyed
+    GROUP BY k
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by content hash, keep the lowest doc_id.
+
+    At scale: shuffles 16-byte hashes + ids only (never the text); map-side
+    partial aggregation collapses in-partition duplicates first.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.md5(_NORM(F.col("text"))).alias("k"))
+        .groupBy("k")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select("keep_doc_id", "n_copies")
+    )
+
+
+def shingles(text_col, n: int = 3):
+    """Distinct word n-gram shingles of normalized text (expression-only)."""
+    toks = F.filter(F.split(_NORM(text_col), " "), lambda t: t != "")
+    grams = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+        F.zip_with(
+            F.slice(toks, 2, F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+            F.slice(toks, 3, F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+            lambda b, c: F.concat_ws(" ", b, c),
+        ),
+        lambda a, bc: F.concat_ws(" ", a, bc),
+    )
+    return F.array_distinct(grams)
+
+
+@query(
+    "dedup_ngram_jaccard_pairs",
+    oracle="""
+    WITH sh AS (
+      SELECT
+        doc_id,
+        lang,
+        list_distinct(list_transform(
+          range(1, greatest(len(toks) - 1, 1)),
+          i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]
+        )) AS shingle_set
+      FROM (
+        SELECT doc_id, lang,
+               list_filter(string_split(LOWER(regexp_replace(TRIM(text), '\\s+', ' ', 'g')), ' '), t -> t != '') AS toks
+        FROM documents
+      )
+      WHERE len(toks) >= 3
+    )
+    SELECT
+      a.doc_id AS doc_a,
+      b.doc_id AS doc_b,
+      ROUND(
+        CAST(len(list_intersect(a.shingle_set, b.shingle_set)) AS DOUBLE)
+        / (len(a.shingle_set) + len(b.shingle_set) - len(list_intersect(a.shingle_set, b.shingle_set))),
+        6
+      ) AS jaccard
+    FROM sh a
+    JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.shingle_set, b.shingle_set)) AS DOUBLE)
+        / (len(a.shingle_set) + len(b.shingle_set) - len(list_intersect(a.shingle_set, b.shingle_set))) >= 0.2
+    """,
+)
+def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force 3-gram Jaccard near-dup pairs (≥ 0.2), blocked by lang.
+
+    This is the CORRECTNESS baseline: quadratic within a block, so it only
+    runs at small SF / within small blocks. The scale path is
+    dedup_minhash_lsh_pairs (candidate generation via banding, linear-ish).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sh = (
+        d.select("doc_id", "lang", shingles(F.col("text")).alias("shingle_set"))
+        .where(
+            F.size(
+                F.filter(F.split(_NORM(F.col("text")), " "), lambda t: t != "")
+            )
+            >= 3
+        )
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.shingle_set"), F.col("b.shingle_set")))
+    union_sz = (
+        F.size(F.col("a.shingle_set")) + F.size(F.col("b.shingle_set")) - inter
+    )
+    jac = inter.cast("double") / union_sz
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .where(jac >= 0.2)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+    )
+
+
+@query("dedup_minhash_lsh_pairs")
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs with Jaccard distance ≤ 0.8 (rows-only;
+    recall vs the brute-force baseline asserted in tests/test_dedup.py).
+
+    Pipeline: shingle → HashingTF sparse vector (2^18 dims) → MinHashLSH
+    (8 hash tables) → approxSimilarityJoin. At 100 TB the similarity join is
+    a band-bucket equi-join (shuffle on hash buckets), never a cross join.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", shingles(F.col("text")).alias("sh")).where(
+        F.size("sh") > 0
+    )
+    tf = HashingTF(inputCol="sh", outputCol="features", numFeatures=1 << 18, binary=True)
+    feats = tf.transform(sh).cache()
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, 0.8, distCol="jaccard_dist")
+    out = (
+        pairs.where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.round(F.lit(1.0) - F.col("jaccard_dist"), 6).alias("jaccard_sim"),
+        )
+    )
+    return out
+
+
+def simhash64(text_col):
+    """64-bit SimHash of word tokens, expression-only (no UDF).
+
+    For each bit position b: sum over tokens of ±1 according to bit b of
+    xxhash64(token); fingerprint bit b = 1 if the sum is positive. The
+    per-row cost is 64 × |tokens| JVM ops inside codegen — no shuffle, no
+    Python.
+    """
+    toks = F.filter(F.split(_NORM(text_col), " "), lambda t: t != "")
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    bits = []
+    for b in range(64):
+        vote = F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(h.bitwiseAND(F.lit(1 << b if b < 63 else -(1 << 63))) != 0, 1).otherwise(-1),
+        )
+        bits.append(F.when(vote > 0, F.lit(1).cast("long") * (1 << b if b < 63 else -(1 << 63))).otherwise(F.lit(0).cast("long")))
+    out = bits[0]
+    for bexpr in bits[1:]:
+        out = out.bitwiseOR(bexpr)
+    return out
+
+
+@query("dedup_simhash")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprint per doc + near-dup pairs at Hamming distance ≤ 8,
+    blocked on the top-16 bits (rows-only check; unit-tested for the
+    permutation-invariance property)."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = d.select("doc_id", simhash64(F.col("text")).alias("simhash")).cache()
+    a, b = fp.alias("a"), fp.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    block = lambda c: F.shiftrightunsigned(c, 48)  # noqa: E731
+    return (
+        a.join(
+            b,
+            (block(F.col("a.simhash")) == block(F.col("b.simhash")))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .where(hamming <= 8)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+    )

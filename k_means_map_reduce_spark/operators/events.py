@@ -1,0 +1,173 @@
+"""Event-time windowing over the `events` table (SURVEY.md §2b, M4).
+
+Batch semantics first — every query here is a plain DataFrame query, fully
+oracle-able. The streaming/ package re-runs the same logic as Structured
+Streaming with an availableNow trigger and asserts batch ≡ stream.
+
+Timestamp discipline: events.ts is ns-precision in parquet; Spark truncates
+to µs on read. Every oracle casts ts to µs TIMESTAMP first so both engines
+see identical values. Window boundaries are emitted as strings
+(yyyy-MM-dd HH:mm:ss) — the one cross-engine-safe timestamp encoding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import load_table
+from ._util import dsum
+
+_TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+
+@query(
+    "events_tumbling_hourly",
+    oracle=f"""
+    SELECT
+      strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '{_TS_FMT_DUCK}') AS window_start,
+      event_type,
+      COUNT(*) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+      COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h windows via F.window — the streaming-compatible form of
+    GROUP BY date_trunc('hour', ts)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), _TS_FMT_SPARK).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "n_users",
+        )
+    )
+
+
+@query(
+    "events_sliding_1h_30m",
+    oracle=f"""
+    WITH grid AS (
+      SELECT
+        TIMESTAMP '1970-01-01 00:00:00'
+          + INTERVAL 1 SECOND * (CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 1800) * 1800 AS BIGINT) - s.shift)
+          AS window_start,
+        event_type,
+        value
+      FROM events, (SELECT UNNEST([0, 1800]) AS shift) s
+    )
+    SELECT
+      strftime(window_start, '{_TS_FMT_DUCK}') AS window_start,
+      event_type,
+      COUNT(*) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM grid
+    GROUP BY 1, 2
+    """,
+)
+def events_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1h length, 30m slide): each event lands in exactly 2
+    windows. Spark's window() expands rows ×2 then hash-aggregates — the
+    oracle mirrors that expansion with a 2-row shift grid."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), _TS_FMT_SPARK).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "events_session_windows",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT
+        user_id,
+        CAST(ts AS TIMESTAMP) AS ts,
+        CASE
+          WHEN CAST(ts AS TIMESTAMP)
+               - LAG(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+               >= INTERVAL 5 MINUTE
+          THEN 1 ELSE 0
+        END AS new_session
+      FROM events
+    ), sessions AS (
+      SELECT
+        user_id,
+        ts,
+        SUM(new_session) OVER (
+          PARTITION BY user_id ORDER BY ts, new_session
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS session_id
+      FROM ordered
+    )
+    SELECT
+      user_id,
+      strftime(MIN(ts), '{_TS_FMT_DUCK}') AS session_start,
+      COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a 5-minute inactivity gap via session_window().
+
+    The oracle reproduces Spark's merge rule (a new session starts when the
+    gap since the previous event is >= the gap duration) with the classic
+    gaps-and-islands LAG + running-SUM construction.
+    """
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), _TS_FMT_SPARK).alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+@query(
+    "events_type_value_distribution",
+    oracle="""
+    SELECT
+      event_type,
+      COUNT(*) AS n,
+      ROUND(MIN(value), 6) AS min_value,
+      ROUND(MAX(value), 6) AS max_value,
+      CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(value) AS avg_value
+    FROM events
+    WHERE value IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def events_type_value_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("value"), 6).alias("min_value"),
+        F.round(F.max("value"), 6).alias("max_value"),
+        (dsum("value") / F.count("value")).alias("avg_value"),
+    )

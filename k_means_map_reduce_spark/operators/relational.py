@@ -1,0 +1,394 @@
+"""Relational operator suite over the TPC-H-ish test tables (SURVEY.md §2b).
+
+The reference engine has exactly one relational shape — a broadcast cross-join
+argmin plus a grouped mean (/root/reference/mapper.py:57-68,
+/root/reference/reducer.py:58-67). This module provides the full standard
+surface that subsumes it: scans, project/filter, every join type, hash
+aggregation with grouping sets, sort/limit/top-k.
+
+Scale notes per query are inline; the common rules:
+- dimension tables (region/nation/supplier/part at these ratios) are
+  broadcast — no shuffle on the big fact side for those joins;
+- fact-fact joins (orders⋈lineitem) shuffle on the join key once and
+  aggregate with map-side partials;
+- filters are expressed on scan columns so Catalyst pushes them into the
+  parquet reader (PushedFilters) and prunes columns (ReadSchema).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import load_table
+from ._util import davg, dsum, sql_davg, sql_dsum
+
+# --------------------------------------------------------------------------
+# q1: pricing summary (scan → filter → hash agg). Classic TPC-H Q1 shape.
+# Filter pushed to parquet; single shuffle of 4-ish groups of partials.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      {sql_dsum('l_quantity')} AS sum_qty,
+      {sql_dsum('l_extendedprice')} AS sum_base_price,
+      {sql_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+      {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+      {sql_davg('l_quantity')} AS avg_qty,
+      {sql_davg('l_extendedprice')} AS avg_price,
+      {sql_davg('l_discount')} AS avg_disc,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        l.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q3: shipping priority (3-way join → agg → top-k). customer is the small
+# side after its segment filter → broadcast; orders⋈lineitem shuffles on
+# orderkey once. Deterministic top-10 via (revenue DESC, o_orderkey).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q3_shipping_priority",
+    oracle=f"""
+    SELECT
+      l_orderkey,
+      {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+      strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS o_orderdate
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate > TIMESTAMP '1995-03-15'
+    GROUP BY l_orderkey, strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d')
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp_ntz")
+    )
+    l = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp_ntz")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"))
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# q5: local supplier volume (6-way join → agg). region/nation/supplier are
+# tiny → broadcast chain onto the lineitem side; the only real shuffle is
+# orders⋈lineitem + customer⋈orders.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q5_local_supplier_volume",
+    oracle=f"""
+    SELECT
+      n_name,
+      {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Join types: left outer, left semi, left anti. The semi/anti pair is the
+# EXISTS / NOT EXISTS surface; Spark plans them as (broadcast) hash joins
+# without materializing the probe side twice.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "join_left_outer_customer_orders",
+    oracle=f"""
+    SELECT
+      c_custkey,
+      c_name,
+      COUNT(o_orderkey) AS n_orders,
+      COALESCE({sql_dsum('o_totalprice')}, 0.0) AS total_spent
+    FROM customer
+    LEFT JOIN orders ON c_custkey = o_custkey
+    WHERE c_mktsegment = 'MACHINERY'
+    GROUP BY c_custkey, c_name
+    """,
+)
+def join_left_outer_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "MACHINERY")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(dsum("o_totalprice"), F.lit(0.0)).alias("total_spent"),
+        )
+    )
+
+
+@query(
+    "join_semi_customers_with_big_orders",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    WHERE EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey AND o_totalprice > 300000.0
+    )
+    """,
+)
+def join_semi_customers_with_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 300000.0)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+@query(
+    "join_anti_customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-01-01'
+    )
+    """,
+)
+def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp_ntz")
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "join_theta_price_above_retail",
+    oracle="""
+    SELECT p_brand, COUNT(*) AS n_lines
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey AND l_extendedprice > 10 * p_retailprice
+    GROUP BY p_brand
+    """,
+)
+def join_theta_price_above_retail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join + inequality residual (theta). part is broadcast — the probe
+    side streams, no shuffle."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    return (
+        l.join(
+            F.broadcast(p),
+            (l.l_partkey == p.p_partkey)
+            & (l.l_extendedprice > 10 * p.p_retailprice),
+        )
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Aggregation depth: global aggs + count distinct; rollup & cube.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "agg_global_stats",
+    oracle=f"""
+    SELECT
+      COUNT(*) AS n_rows,
+      COUNT(DISTINCT l_orderkey) AS n_orders,
+      COUNT(DISTINCT l_partkey) AS n_parts,
+      {sql_dsum('l_quantity')} AS sum_qty,
+      MIN(l_extendedprice) AS min_price,
+      MAX(l_extendedprice) AS max_price,
+      {sql_davg('l_discount')} AS avg_discount
+    FROM lineitem
+    """,
+)
+def agg_global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        dsum("l_quantity").alias("sum_qty"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        davg("l_discount").alias("avg_discount"),
+    )
+
+
+@query(
+    "agg_rollup_nation_segment",
+    oracle=f"""
+    SELECT
+      COALESCE(n_name, 'ALL') AS nation,
+      COALESCE(c_mktsegment, 'ALL') AS segment,
+      COUNT(*) AS n_customers,
+      {sql_dsum('c_acctbal')} AS sum_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY ROLLUP (n_name, c_mktsegment)
+    """,
+)
+def agg_rollup_nation_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .rollup("n_name", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum("c_acctbal").alias("sum_acctbal"),
+        )
+        .select(
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            F.coalesce("c_mktsegment", F.lit("ALL")).alias("segment"),
+            "n_customers",
+            "sum_acctbal",
+        )
+    )
+
+
+@query(
+    "agg_cube_status_priority",
+    oracle=f"""
+    SELECT
+      COALESCE(o_orderstatus, 'ALL') AS status,
+      COALESCE(o_orderpriority, 'ALL') AS priority,
+      COUNT(*) AS n_orders,
+      {sql_dsum('o_totalprice')} AS sum_total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("sum_total"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "sum_total",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Sort / limit / distinct.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "topk_expensive_orders",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_orderpriority
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 25
+    """,
+)
+def topk_expensive_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Spark plans orderBy+limit as TakeOrderedAndProject —
+    per-partition top-k then a k-row merge on the driver, no full sort."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(25)
+    )
+
+
+@query(
+    "distinct_flag_status",
+    oracle="""
+    SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+    """,
+)
+def distinct_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.select("l_returnflag", "l_linestatus").distinct()

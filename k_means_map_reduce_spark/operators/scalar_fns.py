@@ -1,0 +1,133 @@
+"""Scalar-function surface (SURVEY.md §2b): string, date, math, JSON.
+
+All expression-only (whole-stage codegen); the JSON path uses
+get_json_object which Catalyst evaluates without a Python round-trip.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import load_table
+from ._util import dsum
+
+
+@query(
+    "scalar_string_funcs",
+    oracle="""
+    SELECT
+      p_partkey,
+      UPPER(p_name) AS name_upper,
+      LENGTH(p_name) AS name_len,
+      regexp_extract(p_name, '^[a-z]+') AS first_word,
+      CAST(len(string_split(p_name, ' ')) AS INT) AS n_words,
+      CONCAT(p_brand, ':', p_type) AS brand_type,
+      REPLACE(p_type, ' ', '_') AS type_snake,
+      SUBSTRING(p_name, 1, 8) AS name_prefix
+    FROM part
+    """,
+)
+def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").alias("name_len"),
+        F.regexp_extract("p_name", r"^[a-z]+", 0).alias("first_word"),
+        F.size(F.split("p_name", " ")).alias("n_words"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.regexp_replace("p_type", " ", "_").alias("type_snake"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+    )
+
+
+@query(
+    "scalar_date_funcs",
+    oracle=f"""
+    SELECT
+      strftime(CAST(date_trunc('month', o_orderdate) AS DATE), '%Y-%m-%d') AS order_month,
+      CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
+      CAST(EXTRACT(quarter FROM o_orderdate) AS INT) AS order_quarter,
+      COUNT(*) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_total,
+      CAST(MIN(datediff('day', TIMESTAMP '1995-01-01', o_orderdate)) AS INT) AS min_days_since_epoch,
+      CAST(MAX(datediff('day', TIMESTAMP '1995-01-01', o_orderdate)) AS INT) AS max_days_since_epoch
+    FROM orders
+    GROUP BY 1, 2, 3
+    """,
+)
+def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("order_month"),
+            F.year("o_orderdate").alias("order_year"),
+            F.quarter("o_orderdate").alias("order_quarter"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("sum_total"),
+            F.min(
+                F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp_ntz"))
+            ).alias("min_days_since_epoch"),
+            F.max(
+                F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp_ntz"))
+            ).alias("max_days_since_epoch"),
+        )
+    )
+
+
+@query(
+    "scalar_math_funcs",
+    oracle="""
+    SELECT
+      l_orderkey,
+      l_linenumber,
+      ROUND(SQRT(l_extendedprice), 6) AS sqrt_price,
+      ROUND(POW(l_discount, 2), 10) AS disc_sq,
+      ABS(l_quantity - 25.0) AS qty_dev,
+      CAST(CEIL(l_extendedprice) AS BIGINT) AS price_ceil,
+      CAST(FLOOR(l_extendedprice) AS BIGINT) AS price_floor,
+      ROUND(LN(l_extendedprice + 1.0), 6) AS log_price
+    FROM lineitem
+    WHERE l_linenumber = 1
+    """,
+)
+def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").where(F.col("l_linenumber") == 1)
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sqrt("l_extendedprice"), 6).alias("sqrt_price"),
+        F.round(F.pow("l_discount", F.lit(2)), 10).alias("disc_sq"),
+        F.abs(F.col("l_quantity") - 25.0).alias("qty_dev"),
+        F.ceil("l_extendedprice").cast("bigint").alias("price_ceil"),
+        F.floor("l_extendedprice").cast("bigint").alias("price_floor"),
+        F.round(F.log(F.col("l_extendedprice") + 1.0), 6).alias("log_price"),
+    )
+
+
+@query(
+    "scalar_json_funcs",
+    oracle=f"""
+    SELECT
+      event_type,
+      COUNT(*) AS n_events,
+      CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+      CAST(MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS min_k,
+      CAST(MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def scalar_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(k).cast("bigint").alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )

@@ -1,0 +1,227 @@
+"""Similarity search over `embeddings` (SURVEY.md §2b LLM-pipeline, M3).
+
+Three tiers:
+1. brute-force cosine top-k — the correctness baseline; broadcast the query
+   set, stream the corpus, per-partition top-k via window rank.
+2. BucketedRandomProjectionLSH ANN — MLlib's Euclidean LSH; candidate pairs
+   from bucket joins. The generic scale path.
+3. IVF (inverted-file) ANN — coarse k-means quantizer + probe the nearest
+   nprobe cells: the FAISS-style layout, expressed relationally (cluster
+   assignment = partition pruning at query time).
+
+Cosine math is expression-only (functions/vectors.py) — JVM codegen, no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import load_table
+from ..functions.vectors import cosine_similarity
+
+N_QUERY = 5  # first N vec_ids serve as the query set
+TOP_K = 10
+
+
+@query(
+    "sim_cosine_topk",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS q_id, embedding AS q_vec
+      FROM embeddings
+      WHERE vec_id < {N_QUERY}
+    ),
+    scored AS (
+      SELECT
+        q.q_id,
+        e.vec_id,
+        list_cosine_similarity(CAST(q.q_vec AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS sim
+      FROM q
+      JOIN embeddings e ON e.vec_id != q.q_id
+    ),
+    ranked AS (
+      SELECT
+        q_id, vec_id, sim,
+        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
+      FROM scored
+    )
+    SELECT q_id, vec_id, ROUND(sim, 4) AS sim, rnk
+    FROM ranked
+    WHERE rnk <= {TOP_K}
+    """,
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-{TOP_K} for the first {N_QUERY} vectors.
+
+    Plan: broadcast(query) ⋈ corpus (no shuffle on the corpus side), score
+    with codegen'd zip_with/aggregate, then per-query top-k via window over
+    q_id — shuffles only (q_id, vec_id, sim) triples, never the vectors.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    scored = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            cosine_similarity(F.col("q_vec"), F.col("embedding")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), "vec_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= TOP_K)
+        .select("q_id", "vec_id", F.round("sim", 4).alias("sim"), "rnk")
+    )
+
+
+@query(
+    "sim_norms_by_label",
+    oracle="""
+    SELECT
+      label,
+      COUNT(*) AS n_vecs,
+      ROUND(CAST(SUM(CAST(sqrt(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_norm
+    FROM embeddings
+    GROUP BY label
+    """,
+)
+def sim_norms_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean L2 norm — array math entirely in codegen."""
+    from ..functions.vectors import l2_norm
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(
+            F.sum(l2_norm(F.col("embedding")).cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_norm"),
+    )
+
+
+@query("sim_ann_lsh_topk")
+def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k via BucketedRandomProjectionLSH (Euclidean buckets).
+
+    Rows-only check; recall vs sim_cosine_topk asserted in
+    tests/test_similarity.py. At scale the approxNearestNeighbors probe is a
+    bucket-pruned scan instead of a full corpus pass.
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    e = load_table(spark, sf_dir, "embeddings")
+    feats = e.select(
+        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    ).cache()
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes", bucketLength=2.0, numHashTables=4, seed=42
+    )
+    model = lsh.fit(feats)
+    hashed = model.transform(feats).cache()
+    queries = hashed.where(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("q_id"), F.col("features").alias("q_features"),
+        F.col("hashes").alias("q_hashes"),
+    )
+    # Bucket-join candidates: any shared hash bucket in any table.
+    cand = (
+        hashed.join(
+            F.broadcast(queries),
+            F.arrays_overlap(
+                F.transform("hashes", lambda v: v.cast("string")),
+                F.transform("q_hashes", lambda v: v.cast("string")),
+            )
+            & (F.col("vec_id") != F.col("q_id")),
+        )
+    )
+    from pyspark.ml.functions import vector_to_array
+
+    a = vector_to_array(F.col("features"))
+    b = vector_to_array(F.col("q_features"))
+    scored = cand.select(
+        "q_id", "vec_id", cosine_similarity(a, b).alias("sim")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), "vec_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= TOP_K)
+        .select("q_id", "vec_id", F.round("sim", 4).alias("sim"), "rnk")
+    )
+
+
+@query("sim_ann_ivf_topk")
+def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN: coarse-quantize the corpus with k-means (16 cells),
+    then search only the nprobe=6 cells nearest each query.
+
+    Relational layout: corpus carries a `cell` column (at 100 TB: a partition
+    column → probing = partition pruning). Rows-only + recall test.
+    """
+    from ..kmeans import assign_clusters, kmeans_native
+    from ..functions.vectors import l2_norm
+
+    e = load_table(spark, sf_dir, "embeddings")
+    # Cosine ANN ⇒ quantize on the unit sphere: L2-normalize first so the
+    # Euclidean coarse quantizer induces cosine-consistent cells.
+    norm = l2_norm(F.col("embedding"))
+    corpus = e.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"), lambda x: x / norm
+        ).alias("vec"),
+    ).where(norm > 0)
+    result = kmeans_native(corpus, vec_col="vec", k=16, max_iter=10, seed=42)
+    cells = assign_clusters(corpus, result.centers, "vec").select(
+        "vec_id", "vec", F.col("cid").alias("cell")
+    ).cache()
+
+    queries = cells.where(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("q_id"), F.col("vec").alias("q_vec")
+    )
+    # nprobe=6 nearest cells per query (these synthetic embeddings are
+    # near-random in 64-d, so neighbors spread widely across cells; real
+    # corpora cluster much tighter and probe fewer cells), via the same
+    # centroid-literal argmin machinery (sorted distances, take 6).
+    from ..kmeans import _centroid_literal
+    from ..functions.vectors import sq_euclidean
+
+    cents = _centroid_literal(result.centers)
+    probed = queries.withColumn(
+        "probe_cells",
+        F.slice(
+            F.transform(
+                F.array_sort(
+                    F.transform(
+                        cents,
+                        lambda c: F.struct(
+                            sq_euclidean(F.col("q_vec"), c["cvec"]).alias("d"),
+                            c["cid"].alias("cid"),
+                        ),
+                    )
+                ),
+                lambda s: s["cid"],
+            ),
+            1,
+            6,
+        ),
+    )
+    cand = cells.join(
+        F.broadcast(probed),
+        F.array_contains(F.col("probe_cells"), F.col("cell"))
+        & (F.col("vec_id") != F.col("q_id")),
+    )
+    scored = cand.select(
+        "q_id", "vec_id", cosine_similarity(F.col("q_vec"), F.col("vec")).alias("sim")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), "vec_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= TOP_K)
+        .select("q_id", "vec_id", F.round("sim", 4).alias("sim"), "rnk")
+    )

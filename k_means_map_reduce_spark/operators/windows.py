@@ -1,0 +1,140 @@
+"""Window-function surface (SURVEY.md §2b): ranking, offsets, running aggs.
+
+The reference's only "window" is the per-point argmin over centroids
+(/root/reference/mapper.py:57-68), which our kmeans module expresses without
+a shuffle. These queries exercise real partitioned windows: one shuffle on
+the partition key, then a per-partition sort — exactly what Spark's Window
+exec does, with AQE handling skewed partition keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import load_table
+from ._util import dsum
+
+
+@query(
+    "window_topk_parts_per_brand",
+    oracle="""
+    SELECT p_brand, p_partkey, p_retailprice, rn
+    FROM (
+      SELECT
+        p_brand, p_partkey, p_retailprice,
+        ROW_NUMBER() OVER (
+          PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey
+        ) AS rn
+      FROM part
+    )
+    WHERE rn <= 3
+    """,
+)
+def window_topk_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 per group via row_number; deterministic tie-break on p_partkey."""
+    p = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc(), "p_partkey")
+    return (
+        p.select(
+            "p_brand",
+            "p_partkey",
+            "p_retailprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "window_rank_customers_by_balance",
+    oracle="""
+    SELECT
+      c_custkey,
+      n_name,
+      c_acctbal,
+      RANK() OVER (PARTITION BY n_name ORDER BY c_acctbal DESC) AS bal_rank,
+      DENSE_RANK() OVER (PARTITION BY n_name ORDER BY c_acctbal DESC) AS bal_dense_rank
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    """,
+)
+def window_rank_customers_by_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank are value-based → deterministic under ties without a
+    tie-break column."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy(F.col("c_acctbal").desc())
+    return c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+        "c_custkey",
+        "n_name",
+        "c_acctbal",
+        F.rank().over(w).alias("bal_rank"),
+        F.dense_rank().over(w).alias("bal_dense_rank"),
+    )
+
+
+@query(
+    "window_running_spend_per_customer",
+    oracle="""
+    SELECT
+      o_custkey,
+      o_orderkey,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+        PARTITION BY o_custkey ORDER BY o_orderkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      ) AS DOUBLE) AS running_spend,
+      CAST(COUNT(*) OVER (
+        PARTITION BY o_custkey ORDER BY o_orderkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      ) AS BIGINT) AS running_orders
+    FROM orders
+    """,
+)
+def window_running_spend_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running totals; decimal accumulation keeps the prefix sums exact so
+    the oracle compare is bit-stable at any prefix length."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .over(w)
+        .cast("double")
+        .alias("running_spend"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("running_orders"),
+    )
+
+
+@query(
+    "window_lag_lead_user_events",
+    oracle="""
+    SELECT
+      user_id,
+      event_id,
+      value,
+      LAG(value) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_value,
+      LEAD(value) OVER (PARTITION BY user_id ORDER BY event_id) AS next_value,
+      value - LAG(value) OVER (PARTITION BY user_id ORDER BY event_id) AS delta
+    FROM events
+    """,
+)
+def window_lag_lead_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead over the per-user event sequence (event_id is unique → fully
+    deterministic frame order in both engines)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+    )

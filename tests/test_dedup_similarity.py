@@ -1,0 +1,89 @@
+"""Recall/property tests for the approximate dedup & ANN tiers against their
+brute-force baselines (SURVEY.md §7 M3)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from k_means_map_reduce_spark.registry import QUERIES
+from k_means_map_reduce_spark.sources import load_table
+from k_means_map_reduce_spark.operators.dedup import shingles, simhash64
+
+
+def test_minhash_recall_vs_bruteforce(spark, oracle_sf_dir):
+    """MinHash-LSH must recover most truly-similar pairs (jaccard >= 0.5)."""
+    truth = {
+        (r["doc_a"], r["doc_b"])
+        for r in QUERIES["dedup_ngram_jaccard_pairs"](spark, oracle_sf_dir)
+        .where(F.col("jaccard") >= 0.5)
+        .collect()
+    }
+    found = {
+        (r["doc_a"], r["doc_b"])
+        for r in QUERIES["dedup_minhash_lsh_pairs"](spark, oracle_sf_dir).collect()
+    }
+    if truth:
+        recall = len(truth & found) / len(truth)
+        assert recall >= 0.8, f"minhash recall {recall} over {len(truth)} pairs"
+
+
+def test_ann_lsh_recall(spark, oracle_sf_dir):
+    truth = {
+        (r["q_id"], r["vec_id"])
+        for r in QUERIES["sim_cosine_topk"](spark, oracle_sf_dir).collect()
+    }
+    found = {
+        (r["q_id"], r["vec_id"])
+        for r in QUERIES["sim_ann_lsh_topk"](spark, oracle_sf_dir).collect()
+    }
+    recall = len(truth & found) / len(truth)
+    assert recall >= 0.5, f"LSH ANN recall too low: {recall}"
+
+
+def test_ann_ivf_recall(spark, oracle_sf_dir):
+    truth = {
+        (r["q_id"], r["vec_id"])
+        for r in QUERIES["sim_cosine_topk"](spark, oracle_sf_dir).collect()
+    }
+    found = {
+        (r["q_id"], r["vec_id"])
+        for r in QUERIES["sim_ann_ivf_topk"](spark, oracle_sf_dir).collect()
+    }
+    recall = len(truth & found) / len(truth)
+    assert recall >= 0.5, f"IVF ANN recall too low: {recall}"
+
+
+def test_simhash_identical_docs_collide(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "an entirely different document about spark engines at scale"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    fp = df.select("doc_id", simhash64(F.col("text")).alias("h")).collect()
+    h = {r["doc_id"]: r["h"] for r in fp}
+    assert h[1] == h[2]
+    assert h[1] != h[3]
+
+
+def test_shingles_expression(spark):
+    df = spark.createDataFrame([("a b c d",)], "text STRING")
+    out = df.select(shingles(F.col("text")).alias("s")).collect()[0]["s"]
+    assert sorted(out) == ["a b c", "b c d"]
+
+
+def test_exact_dedup_drops_duplicates(spark, oracle_sf_dir):
+    d = load_table(spark, oracle_sf_dir, "documents")
+    dup = d.limit(50).union(d.limit(50))  # force exact duplicates
+    dup.createOrReplaceTempView("_dup_docs")
+    from k_means_map_reduce_spark.operators.dedup import _NORM
+
+    deduped = (
+        dup.select("doc_id", F.md5(_NORM(F.col("text"))).alias("k"))
+        .groupBy("k")
+        .agg(F.min("doc_id").alias("keep"))
+    )
+    assert deduped.count() == 50
