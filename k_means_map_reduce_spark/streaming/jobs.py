@@ -1,0 +1,202 @@
+"""Structured Streaming surface over `events` (SURVEY.md §2b, M4).
+
+The reference is strictly batch (one clustering job per run, master.py:106-159)
+— streaming is driver-mandated new capability. Design:
+
+- Source: the same parquet the batch queries read, consumed through
+  ``readStream`` with an explicit schema (file-stream sources require one) and
+  an ``availableNow`` trigger: process everything currently present, then
+  stop. This makes every streaming job a *superset* of its batch twin —
+  tests assert stream ≡ batch on identical input.
+- Event time: `ts` with a watermark. With availableNow over static files the
+  watermark never closes windows mid-run, so results match batch exactly;
+  in continuous deployment the same code incrementally emits finalized
+  windows and bounds state (the point of the watermark at 100 TB/day rates).
+- Custom stateful operator: per-user running stats via
+  ``applyInPandasWithState`` — the Spark-idiomatic form of "custom stateful
+  streaming operator" (GroupState keyed by user, Arrow-batched).
+
+Memory sinks are used by tests/bench only; production would writeStream to
+parquet/Kafka with checkpointing.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..sources.catalog import TABLE_SCHEMAS
+
+_TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as a file-stream source.
+
+    Watermarks require TIMESTAMP (not NTZ), so unlike the batch loader the
+    stream's `ts` is a UTC instant built from the raw nanos. Window-start
+    strings therefore match the batch (NTZ) queries only under a UTC session
+    timezone — which session.get_spark pins; tests run there.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # FileStreamSource requires a directory; the test tables are single
+    # parquet files. Stage a temp dir with a symlink (no data copy).
+    stage = tempfile.mkdtemp(prefix="events_stream_")
+    link = os.path.join(stage, "events.parquet")
+    os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    return (
+        spark.readStream.schema(TABLE_SCHEMAS["events"])
+        .parquet(stage)
+        .withColumn(
+            "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
+        )
+    )
+
+
+def _run_available_now(stream_df: DataFrame, query_name: str) -> DataFrame:
+    """Drain the stream into a memory sink with an availableNow trigger and
+    return the sink contents as a DataFrame."""
+    sink = f"{query_name}_{uuid.uuid4().hex[:8]}"
+    checkpoint = tempfile.mkdtemp(prefix=f"ckpt_{sink}_")
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(sink)
+
+
+def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of operators.events.events_tumbling_hourly."""
+    from ..operators._util import dsum
+
+    e = read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), _TS_FMT_SPARK).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "approx_users",
+        )
+    )
+    return _run_available_now(agg, "tumbling_hourly")
+
+
+def stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of operators.events.events_session_windows."""
+    e = read_events_stream(spark, sf_dir).withWatermark("ts", "30 minutes")
+    agg = (
+        e.groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), _TS_FMT_SPARK).alias("session_start"),
+            "n_events",
+        )
+    )
+    return _run_available_now(agg, "sessionization")
+
+
+_USER_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+        T.StructField("max_value", T.DoubleType()),
+    ]
+)
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+        T.StructField("mx", T.DoubleType()),
+    ]
+)
+
+
+def _update_user_stats(
+    key, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Custom stateful operator body: accumulate (count, sum, max) per user
+    across micro-batches. Arrow-batched — each call sees whole pandas frames,
+    never Python-per-row."""
+    (user_id,) = key
+    if state.exists:
+        n, total, mx = state.get
+    else:
+        n, total, mx = 0, 0.0, float("-inf")
+    for pdf in pdfs:
+        vals = pdf["value"].dropna()
+        n += len(pdf)
+        if len(vals):
+            total += float(vals.sum())
+            mx = max(mx, float(vals.max()))
+    state.update((n, total, mx))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_events": [n],
+            "total_value": [total],
+            "max_value": [mx if mx != float("-inf") else None],
+        }
+    )
+
+
+def stream_user_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running stats via applyInPandasWithState (custom stateful
+    streaming operator; state keyed and partitioned by user_id)."""
+    e = read_events_stream(spark, sf_dir)
+    stats = (
+        e.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_user_stats,
+            outputStructType=_USER_STATS_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    sink = f"user_stats_{uuid.uuid4().hex[:8]}"
+    checkpoint = tempfile.mkdtemp(prefix=f"ckpt_{sink}_")
+    q = (
+        stats.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update-mode sink may hold several rows per user (one per batch); the
+    # final state per user is the row with the max n_events.
+    raw = spark.table(sink)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        raw.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )

@@ -1,0 +1,47 @@
+"""M4: stream ≡ batch over identical input (availableNow drain)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from k_means_map_reduce_spark.registry import QUERIES
+from k_means_map_reduce_spark.sources import load_table
+from k_means_map_reduce_spark.streaming import (
+    stream_sessionization,
+    stream_tumbling_hourly,
+    stream_user_running_stats,
+)
+
+
+def _as_sorted_rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.select(*cols).collect())
+
+
+def test_tumbling_stream_equals_batch(spark, sf_dir):
+    batch = QUERIES["events_tumbling_hourly"](spark, sf_dir)
+    stream = stream_tumbling_hourly(spark, sf_dir)
+    cols = ["window_start", "event_type", "n_events", "sum_value"]
+    assert _as_sorted_rows(stream, cols) == _as_sorted_rows(batch, cols)
+
+
+def test_sessionization_stream_equals_batch(spark, sf_dir):
+    batch = QUERIES["events_session_windows"](spark, sf_dir)
+    stream = stream_sessionization(spark, sf_dir)
+    cols = ["user_id", "session_start", "n_events"]
+    assert _as_sorted_rows(stream, cols) == _as_sorted_rows(batch, cols)
+
+
+def test_stateful_user_stats_matches_batch_agg(spark, sf_dir):
+    stream = stream_user_running_stats(spark, sf_dir)
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("value").alias("max_value"),
+        )
+    )
+    s = {r["user_id"]: (r["n_events"], round(r["max_value"], 9)) for r in stream.collect()}
+    b = {r["user_id"]: (r["n_events"], round(r["max_value"], 9)) for r in batch.collect()}
+    assert s == b
