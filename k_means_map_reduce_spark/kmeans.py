@@ -60,19 +60,22 @@ class KMeansResult:
     iterations: int
     converged: bool
     wssse_history: list[float] = field(default_factory=list)
+    sizes: dict[int, int] = field(default_factory=dict)  # cluster id -> |points| at final assignment
 
 
 def _centroid_literal(centroids: list[list[float]]) -> Column:
-    """Centroids as a literal array<struct<cid:int, cvec:array<double>>>."""
-    return F.array(
-        *[
-            F.struct(
-                F.lit(cid).alias("cid"),
-                F.array(*[F.lit(float(x)) for x in vec]).alias("cvec"),
-            )
-            for cid, vec in enumerate(centroids)
-        ]
-    )
+    """Centroids as a literal array<struct<cid:int, cvec:array<double>>>.
+
+    Built as ONE SQL expression string parsed JVM-side: constructing k·dim
+    nested F.lit Columns costs hundreds of py4j round-trips per iteration
+    (~0.3 s at k=8, dim=64), which would dominate small-batch iterations.
+    repr(float) is the shortest exact round-trip form, so no precision loss.
+    """
+    parts = []
+    for cid, vec in enumerate(centroids):
+        arr = ",".join(f"{float(x)!r}D" for x in vec)
+        parts.append(f"named_struct('cid', {cid}, 'cvec', array({arr}))")
+    return F.expr("array(" + ",".join(parts) + ")")
 
 
 def assign_clusters(
@@ -135,28 +138,42 @@ def kmeans_native(
         .where(F.col("vec").isNotNull() & (F.size("vec") > 0))
         .cache()
     )
-    first = pts.first()
-    if first is None:
-        raise ValueError("empty input")
-    dim = len(first["vec"])
 
-    # Init (reference op #5, master.py:54-65): seeded uniform sample of k
-    # distinct points. takeSample is a driver-coordinated reservoir sample —
-    # exactly the reference's random.sample, but distributed and seeded.
-    sample = pts.distinct().rdd.takeSample(False, k, seed=seed)
-    if len(sample) < k:
-        raise ValueError(f"k={k} but only {len(sample)} distinct points")
-    centroids = [list(r["vec"]) for r in sample]
+    # Init (reference op #5, master.py:54-65): seeded uniform sample without
+    # replacement — the reference's random.sample, distributed and seeded.
+    # Oversample 4x then keep the first k distinct vectors, avoiding a full
+    # distinct() shuffle just for init.
+    sample = pts.rdd.takeSample(False, 4 * k, seed=seed)
+    if not sample:
+        raise ValueError("empty input")
+    dim = len(sample[0]["vec"])
+    centroids: list[list[float]] = []
+    seen = set()
+    for r in sample:
+        key = tuple(r["vec"])
+        if key not in seen:
+            seen.add(key)
+            centroids.append(list(r["vec"]))
+        if len(centroids) == k:
+            break
+    if len(centroids) < k:
+        distinct_sample = pts.distinct().rdd.takeSample(False, k, seed=seed)
+        if len(distinct_sample) < k:
+            raise ValueError(f"k={k} but only {len(distinct_sample)} distinct points")
+        centroids = [list(r["vec"]) for r in distinct_sample]
 
     wssse_history: list[float] = []
     converged = False
     it = 0
+    sizes: dict[int, int] = {}
     for it in range(1, max_iter + 1):
         assigned = assign_clusters(pts, centroids, "vec")
         stats = _mean_by_cluster(assigned, dim)
         new_centroids = list(centroids)  # empty clusters keep old centroid
-        for cid, _n, mean_vec, _sd in stats:
+        sizes = {cid: 0 for cid in range(k)}
+        for cid, n, mean_vec, _sd in stats:
             new_centroids[cid] = mean_vec
+            sizes[cid] = n
         wssse_history.append(sum(s[3] for s in stats))
         # Convergence (reference op #15, fixed to pair by id): every centroid
         # moved < tol in Euclidean distance.
@@ -169,7 +186,7 @@ def kmeans_native(
             converged = True
             break
     pts.unpersist()
-    return KMeansResult(centroids, it, converged, wssse_history)
+    return KMeansResult(centroids, it, converged, wssse_history, sizes)
 
 
 def kmeans_native_df(
@@ -184,12 +201,11 @@ def kmeans_native_df(
 ) -> DataFrame:
     """Run kmeans_native and return (cluster_id, size, center) as a DataFrame."""
     result = kmeans_native(df, vec_col=vec_col, k=k, max_iter=max_iter, tol=tol, seed=seed)
-    assigned = assign_clusters(
-        df.select(F.col(vec_col).cast("array<double>").alias("vec")), result.centers, "vec"
-    )
-    sizes = {r["cid"]: r["n"] for r in assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # sizes come from the final iteration's aggregation — no extra pass. (The
+    # last assignment used the pre-update centroids; for a converged run the
+    # difference is < tol.)
     rows = [
-        (cid, int(sizes.get(cid, 0)), [float(x) for x in vec])
+        (cid, int(result.sizes.get(cid, 0)), [float(x) for x in vec])
         for cid, vec in enumerate(result.centers)
     ]
     return spark.createDataFrame(
