@@ -1,0 +1,241 @@
+"""Advanced relational surface: pivot, percentiles/statistics, subqueries,
+explode/lateral, conditional aggregation, sampling, and the SQL-string entry
+point (spark.sql over registered views — proving the same engine speaks SQL).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import load_table, register_views
+from ._util import dsum, sql_dsum
+
+SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+
+
+@query(
+    "pivot_segment_by_nation",
+    oracle=f"""
+    SELECT
+      n_name,
+      {', '.join(f'''COUNT(CASE WHEN c_mktsegment = '{s}' THEN 1 END) AS {s.lower()}''' for s in SEGMENTS)}
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def pivot_segment_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (single shuffle; pivot values enumerated so Catalyst plans a
+    fixed-width aggregation, no second pass to discover values)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    out = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .pivot("c_mktsegment", SEGMENTS)
+        .agg(F.count(F.lit(1)))
+    )
+    renames = [F.col("n_name")] + [F.col(s).alias(s.lower()) for s in SEGMENTS]
+    return out.select(*renames)
+
+
+@query(
+    "stats_percentiles_by_flag",
+    oracle="""
+    SELECT
+      l_returnflag,
+      ROUND(median(l_extendedprice), 4) AS median_price,
+      ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25_price,
+      ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def stats_percentiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (continuous interpolation — same definition in both
+    engines). At 100 TB you'd switch to approx_percentile (t-digest sketch,
+    mergeable, single pass); exact is the correctness baseline."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("median_price"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 4).alias("p25_price"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 4).alias("p95_price"),
+    )
+
+
+@query(
+    "stats_variance_corr",
+    oracle="""
+    SELECT
+      COUNT(*) AS n,
+      ROUND(stddev_samp(o_totalprice), 2) AS sd_total,
+      ROUND(var_samp(o_totalprice), 0) AS var_total,
+      ROUND(corr(o_totalprice, o_custkey), 6) AS corr_price_cust
+    FROM orders
+    """,
+)
+def stats_variance_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moments. Both engines use numerically-stable single-pass updates;
+    rounding absorbs the last-ulp differences of partial-merge order."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.stddev_samp("o_totalprice"), 2).alias("sd_total"),
+        F.round(F.var_samp("o_totalprice"), 0).alias("var_total"),
+        F.round(F.corr("o_totalprice", "o_custkey"), 6).alias("corr_price_cust"),
+    )
+
+
+@query(
+    "subquery_scalar_above_avg",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > 1.5 * (SELECT AVG(o_totalprice) FROM orders)
+    """,
+)
+def subquery_scalar_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery: Catalyst evaluates the inner agg once and folds it
+    into the outer filter (subquery broadcast, no per-row re-evaluation)."""
+    o = load_table(spark, sf_dir, "orders")
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice > 1.5 * (SELECT AVG(o_totalprice) FROM orders)
+        """
+    )
+
+
+@query(
+    "subquery_correlated_max_order",
+    oracle="""
+    SELECT c_custkey, o_orderkey, o_totalprice
+    FROM customer, orders
+    WHERE o_custkey = c_custkey
+      AND o_totalprice = (
+        SELECT MAX(o2.o_totalprice) FROM orders o2 WHERE o2.o_custkey = c_custkey
+      )
+      AND c_mktsegment = 'BUILDING'
+    """,
+)
+def subquery_correlated_max_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (each customer's max-price order). Catalyst
+    decorrelates it into an aggregate + join — the plan a human would write —
+    instead of re-running the inner query per row."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, o_orderkey, o_totalprice
+        FROM customer JOIN orders ON o_custkey = c_custkey
+        WHERE o_totalprice = (
+            SELECT MAX(o2.o_totalprice) FROM orders o2 WHERE o2.o_custkey = c_custkey
+          )
+          AND c_mktsegment = 'BUILDING'
+        """
+    )
+
+
+@query(
+    "subquery_in_high_value_customers",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000.0)
+    """,
+)
+def subquery_in_high_value_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000.0)
+        """
+    )
+
+
+@query(
+    "explode_tokens_top_words",
+    oracle="""
+    SELECT tok, COUNT(*) AS n
+    FROM (
+      SELECT UNNEST(list_filter(string_split_regex(TRIM(LOWER(text)), '\\s+'), t -> t != '')) AS tok
+      FROM documents
+    )
+    GROUP BY tok
+    HAVING COUNT(*) >= 50
+    """,
+)
+def explode_tokens_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode (lateral flatten) → hash agg. The generator runs inside
+    codegen; map-side partial agg collapses the token fan-out before the
+    shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.trim(F.lower("text")), r"\s+"), lambda t: t != "")
+    return (
+        d.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 50)
+    )
+
+
+@query(
+    "conditional_agg_order_priority",
+    oracle=f"""
+    SELECT
+      o_orderpriority,
+      COUNT(*) AS n_orders,
+      COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_finished,
+      {sql_dsum("CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END")} AS open_value,
+      ROUND(COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) * 1.0 / COUNT(*), 6) AS finished_ratio
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def conditional_agg_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    finished = F.count(F.when(F.col("o_orderstatus") == "F", 1))
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        finished.alias("n_finished"),
+        dsum(
+            F.when(F.col("o_orderstatus") == "O", F.col("o_totalprice")).otherwise(0.0)
+        ).alias("open_value"),
+        F.round(finished * 1.0 / F.count(F.lit(1)), 6).alias("finished_ratio"),
+    )
+
+
+@query(
+    "sql_q6_forecast_revenue",
+    oracle=f"""
+    SELECT {sql_dsum('l_extendedprice * l_discount')} AS revenue_delta
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.04 AND 0.07
+      AND l_quantity < 25
+    """,
+)
+def sql_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape through the SQL front-end: all four predicates push to
+    the parquet scan; the aggregation is a single scan, no shuffle."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        f"""
+        SELECT {_spark_dsum_sql('l_extendedprice * l_discount')} AS revenue_delta
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP_NTZ '1996-01-01'
+          AND l_shipdate < TIMESTAMP_NTZ '1997-01-01'
+          AND l_discount BETWEEN 0.04 AND 0.07
+          AND l_quantity < 25
+        """
+    )
+
+
+def _spark_dsum_sql(expr: str) -> str:
+    return f"CAST(SUM(CAST(ROUND(({expr}), 6) AS DECIMAL(18,6))) AS DOUBLE)"

@@ -1,0 +1,171 @@
+"""Multimodal columns (SURVEY.md §2b / driver mandate): image/audio/video as
+opaque BINARY columns + typed metadata, processed with Arrow-batched pandas
+over mapInPandas.
+
+No media libraries exist in this container, so the codec layer is explicitly
+stubbed (see _decode_image): a clearly-marked deterministic fake derives
+"decoded" properties from the bytes. Everything Spark-side is REAL and
+tested — schemas, binary handling, mapInPandas batch shapes, partitioning —
+so swapping in PIL/librosa/pyav later changes one function.
+
+The media table itself is synthesized from `documents` (deterministic:
+media = utf-8 bytes of the text, media_type round-robins by doc_id), since
+the driver tables carry no binary column.
+
+Scale notes: mapInPandas streams Arrow record batches — bytes never
+materialize as Python objects per row, and output can be wider/narrower than
+input (frame sampling explodes, feature extraction projects). Batch size is
+governed by spark.sql.execution.arrow.maxRecordsPerBatch; for ~MB-scale
+media you'd lower it (or pre-repartition by size) to bound executor memory.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..registry import query
+from ..sources import load_table
+
+MEDIA_TYPES = ["image", "audio", "video"]
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize (doc_id, media BINARY, media_type, meta STRUCT) from
+    documents — the canonical multimodal layout: opaque payload + typed
+    metadata columns Catalyst can prune/filter without touching bytes."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("media"),
+        F.element_at(
+            F.array(*[F.lit(t) for t in MEDIA_TYPES]),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        F.struct(
+            F.col("source").alias("origin"),
+            F.col("lang").alias("lang"),
+            F.col("n_chars").alias("content_hint"),
+        ).alias("meta"),
+    )
+
+
+def _decode_image(payload: bytes) -> tuple[int, int]:
+    """STUB CODEC — deterministic fake.
+
+    A real implementation would be `PIL.Image.open(io.BytesIO(payload)).size`;
+    PIL is not available in this container. The fake derives a stable
+    (width, height) from the payload hash so tests are reproducible and the
+    surrounding Spark plumbing (binary in, struct out, Arrow batching) is
+    exercised for real.
+    """
+    h = hashlib.sha256(payload).digest()
+    return 64 + h[0] % 192, 64 + h[1] % 192
+
+
+_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("sha256", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas body: whole Arrow batches in, feature frames out."""
+    for pdf in batches:
+        payloads = pdf["media"]
+        dims = [_decode_image(p) for p in payloads]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "media_type": pdf["media_type"],
+                "n_bytes": payloads.map(len).astype("int64"),
+                "sha256": payloads.map(lambda p: hashlib.sha256(p).hexdigest()),
+                "width": pd.Series([d[0] for d in dims], dtype="int32"),
+                "height": pd.Series([d[1] for d in dims], dtype="int32"),
+            }
+        )
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    return media.mapInPandas(_extract_features, schema=_FEATURES_SCHEMA)
+
+
+_FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+_FRAME_BYTES = 64
+_SAMPLE_EVERY = 4
+
+
+def _sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Video stand-in: treat the payload as fixed-size frames, keep every
+    Nth — the 1:N exploding output shape of real frame sampling."""
+    for pdf in batches:
+        ids, idxs, frames = [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+            n_frames = len(payload) // _FRAME_BYTES
+            for i in range(0, n_frames, _SAMPLE_EVERY):
+                ids.append(doc_id)
+                idxs.append(i)
+                frames.append(bytes(payload[i * _FRAME_BYTES : (i + 1) * _FRAME_BYTES]))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "frame_idx": pd.Series(idxs, dtype="int32"),
+                "frame": frames,
+            }
+        )
+
+
+def sample_frames(media: DataFrame) -> DataFrame:
+    return media.mapInPandas(_sample_frames, schema=_FRAMES_SCHEMA)
+
+
+@query(
+    "multimodal_features",
+    oracle="""
+    SELECT
+      doc_id,
+      CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+      CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      sha256(text) AS sha256
+    FROM documents
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary feature extraction through the Arrow path. n_bytes/sha256 are
+    oracle-checked against DuckDB computing the same over the source bytes —
+    proving the binary payload survives the Spark→Arrow→pandas round trip
+    byte-exact. width/height come from the stub codec (dropped here)."""
+    return extract_features(media_table(spark, sf_dir)).select(
+        "doc_id", "media_type", "n_bytes", "sha256"
+    )
+
+
+@query("multimodal_frame_sample")
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling (1:N explode through mapInPandas); rows-only check +
+    exactness tests in tests/test_multimodal.py."""
+    media = media_table(spark, sf_dir)
+    frames = sample_frames(media)
+    return frames.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_frames_sampled"),
+        F.sum(F.length("frame")).alias("sampled_bytes"),
+    )

@@ -41,6 +41,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # Importing the operator modules populates the registry (imports at the bottom
 # to avoid circular-import issues: operator modules import `query` from here).
 from .operators import relational  # noqa: E402,F401
+from .operators import advanced  # noqa: E402,F401
 from .operators import windows  # noqa: E402,F401
 from .operators import setops  # noqa: E402,F401
 from .operators import scalar_fns  # noqa: E402,F401
@@ -49,3 +50,4 @@ from .operators import textops  # noqa: E402,F401
 from .operators import dedup  # noqa: E402,F401
 from .operators import similarity  # noqa: E402,F401
 from .operators import clustering  # noqa: E402,F401
+from .operators import multimodal  # noqa: E402,F401
