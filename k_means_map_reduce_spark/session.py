@@ -15,6 +15,7 @@ one you would also set on a 1000-executor cluster:
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -35,5 +36,11 @@ def get_spark(app_name: str = "k-means-map-reduce-spark", master: str | None = N
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get(
+                "SPARK_GRAFT_WAREHOUSE", tempfile.mkdtemp(prefix="kmmr_warehouse_")
+            ),
+        )
     )
     return builder.getOrCreate()

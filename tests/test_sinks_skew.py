@@ -1,0 +1,159 @@
+"""Sinks (incl. bucketed no-shuffle joins), reference text formats, skew
+mitigation equivalence."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from k_means_map_reduce_spark.operators.skew import salted_aggregate, salted_join_keys
+from k_means_map_reduce_spark.plans import plan_report
+from k_means_map_reduce_spark.sources import load_table
+from k_means_map_reduce_spark.sources.points_txt import (
+    read_centroids_txt,
+    read_points_txt,
+    write_centroids_txt,
+)
+from k_means_map_reduce_spark.sources.sinks import (
+    write_bucketed,
+    write_csv,
+    write_parquet,
+    write_partitioned,
+)
+
+REFERENCE_POINTS = "/root/reference/Data/Input/points.txt"
+
+
+def test_read_reference_points_file(spark):
+    """The reference's own sample input parses N-dimensionally, unmutated."""
+    if not os.path.exists(REFERENCE_POINTS):
+        pytest.skip("reference sample not present")
+    df = read_points_txt(spark, REFERENCE_POINTS)
+    rows = df.collect()
+    assert len(rows) == 20
+    assert all(len(r["coordinates"]) == 2 for r in rows)
+    assert all(
+        all(c is not None for c in r["coordinates"]) for r in rows
+    ), "separator variants must parse without mutating the file"
+
+
+def test_points_txt_separator_variants(spark, tmp_path):
+    p = tmp_path / "pts.txt"
+    p.write_text("1,2\n3, 4\n 5 ,6.5 \n\n")
+    rows = read_points_txt(spark, str(p)).collect()
+    assert sorted(tuple(r["coordinates"]) for r in rows) == [
+        (1.0, 2.0),
+        (3.0, 4.0),
+        (5.0, 6.5),
+    ]
+
+
+def test_centroids_txt_roundtrip(tmp_path):
+    centers = [[1.5, -2.25], [0.0, 3.125]]
+    path = str(tmp_path / "centroids.txt")
+    write_centroids_txt(centers, path)
+    assert read_centroids_txt(path) == centers
+    # reference format: comma-joined coords, no ids (master.py:72-75)
+    first = open(path).readline().strip()
+    assert first == "1.5,-2.25"
+
+
+def test_kmeans_end_to_end_reference_format(spark, tmp_path):
+    """Full reference lifecycle: points.txt in → k-means → centroids.txt out."""
+    from k_means_map_reduce_spark.kmeans import kmeans_native
+
+    if not os.path.exists(REFERENCE_POINTS):
+        pytest.skip("reference sample not present")
+    pts = read_points_txt(spark, REFERENCE_POINTS)
+    r = kmeans_native(pts, vec_col="coordinates", k=5, max_iter=10, tol=1e-6, seed=42)
+    out = str(tmp_path / "centroids.txt")
+    write_centroids_txt(r.centers, out)
+    assert len(read_centroids_txt(out)) == 5
+
+
+def test_parquet_csv_roundtrip(spark, sf_dir, tmp_path):
+    n = load_table(spark, sf_dir, "nation")
+    pq = str(tmp_path / "nation_pq")
+    cv = str(tmp_path / "nation_csv")
+    write_parquet(n, pq)
+    write_csv(n, cv)
+    assert spark.read.parquet(pq).count() == 25
+    back = spark.read.option("header", True).schema(n.schema).csv(cv)
+    assert sorted(r["n_name"] for r in back.collect()) == sorted(
+        r["n_name"] for r in n.collect()
+    )
+
+
+def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    c = load_table(spark, sf_dir, "customer")
+    path = str(tmp_path / "cust_part")
+    write_partitioned(c, path, ["c_mktsegment"])
+    # partition dirs exist
+    assert any(d.startswith("c_mktsegment=") for d in os.listdir(path))
+    back = spark.read.parquet(path).where(F.col("c_mktsegment") == "BUILDING")
+    r = plan_report(back)
+    # pruned scan: only the BUILDING directory is in the location; check
+    # partition filter is recognized
+    assert "PartitionFilters" in r.text and "BUILDING" in r.text
+
+
+def test_bucketed_join_no_shuffle(spark, sf_dir, tmp_path):
+    """Bucketed-by-key tables must sort-merge join with ZERO shuffle.
+
+    Auto-broadcast is disabled for the check: at these test sizes Spark would
+    otherwise broadcast (and skip bucketing entirely); the bucketed layout is
+    for the 100 TB case where neither side broadcasts."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    write_bucketed(o, "orders_b", "o_orderkey", 8, sort_col="o_orderkey")
+    write_bucketed(l, "lineitem_b", "l_orderkey", 8, sort_col="l_orderkey")
+    threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        ob, lb = spark.table("orders_b"), spark.table("lineitem_b")
+        joined = ob.join(lb, ob.o_orderkey == lb.l_orderkey)
+        r = plan_report(joined)
+        assert r.sortmerge_joins >= 1, r.text
+        assert "Exchange hashpartitioning" not in r.text, (
+            "bucketed join should not shuffle:\n" + r.text
+        )
+        assert "Bucketed: true" in r.text, r.text
+        plain = o.join(l, o.o_orderkey == l.l_orderkey).count()
+        assert joined.count() == plain
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+
+
+def test_salted_aggregate_equals_plain(spark, sf_dir):
+    l = load_table(spark, sf_dir, "lineitem")
+    plain = {
+        r["l_returnflag"]: (r["n"], r["mx"])
+        for r in l.groupBy("l_returnflag")
+        .agg(F.count("l_quantity").alias("n"), F.max("l_extendedprice").alias("mx"))
+        .collect()
+    }
+    salted = {
+        r["l_returnflag"]: (r["n"], r["mx"])
+        for r in salted_aggregate(
+            l,
+            ["l_returnflag"],
+            {"n": ("l_quantity", "count"), "mx": ("l_extendedprice", "max")},
+            n_salts=16,
+        ).collect()
+    }
+    assert plain == salted
+
+
+def test_salted_join_equals_plain(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    plain = o.join(c, o.o_custkey == c.c_custkey).count()
+    # salted_join_keys takes a single key name; o/c keys differ, so rename
+    o2 = o.withColumnRenamed("o_custkey", "custkey")
+    c2 = c.withColumnRenamed("c_custkey", "custkey")
+    big, small, cond = salted_join_keys(o2, c2, "custkey", n_salts=4)
+    salted = big.join(small, cond).count()
+    assert salted == plain
