@@ -171,3 +171,47 @@ def events_type_value_distribution(spark: SparkSession, sf_dir: str) -> DataFram
         F.round(F.max("value"), 6).alias("max_value"),
         (dsum("value") / F.count("value")).alias("avg_value"),
     )
+
+
+_FUNNEL_SQL = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t_view
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t_click
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t_view
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS t_purchase
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+  GROUP BY e.user_id
+)
+SELECT
+  v.user_id,
+  CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+            WHEN c.user_id IS NOT NULL THEN 2
+            ELSE 1 END AS INT) AS funnel_stage
+FROM v
+LEFT JOIN c ON v.user_id = c.user_id
+LEFT JOIN p ON v.user_id = p.user_id
+"""
+
+
+@query(
+    "events_funnel_view_click_purchase",
+    oracle=_FUNNEL_SQL.replace(
+        "WITH v AS",
+        "WITH events AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts"
+        " FROM main.events), v AS",
+    ),
+)
+def events_funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential funnel (view → click → purchase, strictly ordered in event
+    time) computed with three keyed min-aggregations + joins — each stage
+    shuffles only (user_id, ts) pairs. Identical SQL runs on both engines."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_FUNNEL_SQL)

@@ -1,0 +1,75 @@
+"""Approximate/sketch aggregations + grouping sets (SURVEY.md §2b).
+
+Sketches (HLL++, t-digest-style quantiles) are the 100 TB substitutes for
+exact distinct counts and percentiles: single-pass, mergeable partials, fixed
+memory. Their values are implementation-defined, so DuckDB cannot oracle
+them — instead tests/test_sketches.py bounds their relative error against
+the exact answers (which ARE oracled elsewhere: agg_global_stats,
+stats_percentiles_by_flag).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import load_table, register_views
+
+
+@query("approx_distinct_counts")
+def approx_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ distinct counts (rsd 1%) next to the exact shuffle-heavy ones.
+
+    Exact countDistinct shuffles every distinct value; HLL++ shuffles one
+    ~kB sketch per partition — the difference between O(n) and O(1) shuffle
+    bytes at 100 TB.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+        F.approx_count_distinct("l_suppkey", rsd=0.01).alias("approx_supps"),
+    )
+
+
+@query("approx_percentiles")
+def approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (Greenwald-Khanna, accuracy 10000) per return flag."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)).alias(
+            "approx_median"
+        ),
+        F.approx_percentile("l_extendedprice", F.lit(0.95), F.lit(10000)).alias(
+            "approx_p95"
+        ),
+    )
+
+
+@query(
+    "grouping_sets_sales",
+    oracle="""
+    SELECT
+      COALESCE(l_returnflag, 'ALL') AS flag,
+      COALESCE(l_linestatus, 'ALL') AS status,
+      CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT) AS gid,
+      COUNT(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def grouping_sets_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS + grouping_id through the SQL front-end."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT
+          COALESCE(l_returnflag, 'ALL') AS flag,
+          COALESCE(l_linestatus, 'ALL') AS status,
+          CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT) AS gid,
+          COUNT(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )

@@ -51,3 +51,4 @@ from .operators import dedup  # noqa: E402,F401
 from .operators import similarity  # noqa: E402,F401
 from .operators import clustering  # noqa: E402,F401
 from .operators import multimodal  # noqa: E402,F401
+from .operators import sketches  # noqa: E402,F401
