@@ -41,8 +41,13 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh_pairs",
     "sim_cosine_topk",
+    "stats_percentiles_by_flag",
+    "q10_returned_item_customers",
+    "sql_q6_forecast_revenue",
+    "events_funnel_view_click_purchase",
+    "multimodal_features",
     "kmeans_mllib_clusters",
-    "kmeans_native_clusters",
+    "kmeans_arrow_clusters",
 ]
 
 

@@ -245,3 +245,126 @@ def kmeans_mllib(
         for cid, center in enumerate(model.clusterCenters())
     ]
     return spark.createDataFrame(rows, "cluster_id INT, size BIGINT, center ARRAY<DOUBLE>")
+
+
+def kmeans_arrow(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 8,
+    max_iter: int = 20,
+    tol: float = 1e-6,
+    seed: int = 42,
+) -> KMeansResult:
+    """Lloyd's loop with Arrow-batched numpy assignment — the scale path.
+
+    Same semantics as kmeans_native (seeded init, empty-cluster retention,
+    lowest-cid tie-break via argmin-first-occurrence, tol convergence), but
+    the per-iteration work is ONE mapInPandas job:
+
+      executors: Arrow batch → numpy matrix → |x|²+|c|²-2XCᵀ argmin (BLAS)
+                 → per-partition partials (k rows: count, Σvec, Σdist²)
+      driver:    merge ≤ k×P partial rows, update centroids, test shift.
+
+    Why this beats the expression-tree loop at any scale: the centroid matrix
+    rides a broadcast variable (no plan re-analysis / re-codegen per
+    iteration — the plan is byte-identical every time), distance math is a
+    dense matmul instead of per-element codegen, and the shuffle is replaced
+    by a k×P-row collect. This mirrors MLlib's own RDD implementation
+    (broadcast centers + treeAggregate) with DataFrame+Arrow plumbing.
+    """
+    import numpy as np
+    import pandas as pd  # noqa: F401
+
+    spark = df.sparkSession
+    pts = (
+        df.select(F.col(vec_col).cast("array<double>").alias("vec"))
+        .where(F.col("vec").isNotNull() & (F.size("vec") > 0))
+        .cache()
+    )
+    sample = pts.rdd.takeSample(False, 4 * k, seed=seed)
+    if not sample:
+        raise ValueError("empty input")
+    dim = len(sample[0]["vec"])
+    centroids: list[list[float]] = []
+    seen: set = set()
+    for r in sample:
+        key = tuple(r["vec"])
+        if key not in seen:
+            seen.add(key)
+            centroids.append(list(r["vec"]))
+        if len(centroids) == k:
+            break
+    if len(centroids) < k:
+        raise ValueError(f"k={k} but sample found only {len(centroids)} distinct points")
+
+    out_schema = (
+        "cid INT, n BIGINT, sum_dist2 DOUBLE, sums ARRAY<DOUBLE>"
+    )
+    sc = spark.sparkContext
+
+    wssse_history: list[float] = []
+    sizes: dict[int, int] = {}
+    converged = False
+    it = 0
+    for it in range(1, max_iter + 1):
+        b = sc.broadcast(np.asarray(centroids, dtype=np.float64))
+
+        def partials(batches, _b=b):
+            import numpy as _np
+            import pandas as _pd
+
+            C = _b.value
+            kk = C.shape[0]
+            c_sq = (C * C).sum(axis=1)
+            cnt = _np.zeros(kk, dtype=_np.int64)
+            sums = _np.zeros_like(C)
+            sd = _np.zeros(kk)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = _np.stack(pdf["vec"].to_numpy())
+                d2 = (X * X).sum(axis=1)[:, None] + c_sq[None, :] - 2.0 * (X @ C.T)
+                cid = d2.argmin(axis=1)  # first occurrence = lowest cid on ties
+                best = _np.maximum(d2[_np.arange(len(X)), cid], 0.0)
+                cnt += _np.bincount(cid, minlength=kk)
+                sd += _np.bincount(cid, weights=best, minlength=kk)
+                _np.add.at(sums, cid, X)
+            nz = _np.nonzero(cnt)[0]
+            yield _pd.DataFrame(
+                {
+                    "cid": nz.astype("int32"),
+                    "n": cnt[nz],
+                    "sum_dist2": sd[nz],
+                    "sums": [sums[i].tolist() for i in nz],
+                }
+            )
+
+        rows = pts.mapInPandas(partials, out_schema).collect()
+        b.unpersist()
+
+        import collections
+
+        agg_n: dict[int, int] = collections.defaultdict(int)
+        agg_sum = {cid: np.zeros(dim) for cid in range(k)}
+        wssse = 0.0
+        for r in rows:
+            agg_n[r["cid"]] += r["n"]
+            agg_sum[r["cid"]] += np.asarray(r["sums"])
+            wssse += r["sum_dist2"]
+        wssse_history.append(wssse)
+        new_centroids = list(centroids)
+        sizes = {cid: 0 for cid in range(k)}
+        for cid in range(k):
+            if agg_n[cid] > 0:
+                new_centroids[cid] = (agg_sum[cid] / agg_n[cid]).tolist()
+                sizes[cid] = int(agg_n[cid])
+        shift = max(
+            math.sqrt(sum((a - b2) ** 2 for a, b2 in zip(old, new)))
+            for old, new in zip(centroids, new_centroids)
+        )
+        centroids = new_centroids
+        if shift < tol:
+            converged = True
+            break
+    pts.unpersist()
+    return KMeansResult(centroids, it, converged, wssse_history, sizes)

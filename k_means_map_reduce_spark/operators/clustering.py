@@ -59,3 +59,18 @@ def kmeans_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("majority_count"),
         )
     )
+
+
+@query("kmeans_arrow_clusters")
+def kmeans_arrow_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow/BLAS Lloyd's loop (kmeans.kmeans_arrow — the scale path):
+    (cluster_id, size, c0). Matches kmeans_native to ~1e-9 (tested)."""
+    from ..kmeans import kmeans_arrow
+
+    e = load_table(spark, sf_dir, "embeddings")
+    r = kmeans_arrow(e, vec_col="embedding", k=8, max_iter=20, tol=1e-4, seed=42)
+    rows = [
+        (cid, int(r.sizes.get(cid, 0)), round(float(vec[0]), 4))
+        for cid, vec in enumerate(r.centers)
+    ]
+    return spark.createDataFrame(rows, "cluster_id INT, size BIGINT, c0 DOUBLE")

@@ -137,3 +137,19 @@ def test_kmeans_native_df_schema(spark, sf_dir):
     )
     sizes = [r["size"] for r in out.collect()]
     assert sum(sizes) == e.count()
+
+
+def test_arrow_equals_native(spark, sf_dir):
+    """The Arrow/BLAS loop and the expression-tree loop implement the same
+    algorithm: same seeded init => same trajectory (to float-merge noise)."""
+    from k_means_map_reduce_spark.kmeans import kmeans_arrow
+
+    e = load_table(spark, sf_dir, "embeddings")
+    a = kmeans_arrow(e, k=6, max_iter=8, tol=1e-6, seed=42)
+    n = kmeans_native(e, k=6, max_iter=8, tol=1e-6, seed=42)
+    assert a.iterations == n.iterations
+    diff = max(
+        abs(x - y) for ca, cn in zip(a.centers, n.centers) for x, y in zip(ca, cn)
+    )
+    assert diff < 1e-9, f"centers diverged by {diff}"
+    assert a.sizes == n.sizes
