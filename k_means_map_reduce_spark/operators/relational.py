@@ -475,3 +475,84 @@ def q10_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
+
+
+@query(
+    "join_full_outer_segment_totals",
+    oracle=f"""
+    WITH seg AS (
+      SELECT c_mktsegment AS segment, COUNT(*) AS n_customers
+      FROM customer GROUP BY c_mktsegment
+    ),
+    big AS (
+      SELECT c_mktsegment AS segment, COUNT(*) AS n_rich
+      FROM customer WHERE c_acctbal > 9990.0 GROUP BY c_mktsegment
+    )
+    SELECT
+      COALESCE(seg.segment, big.segment) AS segment,
+      COALESCE(n_customers, 0) AS n_customers,
+      COALESCE(n_rich, 0) AS n_rich
+    FROM seg FULL OUTER JOIN big ON seg.segment = big.segment
+    """,
+)
+def join_full_outer_segment_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two aggregates (one side can be missing keys)."""
+    c = load_table(spark, sf_dir, "customer")
+    seg = c.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    big = (
+        c.where(F.col("c_acctbal") > 9990.0)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.count(F.lit(1)).alias("n_rich"))
+    )
+    return (
+        seg.join(big, "segment", "full_outer")
+        .select(
+            "segment",
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_rich", F.lit(0)).alias("n_rich"),
+        )
+    )
+
+
+@query(
+    "join_right_outer_supplier_nation",
+    oracle="""
+    SELECT n_name, CAST(COUNT(s_suppkey) AS BIGINT) AS n_suppliers
+    FROM supplier
+    RIGHT JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def join_right_outer_supplier_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join: every nation appears, supplier-less ones count 0."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        s.join(n, s.s_nationkey == n.n_nationkey, "right")
+        .groupBy("n_name")
+        .agg(F.count("s_suppkey").alias("n_suppliers"))
+    )
+
+
+@query(
+    "join_cross_region_segment",
+    oracle="""
+    SELECT r_name, c_mktsegment AS segment, n_customers
+    FROM region
+    CROSS JOIN (
+      SELECT c_mktsegment, COUNT(*) AS n_customers FROM customer GROUP BY c_mktsegment
+    )
+    """,
+)
+def join_cross_region_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cartesian product (tiny × tiny — the only sane cross join;
+    Spark plans BroadcastNestedLoopJoin)."""
+    r = load_table(spark, sf_dir, "region").select("r_name")
+    seg = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    return r.crossJoin(seg).select("r_name", "segment", "n_customers")

@@ -131,3 +131,28 @@ def scalar_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(k).alias("min_k"),
         F.max(k).alias("max_k"),
     )
+
+
+@query(
+    "scalar_map_funcs",
+    oracle="""
+    SELECT
+      event_id,
+      'k' AS first_key,
+      CAST(json_extract_string(props, '$.k') AS INT) AS k_value,
+      1 AS n_keys
+    FROM events
+    WHERE event_id < 500
+    """,
+)
+def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: from_json into map<string,int>, then map_keys /
+    element_at / size — all codegen expressions."""
+    e = load_table(spark, sf_dir, "events").where(F.col("event_id") < 500)
+    m = F.from_json("props", "map<string,int>")
+    return e.select(
+        "event_id",
+        F.element_at(F.map_keys(m), 1).alias("first_key"),
+        F.element_at(m, "k").alias("k_value"),
+        F.size(m).alias("n_keys"),
+    )

@@ -17,45 +17,19 @@ from k_means_map_reduce_spark.sources import load_table
 # Queries whose lazy plan is a pure DataFrame expression (k-means & LSH
 # queries run driver-side loops / MLlib fits eagerly, so they're exercised
 # functionally elsewhere).
-LAZY_QUERIES = [
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "join_left_outer_customer_orders",
-    "join_semi_customers_with_big_orders",
-    "join_anti_customers_without_orders",
-    "join_theta_price_above_retail",
-    "agg_global_stats",
-    "agg_rollup_nation_segment",
-    "agg_cube_status_priority",
-    "topk_expensive_orders",
-    "distinct_flag_status",
-    "window_topk_parts_per_brand",
-    "window_rank_customers_by_balance",
-    "window_running_spend_per_customer",
-    "window_lag_lead_user_events",
-    "set_union_all_building_rich",
-    "set_union_distinct_building_rich",
-    "set_intersect_building_rich",
-    "set_except_building_rich",
-    "scalar_string_funcs",
-    "scalar_date_funcs",
-    "scalar_math_funcs",
-    "scalar_json_funcs",
-    "events_tumbling_hourly",
-    "events_sliding_1h_30m",
-    "events_session_windows",
-    "events_type_value_distribution",
-    "text_stats_per_doc",
-    "text_stats_by_lang",
-    "text_fingerprint",
-    "text_lang_id",
-    "text_ngram_profile",
-    "dedup_exact",
-    "dedup_ngram_jaccard_pairs",
-    "sim_cosine_topk",
-    "sim_norms_by_label",
-]
+# Everything except queries that run eager driver-side loops / MLlib fits
+# (k-means & LSH fits execute at construction; they're exercised functionally
+# elsewhere).
+EAGER_QUERIES = {
+    "kmeans_mllib_clusters",
+    "kmeans_native_clusters",
+    "kmeans_arrow_clusters",
+    "kmeans_label_purity",
+    "sim_ann_lsh_topk",
+    "sim_ann_ivf_topk",
+    "dedup_minhash_lsh_pairs",
+}
+LAZY_QUERIES = sorted(set(QUERIES) - EAGER_QUERIES)
 
 
 @pytest.mark.parametrize("name", LAZY_QUERIES)

@@ -1,0 +1,83 @@
+"""Hypothesis property tests (SURVEY.md §5.3): engine expressions vs plain
+Python reference implementations on adversarial inputs."""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from k_means_map_reduce_spark.functions.text import (
+    punct_ratio,
+    token_count,
+    word_count,
+)
+
+TEXT = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",), max_codepoint=0x2FF),
+    max_size=200,
+)
+
+# re.ASCII: Java/RE2 \s is ASCII-only; Python's default is Unicode-aware
+_TOKEN_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]", re.ASCII)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(TEXT, min_size=1, max_size=8))
+def test_token_count_matches_python(spark, texts):
+    df = spark.createDataFrame([(t,) for t in texts], "text STRING")
+    got = [r[0] for r in df.select(token_count(F.col("text"))).collect()]
+    expected = [len(_TOKEN_RE.findall(t)) for t in texts]
+    assert got == expected
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(TEXT, min_size=1, max_size=8))
+def test_word_count_matches_python(spark, texts):
+    df = spark.createDataFrame([(t,) for t in texts], "text STRING")
+    got = [r[0] for r in df.select(word_count(F.col("text"))).collect()]
+    expected = [
+        len([w for w in re.split(r"\s+", t.strip(), flags=re.ASCII) if w])
+        for t in texts
+    ]
+    assert got == expected
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(TEXT, min_size=1, max_size=8))
+def test_punct_ratio_bounds(spark, texts):
+    df = spark.createDataFrame([(t,) for t in texts], "text STRING")
+    got = [r[0] for r in df.select(punct_ratio(F.col("text"))).collect()]
+    assert all(0.0 <= g <= 1.0 for g in got)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_salted_aggregate_property(spark, rows):
+    """salted(count,max) == plain(count,max) on arbitrary keyed doubles."""
+    from k_means_map_reduce_spark.operators.skew import salted_aggregate
+
+    df = spark.createDataFrame(rows, "k STRING, v DOUBLE")
+    plain = {
+        r["k"]: (r["n"], r["mx"])
+        for r in df.groupBy("k")
+        .agg(F.count("v").alias("n"), F.max("v").alias("mx"))
+        .collect()
+    }
+    salted = {
+        r["k"]: (r["n"], r["mx"])
+        for r in salted_aggregate(
+            df, ["k"], {"n": ("v", "count"), "mx": ("v", "max")}, n_salts=4
+        ).collect()
+    }
+    assert plain == salted
