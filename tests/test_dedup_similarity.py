@@ -87,3 +87,26 @@ def test_exact_dedup_drops_duplicates(spark, oracle_sf_dir):
         .agg(F.min("doc_id").alias("keep"))
     )
     assert deduped.count() == 50
+
+
+def test_simhash_multi_index_complete(spark, oracle_sf_dir):
+    """Pigeonhole guarantee: 4x16-bit block join finds EVERY pair with
+    Hamming distance <= 3 (verified against the full cross join)."""
+    from k_means_map_reduce_spark.operators.dedup import simhash64
+
+    d = load_table(spark, oracle_sf_dir, "documents")
+    fp = d.select("doc_id", simhash64(F.col("text")).alias("simhash")).cache()
+    a, b = fp.alias("a"), fp.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    brute = {
+        (r["doc_a"], r["doc_b"])
+        for r in a.crossJoin(b)
+        .where((F.col("a.doc_id") < F.col("b.doc_id")) & (hamming <= 3))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .collect()
+    }
+    blocked = {
+        (r["doc_a"], r["doc_b"])
+        for r in QUERIES["dedup_simhash"](spark, oracle_sf_dir).collect()
+    }
+    assert blocked == brute
