@@ -156,3 +156,28 @@ def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(m, "k").alias("k_value"),
         F.size(m).alias("n_keys"),
     )
+
+
+@query(
+    "scalar_date_arithmetic",
+    oracle="""
+    SELECT
+      o_orderkey,
+      strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS ship_by,
+      strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+      CAST(EXTRACT(day FROM o_orderdate) AS INT) AS order_dom,
+      CAST(EXTRACT(month FROM o_orderdate) AS INT) AS order_month_num
+    FROM orders
+    WHERE o_orderkey < 2000
+    """,
+)
+def scalar_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic: offsets, month boundaries, component extraction."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 2000)
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.date_add(F.col("o_orderdate").cast("date"), 30), "yyyy-MM-dd").alias("ship_by"),
+        F.date_format(F.last_day(F.col("o_orderdate").cast("date")), "yyyy-MM-dd").alias("month_end"),
+        F.dayofmonth("o_orderdate").alias("order_dom"),
+        F.month("o_orderdate").alias("order_month_num"),
+    )

@@ -138,3 +138,42 @@ def window_lag_lead_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("value").over(w).alias("next_value"),
         (F.col("value") - F.lag("value").over(w)).alias("delta"),
     )
+
+
+@query(
+    "window_range_frame_90d_spend",
+    oracle="""
+    SELECT
+      o_custkey,
+      o_orderkey,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+        PARTITION BY o_custkey ORDER BY datediff('day', TIMESTAMP '1995-01-01', o_orderdate)
+        RANGE BETWEEN 90 PRECEDING AND CURRENT ROW
+      ) AS DOUBLE) AS spend_90d,
+      CAST(COUNT(*) OVER (
+        PARTITION BY o_custkey ORDER BY datediff('day', TIMESTAMP '1995-01-01', o_orderdate)
+        RANGE BETWEEN 90 PRECEDING AND CURRENT ROW
+      ) AS BIGINT) AS orders_90d
+    FROM orders
+    """,
+)
+def window_range_frame_90d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (value-based, not row-based): trailing-90-day spend per
+    customer. Ordering on day-number keeps the frame semantics identical in
+    both engines; decimal accumulation keeps sums exact at every frame."""
+    o = load_table(spark, sf_dir, "orders")
+    days = F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp_ntz"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(days)
+        .rangeBetween(-90, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .over(w)
+        .cast("double")
+        .alias("spend_90d"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("orders_90d"),
+    )
