@@ -203,11 +203,12 @@ LEFT JOIN p ON v.user_id = p.user_id
 
 @query(
     "events_funnel_view_click_purchase",
-    oracle=_FUNNEL_SQL.replace(
-        "WITH v AS",
-        "WITH events AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts"
-        " FROM main.events), v AS",
-    ),
+    # Oracle: same funnel over a µs-cast CTE. The CTE is named `ev` (not
+    # `events`) so it works no matter which schema/catalog the driver
+    # registers the base views in (temp views live in temp.main in DuckDB,
+    # where shadowing CTEs would need qualification).
+    oracle="WITH ev AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts"
+    " FROM events), v AS" + _FUNNEL_SQL.replace("FROM events", "FROM ev").split("WITH v AS", 1)[1],
 )
 def events_funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequential funnel (view → click → purchase, strictly ordered in event

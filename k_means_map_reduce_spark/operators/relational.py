@@ -556,3 +556,27 @@ def join_cross_region_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_customers"))
     )
     return r.crossJoin(seg).select("r_name", "segment", "n_customers")
+
+
+@query(
+    "agg_collect_sorted_sizes",
+    oracle="""
+    SELECT
+      p_brand,
+      array_to_string(list_sort(list(p_size)), ',') AS sizes,
+      array_to_string(list_sort(list_distinct(list(p_size))), ',') AS distinct_sizes
+    FROM part
+    GROUP BY p_brand
+    """,
+)
+def agg_collect_sorted_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list/collect_set surface, made order-deterministic by sorting
+    and emitting a joined string (list aggregation order is engine-defined,
+    so raw lists can't be hash-compared)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.groupBy("p_brand").agg(
+        F.array_join(F.array_sort(F.collect_list("p_size")), ",").alias("sizes"),
+        F.array_join(F.array_sort(F.collect_set("p_size")), ",").alias(
+            "distinct_sizes"
+        ),
+    )

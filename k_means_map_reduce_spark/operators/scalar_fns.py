@@ -34,7 +34,7 @@ def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select(
         "p_partkey",
         F.upper("p_name").alias("name_upper"),
-        F.length("p_name").alias("name_len"),
+        F.length("p_name").cast("bigint").alias("name_len"),
         F.regexp_extract("p_name", r"^[a-z]+", 0).alias("first_word"),
         F.size(F.split("p_name", " ")).alias("n_words"),
         F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),

@@ -73,7 +73,7 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), "vec_id")
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .where(F.col("rnk") <= TOP_K)
         .select("q_id", "vec_id", F.round("sim", 4).alias("sim"), "rnk")
     )
@@ -149,7 +149,7 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), "vec_id")
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .where(F.col("rnk") <= TOP_K)
         .select("q_id", "vec_id", F.round("sim", 4).alias("sim"), "rnk")
     )
@@ -221,7 +221,7 @@ def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), "vec_id")
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .where(F.col("rnk") <= TOP_K)
         .select("q_id", "vec_id", F.round("sim", 4).alias("sim"), "rnk")
     )

@@ -40,7 +40,7 @@ def text_stats_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
-        F.length("text").alias("n_chars_measured"),
+        F.length("text").cast("bigint").alias("n_chars_measured"),
         word_count(F.col("text")).alias("n_words"),
         token_count(F.col("text")).alias("n_tokens"),
         F.round(punct_ratio(F.col("text")), 8).alias("punct_ratio"),

@@ -41,7 +41,7 @@ def window_topk_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_brand",
             "p_partkey",
             "p_retailprice",
-            F.row_number().over(w).alias("rn"),
+            F.row_number().over(w).cast("bigint").alias("rn"),
         )
         .where(F.col("rn") <= 3)
     )
@@ -70,8 +70,8 @@ def window_rank_customers_by_balance(spark: SparkSession, sf_dir: str) -> DataFr
         "c_custkey",
         "n_name",
         "c_acctbal",
-        F.rank().over(w).alias("bal_rank"),
-        F.dense_rank().over(w).alias("bal_dense_rank"),
+        F.rank().over(w).cast("bigint").alias("bal_rank"),
+        F.dense_rank().over(w).cast("bigint").alias("bal_dense_rank"),
     )
 
 
