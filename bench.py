@@ -56,8 +56,13 @@ def main() -> None:
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     spark = get_spark("kmmr-bench")
     spark.sparkContext.setLogLevel("ERROR")
-    # Warm the JVM / executor pool.
+    # Warm the JVM/JIT, executor pool, and file-footer caches (unmeasured —
+    # steady-state per-query timings are what a long-running cluster sees).
+    from k_means_map_reduce_spark.sources import TABLE_SCHEMAS, load_table
+
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    for t in TABLE_SCHEMAS:
+        load_table(spark, sf_dir, t).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

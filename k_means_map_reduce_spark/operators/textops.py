@@ -92,8 +92,11 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("text_lang_id")
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-vote language ID vs the labeled lang column (rows-only check;
-    accuracy asserted in tests/test_textops.py)."""
+    """Stopword-vote language ID crossed with the dataset's lang column
+    (rows-only; the synthetic corpus draws the same vocabulary for every
+    label, so this is a distribution report, not an accuracy claim —
+    real-language identification is asserted in tests/test_textops.py on
+    hand-written multilingual samples)."""
     d = load_table(spark, sf_dir, "documents")
     return (
         d.select("lang", lang_id(F.col("text")).alias("pred"))
@@ -135,4 +138,18 @@ def text_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
         .where(F.col("n") >= 10)
+    )
+
+
+@query("text_quality_scores")
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality + stopword signals per doc (rows-only; formula
+    bounds and determinism asserted in tests/test_textops.py)."""
+    from ..functions.text import quality_score, stopword_ratio
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.round(quality_score(F.col("text")), 6).alias("quality"),
+        F.round(stopword_ratio(F.col("text"), "en"), 6).alias("en_stopword_ratio"),
     )

@@ -200,3 +200,41 @@ def stream_user_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+def stream_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of operators.events.events_sliding_1h_30m."""
+    from ..operators._util import dsum
+
+    e = read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), _TS_FMT_SPARK).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return _run_available_now(agg, "sliding_windows")
+
+
+def stream_static_join_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream joins a static dimension (a
+    per-type weight table) executor-side — the static side is (re)broadcast
+    per micro-batch, the canonical enrichment pattern for streaming ETL."""
+    e = read_events_stream(spark, sf_dir)
+    dim = spark.createDataFrame(
+        [("view", 1), ("click", 2), ("signup", 5), ("purchase", 10), ("error", 0)],
+        "event_type STRING, weight INT",
+    )
+    joined = e.join(F.broadcast(dim), "event_type")
+    agg = joined.groupBy("event_type", "weight").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("weight").cast("long")).alias("weighted_events"),
+    )
+    return _run_available_now(agg, "stream_static_join")

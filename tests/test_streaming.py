@@ -45,3 +45,31 @@ def test_stateful_user_stats_matches_batch_agg(spark, sf_dir):
     s = {r["user_id"]: (r["n_events"], round(r["max_value"], 9)) for r in stream.collect()}
     b = {r["user_id"]: (r["n_events"], round(r["max_value"], 9)) for r in batch.collect()}
     assert s == b
+
+
+def test_sliding_stream_equals_batch(spark, sf_dir):
+    from k_means_map_reduce_spark.streaming.jobs import stream_sliding_windows
+
+    batch = QUERIES["events_sliding_1h_30m"](spark, sf_dir)
+    stream = stream_sliding_windows(spark, sf_dir)
+    cols = ["window_start", "event_type", "n_events", "sum_value"]
+    assert _as_sorted_rows(stream, cols) == _as_sorted_rows(batch, cols)
+
+
+def test_stream_static_join(spark, sf_dir):
+    from k_means_map_reduce_spark.streaming.jobs import (
+        stream_static_join_enriched_counts,
+    )
+
+    out = stream_static_join_enriched_counts(spark, sf_dir)
+    rows = {r["event_type"]: (r["n_events"], r["weighted_events"]) for r in out.collect()}
+    batch = {
+        r["event_type"]: r["n"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    weights = {"view": 1, "click": 2, "signup": 5, "purchase": 10, "error": 0}
+    for et, n in batch.items():
+        assert rows[et] == (n, n * weights[et])
