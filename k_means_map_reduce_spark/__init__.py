@@ -8,8 +8,52 @@ the full relational + LLM-data-pipeline surface mandated by SURVEY.md §2b.
 Design rules (SURVEY.md §4):
 - DataFrame/SQL everywhere; Catalyst + Tungsten pick the physical plan.
 - No row-at-a-time Python UDFs on hot paths; array higher-order functions and
-  pandas UDFs (Arrow) where Python is unavoidable.
+  Arrow-batched pandas (mapInPandas / applyInPandasWithState) where Python is
+  unavoidable.
 - Broadcast small sides; single-shuffle aggregations; cache iterated inputs.
+
+Public API (what a reference user needs to switch):
+
+    from k_means_map_reduce_spark import (
+        get_spark,            # configured SparkSession
+        load_table,           # schema'd test-table reader
+        read_points_txt,      # the reference's own input format
+        write_centroids_txt,  # the reference's own output format
+        kmeans_native,        # DataFrame-expression Lloyd's (reference rebuild)
+        kmeans_arrow,         # Arrow+BLAS Lloyd's (scale path)
+        kmeans_mllib,         # MLlib KMeans
+        QUERIES, ORACLES,     # the full named query surface
+    )
 """
 
-__version__ = "0.1.0"
+from .session import get_spark
+from .sources import TABLE_SCHEMAS, load_table, register_views
+from .sources.points_txt import read_points_txt, write_centroids_txt
+from .kmeans import (
+    KMeansResult,
+    assign_clusters,
+    kmeans_arrow,
+    kmeans_mllib,
+    kmeans_native,
+    kmeans_native_df,
+)
+from .registry import ORACLES, QUERIES
+
+__version__ = "1.0.0"
+
+__all__ = [
+    "get_spark",
+    "TABLE_SCHEMAS",
+    "load_table",
+    "register_views",
+    "read_points_txt",
+    "write_centroids_txt",
+    "KMeansResult",
+    "assign_clusters",
+    "kmeans_arrow",
+    "kmeans_mllib",
+    "kmeans_native",
+    "kmeans_native_df",
+    "ORACLES",
+    "QUERIES",
+]
