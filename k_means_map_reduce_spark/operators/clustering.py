@@ -40,11 +40,11 @@ def kmeans_native_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def kmeans_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-vs-label contingency: majority-label purity per native cluster."""
-    from ..kmeans import assign_clusters, kmeans_native
+    from ..kmeans import assign_clusters, kmeans_arrow
 
     e = load_table(spark, sf_dir, "embeddings")
     pts = e.select("vec_id", "label", F.col("embedding").cast("array<double>").alias("vec"))
-    res = kmeans_native(pts, vec_col="vec", k=10, max_iter=15, tol=1e-4, seed=42)
+    res = kmeans_arrow(pts, vec_col="vec", k=10, max_iter=15, tol=1e-4, seed=42)
     assigned = assign_clusters(pts, res.centers, "vec")
     contingency = assigned.groupBy("cid", "label").agg(F.count(F.lit(1)).alias("n"))
     from pyspark.sql import Window

@@ -161,55 +161,70 @@ def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     then search only the nprobe=6 cells nearest each query.
 
     Relational layout: corpus carries a `cell` column (at 100 TB: a partition
-    column → probing = partition pruning). Rows-only + recall test.
+    column, so probing = partition pruning). Cell assignment reuses the
+    Arrow/BLAS path (one mapInPandas pass, no giant codegen expression);
+    probe-cell selection for the tiny query set happens driver-side in numpy.
+    Rows-only + recall test vs sim_cosine_topk.
     """
-    from ..kmeans import assign_clusters, kmeans_native
+    import numpy as np
+    import pandas as pd  # noqa: F401
+
+    from ..kmeans import kmeans_arrow
     from ..functions.vectors import l2_norm
 
     e = load_table(spark, sf_dir, "embeddings")
-    # Cosine ANN ⇒ quantize on the unit sphere: L2-normalize first so the
-    # Euclidean coarse quantizer induces cosine-consistent cells.
-    norm = l2_norm(F.col("embedding"))
-    corpus = e.select(
-        "vec_id",
-        F.transform(
-            F.col("embedding").cast("array<double>"), lambda x: x / norm
-        ).alias("vec"),
-    ).where(norm > 0)
-    result = kmeans_native(corpus, vec_col="vec", k=16, max_iter=10, seed=42)
-    cells = assign_clusters(corpus, result.centers, "vec").select(
-        "vec_id", "vec", F.col("cid").alias("cell")
+    # Hoist the norm into its own column: referencing l2_norm() inside the
+    # transform lambda would re-evaluate the whole-array aggregate once PER
+    # ELEMENT (O(dim^2) per row).
+    corpus = (
+        e.withColumn("_norm", l2_norm(F.col("embedding")))
+        .where(F.col("_norm") > 0)
+        .select(
+            "vec_id",
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x: x / F.col("_norm"),
+            ).alias("vec"),
+        )
+    )
+    result = kmeans_arrow(corpus, vec_col="vec", k=16, max_iter=6, tol=1e-2, seed=42)
+    C = np.asarray(result.centers)
+    bc = spark.sparkContext.broadcast(C)
+
+    def assign(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        CC = bc.value
+        c_sq = (CC * CC).sum(axis=1)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = _np.stack(pdf["vec"].to_numpy())
+            d2 = (X * X).sum(axis=1)[:, None] + c_sq[None, :] - 2.0 * (X @ CC.T)
+            yield _pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "vec": pdf["vec"],
+                    "cell": d2.argmin(axis=1).astype("int32"),
+                }
+            )
+
+    cells = corpus.mapInPandas(
+        assign, "vec_id LONG, vec ARRAY<DOUBLE>, cell INT"
     ).cache()
 
-    queries = cells.where(F.col("vec_id") < N_QUERY).select(
-        F.col("vec_id").alias("q_id"), F.col("vec").alias("q_vec")
-    )
-    # nprobe=6 nearest cells per query (these synthetic embeddings are
-    # near-random in 64-d, so neighbors spread widely across cells; real
-    # corpora cluster much tighter and probe fewer cells), via the same
-    # centroid-literal argmin machinery (sorted distances, take 6).
-    from ..kmeans import _centroid_literal
-    from ..functions.vectors import sq_euclidean
-
-    cents = _centroid_literal(result.centers)
-    probed = queries.withColumn(
-        "probe_cells",
-        F.slice(
-            F.transform(
-                F.array_sort(
-                    F.transform(
-                        cents,
-                        lambda c: F.struct(
-                            sq_euclidean(F.col("q_vec"), c["cvec"]).alias("d"),
-                            c["cid"].alias("cid"),
-                        ),
-                    )
-                ),
-                lambda s: s["cid"],
-            ),
-            1,
-            6,
-        ),
+    # Probe-cell selection driver-side: the query set is tiny by definition.
+    qrows = cells.where(F.col("vec_id") < N_QUERY).collect()
+    probe_rows = []
+    for r in qrows:
+        q = np.asarray(r["vec"])
+        d2 = ((C - q) ** 2).sum(axis=1)
+        probe_rows.append(
+            (r["vec_id"], list(r["vec"]), [int(c) for c in np.argsort(d2)[:6]])
+        )
+    probed = spark.createDataFrame(
+        probe_rows, "q_id LONG, q_vec ARRAY<DOUBLE>, probe_cells ARRAY<INT>"
     )
     cand = cells.join(
         F.broadcast(probed),
@@ -221,7 +236,7 @@ def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), "vec_id")
     return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        scored.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= TOP_K)
         .select("q_id", "vec_id", F.round("sim", 4).alias("sim"), "rnk")
     )
