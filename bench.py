@@ -43,6 +43,8 @@ HEADLINE = [
     "sim_cosine_topk",
     "stats_percentiles_by_flag",
     "q10_returned_item_customers",
+    "q18_large_volume_customers",
+    "join_asof_event_last_order",
     "sql_q6_forecast_revenue",
     "events_funnel_view_click_purchase",
     "multimodal_features",

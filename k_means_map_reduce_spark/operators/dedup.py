@@ -1,6 +1,6 @@
 """Deduplication suite over `documents` (SURVEY.md §2b LLM-pipeline, M3).
 
-Four tiers, cheapest to fuzziest:
+Five tiers, cheapest to fuzziest:
 1. exact        — hash-groupBy on normalized text (one shuffle of hashes)
 2. ngram_jaccard— shingle-set Jaccard with length blocking (quadratic within
                   block; the correctness baseline for the LSH tiers)
@@ -8,6 +8,9 @@ Four tiers, cheapest to fuzziest:
                   the 100 TB path (candidate pairs only, no quadratic blowup)
 4. simhash      — 64-bit simhash fingerprints via expression-only bit math;
                   near-dups = small Hamming distance
+5. embedding_cosine — semantic near-dup pairs over the embeddings table;
+                  brute-force oracled baseline here, ANN (LSH/IVF in
+                  operators/similarity.py) as the scale path
 
 The reference engine has no dedup; this is driver-mandated capability. Exact
 and jaccard tiers are DuckDB-oracled; LSH tiers are rows-only + recall tests
@@ -245,3 +248,41 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p_ in parts[1:]:
         out = out.union(p_)
     return out.distinct()
+
+
+@query(
+    "dedup_embedding_cosine_pairs",
+    oracle="""
+    SELECT
+      a.vec_id AS vec_a,
+      b.vec_id AS vec_b,
+      ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])), 4) AS sim
+    FROM embeddings a
+    JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])), 4) >= 0.4
+    """,
+)
+def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (sim >= 0.4 — ~p99.9 of this
+    synthetic corpus; real corpora use ~0.95 on real encoders).
+
+    This is the oracled brute-force baseline: self-join with vec_id ordering,
+    codegen'd zip_with/aggregate cosine, threshold on the 4-dp-rounded value
+    so both engines make the identical keep/drop decision at the boundary.
+    The 100 TB path replaces the O(n^2) pair space with ANN candidate
+    generation (sim_ann_lsh_topk / sim_ann_ivf_topk blocking), scoring only
+    bucket-cohabiting pairs — same scorer, pruned candidates.
+    """
+    from ..functions.vectors import cosine_similarity
+
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    sim = F.round(cosine_similarity(F.col("emb_a"), F.col("emb_b")), 4)
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", sim.alias("sim"))
+        .where(F.col("sim") >= 0.4)
+    )

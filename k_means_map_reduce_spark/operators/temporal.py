@@ -1,0 +1,216 @@
+"""Temporal join operators: as-of join, band (interval) join, multi-grain
+time rollup (SURVEY.md §2b — operators Spark lacks natively, built as
+compositions of DataFrame ops; the reference has no temporal surface at all).
+
+Scale design:
+- As-of join — the union-sort trick: tag both streams, union, then one
+  window pass per key carrying the last order forward (`last(..., ignorenulls)`
+  over rows UNBOUNDED PRECEDING). ONE shuffle on the join key, no fan-out, no
+  per-event probe — this is how as-of joins stay linear at 100 TB (vs the
+  naive join+filter+rank which materializes |events|×|orders-per-user| rows).
+- Band join — bucketize time into band-width buckets and explode each left
+  row into its 3 candidate buckets; the theta predicate then applies to an
+  equi-joined candidate set ~3×|band| instead of the full cross product per
+  key. Shuffles scale with data size, not with the square of it.
+- Rollup — GROUPING SETS over pre-computed grain columns: one shuffle
+  produces hour+day+total grains (vs 3 separate scans/aggs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import load_table
+from ._util import dsum, sql_dsum
+
+_BAND_SECONDS = 300  # ±5 minutes
+
+
+@query(
+    "join_asof_event_last_order",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, o_orderdate,
+             MAX(o_orderkey) AS o_orderkey,
+             arg_max(o_totalprice, o_orderkey) AS o_totalprice
+      FROM orders
+      GROUP BY o_custkey, o_orderdate
+    )
+    SELECT
+      e.event_id,
+      e.user_id,
+      e.ts,
+      o.o_orderkey AS last_orderkey,
+      o.o_totalprice AS last_totalprice
+    FROM events e
+    ASOF LEFT JOIN o
+      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+)
+def join_asof_event_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event picks the user's most recent order at or
+    before the event timestamp.
+
+    Orders are first deduped to one row per (custkey, orderdate) — max
+    orderkey wins — because an as-of match at a tied timestamp is otherwise
+    nondeterministic in any engine.
+
+    Implementation (scale path): union the two streams with a side tag,
+    window once per user ordered by (t, side) — side orders orders (0)
+    before events (1) at equal timestamps so `ts >= orderdate` is inclusive
+    — and carry the last non-null order columns forward. One shuffle on
+    user_id; memory per partition is O(1) beyond the sort.
+    """
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(
+            F.max("o_orderkey").alias("o_orderkey"),
+            F.max_by("o_totalprice", "o_orderkey").alias("o_totalprice"),
+        )
+    )
+    o_side = o.select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("side"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("o_orderkey"),
+        F.col("o_totalprice"),
+    )
+    e_side = e.select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(1).alias("side"),
+        "event_id",
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = o_side.unionByName(e_side).select(
+        "user_id",
+        "t",
+        "side",
+        "event_id",
+        F.last("o_orderkey", ignorenulls=True).over(w).alias("last_orderkey"),
+        F.last("o_totalprice", ignorenulls=True).over(w).alias("last_totalprice"),
+    )
+    return merged.where(F.col("side") == 1).select(
+        "event_id",
+        "user_id",
+        F.col("t").alias("ts"),
+        "last_orderkey",
+        "last_totalprice",
+    )
+
+
+@query(
+    "join_band_event_pairs",
+    oracle=f"""
+    SELECT
+      a.event_id AS event_a,
+      b.event_id AS event_b,
+      a.user_id,
+      epoch_us(b.ts) - epoch_us(a.ts) AS micros_apart
+    FROM events a
+    JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_id < b.event_id
+     AND b.ts >= a.ts - INTERVAL {_BAND_SECONDS} SECOND
+     AND b.ts <= a.ts + INTERVAL {_BAND_SECONDS} SECOND
+    """,
+)
+def join_band_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band (interval) self-join: same-user event pairs within ±5 minutes.
+
+    Scale path: bucket ts by the band width; a pair within the band can only
+    span adjacent buckets, so exploding the left side into {b-1, b, b+1} and
+    equi-joining on (user_id, bucket) bounds candidates at ~3× the true band
+    pairs. The exact predicate filters after the equi-join. No quadratic
+    blowup: shuffle volume is 3×|events|, and a hot user's cross product is
+    confined to one 5-minute bucket at a time.
+
+    micros_apart is exact integer microsecond arithmetic in both engines.
+    """
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    micros = F.unix_micros(F.col("ts").cast("timestamp"))
+    bucket = F.floor(micros / (_BAND_SECONDS * 1_000_000))
+    left = e.select(
+        F.col("event_id").alias("event_a"),
+        "user_id",
+        F.col("ts").alias("ts_a"),
+        micros.alias("us_a"),
+        F.explode(F.array(bucket - 1, bucket, bucket + 1)).alias("bucket"),
+    )
+    right = e.select(
+        F.col("event_id").alias("event_b"),
+        F.col("user_id").alias("user_b"),
+        micros.alias("us_b"),
+        bucket.alias("bucket_b"),
+    )
+    pairs = left.join(
+        right,
+        (F.col("user_id") == F.col("user_b"))
+        & (F.col("bucket") == F.col("bucket_b"))
+        & (F.col("event_a") < F.col("event_b")),
+    ).where(
+        (F.col("us_b") >= F.col("us_a") - _BAND_SECONDS * 1_000_000)
+        & (F.col("us_b") <= F.col("us_a") + _BAND_SECONDS * 1_000_000)
+    )
+    return pairs.select(
+        "event_a",
+        "event_b",
+        "user_id",
+        (F.col("us_b") - F.col("us_a")).alias("micros_apart"),
+    )
+
+
+@query(
+    "events_time_rollup_grains",
+    oracle=f"""
+    SELECT
+      CASE WHEN GROUPING(day) = 1 THEN 'total'
+           WHEN GROUPING(hour) = 1 THEN 'day' ELSE 'hour' END AS grain,
+      day,
+      hour,
+      COUNT(*) AS n_events,
+      {sql_dsum('value')} AS total_value
+    FROM (
+      SELECT date_trunc('day', ts) AS day, date_trunc('hour', ts) AS hour, value
+      FROM events
+    )
+    GROUP BY GROUPING SETS ((day, hour), (day), ())
+    """,
+)
+def events_time_rollup_grains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: hour, day, and total
+    grains from ONE shuffle via ROLLUP(day, hour) (hour nests inside day, so
+    rollup == these grouping sets). At scale this replaces three scans of
+    the fact with one; the grain column disambiguates rows for consumers."""
+    e = load_table(spark, sf_dir, "events")
+    g = (
+        e.select(
+            F.date_trunc("day", "ts").cast("timestamp_ntz").alias("day"),
+            F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("hour"),
+            "value",
+        )
+        .rollup("day", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+            F.grouping("day").alias("_gd"),
+            F.grouping("hour").alias("_gh"),
+        )
+    )
+    grain = (
+        F.when(F.col("_gd") == 1, "total").when(F.col("_gh") == 1, "day").otherwise("hour")
+    )
+    return g.select(
+        grain.alias("grain"), "day", "hour", "n_events", "total_value"
+    )

@@ -51,9 +51,12 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def _values_equal(a, b) -> bool:
-    if isinstance(a, float) and isinstance(b, float):
-        if math.isnan(a) and math.isnan(b):
+    try:
+        if pd.isna(a) and pd.isna(b):  # NaN, NaT, None — all count as equal
             return True
+    except (TypeError, ValueError):
+        pass  # array-likes: fall through to ==
+    if isinstance(a, float) and isinstance(b, float):
         return a == b
     return a == b
 

@@ -52,3 +52,5 @@ from .operators import similarity  # noqa: E402,F401
 from .operators import clustering  # noqa: E402,F401
 from .operators import multimodal  # noqa: E402,F401
 from .operators import sketches  # noqa: E402,F401
+from .operators import tpch_extra  # noqa: E402,F401
+from .operators import temporal  # noqa: E402,F401

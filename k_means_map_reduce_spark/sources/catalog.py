@@ -130,7 +130,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         # Spark rejects TIMESTAMP(NANOS) parquet columns; read raw ns and
-        # convert. floor-division to µs == DuckDB CAST(ts AS TIMESTAMP).
+        # convert. Integer floor-division to µs == DuckDB's truncating
+        # TIMESTAMP_NS→TIMESTAMP cast. (`ts / 1000` would be DOUBLE division:
+        # at 1.7e15 µs the ULP is 0.25µs, so ~¼ of rows round up across the
+        # integer boundary and drift +1µs from the oracle.)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
 
@@ -140,7 +143,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             .withColumn(
                 "ts",
                 F.expr(
-                    "timestampadd(MICROSECOND, CAST(floor(ts / 1000) AS BIGINT),"
+                    "timestampadd(MICROSECOND, ts div 1000,"
                     " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
                 ),
             )
