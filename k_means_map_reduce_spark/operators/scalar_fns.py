@@ -181,3 +181,40 @@ def scalar_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dayofmonth("o_orderdate").alias("order_dom"),
         F.month("o_orderdate").alias("order_month_num"),
     )
+
+
+@query(
+    "scalar_array_funcs",
+    oracle="""
+    SELECT
+      p_partkey,
+      CAST(len(toks) AS INT) AS n_toks,
+      array_to_string(list_sort(toks), '|') AS sorted_toks,
+      toks[1] AS first_tok,
+      toks[-1] AS last_tok,
+      array_to_string(list_sort(toks)[1:2], '|') AS top2,
+      CAST(list_aggregate(range(1, (p_size % 7) + 2), 'sum') AS BIGINT) AS tri_sum,
+      list_contains(toks, 'steel') AS has_steel
+    FROM (
+      SELECT p_partkey, p_size, string_split(p_name, ' ') AS toks FROM part
+    )
+    """,
+)
+def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order/function surface: split, size, array_sort,
+    element_at (front and back), slice, sequence + aggregate (lambda fold),
+    array_contains — all codegen'd expressions, the same family the k-means
+    distance math uses (functions/vectors.py)."""
+    p = load_table(spark, sf_dir, "part")
+    toks = F.split("p_name", " ")
+    seq = F.sequence(F.lit(1), F.pmod("p_size", F.lit(7)) + F.lit(1))
+    return p.select(
+        "p_partkey",
+        F.size(toks).cast("int").alias("n_toks"),
+        F.array_join(F.array_sort(toks), "|").alias("sorted_toks"),
+        F.element_at(toks, 1).alias("first_tok"),
+        F.element_at(toks, -1).alias("last_tok"),
+        F.array_join(F.slice(F.array_sort(toks), 1, 2), "|").alias("top2"),
+        F.aggregate(seq, F.lit(0).cast("bigint"), lambda a, x: a + x).alias("tri_sum"),
+        F.array_contains(toks, "steel").alias("has_steel"),
+    )

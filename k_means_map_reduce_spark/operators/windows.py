@@ -177,3 +177,41 @@ def window_range_frame_90d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("spend_90d"),
         F.count(F.lit(1)).over(w).cast("bigint").alias("orders_90d"),
     )
+
+
+@query(
+    "window_distribution_functions",
+    oracle="""
+    SELECT
+      o_orderkey,
+      o_orderpriority,
+      CAST(NTILE(4) OVER w AS INT) AS quartile,
+      ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+      ROUND(CUME_DIST() OVER w, 6) AS cume,
+      FIRST_VALUE(o_orderkey) OVER w AS cheapest_key,
+      LAST_VALUE(o_orderkey) OVER (
+        PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+      ) AS priciest_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_distribution_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (ntile / percent_rank / cume_dist /
+    first_value / last_value) per priority class. The ordering includes
+    o_orderkey so every rank-derived value is deterministic under ties.
+    last_value needs the explicit full frame (the default frame stops at
+    CURRENT ROW) — same rule in both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.first("o_orderkey").over(w).alias("cheapest_key"),
+        F.last("o_orderkey").over(w_full).alias("priciest_key"),
+    )

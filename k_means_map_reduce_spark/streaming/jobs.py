@@ -57,20 +57,26 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema(TABLE_SCHEMAS["events"])
         .parquet(stage)
         .withColumn(
-            "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
+            # integer div, not /1000: double division drifts +1µs on ~¼ of
+            # rows at epoch magnitude (see sources/catalog.py)
+            "ts",
+            F.timestamp_micros(F.expr("ts div 1000")),
         )
     )
 
 
-def _run_available_now(stream_df: DataFrame, query_name: str) -> DataFrame:
+def _run_available_now(
+    stream_df: DataFrame, query_name: str, mode: str = "complete"
+) -> DataFrame:
     """Drain the stream into a memory sink with an availableNow trigger and
-    return the sink contents as a DataFrame."""
+    return the sink contents as a DataFrame. Stream-stream joins only
+    support append mode; aggregations use complete."""
     sink = f"{query_name}_{uuid.uuid4().hex[:8]}"
     checkpoint = tempfile.mkdtemp(prefix=f"ckpt_{sink}_")
     q = (
         stream_df.writeStream.format("memory")
         .queryName(sink)
-        .outputMode("complete")
+        .outputMode(mode)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
@@ -238,3 +244,67 @@ def stream_static_join_enriched_counts(spark: SparkSession, sf_dir: str) -> Data
         F.sum(F.col("weight").cast("long")).alias("weighted_events"),
     )
     return _run_available_now(agg, "stream_static_join")
+
+
+def stream_stream_view_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: each view joined to the same user's clicks
+    within the next 10 minutes.
+
+    Both sides carry watermarks and the join condition bounds click_ts
+    relative to view_ts, so Spark can expire buffered state — without the
+    time bound a stream-stream join would buffer both streams forever. This
+    is the interval-join pattern (the batch twin is a plain range-predicate
+    join; tests assert stream ≡ batch on identical input). Append mode is
+    required for stream-stream joins.
+    """
+    views = (
+        read_events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "1 hour")
+    )
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    joined = views.join(
+        clicks,
+        (F.col("user_id") == F.col("click_user"))
+        & (F.col("click_ts") > F.col("view_ts"))
+        & (F.col("click_ts") <= F.col("view_ts") + F.expr("INTERVAL 10 MINUTES")),
+    ).select("view_id", "click_id", "user_id", "view_ts", "click_ts")
+    return _run_available_now(joined, "stream_stream_join", mode="append")
+
+
+def batch_view_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of stream_stream_view_click_join (same UTC-instant ts)."""
+    e = read_events_stream  # noqa: F841 — doc anchor; batch reads directly
+    from ..sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        F.col("ts").alias("view_ts"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("click_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    return views.join(
+        clicks,
+        (F.col("user_id") == F.col("click_user"))
+        & (F.col("click_ts") > F.col("view_ts"))
+        & (F.col("click_ts") <= F.col("view_ts") + F.expr("INTERVAL 10 MINUTES")),
+    ).select("view_id", "click_id", "user_id", "view_ts", "click_ts")

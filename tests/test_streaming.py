@@ -73,3 +73,18 @@ def test_stream_static_join(spark, sf_dir):
     weights = {"view": 1, "click": 2, "signup": 5, "purchase": 10, "error": 0}
     for et, n in batch.items():
         assert rows[et] == (n, n * weights[et])
+
+
+def test_stream_stream_join_equals_batch(spark, sf_dir):
+    from k_means_map_reduce_spark.streaming.jobs import (
+        batch_view_click_join,
+        stream_stream_view_click_join,
+    )
+
+    stream = stream_stream_view_click_join(spark, sf_dir)
+    batch = batch_view_click_join(spark, sf_dir)
+    # Compare on ids (the ts columns differ only in type: stream=UTC instant,
+    # batch=NTZ wall clock — same values under the UTC test session).
+    cols = ["view_id", "click_id", "user_id"]
+    assert _as_sorted_rows(stream, cols) == _as_sorted_rows(batch, cols)
+    assert stream.count() > 0
