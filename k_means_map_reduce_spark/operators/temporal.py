@@ -41,7 +41,7 @@ _BAND_SECONDS = 300  # ±5 minutes
     SELECT
       e.event_id,
       e.user_id,
-      e.ts,
+      strftime(CAST(e.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS ts,
       o.o_orderkey AS last_orderkey,
       o.o_totalprice AS last_totalprice
     FROM events e
@@ -104,7 +104,8 @@ def join_asof_event_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.where(F.col("side") == 1).select(
         "event_id",
         "user_id",
-        F.col("t").alias("ts"),
+        # string output: cross-engine pandas timestamp units differ (ns vs µs)
+        F.date_format("t", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
         "last_orderkey",
         "last_totalprice",
     )
@@ -177,12 +178,13 @@ def join_band_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       CASE WHEN GROUPING(day) = 1 THEN 'total'
            WHEN GROUPING(hour) = 1 THEN 'day' ELSE 'hour' END AS grain,
-      day,
-      hour,
+      strftime(day, '%Y-%m-%d %H:%M:%S') AS day,
+      strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour,
       COUNT(*) AS n_events,
       {sql_dsum('value')} AS total_value
     FROM (
-      SELECT date_trunc('day', ts) AS day, date_trunc('hour', ts) AS hour, value
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, value
       FROM events
     )
     GROUP BY GROUPING SETS ((day, hour), (day), ())
@@ -212,5 +214,9 @@ def events_time_rollup_grains(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("_gd") == 1, "total").when(F.col("_gh") == 1, "day").otherwise("hour")
     )
     return g.select(
-        grain.alias("grain"), "day", "hour", "n_events", "total_value"
+        grain.alias("grain"),
+        F.date_format("day", "yyyy-MM-dd HH:mm:ss").alias("day"),
+        F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "n_events",
+        "total_value",
     )

@@ -198,7 +198,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
       c_name,
       c_custkey,
       o_orderkey,
-      o_orderdate,
+      strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
       o_totalprice,
       {sql_dsum('l_quantity')} AS sum_qty
     FROM customer
@@ -233,6 +233,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(dsum("l_quantity").alias("sum_qty"))
+        .withColumn("o_orderdate", F.date_format("o_orderdate", "yyyy-MM-dd"))
     )
 
 

@@ -71,6 +71,23 @@ def compare_query(
             name, False, len(sdf), len(odf),
             f"columns differ: spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}",
         )
+    # Enforce dtype parity too: the driver's value-hash may be dtype- or
+    # unit-sensitive (e.g. datetime64[ns] vs [us]); emit strings/casts in
+    # both engines rather than relying on value-level coercion.
+    dtype_mismatch = [
+        c
+        for c in sorted(sdf.columns)
+        if str(sdf[c].dtype) != str(odf[c].dtype)
+    ]
+    if dtype_mismatch:
+        return CompareResult(
+            name, False, len(sdf), len(odf),
+            "dtype mismatch: "
+            + ", ".join(
+                f"{c}: spark={sdf[c].dtype} oracle={odf[c].dtype}"
+                for c in dtype_mismatch
+            ),
+        )
     if len(sdf) != len(odf):
         return CompareResult(name, False, len(sdf), len(odf), "row count differs")
     a, b = _canon(sdf), _canon(odf)
