@@ -286,3 +286,90 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", sim.alias("sim"))
         .where(F.col("sim") >= 0.4)
     )
+
+
+@query(
+    "dedup_connected_components",
+    oracle="""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id, lang,
+        CAST(floor(len(toks) / 32) AS BIGINT) AS len_bucket,
+        list_distinct(list_transform(
+          list_transform(range(1, greatest(len(toks) - 1, 1)),
+            i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]),
+          g -> hash(g))) AS hs
+      FROM (
+        SELECT doc_id, lang,
+               list_filter(string_split(LOWER(regexp_replace(TRIM(text), '\\s+', ' ', 'g')), ' '), t -> t != '') AS toks
+        FROM documents)
+      WHERE len(toks) >= 3
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a JOIN sh b
+        ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+          / (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))) >= 0.2
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    w(node, label) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.dst, w.label FROM w JOIN edges e ON e.src = w.node
+    )
+    SELECT node AS doc_id, MIN(label) AS component FROM w GROUP BY node
+    """,
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: connected components over the Jaccard pair graph,
+    labeled by the smallest doc_id in each component (the canonical
+    "keep one per cluster" step after pair generation).
+
+    Spark side: iterative min-label propagation — per round, every node
+    takes the min of its own label and its neighbors' labels (one shuffle
+    join + one aggregation per round), stopping when no label changes.
+    Rounds = graph diameter; for dedup graphs (small, dense clusters)
+    that's 2-3. At trillion-edge scale the same loop with the large-star/
+    small-star rewrites (Kiveris et al., "Connected Components in MapReduce
+    and Beyond", SoCC'14) converges in O(log^2 n) rounds; the per-round
+    dataflow below is unchanged.
+
+    Oracle: DuckDB recursive CTE propagating labels along edges to a
+    fixpoint, then MIN per node — same fixpoint, declarative recursion.
+    """
+    pairs = dedup_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).toDF("src", "dst").cache()
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .cache()
+    )
+    labels.count()
+    while True:
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.node)
+            .select(F.col("dst").alias("node"), "label")
+        )
+        new_labels = (
+            labels.unionByName(neighbor_min)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))

@@ -169,3 +169,64 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_frames_sampled"),
         F.sum(F.length("frame")).alias("sampled_bytes"),
     )
+
+
+_RESIZE_W, _RESIZE_H = 32, 32
+
+_RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("resized", T.BinaryType()),
+        T.StructField("out_w", T.IntegerType()),
+        T.StructField("out_h", T.IntegerType()),
+    ]
+)
+
+
+def _resize_payload(payload: bytes, w: int, h: int) -> bytes:
+    """STUB CODEC — deterministic fake resize.
+
+    A real implementation would be PIL `Image.open(...).resize((w, h))` /
+    ffmpeg scale; neither library is in this container. The fake emits
+    exactly w*h bytes by tiling the payload (empty payload → zeros), so the
+    output-size contract of a real resize (fixed target dims) holds and the
+    Spark plumbing — binary in, binary out, Arrow batching — is real.
+    """
+    target = w * h
+    if not payload:
+        return bytes(target)
+    reps = -(-target // len(payload))
+    return (payload * reps)[:target]
+
+
+def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "media_type": pdf["media_type"],
+                "resized": pdf["media"].map(
+                    lambda p: _resize_payload(p, _RESIZE_W, _RESIZE_H)
+                ),
+                "out_w": pd.Series([_RESIZE_W] * len(pdf), dtype="int32"),
+                "out_h": pd.Series([_RESIZE_H] * len(pdf), dtype="int32"),
+            }
+        )
+
+
+def resize_media(media: DataFrame) -> DataFrame:
+    return media.mapInPandas(_resize_batches, schema=_RESIZED_SCHEMA)
+
+
+@query("multimodal_resize")
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing (1:1 binary→binary transform through mapInPandas with
+    a fixed output-dims contract). Rows-only check; output-size invariants
+    and determinism asserted in tests/test_multimodal.py."""
+    media = media_table(spark, sf_dir)
+    out = resize_media(media)
+    return out.groupBy("media_type", "out_w", "out_h").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum(F.length("resized")).alias("total_resized_bytes"),
+    )

@@ -1,4 +1,5 @@
 from .jobs import (
+    stream_dedup_user_event_types,
     batch_view_click_join,
     read_events_stream,
     stream_sessionization,
@@ -10,6 +11,7 @@ from .jobs import (
 )
 
 __all__ = [
+    "stream_dedup_user_event_types",
     "batch_view_click_join",
     "read_events_stream",
     "stream_sessionization",

@@ -308,3 +308,28 @@ def batch_view_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("click_ts") > F.col("view_ts"))
         & (F.col("click_ts") <= F.col("view_ts") + F.expr("INTERVAL 10 MINUTES")),
     ).select("view_id", "click_id", "user_id", "view_ts", "click_ts")
+
+
+def stream_dedup_user_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: first event per (user_id, event_type) key via
+    dropDuplicatesWithinWatermark — the streaming twin of batch
+    dropDuplicates. The watermark bounds the dedup state: keys older than
+    the watermark are evicted, so state is O(keys per watermark window)
+    instead of O(all keys ever) — the property that makes streaming dedup
+    viable at 100 TB/day. Batch twin: distinct over the same columns."""
+    e = read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    deduped = e.select("user_id", "event_type", "ts").dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+    return _run_available_now(
+        deduped.select("user_id", "event_type"), "stream_dedup", mode="append"
+    )
+
+
+# Driver-visible registrations: streaming runs can't be SQL-oracled (DuckDB
+# has no streaming), so these register rows-only; stream ≡ batch equality is
+# asserted in tests/test_streaming.py against the oracled batch twins.
+from ..registry import query as _query  # noqa: E402
+
+_query("streaming_tumbling_hourly")(stream_tumbling_hourly)
+_query("streaming_view_click_interval_join")(stream_stream_view_click_join)

@@ -47,3 +47,26 @@ def test_frame_sampling_counts(spark, sf_dir):
     # every sampled frame is exactly _FRAME_BYTES long
     lens = frames.select(F.length("frame").alias("l")).distinct().collect()
     assert {r["l"] for r in lens} <= {_FRAME_BYTES}
+
+
+def test_resize_output_size_contract(spark, sf_dir):
+    from k_means_map_reduce_spark.operators.multimodal import (
+        _RESIZE_H,
+        _RESIZE_W,
+        media_table,
+        resize_media,
+    )
+    from pyspark.sql import functions as F
+
+    out = resize_media(media_table(spark, sf_dir))
+    bad = out.where(F.length("resized") != _RESIZE_W * _RESIZE_H).count()
+    assert bad == 0
+    assert out.count() == media_table(spark, sf_dir).count()
+
+
+def test_resize_deterministic(spark, sf_dir):
+    from k_means_map_reduce_spark.registry import QUERIES
+
+    a = sorted(map(tuple, QUERIES["multimodal_resize"](spark, sf_dir).collect()))
+    b = sorted(map(tuple, QUERIES["multimodal_resize"](spark, sf_dir).collect()))
+    assert a == b and len(a) > 0

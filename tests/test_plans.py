@@ -28,6 +28,9 @@ EAGER_QUERIES = {
     "sim_ann_lsh_topk",
     "sim_ann_ivf_topk",
     "dedup_minhash_lsh_pairs",
+    "dedup_connected_components",  # iterative loop materializes at construction
+    "streaming_tumbling_hourly",  # drains a stream at construction
+    "streaming_view_click_interval_join",
 }
 LAZY_QUERIES = sorted(set(QUERIES) - EAGER_QUERIES)
 

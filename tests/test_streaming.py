@@ -88,3 +88,14 @@ def test_stream_stream_join_equals_batch(spark, sf_dir):
     cols = ["view_id", "click_id", "user_id"]
     assert _as_sorted_rows(stream, cols) == _as_sorted_rows(batch, cols)
     assert stream.count() > 0
+
+
+def test_stream_dedup_equals_batch_distinct(spark, sf_dir):
+    from k_means_map_reduce_spark.streaming.jobs import stream_dedup_user_event_types
+
+    stream = stream_dedup_user_event_types(spark, sf_dir)
+    batch = (
+        load_table(spark, sf_dir, "events").select("user_id", "event_type").distinct()
+    )
+    cols = ["user_id", "event_type"]
+    assert _as_sorted_rows(stream, cols) == _as_sorted_rows(batch, cols)
