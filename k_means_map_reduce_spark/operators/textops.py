@@ -153,3 +153,99 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(quality_score(F.col("text")), 6).alias("quality"),
         F.round(stopword_ratio(F.col("text"), "en"), 6).alias("en_stopword_ratio"),
     )
+
+
+# Winnowing constants: 8-char grams, window 4, polynomial rolling hash
+# B=131 mod M=2147483647 (Mersenne prime). POW[j] = B^j mod M — plain
+# modular arithmetic, so Spark and DuckDB compute bit-identical hashes
+# (unlike engine-native hash functions, which never agree across engines).
+_WIN_M = 2147483647
+_WIN_POWS = [1, 131, 17161, 2248091, 294499921, 1827229965, 968395724, 156885651]
+
+
+@query(
+    "text_winnowing_fingerprints",
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id, LOWER(regexp_replace(TRIM(text), '\\s+', ' ', 'g')) AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+        list_transform(
+          range(1, length(t) - 6),
+          i -> list_sum(list_transform(range(0, 8),
+                 j -> (CAST(unicode(substring(t, CAST(i + j AS INT), 1)) AS BIGINT) % {_WIN_M})
+                      * ([{", ".join(f"CAST({p} AS BIGINT)" for p in _WIN_POWS)}][CAST(j + 1 AS INT)])
+               )) % {_WIN_M}
+        ) AS hs
+      FROM norm
+      WHERE length(t) >= 11
+    ),
+    winnow AS (
+      SELECT doc_id,
+        list_distinct(list_transform(range(1, len(hs) - 2),
+          i -> list_min(hs[CAST(i AS INT):CAST(i + 3 AS INT)]))) AS fps
+      FROM grams
+    )
+    SELECT
+      doc_id,
+      CAST(len(fps) AS INT) AS n_fps,
+      CAST(list_min(fps) AS BIGINT) AS min_fp,
+      CAST(list_max(fps) AS BIGINT) AS max_fp
+    FROM winnow
+    """,
+)
+def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprints via winnowing (Schleimer, Wilkerson,
+    Aiken — SIGMOD'03, the MOSS algorithm): hash every 8-char gram with a
+    polynomial rolling hash, then keep the minimum of each 4-gram window.
+    Near-identical documents share most fingerprints even after local edits —
+    the classic copy-detection primitive.
+
+    Cross-engine exactness: the hash is explicit modular arithmetic
+    (B=131, M=2^31-1), not an engine-native hash, so DuckDB reproduces every
+    value bit-for-bit.
+
+    Plan shape: norm → REPARTITION → gram hashes → window minima → stats.
+    The repartition is load-bearing twice over: (a) CollapseProject would
+    otherwise inline the regexp_replace normalization into every element of
+    the nested higher-order functions (O(8·n²) regex evals per doc —
+    measured minutes-per-500-docs; HOFs are CodegenFallback with no
+    common-subexpression elimination), and an Exchange is a hard
+    materialization boundary Catalyst cannot inline across; (b) the
+    CPU-heavy fingerprint stage gets spread over all cores instead of
+    inheriting the scan's few file-split partitions — exactly the plan you
+    want at 100 TB too (shuffle bytes are just (doc_id, normalized_text)).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    pows = ", ".join(f"{p}L" for p in _WIN_POWS)
+    hs_from_t = f"""
+      transform(
+        sequence(1, char_length(t) - 7),
+        i -> aggregate(sequence(0, 7), 0L,
+               (acc, j) -> acc + (CAST(ascii(substr(t, i + j, 1)) AS BIGINT) % {_WIN_M})
+                           * element_at(array({pows}), CAST(j + 1 AS INT))
+             ) % {_WIN_M}
+      )
+    """
+    fps_from_hs = (
+        "array_distinct(transform(sequence(1, size(hs) - 3),"
+        " i -> array_min(slice(hs, i, 4))))"
+    )
+    return (
+        d.select(
+            "doc_id",
+            F.expr("lower(regexp_replace(trim(text), '\\\\s+', ' '))").alias("t"),
+        )
+        .where(F.expr("char_length(t) >= 11"))
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", F.expr(hs_from_t).alias("hs"))
+        .select("doc_id", F.expr(fps_from_hs).alias("fps"))
+        .select(
+            "doc_id",
+            F.expr("CAST(size(fps) AS INT)").alias("n_fps"),
+            F.expr("CAST(array_min(fps) AS BIGINT)").alias("min_fp"),
+            F.expr("CAST(array_max(fps) AS BIGINT)").alias("max_fp"),
+        )
+    )

@@ -53,5 +53,6 @@ from .operators import clustering  # noqa: E402,F401
 from .operators import multimodal  # noqa: E402,F401
 from .operators import sketches  # noqa: E402,F401
 from .operators import tpch_extra  # noqa: E402,F401
+from .operators import tpch_full  # noqa: E402,F401
 from .operators import temporal  # noqa: E402,F401
 from .streaming import jobs as _streaming_jobs  # noqa: E402,F401

@@ -55,3 +55,35 @@ def test_quality_query_runs(spark, oracle_sf_dir):
     rows = out.collect()
     assert len(rows) == 500
     assert all(0.0 <= r["quality"] <= 1.0 for r in rows)
+
+
+def test_winnowing_exact_dups_share_fingerprints(spark, oracle_sf_dir):
+    """Docs with identical normalized text must get identical winnowing
+    fingerprint stats (and every doc at least one fingerprint).
+
+    Assertions run driver-side on the collected result: filtering the query
+    output on computed columns (e.g. `where(n_fps < 1)`) would make Catalyst
+    push the predicate down through every projection, inlining the full
+    fingerprint expression tree into a pre-shuffle Filter and re-triggering
+    the O(n²) evaluation the query's repartition barrier exists to prevent.
+    """
+    import re
+
+    from k_means_map_reduce_spark.registry import QUERIES
+    from k_means_map_reduce_spark.sources import load_table
+
+    rows = QUERIES["text_winnowing_fingerprints"](spark, oracle_sf_dir).collect()
+    assert len(rows) > 0
+    assert all(r["n_fps"] >= 1 for r in rows)
+    assert all(r["min_fp"] <= r["max_fp"] for r in rows)
+    docs = load_table(spark, oracle_sf_dir, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    norm_key = {
+        d["doc_id"]: re.sub(r"\s+", " ", d["text"].strip()).lower() for d in docs
+    }
+    by_key: dict[str, set] = {}
+    for r in rows:
+        k = norm_key[r["doc_id"]]
+        by_key.setdefault(k, set()).add((r["n_fps"], r["min_fp"], r["max_fp"]))
+    assert all(len(v) == 1 for v in by_key.values())
