@@ -124,29 +124,14 @@ def _mean_by_cluster(assigned: DataFrame, dim: int) -> list[tuple[int, int, list
     ]
 
 
-def kmeans_native(
-    df: DataFrame,
-    vec_col: str = "embedding",
-    k: int = 8,
-    max_iter: int = 20,
-    tol: float = 1e-6,
-    seed: int = 42,
-) -> KMeansResult:
-    """DataFrame-native Lloyd's loop (reference master.start, master.py:106-159)."""
-    pts = (
-        df.select(F.col(vec_col).cast("array<double>").alias("vec"))
-        .where(F.col("vec").isNotNull() & (F.size("vec") > 0))
-        .cache()
-    )
-
-    # Init (reference op #5, master.py:54-65): seeded uniform sample without
-    # replacement — the reference's random.sample, distributed and seeded.
-    # Oversample 4x then keep the first k distinct vectors, avoiding a full
-    # distinct() shuffle just for init.
+def _init_random(pts: DataFrame, k: int, seed: int) -> list[list[float]]:
+    """Seeded uniform sample without replacement (reference op #5,
+    master.py:54-65) — the reference's random.sample, distributed and seeded.
+    Oversample 4x then keep the first k distinct vectors, avoiding a full
+    distinct() shuffle just for init."""
     sample = pts.rdd.takeSample(False, 4 * k, seed=seed)
     if not sample:
         raise ValueError("empty input")
-    dim = len(sample[0]["vec"])
     centroids: list[list[float]] = []
     seen = set()
     for r in sample:
@@ -161,6 +146,157 @@ def kmeans_native(
         if len(distinct_sample) < k:
             raise ValueError(f"k={k} but only {len(distinct_sample)} distinct points")
         centroids = [list(r["vec"]) for r in distinct_sample]
+    return centroids
+
+
+def _init_kmeans_parallel(
+    pts: DataFrame, k: int, seed: int, rounds: int = 5, oversample: float | None = None
+) -> list[list[float]]:
+    """k-means|| init (Bahmani, Moseley, Vattani, Kumar, Vassilvitskii —
+    VLDB 2012): the scalable k-means++ — instead of k sequential passes,
+    ~5 rounds each sampling ℓ=2k points with probability ℓ·d²(x,C)/φ_C,
+    then a driver-side weighted Lloyd on the O(ℓ·rounds) candidates.
+
+    Each round is one distributed pass: assign_clusters (codegen argmin vs
+    the current candidate set) → φ via one agg → independent Bernoulli draws
+    with a seeded rand(). Candidate weights (how many points each candidate
+    owns) come from one final groupBy. Everything driver-side touches only
+    the ≤ ℓ·rounds+1 candidates, never the data. This is the init MLlib uses
+    by default, re-expressed in DataFrame ops — at 100 TB it replaces
+    k-means++'s k passes with ~5."""
+    ell = oversample if oversample is not None else 2.0 * k
+    first = pts.rdd.takeSample(False, 1, seed=seed)
+    if not first:
+        raise ValueError("empty input")
+    candidates: list[list[float]] = [list(first[0]["vec"])]
+    for rnd in range(rounds):
+        assigned = assign_clusters(pts, candidates, "vec")
+        phi = assigned.agg(F.sum("dist2").alias("phi")).collect()[0]["phi"]
+        if not phi or phi <= 0:  # all points coincide with candidates
+            break
+        new = (
+            assigned.where(
+                F.rand(seed + 1000 * (rnd + 1))
+                < F.least(F.lit(1.0), F.lit(ell) * F.col("dist2") / F.lit(phi))
+            )
+            .select("vec")
+            .collect()
+        )
+        seen = {tuple(c) for c in candidates}
+        for r in new:
+            key = tuple(r["vec"])
+            if key not in seen:
+                seen.add(key)
+                candidates.append(list(r["vec"]))
+    if len(candidates) <= k:
+        # not enough candidates (tiny/degenerate input): pad with randoms
+        pad = _init_random(pts, k, seed)
+        seen = {tuple(c) for c in candidates}
+        candidates += [c for c in pad if tuple(c) not in seen]
+        return candidates[:k]
+    # weight candidates by |points nearest to them|, then weighted Lloyd
+    # driver-side on the small candidate set.
+    wrows = (
+        assign_clusters(pts, candidates, "vec")
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    weights = [0.0] * len(candidates)
+    for r in wrows:
+        weights[r["cid"]] = float(r["n"])
+    return _weighted_lloyd_local(candidates, weights, k, seed)
+
+
+def _weighted_lloyd_local(
+    xs: list[list[float]], ws: list[float], k: int, seed: int, iters: int = 30
+) -> list[list[float]]:
+    """Weighted k-means++ seeding + weighted Lloyd's on the driver
+    (candidate set is O(k·rounds)). The ++ seeding is the part of the
+    k-means|| recipe that makes the local refine land one center per dense
+    region — seeding by raw weight alone can put two centers in one heavy
+    cluster and merge two others."""
+    import random as _random
+
+    rng = _random.Random(seed)
+
+    def _sq(a: list[float], b: list[float]) -> float:
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    def _weighted_draw(weights: list[float]) -> int:
+        total = sum(weights)
+        r = rng.random() * total
+        acc = 0.0
+        for i, w in enumerate(weights):
+            acc += w
+            if r <= acc:
+                return i
+        return len(weights) - 1
+
+    centers = [list(xs[_weighted_draw(ws)])]
+    d2 = [_sq(x, centers[0]) for x in xs]
+    while len(centers) < k:
+        draw = [w * d for w, d in zip(ws, d2)]
+        if sum(draw) <= 0:
+            # all remaining mass sits on existing centers; fall back uniform
+            centers.append(list(xs[rng.randrange(len(xs))]))
+        else:
+            centers.append(list(xs[_weighted_draw(draw)]))
+        d2 = [min(d, _sq(x, centers[-1])) for x, d in zip(xs, d2)]
+    dim = len(centers[0])
+    for _ in range(iters):
+        sums = [[0.0] * dim for _ in range(k)]
+        wsum = [0.0] * k
+        for x, w in zip(xs, ws):
+            b = min(
+                range(k),
+                key=lambda c: sum((a - b_) ** 2 for a, b_ in zip(x, centers[c])),
+            )
+            wsum[b] += w
+            for d in range(dim):
+                sums[b][d] += w * x[d]
+        new = [
+            [s / wsum[c] for s in sums[c]]
+            if wsum[c] > 0
+            else list(xs[rng.randrange(len(xs))])
+            for c in range(k)
+        ]
+        if all(
+            sum((a - b_) ** 2 for a, b_ in zip(o, n_)) < 1e-18
+            for o, n_ in zip(centers, new)
+        ):
+            centers = new
+            break
+        centers = new
+    return centers
+
+
+def kmeans_native(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 8,
+    max_iter: int = 20,
+    tol: float = 1e-6,
+    seed: int = 42,
+    init: str = "random",
+) -> KMeansResult:
+    """DataFrame-native Lloyd's loop (reference master.start, master.py:106-159).
+
+    init: "random" (the reference's seeded sample) or "k||" (k-means||,
+    MLlib's default init, re-expressed with DataFrame ops)."""
+    pts = (
+        df.select(F.col(vec_col).cast("array<double>").alias("vec"))
+        .where(F.col("vec").isNotNull() & (F.size("vec") > 0))
+        .cache()
+    )
+
+    if init == "k||":
+        centroids = _init_kmeans_parallel(pts, k, seed)
+    elif init == "random":
+        centroids = _init_random(pts, k, seed)
+    else:
+        raise ValueError(f"unknown init {init!r}")
+    dim = len(centroids[0])
 
     wssse_history: list[float] = []
     converged = False
@@ -198,9 +334,12 @@ def kmeans_native_df(
     max_iter: int = 20,
     tol: float = 1e-6,
     seed: int = 42,
+    init: str = "random",
 ) -> DataFrame:
     """Run kmeans_native and return (cluster_id, size, center) as a DataFrame."""
-    result = kmeans_native(df, vec_col=vec_col, k=k, max_iter=max_iter, tol=tol, seed=seed)
+    result = kmeans_native(
+        df, vec_col=vec_col, k=k, max_iter=max_iter, tol=tol, seed=seed, init=init
+    )
     # sizes come from the final iteration's aggregation — no extra pass. (The
     # last assignment used the pre-update centroids; for a converged run the
     # difference is < tol.)

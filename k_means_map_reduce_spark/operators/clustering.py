@@ -74,3 +74,40 @@ def kmeans_arrow_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         for cid, vec in enumerate(r.centers)
     ]
     return spark.createDataFrame(rows, "cluster_id INT, size BIGINT, c0 DOUBLE")
+
+
+@query("kmeans_streaming_clusters")
+def kmeans_streaming_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming mini-batch K-Means (streaming/kmeans_stream.py): the
+    embeddings table replayed as 5 micro-batches, centroids updated online
+    with the decayed running-mean rule. Rows-only (iterative + streaming —
+    not SQL-expressible); blob-mean exactness and decay semantics are
+    covered in tests/test_streaming_kmeans.py."""
+    from ..streaming.kmeans_stream import kmeans_streaming
+
+    e = load_table(spark, sf_dir, "embeddings")
+    r = kmeans_streaming(
+        spark, e, vec_col="embedding", id_col="vec_id", k=8, n_chunks=5,
+        decay=1.0, seed=42,
+    )
+    rows = [
+        (cid, float(round(r.weights[cid], 3)), round(float(vec[0]), 4))
+        for cid, vec in enumerate(r.centers)
+    ]
+    return spark.createDataFrame(rows, "cluster_id INT, weight DOUBLE, c0 DOUBLE")
+
+
+@query("kmeans_parallel_init_clusters")
+def kmeans_parallel_init_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native Lloyd's with k-means|| initialization (Bahmani et al., VLDB'12
+    — kmeans._init_kmeans_parallel): ~5 distributed passes of oversampled
+    seeded Bernoulli draws, then a driver-side weighted k-means++ refine of
+    the O(k·rounds) candidates. The init MLlib defaults to, re-expressed in
+    DataFrame ops. Rows-only (iterative); blob-recovery + determinism tested
+    in tests/test_kmeans.py."""
+    e = load_table(spark, sf_dir, "embeddings")
+    out = kmeans_native_df(
+        spark, e, vec_col="embedding", id_col="vec_id", k=8, max_iter=20,
+        tol=1e-4, seed=42, init="k||",
+    )
+    return out.select("cluster_id", "size", F.round(F.element_at("center", 1), 4).alias("c0"))

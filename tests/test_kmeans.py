@@ -153,3 +153,37 @@ def test_arrow_equals_native(spark, sf_dir):
     )
     assert diff < 1e-9, f"centers diverged by {diff}"
     assert a.sizes == n.sizes
+
+
+def test_kmeans_parallel_init_recovers_blobs(spark):
+    """k-means|| init + Lloyd recovers well-separated blobs exactly (one
+    center per blob), and its final WSSSE matches random-init's on the same
+    data (both find the global optimum here). Also deterministic per seed."""
+    import random as _random
+
+    from k_means_map_reduce_spark.kmeans import kmeans_native
+
+    rng = _random.Random(11)
+    blob_centers = [[0.0, 0.0], [50.0, 0.0], [0.0, 50.0], [50.0, 50.0]]
+    rows = []
+    i = 0
+    for c in blob_centers:
+        for _ in range(60):
+            rows.append((i, [x + rng.uniform(-1, 1) for x in c]))
+            i += 1
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+
+    r1 = kmeans_native(df, k=4, max_iter=25, tol=1e-9, seed=42, init="k||")
+    r2 = kmeans_native(df, k=4, max_iter=25, tol=1e-9, seed=42, init="k||")
+    assert r1.centers == r2.centers  # deterministic
+    # each blob center has exactly one recovered centroid within spread
+    for c in blob_centers:
+        near = [
+            v for v in r1.centers
+            if sum((a - b) ** 2 for a, b in zip(c, v)) < 4.0
+        ]
+        assert len(near) == 1, (c, r1.centers)
+    rr = kmeans_native(df, k=4, max_iter=25, tol=1e-9, seed=42, init="random")
+    assert abs(r1.wssse_history[-1] - rr.wssse_history[-1]) < 1e-6 * max(
+        1.0, rr.wssse_history[-1]
+    )

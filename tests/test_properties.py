@@ -37,9 +37,11 @@ def test_token_count_matches_python(spark, texts):
 def test_word_count_matches_python(spark, texts):
     df = spark.createDataFrame([(t,) for t in texts], "text STRING")
     got = [r[0] for r in df.select(word_count(F.col("text"))).collect()]
+    # Model Spark's exact semantics: Java regex \s is [ \t\n\x0B\f\r]
+    # (ASCII-only — does NOT match U+00A0 etc., unlike Python str.strip()),
+    # and empty segments are dropped, so no strip() is needed.
     expected = [
-        len([w for w in re.split(r"\s+", t.strip(), flags=re.ASCII) if w])
-        for t in texts
+        len([w for w in re.split(r"[ \t\n\x0B\f\r]+", t) if w]) for t in texts
     ]
     assert got == expected
 
