@@ -279,6 +279,7 @@ def kmeans_native(
     tol: float = 1e-6,
     seed: int = 42,
     init: str = "random",
+    init_rounds: int = 5,
 ) -> KMeansResult:
     """DataFrame-native Lloyd's loop (reference master.start, master.py:106-159).
 
@@ -291,7 +292,7 @@ def kmeans_native(
     )
 
     if init == "k||":
-        centroids = _init_kmeans_parallel(pts, k, seed)
+        centroids = _init_kmeans_parallel(pts, k, seed, rounds=init_rounds)
     elif init == "random":
         centroids = _init_random(pts, k, seed)
     else:
@@ -335,10 +336,12 @@ def kmeans_native_df(
     tol: float = 1e-6,
     seed: int = 42,
     init: str = "random",
+    init_rounds: int = 5,
 ) -> DataFrame:
     """Run kmeans_native and return (cluster_id, size, center) as a DataFrame."""
     result = kmeans_native(
-        df, vec_col=vec_col, k=k, max_iter=max_iter, tol=tol, seed=seed, init=init
+        df, vec_col=vec_col, k=k, max_iter=max_iter, tol=tol, seed=seed, init=init,
+        init_rounds=init_rounds,
     )
     # sizes come from the final iteration's aggregation — no extra pass. (The
     # last assignment used the pre-update centroids; for a converged run the

@@ -107,7 +107,7 @@ def kmeans_parallel_init_clusters(spark: SparkSession, sf_dir: str) -> DataFrame
     in tests/test_kmeans.py."""
     e = load_table(spark, sf_dir, "embeddings")
     out = kmeans_native_df(
-        spark, e, vec_col="embedding", id_col="vec_id", k=8, max_iter=20,
-        tol=1e-4, seed=42, init="k||",
+        spark, e, vec_col="embedding", id_col="vec_id", k=8, max_iter=12,
+        tol=1e-4, seed=42, init="k||", init_rounds=3,
     )
     return out.select("cluster_id", "size", F.round(F.element_at("center", 1), 4).alias("c0"))

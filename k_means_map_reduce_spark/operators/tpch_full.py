@@ -170,16 +170,18 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_partkey, CAST(value_dec AS DOUBLE) AS part_value
     FROM per_part
     WHERE CAST(value_dec AS DOUBLE) >
-          0.001 * (SELECT CAST(SUM(value_dec) AS DOUBLE) FROM per_part)
+          2.0 * (SELECT CAST(SUM(value_dec) AS DOUBLE) / COUNT(*) FROM per_part)
     """,
 )
 def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape: parts whose revenue through NATION_7 suppliers
-    exceeds 0.1% of that nation's total (supplycost·availqty substituted
-    with discounted revenue). The global-total scalar subquery is a
-    broadcast cross-join of a 1-row aggregate — no driver collect, so the
-    plan stays fully lazy and cluster-side at any scale. All sums are exact
-    decimals; the threshold compare happens on identically-derived doubles."""
+    exceeds 2× the mean per-part value (supplycost·availqty substituted with
+    discounted revenue; the original's fixed fraction is scale-dependent by
+    design — a mean-relative threshold keeps the result non-degenerate at
+    every SF). The global scalar subquery is a broadcast cross-join of a
+    1-row aggregate — no driver collect, so the plan stays fully lazy and
+    cluster-side at any scale. All sums are exact decimals; the threshold
+    compare happens on identically-derived doubles."""
     l = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_7")
@@ -192,10 +194,12 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.sum(rev).alias("value_dec"))
     )
-    total = per_part.agg(F.sum("value_dec").cast("double").alias("_total"))
+    total = per_part.agg(
+        (F.sum("value_dec").cast("double") / F.count(F.lit(1))).alias("_mean")
+    )
     return (
         per_part.crossJoin(F.broadcast(total))
-        .where(F.col("value_dec").cast("double") > 0.001 * F.col("_total"))
+        .where(F.col("value_dec").cast("double") > 2.0 * F.col("_mean"))
         .select(
             "l_partkey", F.col("value_dec").cast("double").alias("part_value")
         )
