@@ -44,6 +44,12 @@ HEADLINE = [
     "stats_percentiles_by_flag",
     "q10_returned_item_customers",
     "q18_large_volume_customers",
+    "q9_product_profit",
+    "q13_customer_order_distribution",
+    "q21_waiting_suppliers",
+    "timeseries_gap_fill_hourly",
+    "text_winnowing_fingerprints",
+    "dedup_winnowing_pairs",
     "join_asof_event_last_order",
     "sql_q6_forecast_revenue",
     "events_funnel_view_click_purchase",

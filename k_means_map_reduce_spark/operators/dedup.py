@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..sources import load_table
+from .textops import WINNOW_CTE_SQL, winnow_fps
 
 _NORM = lambda c: F.lower(F.regexp_replace(F.trim(c), r"\s+", " "))  # noqa: E731
 
@@ -373,3 +374,74 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
+
+
+@query(
+    "dedup_winnowing_pairs",
+    oracle="""
+    WITH """
+    + WINNOW_CTE_SQL
+    + """,
+    ex AS (SELECT doc_id, unnest(fps) AS fp FROM winnow),
+    postings AS (
+      SELECT fp FROM ex GROUP BY fp
+      HAVING COUNT(*) BETWEEN 2 AND 10
+    ),
+    filtered AS (SELECT ex.doc_id, ex.fp FROM ex JOIN postings USING (fp)),
+    pair_counts AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(COUNT(*) AS BIGINT) AS shared
+      FROM filtered a JOIN filtered b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY d1, d2
+    ),
+    sizes AS (SELECT doc_id, len(fps) AS n_fps FROM winnow)
+    SELECT d1, d2, shared,
+      ROUND(CAST(shared AS DOUBLE) / LEAST(s1.n_fps, s2.n_fps), 6) AS overlap
+    FROM pair_counts
+    JOIN sizes s1 ON s1.doc_id = d1
+    JOIN sizes s2 ON s2.doc_id = d2
+    WHERE shared >= 8
+      AND CAST(shared AS DOUBLE) / LEAST(s1.n_fps, s2.n_fps) >= 0.12
+    """,
+)
+def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing near-dup pairs (the MOSS copy-detection pipeline end to
+    end): documents sharing >= 8 fingerprints AND >= 12% of the smaller
+    document's fingerprint set (the corpus' near-dups share prefixes/spans,
+    not whole texts — max observed overlap ~0.25, so 0.12 selects the real
+    overlap tail without admitting single-gram coincidences). Bit-exact cross-engine (the fingerprints are
+    explicit modular arithmetic — textops.winnow_fps).
+
+    Plan shape: fps -> explode -> posting-list filter -> self-join on
+    fingerprint -> pair aggregation. The posting filter (fingerprints held
+    by 2..10 docs) is the inverted-index trick that keeps the self-join
+    linear-ish at corpus scale: singleton fingerprints can't pair (dropped
+    before the join), and stop-fingerprints (>10 docs — boilerplate) would
+    contribute O(df^2) candidate pairs each, exactly like stopwords in a
+    token index. Joins/aggs all hash-partition on fp then (d1,d2); the tiny
+    per-doc size side joins broadcast."""
+    fps = winnow_fps(spark, sf_dir).cache()
+    ex = fps.select("doc_id", F.explode("fps").alias("fp"))
+    postings = (
+        ex.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df").between(2, 10))
+        .select("fp")
+    )
+    filtered = ex.join(postings, "fp")
+    a = filtered.select(F.col("doc_id").alias("d1"), "fp")
+    b = filtered.select(F.col("doc_id").alias("d2"), "fp")
+    pair_counts = (
+        a.join(b, (a["fp"] == b["fp"]) & (F.col("d1") < F.col("d2")))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sizes = fps.select("doc_id", F.size("fps").alias("n_fps"))
+    s1 = sizes.select(F.col("doc_id").alias("_sd1"), F.col("n_fps").alias("_n1"))
+    s2 = sizes.select(F.col("doc_id").alias("_sd2"), F.col("n_fps").alias("_n2"))
+    overlap = F.col("shared").cast("double") / F.least("_n1", "_n2")
+    return (
+        pair_counts.join(F.broadcast(s1), F.col("d1") == F.col("_sd1"))
+        .join(F.broadcast(s2), F.col("d2") == F.col("_sd2"))
+        .where((F.col("shared") >= 8) & (overlap >= 0.12))
+        .select("d1", "d2", "shared", F.round(overlap, 6).alias("overlap"))
+    )

@@ -162,11 +162,10 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WIN_M = 2147483647
 _WIN_POWS = [1, 131, 17161, 2248091, 294499921, 1827229965, 968395724, 156885651]
 
-
-@query(
-    "text_winnowing_fingerprints",
-    oracle=f"""
-    WITH norm AS (
+# Shared DuckDB CTE chain producing (doc_id, fps) — used by the stats query
+# here and by dedup.dedup_winnowing_pairs' oracle.
+WINNOW_CTE_SQL = f"""
+    norm AS (
       SELECT doc_id, LOWER(regexp_replace(TRIM(text), '\\s+', ' ', 'g')) AS t
       FROM documents
     ),
@@ -188,6 +187,44 @@ _WIN_POWS = [1, 131, 17161, 2248091, 294499921, 1827229965, 968395724, 156885651
           i -> list_min(hs[CAST(i AS INT):CAST(i + 3 AS INT)]))) AS fps
       FROM grams
     )
+"""
+
+
+def winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, fps: array<bigint>) — the distinct winnowing fingerprints of
+    each document. See text_winnowing_fingerprints for the algorithm and the
+    load-bearing repartition barrier."""
+    d = load_table(spark, sf_dir, "documents")
+    pows = ", ".join(f"{p}L" for p in _WIN_POWS)
+    hs_from_t = f"""
+      transform(
+        sequence(1, char_length(t) - 7),
+        i -> aggregate(sequence(0, 7), 0L,
+               (acc, j) -> acc + (CAST(ascii(substr(t, i + j, 1)) AS BIGINT) % {_WIN_M})
+                           * element_at(array({pows}), CAST(j + 1 AS INT))
+             ) % {_WIN_M}
+      )
+    """
+    fps_from_hs = (
+        "array_distinct(transform(sequence(1, size(hs) - 3),"
+        " i -> array_min(slice(hs, i, 4))))"
+    )
+    return (
+        d.select(
+            "doc_id",
+            F.expr("lower(regexp_replace(trim(text), '\\\\s+', ' '))").alias("t"),
+        )
+        .where(F.expr("char_length(t) >= 11"))
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", F.expr(hs_from_t).alias("hs"))
+        .select("doc_id", F.expr(fps_from_hs).alias("fps"))
+    )
+
+
+@query(
+    "text_winnowing_fingerprints",
+    oracle=f"""
+    WITH {WINNOW_CTE_SQL}
     SELECT
       doc_id,
       CAST(len(fps) AS INT) AS n_fps,
@@ -218,34 +255,9 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     inheriting the scan's few file-split partitions — exactly the plan you
     want at 100 TB too (shuffle bytes are just (doc_id, normalized_text)).
     """
-    d = load_table(spark, sf_dir, "documents")
-    pows = ", ".join(f"{p}L" for p in _WIN_POWS)
-    hs_from_t = f"""
-      transform(
-        sequence(1, char_length(t) - 7),
-        i -> aggregate(sequence(0, 7), 0L,
-               (acc, j) -> acc + (CAST(ascii(substr(t, i + j, 1)) AS BIGINT) % {_WIN_M})
-                           * element_at(array({pows}), CAST(j + 1 AS INT))
-             ) % {_WIN_M}
-      )
-    """
-    fps_from_hs = (
-        "array_distinct(transform(sequence(1, size(hs) - 3),"
-        " i -> array_min(slice(hs, i, 4))))"
-    )
-    return (
-        d.select(
-            "doc_id",
-            F.expr("lower(regexp_replace(trim(text), '\\\\s+', ' '))").alias("t"),
-        )
-        .where(F.expr("char_length(t) >= 11"))
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
-        .select("doc_id", F.expr(hs_from_t).alias("hs"))
-        .select("doc_id", F.expr(fps_from_hs).alias("fps"))
-        .select(
-            "doc_id",
-            F.expr("CAST(size(fps) AS INT)").alias("n_fps"),
-            F.expr("CAST(array_min(fps) AS BIGINT)").alias("min_fp"),
-            F.expr("CAST(array_max(fps) AS BIGINT)").alias("max_fp"),
-        )
+    return winnow_fps(spark, sf_dir).select(
+        "doc_id",
+        F.expr("CAST(size(fps) AS INT)").alias("n_fps"),
+        F.expr("CAST(array_min(fps) AS BIGINT)").alias("min_fp"),
+        F.expr("CAST(array_max(fps) AS BIGINT)").alias("max_fp"),
     )

@@ -110,3 +110,25 @@ def test_simhash_multi_index_complete(spark, oracle_sf_dir):
         for r in QUERIES["dedup_simhash"](spark, oracle_sf_dir).collect()
     }
     assert blocked == brute
+
+
+def test_winnowing_pairs_structure_and_grounding(spark, oracle_sf_dir):
+    """Winnowing near-dup pairs: well-formed (d1<d2, overlap in (0,1]) and
+    grounded — every reported pair really shares >= 8 winnowed fingerprints
+    (recomputed driver-side from the fps builder)."""
+    from k_means_map_reduce_spark.registry import QUERIES
+    from k_means_map_reduce_spark.operators.textops import winnow_fps
+
+    rows = QUERIES["dedup_winnowing_pairs"](spark, oracle_sf_dir).collect()
+    assert len(rows) > 0
+    assert all(r["d1"] < r["d2"] for r in rows)
+    assert all(0.0 < r["overlap"] <= 1.0 for r in rows)
+    fps = {
+        r["doc_id"]: set(r["fps"])
+        for r in winnow_fps(spark, oracle_sf_dir).collect()
+    }
+    for r in rows:
+        truly_shared = len(fps[r["d1"]] & fps[r["d2"]])
+        # the pair join counts only fingerprints with document-frequency
+        # 2..10, so the reported count is a lower bound on the true overlap
+        assert truly_shared >= r["shared"], (r, truly_shared)
