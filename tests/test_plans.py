@@ -31,6 +31,8 @@ EAGER_QUERIES = {
     "dedup_connected_components",  # iterative loop materializes at construction
     "streaming_tumbling_hourly",  # drains a stream at construction
     "streaming_view_click_interval_join",
+    "kmeans_parallel_init_clusters",  # runs the full clustering at construction
+    "kmeans_streaming_clusters",  # drains a stream at construction
 }
 LAZY_QUERIES = sorted(set(QUERIES) - EAGER_QUERIES)
 
@@ -84,3 +86,26 @@ def test_scan_pruning_single_column(spark, sf_dir):
     assert r.read_schemas and r.read_schemas[0] == "struct<l_quantity:double>", (
         r.read_schemas
     )
+
+
+def test_broadcasts_in_q9(spark, sf_dir):
+    r = plan_report(QUERIES["q9_product_profit"](spark, sf_dir))
+    assert r.broadcast_joins >= 3, (
+        f"q9 should broadcast part/supplier/nation, saw {r.broadcast_joins}"
+    )
+
+
+def test_filter_pushdown_q20(spark, sf_dir):
+    r = plan_report(QUERIES["q20_dominant_suppliers"](spark, sf_dir))
+    assert r.pushed_filters, "q20 shipdate filter not pushed to lineitem scan"
+
+
+def test_q21_single_fact_exchange_shape(spark, sf_dir):
+    """q21's EXISTS/NOT-EXISTS rewrite must stay one aggregation over the
+    joined fact, not correlated per-row probes: no more than 2 big-side
+    exchanges (lineitem⋈orders, then the per-order agg reusing orderkey
+    partitioning under AQE)."""
+    df = QUERIES["q21_waiting_suppliers"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -1,0 +1,34 @@
+"""Non-UTC session probe: the TIMESTAMP_NTZ discipline must keep every
+date/window-sensitive oracled query bit-identical to DuckDB regardless of
+the Spark session timezone (DuckDB has no session-timezone dependence for
+naive timestamps; if any query leaked an instant-semantics TIMESTAMP, a
+Tokyo session would shift its values by 9 hours and fail the hash compare).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from k_means_map_reduce_spark.oracle import compare_query
+
+DATE_SENSITIVE = [
+    "q1_pricing_summary",
+    "scalar_date_funcs",
+    "scalar_date_arithmetic",
+    "events_tumbling_hourly",
+    "events_session_windows",
+    "timeseries_gap_fill_hourly",
+    "join_asof_event_last_order",
+    "q12_shipping_lateness",
+]
+
+
+@pytest.mark.parametrize("name", DATE_SENSITIVE)
+def test_parity_under_tokyo_session(spark, oracle_sf_dir, name):
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+    try:
+        r = compare_query(spark, name, oracle_sf_dir)
+        assert r.ok, f"{name} under Asia/Tokyo: {r.detail}"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
