@@ -239,3 +239,69 @@ def sql_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _spark_dsum_sql(expr: str) -> str:
     return f"CAST(SUM(CAST(ROUND(({expr}), 6) AS DECIMAL(18,6))) AS DOUBLE)"
+
+
+@query(
+    "stats_regression_by_flag",
+    oracle=f"""
+    WITH sums AS (
+      SELECT l_returnflag,
+        COUNT(*) AS n,
+        {sql_dsum('l_quantity')} AS sx,
+        {sql_dsum('l_extendedprice')} AS sy,
+        {sql_dsum('l_quantity * l_extendedprice')} AS sxy,
+        {sql_dsum('l_quantity * l_quantity')} AS sxx
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+      ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+      ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6) AS intercept
+    FROM sums
+    """,
+)
+def stats_regression_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregates (slope/intercept of price on quantity
+    per return flag) computed from exact decimal power sums rather than
+    engine-native regr_slope/regr_intercept: streaming covariance updates
+    are summation-order-dependent in floating point, so the native
+    aggregates can differ across engines (and across Spark partitionings!)
+    in the last ulps. The four power sums are exact decimals, and the
+    closed-form (n·Σxy − ΣxΣy)/(n·Σx² − (Σx)²) over identical doubles is
+    IEEE-deterministic. One aggregation pass, map-side partials."""
+    l = load_table(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    sums = l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(x).alias("sx"),
+        dsum(y).alias("sy"),
+        dsum(x * y).alias("sxy"),
+        dsum(x * x).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return sums.select(
+        "l_returnflag",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+    )
+
+
+@query("sample_stratified_orders")
+def sample_stratified_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded stratified sample: 20%/10%/5% of orders by status via
+    `sampleBy` (per-stratum Bernoulli, one scan, no shuffle before the
+    aggregation). Rows-only: sampling RNGs are engine-specific, so there is
+    no cross-engine oracle; determinism (same seed ⇒ identical sample) and
+    binomial-bound properties are tested in tests/test_properties.py."""
+    o = load_table(spark, sf_dir, "orders")
+    sampled = o.sampleBy(
+        "o_orderstatus", fractions={"F": 0.2, "O": 0.1, "P": 0.05}, seed=42
+    )
+    return sampled.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        dsum("o_totalprice").alias("sampled_value"),
+    )

@@ -83,3 +83,28 @@ def test_salted_aggregate_property(spark, rows):
         ).collect()
     }
     assert plain == salted
+
+
+def test_stratified_sample_deterministic_and_bounded(spark, oracle_sf_dir):
+    """sampleBy with a fixed seed must be reproducible exactly, and each
+    stratum's sampled count must sit within loose binomial bounds of
+    fraction * stratum size."""
+    from k_means_map_reduce_spark.registry import QUERIES
+    from k_means_map_reduce_spark.sources import load_table
+
+    a = {r["o_orderstatus"]: r["n_sampled"]
+         for r in QUERIES["sample_stratified_orders"](spark, oracle_sf_dir).collect()}
+    b = {r["o_orderstatus"]: r["n_sampled"]
+         for r in QUERIES["sample_stratified_orders"](spark, oracle_sf_dir).collect()}
+    assert a == b
+    totals = {
+        r["o_orderstatus"]: r["n"]
+        for r in load_table(spark, oracle_sf_dir, "orders")
+        .groupBy("o_orderstatus").count().withColumnRenamed("count", "n").collect()
+    }
+    fracs = {"F": 0.2, "O": 0.1, "P": 0.05}
+    for status, frac in fracs.items():
+        n, got = totals[status], a.get(status, 0)
+        mean = frac * n
+        slack = 5 * (mean * (1 - frac)) ** 0.5 + 5
+        assert abs(got - mean) <= slack, (status, got, mean, slack)
