@@ -109,3 +109,22 @@ def test_q21_single_fact_exchange_shape(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_join_strategy_hints_control_physical_plan(spark, sf_dir):
+    """Join hints must steer the physical strategy: the same orders⋈lineitem
+    equi-join planned as broadcast-hash, shuffle-hash, or sort-merge on
+    request. At 100 TB the right pick differs per pair (broadcast only for
+    true dims; shuffle-hash when one side is modest and sortedness is
+    useless; sort-merge for fact-fact) — this pins that the engine exposes
+    that control."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+
+    def plan(hint):
+        j = l.join(o.hint(hint), l["l_orderkey"] == o["o_orderkey"])
+        return j._jdf.queryExecution().executedPlan().toString()
+
+    assert "BroadcastHashJoin" in plan("broadcast")
+    assert "ShuffledHashJoin" in plan("shuffle_hash")
+    assert "SortMergeJoin" in plan("merge")

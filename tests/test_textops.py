@@ -87,3 +87,19 @@ def test_winnowing_exact_dups_share_fingerprints(spark, oracle_sf_dir):
         k = norm_key[r["doc_id"]]
         by_key.setdefault(k, set()).add((r["n_fps"], r["min_fp"], r["max_fp"]))
     assert all(len(v) == 1 for v in by_key.values())
+
+
+def test_winnowing_arrow_equals_expression_path(spark, oracle_sf_dir):
+    """The Arrow/numpy fingerprinter must produce the exact same fingerprint
+    SETS as the expression path for every document (not just same stats)."""
+    from k_means_map_reduce_spark.operators.textops import winnow_fps, winnow_fps_arrow
+
+    expr_fps = {
+        r["doc_id"]: sorted(r["fps"])
+        for r in winnow_fps(spark, oracle_sf_dir).collect()
+    }
+    arrow_fps = {
+        r["doc_id"]: sorted(r["fps"])
+        for r in winnow_fps_arrow(spark, oracle_sf_dir).collect()
+    }
+    assert expr_fps == arrow_fps
