@@ -305,3 +305,44 @@ def sample_stratified_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_sampled"),
         dsum("o_totalprice").alias("sampled_value"),
     )
+
+
+@query(
+    "histogram_order_totalprice",
+    oracle="""
+    WITH bounds AS (
+      SELECT MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx FROM orders
+    )
+    SELECT
+      CAST(LEAST(FLOOR((o_totalprice - mn) / ((mx - mn) / 20.0)), 19) AS INT) AS bucket,
+      CAST(COUNT(*) AS BIGINT) AS n,
+      ROUND(mn + CAST(LEAST(FLOOR((o_totalprice - mn) / ((mx - mn) / 20.0)), 19) AS INT)
+            * ((mx - mn) / 20.0), 6) AS bucket_lo
+    FROM orders, bounds
+    GROUP BY bucket, bucket_lo
+    """,
+)
+def histogram_order_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 20-bucket histogram of order totals with data-derived
+    bounds. The bounds are a broadcast 1-row aggregate (no collect); bucket
+    assignment is a pure projection, so the plan is scan → cross-join
+    broadcast → one aggregation. Cross-engine determinism: both engines
+    derive identical mn/mx doubles, hence identical width, per-row quotient
+    and floor — bucket edges can't flip on a ulp."""
+    o = load_table(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx")
+    )
+    width = (F.col("mx") - F.col("mn")) / 20.0
+    bucket = F.least(
+        F.floor((F.col("o_totalprice") - F.col("mn")) / width), F.lit(19)
+    ).cast("int")
+    return (
+        o.crossJoin(F.broadcast(bounds))
+        .select(
+            bucket.alias("bucket"),
+            F.round(F.col("mn") + bucket * width, 6).alias("bucket_lo"),
+        )
+        .groupBy("bucket", "bucket_lo")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

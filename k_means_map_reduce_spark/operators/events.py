@@ -216,3 +216,46 @@ def events_funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataF
     shuffles only (user_id, ts) pairs. Identical SQL runs on both engines."""
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_FUNNEL_SQL)
+
+
+@query(
+    "events_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, MIN(date_trunc('week', ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    weekly AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week FROM events
+    )
+    SELECT
+      strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+      CAST(date_diff('day', cohort_week, active_week) / 7 AS INT) AS week_offset,
+      CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM weekly JOIN firsts USING (user_id)
+    GROUP BY cohort_week, week_offset
+    """,
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-active week, counted
+    in each subsequent active week. The canonical product-analytics shape —
+    two aggregations over the fact plus one equi-join, all hash-partitioned
+    on user_id so the join reuses the firsts aggregation's exchange. Week
+    arithmetic stays on NTZ week-truncated timestamps (both engines
+    ISO-Monday weeks); offsets are exact integer divisions of day diffs."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("active_week")
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("active_week").alias("cohort_week"))
+    weekly = ev.distinct()
+    return (
+        weekly.join(firsts, "user_id")
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff("active_week", "cohort_week") / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
