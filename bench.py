@@ -40,6 +40,7 @@ HEADLINE = [
     "text_ngram_profile",
     "dedup_exact",
     "dedup_minhash_lsh_pairs",
+    "dedup_minhash_banding_pairs",
     "sim_cosine_topk",
     "stats_percentiles_by_flag",
     "q10_returned_item_customers",

@@ -132,3 +132,30 @@ def test_winnowing_pairs_structure_and_grounding(spark, oracle_sf_dir):
         # the pair join counts only fingerprints with document-frequency
         # 2..10, so the reported count is a lower bound on the true overlap
         assert truly_shared >= r["shared"], (r, truly_shared)
+
+
+def test_minhash_banding_recall_and_precision(spark, oracle_sf_dir):
+    """The expression-native banding tier must (a) recover >= 0.8 of truly
+    similar pairs (jaccard >= 0.5) like the MLlib tier, and (b) report ONLY
+    pairs whose exact Jaccard >= 0.4 with values matching the brute-force
+    baseline exactly (its verify step computes the same intersection)."""
+    truth = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in QUERIES["dedup_ngram_jaccard_pairs"](spark, oracle_sf_dir)
+        .collect()
+    }
+    strong = {p for p, j in truth.items() if j >= 0.5}
+    found = {
+        (r["doc_a"], r["doc_b"]): r["jaccard_sim"]
+        for r in QUERIES["dedup_minhash_banding_pairs"](spark, oracle_sf_dir)
+        .collect()
+    }
+    if strong:
+        recall = len(strong & set(found)) / len(strong)
+        assert recall >= 0.8, f"banding recall {recall} over {len(strong)}"
+    for pair, j in found.items():
+        assert j >= 0.4
+        # baseline blocks by (lang, length) so it can miss cross-block pairs;
+        # where both report a pair the values must agree exactly
+        if pair in truth:
+            assert abs(truth[pair] - j) < 1e-9, (pair, truth[pair], j)
