@@ -73,12 +73,21 @@ def main() -> None:
     for t in TABLE_SCHEMAS:
         load_table(spark, sf_dir, t).count()
 
+    # Two passes per query: the first ("cold") includes plan analysis +
+    # codegen compile — one-time costs a cluster amortizes over thousands of
+    # executions; the second ("warm") is steady-state execution. "queries"/
+    # "value" stay the cold pass (comparable with earlier rounds); the warm
+    # numbers ride alongside.
     timings: dict[str, float] = {}
+    warm: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
         t0 = time.perf_counter()
         fn(spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        warm[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -88,6 +97,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_warm": warm,
+                "value_warm": round(sum(warm.values()), 3),
                 "sf": sf,
             }
         )

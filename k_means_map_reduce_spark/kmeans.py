@@ -510,3 +510,47 @@ def kmeans_arrow(
             break
     pts.unpersist()
     return KMeansResult(centroids, it, converged, wssse_history, sizes)
+
+
+def assign_clusters_broadcast(
+    spark: SparkSession,
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "vec",
+) -> DataFrame:
+    """assign_clusters for large k·dim: broadcast-join + argmin window
+    instead of a compiled literal array.
+
+    The literal-array form (assign_clusters) bakes k·dim doubles into the
+    generated code — unbeatable for k·dim ≤ ~64k values, but codegen size
+    grows linearly and eventually falls back to interpretation. This
+    variant ships centroids as a broadcast DataFrame: points cross-join the
+    broadcast k rows (BroadcastNestedLoopJoin — k-fold row fan-out, never a
+    shuffle of the points), compute dist2 per (point, centroid), and keep
+    the argmin row per point via min_by aggregation keyed on a stable row
+    id. This is literally the reference's op #7 (centroids shipped to every
+    mapper in the RPC request, /root/reference/master.py:182-186) in plan
+    form.
+
+    Same contract as assign_clusters: adds cid/dist2, ties break toward the
+    lowest cid (min_by on a (dist2, cid) struct orders lexicographically).
+    """
+    cents = spark.createDataFrame(
+        [(cid, list(map(float, vec))) for cid, vec in enumerate(centroids)],
+        "cid INT, cvec ARRAY<DOUBLE>",
+    )
+    pts = df.withColumn("_rid", F.monotonically_increasing_id())
+    scored = pts.join(F.broadcast(cents)).withColumn(
+        "_sc",
+        F.struct(
+            sq_euclidean(F.col(vec_col), F.col("cvec")).alias("dist2"),
+            F.col("cid").alias("cid"),
+        ),
+    )
+    best = scored.groupBy("_rid").agg(F.min("_sc").alias("_best"))
+    return (
+        pts.join(best, "_rid")
+        .withColumn("cid", F.col("_best.cid"))
+        .withColumn("dist2", F.col("_best.dist2"))
+        .drop("_rid", "_best")
+    )

@@ -187,3 +187,29 @@ def test_kmeans_parallel_init_recovers_blobs(spark):
     assert abs(r1.wssse_history[-1] - rr.wssse_history[-1]) < 1e-6 * max(
         1.0, rr.wssse_history[-1]
     )
+
+
+def test_assign_broadcast_equals_literal(spark):
+    """The broadcast-join assignment (large-k path) must agree exactly with
+    the compiled-literal assignment, ties included."""
+    import random as _random
+
+    from k_means_map_reduce_spark.kmeans import (
+        assign_clusters,
+        assign_clusters_broadcast,
+    )
+
+    rng = _random.Random(3)
+    rows = [(i, [rng.uniform(-5, 5), rng.uniform(-5, 5)]) for i in range(300)]
+    # a duplicated centroid pair forces dist2 ties → must break to lower cid
+    cents = [[0.0, 0.0], [2.0, 2.0], [2.0, 2.0], [-3.0, 1.0]]
+    df = spark.createDataFrame(rows, "vec_id BIGINT, vec ARRAY<DOUBLE>")
+    lit = {
+        r["vec_id"]: (r["cid"], round(r["dist2"], 12))
+        for r in assign_clusters(df, cents, "vec").collect()
+    }
+    bc = {
+        r["vec_id"]: (r["cid"], round(r["dist2"], 12))
+        for r in assign_clusters_broadcast(spark, df, cents, "vec").collect()
+    }
+    assert lit == bc
