@@ -333,3 +333,66 @@ from ..registry import query as _query  # noqa: E402
 
 _query("streaming_tumbling_hourly")(stream_tumbling_hourly)
 _query("streaming_view_click_interval_join")(stream_stream_view_click_join)
+
+
+def read_events_stream_jsonl(
+    spark: SparkSession, sf_dir: str, n_files: int = 4
+) -> DataFrame:
+    """events as a JSON-lines file stream — the Kafka-shaped input path.
+
+    A log-shipping/Kafka-connect pipeline lands newline-delimited JSON, not
+    parquet; this source proves the engine's streaming jobs are
+    format-agnostic: the batch events table is staged as n_files JSONL
+    shards (timestamps as ISO strings, the wire format JSON actually
+    carries), then consumed via readStream.schema(...).json(dir). Explicit
+    schema as always — a streaming source must never infer. Downstream jobs
+    are identical: ts parses back to the same UTC instants, so every
+    windowed aggregation matches its parquet-stream and batch twins
+    (tested).
+    """
+    from ..sources.catalog import load_table
+
+    stage = tempfile.mkdtemp(prefix="events_jsonl_")
+    batch = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    batch.repartition(n_files).write.mode("overwrite").json(stage)
+    schema = (
+        "event_id BIGINT, ts STRING, user_id BIGINT, event_type STRING, "
+        "value DOUBLE, props STRING"
+    )
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(stage)
+        .withColumn("ts", F.to_timestamp("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+    )
+
+
+def stream_tumbling_hourly_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stream_tumbling_hourly over the JSONL source — same aggregation code,
+    different wire format; must produce identical rows (tested)."""
+    from ..operators._util import dsum
+
+    e = read_events_stream_jsonl(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), _TS_FMT_SPARK).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "approx_users",
+        )
+    )
+    return _run_available_now(agg, "tumbling_hourly_jsonl")

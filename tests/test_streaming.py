@@ -99,3 +99,34 @@ def test_stream_dedup_equals_batch_distinct(spark, sf_dir):
     )
     cols = ["user_id", "event_type"]
     assert _as_sorted_rows(stream, cols) == _as_sorted_rows(batch, cols)
+
+
+def test_jsonl_stream_equals_parquet_stream_and_batch(spark, oracle_sf_dir):
+    """The JSONL (Kafka-shaped) source must yield the exact same hourly
+    aggregation as the parquet stream and the batch query: format on the
+    wire must not leak into results (timestamp round-trip through ISO
+    strings at µs precision included)."""
+    from k_means_map_reduce_spark.registry import QUERIES
+    from k_means_map_reduce_spark.streaming.jobs import stream_tumbling_hourly_jsonl
+
+    def key(rows):
+        return {
+            (r["window_start"], r["event_type"]): (
+                r["n_events"],
+                round(r["sum_value"], 6),
+                r["approx_users"],
+            )
+            for r in rows
+        }
+
+    from k_means_map_reduce_spark.streaming.jobs import stream_tumbling_hourly
+
+    jsonl = key(stream_tumbling_hourly_jsonl(spark, oracle_sf_dir).collect())
+    parquet_stream = key(stream_tumbling_hourly(spark, oracle_sf_dir).collect())
+    assert jsonl == parquet_stream
+    # and the exact (non-approx) columns must also match the batch query
+    batch = {
+        (r["window_start"], r["event_type"]): (r["n_events"], round(r["sum_value"], 6))
+        for r in QUERIES["events_tumbling_hourly"](spark, oracle_sf_dir).collect()
+    }
+    assert {k: v[:2] for k, v in jsonl.items()} == batch
