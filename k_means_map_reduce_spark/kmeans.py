@@ -418,11 +418,26 @@ def kmeans_arrow(
     import pandas as pd  # noqa: F401
 
     spark = df.sparkSession
-    pts = (
-        df.select(F.col(vec_col).cast("array<double>").alias("vec"))
-        .where(F.col("vec").isNotNull() & (F.size("vec") > 0))
-        .cache()
+    base = df.select(F.col(vec_col).cast("array<double>").alias("vec")).where(
+        F.col("vec").isNotNull() & (F.size("vec") > 0)
     )
+    # Right-size parallelism to the data: each iteration is one mapInPandas
+    # job whose cost includes (Python worker round-trip) × partitions — 32
+    # near-empty partitions per iteration is pure overhead on small inputs.
+    # Target ~100k vectors per partition (comfortably Arrow-batched); at
+    # 100 TB the same formula yields thousands of partitions. Note the
+    # remaining small-input floor (~250 ms/iteration at 1 partition) is
+    # driver-side job scheduling + per-iteration plan construction, not
+    # worker count — it amortizes away once partitions carry real data.
+    n_points = base.count()
+    target = max(
+        1,
+        min(
+            spark.sparkContext.defaultParallelism,
+            -(-n_points // 100_000),  # ceil div
+        ),
+    )
+    pts = base.coalesce(target).cache()
     sample = pts.rdd.takeSample(False, 4 * k, seed=seed)
     if not sample:
         raise ValueError("empty input")
