@@ -130,3 +130,52 @@ def test_jsonl_stream_equals_parquet_stream_and_batch(spark, oracle_sf_dir):
         for r in QUERIES["events_tumbling_hourly"](spark, oracle_sf_dir).collect()
     }
     assert {k: v[:2] for k, v in jsonl.items()} == batch
+
+
+def test_checkpointed_file_sink_is_exactly_once_across_restarts(spark, oracle_sf_dir, tmp_path):
+    """Restarting a checkpointed stream must not duplicate output, and new
+    source files must be picked up incrementally — the exactly-once file
+    sink contract a production pipeline relies on. Three runs over the same
+    checkpoint: (1) drain the initial source files, (2) restart with no new
+    data → zero new rows, (3) restart after a new file lands → exactly its
+    rows appended."""
+    import os
+
+    from pyspark.sql import functions as F
+    from k_means_map_reduce_spark.sources import load_table
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    ev = load_table(spark, oracle_sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    first = ev.where(F.col("event_id") % 3 != 0)
+    first.coalesce(2).write.mode("append").parquet(src)
+
+    def drain():
+        q = (
+            spark.readStream.schema(
+                "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE"
+            )
+            .parquet(src)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out)
+
+    n_first = first.count()
+    assert drain().count() == n_first
+    # restart, no new data: the checkpoint must prevent any reprocessing
+    assert drain().count() == n_first
+    # a late file lands; only its rows may appear
+    late = ev.where(F.col("event_id") % 3 == 0)
+    late.coalesce(1).write.mode("append").parquet(src)
+    got = drain()
+    assert got.count() == n_first + late.count()
+    assert got.select(F.count_distinct("event_id")).collect()[0][0] == ev.count()
