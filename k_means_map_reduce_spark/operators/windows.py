@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..sources import load_table
-from ._util import dsum
+from ._util import dsum, sql_dsum
 
 
 @query(
@@ -214,4 +214,87 @@ def window_distribution_functions(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round(F.cume_dist().over(w), 6).alias("cume"),
         F.first("o_orderkey").over(w).alias("cheapest_key"),
         F.last("o_orderkey").over(w_full).alias("priciest_key"),
+    )
+
+
+@query(
+    "window_yoy_revenue_growth",
+    oracle=f"""
+    WITH yearly AS (
+      SELECT c_mktsegment,
+        CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+        {sql_dsum('o_totalprice')} AS revenue
+      FROM orders JOIN customer ON c_custkey = o_custkey
+      GROUP BY c_mktsegment, o_year
+    )
+    SELECT c_mktsegment, o_year, revenue,
+      ROUND(revenue / lag(revenue) OVER (PARTITION BY c_mktsegment ORDER BY o_year) - 1.0, 6) AS yoy_growth
+    FROM yearly
+    """,
+)
+def window_yoy_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS-style year-over-year growth: yearly revenue per segment, then
+    a lag window over the (tiny) aggregate. The window runs on segment×year
+    rows — never on the fact — so its sort is trivial at any scale; the
+    exact decimal revenue makes the growth ratio a deterministic division
+    of identical doubles (null for each segment's first year in both
+    engines)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    yearly = (
+        o.join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_mktsegment", F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(dsum("o_totalprice").alias("revenue"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("o_year")
+    return yearly.select(
+        "c_mktsegment",
+        "o_year",
+        "revenue",
+        F.round(F.col("revenue") / F.lag("revenue").over(w) - 1.0, 6).alias(
+            "yoy_growth"
+        ),
+    )
+
+
+@query(
+    "window_ratio_to_report_nation",
+    oracle=f"""
+    WITH per_nation AS (
+      SELECT r_name, n_name, {sql_dsum('o_totalprice')} AS revenue
+      FROM orders
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation ON n_nationkey = c_nationkey
+      JOIN region ON r_regionkey = n_regionkey
+      GROUP BY r_name, n_name
+    )
+    SELECT r_name, n_name, revenue,
+      ROUND(revenue / SUM(revenue) OVER (PARTITION BY r_name), 6) AS region_share
+    FROM per_nation
+    """,
+)
+def window_ratio_to_report_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report (TPC-DS q3/q36 idiom): each nation's share of its
+    region's revenue via an unordered window sum over the aggregate. The
+    whole-partition SUM needs no ORDER BY (no frame sort); shares divide
+    identically-derived doubles, so they hash-match across engines."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    per_nation = (
+        o.join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+        .join(F.broadcast(r), F.col("r_regionkey") == F.col("n_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(dsum("o_totalprice").alias("revenue"))
+    )
+    w = Window.partitionBy("r_name")
+    return per_nation.select(
+        "r_name",
+        "n_name",
+        "revenue",
+        F.round(F.col("revenue") / F.sum("revenue").over(w), 6).alias(
+            "region_share"
+        ),
     )
