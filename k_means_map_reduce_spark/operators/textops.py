@@ -344,3 +344,48 @@ def text_winnowing_fingerprints_arrow(spark: SparkSession, sf_dir: str) -> DataF
         F.expr("CAST(array_min(fps) AS BIGINT)").alias("min_fp"),
         F.expr("CAST(array_max(fps) AS BIGINT)").alias("max_fp"),
     )
+
+
+@query(
+    "text_vocabulary_by_source",
+    oracle=r"""
+    WITH toks AS (
+      SELECT source, doc_id,
+        unnest(list_filter(
+          string_split(LOWER(regexp_replace(TRIM(text), '\s+', ' ', 'g')), ' '),
+          t -> t <> '')) AS tok
+      FROM documents
+    )
+    SELECT source,
+      CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      CAST(COUNT(*) AS BIGINT) AS total_tokens,
+      CAST(COUNT(DISTINCT tok) AS BIGINT) AS vocab_size,
+      ROUND(CAST(COUNT(DISTINCT tok) AS DOUBLE) / COUNT(*), 6) AS type_token_ratio
+    FROM toks
+    GROUP BY source
+    """,
+)
+def text_vocabulary_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus vocabulary profile: token volume, exact vocabulary
+    size, and type-token ratio (lexical diversity) — the standard corpus
+    triage before training-data selection.
+
+    Shape: explode tokens → one aggregation with two distinct counts.
+    Catalyst plans multi-distinct aggregates with an expand + two-phase agg;
+    at 100 TB you'd swap the exact COUNT(DISTINCT tok) for
+    approx_count_distinct (the sketches family) — kept exact here so the
+    DuckDB hash compare is bit-for-bit."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.regexp_replace(F.trim("text"), r"\s+", " ")), " "),
+        lambda t: t != "",
+    )
+    ex = d.select("source", "doc_id", F.explode(toks).alias("tok"))
+    return ex.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("total_tokens"),
+        F.countDistinct("tok").alias("vocab_size"),
+        F.round(
+            F.countDistinct("tok").cast("double") / F.count(F.lit(1)), 6
+        ).alias("type_token_ratio"),
+    )
