@@ -19,7 +19,7 @@ and jaccard tiers are DuckDB-oracled; LSH tiers are rows-only + recall tests
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -525,4 +525,31 @@ def dedup_minhash_banding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("d2").alias("doc_b"),
             F.round(jac, 6).alias("jaccard_sim"),
         )
+    )
+
+
+@query(
+    "dedup_exact_kept_docs",
+    oracle="""
+    SELECT doc_id, source
+    FROM documents
+    QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY md5(LOWER(regexp_replace(TRIM(text), '\\s+', ' ', 'g')))
+      ORDER BY doc_id
+    ) = 1
+    """,
+)
+def dedup_exact_kept_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized output of exact dedup: the surviving document set
+    (lowest doc_id per normalized-content group) — what a training-data
+    pipeline actually writes back out, completing the dedup story beyond
+    pair/group reports. row_number over the content-hash partition keeps
+    exactly one row per group; the shuffle carries (hash, doc_id, source),
+    never the text."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5(_NORM(F.col("text")))).orderBy("doc_id")
+    return (
+        d.select("doc_id", "source", F.row_number().over(w).alias("_rn"))
+        .where(F.col("_rn") == 1)
+        .select("doc_id", "source")
     )

@@ -128,3 +128,20 @@ def test_join_strategy_hints_control_physical_plan(spark, sf_dir):
     assert "BroadcastHashJoin" in plan("broadcast")
     assert "ShuffledHashJoin" in plan("shuffle_hash")
     assert "SortMergeJoin" in plan("merge")
+
+
+def test_q1_uses_mapside_partial_aggregation(spark, sf_dir):
+    """q1's aggregation must be partial (map-side combine) + final — the
+    shuffle carries k group partials per partition, not data rows (the
+    reference's combiner-less reducer shuffles every row; SURVEY §2a #12)."""
+    df = QUERIES["q1_pricing_summary"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_" in plan, "no map-side partial aggregation in q1 plan"
+
+
+def test_global_sort_uses_range_partitioning(spark, sf_dir):
+    """A global orderBy must plan as range partitioning (sampled split
+    points, parallel sorted partitions), never a single-partition sort."""
+    df = load_table(spark, sf_dir, "orders").orderBy("o_totalprice")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower(), plan[:500]
