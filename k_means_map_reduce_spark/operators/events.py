@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..sources import load_table
-from ._util import dsum
+from ._util import dsum, sql_dsum
 
 _TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
 _TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
@@ -258,4 +258,57 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("cohort_week", "week_offset")
         .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@query(
+    "events_value_outliers",
+    oracle=f"""
+    WITH stats AS (
+      SELECT event_type,
+        COUNT(*) AS n,
+        {sql_dsum('value')} AS sx,
+        {sql_dsum('value * value')} AS sxx
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+      CAST(COUNT(*) AS BIGINT) AS n_outliers,
+      ROUND(CAST(COUNT(*) AS DOUBLE) / ANY_VALUE(n), 6) AS outlier_share
+    FROM events e JOIN stats s ON e.event_type = s.event_type
+    WHERE ABS(e.value - sx / n) >
+          3.0 * SQRT((n * sxx - sx * sx) / (n * (n - 1.0)))
+    GROUP BY e.event_type
+    """,
+)
+def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3σ outlier counts per event type — the monitoring/data-quality shape.
+
+    Mean and sample stddev come from exact decimal power sums (never the
+    engine's streaming stddev, whose partial-merge order perturbs the last
+    ulps differently per engine/partitioning), so the 3σ cut is a
+    deterministic comparison of identically-derived doubles. Plan: one
+    aggregation for the per-type moments, broadcast back onto the fact, one
+    filtered count — the fact is scanned twice but shuffled never (the
+    moments table is k rows)."""
+    e = load_table(spark, sf_dir, "events")
+    stats = e.groupBy(F.col("event_type").alias("_et")).agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("value").alias("sx"),
+        dsum(F.col("value") * F.col("value")).alias("sxx"),
+    )
+    mean = F.col("sx") / F.col("n")
+    std = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        / (F.col("n") * (F.col("n") - 1.0))
+    )
+    return (
+        e.join(F.broadcast(stats), F.col("event_type") == F.col("_et"))
+        .where(F.abs(F.col("value") - mean) > 3.0 * std)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_outliers"),
+            F.round(F.count(F.lit(1)).cast("double") / F.any_value("n"), 6).alias(
+                "outlier_share"
+            ),
+        )
     )
