@@ -218,3 +218,28 @@ def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate(seq, F.lit(0).cast("bigint"), lambda a, x: a + x).alias("tri_sum"),
         F.array_contains(toks, "steel").alias("has_steel"),
     )
+
+
+@query(
+    "json_schema_extraction",
+    oracle="""
+    SELECT
+      CAST(json_extract(props, '$.k') AS INT) AS k_value,
+      CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY k_value
+    """,
+)
+def json_schema_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema'd JSON parsing: from_json with an explicit struct schema (the
+    production path — one parse into a typed column, prunable and
+    null-safe), aggregated by the extracted field. get_json_object per field
+    re-parses the document each call; from_json parses once however many
+    fields you pull. DuckDB mirrors with json_extract + cast."""
+    e = load_table(spark, sf_dir, "events")
+    parsed = e.select(
+        F.from_json("props", "k INT").alias("p")
+    )
+    return parsed.groupBy(F.col("p.k").alias("k_value")).agg(
+        F.count(F.lit(1)).alias("n")
+    )

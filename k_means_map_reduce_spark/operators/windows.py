@@ -298,3 +298,41 @@ def window_ratio_to_report_nation(spark: SparkSession, sf_dir: str) -> DataFrame
             "region_share"
         ),
     )
+
+
+@query(
+    "window_reorder_intervals",
+    oracle="""
+    WITH gaps AS (
+      SELECT o_custkey,
+        date_diff('day',
+          lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+          o_orderdate) AS gap_days
+      FROM orders
+    )
+    SELECT o_custkey,
+      CAST(COUNT(gap_days) AS BIGINT) AS n_gaps,
+      CAST(MIN(gap_days) AS INT) AS min_gap_days,
+      CAST(MAX(gap_days) AS INT) AS max_gap_days
+    FROM gaps
+    WHERE gap_days IS NOT NULL
+    GROUP BY o_custkey
+    """,
+)
+def window_reorder_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Days between consecutive orders per customer: lag window ON THE FACT
+    (unlike the other windows here, which run over aggregates) — the
+    reorder-cadence metric. Deterministic ordering via the (orderdate,
+    orderkey) tie-break; day diffs are exact integers. One shuffle on
+    custkey shared by the window and the following aggregation."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = o.select(
+        "o_custkey",
+        F.datediff("o_orderdate", F.lag("o_orderdate").over(w)).alias("gap_days"),
+    ).where(F.col("gap_days").isNotNull())
+    return gaps.groupBy("o_custkey").agg(
+        F.count("gap_days").alias("n_gaps"),
+        F.min("gap_days").cast("int").alias("min_gap_days"),
+        F.max("gap_days").cast("int").alias("max_gap_days"),
+    )
