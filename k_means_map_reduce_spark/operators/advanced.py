@@ -28,7 +28,10 @@ SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
 )
 def pivot_segment_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot (single shuffle; pivot values enumerated so Catalyst plans a
-    fixed-width aggregation, no second pass to discover values)."""
+    fixed-width aggregation, no second pass to discover values). Absent
+    (nation, segment) combos pivot to NULL in Spark but COUNT(CASE) gives 0
+    in SQL — coalesce to 0 so small scale factors (where combos go missing)
+    stay dtype- and value-identical."""
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     out = (
@@ -37,7 +40,10 @@ def pivot_segment_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .pivot("c_mktsegment", SEGMENTS)
         .agg(F.count(F.lit(1)))
     )
-    renames = [F.col("n_name")] + [F.col(s).alias(s.lower()) for s in SEGMENTS]
+    renames = [F.col("n_name")] + [
+        F.coalesce(F.col(s), F.lit(0)).cast("long").alias(s.lower())
+        for s in SEGMENTS
+    ]
     return out.select(*renames)
 
 
