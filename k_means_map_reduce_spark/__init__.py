@@ -23,6 +23,7 @@ Public API (what a reference user needs to switch):
         kmeans_arrow,         # Arrow+BLAS Lloyd's (scale path)
         kmeans_mllib,         # MLlib KMeans
         QUERIES, ORACLES,     # the full named query surface
+        sql,                  # one-call ANSI SQL over the registered tables
     )
 """
 
@@ -57,3 +58,16 @@ __all__ = [
     "ORACLES",
     "QUERIES",
 ]
+
+
+def sql(spark, query: str, sf_dir: str = "/root/testdata/sf0.01"):
+    """One-call SQL front-end: register every catalog table as a temp view
+    and run `query` through Spark SQL. The ANSI surface a reference user
+    gets for free by switching engines — same Catalyst plans as the
+    DataFrame API (spark.sql and DataFrame ops compile identically).
+
+    >>> from k_means_map_reduce_spark import get_spark, sql
+    >>> sql(get_spark(), "SELECT COUNT(*) FROM lineitem").show()
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(query)

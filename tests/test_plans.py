@@ -145,3 +145,24 @@ def test_global_sort_uses_range_partitioning(spark, sf_dir):
     df = load_table(spark, sf_dir, "orders").orderBy("o_totalprice")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning" in plan.lower(), plan[:500]
+
+
+def test_package_sql_front_end(spark, oracle_sf_dir):
+    """The one-call SQL front-end must run ANSI SQL over all registered
+    tables and agree with the DataFrame API."""
+    import k_means_map_reduce_spark as eng
+
+    got = eng.sql(
+        spark,
+        "SELECT o_orderstatus, COUNT(*) AS n FROM orders GROUP BY o_orderstatus",
+        oracle_sf_dir,
+    ).collect()
+    want = (
+        load_table(spark, oracle_sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .count()
+        .collect()
+    )
+    assert {(r["o_orderstatus"], r["n"]) for r in got} == {
+        (r["o_orderstatus"], r["count"]) for r in want
+    }
