@@ -57,17 +57,27 @@ __all__ = [
     "kmeans_native_df",
     "ORACLES",
     "QUERIES",
+    "sql",
 ]
 
+_DEFAULT_SF_DIR = "/root/testdata/sf0.01"
 
-def sql(spark, query: str, sf_dir: str = "/root/testdata/sf0.01"):
+
+def sql(spark, query: str, sf_dir: str | None = None):
     """One-call SQL front-end: register every catalog table as a temp view
     and run `query` through Spark SQL. The ANSI surface a reference user
     gets for free by switching engines — same Catalyst plans as the
     DataFrame API (spark.sql and DataFrame ops compile identically).
 
+    `sf_dir` defaults to $SPARK_GRAFT_SF_DIR (the same knob bench.py and
+    the tests honor), falling back to the sf0.01 test tables.
+
     >>> from k_means_map_reduce_spark import get_spark, sql
     >>> sql(get_spark(), "SELECT COUNT(*) FROM lineitem").show()
     """
+    import os
+
+    if sf_dir is None:
+        sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", _DEFAULT_SF_DIR)
     register_views(spark, sf_dir)
     return spark.sql(query)

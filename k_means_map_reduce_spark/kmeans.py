@@ -539,33 +539,28 @@ def assign_clusters_broadcast(
     The literal-array form (assign_clusters) bakes k·dim doubles into the
     generated code — unbeatable for k·dim ≤ ~64k values, but codegen size
     grows linearly and eventually falls back to interpretation. This
-    variant ships centroids as a broadcast DataFrame: points cross-join the
-    broadcast k rows (BroadcastNestedLoopJoin — k-fold row fan-out, never a
-    shuffle of the points), compute dist2 per (point, centroid), and keep
-    the argmin row per point via min_by aggregation keyed on a stable row
-    id. This is literally the reference's op #7 (centroids shipped to every
-    mapper in the RPC request, /root/reference/master.py:182-186) in plan
-    form.
+    variant ships the full centroid list as ONE broadcast row holding an
+    ARRAY<ARRAY<DOUBLE>>: points pick it up via a 1-row
+    BroadcastNestedLoopJoin (no row fan-out, no shuffle), and the per-point
+    argmin is an array higher-order expression over the k candidate
+    vectors. This is literally the reference's op #7 (centroids shipped to
+    every mapper in the RPC request, /root/reference/master.py:182-186) in
+    plan form, minus the k-fold row explosion.
 
     Same contract as assign_clusters: adds cid/dist2, ties break toward the
-    lowest cid (min_by on a (dist2, cid) struct orders lexicographically).
+    lowest cid (array_position returns the FIRST index of the min). Fully
+    deterministic — no per-row ids, no self-join, so retried tasks or
+    reshuffled inputs cannot diverge between plan branches.
     """
     cents = spark.createDataFrame(
-        [(cid, list(map(float, vec))) for cid, vec in enumerate(centroids)],
-        "cid INT, cvec ARRAY<DOUBLE>",
+        [([list(map(float, vec)) for vec in centroids],)],
+        "cvecs ARRAY<ARRAY<DOUBLE>>",
     )
-    pts = df.withColumn("_rid", F.monotonically_increasing_id())
-    scored = pts.join(F.broadcast(cents)).withColumn(
-        "_sc",
-        F.struct(
-            sq_euclidean(F.col(vec_col), F.col("cvec")).alias("dist2"),
-            F.col("cid").alias("cid"),
-        ),
-    )
-    best = scored.groupBy("_rid").agg(F.min("_sc").alias("_best"))
+    dists = F.transform(F.col("cvecs"), lambda c: sq_euclidean(F.col(vec_col), c))
     return (
-        pts.join(best, "_rid")
-        .withColumn("cid", F.col("_best.cid"))
-        .withColumn("dist2", F.col("_best.dist2"))
-        .drop("_rid", "_best")
+        df.join(F.broadcast(cents))
+        .withColumn("_d", dists)
+        .withColumn("dist2", F.array_min("_d"))
+        .withColumn("cid", (F.array_position(F.col("_d"), F.col("dist2")) - 1).cast("int"))
+        .drop("cvecs", "_d")
     )

@@ -318,14 +318,18 @@ def sample_stratified_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH bounds AS (
       SELECT MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx FROM orders
+    ),
+    b AS (
+      SELECT mn, mx,
+        CASE WHEN mx = mn THEN 0
+             ELSE CAST(LEAST(FLOOR((o_totalprice - mn) / ((mx - mn) / 20.0)), 19) AS INT)
+        END AS bucket
+      FROM orders, bounds
     )
-    SELECT
-      CAST(LEAST(FLOOR((o_totalprice - mn) / ((mx - mn) / 20.0)), 19) AS INT) AS bucket,
-      CAST(COUNT(*) AS BIGINT) AS n,
-      ROUND(mn + CAST(LEAST(FLOOR((o_totalprice - mn) / ((mx - mn) / 20.0)), 19) AS INT)
-            * ((mx - mn) / 20.0), 6) AS bucket_lo
-    FROM orders, bounds
-    GROUP BY bucket, bucket_lo
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+      ROUND(mn + bucket * ((mx - mn) / 20.0), 6) AS bucket_lo
+    FROM b
+    GROUP BY bucket, mn, mx
     """,
 )
 def histogram_order_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -334,15 +338,23 @@ def histogram_order_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment is a pure projection, so the plan is scan → cross-join
     broadcast → one aggregation. Cross-engine determinism: both engines
     derive identical mn/mx doubles, hence identical width, per-row quotient
-    and floor — bucket edges can't flip on a ulp."""
+    and floor — bucket edges can't flip on a ulp. Degenerate input (all
+    values equal ⇒ zero width) short-circuits to bucket 0 in both engines
+    instead of dividing by zero."""
     o = load_table(spark, sf_dir, "orders")
     bounds = o.agg(
         F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx")
     )
     width = (F.col("mx") - F.col("mn")) / 20.0
-    bucket = F.least(
-        F.floor((F.col("o_totalprice") - F.col("mn")) / width), F.lit(19)
-    ).cast("int")
+    bucket = (
+        F.when(F.col("mx") == F.col("mn"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor((F.col("o_totalprice") - F.col("mn")) / width), F.lit(19)
+            )
+        )
+        .cast("int")
+    )
     return (
         o.crossJoin(F.broadcast(bounds))
         .select(

@@ -373,7 +373,15 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
-    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
+    # Cut lineage with an eager localCheckpoint (blocks are reclaimed by the
+    # ContextCleaner once the result is dropped), then release the explicit
+    # caches so long-lived sessions don't accumulate storage across calls.
+    result = labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("component")
+    ).localCheckpoint(eager=True)
+    labels.unpersist()
+    edges.unpersist()
+    return result
 
 
 @query(

@@ -303,17 +303,18 @@ def q22_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     every customer has SOME order here, so dormancy = no order since
     2000-01-01). Scalar threshold via deterministic decimal-avg — both
     engines derive the identical double, so the > filter can't flip rows on
-    a 1-ulp difference. Anti-join prunes the orders side by pushing the
-    date filter to the scan."""
+    a 1-ulp difference. The threshold joins back as a broadcast 1-row
+    aggregate (same form as q11's fraction threshold) — one lazy plan, no
+    driver-side collect, no extra job. Anti-join prunes the orders side by
+    pushing the date filter to the scan."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").where(
         F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp_ntz")
     )
-    thresh = (
-        c.where(F.col("c_acctbal") > 0).agg(davg("c_acctbal").alias("a")).collect()[0]["a"]
-    )
+    thresh = c.where(F.col("c_acctbal") > 0).agg(davg("c_acctbal").alias("_thresh"))
     return (
-        c.where(F.col("c_acctbal") > F.lit(thresh))
+        c.crossJoin(F.broadcast(thresh))
+        .where(F.col("c_acctbal") > F.col("_thresh"))
         .join(o, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
         .groupBy("c_mktsegment")
         .agg(F.count(F.lit(1)).alias("numcust"), dsum("c_acctbal").alias("totacctbal"))

@@ -34,6 +34,8 @@ def run_oracle(sf_dir: str, sql: str) -> pd.DataFrame:
     try:
         for t in TABLE_SCHEMAS:
             path = os.path.join(sf_dir, f"{t}.parquet")
+            if not os.path.exists(path):
+                continue  # partial dirs (tests): register what's there
             con.execute(
                 f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
             )

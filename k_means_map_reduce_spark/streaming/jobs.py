@@ -22,7 +22,9 @@ parquet/Kafka with checkpointing.
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 import uuid
 from typing import Iterator
@@ -38,6 +40,20 @@ from ..sources.catalog import TABLE_SCHEMAS
 
 _TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
 
+# All staging/checkpoint dirs live under one process-scoped root that is
+# removed at interpreter exit; source-staging dirs are additionally cached
+# and reused across calls, so repeated invocations do not grow disk usage.
+_TMP_ROOT: str | None = None
+_STAGE_CACHE: dict[tuple, str] = {}
+
+
+def _tmp_root() -> str:
+    global _TMP_ROOT
+    if _TMP_ROOT is None:
+        _TMP_ROOT = tempfile.mkdtemp(prefix="kmmr_stream_")
+        atexit.register(shutil.rmtree, _TMP_ROOT, ignore_errors=True)
+    return _TMP_ROOT
+
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet as a file-stream source.
@@ -49,10 +65,17 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # FileStreamSource requires a directory; the test tables are single
-    # parquet files. Stage a temp dir with a symlink (no data copy).
-    stage = tempfile.mkdtemp(prefix="events_stream_")
-    link = os.path.join(stage, "events.parquet")
-    os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    # parquet files. Stage a temp dir with a symlink (no data copy),
+    # reused across calls for the same sf_dir.
+    key = ("events_parquet", sf_dir)
+    stage = _STAGE_CACHE.get(key)
+    if stage is None or not os.path.isdir(stage):
+        stage = tempfile.mkdtemp(prefix="events_stream_", dir=_tmp_root())
+        os.symlink(
+            os.path.join(sf_dir, "events.parquet"),
+            os.path.join(stage, "events.parquet"),
+        )
+        _STAGE_CACHE[key] = stage
     return (
         spark.readStream.schema(TABLE_SCHEMAS["events"])
         .parquet(stage)
@@ -72,16 +95,21 @@ def _run_available_now(
     return the sink contents as a DataFrame. Stream-stream joins only
     support append mode; aggregations use complete."""
     sink = f"{query_name}_{uuid.uuid4().hex[:8]}"
-    checkpoint = tempfile.mkdtemp(prefix=f"ckpt_{sink}_")
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode(mode)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    checkpoint = tempfile.mkdtemp(prefix=f"ckpt_{sink}_", dir=_tmp_root())
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode(mode)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        # availableNow drained to completion; the memory sink holds the
+        # rows, so the checkpoint is dead weight from here on.
+        shutil.rmtree(checkpoint, ignore_errors=True)
     return stream_df.sparkSession.table(sink)
 
 
@@ -185,16 +213,19 @@ def stream_user_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sink = f"user_stats_{uuid.uuid4().hex[:8]}"
-    checkpoint = tempfile.mkdtemp(prefix=f"ckpt_{sink}_")
-    q = (
-        stats.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("update")
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    checkpoint = tempfile.mkdtemp(prefix=f"ckpt_{sink}_", dir=_tmp_root())
+    try:
+        q = (
+            stats.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(checkpoint, ignore_errors=True)
     # update-mode sink may hold several rows per user (one per batch); the
     # final state per user is the row with the max n_events.
     raw = spark.table(sink)
@@ -352,16 +383,20 @@ def read_events_stream_jsonl(
     """
     from ..sources.catalog import load_table
 
-    stage = tempfile.mkdtemp(prefix="events_jsonl_")
-    batch = load_table(spark, sf_dir, "events").select(
-        "event_id",
-        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
-        "user_id",
-        "event_type",
-        "value",
-        "props",
-    )
-    batch.repartition(n_files).write.mode("overwrite").json(stage)
+    key = ("events_jsonl", sf_dir, n_files)
+    stage = _STAGE_CACHE.get(key)
+    if stage is None or not os.path.isdir(stage):
+        stage = tempfile.mkdtemp(prefix="events_jsonl_", dir=_tmp_root())
+        batch = load_table(spark, sf_dir, "events").select(
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+        batch.repartition(n_files).write.mode("overwrite").json(stage)
+        _STAGE_CACHE[key] = stage
     schema = (
         "event_id BIGINT, ts STRING, user_id BIGINT, event_type STRING, "
         "value DOUBLE, props STRING"

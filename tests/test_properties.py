@@ -108,3 +108,42 @@ def test_stratified_sample_deterministic_and_bounded(spark, oracle_sf_dir):
         mean = frac * n
         slack = 5 * (mean * (1 - frac)) ** 0.5 + 5
         assert abs(got - mean) <= slack, (status, got, mean, slack)
+
+
+def test_histogram_degenerate_all_equal(spark, tmp_path):
+    """All-equal values ⇒ zero bucket width. Both the Spark query and the
+    DuckDB oracle must short-circuit to a single bucket 0 (no NaN/Infinity
+    from 0/0 division), and agree with each other."""
+    import datetime
+
+    from k_means_map_reduce_spark.oracle import run_oracle
+    from k_means_map_reduce_spark.registry import ORACLES, QUERIES
+    from k_means_map_reduce_spark.sources import TABLE_SCHEMAS
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pdf = pd.DataFrame(
+        {
+            "o_orderkey": range(50),
+            "o_custkey": [i % 7 for i in range(50)],
+            "o_orderstatus": "O",
+            "o_totalprice": 1000.0,
+            "o_orderdate": datetime.datetime(2021, 1, 1),
+            "o_orderpriority": "1-URGENT",
+        }
+    )
+    # single-file layout, like the driver's testdata tables
+    pq.write_table(pa.Table.from_pandas(pdf), str(tmp_path / "orders.parquet"))
+    assert TABLE_SCHEMAS["orders"]  # same columns as the real table
+
+    got = QUERIES["histogram_order_totalprice"](spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["bucket"], r["n"], r["bucket_lo"]) == (0, 50, 1000.0)
+
+    odf = run_oracle(str(tmp_path), ORACLES["histogram_order_totalprice"])
+    assert len(odf) == 1
+    orow = odf.iloc[0]
+    assert (int(orow["bucket"]), int(orow["n"]), float(orow["bucket_lo"])) == (0, 50, 1000.0)
