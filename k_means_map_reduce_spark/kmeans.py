@@ -46,6 +46,7 @@ literal for a broadcast join — interface unchanged).
 from __future__ import annotations
 
 import math
+import os
 from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -389,6 +390,91 @@ def kmeans_mllib(
     return spark.createDataFrame(rows, "cluster_id INT, size BIGINT, center ARRAY<DOUBLE>")
 
 
+def _lloyd_kernel(X, C):
+    """One Lloyd assignment pass over a dense block: (cnt, Σvec, Σdist²).
+
+    Shared by both kmeans_arrow physical paths so their math is identical:
+    |x|²+|c|²-2XCᵀ distances (BLAS matmul), argmin with first-occurrence =
+    lowest-cid tie-break, dist² clamped at 0 against fp cancellation.
+    """
+    import numpy as np
+
+    c_sq = (C * C).sum(axis=1)
+    d2 = (X * X).sum(axis=1)[:, None] + c_sq[None, :] - 2.0 * (X @ C.T)
+    cid = d2.argmin(axis=1)  # first occurrence = lowest cid on ties
+    best = np.maximum(d2[np.arange(len(X)), cid], 0.0)
+    kk = C.shape[0]
+    cnt = np.bincount(cid, minlength=kk)
+    sd = np.bincount(cid, weights=best, minlength=kk)
+    sums = np.zeros_like(C)
+    np.add.at(sums, cid, X)
+    return cnt, sums, sd
+
+
+def _take_sample_local(rows, num, seed):
+    """Bit-exact replica of ``RDD.takeSample(False, num, seed)`` for a
+    single-partition RDD, run in-task on the materialized row list.
+
+    Delegates to pyspark's own machinery (pyspark.core.rdd.RDD.takeSample +
+    pyspark.rddsampler.RDDSampler with split=0) so the one-job fast path of
+    kmeans_arrow picks the SAME seeded init the driver-side path would —
+    keeping trajectory parity with kmeans_native (test_arrow_equals_native).
+    """
+    import random as _random
+    import sys as _sys
+
+    from pyspark.core.rdd import RDD as _RDD
+    from pyspark.rddsampler import RDDSampler as _RDDSampler
+
+    initial_count = len(rows)
+    if num == 0 or initial_count == 0:
+        return []
+    rand = _random.Random(seed)
+    if num >= initial_count:
+        samples = list(rows)
+        rand.shuffle(samples)
+        return samples
+    fraction = _RDD._computeFractionForSampleSize(num, initial_count, False)
+    samples = list(_RDDSampler(False, fraction, seed).func(0, iter(rows)))
+    while len(samples) < num:
+        seed = rand.randint(0, _sys.maxsize)
+        samples = list(_RDDSampler(False, fraction, seed).func(0, iter(rows)))
+    rand.shuffle(samples)
+    return samples[0:num]
+
+
+def _lloyd_single(X, C, max_iter, tol):
+    """Full Lloyd loop over one in-memory block (the single-task path).
+
+    Runs INSIDE an executor task via mapPartitions — the data never visits
+    the driver. Returns plain picklable types.
+    """
+    import numpy as np
+
+    wssse_history: list[float] = []
+    cnt = np.zeros(C.shape[0], dtype=np.int64)
+    converged = False
+    it = 0
+    for it in range(1, max_iter + 1):
+        cnt, sums, sd = _lloyd_kernel(X, C)
+        wssse_history.append(float(sd.sum()))
+        new_c = C.copy()
+        nz = cnt > 0
+        new_c[nz] = sums[nz] / cnt[nz, None]
+        shift = float(np.sqrt(((new_c - C) ** 2).sum(axis=1)).max())
+        C = new_c
+        if shift < tol:
+            converged = True
+            break
+    return (
+        [[float(x) for x in row] for row in C],
+        it,
+        converged,
+        wssse_history,
+        [int(n) for n in cnt],
+    )
+
+
 def kmeans_arrow(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -397,38 +483,110 @@ def kmeans_arrow(
     tol: float = 1e-6,
     seed: int = 42,
 ) -> KMeansResult:
-    """Lloyd's loop with Arrow-batched numpy assignment — the scale path.
+    """Lloyd's loop with blocked-numpy assignment — the scale path.
 
     Same semantics as kmeans_native (seeded init, empty-cluster retention,
-    lowest-cid tie-break via argmin-first-occurrence, tol convergence), but
-    the per-iteration work is ONE mapInPandas job:
+    lowest-cid tie-break via argmin-first-occurrence, tol convergence), with
+    an adaptive physical strategy — the same decision Catalyst makes between
+    broadcast and shuffle joins, applied to an iterative job:
 
-      executors: Arrow batch → numpy matrix → |x|²+|c|²-2XCᵀ argmin (BLAS)
-                 → per-partition partials (k rows: count, Σvec, Σdist²)
-      driver:    merge ≤ k×P partial rows, update centroids, test shift.
+    - dense size ≤ SPARK_GRAFT_KMEANS_LOCAL_BYTES (default 64 MB): the whole
+      loop runs INSIDE one executor task over the coalesced block — ONE Spark
+      job for all iterations instead of one per iteration. An iterative
+      driver loop over a 1 MB input pays ~250 ms of job-scheduling floor per
+      iteration for microseconds of math; running the loop where the data is
+      removes that floor entirely. (Data never lands on the driver — this is
+      mapPartitions, not collect; precedent: MLlib runs LocalKMeans for the
+      k-means|| refine the same way, clustering/LocalKMeans.scala.)
+    - larger inputs: per-iteration treeAggregate over a cached RDD of dense
+      per-partition matrices:
 
-    Why this beats the expression-tree loop at any scale: the centroid matrix
-    rides a broadcast variable (no plan re-analysis / re-codegen per
-    iteration — the plan is byte-identical every time), distance math is a
+        executors: cached numpy block → |x|²+|c|²-2XCᵀ argmin (BLAS)
+                   → (count, Σvec, Σdist²) partials, tree-combined
+        driver:    merge combined partials, update centroids, test shift.
+
+    Why this beats the expression-tree loop at any scale: no Catalyst
+    re-analysis or re-codegen per iteration (the blocks never change — only
+    the k×dim centroid matrix in the task closure does), distance math is a
     dense matmul instead of per-element codegen, and the shuffle is replaced
-    by a k×P-row collect. This mirrors MLlib's own RDD implementation
-    (broadcast centers + treeAggregate) with DataFrame+Arrow plumbing.
+    by a depth-2 tree reduction of k-row partials. This is MLlib KMeans'
+    own RDD loop shape (clustering/KMeans.scala: broadcast centers +
+    treeAggregate over cached vector blocks), reproduced in numpy.
+
+    Both paths share one iteration kernel (`_lloyd_kernel`), so they agree
+    to float-associativity (tested: test_arrow_equals_native).
     """
     import numpy as np
-    import pandas as pd  # noqa: F401
 
     spark = df.sparkSession
     base = df.select(F.col(vec_col).cast("array<double>").alias("vec")).where(
         F.col("vec").isNotNull() & (F.size("vec") > 0)
     )
-    # Right-size parallelism to the data: each iteration is one mapInPandas
+
+    local_bytes = int(
+        os.environ.get("SPARK_GRAFT_KMEANS_LOCAL_BYTES", str(64 * 1024 * 1024))
+    )
+    # Size the input from Catalyst plan statistics — no job spent; this is
+    # the same estimate autoBroadcastJoinThreshold uses to pick broadcast
+    # joins. Unknown stats (non-file plans) report Long.Max and route to the
+    # distributed path, which then counts exactly.
+    try:
+        est_bytes = int(
+            base._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        est_bytes = None
+
+    if est_bytes is not None and est_bytes <= local_bytes:
+        # ONE-JOB fast path: sample-init AND the full loop run inside a
+        # single executor task over the coalesced data. The init replays
+        # pyspark's own takeSample machinery at split=0, so the trajectory
+        # is identical to the driver-side init below. See docstring.
+        def run_all(rows_iter, _k=k, _mi=max_iter, _tol=tol, _seed=seed):
+            import numpy as _np
+
+            rows = list(rows_iter)
+            if not rows:
+                return
+            sample = _take_sample_local(rows, 4 * _k, _seed)
+            cents: list[list[float]] = []
+            seen: set = set()
+            for r in sample:
+                key = tuple(r["vec"])
+                if key not in seen:
+                    seen.add(key)
+                    cents.append(list(r["vec"]))
+                if len(cents) == _k:
+                    break
+            if len(cents) < _k:
+                # <k distinct in the 4k oversample: defer to the general
+                # path, whose init falls back to a full distinct() sample.
+                yield ("degenerate", None)
+                return
+            X = _np.asarray([r["vec"] for r in rows], dtype=_np.float64)
+            yield (
+                "ok",
+                _lloyd_single(
+                    X, _np.asarray(cents, dtype=_np.float64), _mi, _tol
+                ),
+            )
+
+        out = base.coalesce(1).rdd.mapPartitions(run_all).collect()
+        if not out:
+            raise ValueError("empty input")
+        if out[0][0] == "ok":
+            final_c, it, converged, wssse_history, cnt_list = out[0][1]
+            return KMeansResult(
+                final_c, it, converged, wssse_history,
+                {cid: n for cid, n in enumerate(cnt_list)},
+            )
+        # fall through: degenerate sample → general path below
+
+    # Right-size parallelism to the data: each iteration is one aggregation
     # job whose cost includes (Python worker round-trip) × partitions — 32
     # near-empty partitions per iteration is pure overhead on small inputs.
-    # Target ~100k vectors per partition (comfortably Arrow-batched); at
-    # 100 TB the same formula yields thousands of partitions. Note the
-    # remaining small-input floor (~250 ms/iteration at 1 partition) is
-    # driver-side job scheduling + per-iteration plan construction, not
-    # worker count — it amortizes away once partitions carry real data.
+    # Target ~100k vectors per partition; at 100 TB the same formula yields
+    # thousands of partitions (capped by cluster parallelism).
     n_points = base.count()
     target = max(
         1,
@@ -438,83 +596,82 @@ def kmeans_arrow(
         ),
     )
     pts = base.coalesce(target).cache()
-    sample = pts.rdd.takeSample(False, 4 * k, seed=seed)
-    if not sample:
-        raise ValueError("empty input")
-    dim = len(sample[0]["vec"])
-    centroids: list[list[float]] = []
-    seen: set = set()
-    for r in sample:
-        key = tuple(r["vec"])
-        if key not in seen:
-            seen.add(key)
-            centroids.append(list(r["vec"]))
-        if len(centroids) == k:
-            break
-    if len(centroids) < k:
-        raise ValueError(f"k={k} but sample found only {len(centroids)} distinct points")
+    centroids = _init_random(pts, k, seed)
+    dim = len(centroids[0])
 
-    out_schema = (
-        "cid INT, n BIGINT, sum_dist2 DOUBLE, sums ARRAY<DOUBLE>"
-    )
-    sc = spark.sparkContext
+    if n_points * dim * 8 <= local_bytes:
+        # Stats overestimated (or degenerate-init retry) but the dense
+        # matrix does fit one task: run the loop where the data is.
+        c0 = [list(c) for c in centroids]
+
+        def run_single(rows_iter, _c0=c0, _mi=max_iter, _tol=tol):
+            import numpy as _np
+
+            block = [r["vec"] for r in rows_iter]
+            if block:
+                yield _lloyd_single(
+                    _np.asarray(block, dtype=_np.float64),
+                    _np.asarray(_c0, dtype=_np.float64),
+                    _mi,
+                    _tol,
+                )
+
+        out = pts.coalesce(1).rdd.mapPartitions(run_single).collect()
+        pts.unpersist()
+        final_c, it, converged, wssse_history, cnt_list = out[0]
+        return KMeansResult(
+            final_c, it, converged, wssse_history,
+            {cid: n for cid, n in enumerate(cnt_list)},
+        )
+
+    # Materialize each partition ONCE as a dense numpy block and cache the
+    # block RDD. Every iteration is then a single treeAggregate over cached
+    # matrices — no Catalyst analysis, no Arrow re-serialization, no
+    # per-iteration broadcast round-trip; the k×dim centroid matrix rides
+    # the task closure. This is MLlib's own loop shape (broadcast centers +
+    # treeAggregate over cached vector blocks) with the 250 ms/iteration
+    # DataFrame-plan floor removed: per iteration the driver pays one job
+    # submission and a merge of depth-2-combined (cnt, Σvec, Σdist²) blocks.
+    def _to_block(rows_iter):
+        block = [r["vec"] for r in rows_iter]
+        if block:
+            yield np.asarray(block, dtype=np.float64)
+
+    blocks = pts.rdd.mapPartitions(_to_block)
+    blocks.persist()
+    blocks.count()
+    pts.unpersist()  # the DataFrame cache is superseded by the block cache
 
     wssse_history: list[float] = []
     sizes: dict[int, int] = {}
     converged = False
     it = 0
     for it in range(1, max_iter + 1):
-        b = sc.broadcast(np.asarray(centroids, dtype=np.float64))
+        C = np.asarray(centroids, dtype=np.float64)
+        kk = C.shape[0]
 
-        def partials(batches, _b=b):
-            import numpy as _np
-            import pandas as _pd
+        def seq(acc, X, _C=C):
+            cnt, sums, sd = acc
+            c, s, d = _lloyd_kernel(X, _C)
+            return cnt + c, sums + s, sd + d
 
-            C = _b.value
-            kk = C.shape[0]
-            c_sq = (C * C).sum(axis=1)
-            cnt = _np.zeros(kk, dtype=_np.int64)
-            sums = _np.zeros_like(C)
-            sd = _np.zeros(kk)
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                X = _np.stack(pdf["vec"].to_numpy())
-                d2 = (X * X).sum(axis=1)[:, None] + c_sq[None, :] - 2.0 * (X @ C.T)
-                cid = d2.argmin(axis=1)  # first occurrence = lowest cid on ties
-                best = _np.maximum(d2[_np.arange(len(X)), cid], 0.0)
-                cnt += _np.bincount(cid, minlength=kk)
-                sd += _np.bincount(cid, weights=best, minlength=kk)
-                _np.add.at(sums, cid, X)
-            nz = _np.nonzero(cnt)[0]
-            yield _pd.DataFrame(
-                {
-                    "cid": nz.astype("int32"),
-                    "n": cnt[nz],
-                    "sum_dist2": sd[nz],
-                    "sums": [sums[i].tolist() for i in nz],
-                }
-            )
+        def comb(a, b):
+            return a[0] + b[0], a[1] + b[1], a[2] + b[2]
 
-        rows = pts.mapInPandas(partials, out_schema).collect()
-        b.unpersist()
+        zero = (
+            np.zeros(kk, dtype=np.int64),
+            np.zeros((kk, dim), dtype=np.float64),
+            np.zeros(kk, dtype=np.float64),
+        )
+        cnt, sums, sd = blocks.treeAggregate(zero, seq, comb, depth=2)
 
-        import collections
-
-        agg_n: dict[int, int] = collections.defaultdict(int)
-        agg_sum = {cid: np.zeros(dim) for cid in range(k)}
-        wssse = 0.0
-        for r in rows:
-            agg_n[r["cid"]] += r["n"]
-            agg_sum[r["cid"]] += np.asarray(r["sums"])
-            wssse += r["sum_dist2"]
-        wssse_history.append(wssse)
+        wssse_history.append(float(sd.sum()))
         new_centroids = list(centroids)
         sizes = {cid: 0 for cid in range(k)}
         for cid in range(k):
-            if agg_n[cid] > 0:
-                new_centroids[cid] = (agg_sum[cid] / agg_n[cid]).tolist()
-                sizes[cid] = int(agg_n[cid])
+            if cnt[cid] > 0:
+                new_centroids[cid] = (sums[cid] / cnt[cid]).tolist()
+                sizes[cid] = int(cnt[cid])
         shift = max(
             math.sqrt(sum((a - b2) ** 2 for a, b2 in zip(old, new)))
             for old, new in zip(centroids, new_centroids)
@@ -523,7 +680,7 @@ def kmeans_arrow(
         if shift < tol:
             converged = True
             break
-    pts.unpersist()
+    blocks.unpersist()
     return KMeansResult(centroids, it, converged, wssse_history, sizes)
 
 

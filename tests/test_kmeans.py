@@ -155,6 +155,27 @@ def test_arrow_equals_native(spark, sf_dir):
     assert a.sizes == n.sizes
 
 
+def test_arrow_single_task_equals_distributed(spark, sf_dir, monkeypatch):
+    """kmeans_arrow's two physical strategies — the one-job single-task loop
+    (small input) and the per-iteration treeAggregate loop (forced here via
+    SPARK_GRAFT_KMEANS_LOCAL_BYTES=0) — produce the same trajectory: the
+    in-task replay of takeSample (split=0) must pick the identical seeded
+    init, and both paths share _lloyd_kernel."""
+    from k_means_map_reduce_spark.kmeans import kmeans_arrow
+
+    e = load_table(spark, sf_dir, "embeddings")
+    fast = kmeans_arrow(e, k=6, max_iter=8, tol=1e-6, seed=42)
+    monkeypatch.setenv("SPARK_GRAFT_KMEANS_LOCAL_BYTES", "0")
+    dist = kmeans_arrow(e, k=6, max_iter=8, tol=1e-6, seed=42)
+    assert fast.iterations == dist.iterations
+    assert fast.converged == dist.converged
+    assert fast.sizes == dist.sizes
+    diff = max(
+        abs(x - y) for cf, cd in zip(fast.centers, dist.centers) for x, y in zip(cf, cd)
+    )
+    assert diff < 1e-9, f"physical paths diverged by {diff}"
+
+
 def test_kmeans_parallel_init_recovers_blobs(spark):
     """k-means|| init + Lloyd recovers well-separated blobs exactly (one
     center per blob), and its final WSSSE matches random-init's on the same
