@@ -40,6 +40,19 @@ from ..sources.catalog import TABLE_SCHEMAS
 
 _TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
 
+
+def _fmt_utc(col) -> "F.Column":
+    """Render an instant TIMESTAMP as its UTC wall-time string regardless of
+    the session timezone. Streaming event time must be TIMESTAMP (watermarks
+    reject NTZ), and date_format renders TIMESTAMP in the session zone — so
+    a non-UTC session would shift every window label away from the batch
+    twins' NTZ strings. cast→NTZ gives session wall time; convert_timezone
+    (session→UTC) takes it back to the UTC wall time the instant encodes."""
+    return F.date_format(
+        F.convert_timezone(None, F.lit("UTC"), col.cast("timestamp_ntz")),
+        _TS_FMT_SPARK,
+    )
+
 # All staging/checkpoint dirs live under one process-scoped root that is
 # removed at interpreter exit; source-staging dirs are additionally cached
 # and reused across calls, so repeated invocations do not grow disk usage.
@@ -59,9 +72,9 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet as a file-stream source.
 
     Watermarks require TIMESTAMP (not NTZ), so unlike the batch loader the
-    stream's `ts` is a UTC instant built from the raw nanos. Window-start
-    strings therefore match the batch (NTZ) queries only under a UTC session
-    timezone — which session.get_spark pins; tests run there.
+    stream's `ts` is a UTC instant built from the raw nanos. Downstream
+    window labels are rendered with _fmt_utc, so results match the batch
+    (NTZ) twins under ANY session timezone (tests/test_timezone.py).
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # FileStreamSource requires a directory; the test tables are single
@@ -126,7 +139,7 @@ def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.approx_count_distinct("user_id").alias("approx_users"),
         )
         .select(
-            F.date_format(F.col("w.start"), _TS_FMT_SPARK).alias("window_start"),
+            _fmt_utc(F.col("w.start")).alias("window_start"),
             "event_type",
             "n_events",
             "sum_value",
@@ -144,7 +157,7 @@ def stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(
             "user_id",
-            F.date_format(F.col("w.start"), _TS_FMT_SPARK).alias("session_start"),
+            _fmt_utc(F.col("w.start")).alias("session_start"),
             "n_events",
         )
     )
@@ -251,7 +264,7 @@ def stream_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("value").alias("sum_value"),
         )
         .select(
-            F.date_format(F.col("w.start"), _TS_FMT_SPARK).alias("window_start"),
+            _fmt_utc(F.col("w.start")).alias("window_start"),
             "event_type",
             "n_events",
             "sum_value",
@@ -405,7 +418,17 @@ def read_events_stream_jsonl(
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .json(stage)
-        .withColumn("ts", F.to_timestamp("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+        .withColumn(
+            # Parse as NTZ (TZ-independent) then pin the UTC wall time to a
+            # real instant via convert_timezone(UTC → session) + cast; a
+            # plain to_timestamp would interpret the wire string in the
+            # session zone and shift every event under non-UTC sessions.
+            "ts",
+            F.expr(
+                "cast(convert_timezone('UTC', current_timezone(), "
+                "to_timestamp_ntz(ts, 'yyyy-MM-dd HH:mm:ss.SSSSSS')) as timestamp)"
+            ),
+        )
     )
 
 
@@ -423,7 +446,7 @@ def stream_tumbling_hourly_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.approx_count_distinct("user_id").alias("approx_users"),
         )
         .select(
-            F.date_format(F.col("w.start"), _TS_FMT_SPARK).alias("window_start"),
+            _fmt_utc(F.col("w.start")).alias("window_start"),
             "event_type",
             "n_events",
             "sum_value",
@@ -431,3 +454,80 @@ def stream_tumbling_hourly_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_available_now(agg, "tumbling_hourly_jsonl")
+
+
+# --- Driver-ORACLED stream ≡ batch equivalence -------------------------------
+# availableNow over a static source is deterministic and must equal the batch
+# twin, so the equivalence itself can carry the batch twin's DuckDB oracle:
+# the driver executes the STREAMING pipeline (source staging, watermark,
+# checkpointed memory sink) and hash-compares it against batch SQL. A stream
+# that drifted from batch semantics fails the correctness gate, not just a
+# local test. approx_users is projected away (HLL sketches are not
+# oracle-comparable); the exact columns are.
+
+_TUMBLING_ORACLE = """
+    SELECT
+      strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS window_start,
+      event_type,
+      COUNT(*) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+"""
+
+_SESSION_ORACLE = """
+    WITH ordered AS (
+      SELECT
+        user_id,
+        CAST(ts AS TIMESTAMP) AS ts,
+        CASE
+          WHEN CAST(ts AS TIMESTAMP)
+               - LAG(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+               >= INTERVAL 5 MINUTE
+          THEN 1 ELSE 0
+        END AS new_session
+      FROM events
+    ), sessions AS (
+      SELECT
+        user_id,
+        ts,
+        SUM(new_session) OVER (
+          PARTITION BY user_id ORDER BY ts, new_session
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS session_id
+      FROM ordered
+    )
+    SELECT
+      user_id,
+      strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+      COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_id
+"""
+
+
+def stream_tumbling_hourly_vs_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stream_tumbling_hourly's deterministic columns, oracled against the
+    batch twin's SQL (events_tumbling_hourly, operators/events.py)."""
+    return stream_tumbling_hourly(spark, sf_dir).select(
+        "window_start", "event_type", "n_events", "sum_value"
+    )
+
+
+def stream_tumbling_hourly_jsonl_vs_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same equivalence through the JSONL (Kafka-shaped) source: wire-format
+    independence is driver-checked too."""
+    return stream_tumbling_hourly_jsonl(spark, sf_dir).select(
+        "window_start", "event_type", "n_events", "sum_value"
+    )
+
+
+_query("streaming_tumbling_hourly_vs_batch", oracle=_TUMBLING_ORACLE)(
+    stream_tumbling_hourly_vs_batch
+)
+_query("streaming_tumbling_hourly_jsonl_vs_batch", oracle=_TUMBLING_ORACLE)(
+    stream_tumbling_hourly_jsonl_vs_batch
+)
+_query("streaming_session_windows_vs_batch", oracle=_SESSION_ORACLE)(
+    stream_sessionization
+)

@@ -74,6 +74,30 @@ def test_kmeans_end_to_end_reference_format(spark, tmp_path):
     assert len(read_centroids_txt(out)) == 5
 
 
+def test_cli_reference_invocation(spark, tmp_path):
+    """The reference's documented run (`python master.py 3 2 5 10`,
+    README.md:50-58) works verbatim against the Spark engine via
+    `python -m k_means_map_reduce_spark 3 2 5 10 <points> <out>`: 5
+    centroids in the reference's centroids.txt format, reducer count
+    honored as the shuffle partitioning, session conf restored after."""
+    from k_means_map_reduce_spark.__main__ import main
+
+    if not os.path.exists(REFERENCE_POINTS):
+        pytest.skip("reference sample not present")
+    out = str(tmp_path / "centroids.txt")
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    rc = main(["3", "2", "5", "10", REFERENCE_POINTS, out])
+    assert rc == 0
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    centers = read_centroids_txt(out)
+    assert len(centers) == 5
+    assert all(len(c) == 2 and all(isinstance(x, float) for x in c) for c in centers)
+    # bad usage fails fast without touching the filesystem
+    assert main(["3", "2"]) == 2
+    assert main(["3", "2", "x", "10"]) == 2
+    assert main(["0", "2", "5", "10"]) == 2
+
+
 def test_parquet_csv_roundtrip(spark, sf_dir, tmp_path):
     n = load_table(spark, sf_dir, "nation")
     pq = str(tmp_path / "nation_pq")

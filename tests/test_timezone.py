@@ -20,6 +20,12 @@ DATE_SENSITIVE = [
     "timeseries_gap_fill_hourly",
     "join_asof_event_last_order",
     "q12_shipping_lateness",
+    # streaming twins: event time is an instant TIMESTAMP (watermarks reject
+    # NTZ), window labels re-rendered in UTC via _fmt_utc, wire strings
+    # parsed as NTZ — all three must hold under a shifted session
+    "streaming_tumbling_hourly_vs_batch",
+    "streaming_tumbling_hourly_jsonl_vs_batch",
+    "streaming_session_windows_vs_batch",
 ]
 
 
