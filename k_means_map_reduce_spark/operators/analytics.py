@@ -1,0 +1,216 @@
+"""Analytics shapes beyond TPC-H: cohort retention, moving averages,
+decile segmentation, and embedding-corpus statistics (SURVEY.md §2b
+breadth; TPC-DS-style window-heavy rollups mapped onto the driver tables).
+
+Every query here is expression-only (no Python in the hot path) and
+registers a DuckDB oracle following the registry's float-determinism
+contract (decimal sums, identical association order, explicit rounds).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import query
+from ..sources import load_table
+from ._util import dsum, sql_dsum
+
+
+@query(
+    "retention_monthly_cohorts",
+    oracle="""
+    WITH user_months AS (
+      SELECT DISTINCT user_id,
+        strftime(date_trunc('month', CAST(ts AS TIMESTAMP)), '%Y-%m') AS activity_month
+      FROM events
+    ),
+    cohorts AS (
+      SELECT user_id, MIN(activity_month) AS cohort_month
+      FROM user_months GROUP BY user_id
+    )
+    SELECT c.cohort_month, u.activity_month, COUNT(*) AS n_users
+    FROM user_months u JOIN cohorts c USING (user_id)
+    GROUP BY c.cohort_month, u.activity_month
+    """,
+)
+def retention_monthly_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly cohort retention over the event stream: users are cohorted by
+    their first active month; each (cohort_month, activity_month) cell counts
+    cohort members active that month — the standard retention triangle.
+
+    Scale shape: one distinct on (user_id, month) — the only pass over raw
+    events — then a per-user min and a self-join, BOTH keyed on user_id, so
+    the cohort agg and the join reuse the distinct's hash partitioning
+    (Catalyst plans no extra exchange). Event volume never flows past the
+    first distinct; everything downstream is one row per user-month.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    user_months = ev.select(
+        "user_id",
+        F.date_format(F.date_trunc("month", "ts"), "yyyy-MM").alias("activity_month"),
+    ).distinct()
+    cohorts = user_months.groupBy("user_id").agg(
+        F.min("activity_month").alias("cohort_month")
+    )
+    return (
+        user_months.join(cohorts, "user_id")
+        .groupBy("cohort_month", "activity_month")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@query(
+    "sales_moving_avg_3m",
+    oracle=f"""
+    WITH monthly AS (
+      SELECT
+        strftime(date_trunc('month', CAST(o_orderdate AS TIMESTAMP)), '%Y-%m') AS month,
+        {sql_dsum("o_totalprice")} AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT
+      month,
+      revenue,
+      ROUND(SUM(revenue) OVER w3 / COUNT(*) OVER w3, 6) AS ma3,
+      ROUND(
+        (revenue - LAG(revenue) OVER (ORDER BY month)) * 100.0
+          / LAG(revenue) OVER (ORDER BY month), 6) AS mom_pct
+    FROM monthly
+    WINDOW w3 AS (ORDER BY month ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+)
+def sales_moving_avg_3m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue with a 3-month trailing moving average and
+    month-over-month growth — the TPC-DS-style trend rollup.
+
+    Scale shape: the only heavy stage is the monthly aggregation (map-side
+    partials over orders); the window then runs over ~tens of rows (one per
+    month), so the unpartitioned global-order window is a non-issue — it
+    sees the AGGREGATED series, never raw orders. The 3-row frame sums at
+    most 3 deterministic doubles in month order, so Spark and DuckDB agree
+    bit-for-bit.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month")
+    ).agg(dsum("o_totalprice").alias("revenue"))
+    w3 = Window.orderBy("month").rowsBetween(-2, 0)
+    lag_w = Window.orderBy("month")
+    prev = F.lag("revenue").over(lag_w)
+    return monthly.select(
+        "month",
+        "revenue",
+        F.round(F.sum("revenue").over(w3) / F.count(F.lit(1)).over(w3), 6).alias("ma3"),
+        F.round((F.col("revenue") - prev) * 100.0 / prev, 6).alias("mom_pct"),
+    )
+
+
+@query(
+    "customer_ltv_deciles",
+    oracle=f"""
+    WITH spend AS (
+      SELECT o_custkey, {sql_dsum("o_totalprice")} AS spend,
+        COUNT(*) AS n_orders
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT *, NTILE(10) OVER (ORDER BY spend DESC, o_custkey) AS decile
+      FROM spend
+    )
+    SELECT
+      decile,
+      COUNT(*) AS n_customers,
+      CAST(SUM(CAST(n_orders AS BIGINT)) AS BIGINT) AS total_orders,
+      MIN(spend) AS min_spend,
+      MAX(spend) AS max_spend,
+      CAST(SUM(CAST(spend AS DECIMAL(18,6))) AS DOUBLE) AS total_spend
+    FROM ranked GROUP BY decile
+    """,
+)
+def customer_ltv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer lifetime-value segmentation: total spend per customer,
+    NTILE(10) deciles (1 = highest spenders), per-decile volume and spend
+    band — the classic marketing-analytics cut.
+
+    Scale shape: spend is a map-side-partial agg over orders; NTILE then
+    ranks one row per CUSTOMER (1.5k at sf0.01, ~15M at 100 TB) — a global
+    sort Spark executes with range partitioning. Ties broken by custkey so
+    both engines place rows identically. The per-decile rollup re-sums the
+    already-deterministic decimal spends, so totals are exact.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        dsum("o_totalprice").alias("spend"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    ranked = spend.withColumn(
+        "decile",
+        F.ntile(10)
+        .over(Window.orderBy(F.col("spend").desc(), F.col("o_custkey")))
+        .cast("bigint"),
+    )
+    return ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("n_orders").alias("total_orders"),
+        F.min("spend").alias("min_spend"),
+        F.max("spend").alias("max_spend"),
+        F.sum(F.col("spend").cast("decimal(18,6)")).cast("double").alias("total_spend"),
+    )
+
+
+@query(
+    "embedding_norm_stats",
+    oracle="""
+    WITH norms AS (
+      SELECT label,
+        ROUND(sqrt(list_reduce(
+          list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+          (acc, x) -> acc + x)), 6) AS l2
+      FROM embeddings
+    )
+    SELECT
+      label,
+      COUNT(*) AS n_vectors,
+      MIN(l2) AS min_norm,
+      MAX(l2) AS max_norm,
+      CAST(SUM(CAST(l2 AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_norm
+    FROM norms GROUP BY label
+    """,
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label L2-norm profile of the embedding corpus — the first sanity
+    check before any similarity/clustering run (un-normalized vectors break
+    cosine shortcuts; degenerate norms flag dead embeddings).
+
+    Scale shape: a single scan; the norm is a codegen'd left-fold
+    (F.aggregate) over each array — no UDF, no shuffle of the vectors
+    themselves. Only (label, l2) pairs reach the aggregation. Both engines
+    fold floats→double in identical array order, so the pre-round value is
+    bit-identical.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    l2 = F.round(
+        F.sqrt(
+            F.aggregate(
+                "embedding",
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            )
+        ),
+        6,
+    )
+    return (
+        emb.select("label", l2.alias("l2"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.min("l2").alias("min_norm"),
+            F.max("l2").alias("max_norm"),
+            (
+                F.sum(F.col("l2").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_norm"),
+        )
+    )

@@ -90,13 +90,45 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", F.md5(normalized).alias("fingerprint"))
 
 
-@query("text_lang_id")
+# DuckDB mirror of functions/text.py:lang_id — per-language stopword votes as
+# (n, lang) structs, list_sort ascending, last element wins (max votes,
+# lexicographically-greatest language on ties — identical to Spark's
+# array_sort(struct)[−1] tie-break).
+def _lang_votes_sql() -> str:
+    from ..functions.text import LANG_STOPWORDS
+
+    votes = ", ".join(
+        "{'n': len(list_filter(toks, t -> list_contains(["
+        + ", ".join(f"'{w}'" for w in words)
+        + f"], t))), 'lang': '{lang}'}}"
+        for lang, words in LANG_STOPWORDS.items()
+    )
+    return f"list_sort([{votes}])[-1]"
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+    WITH toks AS (
+      SELECT lang,
+        list_filter(string_split_regex(TRIM(LOWER(text)), '\\s+'), t -> t != '') AS toks
+      FROM documents
+    ),
+    pred AS (
+      SELECT lang,
+        (CASE WHEN best.n > 0 THEN best.lang ELSE 'und' END) AS pred
+      FROM (SELECT lang, {_lang_votes_sql()} AS best FROM toks)
+    )
+    SELECT lang, pred, COUNT(*) AS n FROM pred GROUP BY lang, pred
+    """,
+)
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-vote language ID crossed with the dataset's lang column
-    (rows-only; the synthetic corpus draws the same vocabulary for every
-    label, so this is a distribution report, not an accuracy claim —
-    real-language identification is asserted in tests/test_textops.py on
-    hand-written multilingual samples)."""
+    (the synthetic corpus draws the same vocabulary for every label, so this
+    is a distribution report, not an accuracy claim — real-language
+    identification is asserted in tests/test_textops.py on hand-written
+    multilingual samples). Oracled: the vote + argmax tie-break is replayed
+    in DuckDB struct-sort SQL."""
     d = load_table(spark, sf_dir, "documents")
     return (
         d.select("lang", lang_id(F.col("text")).alias("pred"))
@@ -141,10 +173,51 @@ def text_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("text_quality_scores")
+# DuckDB mirrors of functions/text.py:quality_score / stopword_ratio — the
+# exact same double arithmetic in the same association order, so pre-round
+# values are bit-identical across engines.
+QUALITY_SQL = """
+      ROUND((
+        LEAST(CAST(LENGTH(text) AS DOUBLE) / 1000.0, 1.0)
+        + (1.0 - LEAST(
+            (CASE WHEN LENGTH(text) > 0
+              THEN CAST(LENGTH(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                   / CAST(LENGTH(text) AS DOUBLE)
+              ELSE 0.0 END) * 5.0, 1.0))
+        + (CASE WHEN
+             (CASE WHEN len(list_filter(string_split_regex(TRIM(text), '\\s+'), t -> t != '')) > 0
+               THEN CAST(LENGTH(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+                    / CAST(len(list_filter(string_split_regex(TRIM(text), '\\s+'), t -> t != '')) AS DOUBLE)
+               ELSE 0.0 END) BETWEEN 3.0 AND 10.0
+           THEN 1.0 ELSE 0.5 END)
+      ) / 3.0, 6)
+"""
+
+_EN_SW = "'the', 'and', 'of', 'to', 'in', 'is', 'that', 'for'"
+
+EN_STOPWORD_RATIO_SQL = f"""
+      ROUND((CASE WHEN len(list_filter(string_split_regex(TRIM(LOWER(text)), '\\s+'), t -> t != '')) > 0
+        THEN CAST(len(list_filter(string_split_regex(TRIM(LOWER(text)), '\\s+'),
+                      t -> t != '' AND list_contains([{_EN_SW}], t))) AS DOUBLE)
+             / CAST(len(list_filter(string_split_regex(TRIM(LOWER(text)), '\\s+'), t -> t != '')) AS DOUBLE)
+        ELSE 0.0 END), 6)
+"""
+
+
+@query(
+    "text_quality_scores",
+    oracle=f"""
+    SELECT
+      doc_id,
+      {QUALITY_SQL} AS quality,
+      {EN_STOPWORD_RATIO_SQL} AS en_stopword_ratio
+    FROM documents
+    """,
+)
 def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic quality + stopword signals per doc (rows-only; formula
-    bounds and determinism asserted in tests/test_textops.py)."""
+    """Heuristic quality + stopword signals per doc. Oracled: the length /
+    punctuation / word-length blend is replayed in DuckDB with identical
+    double arithmetic; formula bounds also asserted in tests/test_textops.py."""
     from ..functions.text import quality_score, stopword_ratio
 
     d = load_table(spark, sf_dir, "documents")
@@ -388,4 +461,72 @@ def text_vocabulary_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.countDistinct("tok").cast("double") / F.count(F.lit(1)), 6
         ).alias("type_token_ratio"),
+    )
+
+
+@query(
+    "corpus_curation_pipeline",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang, text,
+        {QUALITY_SQL} AS quality,
+        md5(LOWER(regexp_replace(TRIM(text), '\\s+', ' ', 'g'))) AS fp
+      FROM documents
+    ),
+    kept AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      FROM scored WHERE quality >= 0.5
+    )
+    SELECT
+      lang,
+      COUNT(*) AS n_docs,
+      CAST(SUM(CAST(len(regexp_extract_all(text, '{_TOKEN_RE}')) AS BIGINT)) AS BIGINT)
+        AS total_tokens,
+      CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_quality
+    FROM kept WHERE rn = 1
+    GROUP BY lang
+    """,
+)
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation pass: quality-score every document,
+    drop low-quality ones (quality < 0.5), exact-dedup the survivors on a
+    normalized-content fingerprint keeping the lowest doc_id, and report the
+    per-language corpus that remains (doc count, token budget, mean quality).
+
+    This is the composition a 100 TB pipeline actually runs (filter →
+    dedup → accounting) as ONE registered, driver-oracled query. Shape: a
+    single codegen'd scan computes score + fingerprint; the quality filter
+    cuts rows before the only wide stage (hash agg keeping min doc_id per
+    fingerprint — no sort-window); the final per-lang rollup is map-side
+    partial-aggregated. Never shuffles document text wider than the kept
+    rows; at 100 TB the fingerprint agg is the canonical exact-dedup
+    shuffle (16-byte keys).
+    """
+    from ..functions.text import quality_score
+
+    d = load_table(spark, sf_dir, "documents")
+    normalized = F.lower(F.regexp_replace(F.trim("text"), r"\s+", " "))
+    scored = d.select(
+        "doc_id",
+        "lang",
+        F.round(quality_score(F.col("text")), 6).alias("quality"),
+        token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+        F.md5(normalized).alias("fp"),
+    ).where(F.col("quality") >= 0.5)
+    # keep-first = min(struct) per fingerprint: a hash aggregation (struct
+    # ordering is by field position, doc_id first), not a sort-window.
+    first = scored.groupBy("fp").agg(
+        F.min(F.struct("doc_id", "lang", "quality", "n_tokens")).alias("rec")
+    )
+    return (
+        first.select("rec.lang", "rec.quality", "rec.n_tokens")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            (
+                F.sum(F.col("quality").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_quality"),
+        )
     )
