@@ -19,44 +19,51 @@ from ._util import dsum, sql_dsum
 
 
 @query(
-    "retention_monthly_cohorts",
+    "retention_daily_cohorts",
     oracle="""
     WITH user_months AS (
       SELECT DISTINCT user_id,
-        strftime(date_trunc('month', CAST(ts AS TIMESTAMP)), '%Y-%m') AS activity_month
+        strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS activity_day
       FROM events
     ),
     cohorts AS (
-      SELECT user_id, MIN(activity_month) AS cohort_month
+      SELECT user_id, MIN(activity_day) AS cohort_day
       FROM user_months GROUP BY user_id
     )
-    SELECT c.cohort_month, u.activity_month, COUNT(*) AS n_users
+    SELECT c.cohort_day, u.activity_day, COUNT(*) AS n_users
     FROM user_months u JOIN cohorts c USING (user_id)
-    GROUP BY c.cohort_month, u.activity_month
+    GROUP BY c.cohort_day, u.activity_day
     """,
 )
-def retention_monthly_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Monthly cohort retention over the event stream: users are cohorted by
-    their first active month; each (cohort_month, activity_month) cell counts
-    cohort members active that month — the standard retention triangle.
+def retention_daily_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cohort retention over the event stream: users are cohorted by
+    their first active day; each (cohort_day, activity_day) cell counts
+    cohort members active that day — the standard retention triangle (daily
+    grain because the driver's synthetic events span one month).
 
-    Scale shape: one distinct on (user_id, month) — the only pass over raw
-    events — then a per-user min and a self-join, BOTH keyed on user_id, so
-    the cohort agg and the join reuse the distinct's hash partitioning
-    (Catalyst plans no extra exchange). Event volume never flows past the
-    first distinct; everything downstream is one row per user-month.
+    Scale shape: ONE scan of events and ONE wide shuffle. collect_set of
+    active months per user (map-side partial sets dedup before the shuffle;
+    set size is bounded by the calendar, not by event volume) replaces the
+    naive distinct + per-user-min + self-join, which plans two scans and an
+    unreusable (user_id, day) exchange. The cohort day is array_min of
+    the same set, so no join back; the final (cohort, day) rollup
+    aggregates ≤ days² keys.
     """
     ev = load_table(spark, sf_dir, "events")
-    user_months = ev.select(
-        "user_id",
-        F.date_format(F.date_trunc("month", "ts"), "yyyy-MM").alias("activity_month"),
-    ).distinct()
-    cohorts = user_months.groupBy("user_id").agg(
-        F.min("activity_month").alias("cohort_month")
+    per_user = (
+        ev.select(
+            "user_id",
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("m"),
+        )
+        .groupBy("user_id")
+        .agg(F.collect_set("m").alias("months"))
     )
     return (
-        user_months.join(cohorts, "user_id")
-        .groupBy("cohort_month", "activity_month")
+        per_user.select(
+            F.array_min("months").alias("cohort_day"),
+            F.explode("months").alias("activity_day"),
+        )
+        .groupBy("cohort_day", "activity_day")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
 
