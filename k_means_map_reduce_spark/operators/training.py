@@ -1,0 +1,203 @@
+"""Training-data pipeline queries: deterministic splits + decontamination.
+
+The two ops every LLM pre-training pipeline runs after dedup/curation:
+
+1. **Deterministic train/valid/test split** — a content-independent,
+   engine-independent hash of the stable document key buckets each doc into
+   0..99; 90/5/5 by bucket range. No sampling state, no shuffle: the split
+   is a projection, reproducible from any engine that can compute md5
+   (which is why md5 and not xxhash64 here — the split must be portable
+   across the whole toolchain, not just Spark).
+
+2. **Train/test contamination detection** — exact word-5-gram overlap
+   between the test split and the train split (the standard n-gram
+   decontamination check, cf. GPT-3 appendix C / PaLM app. queries).
+   Inverted-index shape: explode distinct 5-gram hashes, drop
+   stop-grams by posting-list cap, equi-join test postings against train
+   postings on the gram hash, aggregate shared counts per (train, test)
+   pair. Never a cross join — cost is sum of posting-list products, kept
+   linear-ish by the df cap exactly as in dedup_winnowing_pairs.
+
+Reference parity note: the reference engine (K-Means MapReduce) has no
+text surface at all; these extend the driver-mandated LLM-pipeline family
+(SURVEY.md §2b) alongside operators/dedup.py and operators/textops.py.
+
+At 100 TB: the split is a stateless map (no shuffle, no skew); the
+contamination join shuffles 8-byte gram hashes + doc ids only (never
+text), partitioned by hash — the same plan as the winnowing pair join that
+already holds at scale. The posting cap bounds worst-case fan-out per
+gram, and the train-side df filter is computed with map-side partial
+aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import load_table
+
+_NORM = lambda c: F.lower(F.regexp_replace(F.trim(c), r"\s+", " "))  # noqa: E731
+
+# Portable bucket: first 8 hex chars of md5(doc_id-as-string) → int → % 100.
+# DuckDB mirror: CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)),1,8))
+# AS BIGINT) % 100 — both engines agree digit-for-digit on md5 hex.
+_SPLIT_SQL_BUCKET = (
+    "CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
+)
+
+
+def _bucket(doc_id: Column) -> Column:
+    hex8 = F.substring(F.md5(doc_id.cast("string")), 1, 8)
+    return (F.conv(hex8, 16, 10).cast("bigint") % 100).alias("bucket")
+
+
+def _split(bucket: Column) -> Column:
+    return (
+        F.when(bucket < 90, F.lit("train"))
+        .when(bucket < 95, F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+
+
+@query(
+    "split_train_valid_test",
+    oracle=f"""
+    SELECT
+      doc_id,
+      CAST({_SPLIT_SQL_BUCKET} AS INT) AS bucket,
+      CASE WHEN {_SPLIT_SQL_BUCKET} < 90 THEN 'train'
+           WHEN {_SPLIT_SQL_BUCKET} < 95 THEN 'valid'
+           ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def split_train_valid_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 90/5/5 split assignment. Pure projection: zero shuffle,
+    zero state — assignment is stable under re-runs, repartitions, and
+    engine changes (md5-based, not partition-order-based)."""
+    d = load_table(spark, sf_dir, "documents")
+    b = _bucket(F.col("doc_id"))
+    return d.select(
+        "doc_id",
+        b.cast("int").alias("bucket"),
+        _split(b).alias("split"),
+    )
+
+
+@query(
+    "split_summary_by_lang",
+    oracle=f"""
+    SELECT
+      CASE WHEN {_SPLIT_SQL_BUCKET} < 90 THEN 'train'
+           WHEN {_SPLIT_SQL_BUCKET} < 95 THEN 'valid'
+           ELSE 'test' END AS split,
+      lang,
+      COUNT(*) AS n_docs,
+      CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT)
+        AS total_tokens
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def split_summary_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token budget per (split, lang): the sanity table checked before any
+    training run. One scan + one hash aggregation with map-side partials;
+    tokens counted with the BPE-ish pre-tokenizer regex
+    (functions/text.token_count)."""
+    from ..functions.text import token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            _split(_bucket(F.col("doc_id"))).alias("split"),
+            "lang",
+            token_count(F.col("text")).cast("bigint").alias("n_toks"),
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("total_tokens"),
+        )
+    )
+
+
+def _gram5_hashes(text_col: Column) -> Column:
+    """Distinct xxhash64'd word 5-grams of normalized text. Caller must have
+    filtered to >= 5 tokens (F.sequence would go descending otherwise)."""
+    toks = F.filter(F.split(_NORM(text_col), " "), lambda t: t != "")
+    idx = F.sequence(F.lit(1), F.size(toks) - 4)
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, 5), " "))
+    return F.array_distinct(F.transform(grams, lambda g: F.xxhash64(g)))
+
+
+@query(
+    "contamination_train_test_ngrams",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id,
+        {_SPLIT_SQL_BUCKET} AS bucket,
+        list_distinct(list_transform(
+          list_transform(range(1, len(toks) - 3),
+            i -> array_to_string(list_slice(toks, i, i + 4), ' ')),
+          g -> hash(g))) AS gs
+      FROM (
+        SELECT doc_id,
+          list_filter(string_split(LOWER(regexp_replace(TRIM(text), '\\s+', ' ', 'g')), ' '),
+                      t -> t != '') AS toks
+        FROM documents
+      )
+      WHERE len(toks) >= 5
+    ),
+    tr AS (SELECT doc_id, unnest(gs) AS g FROM base WHERE bucket < 90),
+    te AS (SELECT doc_id, unnest(gs) AS g FROM base WHERE bucket >= 95),
+    keep AS (SELECT g FROM tr GROUP BY g HAVING COUNT(*) <= 10)
+    SELECT
+      tr.doc_id AS train_doc,
+      te.doc_id AS test_doc,
+      COUNT(*) AS shared_ngrams
+    FROM tr JOIN keep USING (g) JOIN te USING (g)
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
+    """,
+)
+def contamination_train_test_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set contamination: (train_doc, test_doc) pairs sharing >= 2
+    distinct word-5-grams. 5-grams are the published decontamination
+    grain (rare enough to be evidence, short enough to survive edits);
+    the >= 2 floor drops single-collocation coincidences.
+
+    Cross-engine note: each engine hashes grams with its own 64-bit hash
+    (xxhash64 vs DuckDB hash) — intersection *counts* agree because both
+    sides of the join use the same function within an engine; only counts
+    and ids are compared, never hash values.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    base = (
+        d.where(F.size(F.filter(F.split(_NORM(F.col("text")), " "), lambda t: t != "")) >= 5)
+        .select(
+            "doc_id",
+            _bucket(F.col("doc_id")).alias("bucket"),
+            _gram5_hashes(F.col("text")).alias("gs"),
+        )
+    )
+    tr = base.where(F.col("bucket") < 90).select(
+        F.col("doc_id").alias("train_doc"), F.explode("gs").alias("g")
+    )
+    te = base.where(F.col("bucket") >= 95).select(
+        F.col("doc_id").alias("test_doc"), F.explode("gs").alias("g")
+    )
+    keep = (
+        tr.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") <= 10)
+        .select("g")
+    )
+    return (
+        tr.join(keep, "g")
+        .join(te, "g")
+        .groupBy("train_doc", "test_doc")
+        .agg(F.count(F.lit(1)).alias("shared_ngrams"))
+        .where(F.col("shared_ngrams") >= 2)
+    )

@@ -56,5 +56,6 @@ from .operators import tpch_extra  # noqa: E402,F401
 from .operators import tpch_full  # noqa: E402,F401
 from .operators import temporal  # noqa: E402,F401
 from .operators import analytics  # noqa: E402,F401
+from .operators import training  # noqa: E402,F401
 from .operators import reshape  # noqa: E402,F401
 from .streaming import jobs as _streaming_jobs  # noqa: E402,F401

@@ -1,0 +1,61 @@
+"""Training-pipeline ops: deterministic split + contamination detection.
+
+Oracle parity is covered by the registry sweep (test_oracle_parity); these
+tests pin the *semantic* contract — stability, disjointness, and that
+contamination pairs really straddle the train/test boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from k_means_map_reduce_spark.operators.training import (
+    contamination_train_test_ngrams,
+    split_train_valid_test,
+)
+
+
+def test_split_deterministic_and_exhaustive(spark, oracle_sf_dir):
+    a = split_train_valid_test(spark, oracle_sf_dir).toPandas().set_index("doc_id")
+    b = split_train_valid_test(spark, oracle_sf_dir).toPandas().set_index("doc_id")
+    assert a.sort_index().equals(b.sort_index())  # re-run stable
+    assert set(a["split"].unique()) <= {"train", "valid", "test"}
+    assert a["bucket"].between(0, 99).all()
+    # bucket→split mapping is total and consistent
+    assert (a.loc[a["bucket"] < 90, "split"] == "train").all()
+    assert (a.loc[(a["bucket"] >= 90) & (a["bucket"] < 95), "split"] == "valid").all()
+    assert (a.loc[a["bucket"] >= 95, "split"] == "test").all()
+
+
+def test_split_fractions_near_nominal(spark, oracle_sf_dir):
+    pdf = split_train_valid_test(spark, oracle_sf_dir).toPandas()
+    n = len(pdf)
+    frac_train = (pdf["split"] == "train").sum() / n
+    # md5 buckets are uniform; 4-sigma binomial bound at n=500 is ~5.4pp
+    assert abs(frac_train - 0.90) < 0.06
+    assert (pdf["split"] == "valid").sum() > 0
+    assert (pdf["split"] == "test").sum() > 0
+
+
+def test_contamination_pairs_straddle_the_split(spark, oracle_sf_dir):
+    pairs = contamination_train_test_ngrams(spark, oracle_sf_dir).toPandas()
+    splits = (
+        split_train_valid_test(spark, oracle_sf_dir)
+        .toPandas()
+        .set_index("doc_id")["split"]
+    )
+    assert len(pairs) > 0  # sf0.01 corpus has known cross-split near-dups
+    for _, row in pairs.iterrows():
+        assert splits[row["train_doc"]] == "train"
+        assert splits[row["test_doc"]] == "test"
+        assert row["shared_ngrams"] >= 2
+
+
+def test_contamination_no_python_udf(spark, oracle_sf_dir):
+    plan = (
+        contamination_train_test_ngrams(spark, oracle_sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan
