@@ -61,6 +61,56 @@ def kmeans_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "kmeans_mass_conservation",
+    oracle="""
+    SELECT
+      gs.i - 1 AS dim_idx,
+      ROUND(SUM(embedding[gs.i]) / COUNT(*), 4) AS mean_val
+    FROM embeddings,
+      LATERAL (SELECT UNNEST(generate_series(1, array_length(embedding))) AS i) gs
+    GROUP BY dim_idx
+    ORDER BY dim_idx
+    """,
+)
+def kmeans_mass_conservation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracled k-means invariant: Σ size·center / N per dimension must equal
+    the global mean of the embedding column.
+
+    K-means centers are the per-cluster means of the final assignment and
+    sizes are that assignment's counts, so the size-weighted mean of the
+    returned centers reconstructs the dataset's global centroid regardless of
+    k, seed, or convergence — an identity DuckDB can recompute from the base
+    table alone. This turns the otherwise rows-only iterative pipeline
+    (sample-init → argmin assignment → per-cluster mean, reference
+    mapper.py/reducer.py) into a hash-checked driver row: a broken
+    assignment, lost partition, or double-counted point shifts the weighted
+    mean and fails the oracle. Rounded to 4 decimals — the identity holds to
+    ~1 ulp per cluster, not bit-exactly.
+    """
+    from ..kmeans import kmeans_arrow
+
+    e = load_table(spark, sf_dir, "embeddings")
+    r = kmeans_arrow(e, vec_col="embedding", k=8, max_iter=20, tol=1e-4, seed=42)
+    n = sum(int(s) for s in r.sizes.values())
+    dim = len(r.centers[0])
+    rows = [
+        (
+            d,
+            round(
+                sum(
+                    int(r.sizes.get(cid, 0)) * float(vec[d])
+                    for cid, vec in enumerate(r.centers)
+                )
+                / n,
+                4,
+            ),
+        )
+        for d in range(dim)
+    ]
+    return spark.createDataFrame(rows, "dim_idx BIGINT, mean_val DOUBLE")
+
+
 @query("kmeans_arrow_clusters")
 def kmeans_arrow_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow/BLAS Lloyd's loop (kmeans.kmeans_arrow — the scale path):

@@ -42,18 +42,20 @@ def _gate_quadratic(df: DataFrame, query_name: str, alternative: str) -> None:
     The two oracled brute-force tiers (ngram-jaccard, embedding-cosine) are
     correctness baselines: quadratic within their blocks by construction.
     Nothing used to stop a user pointing them at a 100 TB corpus, where the
-    pair space — not the scan — is the bottleneck. A cheap count() against
-    SPARK_GRAFT_QUADRATIC_MAX_ROWS (default 200k rows ≈ 2·10^10 pairs)
-    fails fast with the sub-quadratic alternative named, instead of
-    launching a shuffle that can never finish.
+    pair space — not the scan — is the bottleneck. A bounded existence check
+    against SPARK_GRAFT_QUADRATIC_MAX_ROWS (default 200k rows ≈ 2·10^10
+    pairs) fails fast with the sub-quadratic alternative named, instead of
+    launching a shuffle that can never finish. The check is
+    `limit(n+1).count()` — it scans at most limit+1 rows and short-circuits
+    (CollectLimit), costing O(limit) rather than a full O(n) pass billed to
+    every invocation of the baseline queries.
     """
     limit = int(os.environ.get("SPARK_GRAFT_QUADRATIC_MAX_ROWS", "200000"))
-    n = df.count()
-    if n > limit:
+    if df.limit(limit + 1).count() > limit:
         raise ValueError(
             f"{query_name} is a brute-force baseline (quadratic pair space) "
-            f"and its input has {n} rows > SPARK_GRAFT_QUADRATIC_MAX_ROWS="
-            f"{limit}. Use {alternative} at this scale, or raise the limit "
+            f"and its input has > SPARK_GRAFT_QUADRATIC_MAX_ROWS={limit} "
+            f"rows. Use {alternative} at this scale, or raise the limit "
             "explicitly if you really want the exhaustive pass."
         )
 

@@ -13,10 +13,18 @@ results. Timestamp discipline:
 - lineitem/orders store TIMESTAMP(ms, isAdjustedToUTC=false) → read as
   TimestampNTZType (wall-clock, session-timezone-independent — the values a
   SQL oracle sees too).
-- events.ts stores TIMESTAMP(NANOS), which Spark's parquet reader rejects
-  outright; we read the raw INT64 nanos (legacy.parquet.nanosAsLong) and
-  convert to a µs TimestampNTZ column in load_table, truncating like
-  DuckDB's CAST(ts AS TIMESTAMP).
+- events.ts: the driver has shipped this column as TIMESTAMP(NANOS) in one
+  round and TIMESTAMP_MICROS(isAdjustedToUTC=false) in another, so the unit
+  is NOT hard-coded — ``_events_ts_unit`` reads the parquet footer (pyarrow,
+  metadata-only) and branches:
+    * s/ms/us wall-clock → plain TimestampNTZType in the read schema (Spark
+      handles these natively; no conf, no conversion);
+    * NANOS (or raw INT64) → Spark's parquet reader rejects TIMESTAMP(NANOS),
+      so read raw int64 (legacy.parquet.nanosAsLong) and integer-floor-divide
+      to µs, matching DuckDB's truncating TIMESTAMP_NS→TIMESTAMP cast.
+  A unit-drift in future testdata fails loudly via
+  tests/test_catalog.py::test_events_ts_epoch_sanity (min(ts) must be a
+  plausible modern date, not 1970).
 """
 
 from __future__ import annotations
@@ -122,6 +130,28 @@ TABLE_SCHEMAS: dict[str, T.StructType] = {
 
 TABLE_NAMES = tuple(TABLE_SCHEMAS)
 
+# path → parquet time-unit of events.ts ("s"/"ms"/"us"/"ns"/"int64"); footer
+# reads are metadata-only but still an open()+parse, so cache per file.
+_EVENTS_TS_UNIT_CACHE: dict[str, str] = {}
+
+
+def _events_ts_unit(path: str) -> str:
+    """Time unit of the `ts` column from the parquet footer.
+
+    The testdata's ts physical type has changed across driver rounds
+    (TIMESTAMP(NANOS) → TIMESTAMP_MICROS); hard-coding a unit silently
+    scales every timestamp by 1000×, so sniff the footer instead.
+    """
+    unit = _EVENTS_TS_UNIT_CACHE.get(path)
+    if unit is None:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        t = pq.read_schema(path).field("ts").type
+        unit = t.unit if pa.types.is_timestamp(t) else "int64"
+        _EVENTS_TS_UNIT_CACHE[path] = unit
+    return unit
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one test table with its explicit schema."""
@@ -129,11 +159,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; known: {sorted(TABLE_SCHEMAS)}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # Spark rejects TIMESTAMP(NANOS) parquet columns; read raw ns and
-        # convert. Integer floor-division to µs == DuckDB's truncating
-        # TIMESTAMP_NS→TIMESTAMP cast. (`ts / 1000` would be DOUBLE division:
-        # at 1.7e15 µs the ULP is 0.25µs, so ~¼ of rows round up across the
-        # integer boundary and drift +1µs from the oracle.)
+        unit = _events_ts_unit(path)
+        if unit in ("s", "ms", "us"):
+            # Spark's parquet reader handles these wall-clock units natively;
+            # an explicit TimestampNTZType schema is all that's needed.
+            schema = T.StructType(
+                [
+                    f if f.name != "ts" else T.StructField("ts", T.TimestampNTZType())
+                    for f in TABLE_SCHEMAS[name]
+                ]
+            )
+            return spark.read.schema(schema).parquet(path)
+        # NANOS (or raw INT64, treated as ns): Spark rejects TIMESTAMP(NANOS)
+        # outright; read raw ns and convert. Integer floor-division to µs ==
+        # DuckDB's truncating TIMESTAMP_NS→TIMESTAMP cast. (`ts / 1000` would
+        # be DOUBLE division: at 1.7e15 µs the ULP is 0.25µs, so ~¼ of rows
+        # round up across the integer boundary and drift +1µs from the oracle.)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
 

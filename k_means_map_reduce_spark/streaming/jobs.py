@@ -72,11 +72,16 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet as a file-stream source.
 
     Watermarks require TIMESTAMP (not NTZ), so unlike the batch loader the
-    stream's `ts` is a UTC instant built from the raw nanos. Downstream
-    window labels are rendered with _fmt_utc, so results match the batch
-    (NTZ) twins under ANY session timezone (tests/test_timezone.py).
+    stream's `ts` is a UTC instant: the parquet wall-clock value is pinned
+    to UTC. Downstream window labels are rendered with _fmt_utc, so results
+    match the batch (NTZ) twins under ANY session timezone
+    (tests/test_timezone.py). The on-disk time unit is footer-sniffed, same
+    as the batch loader (sources/catalog.py:_events_ts_unit) — the driver
+    has shipped both TIMESTAMP(NANOS) and TIMESTAMP_MICROS testdata.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from ..sources.catalog import _events_ts_unit
+
+    unit = _events_ts_unit(os.path.join(sf_dir, "events.parquet"))
     # FileStreamSource requires a directory; the test tables are single
     # parquet files. Stage a temp dir with a symlink (no data copy),
     # reused across calls for the same sf_dir.
@@ -89,6 +94,30 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.path.join(stage, "events.parquet"),
         )
         _STAGE_CACHE[key] = stage
+    if unit in ("s", "ms", "us"):
+        schema = T.StructType(
+            [
+                f if f.name != "ts" else T.StructField("ts", T.TimestampNTZType())
+                for f in TABLE_SCHEMAS["events"]
+            ]
+        )
+        return (
+            spark.readStream.schema(schema)
+            .parquet(stage)
+            .withColumn(
+                # NTZ wall time (== UTC wall time by convention) → instant:
+                # re-express the UTC wall clock in the session zone, then cast
+                # NTZ→TIMESTAMP (which interprets in the session zone). Net
+                # effect is "this wall time, pinned as UTC", independent of
+                # the session timezone.
+                "ts",
+                F.expr(
+                    "cast(convert_timezone('UTC', current_timezone(), ts)"
+                    " as timestamp)"
+                ),
+            )
+        )
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return (
         spark.readStream.schema(TABLE_SCHEMAS["events"])
         .parquet(stage)
