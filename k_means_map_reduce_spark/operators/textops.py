@@ -530,3 +530,96 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_quality"),
         )
     )
+
+
+@query(
+    "text_repetition_filters",
+    oracle="""
+    WITH ws AS (
+      SELECT doc_id,
+        list_filter(string_split_regex(LOWER(TRIM(text)), '\\s+'), t -> t != '') AS ws
+      FROM documents
+    ),
+    w AS (SELECT doc_id, UNNEST(ws) AS w FROM ws),
+    wc AS (SELECT doc_id, w, COUNT(*) AS n FROM w GROUP BY doc_id, w),
+    wagg AS (
+      SELECT doc_id, CAST(SUM(n) AS BIGINT) AS total, MAX(n) AS top,
+             COUNT(*) AS dst
+      FROM wc GROUP BY doc_id
+    ),
+    b AS (
+      SELECT doc_id,
+        UNNEST(list_transform(range(1, len(ws)),
+          i -> ws[CAST(i AS INT)] || ' ' || ws[CAST(i + 1 AS INT)])) AS b
+      FROM ws WHERE len(ws) >= 2
+    ),
+    bc AS (SELECT doc_id, b, COUNT(*) AS n FROM b GROUP BY doc_id, b),
+    bagg AS (
+      SELECT doc_id, CAST(SUM(n) AS BIGINT) AS btotal, MAX(n) AS btop
+      FROM bc GROUP BY doc_id
+    )
+    SELECT
+      wagg.doc_id,
+      ROUND(CAST(top AS DOUBLE) / total, 6) AS top_word_frac,
+      ROUND(CAST(total - dst AS DOUBLE) / total, 6) AS dup_word_frac,
+      ROUND(COALESCE(CAST(btop AS DOUBLE) / btotal, 0.0), 6) AS top_bigram_frac
+    FROM wagg LEFT JOIN bagg USING (doc_id)
+    """,
+)
+def text_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document: fraction of word
+    occurrences taken by the single most frequent word (top_word_frac), by
+    repeated words overall (dup_word_frac = 1 - distinct/total), and by the
+    most frequent word bigram (top_bigram_frac). High values flag boilerplate
+    / SEO spam / generation loops — the standard repetition gate a training
+    corpus runs after exact dedup (cf. Gopher's repetition filters).
+
+    Shape at 100 TB: explode words (and bigrams) and hash-aggregate on
+    (doc_id, gram) with map-side partial aggregation collapsing in-partition
+    repeats, then a second agg keyed by doc_id; both shuffles carry (id,
+    gram-token, count) — never the document text. The two branches join on
+    the already-shuffled doc_id key. No sort, no window, no UDF.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    ws = d.select(
+        "doc_id",
+        F.expr(r"filter(split(lower(trim(text)), '\\s+'), t -> t != '')").alias("ws"),
+    )
+    words = ws.select("doc_id", F.explode("ws").alias("w"))
+    wagg = (
+        words.groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").alias("total"),
+            F.max("n").alias("top"),
+            F.count(F.lit(1)).alias("dst"),
+        )
+    )
+    bigrams = ws.where(F.size("ws") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ws) - 1),"
+                " i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"
+            )
+        ).alias("b"),
+    )
+    bagg = (
+        bigrams.groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("doc_id")
+        .agg(F.sum("n").alias("btotal"), F.max("n").alias("btop"))
+    )
+    return wagg.join(bagg, "doc_id", "left").select(
+        "doc_id",
+        F.round(F.col("top").cast("double") / F.col("total"), 6).alias(
+            "top_word_frac"
+        ),
+        F.round(
+            (F.col("total") - F.col("dst")).cast("double") / F.col("total"), 6
+        ).alias("dup_word_frac"),
+        F.round(
+            F.coalesce(F.col("btop").cast("double") / F.col("btotal"), F.lit(0.0)), 6
+        ).alias("top_bigram_frac"),
+    )

@@ -560,3 +560,52 @@ _query("streaming_tumbling_hourly_jsonl_vs_batch", oracle=_TUMBLING_ORACLE)(
 _query("streaming_session_windows_vs_batch", oracle=_SESSION_ORACLE)(
     stream_sessionization
 )
+
+# Sliding windows: each event lands in exactly 2 windows (1h length / 30m
+# slide); the oracle replays Spark's row expansion with a 2-row shift grid
+# (same construction as the batch twin's oracle, operators/events.py).
+_SLIDING_ORACLE = """
+    WITH grid AS (
+      SELECT
+        TIMESTAMP '1970-01-01 00:00:00'
+          + INTERVAL 1 SECOND * (CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 1800) * 1800 AS BIGINT) - s.shift)
+          AS window_start,
+        event_type,
+        value
+      FROM events, (SELECT UNNEST([0, 1800]) AS shift) s
+    )
+    SELECT
+      strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+      event_type,
+      COUNT(*) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM grid
+    GROUP BY 1, 2
+"""
+
+_DEDUP_ORACLE = """
+    SELECT DISTINCT user_id, event_type FROM events
+"""
+
+_STATIC_JOIN_ORACLE = """
+    SELECT
+      e.event_type,
+      d.weight,
+      COUNT(*) AS n_events,
+      CAST(SUM(CAST(d.weight AS BIGINT)) AS BIGINT) AS weighted_events
+    FROM events e
+    JOIN (VALUES ('view', 1), ('click', 2), ('signup', 5), ('purchase', 10),
+                 ('error', 0)) AS d(event_type, weight)
+      ON e.event_type = d.event_type
+    GROUP BY 1, 2
+"""
+
+_query("streaming_sliding_1h_30m_vs_batch", oracle=_SLIDING_ORACLE)(
+    stream_sliding_windows
+)
+_query("streaming_dedup_vs_batch", oracle=_DEDUP_ORACLE)(
+    stream_dedup_user_event_types
+)
+_query("streaming_static_join_vs_batch", oracle=_STATIC_JOIN_ORACLE)(
+    stream_static_join_enriched_counts
+)
