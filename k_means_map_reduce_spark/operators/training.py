@@ -201,3 +201,149 @@ def contamination_train_test_ngrams(spark: SparkSession, sf_dir: str) -> DataFra
         .agg(F.count(F.lit(1)).alias("shared_ngrams"))
         .where(F.col("shared_ngrams") >= 2)
     )
+
+
+_TOKEN_RE_SQL = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+_PACK_BUDGET = 2048  # tokens per packed training sequence
+_PACK_BUCKET = 64  # docs per prefix-sum bucket (phase-1 granularity)
+
+
+@query(
+    "training_pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(text, '{_TOKEN_RE_SQL}')) AS BIGINT) AS n_toks
+      FROM documents
+      WHERE {_SPLIT_SQL_BUCKET} < 90
+    ),
+    pre AS (
+      SELECT doc_id, n_toks,
+        COALESCE(SUM(n_toks) OVER (
+          ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+        ), 0) AS start_tok
+      FROM toks
+    )
+    SELECT
+      CAST(CAST(start_tok AS BIGINT) // {_PACK_BUDGET} AS BIGINT) AS seq_id,
+      COUNT(*) AS n_docs,
+      CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+      MIN(doc_id) AS first_doc_id,
+      MAX(doc_id) AS last_doc_id
+    FROM pre
+    GROUP BY 1
+    """,
+)
+def training_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential sequence packing: assign train-split docs, in doc_id order,
+    to fixed token-budget sequences (a doc starts in the sequence its running
+    token offset falls into — the deterministic packing real pre-training
+    shard writers use).
+
+    The core is a GLOBAL prefix sum over document order, which a naive
+    `Window.orderBy(doc_id)` would serialize onto one task. Scale shape
+    instead is the classic two-phase distributed scan:
+      1. bucket docs by `doc_id div {_PACK_BUCKET}`; per-bucket token totals
+         are a map-side-partial hash agg;
+      2. the tiny bucket-totals table (n_docs/{_PACK_BUCKET} rows) gets the
+         exclusive cumsum — the only ordered pass, over data ~2 orders of
+         magnitude smaller (recurse the same trick if even that outgrows a
+         task);
+      3. broadcast the bucket offsets back and finish with a PER-BUCKET
+         window — parallel across buckets, each task scanning only its
+         bucket.
+    Token offsets are identical to the single-window plan (oracle proves it)
+    while the widest stage stays embarrassingly parallel.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.text import token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.where(_split(_bucket(F.col("doc_id"))) == "train")
+        .select(
+            "doc_id",
+            token_count(F.col("text")).cast("bigint").alias("n_toks"),
+            F.expr(f"doc_id div {_PACK_BUCKET}").alias("pb"),
+        )
+    )
+    bucket_tot = toks.groupBy("pb").agg(F.sum("n_toks").alias("btot"))
+    w_buckets = Window.orderBy("pb").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = bucket_tot.select(
+        "pb",
+        F.coalesce(F.sum("btot").over(w_buckets), F.lit(0)).alias("offset"),
+    )
+    w_in = (
+        Window.partitionBy("pb")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = (
+        toks.join(F.broadcast(offsets), "pb")
+        .withColumn(
+            "start_tok",
+            F.col("offset") + F.coalesce(F.sum("n_toks").over(w_in), F.lit(0)),
+        )
+        .withColumn("seq_id", F.expr(f"start_tok div {_PACK_BUDGET}"))
+    )
+    return packed.groupBy("seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").alias("total_tokens"),
+        F.min("doc_id").alias("first_doc_id"),
+        F.max("doc_id").alias("last_doc_id"),
+    )
+
+
+@query(
+    "training_sampling_weights",
+    oracle=f"""
+    WITH lt AS (
+      SELECT lang,
+        CAST(SUM(CAST(len(regexp_extract_all(text, '{_TOKEN_RE_SQL}')) AS BIGINT))
+          AS BIGINT) AS n_tokens
+      FROM documents
+      GROUP BY lang
+    ),
+    s AS (
+      SELECT lang, n_tokens,
+        ROUND(sqrt(CAST(n_tokens AS DOUBLE)), 6) AS s
+      FROM lt
+    ),
+    tot AS (SELECT CAST(SUM(CAST(s AS DECIMAL(18,6))) AS DOUBLE) AS tot FROM s)
+    SELECT lang, n_tokens, ROUND(s / tot, 6) AS weight
+    FROM s, tot
+    """,
+)
+def training_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled per-language sampling weights: w_l ∝ n_tokens_l^α
+    with α = 0.5 (the multilingual rebalancing rule, cf. mBERT/XLM-R
+    exponential smoothing) — up-weights low-resource languages relative to
+    proportional sampling.
+
+    α is fixed at 0.5 so the power is `sqrt`, which IEEE-754 requires to be
+    correctly rounded — Spark (JVM) and DuckDB (libm) produce bit-identical
+    doubles, keeping the query hash-checkable; a general pow() is not
+    correctly rounded and may drift an ulp across engines. The normalizer is
+    a broadcast scalar join (no collect); decimal-summed for order
+    insensitivity.
+    """
+    from ..functions.text import token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    lt = d.groupBy("lang").agg(
+        F.sum(token_count(F.col("text")).cast("bigint")).alias("n_tokens")
+    )
+    s = lt.select(
+        "lang",
+        "n_tokens",
+        F.round(F.sqrt(F.col("n_tokens").cast("double")), 6).alias("s"),
+    )
+    tot = s.agg(
+        F.sum(F.col("s").cast("decimal(18,6)")).cast("double").alias("tot")
+    )
+    return s.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_tokens",
+        F.round(F.col("s") / F.col("tot"), 6).alias("weight"),
+    )

@@ -59,3 +59,36 @@ def test_contamination_no_python_udf(spark, oracle_sf_dir):
         .toString()
     )
     assert "BatchEvalPython" not in plan
+
+
+def test_pack_sequences_invariants(spark, oracle_sf_dir):
+    """Packing must conserve the train split exactly: every train doc in
+    exactly one sequence, doc ranges contiguous and ordered, and each
+    sequence except possibly the last starts before its budget boundary."""
+    from k_means_map_reduce_spark.operators.training import (
+        _PACK_BUDGET,
+        split_train_valid_test,
+        training_pack_sequences,
+    )
+
+    seqs = (
+        training_pack_sequences(spark, oracle_sf_dir)
+        .toPandas()
+        .sort_values("seq_id")
+        .reset_index(drop=True)
+    )
+    n_train = (
+        split_train_valid_test(spark, oracle_sf_dir)
+        .where("split = 'train'")
+        .count()
+    )
+    assert int(seqs["n_docs"].sum()) == n_train
+    # doc ranges tile the train split in order without overlap
+    for i in range(1, len(seqs)):
+        assert seqs.loc[i, "first_doc_id"] > seqs.loc[i - 1, "last_doc_id"]
+    # cumulative token starts respect the budget: seq s begins at the first
+    # doc whose running offset crosses s*budget, so per-sequence token mass
+    # is positive and (except the final partial fill) >= one doc
+    assert (seqs["total_tokens"] > 0).all()
+    starts = seqs["total_tokens"].cumsum().shift(fill_value=0)
+    assert ((starts // _PACK_BUDGET) == seqs["seq_id"]).all()
