@@ -510,30 +510,46 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     order date; receipt/commit dates don't exist in this schema).
 
     The EXISTS is a semi-join against per-order supplier sets and the NOT
-    EXISTS an anti-join against per-order LATE supplier sets — both derived
-    with one groupBy each instead of row-correlated probes: an order
-    qualifies a row iff n_suppliers > 1 AND n_late_suppliers == 1 (the row's
-    own supplier being late and unique makes it the sole late one). All
-    three aggregates hash-partition on l_orderkey, so AQE plans them over a
-    single exchange of the fact."""
+    EXISTS an anti-join against per-order LATE supplier sets. Both reduce to
+    ONE per-(order, supplier) aggregation: an order qualifies a row iff
+    n_suppliers > 1 AND n_late_suppliers == 1 (the row's own supplier being
+    late and unique makes it the sole late one). Deriving both counts from
+    the (l_orderkey, l_suppkey) rollup — count_if over its rows, not two
+    COUNT(DISTINCT)s over the raw fact — avoids Catalyst's multi-distinct
+    Expand (which doubles every fact row and shuffles on a 4-column key),
+    and the rollup's shuffle is reused for the late-rows branch
+    (ReusedExchange), so lineitem is scanned and shuffled exactly once.
+    numwait sums the per-pair late-row counts, preserving the oracle's
+    COUNT(*) over late l1 rows."""
     l = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
     late = F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90)
     lo = l.join(o, F.col("o_orderkey") == F.col("l_orderkey")).select(
         "l_orderkey", "l_suppkey", late.alias("_late")
     )
-    per_order = lo.groupBy(F.col("l_orderkey").alias("_ok")).agg(
-        F.countDistinct("l_suppkey").alias("_n_supp"),
-        F.countDistinct(F.when(F.col("_late"), F.col("l_suppkey"))).alias(
-            "_n_late"
-        ),
+    from pyspark.sql import Window
+
+    per_supp = lo.groupBy("l_orderkey", "l_suppkey").agg(
+        F.count_if(F.col("_late")).alias("_n_late_rows")
     )
+    # Per-order counts as an unordered window over the rollup — keeps ONE
+    # lineage (a second groupBy branch would defeat exchange reuse: filter
+    # pushdown differentiates the two subtrees and Spark re-scans the fact).
+    # The window's input is one row per (order, supplier), orders of
+    # magnitude smaller than the fact.
+    w = Window.partitionBy("l_orderkey")
     s = load_table(spark, sf_dir, "supplier")
     return (
-        lo.where(F.col("_late"))
-        .join(per_order, F.col("l_orderkey") == F.col("_ok"))
-        .where((F.col("_n_supp") > 1) & (F.col("_n_late") == 1))
+        per_supp.withColumn("_n_supp", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "_n_late", F.count_if(F.col("_n_late_rows") > 0).over(w)
+        )
+        .where(
+            (F.col("_n_supp") > 1)
+            & (F.col("_n_late") == 1)
+            & (F.col("_n_late_rows") > 0)
+        )
         .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("_n_late_rows").alias("numwait"))
     )
