@@ -213,27 +213,35 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18: orders whose total quantity exceeds 260 (~p99 here).
 
-    The HAVING subquery is a semi-join of lineitem against its own
-    aggregation; both sides hash-partition on l_orderkey, so the agg's
-    shuffle output feeds the join without a second exchange. The qty
+    The oracle's HAVING subquery + regrouping collapses to ONE per-order
+    aggregation: the outer GROUP BY keys are functionally determined by
+    o_orderkey (one customer per order), so its SUM(l_quantity) is the same
+    value the HAVING already computed. Aggregating lineitem once, filtering,
+    then joining orders + customer onto the ~p99 survivors avoids the naive
+    plan's second fact scan, the semi-join, and the 5-key regroup. The qty
     threshold compares an exact DOUBLE sum of 2-dp values (≤ a few hundred
-    lines/order — exactly representable, engine-order-independent)."""
+    lines/order — exactly representable, engine-order-independent). AQE
+    turns the orders join into a broadcast at runtime: the post-filter agg
+    side is tiny at any scale."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     l = load_table(spark, sf_dir, "lineitem")
     big = (
         l.groupBy("l_orderkey")
-        .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("_q"))
-        .where(F.col("_q") > 260)
-        .select("l_orderkey")
+        .agg(dsum("l_quantity").alias("sum_qty"))
+        .where(F.col("sum_qty") > 260)
     )
     return (
-        l.join(big.withColumnRenamed("l_orderkey", "_bk"), F.col("l_orderkey") == F.col("_bk"), "left_semi")
-        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        big.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(dsum("l_quantity").alias("sum_qty"))
-        .withColumn("o_orderdate", F.date_format("o_orderdate", "yyyy-MM-dd"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_totalprice",
+            "sum_qty",
+        )
     )
 
 

@@ -347,3 +347,48 @@ def training_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.round(F.col("s") / F.col("tot"), 6).alias("weight"),
     )
+
+
+@query(
+    "sample_deterministic_stratified_docs",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_sampled,
+      MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+    FROM documents
+    WHERE CAST(CONCAT('0x', substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))
+          AS BIGINT) % 1000
+          < CASE lang WHEN 'en' THEN 100 ELSE 500 END
+    GROUP BY lang
+    """,
+)
+def sample_deterministic_stratified_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling by language: keep a doc iff a salted
+    content-independent hash of its id falls under the stratum's rate (10%
+    for en, 50% for low-resource languages — the rebalancing direction
+    training_sampling_weights computes). Unlike RNG `sampleBy` (registered
+    rows-only as sample_stratified_orders — sampling RNGs never match across
+    engines), the hash gate is reproducible from ANY engine, so the sample
+    itself is oracle-checkable. The salt ('sample:') decorrelates this
+    decision from the md5 split buckets — reusing the split hash would bias
+    the sample toward one split. Pure projection + filter: no shuffle before
+    the accounting agg, trivially parallel at any scale.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("sample:"), F.col("doc_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % 1000
+    )
+    rate = F.when(F.col("lang") == "en", F.lit(100)).otherwise(F.lit(500))
+    return (
+        d.where(bucket < rate)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )

@@ -600,6 +600,43 @@ _STATIC_JOIN_ORACLE = """
     GROUP BY 1, 2
 """
 
+# Stream-stream interval join, oracled: the watermarked two-stream join over
+# a static availableNow source is deterministic and equals the plain
+# range-predicate batch join DuckDB runs. Window label strings via _fmt_utc
+# keep the comparison timezone-independent (raw TIMESTAMP columns don't
+# hash-compare across engines).
+_INTERVAL_JOIN_ORACLE = """
+    SELECT
+      v.event_id AS view_id,
+      c.event_id AS click_id,
+      v.user_id,
+      strftime(CAST(v.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS view_ts,
+      strftime(CAST(c.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS click_ts
+    FROM events v
+    JOIN events c
+      ON v.user_id = c.user_id
+     AND c.ts > v.ts
+     AND c.ts <= v.ts + INTERVAL 10 MINUTE
+    WHERE v.event_type = 'view' AND c.event_type = 'click'
+"""
+
+
+def stream_interval_join_vs_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stream_stream_view_click_join with timestamps rendered as UTC wall
+    strings, oracled against the equivalent batch range join."""
+    j = stream_stream_view_click_join(spark, sf_dir)
+    return j.select(
+        "view_id",
+        "click_id",
+        "user_id",
+        _fmt_utc(F.col("view_ts")).alias("view_ts"),
+        _fmt_utc(F.col("click_ts")).alias("click_ts"),
+    )
+
+
+_query("streaming_interval_join_vs_batch", oracle=_INTERVAL_JOIN_ORACLE)(
+    stream_interval_join_vs_batch
+)
 _query("streaming_sliding_1h_30m_vs_batch", oracle=_SLIDING_ORACLE)(
     stream_sliding_windows
 )
