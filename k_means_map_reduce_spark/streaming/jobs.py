@@ -408,6 +408,25 @@ _query("streaming_tumbling_hourly")(stream_tumbling_hourly)
 _query("streaming_view_click_interval_join")(stream_stream_view_click_join)
 
 
+def stream_user_stats_vs_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The applyInPandasWithState custom stateful operator's final per-user
+    stats, oracled against plain batch aggregation SQL. Exact columns only:
+    n_events is an integer count and max_value a single comparison — both
+    order-insensitive; the running float sum is projected away (its
+    accumulation order differs from a SQL SUM's)."""
+    return stream_user_running_stats(spark, sf_dir).select("user_id", "n_events", "max_value")
+
+
+_query(
+    "streaming_user_stats_vs_batch",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events, MAX(value) AS max_value
+    FROM events
+    GROUP BY user_id
+    """,
+)(stream_user_stats_vs_batch)
+
+
 def read_events_stream_jsonl(
     spark: SparkSession, sf_dir: str, n_files: int = 4
 ) -> DataFrame:
