@@ -574,7 +574,7 @@ def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     contribute O(df^2) candidate pairs each, exactly like stopwords in a
     token index. Joins/aggs all hash-partition on fp then (d1,d2); the tiny
     per-doc size side joins broadcast."""
-    fps = winnow_fps(spark, sf_dir).cache()
+    fps = winnow_fps(spark, sf_dir)  # session-memoized + persisted (textops)
     ex = fps.select("doc_id", F.explode("fps").alias("fp"))
     postings = (
         ex.groupBy("fp")

@@ -263,10 +263,26 @@ WINNOW_CTE_SQL = f"""
 """
 
 
+# (applicationId, sf_dir) → persisted fingerprint frame. The rolling-hash
+# expression is the most expensive scan in the repo; memoizing per session
+# means the N queries that consume fingerprints (stats, pair dedup, tests,
+# repeated bench invocations) compute them once, and — unlike the previous
+# per-invocation .cache() — repeated calls don't stack new copies in
+# executor storage.
+_WINNOW_FPS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, fps: array<bigint>) — the distinct winnowing fingerprints of
-    each document. See text_winnowing_fingerprints for the algorithm and the
-    load-bearing repartition barrier."""
+    each document, persisted once per (session, sf_dir). See
+    text_winnowing_fingerprints for the algorithm and the load-bearing
+    repartition barrier."""
+    import os as _os
+
+    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
+    cached = _WINNOW_FPS_CACHE.get(key)
+    if cached is not None:
+        return cached
     d = load_table(spark, sf_dir, "documents")
     pows = ", ".join(f"{p}L" for p in _WIN_POWS)
     hs_from_t = f"""
@@ -282,7 +298,7 @@ def winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
         "array_distinct(transform(sequence(1, size(hs) - 3),"
         " i -> array_min(slice(hs, i, 4))))"
     )
-    return (
+    df = (
         d.select(
             "doc_id",
             F.expr("lower(regexp_replace(trim(text), '\\\\s+', ' '))").alias("t"),
@@ -291,7 +307,10 @@ def winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism, "doc_id")
         .select("doc_id", F.expr(hs_from_t).alias("hs"))
         .select("doc_id", F.expr(fps_from_hs).alias("fps"))
+        .persist()
     )
+    _WINNOW_FPS_CACHE[key] = df
+    return df
 
 
 @query(
