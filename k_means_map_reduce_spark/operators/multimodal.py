@@ -159,15 +159,34 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_frame_sample")
+@query(
+    "multimodal_frame_sample",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id,
+        CAST(octet_length(encode(text)) // {_FRAME_BYTES} AS BIGINT) AS n_frames
+      FROM documents
+    )
+    SELECT doc_id,
+      CAST(CEIL(n_frames / {_SAMPLE_EVERY}.0) AS BIGINT) AS n_frames_sampled,
+      CAST(CEIL(n_frames / {_SAMPLE_EVERY}.0) * {_FRAME_BYTES} AS BIGINT)
+        AS sampled_bytes
+    FROM m WHERE n_frames > 0
+    """,
+)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame sampling (1:N explode through mapInPandas); rows-only check +
-    exactness tests in tests/test_multimodal.py."""
+    """Frame sampling (1:N explode through mapInPandas). Oracled via the
+    sampler's size contract: keeping every {_SAMPLE_EVERY}th complete
+    {_FRAME_BYTES}-byte frame yields ceil(n_frames/{_SAMPLE_EVERY}) frames of
+    exactly {_FRAME_BYTES} bytes — DuckDB recomputes both from the payload
+    length alone, so a lost Arrow batch, a short frame slice, or an
+    off-by-one in the stride fails the hash. Byte-level exactness tests in
+    tests/test_multimodal.py."""
     media = media_table(spark, sf_dir)
     frames = sample_frames(media)
     return frames.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_frames_sampled"),
-        F.sum(F.length("frame")).alias("sampled_bytes"),
+        F.sum(F.length("frame")).cast("bigint").alias("sampled_bytes"),
     )
 
 
@@ -219,14 +238,30 @@ def resize_media(media: DataFrame) -> DataFrame:
     return media.mapInPandas(_resize_batches, schema=_RESIZED_SCHEMA)
 
 
-@query("multimodal_resize")
+@query(
+    "multimodal_resize",
+    oracle=f"""
+    SELECT
+      CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
+        AS media_type,
+      {_RESIZE_W} AS out_w,
+      {_RESIZE_H} AS out_h,
+      COUNT(*) AS n_media,
+      CAST(COUNT(*) * {_RESIZE_W * _RESIZE_H} AS BIGINT) AS total_resized_bytes
+    FROM documents
+    GROUP BY 1
+    """,
+)
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Resize plumbing (1:1 binary→binary transform through mapInPandas with
-    a fixed output-dims contract). Rows-only check; output-size invariants
-    and determinism asserted in tests/test_multimodal.py."""
+    """Resize plumbing (1:1 binary→binary transform through mapInPandas).
+    Oracled via the resize contract: every payload must come back as exactly
+    {_RESIZE_W}×{_RESIZE_H} bytes, so per-media-type counts and total output
+    bytes are recomputable by DuckDB from the source table — a dropped row or
+    wrong-size output breaks the hash. Byte-level determinism asserted in
+    tests/test_multimodal.py."""
     media = media_table(spark, sf_dir)
     out = resize_media(media)
     return out.groupBy("media_type", "out_w", "out_h").agg(
         F.count(F.lit(1)).alias("n_media"),
-        F.sum(F.length("resized")).alias("total_resized_bytes"),
+        F.sum(F.length("resized")).cast("bigint").alias("total_resized_bytes"),
     )
