@@ -240,3 +240,149 @@ def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= TOP_K)
         .select("q_id", "vec_id", F.round("sim", 4).alias("sim"), "rnk")
     )
+
+
+@query("sim_ann_pq_topk")
+def sim_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC ANN (product quantization, Jégou et al. TPAMI'11 — the FAISS
+    compression path): 64-dim vectors compressed to M=8 one-byte codes, then
+    searched with asymmetric-distance lookup tables and exact re-scoring.
+
+    Pipeline, each stage in its scale-correct place:
+      1. TRAIN (sample): per-subspace 32-centroid codebooks from a seeded
+         Lloyd loop over a bounded driver-side sample — PQ codebooks are
+         always trained on a sample, never the corpus;
+      2. ENCODE (corpus): one mapInPandas pass assigns each of the 8
+         subvectors its nearest codebook entry (vectorized BLAS argmin over
+         broadcast codebooks). 64 floats → 8 small ints: a 32× compression
+         of what the search stage must scan — the entire point of PQ at
+         100 TB;
+      3. ADC SCAN (codegen): per query, the 8×32 dot-product lookup table is
+         broadcast as a flat 256-float array and the approximate similarity
+         is a pure expression fold over the codes — no UDF, no vector math,
+         just 8 array lookups per row;
+      4. RESCORE (shortlist): the top {SHORTLIST} approximate hits per query
+         join back their full vectors for exact cosine, and the final
+         top-{TOP_K} is exact — ADC only prunes, so ranking errors cost
+         recall, never precision.
+    Rows-only (iterative training); recall vs sim_cosine_topk asserted in
+    tests/test_dedup_similarity.py.
+    """
+    import numpy as np
+
+    from ..functions.vectors import l2_norm
+
+    M, KSUB, DSUB = 8, 32, 8  # subspaces × codebook size × dims-per-subspace
+    SHORTLIST = 16 * TOP_K
+
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = (
+        e.withColumn("_norm", l2_norm(F.col("embedding")))
+        .where(F.col("_norm") > 0)
+        .select(
+            "vec_id",
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x: x / F.col("_norm"),
+            ).alias("vec"),
+        )
+    )
+
+    # 1. TRAIN on a deterministic bounded sample (lowest vec_ids).
+    sample = np.stack(
+        [np.asarray(r["vec"]) for r in corpus.orderBy("vec_id").limit(2048).collect()]
+    )
+    rng = np.random.RandomState(42)
+    codebooks = np.empty((M, KSUB, DSUB))
+    for m in range(M):
+        Xs = sample[:, m * DSUB : (m + 1) * DSUB]
+        C = Xs[rng.choice(len(Xs), KSUB, replace=False)]
+        for _ in range(10):
+            d2 = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)
+            for k in range(KSUB):
+                if (a == k).any():
+                    C[k] = Xs[a == k].mean(axis=0)
+        codebooks[m] = C
+    bc = spark.sparkContext.broadcast(codebooks)
+
+    # 2. ENCODE the corpus (Arrow-batched, vectorized argmin per subspace).
+    def encode(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        CB = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = _np.stack(pdf["vec"].to_numpy())
+            codes = _np.empty((len(X), M), dtype="int32")
+            for m in range(M):
+                Xs = X[:, m * DSUB : (m + 1) * DSUB]
+                C = CB[m]
+                d2 = (
+                    (Xs * Xs).sum(axis=1)[:, None]
+                    + (C * C).sum(axis=1)[None, :]
+                    - 2.0 * (Xs @ C.T)
+                )
+                codes[:, m] = d2.argmin(axis=1)
+            yield _pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "codes": list(codes)}
+            )
+
+    encoded = corpus.mapInPandas(encode, "vec_id LONG, codes ARRAY<INT>")
+
+    # 3. Per-query ADC tables (tiny query set → driver-side numpy, then
+    # broadcast as flat arrays for the codegen fold).
+    qrows = corpus.where(F.col("vec_id") < N_QUERY).collect()
+    probe = spark.createDataFrame(
+        [
+            (
+                r["vec_id"],
+                list(r["vec"]),
+                [
+                    float(np.dot(np.asarray(r["vec"])[m * DSUB : (m + 1) * DSUB], codebooks[m][k]))
+                    for m in range(M)
+                    for k in range(KSUB)
+                ],
+            )
+            for r in qrows
+        ],
+        "q_id LONG, q_vec ARRAY<DOUBLE>, adc ARRAY<DOUBLE>",
+    )
+    approx = (
+        encoded.join(F.broadcast(probe), F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            F.expr(
+                f"aggregate(sequence(0, {M - 1}), 0D,"
+                f" (acc, m) -> acc + element_at(adc, m * {KSUB}"
+                " + element_at(codes, m + 1) + 1))"
+            ).alias("approx_sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("approx_sim").desc(), "vec_id")
+    shortlist = (
+        approx.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= SHORTLIST)
+        .select("q_id", "vec_id")
+    )
+
+    # 4. Exact rescore of the shortlist only.
+    qv = probe.select("q_id", "q_vec")
+    rescored = (
+        shortlist.join(corpus, "vec_id")
+        .join(F.broadcast(qv), "q_id")
+        .select(
+            "q_id",
+            "vec_id",
+            cosine_similarity(F.col("q_vec"), F.col("vec")).alias("sim"),
+        )
+    )
+    w2 = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), "vec_id")
+    return (
+        rescored.withColumn("rnk", F.row_number().over(w2).cast("bigint"))
+        .where(F.col("rnk") <= TOP_K)
+        .select("q_id", "vec_id", F.round("sim", 4).alias("sim"), "rnk")
+    )

@@ -270,3 +270,24 @@ def test_minhash_banding_recall_and_precision(spark, oracle_sf_dir):
         # where both report a pair the values must agree exactly
         if pair in truth:
             assert abs(truth[pair] - j) < 1e-9, (pair, truth[pair], j)
+
+
+def test_pq_ann_recall_and_exactness(spark, oracle_sf_dir):
+    """PQ-ADC tier: recall@10 vs brute force must clear 0.8 (measured 0.98
+    at sf0.01 / 0.88 at sf0.1 with 32-entry codebooks + 16x shortlist), and
+    every returned sim must be the EXACT cosine (ADC only prunes; the
+    rescore stage restores exact scores)."""
+    exact = {
+        (r.q_id, r.vec_id): r.sim
+        for r in QUERIES["sim_cosine_topk"](spark, oracle_sf_dir).collect()
+    }
+    pq = {
+        (r.q_id, r.vec_id): r.sim
+        for r in QUERIES["sim_ann_pq_topk"](spark, oracle_sf_dir).collect()
+    }
+    assert len(pq) == len(exact)
+    recall = len(set(exact) & set(pq)) / len(exact)
+    assert recall >= 0.8, f"PQ recall {recall}"
+    for pair, sim in pq.items():
+        if pair in exact:
+            assert abs(exact[pair] - sim) < 1e-9, (pair, sim, exact[pair])
