@@ -37,15 +37,18 @@ def entry(spark: SparkSession) -> DataFrame:
     return kmeans_mllib(emb, vec_col="embedding", k=8, max_iter=20, tol=1e-6, seed=42)
 
 
-def _checked_in_prior_rounds() -> set[str]:
-    """Query names that already have a row in any CORRECTNESS_r*.json.
+def _prior_round_status() -> tuple[set[str], set[str]]:
+    """(checked, green) query names across all CORRECTNESS_r*.json.
 
     The verify harness evaluates queries() in enumeration order and may
     truncate (round 1 recorded exactly the first 50 of 116). Ordering
-    never-checked queries first guarantees every registered query earns a
-    driver-recorded correctness row across rounds, with no manual rotation.
+    never-checked queries first — and previously-FAILED ones right after —
+    guarantees every registered query earns a driver-recorded correctness
+    row across rounds and every red row gets re-checked promptly, with no
+    manual rotation. A name is green iff its LATEST recorded row passed
+    (rows/schema match, hash matches when an oracle exists, no error).
     """
-    seen: set[str] = set()
+    latest: dict[str, dict] = {}
     for path in sorted(glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as fh:
@@ -53,18 +56,30 @@ def _checked_in_prior_rounds() -> set[str]:
         except (OSError, ValueError):
             continue
         if isinstance(rows, dict):
-            seen.update(rows.keys())
-    return seen
+            latest.update({k: v for k, v in rows.items() if isinstance(v, dict)})
+    green = {
+        n
+        for n, r in latest.items()
+        if r.get("rows_match") in (True, None)
+        and r.get("schema_match") in (True, None)
+        and r.get("hash_match") in (True, None)
+        and not r.get("err")
+    }
+    return set(latest), green
 
 
 def _ordered_names() -> list[str]:
-    seen = _checked_in_prior_rounds()
+    checked, green = _prior_round_status()
     names = list(QUERIES)
-    # (never-checked first; among those, oracled before rows-only; stable
-    # registration order within each tier)
+    # tiers: never-checked, then checked-but-not-green, then green; within
+    # each tier oracled before rows-only, stable registration order.
     return sorted(
         names,
-        key=lambda n: (n in seen, n not in ORACLES, names.index(n)),
+        key=lambda n: (
+            (0 if n not in checked else (1 if n not in green else 2)),
+            n not in ORACLES,
+            names.index(n),
+        ),
     )
 
 
