@@ -56,3 +56,52 @@ def write_bucketed(
     if sort_col:
         w = w.sortBy(sort_col)
     w.saveAsTable(table)
+
+
+def merge_upsert(
+    base: DataFrame, updates: DataFrame, key_cols: list[str]
+) -> DataFrame:
+    """MERGE/upsert semantics without a table format: updates win on key
+    collision, unmatched base rows survive, new keys append.
+
+    The Delta/Iceberg MERGE INTO pattern reduced to its relational core —
+    a keyed anti-join + union:
+        result = updates ∪ (base ⟂ updates on key)
+    Copy-on-write at scale: only partitions containing touched keys need
+    rewriting when combined with write_partitioned (partition-prune the
+    anti-join on the partition column). The anti-join shuffles just the
+    keys of base against the (usually much smaller, broadcastable) update
+    set; no window, no row_number.
+    """
+    from pyspark.sql import functions as F
+
+    surviving = base.join(F.broadcast(updates.select(*key_cols)), key_cols, "left_anti")
+    return surviving.unionByName(updates)
+
+
+def merge_upsert_parquet(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+) -> None:
+    """Copy-on-write MERGE into an existing parquet dataset.
+
+    Reads the current snapshot WITH ITS OWN schema, merges, writes to a
+    sibling staging dir, then swaps — the write never reads from the
+    directory it is replacing (Spark cannot overwrite an input in-flight).
+    The swap is a filesystem rename: atomic on POSIX/HDFS; object stores
+    would use a manifest commit instead (what table formats exist for).
+    """
+    import os
+    import shutil
+    import uuid
+
+    base = spark.read.parquet(path)
+    merged = merge_upsert(base, updates, key_cols)
+    staging = f"{path}__staging_{uuid.uuid4().hex[:8]}"
+    merged.write.mode("overwrite").parquet(staging)
+    old = f"{path}__old_{uuid.uuid4().hex[:8]}"
+    os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old)

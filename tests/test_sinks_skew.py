@@ -181,3 +181,40 @@ def test_salted_join_equals_plain(spark, sf_dir):
     big, small, cond = salted_join_keys(o2, c2, "custkey", n_salts=4)
     salted = big.join(small, cond).count()
     assert salted == plain
+
+
+def test_merge_upsert_parquet_roundtrip(spark, sf_dir, tmp_path):
+    """MERGE semantics: updates win, unmatched rows survive, new keys
+    append; the parquet swap leaves exactly the merged snapshot."""
+    import pyspark.sql.functions as F
+
+    from k_means_map_reduce_spark.sources import load_table
+    from k_means_map_reduce_spark.sources.sinks import merge_upsert_parquet
+
+    path = str(tmp_path / "cust")
+    base = load_table(spark, sf_dir, "customer").limit(50)
+    base.write.parquet(path)
+    n0 = spark.read.parquet(path).count()
+    keys = [r.c_custkey for r in base.select("c_custkey").orderBy("c_custkey").limit(3).collect()]
+    updates = (
+        base.where(F.col("c_custkey").isin(keys))
+        .withColumn("c_acctbal", F.lit(-999.0))
+        .unionByName(
+            base.limit(1).select(
+                (F.col("c_custkey") + 10_000_000).alias("c_custkey"),
+                F.col("c_name"),
+                F.col("c_nationkey"),
+                F.lit(123.0).alias("c_acctbal"),
+                F.col("c_mktsegment"),
+            )
+        )
+    )
+    merge_upsert_parquet(spark, path, updates, ["c_custkey"])
+    after = spark.read.parquet(path)
+    assert after.count() == n0 + 1
+    got = {r.c_custkey: r.c_acctbal for r in after.where(F.col("c_custkey").isin(keys)).collect()}
+    assert all(v == -999.0 for v in got.values()) and len(got) == 3
+    assert after.where(F.col("c_custkey") >= 10_000_000).count() == 1
+    # idempotent re-merge: same updates applied twice = same snapshot
+    merge_upsert_parquet(spark, path, updates, ["c_custkey"])
+    assert spark.read.parquet(path).count() == n0 + 1
