@@ -59,6 +59,11 @@ HEADLINE = [
     "multimodal_features",
     "kmeans_mllib_clusters",
     "kmeans_arrow_clusters",
+    # round-3 additions: repetition quality gate, sequence packing
+    # (distributed prefix sum), PQ-ADC similarity tier
+    "text_repetition_filters",
+    "training_pack_sequences",
+    "sim_ann_pq_topk",
 ]
 
 
