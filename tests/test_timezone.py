@@ -26,6 +26,10 @@ DATE_SENSITIVE = [
     "streaming_tumbling_hourly_vs_batch",
     "streaming_tumbling_hourly_jsonl_vs_batch",
     "streaming_session_windows_vs_batch",
+    "streaming_sliding_1h_30m_vs_batch",
+    "streaming_interval_join_vs_batch",
+    "streaming_dedup_vs_batch",
+    "streaming_user_stats_vs_batch",
 ]
 
 
