@@ -1,0 +1,182 @@
+"""TPC-DS-signature query shapes over the TPC-H-ish test tables.
+
+TPC-H covers join/agg breadth; TPC-DS adds the window-over-aggregate and
+cross-channel patterns that dominate real warehouse workloads. Two
+representative shapes, both fully oracled:
+
+- ds_monthly_deviation (q47's core): per-group monthly series with a
+  centered moving average and deviation from the group's yearly mean —
+  aggregation feeding two differently-framed windows.
+- ds_channel_full_outer (q78's core): two independently aggregated
+  "channels" full-outer-joined on the entity key with NULL-tolerant
+  ratios — the canonical cross-channel reconciliation.
+
+Reference parity note: the reference engine (K-Means gRPC MapReduce,
+master.py) has no relational surface; these extend SURVEY.md §2b breadth.
+
+At 100 TB: both shapes aggregate the fact FIRST (map-side partials into a
+per-(group, month)/per-customer rollup orders of magnitude smaller than the
+fact), then run windows/joins on the rollup — never a window over raw fact
+rows. The full-outer join keys on the same column both rollups are already
+partitioned by, so AQE plans it shuffle-free after the aggs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import load_table
+from ._util import dsum
+
+
+@query(
+    "ds_monthly_deviation",
+    oracle="""
+    WITH monthly AS (
+      SELECT
+        n_name,
+        strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+        CAST(SUM(CAST(ROUND(o_totalprice, 6) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      FROM orders
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation ON n_nationkey = c_nationkey
+      GROUP BY 1, 2
+    ),
+    yearly AS (
+      SELECT *,
+        CAST(SUM(CAST(revenue AS DECIMAL(18,6))) OVER (
+          PARTITION BY n_name, substr(month, 1, 4)
+        ) AS DOUBLE)
+        / COUNT(*) OVER (PARTITION BY n_name, substr(month, 1, 4)) AS year_avg,
+        CAST(SUM(CAST(revenue AS DECIMAL(18,6))) OVER (
+          PARTITION BY n_name ORDER BY month
+          ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING
+        ) AS DOUBLE)
+        / COUNT(*) OVER (
+          PARTITION BY n_name ORDER BY month
+          ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING
+        ) AS centered_avg
+      FROM monthly
+    )
+    SELECT
+      n_name, month, revenue,
+      ROUND(centered_avg, 4) AS centered_avg,
+      ROUND(revenue / year_avg, 6) AS dev_ratio
+    FROM yearly
+    """,
+)
+def ds_monthly_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue per nation with a centered 3-month moving average and
+    the ratio to the nation-year mean (TPC-DS q47's seasonality-deviation
+    core). The fact aggregates once; both windows run over the tiny
+    (nation, month) rollup. Decimal-exact sums; averages as decimal-sum /
+    count per the cross-engine float recipe."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    monthly = (
+        o.join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy(
+            "n_name",
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        )
+        .agg(dsum("o_totalprice").alias("revenue"))
+    )
+    w_year = Window.partitionBy("n_name", F.substring("month", 1, 4))
+    w_center = (
+        Window.partitionBy("n_name").orderBy("month").rowsBetween(-1, 1)
+    )
+    dec = F.col("revenue").cast("decimal(18,6)")
+    return monthly.select(
+        "n_name",
+        "month",
+        "revenue",
+        F.round(
+            F.sum(dec).over(w_center).cast("double")
+            / F.count(F.lit(1)).over(w_center),
+            4,
+        ).alias("centered_avg"),
+        F.round(
+            F.col("revenue")
+            / (
+                F.sum(dec).over(w_year).cast("double")
+                / F.count(F.lit(1)).over(w_year)
+            ),
+            6,
+        ).alias("dev_ratio"),
+    )
+
+
+@query(
+    "ds_channel_full_outer",
+    oracle="""
+    WITH ordered AS (
+      SELECT o_custkey AS custkey,
+        COUNT(*) AS n_orders,
+        CAST(SUM(CAST(ROUND(o_totalprice, 6) AS DECIMAL(18,6))) AS DOUBLE) AS order_value
+      FROM orders GROUP BY 1
+    ),
+    returned AS (
+      SELECT o_custkey AS custkey,
+        COUNT(*) AS n_returned_items,
+        CAST(SUM(CAST(ROUND(l_extendedprice, 6) AS DECIMAL(18,6))) AS DOUBLE) AS returned_value
+      FROM lineitem
+      JOIN orders ON o_orderkey = l_orderkey
+      WHERE l_returnflag = 'R'
+      GROUP BY 1
+    )
+    SELECT
+      COALESCE(o.custkey, r.custkey) AS custkey,
+      COALESCE(n_orders, 0) AS n_orders,
+      COALESCE(n_returned_items, 0) AS n_returned_items,
+      ROUND(COALESCE(returned_value, 0.0) / order_value, 6) AS return_ratio
+    FROM ordered o
+    FULL OUTER JOIN returned r ON o.custkey = r.custkey
+    """,
+)
+def ds_channel_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-channel reconciliation (TPC-DS q78's core): every customer's
+    order channel vs returned-items channel, FULL OUTER joined so customers
+    present in only one channel survive with NULL-tolerant defaults.
+    return_ratio keeps NULL when a customer has returns but no orders row
+    (impossible here, but the oracle agrees on the semantics). Both channels
+    aggregate to per-customer rollups before the join; the join keys on the
+    aggregation key, so no extra exchange."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    ordered = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("order_value"),
+    )
+    returned = (
+        l.where(F.col("l_returnflag") == "R")
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_returned_items"),
+            dsum("l_extendedprice").alias("returned_value"),
+        )
+    )
+    r = returned.select(
+        F.col("custkey").alias("r_custkey"),
+        "n_returned_items",
+        "returned_value",
+    )
+    return (
+        ordered.join(r, F.col("custkey") == F.col("r_custkey"), "full_outer")
+        .select(
+            F.coalesce(F.col("custkey"), F.col("r_custkey")).alias("custkey"),
+            F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+            F.coalesce(F.col("n_returned_items"), F.lit(0)).alias(
+                "n_returned_items"
+            ),
+            F.round(
+                F.coalesce(F.col("returned_value"), F.lit(0.0))
+                / F.col("order_value"),
+                6,
+            ).alias("return_ratio"),
+        )
+    )

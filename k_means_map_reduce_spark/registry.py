@@ -54,6 +54,7 @@ from .operators import multimodal  # noqa: E402,F401
 from .operators import sketches  # noqa: E402,F401
 from .operators import tpch_extra  # noqa: E402,F401
 from .operators import tpch_full  # noqa: E402,F401
+from .operators import tpcds_shapes  # noqa: E402,F401
 from .operators import temporal  # noqa: E402,F401
 from .operators import analytics  # noqa: E402,F401
 from .operators import training  # noqa: E402,F401
