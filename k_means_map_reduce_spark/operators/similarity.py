@@ -357,6 +357,197 @@ def _pq_index(spark: SparkSession, sf_dir: str):
     return corpus, codebooks, encoded
 
 
+@query("sim_ann_ivfpq_topk")
+def sim_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ composed ANN (the FAISS IVFPQ layout, Jégou et al. TPAMI'11
+    §V): coarse-quantize into {_IVF_CELLS} cells, product-quantize the
+    RESIDUAL (vec - cell_center) — residuals are tighter than raw vectors,
+    so the same 8-byte code carries more precision — then search only the
+    nprobe={_IVF_NPROBE} cells nearest each query.
+
+    Search decomposes exactly: q·x = q·c_cell + q·residual, so each
+    (query, probed-cell) pair gets a broadcast row carrying the constant
+    q·c_cell plus the 8×{_PQ_KSUB} ADC lookup table for that cell's
+    residual codes; the scan is a cell-equality join (partition pruning at
+    100 TB, where `cell` is the partition column) + a codegen fold — the
+    corpus side touches only nprobe/{_IVF_CELLS} of its rows AND reads 8
+    bytes per row instead of 64 floats. Exact rescore of the shortlist
+    keeps precision at 1.0; ADC+pruning only cost recall.
+
+    Rows-only (iterative training); recall vs sim_cosine_topk asserted in
+    tests/test_dedup_similarity.py.
+    """
+    encoded, centers, codebooks, corpus = _ivfpq_index(spark, sf_dir)
+    import numpy as np
+
+    M, KSUB, DSUB = _PQ_M, _PQ_KSUB, _PQ_DSUB
+
+    # Per-(query, probed-cell) ADC tables, driver-side: query set is tiny.
+    qrows = corpus.where(F.col("vec_id") < N_QUERY).collect()
+    probe_rows = []
+    for r in qrows:
+        q = np.asarray(r["vec"])
+        d2 = ((centers - q) ** 2).sum(axis=1)
+        for cell in np.argsort(d2)[:_IVF_NPROBE]:
+            adc = [
+                float(np.dot(q[m * DSUB : (m + 1) * DSUB], codebooks[m][k]))
+                for m in range(M)
+                for k in range(KSUB)
+            ]
+            probe_rows.append(
+                (
+                    int(r["vec_id"]),
+                    [float(v) for v in q],
+                    int(cell),
+                    float(np.dot(q, centers[cell])),
+                    adc,
+                )
+            )
+    probe = spark.createDataFrame(
+        probe_rows,
+        "q_id LONG, q_vec ARRAY<DOUBLE>, cell INT, base DOUBLE, adc ARRAY<DOUBLE>",
+    )
+    approx = (
+        encoded.join(F.broadcast(probe), ["cell"])
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            (
+                F.col("base")
+                + F.expr(
+                    f"aggregate(sequence(0, {M - 1}), 0D,"
+                    f" (acc, m) -> acc + element_at(adc, m * {KSUB}"
+                    " + element_at(codes, m + 1) + 1))"
+                )
+            ).alias("approx_sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("approx_sim").desc(), "vec_id")
+    shortlist = (
+        approx.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= _PQ_SHORTLIST)
+        .select("q_id", "vec_id")
+    )
+    qv = probe.select("q_id", "q_vec").distinct()
+    rescored = (
+        shortlist.join(corpus, "vec_id")
+        .join(F.broadcast(qv), "q_id")
+        .select(
+            "q_id",
+            "vec_id",
+            cosine_similarity(F.col("q_vec"), F.col("vec")).alias("sim"),
+        )
+    )
+    w2 = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), "vec_id")
+    return (
+        rescored.withColumn("rnk", F.row_number().over(w2).cast("bigint"))
+        .where(F.col("rnk") <= TOP_K)
+        .select("q_id", "vec_id", F.round("sim", 4).alias("sim"), "rnk")
+    )
+
+
+_IVF_CELLS, _IVF_NPROBE = 16, 8
+_IVFPQ_INDEX_CACHE: dict = {}
+
+
+def _ivfpq_index(spark: SparkSession, sf_dir: str):
+    """(encoded codes DF with cell, coarse centers, residual codebooks,
+    normalized corpus) — memoized per (session, sf_dir) like _pq_index."""
+    import os as _os
+
+    import numpy as np
+
+    from ..kmeans import kmeans_arrow
+    from ..functions.vectors import l2_norm
+
+    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
+    hit = _IVFPQ_INDEX_CACHE.get(key)
+    if hit is not None:
+        return hit
+
+    M, KSUB, DSUB = _PQ_M, _PQ_KSUB, _PQ_DSUB
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = (
+        e.withColumn("_norm", l2_norm(F.col("embedding")))
+        .where(F.col("_norm") > 0)
+        .select(
+            "vec_id",
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x: x / F.col("_norm"),
+            ).alias("vec"),
+        )
+        .persist()
+    )
+    result = kmeans_arrow(
+        corpus, vec_col="vec", k=_IVF_CELLS, max_iter=6, tol=1e-2, seed=42
+    )
+    centers = np.asarray(result.centers)
+
+    # Residual PQ codebooks from a deterministic bounded sample.
+    sample_rows = corpus.orderBy("vec_id").limit(2048).collect()
+    X = np.stack([np.asarray(r["vec"]) for r in sample_rows])
+    cells_s = ((X * X).sum(axis=1)[:, None]
+               + (centers * centers).sum(axis=1)[None, :]
+               - 2.0 * (X @ centers.T)).argmin(axis=1)
+    R = X - centers[cells_s]
+    rng = np.random.RandomState(42)
+    codebooks = np.empty((M, KSUB, DSUB))
+    for m in range(M):
+        Rs = R[:, m * DSUB : (m + 1) * DSUB]
+        C = Rs[rng.choice(len(Rs), KSUB, replace=False)]
+        for _ in range(10):
+            d2 = ((Rs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)
+            for k in range(KSUB):
+                if (a == k).any():
+                    C[k] = Rs[a == k].mean(axis=0)
+        codebooks[m] = C
+    bc_c = spark.sparkContext.broadcast(centers)
+    bc_cb = spark.sparkContext.broadcast(codebooks)
+
+    # One Arrow pass: coarse-assign, form the residual, PQ-encode it.
+    def encode(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        CC = bc_c.value
+        CB = bc_cb.value
+        c_sq = (CC * CC).sum(axis=1)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Xb = _np.stack(pdf["vec"].to_numpy())
+            cell = (
+                (Xb * Xb).sum(axis=1)[:, None] + c_sq[None, :] - 2.0 * (Xb @ CC.T)
+            ).argmin(axis=1)
+            Rb = Xb - CC[cell]
+            codes = _np.empty((len(Xb), M), dtype="int32")
+            for m in range(M):
+                Rs = Rb[:, m * DSUB : (m + 1) * DSUB]
+                C = CB[m]
+                d2 = (
+                    (Rs * Rs).sum(axis=1)[:, None]
+                    + (C * C).sum(axis=1)[None, :]
+                    - 2.0 * (Rs @ C.T)
+                )
+                codes[:, m] = d2.argmin(axis=1)
+            yield _pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "cell": cell.astype("int32"),
+                    "codes": list(codes),
+                }
+            )
+
+    encoded = corpus.mapInPandas(
+        encode, "vec_id LONG, cell INT, codes ARRAY<INT>"
+    ).persist()
+    _IVFPQ_INDEX_CACHE[key] = (encoded, centers, codebooks, corpus)
+    return encoded, centers, codebooks, corpus
+
+
 def _pq_search(spark: SparkSession, corpus: DataFrame, codebooks, encoded: DataFrame) -> DataFrame:
     import numpy as np
 

@@ -291,3 +291,26 @@ def test_pq_ann_recall_and_exactness(spark, oracle_sf_dir):
     for pair, sim in pq.items():
         if pair in exact:
             assert abs(exact[pair] - sim) < 1e-9, (pair, sim, exact[pair])
+
+
+def test_ivfpq_ann_recall_and_exactness(spark, oracle_sf_dir):
+    """IVF+PQ composed tier: cell pruning (nprobe=8 of 16) stacked on
+    residual-PQ ADC must still clear recall@10 >= 0.7 vs brute force
+    (measured 0.88 at sf0.01), and returned sims must be exact cosines
+    (rescore stage). Residual encoding is what keeps recall near the
+    flat-PQ tier despite scanning only half the corpus — this corpus'
+    uniform-sphere geometry is the pruning worst case."""
+    exact = {
+        (r.q_id, r.vec_id): r.sim
+        for r in QUERIES["sim_cosine_topk"](spark, oracle_sf_dir).collect()
+    }
+    ivfpq = {
+        (r.q_id, r.vec_id): r.sim
+        for r in QUERIES["sim_ann_ivfpq_topk"](spark, oracle_sf_dir).collect()
+    }
+    assert len(ivfpq) == len(exact)
+    recall = len(set(exact) & set(ivfpq)) / len(exact)
+    assert recall >= 0.7, f"IVFPQ recall {recall}"
+    for pair, sim in ivfpq.items():
+        if pair in exact:
+            assert abs(exact[pair] - sim) < 1e-9, (pair, sim, exact[pair])
