@@ -642,3 +642,101 @@ def text_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("btop").cast("double") / F.col("btotal"), F.lit(0.0)), 6
         ).alias("top_bigram_frac"),
     )
+
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+
+@query(
+    "text_pii_redaction",
+    oracle=f"""
+    WITH planted AS (
+      SELECT
+        doc_id,
+        text || ' contact user' || CAST(doc_id AS VARCHAR)
+             || '@example.com at 10.' || CAST(doc_id % 200 AS VARCHAR)
+             || '.0.1 or 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+             || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS aug
+      FROM documents
+    ),
+    redacted AS (
+      SELECT
+        doc_id,
+        CAST(len(regexp_extract_all(aug, '{_PII_EMAIL}')) AS INT) AS n_emails,
+        CAST(len(regexp_extract_all(aug, '{_PII_IPV4}')) AS INT) AS n_ips,
+        CAST(len(regexp_extract_all(aug, '{_PII_PHONE}')) AS INT) AS n_phones,
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(aug, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+            '{_PII_IPV4}', '<IP>', 'g'),
+          '{_PII_PHONE}', '<PHONE>', 'g') AS clean
+      FROM planted
+    )
+    SELECT doc_id, n_emails, n_ips, n_phones,
+           md5(clean) AS redacted_md5,
+           CAST(len(regexp_extract_all(clean, '{_PII_EMAIL}'))
+              + len(regexp_extract_all(clean, '{_PII_IPV4}'))
+              + len(regexp_extract_all(clean, '{_PII_PHONE}')) AS INT) AS residual_pii
+    FROM redacted
+    """,
+)
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing for training corpora: detect + redact emails / IPv4s /
+    phone numbers, count what was removed, and prove nothing survives
+    (`residual_pii` re-scans the cleaned text and must be 0 — asserted in
+    tests/test_textops.py, hash-compared by the oracle).
+
+    The synthetic corpus carries no PII, so the query first PLANTS
+    deterministic doc_id-derived PII in both engines identically — what is
+    under test is the redaction pipeline itself and exact Java-vs-RE2 regex
+    agreement on the three patterns (kept to the shared-dialect subset: no
+    lookaround, no backrefs).
+
+    Scale shape: one codegen'd scan — regexp_count/regexp_replace are JVM
+    expressions, no UDF, no shuffle; at 100 TB this runs at parquet-read
+    speed and is exactly how a curation pass wants PII handled (counts for
+    audit, md5 for idempotence checks downstream).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com at 10."),
+        (F.col("doc_id") % 200).cast("string"),
+        F.lit(".0.1 or 555-"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    planted = d.select("doc_id", aug.alias("aug"))
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("aug"), _PII_EMAIL, "<EMAIL>"),
+            _PII_IPV4,
+            "<IP>",
+        ),
+        _PII_PHONE,
+        "<PHONE>",
+    )
+    redacted = planted.select(
+        "doc_id",
+        F.regexp_count(F.col("aug"), F.lit(_PII_EMAIL)).cast("int").alias("n_emails"),
+        F.regexp_count(F.col("aug"), F.lit(_PII_IPV4)).cast("int").alias("n_ips"),
+        F.regexp_count(F.col("aug"), F.lit(_PII_PHONE)).cast("int").alias("n_phones"),
+        clean.alias("clean"),
+    )
+    return redacted.select(
+        "doc_id",
+        "n_emails",
+        "n_ips",
+        "n_phones",
+        F.md5("clean").alias("redacted_md5"),
+        (
+            F.regexp_count(F.col("clean"), F.lit(_PII_EMAIL))
+            + F.regexp_count(F.col("clean"), F.lit(_PII_IPV4))
+            + F.regexp_count(F.col("clean"), F.lit(_PII_PHONE))
+        ).cast("int").alias("residual_pii"),
+    )

@@ -103,3 +103,13 @@ def test_winnowing_arrow_equals_expression_path(spark, oracle_sf_dir):
         for r in winnow_fps_arrow(spark, oracle_sf_dir).collect()
     }
     assert expr_fps == arrow_fps
+
+
+def test_pii_redaction_removes_everything(spark, sf_dir):
+    """Every doc gets >=1 planted email/ip/phone; after redaction the
+    re-scan must find zero PII in every row."""
+    rows = QUERIES["text_pii_redaction"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["n_emails"] >= 1 and r["n_ips"] >= 1 and r["n_phones"] >= 1, r
+        assert r["residual_pii"] == 0, r
