@@ -221,3 +221,45 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_norm"),
         )
     )
+
+
+@query(
+    "events_rolling_7d_distinct_users",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM du),
+    contrib AS (
+      SELECT d.day AS target_day, du.user_id
+      FROM du JOIN days d ON d.day >= du.day AND d.day <= du.day + 6
+    )
+    SELECT CAST(target_day AS VARCHAR) AS day,
+           COUNT(DISTINCT user_id) AS users_7d
+    FROM contrib GROUP BY target_day
+    """,
+)
+def events_rolling_7d_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct actives per day — the windowed-distinct that
+    window frames CANNOT express (COUNT(DISTINCT) over a RANGE frame is
+    unsupported in every engine) and recomputing per day would make 7 full
+    passes.
+
+    Scale shape: dedupe to (day, user) once — the only fact-sized shuffle —
+    then each pair is exploded into the <=7 target days it contributes to
+    (bounded fan-out, map-side) and a second distinct-agg counts per target
+    day. Work is O(7 * |day-user pairs|), independent of raw event volume;
+    the final agg's cardinality is days x users at worst, already deduped.
+    """
+    e = load_table(spark, sf_dir, "events")
+    du = e.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    days = du.select("day").distinct()
+    contrib = du.join(
+        F.broadcast(days.withColumnRenamed("day", "target_day")),
+        (F.col("target_day") >= F.col("day"))
+        & (F.col("target_day") <= F.date_add(F.col("day"), 6)),
+    )
+    return (
+        contrib.groupBy(F.col("target_day").cast("string").alias("day"))
+        .agg(F.countDistinct("user_id").alias("users_7d"))
+    )

@@ -73,3 +73,37 @@ def grouping_sets_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         """
     )
+
+
+@query("hll_users_daily_merge_monthly")
+def hll_users_daily_merge_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Apache DataSketches HLL, the
+    engine-native re-aggregation path approx_count_distinct lacks): build
+    one user sketch PER DAY, then roll days into months by merging the
+    SKETCHES — never re-touching the raw events.
+
+    This is the 100 TB idiom for distinct counts across rollup grains: the
+    daily sketch table is tiny (one ~KB binary per day), monthly/yearly/
+    total distincts all derive from sketch unions, and late data only
+    rebuilds its own day. A plain approx_count_distinct per grain would
+    re-scan the fact for every grain; COUNT(DISTINCT) would shuffle the
+    full (day, user) set each time.
+
+    Rows-only driver row (sketch estimates are engine-specific);
+    tests/test_sketches.py asserts <5% error vs exact per day AND that
+    merged-daily == direct-monthly estimates exactly (merge soundness).
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.select(F.to_date("ts").alias("day"), "user_id")
+        .groupBy("day")
+        .agg(F.hll_sketch_agg("user_id").alias("sketch"))
+    )
+    return (
+        daily.groupBy(F.date_trunc("month", F.col("day")).cast("date").alias("month"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est_monthly_users"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .select("month", "est_monthly_users", "n_days")
+    )

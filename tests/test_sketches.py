@@ -43,3 +43,36 @@ def test_approx_percentile_close_to_exact(spark, oracle_sf_dir):
         am, ap = approx[flag]
         assert abs(am - em) / em < 0.02
         assert abs(ap - ep) / ep < 0.02
+
+
+def test_hll_merge_soundness_and_error(spark, oracle_sf_dir):
+    """Merged daily sketches must equal the direct monthly sketch estimate
+    exactly (same algorithm, associative union), and sit within 5% of the
+    exact monthly distinct count."""
+    from pyspark.sql import functions as F
+    from k_means_map_reduce_spark.sources import load_table
+
+    got = {
+        str(r["month"]): (r["est_monthly_users"], r["n_days"])
+        for r in QUERIES["hll_users_daily_merge_monthly"](spark, oracle_sf_dir).collect()
+    }
+    assert got, "no months"
+    e = load_table(spark, oracle_sf_dir, "events")
+    direct = {
+        str(r["month"]): (r["est"], r["exact"])
+        for r in e.select(
+            F.date_trunc("month", F.to_date("ts")).cast("date").alias("month"),
+            "user_id",
+        )
+        .groupBy("month")
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"),
+            F.countDistinct("user_id").alias("exact"),
+        )
+        .collect()
+    }
+    assert set(got) == set(direct)
+    for m, (est, _n_days) in got.items():
+        d_est, exact = direct[m]
+        assert est == d_est, f"merge changed the estimate: {m} {est} vs {d_est}"
+        assert abs(est - exact) / exact < 0.05, (m, est, exact)

@@ -30,6 +30,8 @@ DATE_SENSITIVE = [
     "streaming_interval_join_vs_batch",
     "streaming_dedup_vs_batch",
     "streaming_user_stats_vs_batch",
+    # to_date over TIMESTAMP_NTZ must not consult the session zone
+    "events_rolling_7d_distinct_users",
 ]
 
 
