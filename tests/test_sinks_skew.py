@@ -218,3 +218,31 @@ def test_merge_upsert_parquet_roundtrip(spark, sf_dir, tmp_path):
     # idempotent re-merge: same updates applied twice = same snapshot
     merge_upsert_parquet(spark, path, updates, ["c_custkey"])
     assert spark.read.parquet(path).count() == n0 + 1
+
+
+def test_incremental_combine_late_data_refresh(spark):
+    """A late batch touching one (day, user) must update exactly that row
+    and leave every other state row byte-identical (the no-rewrite
+    invariant the broadcast anti/semi split guarantees)."""
+    from k_means_map_reduce_spark.operators.incremental import (
+        _agg_batch,
+        combine_additive,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 10, 2.0), (2, "2024-01-01 11:00:00", 11, 3.0),
+         (3, "2024-01-02 10:00:00", 10, 5.0)],
+        "event_id LONG, ts STRING, user_id LONG, value DOUBLE",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    late = spark.createDataFrame(
+        [(4, "2024-01-01 23:00:00", 10, 7.0)],
+        "event_id LONG, ts STRING, user_id LONG, value DOUBLE",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+
+    state0 = _agg_batch(base)
+    state1 = combine_additive(state0, _agg_batch(late))
+    rows = {(str(r["day"]), r["user_id"]): (float(r["sum_value"]), r["n_events"])
+            for r in state1.collect()}
+    assert rows[("2024-01-01", 10)] == (9.0, 2)      # updated: 2 + 7
+    assert rows[("2024-01-01", 11)] == (3.0, 1)      # untouched
+    assert rows[("2024-01-02", 10)] == (5.0, 1)      # untouched
