@@ -665,3 +665,95 @@ _query("streaming_dedup_vs_batch", oracle=_DEDUP_ORACLE)(
 _query("streaming_static_join_vs_batch", oracle=_STATIC_JOIN_ORACLE)(
     stream_static_join_enriched_counts
 )
+
+
+def stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming materialized-view maintenance: foreachBatch folds each
+    micro-batch into a durable (day, user) rollup via the SAME
+    combine_additive the batch path uses (operators/incremental.py), with
+    copy-on-write parquet state swaps (the merge_upsert_parquet discipline).
+
+    The fact is staged as 4 parquet files + maxFilesPerTrigger=1, so the
+    availableNow drain genuinely replays 4 micro-batches — refresh order is
+    whatever the source picks, which is exactly what combine_additive's
+    commutativity must absorb. No watermark/stateful-agg machinery is
+    involved (state lives in the parquet table, not the stream), so ts
+    stays TIMESTAMP_NTZ end-to-end and the result is session-zone-free.
+
+    At scale this is the canonical "streaming ingest keeps a serving
+    rollup fresh" job: per refresh it shuffles only the micro-batch's
+    partial agg, and rewrites only touched state (broadcast anti/semi
+    split) — never the fact, never the full state.
+    """
+    import os as _os
+
+    from ..operators.incremental import _agg_batch, combine_additive
+    from ..sources import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    stage = tempfile.mkdtemp(prefix="inc_stage_", dir=_tmp_root())
+    for i in range(4):
+        (
+            e.where(F.pmod(F.col("event_id"), F.lit(4)) == i)
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(stage)
+        )
+    schema = T.StructType(
+        [
+            f if f.name != "ts" else T.StructField("ts", T.TimestampNTZType())
+            for f in TABLE_SCHEMAS["events"]
+        ]
+    )
+    state_path = _os.path.join(
+        tempfile.mkdtemp(prefix="inc_state_", dir=_tmp_root()), "state"
+    )
+
+    def refresh(bdf: DataFrame, _epoch: int) -> None:
+        delta = _agg_batch(bdf)
+        if _os.path.isdir(state_path):
+            base = spark.read.parquet(state_path)
+            new = combine_additive(base, delta)
+            staging = f"{state_path}__staging"
+            new.write.mode("overwrite").parquet(staging)
+            old = f"{state_path}__old"
+            _os.rename(state_path, old)
+            _os.rename(staging, state_path)
+            shutil.rmtree(old)
+        else:
+            delta.write.mode("overwrite").parquet(state_path)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    checkpoint = tempfile.mkdtemp(prefix="ckpt_inc_", dir=_tmp_root())
+    q = (
+        stream.writeStream.foreachBatch(refresh)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(state_path).select(
+        F.col("day").cast("string").alias("day"),
+        "user_id",
+        F.col("sum_value").cast("double").alias("sum_value"),
+        "n_events",
+    )
+
+
+_INCREMENTAL_ORACLE = """
+    SELECT
+      CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+      user_id,
+      CAST(SUM(CAST(ROUND((value), 6) AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+      COUNT(*) AS n_events
+    FROM events
+    GROUP BY 1, 2
+"""
+
+_query("streaming_incremental_rollup_vs_batch", oracle=_INCREMENTAL_ORACLE)(
+    stream_incremental_rollup
+)

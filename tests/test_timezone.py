@@ -32,6 +32,8 @@ DATE_SENSITIVE = [
     "streaming_user_stats_vs_batch",
     # to_date over TIMESTAMP_NTZ must not consult the session zone
     "events_rolling_7d_distinct_users",
+    # NTZ end-to-end through a foreachBatch maintenance loop
+    "streaming_incremental_rollup_vs_batch",
 ]
 
 
