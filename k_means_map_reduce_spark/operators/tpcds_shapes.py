@@ -1,8 +1,8 @@
 """TPC-DS-signature query shapes over the TPC-H-ish test tables.
 
 TPC-H covers join/agg breadth; TPC-DS adds the window-over-aggregate and
-cross-channel patterns that dominate real warehouse workloads. Two
-representative shapes, both fully oracled:
+cross-channel patterns that dominate real warehouse workloads. Three
+representative shapes, all fully oracled:
 
 - ds_monthly_deviation (q47's core): per-group monthly series with a
   centered moving average and deviation from the group's yearly mean —
@@ -10,6 +10,8 @@ representative shapes, both fully oracled:
 - ds_channel_full_outer (q78's core): two independently aggregated
   "channels" full-outer-joined on the entity key with NULL-tolerant
   ratios — the canonical cross-channel reconciliation.
+- ds_yoy_customer_growth (q74's core): per-entity yearly series
+  self-compared across consecutive years via lag + adjacency guard.
 
 Reference parity note: the reference engine (K-Means gRPC MapReduce,
 master.py) has no relational surface; these extend SURVEY.md §2b breadth.
@@ -178,5 +180,74 @@ def ds_channel_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.col("order_value"),
                 6,
             ).alias("return_ratio"),
+        )
+    )
+
+
+@query(
+    "ds_yoy_customer_growth",
+    oracle="""
+    WITH yearly AS (
+      SELECT
+        o_custkey,
+        CAST(substr(CAST(o_orderdate AS VARCHAR), 1, 4) AS INT) AS yr,
+        CAST(SUM(CAST(ROUND(o_totalprice, 6) AS DECIMAL(18,6))) AS DOUBLE) AS spend
+      FROM orders
+      GROUP BY 1, 2
+    ),
+    chained AS (
+      SELECT
+        o_custkey, yr, spend,
+        lag(spend) OVER (PARTITION BY o_custkey ORDER BY yr) AS prev_spend,
+        lag(yr) OVER (PARTITION BY o_custkey ORDER BY yr) AS prev_yr
+      FROM yearly
+    )
+    SELECT
+      o_custkey, yr, ROUND(spend, 4) AS spend,
+      ROUND(prev_spend, 4) AS prev_spend,
+      ROUND(spend / prev_spend, 6) AS growth
+    FROM chained
+    WHERE prev_yr = yr - 1 AND prev_spend > 0 AND spend / prev_spend > 1.5
+    """,
+)
+def ds_yoy_customer_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q74's signature: per-entity yearly series, self-compared
+    across CONSECUTIVE years (lag + year-adjacency guard — a customer who
+    skipped 1995 must not have 1996 compared against 1994), keeping
+    customers whose spend grew >1.5x.
+
+    Scale shape: the fact collapses to a (customer, year) rollup via
+    map-side partials first — the window (and everything after) runs on
+    ~|customers|x7 rows, not the fact. One shuffle for the agg; the lag
+    window reuses the same customer partitioning.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    yearly = (
+        o.groupBy(
+            "o_custkey",
+            F.year("o_orderdate").alias("yr"),
+        )
+        .agg(dsum("o_totalprice").alias("spend"))
+    )
+    w = Window.partitionBy("o_custkey").orderBy("yr")
+    chained = yearly.select(
+        "o_custkey",
+        "yr",
+        "spend",
+        F.lag("spend").over(w).alias("prev_spend"),
+        F.lag("yr").over(w).alias("prev_yr"),
+    )
+    return (
+        chained.where(
+            (F.col("prev_yr") == F.col("yr") - 1)
+            & (F.col("prev_spend") > 0)
+            & (F.col("spend") / F.col("prev_spend") > 1.5)
+        )
+        .select(
+            "o_custkey",
+            "yr",
+            F.round("spend", 4).alias("spend"),
+            F.round("prev_spend", 4).alias("prev_spend"),
+            F.round(F.col("spend") / F.col("prev_spend"), 6).alias("growth"),
         )
     )
