@@ -64,6 +64,12 @@ HEADLINE = [
     "text_repetition_filters",
     "training_pack_sequences",
     "sim_ann_pq_topk",
+    # round-3 second pass: bloom semi-join reduction, PII scrub scan,
+    # rolling windowed-distinct, incremental view maintenance
+    "bloom_semi_join_orders",
+    "text_pii_redaction",
+    "events_rolling_7d_distinct_users",
+    "incremental_daily_rollup",
 ]
 
 

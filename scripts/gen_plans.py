@@ -58,6 +58,26 @@ PICKS = {
         "form inside the aggregate; the streaming twin adds a watermark, "
         "same plan shape."
     ),
+    "bloom_semi_join_orders": (
+        "Bloom pre-filter below the shuffle semi-join: the key side "
+        "collapses to an 8 KB word array carried inside the filter "
+        "expression, so the fact exchange moves only probable matches; "
+        "the ShuffledHashJoin then removes false positives — exact "
+        "result, fact pruned before it ever shuffles."
+    ),
+    "events_rolling_7d_distinct_users": (
+        "Windowed-distinct via bounded fan-out: dedupe to (day,user) "
+        "once — the only fact-sized shuffle — then a broadcast range "
+        "join against the day spine (<=7 targets per pair) feeds the "
+        "final distinct agg. Work is O(7·|pairs|), independent of raw "
+        "event volume."
+    ),
+    "incremental_daily_rollup": (
+        "Materialized-view maintenance: each refresh aggregates only its "
+        "batch (map-side partials), broadcast anti/semi splits the state "
+        "on the batch's key set, and only the touched slice re-aggregates "
+        "— the untouched state never shuffles or rewrites."
+    ),
 }
 
 
