@@ -63,7 +63,10 @@ def _prior_round_status() -> tuple[set[str], set[str]]:
         if r.get("rows_match") in (True, None)
         and r.get("schema_match") in (True, None)
         and r.get("hash_match") in (True, None)
-        and not r.get("err")
+        # "no_oracle" is the driver's permanent verdict for a rows-only
+        # entry, not a failure — re-checking it can never change it, so it
+        # must not camp in the re-check tier.
+        and (not r.get("err") or r.get("err") == "no_oracle")
     }
     return set(latest), green
 
@@ -71,12 +74,15 @@ def _prior_round_status() -> tuple[set[str], set[str]]:
 def _ordered_names() -> list[str]:
     checked, green = _prior_round_status()
     names = list(QUERIES)
-    # tiers: never-checked, then checked-but-not-green, then green; within
-    # each tier oracled before rows-only, stable registration order.
+    # tiers: previously-FAILED first (a fixed bug only shows green if its
+    # row is re-checked, and the verify harness may truncate to ~50 — a
+    # grown never-checked tier must not crowd re-checks out), then
+    # never-checked, then green; within each tier oracled before rows-only,
+    # stable registration order.
     return sorted(
         names,
         key=lambda n: (
-            (0 if n not in checked else (1 if n not in green else 2)),
+            (0 if (n in checked and n not in green) else (1 if n not in checked else 2)),
             n not in ORACLES,
             names.index(n),
         ),
