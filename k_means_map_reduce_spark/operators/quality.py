@@ -1,0 +1,193 @@
+"""Data-quality and snapshot-diff primitives (pipeline operations, M3).
+
+Two operators every 100 TB ingest pipeline runs constantly:
+
+- dq_checks_orders: declarative constraint validation (null rate,
+  key uniqueness, referential integrity, domain ranges) emitted as one
+  small (check, violations) result — the dbt-test / Deequ shape. Each
+  check is a plain aggregate or anti-join, so the whole battery is a few
+  scans with map-side partials and one broadcast anti-join; nothing
+  materializes violating rows unless a check fires.
+
+- snapshot_diff_orders: CDC extraction between two table snapshots — the
+  inserted / deleted / changed triage via a full-outer join on the key
+  comparing row fingerprints (xxhash64 over the value columns). At scale
+  both snapshots hash-partition on the key once; the fingerprint means
+  the value columns never need to be compared field-by-field (or even
+  shuffled — only key + 8-byte hash move).
+
+Both are fully oracled: the two "snapshots" are carved deterministically
+from `orders` so DuckDB reproduces the exact same diff.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import load_table
+
+
+@query(
+    "dq_checks_orders",
+    oracle="""
+    SELECT 'null_custkey' AS check_name,
+           COUNT(*) FILTER (WHERE o_custkey IS NULL) AS violations,
+           COUNT(*) AS n_rows
+    FROM orders
+    UNION ALL
+    SELECT 'duplicate_orderkey',
+           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT),
+           COUNT(*)
+    FROM orders
+    UNION ALL
+    SELECT 'dangling_custkey_fk',
+           COUNT(*),
+           (SELECT COUNT(*) FROM orders)
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'orderdate_out_of_range',
+           COUNT(*) FILTER (WHERE o_orderdate < DATE '1990-01-01'
+                              OR o_orderdate > DATE '2030-12-31'),
+           COUNT(*)
+    FROM orders
+    UNION ALL
+    SELECT 'nonpositive_totalprice',
+           COUNT(*) FILTER (WHERE o_totalprice <= 0),
+           COUNT(*)
+    FROM orders
+    """,
+)
+def dq_checks_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint battery over orders: nulls, uniqueness, FK integrity,
+    domain ranges — one (check_name, violations, n_rows) row each.
+
+    Conditional aggregates share a single scan (Catalyst merges the
+    map-side partials); the FK check is a broadcast-dim anti-join counting
+    survivors. A clean pipeline asserts every `violations` is 0 — the
+    driver hash-compare pins the exact counts either way.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+
+    scan_checks = o.agg(
+        F.count(F.when(F.col("o_custkey").isNull(), 1)).alias("null_custkey"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("duplicate_orderkey"),
+        F.count(
+            F.when(
+                (F.col("o_orderdate") < F.lit("1990-01-01").cast("date"))
+                | (F.col("o_orderdate") > F.lit("2030-12-31").cast("date")),
+                1,
+            )
+        ).alias("orderdate_out_of_range"),
+        F.count(F.when(F.col("o_totalprice") <= 0, 1)).alias("nonpositive_totalprice"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    dangling = (
+        o.join(F.broadcast(c.select("c_custkey")),
+               o["o_custkey"] == c["c_custkey"], "left_anti")
+        .agg(F.count(F.lit(1)).alias("dangling_custkey_fk"))
+    )
+    wide = scan_checks.crossJoin(F.broadcast(dangling))
+    per_check = [
+        wide.select(
+            F.lit(name).alias("check_name"),
+            F.col(name).cast("long").alias("violations"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+        )
+        for name in [
+            "null_custkey",
+            "duplicate_orderkey",
+            "dangling_custkey_fk",
+            "orderdate_out_of_range",
+            "nonpositive_totalprice",
+        ]
+    ]
+    return reduce(DataFrame.unionByName, per_check)
+
+
+_DIFF_V1 = "o_orderkey % 10 != 0"  # v1 lacks keys ending in 0
+_DIFF_V2 = "o_orderkey % 7 != 0"   # v2 drops %7 keys and reprices %3 keys
+
+
+@query(
+    "snapshot_diff_orders",
+    oracle=f"""
+    WITH v1 AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      FROM orders WHERE {_DIFF_V1}
+    ),
+    v2 AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CASE WHEN o_orderkey % 3 = 0
+                  THEN ROUND(o_totalprice * 1.1, 2)
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE {_DIFF_V2}
+    )
+    SELECT
+      COALESCE(v1.o_orderkey, v2.o_orderkey) AS o_orderkey,
+      CASE
+        WHEN v1.o_orderkey IS NULL THEN 'insert'
+        WHEN v2.o_orderkey IS NULL THEN 'delete'
+        ELSE 'update'
+      END AS change
+    FROM v1 FULL OUTER JOIN v2 USING (o_orderkey)
+    WHERE v1.o_orderkey IS NULL OR v2.o_orderkey IS NULL
+       OR v1.o_custkey != v2.o_custkey
+       OR v1.o_orderstatus != v2.o_orderstatus
+       OR v1.o_totalprice != v2.o_totalprice
+    """,
+)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC between two deterministic snapshots of orders: keys only in v2
+    are inserts, only in v1 deletes, present-in-both-with-different-values
+    updates.
+
+    The Spark side compares an xxhash64 FINGERPRINT of the value columns
+    instead of the columns themselves — at scale the full-outer join
+    shuffles (key, hash) pairs, never the payload (the oracle compares
+    fields directly, which must produce the identical triage: the
+    fingerprint may never miss a change the field compare sees, and
+    xxhash64 collisions producing a missed update would hash-mismatch the
+    driver compare).
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    v1 = o.where(_DIFF_V1)
+    v2 = o.where(_DIFF_V2).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 3 == 0, F.round(F.col("o_totalprice") * 1.1, 2)
+        ).otherwise(F.col("o_totalprice")),
+    )
+
+    def fp(df: DataFrame, side: str) -> DataFrame:
+        return df.select(
+            F.col("o_orderkey").alias(f"{side}_key"),
+            F.xxhash64("o_custkey", "o_orderstatus", "o_totalprice").alias(
+                f"{side}_fp"
+            ),
+        )
+
+    joined = fp(v1, "v1").join(
+        fp(v2, "v2"), F.col("v1_key") == F.col("v2_key"), "full_outer"
+    )
+    return (
+        joined.where(
+            F.col("v1_key").isNull()
+            | F.col("v2_key").isNull()
+            | (F.col("v1_fp") != F.col("v2_fp"))
+        )
+        .select(
+            F.coalesce(F.col("v1_key"), F.col("v2_key")).alias("o_orderkey"),
+            F.when(F.col("v1_key").isNull(), "insert")
+            .when(F.col("v2_key").isNull(), "delete")
+            .otherwise("update")
+            .alias("change"),
+        )
+    )
