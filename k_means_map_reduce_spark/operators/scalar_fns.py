@@ -243,3 +243,40 @@ def json_schema_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parsed.groupBy(F.col("p.k").alias("k_value")).agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+@query(
+    "events_variant_props_agg",
+    oracle="""
+    SELECT
+      event_type,
+      COUNT(*) AS n_events,
+      CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+      CAST(COUNT(CAST(json_extract_string(props, '$.missing') AS INT)) AS BIGINT) AS n_missing_path
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_variant_props_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured aggregation through Spark 4's VARIANT type:
+    parse_json once into a variant, then typed path extraction with
+    variant_get / try_variant_get (the missing path must yield NULL, not
+    an error — counted to prove it).
+
+    VARIANT vs get_json_object at 100 TB: the JSON text is parsed ONCE
+    into a binary-encoded tree; every subsequent path access is a
+    structural lookup, not a re-parse — the difference between O(paths)
+    and O(paths x parse) per row. (Here DuckDB oracles the VALUES via its
+    JSON functions; the encoding itself is engine-internal.)
+    """
+    e = load_table(spark, sf_dir, "events")
+    v = e.select(
+        "event_type", F.parse_json(F.col("props")).alias("v")
+    )
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.variant_get(F.col("v"), "$.k", "int")).alias("sum_k"),
+        F.count(F.try_variant_get(F.col("v"), "$.missing", "int")).alias(
+            "n_missing_path"
+        ),
+    )
