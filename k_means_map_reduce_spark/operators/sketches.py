@@ -107,3 +107,49 @@ def hll_users_daily_merge_monthly(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .select("month", "est_monthly_users", "n_days")
     )
+
+
+@query("hll_users_rollup_grains")
+def hll_users_rollup_grains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users at EVERY grain — day, month, total — derived from one
+    daily sketch table by unioning sketches upward (grain = 'day' rows use
+    the day's own sketch).
+
+    This is why mergeable sketches beat approx_count_distinct at scale: a
+    single fact scan builds the daily sketches; every coarser grain is a
+    union over the tiny sketch table, where an approx_count_distinct rollup
+    would rescan the fact per grain and COUNT(DISTINCT) would shuffle the
+    raw (grain, user) set for each. Rows-only (estimates are
+    engine-specific); tests assert each grain's estimate equals the
+    directly-built sketch's estimate (union soundness at every level) and
+    sits within 5% of exact.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.select(F.to_date("ts").alias("day"), "user_id")
+        .groupBy("day")
+        .agg(F.hll_sketch_agg("user_id").alias("sketch"))
+        .persist()
+    )
+    day_rows = daily.select(
+        F.lit("day").alias("grain"),
+        F.col("day").cast("string").alias("bucket"),
+        F.hll_sketch_estimate("sketch").alias("est_users"),
+    )
+    month_rows = (
+        daily.groupBy(F.date_trunc("month", F.col("day")).cast("date").alias("m"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est_users"))
+        .select(
+            F.lit("month").alias("grain"),
+            F.col("m").cast("string").alias("bucket"),
+            "est_users",
+        )
+    )
+    total_rows = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est_users")
+    ).select(
+        F.lit("total").alias("grain"),
+        F.lit("all").alias("bucket"),
+        "est_users",
+    )
+    return day_rows.unionByName(month_rows).unionByName(total_rows)

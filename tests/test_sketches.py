@@ -76,3 +76,31 @@ def test_hll_merge_soundness_and_error(spark, oracle_sf_dir):
         d_est, exact = direct[m]
         assert est == d_est, f"merge changed the estimate: {m} {est} vs {d_est}"
         assert abs(est - exact) / exact < 0.05, (m, est, exact)
+
+
+def test_hll_rollup_grains_union_soundness(spark, oracle_sf_dir):
+    """Every grain's sketch-union estimate must equal the estimate of a
+    sketch built directly at that grain, and approximate the exact distinct
+    within 5%."""
+    from pyspark.sql import functions as F
+    from k_means_map_reduce_spark.sources import load_table
+
+    rows = QUERIES["hll_users_rollup_grains"](spark, oracle_sf_dir).collect()
+    got = {(r["grain"], r["bucket"]): r["est_users"] for r in rows}
+    assert {g for g, _ in got} == {"day", "month", "total"}
+
+    e = load_table(spark, oracle_sf_dir, "events")
+    du = e.select(F.to_date("ts").alias("day"), "user_id")
+    direct_total = du.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"),
+        F.countDistinct("user_id").alias("exact"),
+    ).first()
+    assert got[("total", "all")] == direct_total["est"]
+    assert abs(direct_total["est"] - direct_total["exact"]) / direct_total["exact"] < 0.05
+    for r in du.groupBy(F.date_trunc("month", "day").cast("date").alias("m")).agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"),
+        F.countDistinct("user_id").alias("exact"),
+    ).collect():
+        key = ("month", str(r["m"]))
+        assert got[key] == r["est"], key
+        assert abs(r["est"] - r["exact"]) / r["exact"] < 0.05, key
