@@ -265,3 +265,41 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_media"),
         F.sum(F.length("resized")).cast("bigint").alias("total_resized_bytes"),
     )
+
+
+@query(
+    "multimodal_dedup_exact",
+    oracle="""
+    SELECT
+      md5(text) AS content_md5,
+      MIN(doc_id) AS keeper_doc_id,
+      COUNT(*) AS n_copies,
+      CAST(MIN(octet_length(encode(text))) AS BIGINT) AS payload_bytes
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def multimodal_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact media dedup: group by content hash of the opaque BINARY
+    payload, keep the lowest doc_id.
+
+    Stage one of every multimodal dedup pipeline (before any perceptual
+    hashing): at 100 TB the groupBy ships 16-byte digests + ids — the
+    payload bytes never shuffle (the hash is computed scan-side). The
+    oracle recomputes the same md5 from the text the payload was encoded
+    from (md5(utf8-bytes) == md5(string) in both engines).
+    """
+    m = media_table(spark, sf_dir)
+    return (
+        m.select(
+            F.md5("media").alias("content_md5"),
+            "doc_id",
+            F.octet_length("media").alias("nb"),
+        )
+        .groupBy("content_md5")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("nb").cast("long").alias("payload_bytes"),
+        )
+    )
