@@ -147,3 +147,55 @@ def test_histogram_degenerate_all_equal(spark, tmp_path):
     assert len(odf) == 1
     orow = odf.iloc[0]
     assert (int(orow["bucket"]), int(orow["n"]), float(orow["bucket_lo"])) == (0, 50, 1000.0)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.integers(min_value=-(2**62), max_value=2**62), min_size=1, max_size=60, unique=True)
+)
+def test_bloom_never_false_negative_property(spark, keys):
+    """Adversarial key sets (negatives, extremes): every inserted key must
+    probe positive — bloom_semi_join's exactness rests on this."""
+    from k_means_map_reduce_spark.operators.bloom import (
+        bloom_might_contain,
+        build_bloom_words,
+    )
+
+    df = spark.createDataFrame([(k,) for k in keys], "k LONG")
+    words = build_bloom_words(df, "k", num_bits=1 << 10)
+    assert df.where(bloom_might_contain(F.col("k"), words)).count() == len(keys)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10**9),
+            st.integers(min_value=0, max_value=10**9),
+        ),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    )
+)
+def test_zorder_interleave_matches_python(spark, pairs):
+    """Morton interleave vs a plain-Python bit loop on arbitrary 30-bit
+    inputs (already-ranked values: feed interleave_bits directly)."""
+    from k_means_map_reduce_spark.functions.zorder import interleave_bits
+
+    df = spark.createDataFrame(pairs, "x LONG, y LONG")
+    got = [
+        r[0]
+        for r in df.select(
+            interleave_bits(F.col("x"), F.col("y"))
+        ).collect()
+    ]
+
+    def morton(x: int, y: int) -> int:
+        out = 0
+        for i in range(31):
+            out |= ((x >> i) & 1) << (2 * i)
+            out |= ((y >> i) & 1) << (2 * i + 1)
+        return out
+
+    assert got == [morton(x, y) for x, y in pairs]
