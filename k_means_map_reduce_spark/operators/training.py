@@ -32,7 +32,7 @@ aggregation.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -391,4 +391,105 @@ def sample_deterministic_stratified_docs(spark: SparkSession, sf_dir: str) -> Da
             F.min("doc_id").alias("min_doc_id"),
             F.max("doc_id").alias("max_doc_id"),
         )
+    )
+
+
+@query(
+    "training_epoch_shuffle",
+    oracle="""
+    WITH keyed AS (
+      SELECT
+        doc_id,
+        e.epoch,
+        md5(CAST(e.epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)) AS ord_key
+      FROM documents, (SELECT UNNEST([0, 1, 2]) AS epoch) e
+    )
+    SELECT
+      epoch,
+      doc_id,
+      CAST(ROW_NUMBER() OVER (PARTITION BY epoch ORDER BY ord_key) AS BIGINT)
+        AS position
+    FROM keyed
+    """,
+)
+def training_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch corpus shuffling: every epoch gets an
+    independent, reproducible permutation by ordering on
+    md5(epoch || ':' || doc_id) — the distributed answer to "shuffle the
+    dataset differently each epoch" that needs no RNG state, survives
+    retries/restarts bit-identically, and any engine can replay (md5, not
+    engine-local xxhash/rand).
+
+    Scale shape: the hash is a projection; the per-epoch ordering is one
+    range-partitioned sort per epoch over (epoch, key) pairs only. In a
+    real loader `position` becomes the read order within each epoch's
+    shard: sort by key and the permutation falls out of the write, no
+    global row_number needed.
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    epochs = spark.range(3).select(F.col("id").cast("int").alias("epoch"))
+    keyed = d.crossJoin(F.broadcast(epochs)).select(
+        "epoch",
+        "doc_id",
+        F.md5(
+            F.concat_ws(":", F.col("epoch").cast("string"), F.col("doc_id").cast("string"))
+        ).alias("ord_key"),
+    )
+    w = Window.partitionBy("epoch").orderBy("ord_key")
+    return keyed.select(
+        "epoch", "doc_id", F.row_number().over(w).cast("long").alias("position")
+    )
+
+
+@query(
+    "training_negative_pairs",
+    oracle="""
+    WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    base AS (SELECT doc_id, lang FROM documents),
+    cand AS (
+      SELECT
+        b.doc_id AS anchor_id,
+        CAST((b.doc_id * 2654435761 + j.j * 40503) % n.n_docs AS BIGINT)
+          AS negative_id,
+        j.j AS neg_rank
+      FROM base b, (SELECT UNNEST([1, 2, 3, 4]) AS j) j, n
+    )
+    SELECT c.anchor_id, c.negative_id, c.neg_rank, d.lang AS negative_lang
+    FROM cand c
+    JOIN documents d ON d.doc_id = c.negative_id
+    WHERE c.negative_id != c.anchor_id
+    """,
+)
+def training_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: each
+    anchor doc gets 4 pseudo-random negatives via a Knuth-style
+    multiplicative hash over the dense doc_id space — no RNG, no
+    cross join (the candidate set is anchor x 4, joined back to the
+    corpus on the computed id).
+
+    At 100 TB the join is the standard broadcast-or-shuffle equi-join on
+    negative_id; candidate generation is a bounded explode (x4) of the
+    anchor projection. Self-pairs are dropped (a doc must never be its
+    own negative); collision with a true positive is the downstream
+    filter's job (here: none, synthetic ids are unlabeled pairs).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count()
+    base = d.select("doc_id")
+    j = spark.range(1, 5).select(F.col("id").cast("int").alias("neg_rank"))
+    cand = base.crossJoin(F.broadcast(j)).select(
+        F.col("doc_id").alias("anchor_id"),
+        (
+            (F.col("doc_id") * F.lit(2654435761) + F.col("neg_rank") * F.lit(40503))
+            % F.lit(n_docs)
+        ).cast("long").alias("negative_id"),
+        "neg_rank",
+    )
+    return (
+        cand.where(F.col("negative_id") != F.col("anchor_id"))
+        .join(
+            d.select(F.col("doc_id").alias("negative_id"), F.col("lang").alias("negative_lang")),
+            "negative_id",
+        )
+        .select("anchor_id", "negative_id", "neg_rank", "negative_lang")
     )

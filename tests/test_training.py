@@ -9,6 +9,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from k_means_map_reduce_spark.registry import QUERIES
+
 from k_means_map_reduce_spark.operators.training import (
     contamination_train_test_ngrams,
     split_train_valid_test,
@@ -92,3 +94,31 @@ def test_pack_sequences_invariants(spark, oracle_sf_dir):
     assert (seqs["total_tokens"] > 0).all()
     starts = seqs["total_tokens"].cumsum().shift(fill_value=0)
     assert ((starts // _PACK_BUDGET) == seqs["seq_id"]).all()
+
+
+def test_epoch_shuffle_independent_permutations(spark, sf_dir):
+    """Each epoch is a complete permutation of the corpus, and distinct
+    epochs give (essentially) different orders — the point of keying the
+    hash on the epoch."""
+    rows = QUERIES["training_epoch_shuffle"](spark, sf_dir).collect()
+    by_epoch: dict[int, dict[int, int]] = {}
+    for r in rows:
+        by_epoch.setdefault(r["epoch"], {})[r["doc_id"]] = r["position"]
+    assert set(by_epoch) == {0, 1, 2}
+    n = len(by_epoch[0])
+    for e, perm in by_epoch.items():
+        assert sorted(perm.values()) == list(range(1, n + 1)), e
+    moved = sum(1 for d in by_epoch[0] if by_epoch[0][d] != by_epoch[1][d])
+    assert moved > 0.9 * n
+
+
+def test_negative_pairs_shape(spark, sf_dir):
+    """4 negatives per anchor (minus self-collisions), never the anchor
+    itself, all negative ids exist in the corpus."""
+    rows = QUERIES["training_negative_pairs"](spark, sf_dir).collect()
+    per_anchor: dict[int, int] = {}
+    for r in rows:
+        assert r["negative_id"] != r["anchor_id"]
+        per_anchor[r["anchor_id"]] = per_anchor.get(r["anchor_id"], 0) + 1
+    assert per_anchor and max(per_anchor.values()) <= 4
+    assert sum(per_anchor.values()) >= 3.9 * len(per_anchor)
