@@ -263,3 +263,73 @@ def events_rolling_7d_distinct_users(spark: SparkSession, sf_dir: str) -> DataFr
         contrib.groupBy(F.col("target_day").cast("string").alias("day"))
         .agg(F.countDistinct("user_id").alias("users_7d"))
     )
+
+
+@query(
+    "events_winsorized_value_stats",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type, value,
+             cume_dist() OVER (PARTITION BY event_type ORDER BY value) AS cd
+      FROM events
+    ),
+    bounds AS (
+      SELECT event_type,
+             COALESCE(MAX(CASE WHEN cd <= 0.05 THEN value END), MIN(value)) AS lo,
+             MIN(CASE WHEN cd >= 0.95 THEN value END) AS hi
+      FROM ranked GROUP BY event_type
+    )
+    SELECT
+      e.event_type,
+      COUNT(*) AS n_events,
+      ROUND(b.lo, 6) AS p05_value,
+      ROUND(b.hi, 6) AS p95_value,
+      CAST(SUM(CAST(ROUND(LEAST(GREATEST(e.value, b.lo), b.hi), 6)
+               AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS winsorized_mean
+    FROM events e JOIN bounds b USING (event_type)
+    GROUP BY e.event_type, b.lo, b.hi
+    """,
+)
+def events_winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized per-type value stats: clip into [p05, p95] where the
+    thresholds are ORDER STATISTICS (max value with cume_dist <= 0.05 /
+    min with >= 0.95) — rank-based, so both engines land on an actual data
+    value with zero interpolation arithmetic to disagree on. The clipped
+    mean uses the decimal-sum discipline.
+
+    Outlier clipping before aggregation is standard curation hygiene (a
+    handful of corrupt values must not move a quality gate). Scale note:
+    the bounds pass here is one window over (type, value) pairs; at
+    100 TB you'd swap it for approx_percentile or a mergeable quantile
+    sketch and keep the clip/aggregate pass unchanged — the thresholds
+    are the only approximate part.
+    """
+    e = load_table(spark, sf_dir, "events").select("event_type", "value")
+    w = Window.partitionBy("event_type").orderBy("value")
+    ranked = e.withColumn("cd", F.cume_dist().over(w))
+    bounds = ranked.groupBy("event_type").agg(
+        F.coalesce(
+            F.max(F.when(F.col("cd") <= 0.05, F.col("value"))), F.min("value")
+        ).alias("lo"),
+        F.min(F.when(F.col("cd") >= 0.95, F.col("value"))).alias("hi"),
+    )
+    clipped = e.join(F.broadcast(bounds), "event_type").withColumn(
+        "cv", F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    )
+    return (
+        clipped.groupBy("event_type", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.sum(F.round(F.col("cv"), 6).cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("winsorized_mean"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            F.round("lo", 6).alias("p05_value"),
+            F.round("hi", 6).alias("p95_value"),
+            "winsorized_mean",
+        )
+    )
