@@ -75,3 +75,46 @@ def test_all_tables_load(spark, sf_dir):
     for name in TABLE_NAMES:
         df = load_table(spark, sf_dir, name)
         assert df.limit(1).count() == 1, name
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Appended files may gain columns: mergeSchema must unify (new column
+    NULL for old files), and reading WITHOUT mergeSchema with an explicit
+    schema must still work — the ingest-evolution contract."""
+    p = str(tmp_path / "evolving")
+    spark.range(5).selectExpr("id", "id * 2 AS a").write.mode("append").parquet(p)
+    spark.range(5, 10).selectExpr(
+        "id", "id * 2 AS a", "CAST(id AS STRING) AS b"
+    ).write.mode("append").parquet(p)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(merged.columns) == {"id", "a", "b"}
+    rows = {r["id"]: r for r in merged.collect()}
+    assert rows[0]["b"] is None and rows[7]["b"] == "7"
+
+    explicit = spark.read.schema("id LONG, a LONG").parquet(p)
+    assert explicit.count() == 10 and set(explicit.columns) == {"id", "a"}
+
+
+def test_jsonl_corrupt_record_quarantine(spark, tmp_path):
+    """PERMISSIVE JSON reads must quarantine malformed lines into
+    _corrupt_record instead of failing the scan — at 100 TB a few bad
+    lines must never kill the job, and the quarantine column is how they
+    get audited."""
+    f = tmp_path / "events.jsonl"
+    f.write_text(
+        '{"event_id": 1, "value": 1.5}\n'
+        "THIS IS NOT JSON\n"
+        '{"event_id": 2, "value": 2.5}\n'
+        '{"event_id": 3, "value": "oops"}\n'
+    )
+    df = spark.read.schema(
+        "event_id LONG, value DOUBLE, _corrupt_record STRING"
+    ).option("mode", "PERMISSIVE").option(
+        "columnNameOfCorruptRecord", "_corrupt_record"
+    ).json(str(f))
+    rows = df.collect()
+    good = [r for r in rows if r["_corrupt_record"] is None]
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    assert {r["event_id"] for r in good} == {1, 2}
+    assert len(bad) == 2  # the non-JSON line and the type-mismatched line
