@@ -5,7 +5,7 @@ point (spark.sql over registered views — proving the same engine speaks SQL).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -363,4 +363,40 @@ def histogram_order_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("bucket", "bucket_lo")
         .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "histogram_equidepth_totalprice",
+    oracle="""
+    WITH t AS (
+      SELECT o_totalprice,
+             ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+      FROM orders
+    )
+    SELECT bucket, COUNT(*) AS n_orders,
+           ROUND(MIN(o_totalprice), 2) AS lo,
+           ROUND(MAX(o_totalprice), 2) AS hi
+    FROM t GROUP BY bucket
+    """,
+)
+def histogram_equidepth_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram (deciles by population, not by range): ntile
+    over a total order — the tie-break on o_orderkey makes bucket
+    boundaries deterministic, so both engines cut identically. Complements
+    histogram_order_totalprice's equi-width buckets; equi-depth is what
+    optimizers and drift monitors actually want (every bucket carries the
+    same weight).
+
+    Scale note: a global ntile needs a total sort — at 100 TB swap the
+    exact sort for approx_percentile cut points and keep the aggregation;
+    here exactness is the point (the oracle hash-checks the cuts).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    t = o.select("o_totalprice", F.ntile(10).over(w).cast("long").alias("bucket"))
+    return t.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
     )
