@@ -708,3 +708,105 @@ def dedup_exact_kept_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("_rn") == 1)
         .select("doc_id", "source")
     )
+
+
+_FUZZY_DF_FRAC = 0.2    # drop grams appearing in > this fraction of parts
+_FUZZY_THRESHOLD = 0.4
+
+
+@query(
+    "join_fuzzy_part_names",
+    oracle=f"""
+    WITH names AS (
+      SELECT DISTINCT p_name FROM part
+    ),
+    grams AS (
+      SELECT DISTINCT p_name, substr(p_name, CAST(i AS INT), 3) AS gram
+      FROM names, LATERAL UNNEST(range(1, GREATEST(length(p_name) - 2, 0) + 1)) AS t(i)
+    ),
+    kept AS (
+      SELECT * FROM grams
+      WHERE gram IN (
+        SELECT gram FROM grams GROUP BY gram
+        HAVING COUNT(*) <= CEIL({_FUZZY_DF_FRAC} * (SELECT COUNT(*) FROM names))
+      )
+    ),
+    sizes AS (
+      SELECT p_name, COUNT(*) AS n_grams FROM grams GROUP BY p_name
+    ),
+    shared AS (
+      SELECT a.p_name AS name_a, b.p_name AS name_b, COUNT(*) AS n_shared
+      FROM kept a JOIN kept b ON a.gram = b.gram AND a.p_name < b.p_name
+      GROUP BY 1, 2
+    )
+    SELECT
+      s.name_a, s.name_b,
+      ROUND(CAST(s.n_shared AS DOUBLE)
+            / (sa.n_grams + sb.n_grams - s.n_shared), 6) AS jaccard
+    FROM shared s
+    JOIN sizes sa ON sa.p_name = s.name_a
+    JOIN sizes sb ON sb.p_name = s.name_b
+    WHERE CAST(s.n_shared AS DOUBLE)
+          / (sa.n_grams + sb.n_grams - s.n_shared) >= {_FUZZY_THRESHOLD}
+    """,
+)
+def join_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (similarity) join on DISTINCT part names: character-trigram
+    Jaccard >= {_FUZZY_THRESHOLD} via an inverted gram index — record
+    linkage as a relational plan, no pairwise cross join anywhere. Linking
+    the deduped name dictionary (not every part row) is the standard
+    blocking trick: entity linkage cost scales with vocabulary, and the
+    name->part expansion is a plain equi-join afterwards.
+
+    Scale anatomy (the same shape as dedup_winnowing_pairs, applied to
+    entity linkage): shingle → drop stop-grams whose posting list exceeds
+    {_FUZZY_DF_FRAC:.0%} of the catalog (a gram shared by half the catalog generates
+    O(n^2) candidates and carries no signal — the cap bounds the
+    per-gram join fan-out, the classic prefix/posting filter from set-
+    similarity joins), equi-join postings on the gram, count shared grams
+    per pair, then one broadcast join to each side's gram count turns
+    shared counts into exact Jaccard. Note jaccard uses the UNPRUNED gram
+    sizes — pruning only loses candidate pairs (both engines identically),
+    never distorts a reported score.
+    """
+    names = load_table(spark, sf_dir, "part").select("p_name").distinct().persist()
+    n_names = names.count()
+    grams = (
+        names.select(
+            "p_name",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(length(p_name) - 2, 0)),"
+                    " i -> substring(p_name, i, 3))"
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    sizes = grams.groupBy("p_name").agg(F.count(F.lit(1)).alias("n_grams"))
+    kept = grams.join(
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= F.ceil(F.lit(_FUZZY_DF_FRAC) * F.lit(n_names)))
+        .select("gram"),
+        "gram",
+    )
+    a = kept.select(F.col("p_name").alias("name_a"), "gram")
+    b = kept.select(F.col("p_name").alias("name_b"), "gram")
+    shared = (
+        a.join(b, "gram")
+        .where(F.col("name_a") < F.col("name_b"))
+        .groupBy("name_a", "name_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("p_name").alias("name_a"), F.col("n_grams").alias("na"))
+    sb = sizes.select(F.col("p_name").alias("name_b"), F.col("n_grams").alias("nb"))
+    jac = F.col("n_shared").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_shared")
+    )
+    return (
+        shared.join(F.broadcast(sa), "name_a")
+        .join(F.broadcast(sb), "name_b")
+        .where(jac >= _FUZZY_THRESHOLD)
+        .select("name_a", "name_b", F.round(jac, 6).alias("jaccard"))
+    )
