@@ -70,6 +70,10 @@ HEADLINE = [
     "text_pii_redaction",
     "events_rolling_7d_distinct_users",
     "incremental_daily_rollup",
+    "sim_ann_ivfpq_topk",
+    "snapshot_diff_orders",
+    "events_variant_props_agg",
+    "join_fuzzy_part_names",
 ]
 
 
