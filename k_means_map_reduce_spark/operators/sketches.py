@@ -153,3 +153,38 @@ def hll_users_rollup_grains(spark: SparkSession, sf_dir: str) -> DataFrame:
         "est_users",
     )
     return day_rows.unionByName(month_rows).unionByName(total_rows)
+
+
+@query("hll_rolling_7d_users")
+def hll_rolling_7d_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct actives from DAILY SKETCHES: each target day
+    unions the <=7 daily sketches in its window — the sketch twin of
+    events_rolling_7d_distinct_users (which recomputes from deduped
+    (day,user) pairs).
+
+    The scale contrast is the point: the exact query's second aggregation
+    is O(7 x |day-user pairs|); this one is O(7 x |days|) sketch merges
+    over a KB-sized table — the fact is touched once, ever, to build the
+    daily sketches, and ANY trailing window (7d, 28d, 90d) reuses them.
+    Rows-only; tests assert <5% error vs the exact rolling counts.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.select(F.to_date("ts").alias("day"), "user_id")
+        .groupBy("day")
+        .agg(F.hll_sketch_agg("user_id").alias("sketch"))
+        .persist()
+    )
+    targets = daily.select(F.col("day").alias("target_day"))
+    contrib = daily.join(
+        F.broadcast(targets),
+        (F.col("target_day") >= F.col("day"))
+        & (F.col("target_day") <= F.date_add(F.col("day"), 6)),
+    )
+    return (
+        contrib.groupBy(F.col("target_day").cast("string").alias("day"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est_users_7d"),
+            F.count(F.lit(1)).alias("n_days_merged"),
+        )
+    )

@@ -104,3 +104,22 @@ def test_hll_rollup_grains_union_soundness(spark, oracle_sf_dir):
         key = ("month", str(r["m"]))
         assert got[key] == r["est"], key
         assert abs(r["est"] - r["exact"]) / r["exact"] < 0.05, key
+
+
+def test_hll_rolling_7d_vs_exact(spark, oracle_sf_dir):
+    """Sketch-union trailing-7d actives within 5% of the exact rolling
+    distinct for every day, with <=7 sketches merged per day."""
+    est = {
+        r["day"]: (r["est_users_7d"], r["n_days_merged"])
+        for r in QUERIES["hll_rolling_7d_users"](spark, oracle_sf_dir).collect()
+    }
+    exact = {
+        r["day"]: r["users_7d"]
+        for r in QUERIES["events_rolling_7d_distinct_users"](
+            spark, oracle_sf_dir
+        ).collect()
+    }
+    assert set(est) == set(exact)
+    for day, (e_val, n_days) in est.items():
+        assert 1 <= n_days <= 7
+        assert abs(e_val - exact[day]) / exact[day] < 0.05, (day, e_val, exact[day])
