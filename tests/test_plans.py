@@ -166,3 +166,21 @@ def test_package_sql_front_end(spark, oracle_sf_dir):
     assert {(r["o_orderstatus"], r["n"]) for r in got} == {
         (r["o_orderstatus"], r["count"]) for r in want
     }
+
+
+def test_incremental_combine_broadcasts_the_delta_keys(spark, sf_dir):
+    """The state split must broadcast the delta key set (both the anti and
+    semi sides) — a shuffled split would move the whole state per refresh."""
+    df = QUERIES["incremental_daily_rollup"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:1500]
+    assert "LeftAnti" in plan and "LeftSemi" in plan
+
+
+def test_fuzzy_join_has_no_cartesian(spark, sf_dir):
+    """Record linkage must stay an inverted-index equi-join — any
+    CartesianProduct/BroadcastNestedLoop means the blocking failed."""
+    df = QUERIES["join_fuzzy_part_names"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
