@@ -84,7 +84,15 @@ def incremental_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load_table(spark, sf_dir, "events")
     batches = [e.where(F.col("event_id") % 4 == i) for i in range(4)]
-    state = reduce(combine_additive, (_agg_batch(b) for b in batches[1:]), _agg_batch(batches[0]))
+    # Persist each fold's state: a real refresh loop MATERIALIZES state
+    # between cycles (parquet/table) — and lazily, every fold would
+    # re-derive the prior state twice (anti + semi branch), doubling the
+    # recomputed subtree per refresh.
+    state = reduce(
+        lambda st, d: combine_additive(st, d).persist(),
+        (_agg_batch(b) for b in batches[1:]),
+        _agg_batch(batches[0]).persist(),
+    )
     return state.select(
         F.col("day").cast("string").alias("day"),
         "user_id",
