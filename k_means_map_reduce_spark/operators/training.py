@@ -493,3 +493,115 @@ def training_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("anchor_id", "negative_id", "neg_rank", "negative_lang")
     )
+
+
+@query(
+    "corpus_to_training_pipeline",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, lang, text, {QUALITY} AS quality FROM documents
+    ),
+    gated AS (
+      SELECT * FROM scored WHERE quality >= 0.75
+    ),
+    scrubbed AS (
+      SELECT doc_id, lang, quality,
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(text, '{EMAIL}', '<EMAIL>', 'g'),
+            '{IPV4}', '<IP>', 'g'),
+          '{PHONE}', '<PHONE>', 'g') AS clean
+      FROM gated
+    ),
+    deduped AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY md5(clean) ORDER BY doc_id
+        ) AS rn FROM scrubbed
+      ) WHERE rn = 1
+    ),
+    split_assigned AS (
+      SELECT *,
+        CASE WHEN {BUCKET} < 90 THEN 'train'
+             WHEN {BUCKET} < 95 THEN 'valid'
+             ELSE 'test' END AS split
+      FROM deduped
+    )
+    SELECT
+      split,
+      lang,
+      COUNT(*) AS n_docs,
+      CAST(SUM(CAST(len(regexp_extract_all(clean, '{TOKEN}')) AS BIGINT)) AS BIGINT)
+        AS total_tokens,
+      CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_quality
+    FROM split_assigned
+    GROUP BY split, lang
+    """,
+)
+def corpus_to_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation chain as ONE dataflow: quality gate (>= 0.75, ~median of this corpus) →
+    PII scrub → exact dedup (keep lowest doc_id per scrubbed-content hash)
+    → 90/5/5 split assignment → per-(split, lang) doc/token/quality
+    summary. What a reference user would actually run nightly; every stage
+    is the already-oracled operator, composed.
+
+    Plan shape at 100 TB: gate + scrub + hash are one codegen scan; dedup
+    is one shuffle on the 16-byte content hash (row_number, no payload
+    re-shuffle); split is a projection; the summary is a partial-agg
+    rollup over (split, lang) — two shuffles total, end to end.
+    """
+    from ..functions.text import quality_score, token_count
+    from .textops import _PII_EMAIL, _PII_IPV4, _PII_PHONE
+
+    d = load_table(spark, sf_dir, "documents")
+    gated = d.select(
+        # round-6 BEFORE gating/summing: the oracle's QUALITY_SQL mirror is
+        # ROUND(...,6), and the decimal-sum recipe needs both engines to see
+        # the same doubles (operators/_util.py)
+        "doc_id", "lang", "text",
+        F.round(quality_score(F.col("text")), 6).alias("quality"),
+    ).where(F.col("quality") >= 0.75)
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _PII_EMAIL, "<EMAIL>"),
+            _PII_IPV4,
+            "<IP>",
+        ),
+        _PII_PHONE,
+        "<PHONE>",
+    )
+    scrubbed = gated.select("doc_id", "lang", "quality", clean.alias("clean"))
+    w = Window.partitionBy(F.md5("clean")).orderBy("doc_id")
+    deduped = scrubbed.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") == 1
+    )
+    b = _bucket(F.col("doc_id"))
+    assigned = deduped.withColumn("split", _split(b))
+    return assigned.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col("clean")).cast("bigint")).alias("total_tokens"),
+        (
+            F.sum(F.col("quality").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_quality"),
+    )
+
+
+# The oracle above is assembled from the module-level mirrors at import
+# time (QUALITY_SQL lives in textops, the token regex in its module).
+def _finalize_pipeline_oracle() -> None:
+    from ..registry import ORACLES
+    from .textops import QUALITY_SQL, _PII_EMAIL, _PII_IPV4, _PII_PHONE, _TOKEN_RE
+
+    ORACLES["corpus_to_training_pipeline"] = (
+        ORACLES["corpus_to_training_pipeline"]
+        .replace("{QUALITY}", QUALITY_SQL)
+        .replace("{EMAIL}", _PII_EMAIL)
+        .replace("{IPV4}", _PII_IPV4)
+        .replace("{PHONE}", _PII_PHONE)
+        .replace("{BUCKET}", _SPLIT_SQL_BUCKET)
+        .replace("{TOKEN}", _TOKEN_RE)
+    )
+
+
+_finalize_pipeline_oracle()
