@@ -93,6 +93,19 @@ def bloom_might_contain(
     return probe
 
 
+def bloom_might_contain_col(
+    key: Column, bitset_col: Column, num_bits: int, num_hashes: int = _NUM_HASHES
+) -> Column:
+    """Membership probe against a PER-ROW bitset column (array<long>) —
+    lets a tiny index table carry one Bloom filter per row (e.g. per data
+    file) and be probed with a literal key in one codegen pass."""
+    probe = F.lit(True)
+    for p in _positions(key, num_bits, num_hashes):
+        word = F.element_at(bitset_col, (p / 64).cast("int") + 1)
+        probe = probe & (word.bitwiseAND(_bit_mask(p)) != 0)
+    return probe
+
+
 def bloom_semi_join(
     fact: DataFrame,
     keys: DataFrame,

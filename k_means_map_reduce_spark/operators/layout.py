@@ -93,3 +93,93 @@ def events_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("zkey"),
         )
     )
+
+
+_IDX_BITS = 1 << 13  # bloom bits per file (1 KB of longs)
+
+
+def build_file_index(spark: SparkSession, path: str, col: str) -> DataFrame:
+    """Manifest-style skipping index: one row per parquet file of `path`
+    with (file, lo, hi, bloom words) for `col` — min/max for range pruning
+    plus a per-file Bloom filter for point-lookup pruning that survives
+    value gaps inside a file's [lo, hi] span.
+
+    This is the poor-man's Iceberg/Delta manifest, built WITH the engine:
+    one scan groups rows by input_file_name(); min/max and the bloom words
+    (xxhash64 positions -> bit_or over 64-bit words -> dense array via a
+    map + sequence fill) are all aggregation expressions. The index is
+    O(files) rows — thousands of rows for a 100 TB table — and lives
+    happily as a parquet table refreshed per ingest batch.
+    """
+    from .bloom import _bit_mask, _positions
+
+    df = spark.read.parquet(path).select(
+        F.input_file_name().alias("file"), F.col(col).alias("v")
+    )
+    minmax = df.groupBy("file").agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi")
+    )
+    pos = df.select(
+        "file",
+        F.explode(F.array(*_positions(F.col("v"), _IDX_BITS, 5))).alias("pos"),
+    )
+    words = (
+        pos.select(
+            "file",
+            (F.col("pos") / 64).cast("int").alias("word_idx"),
+            _bit_mask(F.col("pos")).alias("mask"),
+        )
+        .groupBy("file", "word_idx")
+        .agg(F.bit_or("mask").alias("word"))
+        .groupBy("file")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("word_idx", "word"))
+            ).alias("m")
+        )
+        .select(
+            "file",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_IDX_BITS // 64 - 1)),
+                lambda i: F.coalesce(
+                    F.element_at(F.col("m"), i), F.lit(0).cast("long")
+                ),
+            ).alias("words"),
+        )
+    )
+    return minmax.join(words, "file")
+
+
+def pruned_point_read(
+    spark: SparkSession, path: str, index: DataFrame, col: str, value
+) -> tuple[DataFrame, int]:
+    """Point lookup through the index: keep files whose [lo, hi] covers the
+    value AND whose Bloom filter admits it, then read ONLY those files.
+    Returns (rows, n_files_read). Exact by construction — min/max and
+    bloom both only ever skip true negatives.
+
+    At scale the index probe is a driver-side flash (O(files) rows,
+    broadcast-small); the read lists explicit files, so the scan cost is
+    proportional to matching files, not table size — this is the entire
+    economics of manifest pruning.
+    """
+    from .bloom import bloom_might_contain_col
+
+    # xxhash64 is TYPE-sensitive: probing an indexed BIGINT column with an
+    # int32 literal hashes differently and silently prunes everything — pin
+    # the literal to the column's on-disk type.
+    col_type = spark.read.parquet(path).schema[col].dataType
+    lit = F.lit(value).cast(col_type)
+    hits = index.where(
+        (lit >= F.col("lo"))
+        & (lit <= F.col("hi"))
+        & bloom_might_contain_col(lit, F.col("words"), _IDX_BITS)
+    )
+    files = [r["file"] for r in hits.select("file").collect()]
+    if not files:
+        empty = spark.read.parquet(path).where(F.lit(False))
+        return empty, 0
+    return (
+        spark.read.parquet(*files).where(F.col(col) == value),
+        len(files),
+    )

@@ -5,6 +5,7 @@ from __future__ import annotations
 import glob
 
 import pyarrow.parquet as pq
+from pyspark.sql import functions as F
 
 from k_means_map_reduce_spark.operators.layout import zorder_write
 from k_means_map_reduce_spark.sources import load_table
@@ -67,3 +68,30 @@ def test_zorder_write_roundtrip_lossless(spark, sf_dir, tmp_path):
     a = {r["event_id"] for r in back.select("event_id").collect()}
     b = {r["event_id"] for r in e.select("event_id").collect()}
     assert a == b
+
+
+def test_file_index_point_lookup_prunes_and_is_exact(spark, sf_dir, tmp_path):
+    """Manifest-style index over a z-ordered events copy: a user_id point
+    lookup must read a strict subset of the files and return exactly the
+    full-scan answer; a nonexistent key must read zero files."""
+    from k_means_map_reduce_spark.operators.layout import (
+        build_file_index,
+        pruned_point_read,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "z")
+    zorder_write(e, path, "user_id", "value", num_files=8)
+    index = build_file_index(spark, path, "user_id").cache()
+    n_files_total = index.count()
+    assert n_files_total == 8
+
+    some_user = e.select("user_id").first()[0]
+    got, n_read = pruned_point_read(spark, path, index, "user_id", some_user)
+    want = {r["event_id"] for r in e.where(F.col("user_id") == some_user).collect()}
+    assert {r["event_id"] for r in got.collect()} == want and want
+    assert 0 < n_read < n_files_total, (n_read, n_files_total)
+
+    missing = e.agg({"user_id": "max"}).first()[0] + 10_000
+    got2, n_read2 = pruned_point_read(spark, path, index, "user_id", missing)
+    assert n_read2 == 0 and got2.count() == 0
