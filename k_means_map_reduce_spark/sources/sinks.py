@@ -105,3 +105,65 @@ def merge_upsert_parquet(
     os.rename(path, old)
     os.rename(staging, path)
     shutil.rmtree(old)
+
+
+def compact_files(
+    spark: SparkSession, path: str, target_rows_per_file: int
+) -> tuple[int, int]:
+    """Small-file compaction: rewrite a parquet dataset into
+    ceil(n_rows / target) files and atomically swap. Returns
+    (files_before, files_after).
+
+    The small-files problem is the silent killer of 100 TB tables (every
+    file is a task + an open + a footer parse); streaming ingest produces
+    thousands of KB-sized files per day. At scale this runs per partition
+    with a real row-size estimate from table stats; the swap discipline is
+    the same copy-on-write rename as merge_upsert_parquet.
+    """
+    import glob
+    import math
+    import os
+    import shutil
+    import uuid
+
+    before = len(glob.glob(os.path.join(path, "*.parquet")))
+    df = spark.read.parquet(path)
+    n = df.count()
+    n_files = max(1, math.ceil(n / target_rows_per_file))
+    staging = f"{path}__compact_{uuid.uuid4().hex[:8]}"
+    df.repartition(n_files).write.mode("overwrite").parquet(staging)
+    old = f"{path}__old_{uuid.uuid4().hex[:8]}"
+    os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old)
+    return before, len(glob.glob(os.path.join(path, "*.parquet")))
+
+
+def retention_sweep(
+    spark: SparkSession, path: str, ts_col: str, cutoff
+) -> tuple[int, int]:
+    """TTL/retention delete: copy-on-write rewrite keeping only rows with
+    ts_col >= cutoff. Returns (rows_before, rows_after).
+
+    The GDPR/retention primitive for plain parquet: the filter pushes to
+    the scan, surviving rows rewrite once, the swap is atomic. With a
+    date/hour-partitioned layout (write_partitioned) whole expired
+    partitions drop without reading a row — this rewrite path is for the
+    boundary partition only.
+    """
+    import os
+    import shutil
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path)
+    before = df.count()
+    kept = df.where(F.col(ts_col) >= F.lit(cutoff))
+    staging = f"{path}__retain_{uuid.uuid4().hex[:8]}"
+    kept.write.mode("overwrite").parquet(staging)
+    old = f"{path}__old_{uuid.uuid4().hex[:8]}"
+    os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old)
+    return before, spark.read.parquet(path).count()

@@ -72,6 +72,12 @@ PICKS = {
         "final distinct agg. Work is O(7·|pairs|), independent of raw "
         "event volume."
     ),
+    "corpus_to_training_pipeline": (
+        "The whole curation chain in one plan: gate+scrub+hash are a "
+        "single codegen scan, dedup is one shuffle on the 16-byte content "
+        "hash, the split is a projection, and the summary is a partial-agg "
+        "rollup — two shuffles end to end, payload never moves twice."
+    ),
     "incremental_daily_rollup": (
         "Materialized-view maintenance: each refresh aggregates only its "
         "batch (map-side partials), broadcast anti/semi splits the state "

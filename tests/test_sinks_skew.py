@@ -246,3 +246,28 @@ def test_incremental_combine_late_data_refresh(spark):
     assert rows[("2024-01-01", 10)] == (9.0, 2)      # updated: 2 + 7
     assert rows[("2024-01-01", 11)] == (3.0, 1)      # untouched
     assert rows[("2024-01-02", 10)] == (5.0, 1)      # untouched
+
+
+def test_compact_files_reduces_count_preserves_rows(spark, sf_dir, tmp_path):
+    from k_means_map_reduce_spark.sources.sinks import compact_files
+
+    e = load_table(spark, sf_dir, "events")
+    p = str(tmp_path / "frag")
+    e.repartition(16).write.parquet(p)
+    n = e.count()
+    before, after = compact_files(spark, p, target_rows_per_file=n)
+    assert before == 16 and after == 1
+    assert spark.read.parquet(p).count() == n
+
+
+def test_retention_sweep_drops_only_expired(spark, sf_dir, tmp_path):
+    from k_means_map_reduce_spark.sources.sinks import retention_sweep
+
+    e = load_table(spark, sf_dir, "events")
+    p = str(tmp_path / "ret")
+    e.write.parquet(p)
+    lo, hi = e.agg(F.min("ts"), F.max("ts")).first()
+    cutoff_ts = lo + (hi - lo) / 2
+    want = e.where(F.col("ts") >= F.lit(cutoff_ts)).count()
+    before, after = retention_sweep(spark, p, "ts", cutoff_ts)
+    assert before == e.count() and after == want and 0 < after < before
