@@ -1,7 +1,7 @@
 """TPC-DS-signature query shapes over the TPC-H-ish test tables.
 
 TPC-H covers join/agg breadth; TPC-DS adds the window-over-aggregate and
-cross-channel patterns that dominate real warehouse workloads. Three
+cross-channel patterns that dominate real warehouse workloads. Four
 representative shapes, all fully oracled:
 
 - ds_monthly_deviation (q47's core): per-group monthly series with a
@@ -12,6 +12,8 @@ representative shapes, all fully oracled:
   ratios — the canonical cross-channel reconciliation.
 - ds_yoy_customer_growth (q74's core): per-entity yearly series
   self-compared across consecutive years via lag + adjacency guard.
+- ds_time_band_counts (q88's core): N band-filtered counts as ONE
+  conditional-aggregation scan instead of q88's N self-joins.
 
 Reference parity note: the reference engine (K-Means gRPC MapReduce,
 master.py) has no relational surface; these extend SURVEY.md §2b breadth.
@@ -250,4 +252,44 @@ def ds_yoy_customer_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("prev_spend", 4).alias("prev_spend"),
             F.round(F.col("spend") / F.col("prev_spend"), 6).alias("growth"),
         )
+    )
+
+
+@query(
+    "ds_time_band_counts",
+    oracle="""
+    SELECT
+      COUNT(*) FILTER (WHERE EXTRACT(hour FROM ts) BETWEEN 0 AND 5)  AS night,
+      COUNT(*) FILTER (WHERE EXTRACT(hour FROM ts) BETWEEN 6 AND 11) AS morning,
+      COUNT(*) FILTER (WHERE EXTRACT(hour FROM ts) BETWEEN 12 AND 17) AS afternoon,
+      COUNT(*) FILTER (WHERE EXTRACT(hour FROM ts) BETWEEN 18 AND 23) AS evening,
+      COUNT(*) FILTER (WHERE event_type = 'purchase'
+                         AND EXTRACT(hour FROM ts) BETWEEN 18 AND 23)
+        AS evening_purchases,
+      COUNT(DISTINCT CASE WHEN EXTRACT(hour FROM ts) BETWEEN 18 AND 23
+                          THEN user_id END) AS evening_users
+    FROM events
+    """,
+)
+def ds_time_band_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q88's signature: many independent band-filtered counts
+    answered by ONE scan of the fact — the anti-pattern it replaces is N
+    self-joined subqueries (one per band), which q88 is literally written
+    as. Conditional aggregation turns 6 scans into 1; Catalyst computes
+    all six partials map-side in a single pass.
+    """
+    e = load_table(spark, sf_dir, "events")
+    h = F.hour("ts")
+    band = lambda lo, hi: (h >= lo) & (h <= hi)  # noqa: E731
+    return e.agg(
+        F.count(F.when(band(0, 5), 1)).alias("night"),
+        F.count(F.when(band(6, 11), 1)).alias("morning"),
+        F.count(F.when(band(12, 17), 1)).alias("afternoon"),
+        F.count(F.when(band(18, 23), 1)).alias("evening"),
+        F.count(
+            F.when(band(18, 23) & (F.col("event_type") == "purchase"), 1)
+        ).alias("evening_purchases"),
+        F.countDistinct(
+            F.when(band(18, 23), F.col("user_id"))
+        ).alias("evening_users"),
     )
