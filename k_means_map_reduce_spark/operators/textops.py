@@ -740,3 +740,59 @@ def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.regexp_count(F.col("clean"), F.lit(_PII_PHONE))
         ).cast("int").alias("residual_pii"),
     )
+
+
+@query(
+    "text_skipgram_pairs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(TRIM(LOWER(text)), '\\s+'),
+                         t -> t != '') AS ts
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, UNNEST(ts) AS w, UNNEST(range(1, len(ts) + 1)) AS i
+      FROM toks
+    )
+    SELECT a.w AS w1, b.w AS w2, COUNT(*) AS n_cooc
+    FROM pos a
+    JOIN pos b ON a.doc_id = b.doc_id AND b.i - a.i BETWEEN 1 AND 2
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 30
+    """,
+)
+def text_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram co-occurrence counts (window +1..+2, forward): the
+    word2vec/GloVe training-pair table.
+
+    The oracle states it as the naive positional SELF-JOIN; the Spark plan
+    avoids the join entirely — for each offset k the pair list is
+    arrays_zip(tokens, tokens-shifted-by-k), a pure array expression, so
+    the whole thing is one codegen scan + one count aggregation. At
+    100 TB that's the difference between shuffling the positional index
+    twice for a join and shuffling only (w1, w2) partial counts.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda t: t != ""
+    )
+    pairs_k = [
+        F.arrays_zip(
+            F.slice(F.col("ts"), 1, F.greatest(F.size("ts") - k, F.lit(0))),
+            F.slice(
+                F.col("ts"),
+                k + 1,
+                F.greatest(F.size("ts") - k, F.lit(0)),
+            ),
+        )
+        for k in (1, 2)
+    ]
+    return (
+        d.select(toks.alias("ts"))
+        .select(F.explode(F.concat(*pairs_k)).alias("p"))
+        .select(F.col("p.0").alias("w1"), F.col("p.1").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_cooc"))
+        .where(F.col("n_cooc") >= 30)
+    )
