@@ -333,3 +333,74 @@ def events_winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame
             "winsorized_mean",
         )
     )
+
+
+@query(
+    "market_basket_pairs",
+    oracle="""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM baskets),
+    item AS (
+      SELECT l_partkey, COUNT(*) AS n_item FROM baskets GROUP BY 1
+    ),
+    pair AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_pair
+      FROM baskets a
+      JOIN baskets b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 3
+    )
+    SELECT
+      p.part_a, p.part_b, p.n_pair,
+      ROUND(CAST(p.n_pair AS DOUBLE) * n.n_orders
+            / (ia.n_item * ib.n_item), 6) AS lift
+    FROM pair p
+    JOIN item ia ON ia.l_partkey = p.part_a
+    JOIN item ib ON ib.l_partkey = p.part_b
+    CROSS JOIN n
+    """,
+)
+def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: part pairs co-bought in >= 3 orders with
+    their lift (= P(a,b) / (P(a)·P(b))) — the association-rule core,
+    relationally.
+
+    Scale shape: the basket self-join keys on l_orderkey, so fan-out per
+    order is C(items_in_order, 2) — bounded by basket size (~7 here),
+    never by catalog size; the support floor then prunes before the lift
+    join, and the item-frequency joins broadcast. Integer-ratio lift
+    (n·N/(na·nb)) is IEEE-exact cross-engine, no logs involved.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    baskets = l.select("l_orderkey", "l_partkey").distinct()
+    n_orders = baskets.select("l_orderkey").distinct().count()
+    item = baskets.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
+    a = baskets.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
+    b = baskets.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
+    pair = (
+        a.join(b, "l_orderkey")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .where(F.col("n_pair") >= 3)
+    )
+    ia = item.select(F.col("l_partkey").alias("part_a"), F.col("n_item").alias("na"))
+    ib = item.select(F.col("l_partkey").alias("part_b"), F.col("n_item").alias("nb"))
+    return (
+        pair.join(F.broadcast(ia), "part_a")
+        .join(F.broadcast(ib), "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "n_pair",
+            F.round(
+                F.col("n_pair").cast("double")
+                * F.lit(n_orders)
+                / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("lift"),
+        )
+    )

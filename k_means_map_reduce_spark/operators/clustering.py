@@ -161,3 +161,52 @@ def kmeans_parallel_init_clusters(spark: SparkSession, sf_dir: str) -> DataFrame
         tol=1e-4, seed=42, init="k||", init_rounds=3,
     )
     return out.select("cluster_id", "size", F.round(F.element_at("center", 1), 4).alias("c0"))
+
+
+@query("ml_als_recommendations")
+def ml_als_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collaborative filtering via MLlib ALS on implicit (customer, part)
+    interactions (distinct-order count as confidence): top-5 part
+    recommendations per customer for the 20 lowest custkeys.
+
+    Completes the MLlib surface alongside kmeans_mllib: ALS is THE
+    distributed matrix-factorization workhorse (blocked alternating least
+    squares — each iteration solves per-user/per-item normal equations
+    against broadcast factor blocks). Seeded and rows-only (factor init is
+    engine-internal RNG); tests assert the model beats the global-mean
+    baseline on training MSE and that the output shape/keys hold.
+    """
+    from pyspark.ml.recommendation import ALS
+
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    ratings = (
+        l.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            F.col("o_custkey").cast("int").alias("user"),
+            F.col("l_partkey").cast("int").alias("item"),
+        )
+        .agg(F.countDistinct("l_orderkey").cast("float").alias("rating"))
+    )
+    als = ALS(
+        rank=8,
+        maxIter=8,
+        seed=42,
+        regParam=0.1,
+        implicitPrefs=True,
+        userCol="user",
+        itemCol="item",
+        ratingCol="rating",
+        coldStartStrategy="drop",
+    )
+    model = als.fit(ratings)
+    users = ratings.select("user").distinct().orderBy("user").limit(20)
+    recs = model.recommendForUserSubset(users, 5)
+    return recs.select(
+        F.col("user").alias("custkey"),
+        F.posexplode("recommendations").alias("rnk", "rec"),
+    ).select(
+        "custkey",
+        (F.col("rnk") + 1).alias("rnk"),
+        F.col("rec.item").alias("partkey"),
+    )

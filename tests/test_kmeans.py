@@ -234,3 +234,43 @@ def test_assign_broadcast_equals_literal(spark):
         for r in assign_clusters_broadcast(spark, df, cents, "vec").collect()
     }
     assert lit == bc
+
+
+def test_als_beats_mean_baseline_and_shape(spark, sf_dir):
+    """ALS factors must reconstruct training interactions better than the
+    global mean (MSE), and the query's output must be 5 ranked parts per
+    requested customer."""
+    from pyspark.ml.recommendation import ALS
+    from k_means_map_reduce_spark.registry import QUERIES
+    from k_means_map_reduce_spark.sources import load_table
+
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    ratings = (
+        l.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            F.col("o_custkey").cast("int").alias("user"),
+            F.col("l_partkey").cast("int").alias("item"),
+        )
+        .agg(F.countDistinct("l_orderkey").cast("float").alias("rating"))
+        .cache()
+    )
+    als = ALS(rank=8, maxIter=8, seed=42, regParam=0.1, userCol="user",
+              itemCol="item", ratingCol="rating", coldStartStrategy="drop")
+    model = als.fit(ratings)
+    pred = model.transform(ratings)
+    mse_model = pred.selectExpr(
+        "avg(pow(rating - prediction, 2)) AS m"
+    ).first()["m"]
+    mean_rating = ratings.selectExpr("avg(rating)").first()[0]
+    mse_base = ratings.selectExpr(
+        f"avg(pow(rating - {mean_rating}, 2)) AS m"
+    ).first()["m"]
+    assert mse_model < mse_base, (mse_model, mse_base)
+
+    rows = QUERIES["ml_als_recommendations"](spark, sf_dir).collect()
+    per_cust: dict[int, list[int]] = {}
+    for r in rows:
+        per_cust.setdefault(r["custkey"], []).append(r["rnk"])
+    assert len(per_cust) == 20
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_cust.values())
