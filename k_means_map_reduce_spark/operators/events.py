@@ -312,3 +312,89 @@ def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "events_window_funnel_stages",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click'
+        AND e.ts > v.t1 AND e.ts <= v.t1 + INTERVAL 1 HOUR
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase'
+        AND e.ts > c.t2 AND e.ts <= c.t2 + INTERVAL 1 HOUR
+      GROUP BY e.user_id
+    )
+    SELECT
+      v.user_id,
+      CASE WHEN p.user_id IS NOT NULL THEN 3
+           WHEN c.user_id IS NOT NULL THEN 2
+           ELSE 1 END AS funnel_stage,
+      strftime(v.t1, '%Y-%m-%d %H:%M:%S') AS first_view
+    FROM v
+    LEFT JOIN c ON c.user_id = v.user_id
+    LEFT JOIN p ON p.user_id = v.user_id
+    """,
+)
+def events_window_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded ORDERED funnel (ClickHouse windowFunnel semantics):
+    stage 2 requires a click within 1h AFTER the user's first view, stage
+    3 a purchase within 1h after that click — unlike
+    events_funnel_view_click_purchase, which only requires the types to
+    exist in order, this one enforces the inter-step deadline.
+
+    Stated as a chain of min-aggregations + banded joins — each stage is
+    one agg over the (already tiny) previous stage joined back to the
+    fact on user_id. All three joins hash on user_id, so AQE reuses the
+    partitioning; the fact is scanned once per stage with the event_type
+    filter pushed down.
+    """
+    e = load_table(spark, sf_dir, "events")
+    v = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        e.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(
+            (F.col("ts") > F.col("t1"))
+            & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 1 HOUR"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(
+            (F.col("ts") > F.col("t2"))
+            & (F.col("ts") <= F.col("t2") + F.expr("INTERVAL 1 HOUR"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        v.join(c.select("user_id", F.lit(1).alias("_c")), "user_id", "left")
+        .join(p.select("user_id", F.lit(1).alias("_p")), "user_id", "left")
+        .select(
+            "user_id",
+            F.when(F.col("_p").isNotNull(), 3)
+            .when(F.col("_c").isNotNull(), 2)
+            .otherwise(1)
+            .cast("int")
+            .alias("funnel_stage"),
+            F.date_format("t1", "yyyy-MM-dd HH:mm:ss").alias("first_view"),
+        )
+    )
