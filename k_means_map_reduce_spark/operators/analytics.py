@@ -404,3 +404,145 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@query(
+    "topn_nations_with_other",
+    oracle="""
+    WITH rev AS (
+      SELECT n_name,
+        CAST(SUM(CAST(ROUND(o_totalprice, 6) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      FROM orders
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation ON n_nationkey = c_nationkey
+      GROUP BY 1
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY revenue DESC, n_name) AS rnk,
+             CAST(SUM(CAST(revenue AS DECIMAL(18,6))) OVER () AS DOUBLE) AS total
+      FROM rev
+    )
+    SELECT
+      CASE WHEN rnk <= 5 THEN n_name ELSE 'OTHER' END AS nation,
+      CAST(SUM(CAST(revenue AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+      ROUND(CAST(SUM(CAST(revenue AS DECIMAL(18,6))) AS DOUBLE) / MAX(total), 6)
+        AS pct_of_total
+    FROM ranked
+    GROUP BY 1
+    """,
+)
+def topn_nations_with_other(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic BI report: top-5 nations by revenue, everything else
+    collapsed into an 'OTHER' bucket, with percent-of-total — rank +
+    unordered total window over the tiny nation rollup, then a regroup.
+    Deterministic top-N via the (revenue DESC, name) tie-break."""
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    rev = (
+        o.join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("n_name")
+        .agg(dsum("o_totalprice").alias("revenue"))
+    )
+    dec = F.col("revenue").cast("decimal(18,6)")
+    ranked = rev.select(
+        "n_name",
+        "revenue",
+        F.row_number()
+        .over(W.orderBy(F.col("revenue").desc(), "n_name"))
+        .alias("rnk"),
+        F.sum(dec).over(W.partitionBy()).cast("double").alias("total"),
+    )
+    return (
+        ranked.groupBy(
+            F.when(F.col("rnk") <= 5, F.col("n_name"))
+            .otherwise("OTHER")
+            .alias("nation")
+        )
+        .agg(
+            F.sum(dec).cast("double").alias("revenue"),
+            F.round(
+                F.sum(dec).cast("double") / F.max("total"), 6
+            ).alias("pct_of_total"),
+        )
+    )
+
+
+@query(
+    "drift_lang_distribution_train_test",
+    oracle="""
+    WITH assigned AS (
+      SELECT lang,
+        CASE WHEN CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90
+             THEN 'train' ELSE 'heldout' END AS split
+      FROM documents
+    ),
+    counts AS (
+      SELECT lang,
+        COUNT(*) FILTER (WHERE split = 'train') AS n_train,
+        COUNT(*) FILTER (WHERE split = 'heldout') AS n_heldout
+      FROM assigned GROUP BY lang
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_train) AS DOUBLE) AS t_train,
+             CAST(SUM(n_heldout) AS DOUBLE) AS t_heldout
+      FROM counts
+    )
+    SELECT
+      lang, n_train, n_heldout,
+      ROUND(n_train / t_train, 6) AS rate_train,
+      ROUND(n_heldout / t_heldout, 6) AS rate_heldout,
+      ROUND(
+        CASE WHEN n_train > 0
+          THEN POWER(n_heldout / t_heldout - n_train / t_train, 2)
+               / (n_train / t_train)
+          ELSE 0.0 END, 8) AS chi2_term
+    FROM counts CROSS JOIN tot
+    """,
+)
+def drift_lang_distribution_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift between the train split and the held-out rest:
+    per-lang rates in each plus the chi-square contribution
+    ((observed - expected)^2 / expected over the rate scale). The MLOps
+    gate before shipping a split: a big chi2_term flags a language whose
+    representation shifted.
+
+    All arithmetic is integer counts → IEEE divisions in a fixed
+    expression tree — deterministic cross-engine (POWER(x,2) is x*x,
+    exact in both engines; no logs). One scan + one 5-row regroup.
+    """
+    from .training import _bucket
+
+    d = load_table(spark, sf_dir, "documents")
+    assigned = d.select(
+        "lang",
+        F.when(_bucket(F.col("doc_id")) < 90, "train").otherwise("heldout").alias(
+            "split"
+        ),
+    )
+    counts = assigned.groupBy("lang").agg(
+        F.count(F.when(F.col("split") == "train", 1)).alias("n_train"),
+        F.count(F.when(F.col("split") == "heldout", 1)).alias("n_heldout"),
+    )
+    tot = counts.agg(
+        F.sum("n_train").cast("double").alias("t_train"),
+        F.sum("n_heldout").cast("double").alias("t_heldout"),
+    )
+    rt = F.col("n_train") / F.col("t_train")
+    rh = F.col("n_heldout") / F.col("t_heldout")
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_train",
+        "n_heldout",
+        F.round(rt, 6).alias("rate_train"),
+        F.round(rh, 6).alias("rate_heldout"),
+        F.round(
+            F.when(F.col("n_train") > 0, F.pow(rh - rt, F.lit(2)) / rt).otherwise(
+                0.0
+            ),
+            8,
+        ).alias("chi2_term"),
+    )
