@@ -400,3 +400,54 @@ def histogram_equidepth_totalprice(spark: SparkSession, sf_dir: str) -> DataFram
         F.round(F.min("o_totalprice"), 2).alias("lo"),
         F.round(F.max("o_totalprice"), 2).alias("hi"),
     )
+
+
+@query(
+    "nested_order_lines_top_item",
+    oracle="""
+    SELECT l_orderkey, l_partkey AS top_partkey,
+           ROUND(l_extendedprice, 2) AS top_price,
+           n_lines
+    FROM (
+      SELECT l_orderkey, l_partkey, l_extendedprice,
+             ROW_NUMBER() OVER (
+               PARTITION BY l_orderkey
+               ORDER BY l_extendedprice DESC, l_partkey
+             ) AS rn,
+             COUNT(*) OVER (PARTITION BY l_orderkey) AS n_lines
+      FROM lineitem
+    )
+    WHERE rn = 1
+    """,
+)
+def nested_order_lines_top_item(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-data processing: collapse each order's lines into an ARRAY OF
+    STRUCTS, sort it inside the row with array_sort, and take the head —
+    per-order top line item without a window function.
+
+    The oracle states the flat window formulation; the Spark side is the
+    nested one on purpose: build-sort-extract inside the aggregate is the
+    document-model idiom (one shuffle on the group key, then pure array
+    expressions), and at scale it beats a global window when downstream
+    wants the whole nested order anyway (here only the head survives,
+    pruning the rest before anything else moves).
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    lines = F.array_sort(
+        F.collect_list(
+            F.struct(
+                (-F.col("l_extendedprice")).alias("neg_price"),
+                F.col("l_partkey").alias("partkey"),
+            )
+        )
+    )
+    return (
+        l.groupBy("l_orderkey")
+        .agg(lines.alias("ls"), F.count(F.lit(1)).alias("n_lines"))
+        .select(
+            "l_orderkey",
+            F.col("ls")[0]["partkey"].alias("top_partkey"),
+            F.round(-F.col("ls")[0]["neg_price"], 2).alias("top_price"),
+            "n_lines",
+        )
+    )
