@@ -546,3 +546,55 @@ def drift_lang_distribution_train_test(spark: SparkSession, sf_dir: str) -> Data
             8,
         ).alias("chi2_term"),
     )
+
+
+@query(
+    "churn_labels_per_order",
+    oracle="""
+    SELECT
+      o_orderkey,
+      o_custkey,
+      CAST(o_orderdate AS VARCHAR) AS order_date,
+      CASE
+        WHEN next_date IS NULL THEN 1
+        WHEN next_date > o_orderdate + INTERVAL 90 DAY THEN 1
+        ELSE 0 END AS churned_90d,
+      CAST(CASE WHEN next_date IS NOT NULL
+        THEN date_diff('day', CAST(o_orderdate AS DATE), CAST(next_date AS DATE))
+        END AS INT) AS days_to_next
+    FROM (
+      SELECT o_orderkey, o_custkey, o_orderdate,
+             lead(o_orderdate) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ) AS next_date
+      FROM orders
+    )
+    """,
+)
+def churn_labels_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supervised-learning label generation: for every order, did the
+    customer go quiet for >90 days afterwards (churned_90d), and the
+    actual gap to their next order. The forward-looking lead() makes this
+    a LABELING pass (uses future data — training-time only, never a
+    serving feature; that asymmetry is the whole point of generating
+    labels in a separate op).
+
+    One window over orders partitioned by customer — the same exchange
+    every per-customer feature op reuses; deterministic tie-break on
+    (date, orderkey) for same-day orders.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = F.lead("o_orderdate").over(w)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_orderdate").cast("string").alias("order_date"),
+        F.when(nxt.isNull() | (nxt > F.date_add(F.col("o_orderdate"), 90)), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("churned_90d"),
+        F.datediff(nxt, F.col("o_orderdate")).cast("int").alias("days_to_next"),
+    )
