@@ -220,3 +220,74 @@ def events_time_rollup_grains(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "total_value",
     )
+
+
+@query(
+    "join_scd2_order_segment",
+    oracle="""
+    WITH dim AS (
+      SELECT c_custkey, c_mktsegment AS segment,
+             DATE '1992-01-01' AS valid_from,
+             CAST(DATE '1995-01-01' + INTERVAL 1 DAY * (c_custkey % 1000) AS DATE)
+               AS valid_to
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, 'UPGRADED-' || c_mktsegment,
+             CAST(DATE '1995-01-01' + INTERVAL 1 DAY * (c_custkey % 1000) AS DATE),
+             DATE '9999-12-31'
+      FROM customer
+    )
+    SELECT o.o_orderkey, o.o_custkey,
+           CAST(o.o_orderdate AS VARCHAR) AS order_date,
+           d.segment AS segment_at_order
+    FROM orders o
+    JOIN dim d
+      ON d.c_custkey = o.o_custkey
+     AND CAST(o.o_orderdate AS DATE) >= d.valid_from
+     AND CAST(o.o_orderdate AS DATE) < d.valid_to
+    """,
+)
+def join_scd2_order_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 point-in-time join: each order picks the dimension
+    version VALID AT ITS DATE (half-open [valid_from, valid_to)
+    intervals). The version table is synthesized deterministically — every
+    customer 'upgrades' segment at a custkey-derived date — so both
+    engines build the identical dimension history.
+
+    Plan: the versioned dim is ~2x customer and broadcasts; the interval
+    predicate rides the hash join on custkey as a residual filter, so the
+    fact shuffles zero times. Half-open intervals guarantee exactly one
+    matching version per order — the invariant every SCD2 join must hold
+    (row count in == row count out; asserted by the oracle row count).
+    """
+    c = load_table(spark, sf_dir, "customer")
+    switch = F.date_add(F.lit("1995-01-01").cast("date"), (F.col("c_custkey") % 1000).cast("int"))
+    v1 = c.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("1992-01-01").cast("date").alias("valid_from"),
+        switch.alias("valid_to"),
+    )
+    v2 = c.select(
+        "c_custkey",
+        F.concat(F.lit("UPGRADED-"), F.col("c_mktsegment")).alias("segment"),
+        switch.alias("valid_from"),
+        F.lit("9999-12-31").cast("date").alias("valid_to"),
+    )
+    dim = v1.unionByName(v2)
+    o = load_table(spark, sf_dir, "orders")
+    odate = F.col("o_orderdate").cast("date")
+    return (
+        o.join(
+            F.broadcast(dim),
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (odate >= F.col("valid_from"))
+            & (odate < F.col("valid_to")),
+        )
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_orderdate").cast("string").alias("order_date"),
+            F.col("segment").alias("segment_at_order"),
+        )
+    )
