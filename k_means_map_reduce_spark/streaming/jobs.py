@@ -757,3 +757,109 @@ _INCREMENTAL_ORACLE = """
 _query("streaming_incremental_rollup_vs_batch", oracle=_INCREMENTAL_ORACLE)(
     stream_incremental_rollup
 )
+
+
+def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply: a stream of keyed UPSERT batches folds into a
+    serving table via merge_upsert (updates win on collision, base
+    survives otherwise) — the Delta/Iceberg MERGE INTO streaming-sink
+    pattern on plain parquet.
+
+    The change stream is synthesized deterministically: 4 staged batches
+    of order 'price revisions' (batch i revises keys with
+    o_orderkey % 4 == i to cents * (100 + i), i.e. a +i% bump carried in
+    1/10000-dollar integer units — integer arithmetic because double
+    ROUND half-ties diverge between engines; see NEXT.md lesson 3). Batches arrive one per
+    micro-batch (maxFilesPerTrigger=1) in source order is NOT guaranteed —
+    so revisions carry a batch_no and merge keeps the HIGHEST batch_no per
+    key (last-writer-wins needs an explicit version, never arrival order:
+    the one CDC lesson that matters). Final table = base orders with every
+    key's highest-version revision applied — DuckDB recomputes it
+    relationally.
+    """
+    import os as _os
+
+    from ..sources import load_table
+    from ..sources.sinks import merge_upsert
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    base_units = o.select(
+        "o_orderkey",
+        (F.round(F.col("o_totalprice") * 100, 0).cast("long") * 100).alias(
+            "price_units"
+        ),
+    )
+    stage = tempfile.mkdtemp(prefix="cdc_stage_", dir=_tmp_root())
+    for i in range(4):
+        (
+            o.where(F.pmod(F.col("o_orderkey"), F.lit(4)) == i)
+            .select(
+                "o_orderkey",
+                (
+                    F.round(F.col("o_totalprice") * 100, 0).cast("long")
+                    * (100 + i)
+                ).alias("price_units"),
+                F.lit(i).cast("int").alias("batch_no"),
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(stage)
+        )
+    state_path = _os.path.join(
+        tempfile.mkdtemp(prefix="cdc_state_", dir=_tmp_root()), "state"
+    )
+    base = base_units.withColumn("batch_no", F.lit(-1).cast("int"))
+    base.write.parquet(state_path)
+
+    def apply_batch(bdf: DataFrame, _epoch: int) -> None:
+        cur = spark.read.parquet(state_path)
+        # last-writer-wins by explicit version: keep the incoming row only
+        # where its batch_no beats the current row's.
+        incoming = bdf.alias("i").join(
+            cur.select("o_orderkey", F.col("batch_no").alias("cur_no")),
+            "o_orderkey",
+            "left",
+        ).where(
+            F.col("cur_no").isNull() | (F.col("batch_no") > F.col("cur_no"))
+        ).select("o_orderkey", "price_units", "batch_no")
+        merged = merge_upsert(cur, incoming, ["o_orderkey"])
+        staging = f"{state_path}__staging"
+        merged.write.mode("overwrite").parquet(staging)
+        old = f"{state_path}__old"
+        _os.rename(state_path, old)
+        _os.rename(staging, state_path)
+        shutil.rmtree(old)
+
+    schema = "o_orderkey LONG, price_units LONG, batch_no INT"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    checkpoint = tempfile.mkdtemp(prefix="ckpt_cdc_", dir=_tmp_root())
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(state_path).select(
+        "o_orderkey",
+        F.col("price_units").alias("price_after_cdc_units"),
+        "batch_no",
+    )
+
+
+_CDC_ORACLE = """
+    SELECT
+      o_orderkey,
+      CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) * (100 + o_orderkey % 4)
+        AS price_after_cdc_units,
+      CAST(o_orderkey % 4 AS INT) AS batch_no
+    FROM orders
+"""
+
+_query("streaming_cdc_apply_vs_batch", oracle=_CDC_ORACLE)(stream_cdc_apply)
