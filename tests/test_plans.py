@@ -9,6 +9,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from k_means_map_reduce_spark.registry import QUERIES
 from k_means_map_reduce_spark.plans import plan_report
@@ -185,3 +186,31 @@ def test_fuzzy_join_has_no_cartesian(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_analyze_stats_enable_broadcast_decision(spark, sf_dir, tmp_path):
+    """Cost-based planning needs stats: a catalog table with computed
+    statistics must broadcast under the session threshold, while the
+    same join with autoBroadcastJoinThreshold=-1 must not — the CBO
+    wiring every 100 TB deployment depends on (ANALYZE after ingest)."""
+    import uuid
+
+    name = f"cust_stats_{uuid.uuid4().hex[:6]}"
+    load_table(spark, sf_dir, "customer").limit(200).write.saveAsTable(name)
+    try:
+        spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS")
+        o = load_table(spark, sf_dir, "orders")
+        j = o.join(spark.table(name), o["o_custkey"] == F.col("c_custkey"))
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j2 = o.join(spark.table(name), o["o_custkey"] == F.col("c_custkey"))
+            plan2 = j2._jdf.queryExecution().executedPlan().toString()
+            assert "BroadcastHashJoin" not in plan2
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
