@@ -271,3 +271,45 @@ def test_retention_sweep_drops_only_expired(spark, sf_dir, tmp_path):
     want = e.where(F.col("ts") >= F.lit(cutoff_ts)).count()
     before, after = retention_sweep(spark, p, "ts", cutoff_ts)
     assert before == e.count() and after == want and 0 < after < before
+
+
+def test_dynamic_partition_overwrite_backfill(spark, sf_dir, tmp_path):
+    """Backfilling one broken day must rewrite ONLY that partition:
+    dynamic partitionOverwriteMode replaces touched partitions and leaves
+    the rest byte-identical (static mode would wipe the whole table)."""
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts").cast("string")
+    )
+    p = str(tmp_path / "days")
+    e.write.partitionBy("day").parquet(p)
+    days = [r["day"] for r in e.select("day").distinct().collect()]
+    target = sorted(days)[0]
+    before_other = spark.read.parquet(p).where(F.col("day") != target).count()
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        fixed = e.where(F.col("day") == target).withColumn(
+            "value", F.col("value") * 0
+        )
+        fixed.write.mode("overwrite").partitionBy("day").parquet(p)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    back = spark.read.parquet(p)
+    assert back.where(F.col("day") != target).count() == before_other
+    assert back.where((F.col("day") == target) & (F.col("value") != 0)).count() == 0
+    assert back.count() == e.count()
+
+
+def test_nested_schema_pruning(spark, sf_dir, tmp_path):
+    """Selecting one struct field must prune the parquet read to that leaf
+    (ReadSchema shows only meta.origin, not the whole struct)."""
+    from k_means_map_reduce_spark.operators.multimodal import media_table
+
+    p = str(tmp_path / "media")
+    media_table(spark, sf_dir).write.parquet(p)
+    df = spark.read.parquet(p).select("doc_id", F.col("meta.origin"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    rs = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert rs and "origin" in rs[0] and "lang" not in rs[0], rs
