@@ -74,6 +74,10 @@ HEADLINE = [
     "snapshot_diff_orders",
     "events_variant_props_agg",
     "join_fuzzy_part_names",
+    "market_basket_pairs",
+    "corpus_to_training_pipeline",
+    "join_scd2_order_segment",
+    "churn_labels_per_order",
 ]
 
 

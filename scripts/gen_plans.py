@@ -78,6 +78,17 @@ PICKS = {
         "hash, the split is a projection, and the summary is a partial-agg "
         "rollup — two shuffles end to end, payload never moves twice."
     ),
+    "join_scd2_order_segment": (
+        "SCD2 point-in-time join: the versioned dimension broadcasts; the "
+        "validity interval rides the custkey hash join as a residual "
+        "filter, so the fact never shuffles and each order matches exactly "
+        "one version."
+    ),
+    "market_basket_pairs": (
+        "Basket self-join keyed on the order: fan-out bounded by basket "
+        "size, support floor prunes before the lift joins, item "
+        "frequencies broadcast."
+    ),
     "incremental_daily_rollup": (
         "Materialized-view maintenance: each refresh aggregates only its "
         "batch (map-side partials), broadcast anti/semi splits the state "
