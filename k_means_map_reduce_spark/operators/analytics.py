@@ -375,7 +375,9 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (n·N/(na·nb)) is IEEE-exact cross-engine, no logs involved.
     """
     l = load_table(spark, sf_dir, "lineitem")
-    baskets = l.select("l_orderkey", "l_partkey").distinct()
+    # persisted: the deduped basket table feeds four consumers (the order
+    # count, item frequencies, and both sides of the pair self-join)
+    baskets = l.select("l_orderkey", "l_partkey").distinct().persist()
     n_orders = baskets.select("l_orderkey").distinct().count()
     item = baskets.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
     a = baskets.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
