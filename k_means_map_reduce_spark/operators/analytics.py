@@ -600,3 +600,54 @@ def churn_labels_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("churned_90d"),
         F.datediff(nxt, F.col("o_orderdate")).cast("int").alias("days_to_next"),
     )
+
+
+@query(
+    "features_pit_customer_history",
+    oracle="""
+    SELECT
+      o_orderkey,
+      o_custkey,
+      CAST(o_orderdate AS VARCHAR) AS order_date,
+      CAST(COUNT(*) OVER prior_w AS BIGINT) AS n_prior_orders,
+      CAST(COALESCE(SUM(CAST(ROUND(o_totalprice, 6) AS DECIMAL(18,6)))
+             OVER prior_w, 0) AS DOUBLE) AS prior_spend
+    FROM orders
+    WINDOW prior_w AS (
+      PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+    )
+    """,
+)
+def features_pit_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct features: for every order, the customer's
+    history STRICTLY BEFORE it (count + decimal-exact spend over a frame
+    ending at 1 PRECEDING). The leakage rule made structural: the row's
+    own order — and anything after — can never contribute to its features,
+    the invariant a feature store's point-in-time join exists to enforce
+    (contrast churn_labels_per_order, which deliberately looks forward to
+    build LABELS).
+
+    Same customer-partitioned exchange as every per-customer op;
+    deterministic (date, orderkey) ordering for same-day orders.
+    """
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_orderdate").cast("string").alias("order_date"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_prior_orders"),
+        F.coalesce(
+            F.sum(F.round(F.col("o_totalprice"), 6).cast("decimal(18,6)")).over(w),
+            F.lit(0),
+        )
+        .cast("double")
+        .alias("prior_spend"),
+    )
