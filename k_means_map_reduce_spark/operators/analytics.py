@@ -651,3 +651,82 @@ def features_pit_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame
         .cast("double")
         .alias("prior_spend"),
     )
+
+
+@query(
+    "events_value_mad_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, median(value) AS med_v FROM events GROUP BY 1
+    ),
+    dev AS (
+      SELECT e.event_type, e.value, m.med_v,
+             ABS(e.value - m.med_v) AS absdev
+      FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, MAX(med_v) AS med_v, median(absdev) AS mad_v
+      FROM dev GROUP BY event_type
+    )
+    SELECT
+      d.event_type,
+      COUNT(*) AS n_events,
+      ROUND(m.med_v, 6) AS median_value,
+      ROUND(m.mad_v, 6) AS mad_value,
+      COUNT(*) FILTER (
+        WHERE m.mad_v > 0
+          AND ABS(d.value - m.med_v) / (1.4826 * m.mad_v) > 3.5
+      ) AS n_outliers
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type, m.med_v, m.mad_v
+    """,
+)
+def events_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier counts via MAD (median absolute deviation): the
+    3.5-sigma-equivalent cut 1.4826·MAD that a single corrupt batch cannot
+    drag (unlike events_value_outliers' mean/stddev 3σ, which outliers
+    inflate until they hide themselves — the breakdown-point argument for
+    robust statistics in data validation).
+
+    Two grouped exact medians (each one shuffle of (type, value) pairs)
+    + a broadcast of the 5-row threshold table back onto the fact. At
+    100 TB swap exact medians for approx_percentile sketches; the cut
+    logic is unchanged.
+    """
+    e = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med_v")
+    )
+    dev = e.join(F.broadcast(med), "event_type").withColumn(
+        "absdev", F.abs(F.col("value") - F.col("med_v"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.max("med_v").alias("med_v"),
+        F.percentile("absdev", F.lit(0.5)).alias("mad_v"),
+    )
+    return (
+        dev.drop("med_v")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med_v", "mad_v")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count(
+                F.when(
+                    (F.col("mad_v") > 0)
+                    & (
+                        F.abs(F.col("value") - F.col("med_v"))
+                        / (1.4826 * F.col("mad_v"))
+                        > 3.5
+                    ),
+                    1,
+                )
+            ).alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            F.round("med_v", 6).alias("median_value"),
+            F.round("mad_v", 6).alias("mad_value"),
+            "n_outliers",
+        )
+    )
