@@ -452,3 +452,94 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n").cast("double") / F.sum("n").over(wp), 6).alias("prob"),
     )
+
+
+@query(
+    "events_session_paths",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN ts - lag(ts) OVER w > INTERVAL 5 MINUTE
+                    OR lag(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT *, SUM(new_sess) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS UNBOUNDED PRECEDING
+      ) AS sess_no
+      FROM seq
+    ),
+    paths AS (
+      SELECT user_id, sess_no,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM sess GROUP BY user_id, sess_no
+    )
+    SELECT path, COUNT(*) AS n_sessions
+    FROM paths GROUP BY path HAVING COUNT(*) >= 5
+    """,
+)
+def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session path analysis: gap-sessionize (5-min inactivity, the same
+    gap events_session_windows uses), render each session's ordered
+    event-type sequence as a path string, count common paths (>= 5
+    sessions).
+
+    Sessionization is stated PORTABLY here — lag-gap flag + running sum
+    (the pre-session_window idiom every engine can express, which is what
+    makes the DuckDB oracle possible); the path is built order-free via
+    sort_array over (ts, event_id, type) structs, so no
+    collect_list-ordering nondeterminism. Two windows + two aggs, all
+    partitioned by user.
+    """
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.lag("ts").over(w).alias("prev_ts"),
+    ).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.col("prev_ts").isNull()
+            # microsecond diff: SECOND would truncate while the oracle's
+            # interval comparison is exact — a 300.5s gap must split in both
+            | (F.expr("timestampdiff(MICROSECOND, prev_ts, ts)") > 300_000_000),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    sess = seq.withColumn(
+        "sess_no", F.sum("new_sess").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    paths = (
+        sess.groupBy("user_id", "sess_no")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("ts", "event_id", F.col("event_type").alias("t"))
+                        )
+                    ),
+                    lambda s: s["t"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .where(F.col("n_sessions") >= 5)
+    )
