@@ -730,3 +730,54 @@ def events_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_outliers",
         )
     )
+
+
+@query(
+    "embedding_dim_scaler_stats",
+    oracle="""
+    WITH dims AS (
+      SELECT UNNEST(embedding) AS x,
+             UNNEST(range(0, len(embedding))) AS dim
+      FROM embeddings
+    )
+    SELECT
+      CAST(dim AS INT) AS dim,
+      COUNT(*) AS n,
+      CAST(SUM(CAST(ROUND(CAST(x AS DOUBLE), 6) AS DECIMAL(18,6))) AS DOUBLE)
+        / COUNT(*) AS mean_x,
+      CAST(SUM(CAST(ROUND(CAST(x AS DOUBLE) * CAST(x AS DOUBLE), 6)
+               AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mean_x2,
+      ROUND(MIN(CAST(x AS DOUBLE)), 6) AS min_x,
+      ROUND(MAX(CAST(x AS DOUBLE)), 6) AS max_x
+    FROM dims
+    GROUP BY dim
+    """,
+)
+def embedding_dim_scaler_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fit a feature scaler distributed: per-dimension count / mean /
+    mean-of-squares / min / max over the embedding column (variance and
+    std derive from the exact decimal power sums; same discipline as
+    stats_regression_by_flag). posexplode fans each vector into
+    (dim, value) pairs — 64x row inflation of an 8-byte payload, then
+    map-side partial aggregation collapses it to 64 rows before the
+    shuffle; the vectors themselves never move.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    x = F.col("x").cast("double")
+    return (
+        e.select(F.posexplode(F.col("embedding")).alias("dim", "x"))
+        .groupBy(F.col("dim").cast("int").alias("dim"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(F.round(x, 6).cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_x"),
+            (
+                F.sum(F.round(x * x, 6).cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_x2"),
+            F.round(F.min(x), 6).alias("min_x"),
+            F.round(F.max(x), 6).alias("max_x"),
+        )
+    )
