@@ -796,3 +796,78 @@ def text_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_cooc"))
         .where(F.col("n_cooc") >= 30)
     )
+
+
+@query(
+    "text_tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(TRIM(LOWER(text)), '\\s+'),
+                         t -> t != '') AS ts
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, UNNEST(ts) AS term FROM toks
+    ),
+    tf_counts AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tf GROUP BY 1, 2
+    ),
+    df_counts AS (
+      SELECT term, COUNT(*) AS df FROM tf_counts GROUP BY term
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT t.doc_id, t.term, t.tf, d.df,
+             ROUND(t.tf * (CAST(n.n_docs AS DOUBLE) / d.df), 6) AS tfidf_ratio,
+             ROW_NUMBER() OVER (
+               PARTITION BY t.doc_id
+               ORDER BY t.tf * (CAST(n.n_docs AS DOUBLE) / d.df) DESC, t.term
+             ) AS rnk
+      FROM tf_counts t JOIN df_counts d USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df, tfidf_ratio, rnk
+    FROM scored WHERE rnk <= 5
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-5 terms per document (the HashingTF/IDF capability from
+    SURVEY §2b, computed exactly instead of feature-hashed): term
+    frequency x inverse document frequency, with idf kept as the RATIONAL
+    N/df — ln() is not correctly-rounded identically across engines
+    (NEXT.md lesson 3: only sqrt is), and a monotone transform doesn't
+    change the ranking, which is what top-terms consumes.
+
+    Shape: one explode + two hash aggs (term counts per doc, then doc
+    frequencies), a broadcast of the df table, and a per-doc top-k window.
+    The df table is vocabulary-sized — the thing that makes exact TF-IDF
+    tractable where exact pairwise similarity isn't.
+    """
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count()
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda t: t != ""
+    )
+    tf = (
+        d.select("doc_id", F.explode(toks).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_counts = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    score = F.col("tf") * (F.lit(float(n_docs)) / F.col("df"))
+    w = W.partitionBy("doc_id").orderBy(score.desc(), "term")
+    return (
+        tf.join(F.broadcast(df_counts), "term")
+        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rnk") <= 5)
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(score, 6).alias("tfidf_ratio"),
+            "rnk",
+        )
+    )
