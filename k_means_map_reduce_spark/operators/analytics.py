@@ -781,3 +781,244 @@ def embedding_dim_scaler_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max(x), 6).alias("max_x"),
         )
     )
+
+
+@query(
+    "attribution_last_touch",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT
+        user_id, ts, event_id, event_type, value,
+        LAST_VALUE(CASE WHEN event_type IN ('view', 'click') THEN ts END IGNORE NULLS)
+          OVER w AS last_touch_ts,
+        LAST_VALUE(CASE WHEN event_type IN ('view', 'click') THEN event_type END IGNORE NULLS)
+          OVER w AS last_touch_type
+      FROM events
+      WINDOW w AS (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+      )
+    )
+    SELECT
+      CASE
+        WHEN last_touch_ts IS NULL
+          OR epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(CAST(last_touch_ts AS TIMESTAMP))
+             > 604800000000 THEN 'none'
+        ELSE last_touch_type
+      END AS attributed_type,
+      COUNT(*) AS n_purchases,
+      {sql_dsum("value")} AS total_value,
+      ROUND({sql_dsum(
+        "(epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(CAST(last_touch_ts AS TIMESTAMP))) / 60000000.0"
+      )} / COUNT(last_touch_ts), 6) AS avg_minutes_since_touch
+    FROM ordered
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing-style last-touch attribution: every purchase is credited to
+    the user's most recent prior view/click within a 7-day lookback window
+    (else 'none'), reported as conversion counts, attributed revenue, and
+    mean touch-to-purchase latency per touch type.
+
+    Scale shape: the union-sort as-of pattern (same as
+    temporal.join_asof_event_last_order) — ONE scan of events, ONE shuffle
+    on user_id, one ordered window pass carrying the last-touch state
+    forward; never a per-purchase range join. Ordering ties break on
+    event_id so both engines walk an identical sequence. The final rollup
+    is 3 groups.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    is_touch = F.col("event_type").isin("view", "click")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    attributed = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        "value",
+        F.last(F.when(is_touch, F.col("ts")), ignorenulls=True).over(w).alias("last_touch_ts"),
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("last_touch_type"),
+    ).where(F.col("event_type") == "purchase")
+    micros_apart = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+        F.col("last_touch_ts").cast("timestamp")
+    )
+    within = F.col("last_touch_ts").isNotNull() & (micros_apart <= F.lit(604800000000))
+    return (
+        attributed.select(
+            F.when(within, F.col("last_touch_type")).otherwise(F.lit("none")).alias(
+                "attributed_type"
+            ),
+            "value",
+            (micros_apart / 60000000.0).alias("mins"),
+            "last_touch_ts",
+        )
+        .groupBy("attributed_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            dsum("value").alias("total_value"),
+            F.round(dsum("mins") / F.count("last_touch_ts"), 6).alias(
+                "avg_minutes_since_touch"
+            ),
+        )
+    )
+
+
+@query(
+    "rfm_customer_segments",
+    oracle=f"""
+    WITH anchor AS (SELECT MAX(o_orderdate) AS mx FROM orders),
+    per_cust AS (
+      SELECT
+        o_custkey,
+        date_diff('day', CAST(MAX(o_orderdate) AS DATE), CAST((SELECT mx FROM anchor) AS DATE))
+          AS recency_days,
+        COUNT(*) AS frequency,
+        {sql_dsum("o_totalprice")} AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT
+        o_custkey, recency_days, frequency, monetary,
+        NTILE(5) OVER (ORDER BY recency_days DESC, o_custkey) AS r_score,
+        NTILE(5) OVER (ORDER BY frequency, o_custkey) AS f_score,
+        NTILE(5) OVER (ORDER BY monetary, o_custkey) AS m_score
+      FROM per_cust
+    )
+    SELECT
+      r_score, f_score, m_score,
+      COUNT(*) AS n_customers,
+      ROUND({sql_dsum("monetary")} / COUNT(*), 6) AS avg_monetary,
+      ROUND({sql_dsum("CAST(recency_days AS DOUBLE)")} / COUNT(*), 6) AS avg_recency_days
+    FROM scored
+    GROUP BY 1, 2, 3
+    """,
+)
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: customers scored into quintiles on Recency (days
+    since last order vs the corpus max date), Frequency (order count), and
+    Monetary (total spend), then rolled up per (R,F,M) cell — the standard
+    CRM segmentation cube.
+
+    Scale shape: one shuffle to the per-customer grain, then three NTILE
+    windows over the (much smaller) customer aggregate. Each window is a
+    global sort — fine at customer cardinality (orders:customers is ~10:1)
+    but the quintile boundaries could also come from approx_percentile at
+    extreme scale. Ties break on custkey so NTILE's remainder distribution
+    is identical across engines. The anchor date is a broadcast scalar
+    (no collect): a 1-row cross join.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        dsum("o_totalprice").alias("monetary"),
+    )
+    anchor = o.agg(F.max("o_orderdate").alias("mx"))
+    per_cust = per_cust.crossJoin(F.broadcast(anchor)).select(
+        "o_custkey",
+        F.datediff(F.col("mx").cast("date"), F.col("last_order").cast("date")).alias(
+            "recency_days"
+        ),
+        "frequency",
+        "monetary",
+    )
+    scored = per_cust.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(5)
+        .over(Window.orderBy(F.col("recency_days").desc(), "o_custkey"))
+        .cast("long")
+        .alias("r_score"),
+        F.ntile(5).over(Window.orderBy("frequency", "o_custkey")).cast("long").alias("f_score"),
+        F.ntile(5).over(Window.orderBy("monetary", "o_custkey")).cast("long").alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(dsum("monetary") / F.count(F.lit(1)), 6).alias("avg_monetary"),
+        F.round(
+            dsum(F.col("recency_days").cast("double")) / F.count(F.lit(1)), 6
+        ).alias("avg_recency_days"),
+    )
+
+
+@query(
+    "pattern_rising_order_streaks",
+    oracle="""
+    WITH seq AS (
+      SELECT
+        o_custkey, o_orderkey, o_orderdate, o_totalprice,
+        CASE WHEN o_totalprice > LAG(o_totalprice)
+          OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+          THEN 1 ELSE 0 END AS is_rise
+      FROM orders
+    ),
+    islands AS (
+      SELECT
+        o_custkey, is_rise,
+        SUM(1 - is_rise) OVER (
+          PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS island
+      FROM seq
+    ),
+    streaks AS (
+      SELECT o_custkey, island, CAST(SUM(is_rise) + 1 AS BIGINT) AS streak_len
+      FROM islands GROUP BY o_custkey, island
+    )
+    SELECT o_custkey, CAST(MAX(streak_len) AS BIGINT) AS max_streak
+    FROM streaks
+    GROUP BY o_custkey
+    HAVING MAX(streak_len) >= 4
+    """,
+)
+def pattern_rising_order_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence detection without a pattern engine:
+    customers whose order totals rose strictly for >= 4 consecutive orders,
+    with their longest rising run — the gaps-and-islands idiom (a falling
+    step increments an island counter; runs group by island).
+
+    Scale shape: one shuffle on o_custkey serves BOTH window passes and the
+    island rollup (same partition key, Catalyst reuses the sort), then a
+    tiny aggregate. Sequence order ties break on o_orderkey so both engines
+    see the same order sequence. This is how SQL engines without
+    MATCH_RECOGNIZE (Spark included) express linear-pattern queries — no
+    self-join chains, cost O(n log n) per partition.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    wseq = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        "o_totalprice",
+        F.when(
+            F.col("o_totalprice") > F.lag("o_totalprice").over(wseq), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("is_rise"),
+    )
+    islands = seq.select(
+        "o_custkey",
+        "is_rise",
+        F.sum(F.lit(1) - F.col("is_rise"))
+        .over(wseq.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("island"),
+    )
+    streaks = islands.groupBy("o_custkey", "island").agg(
+        (F.sum("is_rise") + F.lit(1)).cast("long").alias("streak_len")
+    )
+    return (
+        streaks.groupBy("o_custkey")
+        .agg(F.max("streak_len").cast("long").alias("max_streak"))
+        .where(F.col("max_streak") >= 4)
+    )

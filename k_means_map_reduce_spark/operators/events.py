@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..registry import query
 from ..sources import load_table
@@ -542,4 +543,93 @@ def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         paths.groupBy("path")
         .agg(F.count(F.lit(1)).alias("n_sessions"))
         .where(F.col("n_sessions") >= 5)
+    )
+
+
+@query(
+    "events_peak_concurrency_daily",
+    oracle="""
+    WITH ordered AS (
+      SELECT
+        user_id,
+        CAST(ts AS TIMESTAMP) AS ts,
+        CASE
+          WHEN CAST(ts AS TIMESTAMP)
+               - LAG(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+               >= INTERVAL 5 MINUTE
+          THEN 1 ELSE 0
+        END AS new_session
+      FROM events
+    ), numbered AS (
+      SELECT
+        user_id, ts,
+        SUM(new_session) OVER (
+          PARTITION BY user_id ORDER BY ts, new_session
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS session_id
+      FROM ordered
+    ), sessions AS (
+      SELECT user_id, session_id, MIN(ts) AS s_start, MAX(ts) AS s_end
+      FROM numbered GROUP BY user_id, session_id
+    ), bounds AS (
+      SELECT s_start AS t, 1 AS delta FROM sessions
+      UNION ALL
+      SELECT s_end AS t, -1 AS delta FROM sessions
+    ), swept AS (
+      SELECT
+        t, delta,
+        SUM(delta) OVER (
+          ORDER BY t, delta DESC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS running
+      FROM bounds
+    )
+    SELECT
+      strftime(date_trunc('day', t), '%Y-%m-%d') AS day,
+      CAST(MAX(running) AS BIGINT) AS peak_concurrent
+    FROM swept
+    GROUP BY 1
+    """,
+)
+def events_peak_concurrency_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent user sessions per day — the interval-overlap maximum
+    via a sweep line over session boundaries (+1 at session start, -1 at
+    session end; at an identical instant starts apply before ends, i.e.
+    touching sessions count as overlapping).
+
+    Scale shape: the oracle's textbook formulation is ONE global running sum
+    over all 2·S boundaries — a single-partition sort that dies at cluster
+    scale. This implementation decomposes it exactly: (1) a running sum
+    PARTITIONED BY DAY over that day's boundaries, (2) per-day net deltas
+    prefix-summed over the ~O(days) day table to get each day's carry-in
+    (sessions still open at midnight), (3) peak(day) = carry_in +
+    max(within-day running). Identical result (day is a prefix of the
+    global sort key, so the global running sum restricted to a day equals
+    carry_in + the day-local running sum), but the only global window runs
+    over one row per DAY, not per session. Sessions come from
+    session_window() as in events_session_windows.
+    """
+    e = load_table(spark, sf_dir, "events")
+    sess = e.groupBy(
+        F.session_window("ts", "5 minutes").alias("w"), "user_id"
+    ).agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+    bounds = (
+        sess.select(F.col("s_start").alias("t"), F.lit(1).alias("delta"))
+        .unionAll(sess.select(F.col("s_end").alias("t"), F.lit(-1).alias("delta")))
+        .select(F.date_format(F.date_trunc("day", "t"), "yyyy-MM-dd").alias("day"), "t", "delta")
+    )
+    wday = (
+        Window.partitionBy("day")
+        .orderBy(F.col("t"), F.col("delta").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    in_day = bounds.select("day", F.sum("delta").over(wday).alias("running"))
+    day_peaks = in_day.groupBy("day").agg(F.max("running").alias("day_peak"))
+    nets = bounds.groupBy("day").agg(F.sum("delta").alias("net"))
+    wcarry = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    carries = nets.select(
+        "day", F.coalesce(F.sum("net").over(wcarry), F.lit(0)).alias("carry_in")
+    )
+    return day_peaks.join(F.broadcast(carries), "day").select(
+        "day", (F.col("carry_in") + F.col("day_peak")).cast("long").alias("peak_concurrent")
     )

@@ -280,3 +280,61 @@ def events_variant_props_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_missing_path"
         ),
     )
+
+
+@query(
+    "scalar_edit_distance_pairs",
+    oracle="""
+    WITH pairs AS (
+      SELECT
+        a.p_brand AS brand,
+        levenshtein(a.p_name, b.p_name) AS dist
+      FROM part a JOIN part b
+        ON a.p_brand = b.p_brand AND a.p_type = b.p_type
+       AND a.p_partkey < b.p_partkey
+    )
+    SELECT
+      brand,
+      COUNT(*) AS n_pairs,
+      CAST(MIN(dist) AS BIGINT) AS min_dist,
+      CAST(MAX(dist) AS BIGINT) AS max_dist,
+      ROUND(CAST(SUM(CAST(dist AS BIGINT)) AS DOUBLE) / COUNT(*), 6) AS avg_dist,
+      CAST(SUM(CASE WHEN dist <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS near_pairs
+    FROM pairs
+    GROUP BY brand
+    """,
+)
+def scalar_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance record linkage: Levenshtein distance between part names
+    inside each (brand, type) blocking group, rolled up per brand — the
+    classic blocked-comparison shape (never an unblocked cross join) that
+    complements join_fuzzy_part_names' trigram-Jaccard tier with an exact
+    character-level metric. Both engines implement unit-cost Levenshtein,
+    so distances agree integer-for-integer.
+
+    Scale shape: the self-join keys on the blocking columns, so pair count
+    is sum of squares of BLOCK sizes, not corpus size squared; blocks are
+    bounded by the brand x type vocabulary. Distance sums are integer
+    (exact); the average divides exact operands.
+    """
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand", "p_type")
+    a = p.alias("a")
+    b = p.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.p_brand") == F.col("b.p_brand"))
+        & (F.col("a.p_type") == F.col("b.p_type"))
+        & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+    ).select(
+        F.col("a.p_brand").alias("brand"),
+        F.levenshtein(F.col("a.p_name"), F.col("b.p_name")).alias("dist"),
+    )
+    return pairs.groupBy("brand").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.min("dist").cast("long").alias("min_dist"),
+        F.max("dist").cast("long").alias("max_dist"),
+        F.round(F.sum(F.col("dist").cast("long")).cast("double") / F.count(F.lit(1)), 6).alias(
+            "avg_dist"
+        ),
+        F.sum(F.when(F.col("dist") <= 10, 1).otherwise(0)).cast("long").alias("near_pairs"),
+    )

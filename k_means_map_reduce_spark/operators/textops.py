@@ -871,3 +871,135 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rnk",
         )
     )
+
+
+@query(
+    "dedup_shared_chunk_fraction",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+        list_filter(string_split_regex(TRIM(LOWER(text)), '\\s+'), t -> t != '') AS ws
+      FROM documents
+    ), chunk_lists AS (
+      SELECT doc_id,
+        list_transform(
+          range(CAST(len(ws) // 8 AS BIGINT)),
+          i -> md5(array_to_string(list_slice(ws, i*8+1, i*8+8), ' '))
+        ) AS ch
+      FROM toks
+    ), chunks AS (
+      SELECT doc_id, unnest(ch) AS chunk_hash FROM chunk_lists
+    ), shared AS (
+      SELECT chunk_hash, COUNT(DISTINCT doc_id) AS n_docs
+      FROM chunks GROUP BY chunk_hash
+    )
+    SELECT
+      c.doc_id,
+      COUNT(*) AS n_chunks,
+      CAST(SUM(CASE WHEN s.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS shared_chunks,
+      ROUND(SUM(CASE WHEN s.n_docs > 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+        AS shared_frac
+    FROM chunks c JOIN shared s USING (chunk_hash)
+    GROUP BY c.doc_id
+    HAVING SUM(CASE WHEN s.n_docs > 1 THEN 1 ELSE 0 END) > 0
+    """,
+)
+def dedup_shared_chunk_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-span detection: each document is cut into
+    consecutive 8-token chunks (tail fragments dropped); a chunk occurring
+    in more than one document is "shared", and each document reports what
+    fraction of its chunks are shared — the corpus-level analogue of
+    Gopher's within-doc duplicate-n-gram fraction, used to catch boilerplate
+    and copy-paste contamination before training.
+
+    Scale shape: chunk text never shuffles — chunks reduce to md5 digests
+    at the map side, so the inverted index groups 16-byte keys. Two
+    shuffles total (hash→doc-count, then the per-doc rollup); the chunk
+    table is ~n_tokens/8 rows of (id, hash). Chunking itself is a pure
+    array expression (transform over index slices), no explode of
+    per-token rows.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.trim(F.lower("text")), r"\s+"), lambda t: t != ""
+    )
+    n_full = (F.size(toks) / 8).cast("long")
+    chunk_arr = F.transform(
+        F.sequence(F.lit(0), n_full - 1),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i * 8 + 1, 8))),
+    )
+    chunks = (
+        d.select("doc_id", F.when(n_full > 0, chunk_arr).otherwise(F.array()).alias("ch"))
+        .select("doc_id", F.posexplode("ch").alias("chunk_idx", "chunk_hash"))
+    )
+    shared = chunks.groupBy("chunk_hash").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    return (
+        chunks.join(shared, "chunk_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("shared_chunks"),
+            F.round(
+                F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
+                * 1.0
+                / F.count(F.lit(1)),
+                6,
+            ).alias("shared_frac"),
+        )
+        .where(F.col("shared_chunks") > 0)
+    )
+
+
+@query(
+    "text_feature_hashing",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+        unnest(list_filter(string_split_regex(TRIM(LOWER(text)), '\\s+'), t -> t != ''))
+          AS tok
+      FROM documents
+    )
+    SELECT
+      CAST(CAST(CONCAT('0x', substr(md5(tok), 1, 8)) AS BIGINT) % 64 AS INT) AS bucket,
+      CAST(COUNT(*) AS BIGINT) AS total_count,
+      CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct_tokens
+    FROM toks
+    GROUP BY 1
+    """,
+)
+def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick (Weinberger et al., ICML'09): tokens are mapped to
+    a fixed 64-bucket feature space via a portable md5-derived hash — the
+    vocabulary-free featurization used when a corpus is too large to build
+    (or broadcast) a token dictionary. Reports per-bucket load: total
+    occurrences, document frequency, and collision count (distinct tokens
+    sharing the bucket).
+
+    Scale shape: bucketing is a stateless projection — no vocabulary build,
+    no dictionary join, which is the entire point of feature hashing at
+    100 TB. One shuffle on the 64 bucket keys with map-side partials; the
+    two COUNT(DISTINCT)s expand to (bucket, doc)/(bucket, tok) partial
+    groups, still bounded by docs x 64. md5 (not xxhash64) keeps the
+    bucket assignment engine-portable, mirroring training.py's split
+    bucketing.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.trim(F.lower("text")), r"\s+"), lambda t: t != "")
+    exploded = d.select("doc_id", F.explode(toks).alias("tok"))
+    bucket = (
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint") % 64
+    ).cast("int")
+    return (
+        exploded.select("doc_id", "tok", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("total_count"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.countDistinct("tok").alias("n_distinct_tokens"),
+        )
+    )

@@ -293,3 +293,83 @@ def ds_time_band_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(band(18, 23), F.col("user_id"))
         ).alias("evening_users"),
     )
+
+
+@query(
+    "ds_cumulative_channel_crossover",
+    oracle="""
+    WITH monthly AS (
+      SELECT
+        c_mktsegment AS segment,
+        strftime(date_trunc('month', CAST(o_orderdate AS TIMESTAMP)), '%Y-%m') AS month,
+        SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+            THEN CAST(ROUND(o_totalprice, 6) AS DECIMAL(18,6)) END) AS urgent_rev,
+        SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+            THEN CAST(ROUND(o_totalprice, 6) AS DECIMAL(18,6)) END) AS routine_rev
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2
+    ), cumulative AS (
+      SELECT
+        segment, month,
+        SUM(COALESCE(urgent_rev, 0)) OVER w AS urgent_cum,
+        SUM(COALESCE(routine_rev, 0)) OVER w AS routine_cum
+      FROM monthly
+      WINDOW w AS (
+        PARTITION BY segment ORDER BY month
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      )
+    )
+    SELECT
+      segment, month,
+      CAST(urgent_cum AS DOUBLE) AS urgent_cum,
+      CAST(routine_cum AS DOUBLE) AS routine_cum
+    FROM cumulative
+    WHERE urgent_cum > routine_cum
+    """,
+)
+def ds_cumulative_channel_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q51's core shape: two per-channel revenue series (urgent vs
+    routine order priorities standing in for web vs store channels),
+    cumulated per segment over months, reporting the (segment, month)
+    points where the urgent channel's running total exceeds the routine
+    one — cumulative-series crossover detection.
+
+    Scale shape: the channel split is a conditional aggregation inside ONE
+    fact pass (q51's two separate channel scans fused), so the fact is
+    read once and shuffled once to the (segment, month) grain; both
+    cumulative windows then share a single sort of the tiny rollup.
+    Decimal cumulation keeps every running total exact, so the crossover
+    predicate cannot flip on float association.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    dec = F.round(F.col("o_totalprice"), 6).cast("decimal(18,6)")
+    monthly = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month"),
+        )
+        .agg(
+            F.sum(F.when(urgent, dec)).alias("urgent_rev"),
+            F.sum(F.when(~urgent, dec)).alias("routine_rev"),
+        )
+    )
+    w = (
+        Window.partitionBy("segment")
+        .orderBy("month")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = monthly.select(
+        "segment",
+        "month",
+        F.sum(F.coalesce(F.col("urgent_rev"), F.lit(0).cast("decimal(18,6)"))).over(w).alias("urgent_cum"),
+        F.sum(F.coalesce(F.col("routine_rev"), F.lit(0).cast("decimal(18,6)"))).over(w).alias("routine_cum"),
+    )
+    return cum.where(F.col("urgent_cum") > F.col("routine_cum")).select(
+        "segment",
+        "month",
+        F.col("urgent_cum").cast("double").alias("urgent_cum"),
+        F.col("routine_cum").cast("double").alias("routine_cum"),
+    )
