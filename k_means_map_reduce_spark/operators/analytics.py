@@ -1022,3 +1022,115 @@ def pattern_rising_order_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("streak_len").cast("long").alias("max_streak"))
         .where(F.col("max_streak") >= 4)
     )
+
+
+@query(
+    "attribution_linear_multitouch",
+    oracle=f"""
+    WITH base AS (
+      SELECT
+        user_id, event_id, event_type, value,
+        epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      FROM events
+    ), counted AS (
+      SELECT
+        event_id, event_type, value,
+        SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) OVER w AS n_view,
+        SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) OVER w AS n_click
+      FROM base
+      WINDOW w AS (
+        PARTITION BY user_id ORDER BY us
+        RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING
+      )
+    ), credit AS (
+      SELECT
+        value,
+        COALESCE(n_view, 0) AS n_view,
+        COALESCE(n_click, 0) AS n_click
+      FROM counted WHERE event_type = 'purchase'
+    )
+    SELECT
+      'view' AS touch_type,
+      CAST(SUM(CASE WHEN n_view > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_touched_purchases,
+      {sql_dsum("CASE WHEN n_view + n_click > 0 THEN value * n_view / (n_view + n_click) ELSE 0 END")}
+        AS credited_value
+    FROM credit
+    UNION ALL
+    SELECT
+      'click',
+      CAST(SUM(CASE WHEN n_click > 0 THEN 1 ELSE 0 END) AS BIGINT),
+      {sql_dsum("CASE WHEN n_view + n_click > 0 THEN value * n_click / (n_view + n_click) ELSE 0 END")}
+    FROM credit
+    UNION ALL
+    SELECT
+      'none',
+      CAST(SUM(CASE WHEN n_view + n_click = 0 THEN 1 ELSE 0 END) AS BIGINT),
+      {sql_dsum("CASE WHEN n_view + n_click = 0 THEN value ELSE 0 END")}
+    FROM credit
+    """,
+)
+def attribution_linear_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear (equal-split) multi-touch attribution: each purchase's value
+    is divided evenly across ALL views and clicks in its 7-day lookback,
+    reported as total credited revenue per touch type (plus the unattributed
+    'none' bucket) — the multi-touch counterpart of attribution_last_touch.
+
+    Scale shape: the touch counts come from two conditional sums over ONE
+    time-RANGE window (frame bounds in epoch-microseconds), so there is no
+    purchase-to-touch explosion — a purchase with 500 touches costs one
+    frame scan, not 500 joined rows. One shuffle on user_id; the rollup is
+    3 rows. Credit division happens on identical double operands in both
+    engines, then decimal-sums.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-604800000000, -1)
+    )
+    counted = (
+        ev.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            "value",
+            us.alias("us"),
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+            .over(w)
+            .alias("n_view"),
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            .over(w)
+            .alias("n_click"),
+        )
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "value",
+            F.coalesce("n_view", F.lit(0)).alias("n_view"),
+            F.coalesce("n_click", F.lit(0)).alias("n_click"),
+        )
+    )
+    n_tot = F.col("n_view") + F.col("n_click")
+    view_credit = F.when(n_tot > 0, F.col("value") * F.col("n_view") / n_tot).otherwise(
+        F.lit(0.0)
+    )
+    click_credit = F.when(n_tot > 0, F.col("value") * F.col("n_click") / n_tot).otherwise(
+        F.lit(0.0)
+    )
+    none_credit = F.when(n_tot == 0, F.col("value")).otherwise(F.lit(0.0))
+    row = counted.agg(
+        F.sum(F.when(F.col("n_view") > 0, 1).otherwise(0)).cast("long").alias("tv"),
+        dsum(view_credit).alias("cv"),
+        F.sum(F.when(F.col("n_click") > 0, 1).otherwise(0)).cast("long").alias("tc"),
+        dsum(click_credit).alias("cc"),
+        F.sum(F.when(n_tot == 0, 1).otherwise(0)).cast("long").alias("tn"),
+        dsum(none_credit).alias("cn"),
+    )
+    # One aggregation pass; stack() pivots the 6 measures into the 3-row
+    # (touch_type, n_touched_purchases, credited_value) report.
+    return row.select(
+        F.expr(
+            "stack(3, 'view', tv, cv, 'click', tc, cc, 'none', tn, cn) "
+            "as (touch_type, n_touched_purchases, credited_value)"
+        )
+    )

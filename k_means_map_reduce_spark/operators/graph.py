@@ -101,3 +101,76 @@ def graph_pagerank_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("node") / 2).cast("long").alias("entity_key"),
         F.round("rank", 6).alias("rank"),
     )
+
+
+@query(
+    "graph_triangle_count",
+    oracle="""
+    WITH li AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ), e AS (
+      SELECT DISTINCT a.pk AS u, b.pk AS v
+      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+    )
+    SELECT
+      (SELECT COUNT(DISTINCT pk) FROM li) AS n_nodes,
+      (SELECT COUNT(*) FROM e) AS n_edges,
+      (SELECT COUNT(*)
+         FROM e e1 JOIN e e2 ON e1.v = e2.u
+                   JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed triangle counting over the co-purchase graph (parts are
+    adjacent when they appear in the same order), via the degree-ordered
+    compact-forward algorithm (Latapy 2008 / Suri-Vassilvitskii WWW'11):
+    orient every edge from its lower-(degree, id) endpoint to the higher
+    one, join wedges on the shared middle node, close them against the
+    oriented edge list. Each triangle is counted exactly once.
+
+    Scale shape: the oracle's naive id-ordered wedge join can explode on a
+    high-degree node (a part in d orders yields O(d^2) wedges); ordering by
+    DEGREE first caps every node's out-degree at O(sqrt(E)), which bounds
+    total wedges at O(E^1.5) — the difference between a web-scale graph
+    finishing and one reducer key receiving a celebrity node's square. Edge
+    building is bounded too: pairs form within an order (<= 7 items), never
+    across. Three shuffles: edge dedup, wedge join, closure join. The count
+    is orientation-invariant, so the simple oracle verifies the clever plan.
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    und = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
+        .select(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    ranked = und.join(du, "u").join(dv, "v")
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oe = ranked.select(
+        F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+    )
+    e1, e2 = oe.alias("e1"), oe.alias("e2")
+    wedges = e1.join(e2, F.col("e1.dst") == F.col("e2.src")).select(
+        F.col("e1.src").alias("x"), F.col("e1.dst").alias("y"), F.col("e2.dst").alias("z")
+    )
+    closer = oe.select(F.col("src").alias("x"), F.col("dst").alias("z"))
+    tri = wedges.join(closer, ["x", "z"]).agg(F.count(F.lit(1)).alias("n_triangles"))
+    counts = und.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(
+        li.agg(F.countDistinct("pk").alias("n_nodes"))
+    )
+    return counts.crossJoin(tri).select("n_nodes", "n_edges", "n_triangles")

@@ -72,3 +72,59 @@ def salted_join_keys(
         big_salted["_salt"] == small_rep["_salt"]
     )
     return big_salted, small_rep, cond
+
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+from ..registry import query  # noqa: E402
+from ..sources import load_table  # noqa: E402
+
+
+@query(
+    "skew_salted_event_type_stats",
+    oracle="""
+    SELECT
+      event_type,
+      COUNT(*) AS n,
+      CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+      ROUND(MAX(value), 6) AS max_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def skew_salted_event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-mitigation path as a driver-checked query: per-event-type
+    stats computed through ``salted_aggregate`` — event_type is the
+    textbook hot key (5 distinct values across the whole stream, so a
+    plain groupBy funnels ~20% of ALL rows into each of 5 reduce tasks no
+    matter how many executors exist). Salting fans each type over 16
+    partial groups first; the merge then combines 5x16 partials.
+
+    Exactness: counts and maxes are trivially salt-invariant; the value sum
+    is salted as DECIMAL(18,6), so re-associating partials cannot change
+    the result (the float-determinism contract extends through the
+    two-phase plan). The oracle is the direct one-phase aggregation —
+    equality IS the correctness claim for the rewrite.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.lit(1).alias("one"),
+        F.round("value", 6).cast("decimal(18,6)").alias("dv"),
+        "value",
+    )
+    res = salted_aggregate(
+        ev,
+        ["event_type"],
+        {
+            "n": ("one", "count"),
+            "total_value": ("dv", "sum"),
+            "max_value": ("value", "max"),
+        },
+        n_salts=16,
+    )
+    return res.select(
+        "event_type",
+        "n",
+        F.col("total_value").cast("double").alias("total_value"),
+        F.round("max_value", 6).alias("max_value"),
+    )

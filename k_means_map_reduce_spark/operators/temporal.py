@@ -291,3 +291,111 @@ def join_scd2_order_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("segment").alias("segment_at_order"),
         )
     )
+
+
+@query(
+    "join_asof_nearest_order",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+      FROM orders GROUP BY o_custkey, o_orderdate
+    ), back AS (
+      SELECT e.event_id, e.user_id, e.ts, o.o_orderkey AS bk, o.o_orderdate AS bd
+      FROM events e
+      ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    ), fwd AS (
+      SELECT e.event_id, o.o_orderkey AS fk, o.o_orderdate AS fd
+      FROM events e
+      ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts < o.o_orderdate
+    ), paired AS (
+      SELECT
+        b.event_id, b.user_id, b.ts, b.bk, f.fk,
+        epoch_us(CAST(b.ts AS TIMESTAMP)) - epoch_us(CAST(b.bd AS TIMESTAMP)) AS dback,
+        epoch_us(CAST(f.fd AS TIMESTAMP)) - epoch_us(CAST(b.ts AS TIMESTAMP)) AS dfwd
+      FROM back b JOIN fwd f USING (event_id)
+    )
+    SELECT
+      event_id, user_id,
+      strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS ts,
+      CASE WHEN dback IS NOT NULL AND (dfwd IS NULL OR dback <= dfwd) THEN bk ELSE fk END
+        AS nearest_orderkey,
+      CASE
+        WHEN dback IS NULL AND dfwd IS NULL THEN NULL
+        WHEN dback IS NOT NULL AND (dfwd IS NULL OR dback <= dfwd) THEN 'back'
+        ELSE 'fwd'
+      END AS direction,
+      ROUND(CASE WHEN dback IS NOT NULL AND (dfwd IS NULL OR dback <= dfwd)
+                 THEN dback ELSE dfwd END / 60000000.0, 6) AS minutes_apart
+    FROM paired
+    """,
+)
+def join_asof_nearest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor as-of join: each event matches the temporally
+    CLOSEST order of the same user in either direction (backward inclusive,
+    forward strict; an exact tie keeps the earlier order) — the
+    pandas merge_asof(direction='nearest') semantic.
+
+    Scale path: ONE union of the two streams, ONE shuffle on user_id, two
+    window passes over the same sort (backward = last order at-or-before
+    via the (t, side) ordering that puts orders before events at equal
+    timestamps; forward = first order strictly after, which is exactly the
+    following-rows frame of that same sort). Never a per-event range probe.
+    The oracle runs DuckDB's native ASOF join twice (once per direction)
+    and resolves the winner with the same tie rule.
+    """
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    o_side = o.select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("side"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("o_orderkey"),
+    )
+    e_side = e.select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(1).alias("side"),
+        "event_id",
+        F.lit(None).cast("long").alias("o_orderkey"),
+    )
+    base = Window.partitionBy("user_id").orderBy("t", "side")
+    wb = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wf = base.rowsBetween(1, Window.unboundedFollowing)
+    ord_t = F.when(F.col("side") == 0, F.col("t"))
+    ord_k = F.when(F.col("side") == 0, F.col("o_orderkey"))
+    merged = (
+        o_side.unionByName(e_side)
+        .select(
+            "user_id",
+            "t",
+            "side",
+            "event_id",
+            F.last(ord_k, ignorenulls=True).over(wb).alias("bk"),
+            F.last(ord_t, ignorenulls=True).over(wb).alias("bt"),
+            F.first(ord_k, ignorenulls=True).over(wf).alias("fk"),
+            F.first(ord_t, ignorenulls=True).over(wf).alias("ft"),
+        )
+        .where(F.col("side") == 1)
+    )
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    dback = us("t") - us("bt")
+    dfwd = us("ft") - us("t")
+    back_wins = dback.isNotNull() & (dfwd.isNull() | (dback <= dfwd))
+    return merged.select(
+        "event_id",
+        "user_id",
+        F.date_format("t", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        F.when(back_wins, F.col("bk")).otherwise(F.col("fk")).alias("nearest_orderkey"),
+        F.when(dback.isNull() & dfwd.isNull(), F.lit(None).cast("string"))
+        .when(back_wins, F.lit("back"))
+        .otherwise(F.lit("fwd"))
+        .alias("direction"),
+        F.round(
+            F.when(back_wins, dback).otherwise(dfwd) / 60000000.0, 6
+        ).alias("minutes_apart"),
+    )

@@ -605,3 +605,40 @@ def _finalize_pipeline_oracle() -> None:
 
 
 _finalize_pipeline_oracle()
+
+
+@query(
+    "sample_topk_per_group_docs",
+    oracle="""
+    WITH ranked AS (
+      SELECT
+        doc_id, lang,
+        ROW_NUMBER() OVER (
+          PARTITION BY lang
+          ORDER BY md5('rsv:' || CAST(doc_id AS VARCHAR)), doc_id
+        ) AS rk
+      FROM documents
+    )
+    SELECT doc_id, lang, rk FROM ranked WHERE rk <= 5
+    """,
+)
+def sample_topk_per_group_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group reservoir sampling: exactly 5 documents per
+    language, chosen by smallest salted-md5 key — the distributed,
+    restart-stable replacement for per-group reservoir sampling (a hash
+    rank is a uniform draw, but reproducible from any engine, unlike RNG
+    state).
+
+    Scale shape: rank-<=-k filters over a window push down as a group
+    TOP-K (Spark's WindowGroupLimit keeps a 5-row heap per group inside
+    each task before the shuffle), so the full per-group sort never
+    happens — per-partition work is O(n log k), shuffle carries at most
+    k rows per (group, input partition).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit("rsv:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy(key, "doc_id")
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).cast("long").alias("rk"))
+        .where(F.col("rk") <= 5)
+    )
