@@ -1003,3 +1003,43 @@ def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("tok").alias("n_distinct_tokens"),
         )
     )
+
+
+@query("text_compression_ratio")
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality signal (rows-only): deflate each document
+    and report compressed/raw byte ratio — the cheap redundancy detector
+    used by large-corpus curation pipelines (highly repetitive or
+    boilerplate text compresses far below natural prose; near-random noise
+    barely compresses). No SQL engine exposes deflate, so there is no
+    DuckDB oracle; invariance properties are unit-tested instead.
+
+    Scale shape: zlib is the rare case where Python in the pipeline is
+    justified (no Spark builtin), so it runs as mapInPandas — Arrow batches
+    in, one C-speed zlib call per document, no per-row Python dispatch.
+    The projection before the UDF keeps only (doc_id, text), so the scan
+    prunes and the Arrow transfer carries nothing extra; output is 3 small
+    numeric columns per doc.
+    """
+    import pandas as pd  # local: keep module import light
+
+    def compress(batches):
+        import zlib
+
+        for pdf in batches:
+            raw = pdf["text"].str.encode("utf-8")
+            n_bytes = raw.str.len().astype("int64")
+            n_comp = raw.map(lambda b: len(zlib.compress(b, 6))).astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": n_bytes,
+                    "n_compressed": n_comp,
+                    "ratio": (n_comp / n_bytes.clip(lower=1)).round(6),
+                }
+            )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInPandas(
+        compress, "doc_id BIGINT, n_bytes BIGINT, n_compressed BIGINT, ratio DOUBLE"
+    )
