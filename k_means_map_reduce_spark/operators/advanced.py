@@ -451,3 +451,43 @@ def nested_order_lines_top_item(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_lines",
         )
     )
+
+
+_HIERARCHY_LEVELS_SQL = """
+WITH RECURSIVE tree(custkey, level) AS (
+  SELECT c_custkey, 0 FROM customer WHERE c_custkey <= 9
+  UNION ALL
+  SELECT c.c_custkey, t.level + 1
+  FROM customer c JOIN tree t ON c.c_custkey {div} 10 = t.custkey
+  WHERE c.c_custkey > 9
+)
+SELECT
+  CAST(t.level AS BIGINT) AS level,
+  CAST(COUNT(*) AS BIGINT) AS n_customers,
+  CAST(SUM(CAST(ROUND(c.c_acctbal, 6) AS DECIMAL(18,6))) AS DOUBLE) AS total_acctbal
+FROM tree t JOIN customer c ON c.c_custkey = t.custkey
+GROUP BY t.level
+"""
+
+
+@query(
+    "sql_recursive_hierarchy_levels",
+    oracle=_HIERARCHY_LEVELS_SQL.format(div="//"),
+)
+def sql_recursive_hierarchy_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive-CTE hierarchy traversal (Spark 4's WITH RECURSIVE): a
+    customer reporting tree synthesized as parent = custkey div 10 (roots
+    are single-digit keys), walked root-down with per-level rollups — the
+    org-chart/BOM query shape SQL engines express recursively.
+
+    Spark's recursion supports UNION ALL only (no dedup between steps), so
+    the traversal is over a TREE — exactly one derivation path per node,
+    meaning UNION ALL semantics equal UNION semantics and the row count is
+    bounded by the table, not by path multiplicity. Depth is log10(keys)
+    (~6 at full scale), so the recursion runs a handful of self-join
+    rounds, each a broadcast-able join of the frontier against the
+    customer dim. The same SQL text runs on DuckDB (dialect delta: DIV vs
+    //), making this a front-end parity check, not just an operator check.
+    """
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_HIERARCHY_LEVELS_SQL.format(div="DIV"))

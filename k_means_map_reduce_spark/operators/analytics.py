@@ -1134,3 +1134,40 @@ def attribution_linear_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame
             "as (touch_type, n_touched_purchases, credited_value)"
         )
     )
+
+
+@query("events_ewma_per_user")
+def events_ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially weighted moving average of event values
+    (alpha=0.2, adjust=False: y_t = 0.8*y_{t-1} + 0.2*x_t) — the classic
+    online smoothing statistic. Inherently sequential per key (each state
+    depends on the previous), so it is NOT window-expressible without
+    numerically explosive (1-a)^-i rescaling; this is the textbook case
+    for groupBy().applyInPandas: Arrow ships each user's (ts, value)
+    series to pandas, one vectorized C-loop ewm() per group, tiny
+    (user_id, n, ewma) rows come back.
+
+    Scale shape: one shuffle on user_id (the same partitioning every other
+    per-user operator uses); group state is O(1), group payload is one
+    user's events. Rows-only (no SQL oracle can express the recursion
+    portably); the recurrence is pinned against a hand-rolled reference in
+    tests/test_new_ops.py.
+    """
+    import pandas as pd  # local: keep module import light
+
+    def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        vals = pdf["value"].dropna()
+        out = vals.ewm(alpha=0.2, adjust=False).mean()
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_values": [int(vals.size)],
+                "ewma": [round(float(out.iloc[-1]), 6) if vals.size else None],
+            }
+        )
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    return ev.groupBy("user_id").applyInPandas(
+        ewma, "user_id BIGINT, n_values BIGINT, ewma DOUBLE"
+    )

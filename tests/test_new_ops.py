@@ -152,3 +152,46 @@ def test_triangle_count_known_graph(spark, tmp_path, monkeypatch):
     # edges: 12,13,23 (order 10) + 12,14,24 (order 20) -> 5 distinct edges,
     # triangles {1,2,3} and {1,2,4}.
     assert (row["n_nodes"], row["n_edges"], row["n_triangles"]) == (4, 5, 2)
+
+
+def test_ewma_matches_reference_recurrence(spark, tmp_path):
+    t0 = dt.datetime(2024, 6, 1, 9, 0, 0)
+    vals = [10.0, 20.0, None, 5.0, 40.0]
+    rows = [
+        (i, t0 + dt.timedelta(minutes=i), 7, "view", v) for i, v in enumerate(vals)
+    ]
+    _write_events(str(tmp_path / "events.parquet"), rows)
+    got = QUERIES["events_ewma_per_user"](spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    r = got[0]
+    y = None
+    for v in vals:
+        if v is None:
+            continue
+        y = v if y is None else 0.8 * y + 0.2 * v
+    assert r["user_id"] == 7
+    assert r["n_values"] == 4
+    assert r["ewma"] == pytest.approx(round(y, 6), abs=1e-9)
+
+
+def test_recursive_hierarchy_matches_iterative_bfs(spark, sf_dir):
+    """The recursive CTE's per-level counts must agree with a driver-side
+    iterative computation of the same synthetic tree."""
+    from k_means_map_reduce_spark.sources import load_table
+
+    keys = [r.c_custkey for r in load_table(spark, sf_dir, "customer").select("c_custkey").collect()]
+    level = {}
+    for k in sorted(keys):
+        level[k] = 0 if k <= 9 else level.get(k // 10, None)
+        if k > 9:
+            parent = k // 10
+            level[k] = level[parent] + 1 if parent in level else None
+    expected = {}
+    for k, lv in level.items():
+        if lv is not None:
+            expected[lv] = expected.get(lv, 0) + 1
+    got = {
+        r["level"]: r["n_customers"]
+        for r in QUERIES["sql_recursive_hierarchy_levels"](spark, sf_dir).collect()
+    }
+    assert got == expected
