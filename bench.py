@@ -78,6 +78,13 @@ HEADLINE = [
     "corpus_to_training_pipeline",
     "join_scd2_order_segment",
     "churn_labels_per_order",
+    # round-3 third pass: graph, sweep-line concurrency, attribution,
+    # cross-doc chunk dedup, recursive SQL
+    "graph_triangle_count",
+    "events_peak_concurrency_daily",
+    "attribution_linear_multitouch",
+    "dedup_shared_chunk_fraction",
+    "sql_recursive_hierarchy_levels",
 ]
 
 
