@@ -1043,3 +1043,73 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(
         compress, "doc_id BIGINT, n_bytes BIGINT, n_compressed BIGINT, ratio DOUBLE"
     )
+
+
+@query(
+    "text_unigram_cross_entropy",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+        unnest(list_filter(string_split_regex(TRIM(LOWER(text)), '\\s+'), t -> t != ''))
+          AS tok
+      FROM documents
+    ), vocab AS (
+      SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok
+    ), total AS (
+      SELECT CAST(SUM(CAST(cnt AS BIGINT)) AS BIGINT) AS n_total FROM vocab
+    )
+    SELECT
+      t.doc_id,
+      COUNT(*) AS n_tokens,
+      ROUND(
+        ln(CAST(n_total AS DOUBLE))
+        - CAST(SUM(CAST(ROUND(ln(CAST(v.cnt AS DOUBLE)), 6) AS DECIMAL(18,6))) AS DOUBLE)
+          / COUNT(*),
+        4) AS cross_entropy
+    FROM toks t JOIN vocab v USING (tok) CROSS JOIN total
+    GROUP BY t.doc_id, n_total
+    """,
+)
+def text_unigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM cross-entropy per document — the tractable stand-in for
+    CCNet's LM-perplexity quality filter: documents made of globally rare
+    tokens score high, boilerplate scores low. Per-doc score =
+    ln(N) − mean(ln(count(tok))), algebraically −mean ln p(tok) with one
+    corpus-wide normalizer.
+
+    Scale shape: two passes — an explode→agg builds the token-frequency
+    model (map-side partials; vocabulary ≪ corpus by Heaps' law), then the
+    scoring pass joins that model BROADCAST onto the exploded stream and
+    reduces per doc. If a web-scale vocabulary outgrew broadcast, the
+    model join keys on token hash (same plan, shuffled); nothing else
+    changes. Float discipline: ln() per distinct-count value rounds to 6
+    before the exact decimal mean (transcendental outputs are not near
+    decimal ties, so both libms round identically); the final score
+    rounds to 4, leaving ~1e9 ulps of margin.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks_arr = F.filter(F.split(F.trim(F.lower("text")), r"\s+"), lambda t: t != "")
+    toks = d.select("doc_id", F.explode(toks_arr).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").cast("long").alias("n_total"))
+    return (
+        toks.join(F.broadcast(vocab), "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id", "n_total")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (
+                F.sum(
+                    F.round(F.log(F.col("cnt").cast("double")), 6).cast("decimal(18,6)")
+                ).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_ln_cnt"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(
+                F.log(F.col("n_total").cast("double")) - F.col("mean_ln_cnt"), 4
+            ).alias("cross_entropy"),
+        )
+    )

@@ -29,6 +29,14 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC: the other columnar container Spark ships natively — same
+    predicate-pushdown/column-pruning story as parquet (ORC carries its own
+    min/max/bloom indexes), relevant when interoperating with Hive-era
+    warehouses."""
+    df.write.mode(mode).orc(path)
+
+
 def write_partitioned(
     df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
 ) -> None:

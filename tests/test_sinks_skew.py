@@ -20,6 +20,7 @@ from k_means_map_reduce_spark.sources.points_txt import (
 from k_means_map_reduce_spark.sources.sinks import (
     write_bucketed,
     write_csv,
+    write_orc,
     write_parquet,
     write_partitioned,
 )
@@ -109,6 +110,20 @@ def test_parquet_csv_roundtrip(spark, sf_dir, tmp_path):
     assert sorted(r["n_name"] for r in back.collect()) == sorted(
         r["n_name"] for r in n.collect()
     )
+
+
+def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
+    o = load_table(spark, sf_dir, "orders")
+    path = str(tmp_path / "orders_orc")
+    write_orc(o, path)
+    back = spark.read.orc(path)
+    assert back.count() == o.count()
+    # ORC scans take predicate pushdown like parquet
+    r = plan_report(back.where(F.col("o_orderkey") == 7))
+    assert "orc" in r.text.lower()
+    assert back.where(F.col("o_orderkey") == 7).count() == o.where(
+        F.col("o_orderkey") == 7
+    ).count()
 
 
 def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
