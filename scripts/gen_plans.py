@@ -95,6 +95,26 @@ PICKS = {
         "on the batch's key set, and only the touched slice re-aggregates "
         "— the untouched state never shuffles or rewrites."
     ),
+    "attribution_linear_multitouch": (
+        "Both touch counts are conditional sums over ONE time-RANGE window: "
+        "a single user_id exchange, no purchase-to-touch join, 3-row output."
+    ),
+    "events_peak_concurrency_daily": (
+        "Sweep line decomposed: day-partitioned running sums + an O(days) "
+        "carry-in prefix replace the textbook single-partition global sort."
+    ),
+    "graph_triangle_count": (
+        "Degree-ordered orientation caps per-node out-degree at O(sqrt(E)); "
+        "wedge + closure joins are plain shuffled equi-joins on node keys."
+    ),
+    "dedup_shared_chunk_fraction": (
+        "Chunks become md5 digests inside the scan projection; the "
+        "inverted index and per-doc rollup shuffle 16-byte keys, never text."
+    ),
+    "text_unigram_cross_entropy": (
+        "The token-frequency model broadcasts; the scoring pass is one "
+        "explode -> broadcast-join -> per-doc reduce, no vocabulary shuffle."
+    ),
 }
 
 
