@@ -1183,3 +1183,147 @@ def events_ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id").applyInPandas(
         ewma, "user_id BIGINT, n_values BIGINT, ewma DOUBLE"
     )
+
+
+@query(
+    "events_dow_seasonality",
+    oracle=f"""
+    WITH daily AS (
+      SELECT
+        event_type,
+        date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+        dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS dow,
+        COUNT(*) AS n
+      FROM events GROUP BY 1, 2, 3
+    ), per_type AS (
+      SELECT
+        event_type, dow,
+        CAST(SUM(CAST(n AS BIGINT)) AS BIGINT) AS n_events,
+        COUNT(*) AS n_days
+      FROM daily GROUP BY 1, 2
+    ), base AS (
+      SELECT
+        event_type,
+        CAST(SUM(n_events) AS DOUBLE) / CAST(SUM(n_days) AS DOUBLE) AS overall_daily_mean
+      FROM per_type GROUP BY 1
+    )
+    SELECT
+      p.event_type,
+      CAST(p.dow AS BIGINT) AS dow,
+      p.n_events,
+      ROUND((CAST(p.n_events AS DOUBLE) / p.n_days) / b.overall_daily_mean, 6)
+        AS seasonal_index
+    FROM per_type p JOIN base b USING (event_type)
+    """,
+)
+def events_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal indices per event type: mean daily volume on
+    each weekday divided by the type's overall daily mean — the
+    seasonality profile (index > 1 = above-trend weekday) that feeds
+    seasonal adjustment and anomaly baselines.
+
+    Scale shape: the fact collapses to (type, day) in ONE map-side-partial
+    aggregation; everything after runs on ≤ types x days rows. The ratio
+    arithmetic divides exact integer-derived doubles in the same order in
+    both engines. Spark's dayofweek is 1=Sunday..7; DuckDB's is 0=Sunday..6, so the oracle adds 1.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", "ts").alias("day"),
+        F.dayofweek("ts").alias("dow"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    per_type = daily.groupBy("event_type", "dow").agg(
+        F.sum("n").cast("long").alias("n_events"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    base = per_type.groupBy("event_type").agg(
+        (
+            F.sum("n_events").cast("double") / F.sum("n_days").cast("double")
+        ).alias("overall_daily_mean")
+    )
+    return per_type.join(F.broadcast(base), "event_type").select(
+        "event_type",
+        F.col("dow").cast("long").alias("dow"),
+        "n_events",
+        F.round(
+            (F.col("n_events").cast("double") / F.col("n_days"))
+            / F.col("overall_daily_mean"),
+            6,
+        ).alias("seasonal_index"),
+    )
+
+
+@query(
+    "timeseries_autocorr_daily_revenue",
+    oracle="""
+    WITH daily AS (
+      SELECT
+        date_trunc('day', CAST(o_orderdate AS TIMESTAMP)) AS day,
+        CAST(SUM(CAST(ROUND(o_totalprice, 6) AS DECIMAL(18,6))) AS DOUBLE) AS rev
+      FROM orders GROUP BY 1
+    ), lagged AS (
+      SELECT day, rev, LAG(rev) OVER (ORDER BY day) AS prev
+      FROM daily
+    ), pairs AS (
+      SELECT rev, prev FROM lagged WHERE prev IS NOT NULL
+    ), moments AS (
+      SELECT
+        COUNT(*) AS n,
+        CAST(SUM(CAST(ROUND(rev, 4) AS DECIMAL(28,4))) AS DOUBLE) AS sx,
+        CAST(SUM(CAST(ROUND(prev, 4) AS DECIMAL(28,4))) AS DOUBLE) AS sy,
+        CAST(SUM(CAST(ROUND(rev * prev / 1000000.0, 4) AS DECIMAL(28,4))) AS DOUBLE) AS sxy,
+        CAST(SUM(CAST(ROUND(rev * rev / 1000000.0, 4) AS DECIMAL(28,4))) AS DOUBLE) AS sxx,
+        CAST(SUM(CAST(ROUND(prev * prev / 1000000.0, 4) AS DECIMAL(28,4))) AS DOUBLE) AS syy
+      FROM pairs
+    )
+    SELECT
+      n,
+      ROUND(
+        (sxy - sx * sy / n / 1000000.0)
+        / sqrt(sxx - sx * sx / n / 1000000.0)
+        / sqrt(syy - sy * sy / n / 1000000.0), 6) AS lag1_autocorr
+    FROM moments
+    """,
+)
+def timeseries_autocorr_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of the daily revenue series — the standard
+    persistence diagnostic (is today's revenue predictive of tomorrow's?),
+    computed closed-form from exact decimal power sums exactly like
+    stats_regression_by_flag: Pearson r over (rev_t, rev_{t-1}) pairs.
+
+    Scale shape: the fact reduces to one row per DAY before anything
+    else; the lag window and the five power sums run over that tiny
+    series. Products are pre-scaled by 1e6 to keep the decimal
+    accumulator in range; sqrt is IEEE-correctly-rounded so the final
+    division agrees bit-for-bit across engines before the round.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.date_trunc("day", "o_orderdate").alias("day")).agg(
+        dsum("o_totalprice").alias("rev")
+    )
+    w = Window.orderBy("day")
+    lagged = daily.select("rev", F.lag("rev").over(w).alias("prev")).where(
+        F.col("prev").isNotNull()
+    )
+
+    def dsum28(c):
+        return F.sum(F.round(c, 4).cast("decimal(28,4)")).cast("double")
+
+    m = lagged.agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum28(F.col("rev")).alias("sx"),
+        dsum28(F.col("prev")).alias("sy"),
+        dsum28(F.col("rev") * F.col("prev") / 1000000.0).alias("sxy"),
+        dsum28(F.col("rev") * F.col("rev") / 1000000.0).alias("sxx"),
+        dsum28(F.col("prev") * F.col("prev") / 1000000.0).alias("syy"),
+    )
+    return m.select(
+        "n",
+        F.round(
+            (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n") / 1000000.0)
+            / F.sqrt(F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n") / 1000000.0)
+            / F.sqrt(F.col("syy") - F.col("sy") * F.col("sy") / F.col("n") / 1000000.0),
+            6,
+        ).alias("lag1_autocorr"),
+    )

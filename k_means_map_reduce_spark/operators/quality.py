@@ -191,3 +191,74 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("change"),
         )
     )
+
+
+@query(
+    "privacy_k_anonymity_check",
+    oracle="""
+    WITH cells AS (
+      SELECT
+        c_nationkey,
+        c_mktsegment,
+        CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+        COUNT(*) AS n
+      FROM customer
+      GROUP BY 1, 2, 3
+    )
+    SELECT
+      c_nationkey, c_mktsegment, bal_band, CAST(n AS BIGINT) AS n
+    FROM cells
+    WHERE n < 5
+    """,
+)
+def privacy_k_anonymity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (k=5) over the quasi-identifier tuple
+    (nation, market segment, account-balance band): every equivalence
+    class smaller than k is a re-identification risk and must be
+    generalized or suppressed before the table is shared — the standard
+    privacy gate in data-release pipelines.
+
+    Scale shape: one hash aggregation at quasi-identifier grain (map-side
+    partials), one filter; cells are bounded by the QI domain product, not
+    row count. The balance band is floor-division — integer-exact in both
+    engines.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    cells = c.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("bal_band"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return cells.where(F.col("n") < 5).select(
+        "c_nationkey", "c_mktsegment", "bal_band", F.col("n").cast("long").alias("n")
+    )
+
+
+@query(
+    "privacy_pseudonymize_customers",
+    oracle="""
+    SELECT
+      sha256('cust:' || CAST(c_custkey AS VARCHAR)) AS pseudo_id,
+      c_mktsegment,
+      c_nationkey
+    FROM customer
+    """,
+)
+def privacy_pseudonymize_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pseudonymization: the stable join key is replaced by a
+    salted SHA-256 digest (joinable across pseudonymized tables, not
+    reversible without the salt), while analytic attributes pass through —
+    the tokenization step data-sharing agreements demand.
+
+    Scale shape: a stateless projection (no shuffle at all); both engines
+    emit identical lowercase hex, so the digest doubles as a cross-engine
+    integrity check.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        F.sha2(F.concat(F.lit("cust:"), F.col("c_custkey").cast("string")), 256).alias(
+            "pseudo_id"
+        ),
+        "c_mktsegment",
+        "c_nationkey",
+    )

@@ -373,3 +373,76 @@ def ds_cumulative_channel_crossover(spark: SparkSession, sf_dir: str) -> DataFra
         F.col("urgent_cum").cast("double").alias("urgent_cum"),
         F.col("routine_cum").cast("double").alias("routine_cum"),
     )
+
+
+@query(
+    "ds_rollup_topn_by_level",
+    oracle="""
+    WITH rolled AS (
+      SELECT
+        COALESCE(n_name, 'ALL') AS nation,
+        COALESCE(c_mktsegment, 'ALL') AS segment,
+        CASE WHEN n_name IS NULL THEN 2 WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END
+          AS lvl,
+        CAST(SUM(CAST(ROUND(o_totalprice, 6) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      FROM orders
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation ON n_nationkey = c_nationkey
+      GROUP BY ROLLUP (n_name, c_mktsegment)
+    ), ranked AS (
+      SELECT *,
+        ROW_NUMBER() OVER (
+          PARTITION BY lvl ORDER BY revenue DESC, nation, segment
+        ) AS rk
+      FROM rolled
+    )
+    SELECT CAST(lvl AS BIGINT) AS lvl, nation, segment, revenue, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 3
+    """,
+)
+def ds_rollup_topn_by_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q67's core shape: a ROLLUP over the reporting hierarchy
+    (nation -> segment) ranked WITHIN each aggregation level, keeping the
+    top 3 rows per level — the 'best performers at every grain' report.
+
+    Scale shape: ONE fact pass feeds the rollup (Spark's Expand produces
+    the grouping sets before a single exchange); the rank window runs over
+    the rollup OUTPUT (≤ nations x segments rows) partitioned by grouping
+    level, and the rank<=3 filter pushes down as a WindowGroupLimit top-k.
+    Grouping level comes from the NULL pattern, made explicit so both
+    engines label rows identically; ties break on names for cross-engine
+    determinism.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    joined = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    )
+    dec = F.round(F.col("o_totalprice"), 6).cast("decimal(18,6)")
+    rolled = (
+        joined.rollup("n_name", "c_mktsegment")
+        .agg(F.sum(dec).cast("double").alias("revenue"))
+        .select(
+            F.coalesce(F.col("n_name"), F.lit("ALL")).alias("nation"),
+            F.coalesce(F.col("c_mktsegment"), F.lit("ALL")).alias("segment"),
+            F.when(F.col("n_name").isNull(), 2)
+            .when(F.col("c_mktsegment").isNull(), 1)
+            .otherwise(0)
+            .alias("lvl"),
+            "revenue",
+        )
+    )
+    w = Window.partitionBy("lvl").orderBy(
+        F.col("revenue").desc(), "nation", "segment"
+    )
+    return (
+        rolled.select(
+            F.col("lvl").cast("long").alias("lvl"),
+            "nation",
+            "segment",
+            "revenue",
+            F.row_number().over(w).cast("long").alias("rk"),
+        )
+        .where(F.col("rk") <= 3)
+    )
