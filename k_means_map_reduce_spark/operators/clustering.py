@@ -210,3 +210,59 @@ def ml_als_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("rnk") + 1).alias("rnk"),
         F.col("rec.item").alias("partkey"),
     )
+
+
+@query(
+    "ml_fpgrowth_itemsets",
+    oracle="""
+    WITH b AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ), singles AS (
+      SELECT CAST(pk AS VARCHAR) AS itemset, COUNT(*) AS freq
+      FROM b GROUP BY pk HAVING COUNT(*) >= 3
+    ), pairs AS (
+      SELECT CAST(a.pk AS VARCHAR) || ',' || CAST(c.pk AS VARCHAR) AS itemset,
+             COUNT(*) AS freq
+      FROM b a JOIN b c ON a.ok = c.ok AND a.pk < c.pk
+      GROUP BY a.pk, c.pk HAVING COUNT(*) >= 3
+    )
+    SELECT itemset, CAST(freq AS BIGINT) AS freq FROM singles
+    UNION ALL
+    SELECT itemset, CAST(freq AS BIGINT) AS freq FROM pairs
+    """,
+)
+def ml_fpgrowth_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent itemset mining with MLlib's distributed FP-Growth (Han
+    et al. 2000; PFP partitioning, Li et al. 2008) over order baskets,
+    reported as itemsets with absolute support >= 3. The driver-checked
+    view filters to sizes 1-2 so plain SQL can recompute it exactly
+    (market_basket_pairs already covers the pair lattice relationally —
+    this is the MLlib-native route that also mines higher orders).
+
+    Scale shape: FP-Growth's whole point at 100 TB — conditional FP-trees
+    are built per group-id PARTITION (PFP), so no candidate-generation
+    blow-up and no global tree; input is one distinct + collect_set pass.
+    minSupport is given as (floor - 0.5)/n so MLlib's ceil() lands exactly
+    on the integer floor the oracle uses.
+    """
+    from pyspark.ml.fpm import FPGrowth
+
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = (
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("items"))
+    )
+    n_orders = baskets.count()
+    fp = FPGrowth(itemsCol="items", minSupport=2.5 / n_orders, minConfidence=0.5)
+    model = fp.fit(baskets)
+    return (
+        model.freqItemsets.where(F.size("items") <= 2)
+        .select(
+            F.concat_ws(",", F.transform(F.array_sort("items"), lambda x: x.cast("string"))).alias(
+                "itemset"
+            ),
+            F.col("freq").cast("long").alias("freq"),
+        )
+    )

@@ -35,6 +35,7 @@ EAGER_QUERIES = {
     "kmeans_parallel_init_clusters",  # runs the full clustering at construction
     "kmeans_streaming_clusters",  # drains a stream at construction
     "ml_als_recommendations",  # ALS fit executes at construction
+    "ml_fpgrowth_itemsets",  # FP-Growth fit executes at construction
 }
 LAZY_QUERIES = sorted(set(QUERIES) - EAGER_QUERIES)
 
