@@ -1327,3 +1327,76 @@ def timeseries_autocorr_daily_revenue(spark: SparkSession, sf_dir: str) -> DataF
             6,
         ).alias("lag1_autocorr"),
     )
+
+
+@query(
+    "events_anomaly_daily_zscore",
+    oracle="""
+    WITH daily AS (
+      SELECT
+        event_type,
+        strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS day,
+        COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ), scored AS (
+      SELECT
+        event_type, day, n,
+        COUNT(*) OVER w AS w_n,
+        CAST(SUM(CAST(n AS BIGINT)) OVER w AS DOUBLE) AS w_sum,
+        CAST(SUM(CAST(n * n AS BIGINT)) OVER w AS DOUBLE) AS w_sum2
+      FROM daily
+      WINDOW w AS (
+        PARTITION BY event_type ORDER BY day
+        ROWS BETWEEN 14 PRECEDING AND 1 PRECEDING
+      )
+    )
+    SELECT
+      event_type, day, CAST(n AS BIGINT) AS n,
+      ROUND((n - w_sum / w_n)
+            / sqrt(w_sum2 / w_n - (w_sum / w_n) * (w_sum / w_n)), 4) AS zscore
+    FROM scored
+    WHERE w_n >= 7
+      AND w_sum2 / w_n - (w_sum / w_n) * (w_sum / w_n) > 0
+      AND ABS((n - w_sum / w_n)
+            / sqrt(w_sum2 / w_n - (w_sum / w_n) * (w_sum / w_n))) > 2
+    """,
+)
+def events_anomaly_daily_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection: each (event type, day) count is z-scored
+    against its own TRAILING 14-day window (current day excluded, so the
+    anomaly can't deflate its own baseline); days beyond |z| > 2 with at
+    least 7 days of history are flagged — the standard ops-monitoring
+    rule.
+
+    Scale shape: the fact collapses to (type, day) counts first; the
+    rolling moments are integer window sums over that tiny series
+    (exact — no float drift between engines), and mean/variance derive
+    from them closed-form. Every per-day division and the IEEE sqrt act
+    on identical operands in both engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-14, -1)
+    )
+    scored = daily.select(
+        "event_type",
+        "day",
+        "n",
+        F.count(F.lit(1)).over(w).alias("w_n"),
+        F.sum(F.col("n").cast("long")).over(w).cast("double").alias("w_sum"),
+        F.sum((F.col("n") * F.col("n")).cast("long")).over(w).cast("double").alias("w_sum2"),
+    )
+    mean = F.col("w_sum") / F.col("w_n")
+    var = F.col("w_sum2") / F.col("w_n") - mean * mean
+    z = (F.col("n") - mean) / F.sqrt(var)
+    return scored.where(
+        (F.col("w_n") >= 7) & (var > 0) & (F.abs(z) > 2)
+    ).select(
+        "event_type", "day", F.col("n").cast("long").alias("n"), F.round(z, 4).alias("zscore")
+    )

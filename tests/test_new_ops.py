@@ -195,3 +195,27 @@ def test_recursive_hierarchy_matches_iterative_bfs(spark, sf_dir):
         for r in QUERIES["sql_recursive_hierarchy_levels"](spark, sf_dir).collect()
     }
     assert got == expected
+
+
+def test_pca_power_iteration_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from k_means_map_reduce_spark.sources import load_table
+
+    rows = QUERIES["embedding_pca_power_iteration"](spark, sf_dir).collect()
+    v = np.zeros(len(rows))
+    for r in rows:
+        v[r["dim"]] = r["loading"]
+    X = np.array(
+        [r["embedding"] for r in load_table(spark, sf_dir, "embeddings").collect()],
+        dtype=np.float64,
+    )
+    gram = X.T @ X
+    evals = np.linalg.eigvalsh(gram)
+    # unit direction whose Rayleigh quotient (captured variance) reaches
+    # the top of the near-degenerate spectrum (docstring: eigvec identity
+    # is not achievable in bounded rounds at gap ~0.93, captured variance is)
+    assert float(np.linalg.norm(v)) == pytest.approx(1.0, abs=1e-4)
+    rayleigh = float(v @ gram @ v)
+    assert rayleigh >= 0.95 * float(evals[-1])
+    assert rows[0]["eigenvalue"] == pytest.approx(rayleigh, rel=5e-2)

@@ -36,6 +36,7 @@ EAGER_QUERIES = {
     "kmeans_streaming_clusters",  # drains a stream at construction
     "ml_als_recommendations",  # ALS fit executes at construction
     "ml_fpgrowth_itemsets",  # FP-Growth fit executes at construction
+    "embedding_pca_power_iteration",  # power-iteration loop executes at construction
 }
 LAZY_QUERIES = sorted(set(QUERIES) - EAGER_QUERIES)
 
