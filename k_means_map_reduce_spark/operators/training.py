@@ -642,3 +642,132 @@ def sample_topk_per_group_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", "lang", F.row_number().over(w).cast("long").alias("rk"))
         .where(F.col("rk") <= 5)
     )
+
+
+@query(
+    "training_dataset_mixture",
+    oracle="""
+    WITH weighted AS (
+      SELECT
+        doc_id, source,
+        CASE source WHEN 'src0' THEN 4.0 WHEN 'src1' THEN 2.0 ELSE 1.0 END AS w,
+        ROW_NUMBER() OVER (
+          PARTITION BY source
+          ORDER BY md5('mix:' || CAST(doc_id AS VARCHAR)), doc_id
+        ) AS rk
+      FROM documents
+    ), scheduled AS (
+      SELECT
+        doc_id, source,
+        CAST(rk AS DOUBLE) / w AS mix_pos,
+        ROW_NUMBER() OVER (
+          ORDER BY CAST(rk AS DOUBLE) / w, md5('mix:' || CAST(doc_id AS VARCHAR)), doc_id
+        ) AS schedule_pos
+      FROM weighted
+    )
+    SELECT doc_id, source, CAST(schedule_pos AS BIGINT) AS schedule_pos
+    FROM scheduled
+    WHERE schedule_pos <= 100
+    """,
+)
+def training_dataset_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic multi-source mixture scheduling (the Pile/Dolma-style
+    interleave): each source gets a target weight (src0:4, src1:2,
+    rest:1); documents are shuffled WITHIN source by salted md5, assigned
+    mixture position rank/weight, and merged into one global training
+    order where a weight-4 source appears 4x as often per unit of
+    schedule — the first 100 scheduled docs are returned as the check.
+
+    Scale shape: the per-source shuffle/rank partitions by source; the
+    global schedule is a sort by (rank/weight) — at 100 TB you'd write
+    range-partitioned shards of the schedule rather than one total order,
+    but the ORDER is the deliverable either way (restart-stable, no RNG
+    state). The head-100 filter becomes a TakeOrderedAndProject — no full
+    sort materializes locally either.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = (
+        F.when(F.col("source") == "src0", F.lit(4.0))
+        .when(F.col("source") == "src1", F.lit(2.0))
+        .otherwise(F.lit(1.0))
+    )
+    key = F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string")))
+    rk = F.row_number().over(Window.partitionBy("source").orderBy(key, "doc_id"))
+    weighted = d.select("doc_id", "source", w.alias("w"), key.alias("k")).withColumn(
+        "rk", rk
+    )
+    mix_pos = F.col("rk").cast("double") / F.col("w")
+    scheduled = weighted.select(
+        "doc_id",
+        "source",
+        F.row_number()
+        .over(Window.orderBy(mix_pos, "k", "doc_id"))
+        .cast("long")
+        .alias("schedule_pos"),
+    )
+    return scheduled.where(F.col("schedule_pos") <= 100)
+
+
+@query(
+    "text_rag_chunks",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+        list_filter(string_split_regex(TRIM(LOWER(text)), '\\s+'), t -> t != '') AS ws
+      FROM documents
+    ), chunk_lists AS (
+      SELECT doc_id, len(ws) AS n_toks,
+        list_transform(
+          range(CAST(CASE WHEN len(ws) <= 64 THEN 1
+                     ELSE 1 + CAST(ceil((len(ws) - 64) / 48.0) AS BIGINT) END AS BIGINT)),
+          i -> struct_pack(
+            idx := i,
+            n := least(64, len(ws) - i*48),
+            h := md5(array_to_string(list_slice(ws, i*48 + 1, i*48 + 64), ' '))
+          )
+        ) AS ch
+      FROM toks
+      WHERE len(ws) > 0
+    )
+    SELECT
+      doc_id,
+      CAST(u.c.idx AS BIGINT) AS chunk_idx,
+      CAST(u.c.n AS BIGINT) AS chunk_tokens,
+      u.c.h AS chunk_hash
+    FROM chunk_lists, UNNEST(ch) AS u(c)
+    """,
+)
+def text_rag_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style document chunking: 64-token windows with a 48-token stride
+    (16-token overlap so no retrieval-relevant span straddles a boundary
+    unseen), emitting per-chunk token counts and content hashes — the
+    chunk table an embedding/retrieval pipeline indexes.
+
+    Scale shape: chunking is one array expression inside the scan
+    projection (slice windows over the token array; no per-token explode),
+    and each chunk leaves the executor as a 16-byte md5 + 2 ints — the
+    chunk TEXT never shuffles. Chunk count per doc is
+    1 + ceil((n-64)/48), identical arithmetic in both engines.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.trim(F.lower("text")), r"\s+"), lambda t: t != "")
+    n = F.size(toks)
+    n_chunks = F.when(n <= 64, F.lit(1)).otherwise(
+        (F.lit(1) + F.ceil((n - 64) / F.lit(48.0))).cast("int")
+    )
+    chunk = lambda i: F.struct(  # noqa: E731
+        i.alias("idx"),
+        F.least(F.lit(64), n - i * 48).alias("n"),
+        F.md5(F.concat_ws(" ", F.slice(toks, i * 48 + 1, 64))).alias("h"),
+    )
+    chunks = F.transform(F.sequence(F.lit(0), n_chunks - 1), chunk)
+    return (
+        d.where(n > 0)
+        .select("doc_id", F.explode(chunks).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.idx").cast("long").alias("chunk_idx"),
+            F.col("c.n").cast("long").alias("chunk_tokens"),
+            F.col("c.h").alias("chunk_hash"),
+        )
+    )
