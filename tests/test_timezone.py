@@ -36,6 +36,14 @@ DATE_SENSITIVE = [
     "streaming_incremental_rollup_vs_batch",
     # interval arithmetic + date_format over NTZ
     "events_window_funnel_stages",
+    # round-3 third-session ts-sensitive additions: unix_micros differences
+    # (shift-invariant), day-partitioned sweep line, RANGE frames in micros
+    "attribution_last_touch",
+    "attribution_linear_multitouch",
+    "events_peak_concurrency_daily",
+    "join_asof_nearest_order",
+    "events_dow_seasonality",
+    "events_anomaly_daily_zscore",
 ]
 
 
