@@ -136,6 +136,13 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     building is bounded too: pairs form within an order (<= 7 items), never
     across. Three shuffles: edge dedup, wedge join, closure join. The count
     is orientation-invariant, so the simple oracle verifies the clever plan.
+
+    Measured alternative: enumerating wedges from collected per-node
+    adjacency arrays (no wedge JOIN) was tried and is ~25% SLOWER here —
+    nested higher-order array functions run as CodegenFallback
+    (interpreted per element), while the wedge sort-merge join stays
+    whole-stage-codegen'd. The join formulation wins on both counts:
+    JVM-compiled locally, shuffle-parallel at cluster scale.
     """
     li = (
         load_table(spark, sf_dir, "lineitem")

@@ -919,7 +919,12 @@ def dedup_shared_chunk_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     array expression (transform over index slices), no explode of
     per-token rows.
     """
-    d = load_table(spark, sf_dir, "documents")
+    # the chunking expression is a higher-order function (CodegenFallback —
+    # interpreted per chunk); the testdata ships one row group per table, so
+    # without an explicit fan-out the whole corpus chunks on ONE core. The
+    # tiny text shuffle buys full-cluster parallelism for the hashing pass.
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = d.repartition(spark.sparkContext.defaultParallelism)
     toks = F.filter(
         F.split(F.trim(F.lower("text")), r"\s+"), lambda t: t != ""
     )

@@ -749,7 +749,11 @@ def text_rag_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk TEXT never shuffles. Chunk count per doc is
     1 + ceil((n-64)/48), identical arithmetic in both engines.
     """
-    d = load_table(spark, sf_dir, "documents")
+    # chunk windows are higher-order array expressions (CodegenFallback);
+    # fan out the single-row-group scan so hashing parallelizes (same
+    # rationale as dedup_shared_chunk_fraction)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = d.repartition(spark.sparkContext.defaultParallelism)
     toks = F.filter(F.split(F.trim(F.lower("text")), r"\s+"), lambda t: t != "")
     n = F.size(toks)
     n_chunks = F.when(n <= 64, F.lit(1)).otherwise(
