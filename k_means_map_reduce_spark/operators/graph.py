@@ -181,3 +181,131 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.agg(F.countDistinct("pk").alias("n_nodes"))
     )
     return counts.crossJoin(tri).select("n_nodes", "n_edges", "n_triangles")
+
+
+@query(
+    "graph_degree_distribution",
+    oracle="""
+    WITH li AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ), e AS (
+      SELECT DISTINCT a.pk AS u, b.pk AS v
+      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+    ), deg AS (
+      SELECT node, COUNT(*) AS degree FROM (
+        SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e
+      ) GROUP BY node
+    )
+    SELECT
+      CAST(floor(ln(CAST(degree AS DOUBLE)) / ln(2.0)) AS BIGINT) AS log2_degree_bucket,
+      COUNT(*) AS n_nodes,
+      CAST(MIN(degree) AS BIGINT) AS min_degree,
+      CAST(MAX(degree) AS BIGINT) AS max_degree
+    FROM deg
+    GROUP BY 1
+    """,
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the co-purchase graph in log2 buckets — the
+    first diagnostic run on any large graph (is it heavy-tailed? where do
+    the celebrity nodes start?), and the empirical input to the skew
+    decisions the triangle/PageRank operators make.
+
+    Scale shape: edge dedup + one degree aggregation + a bucket rollup;
+    nothing holds more than a count per node. floor(log2(degree)) on exact
+    integer-derived doubles buckets identically in both engines.
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    e = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
+        .select(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    bucket = F.floor(
+        F.log(F.col("degree").cast("double")) / F.log(F.lit(2.0))
+    ).cast("long")
+    return deg.groupBy(bucket.alias("log2_degree_bucket")).agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.min("degree").cast("long").alias("min_degree"),
+        F.max("degree").cast("long").alias("max_degree"),
+    )
+
+
+@query(
+    "sim_suppliers_by_parts",
+    oracle="""
+    WITH sp AS (
+      SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+    ), deg AS (
+      SELECT s, COUNT(*) AS d FROM sp GROUP BY s
+    ), pairs AS (
+      SELECT a.s AS s1, b.s AS s2, COUNT(*) AS shared
+      FROM sp a JOIN sp b ON a.p = b.p AND a.s < b.s
+      GROUP BY a.s, b.s
+    )
+    SELECT
+      p.s1, p.s2, CAST(p.shared AS BIGINT) AS shared_parts,
+      ROUND(CAST(p.shared AS DOUBLE) / (d1.d + d2.d - p.shared), 6) AS jaccard
+    FROM pairs p
+    JOIN deg d1 ON d1.s = p.s1
+    JOIN deg d2 ON d2.s = p.s2
+    ORDER BY CAST(p.shared AS DOUBLE) / (d1.d + d2.d - p.shared) DESC, p.s1, p.s2
+    LIMIT 20
+    """,
+)
+def sim_suppliers_by_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity similarity by shared features — the bipartite projection:
+    the 20 most part-set-similar supplier pairs by Jaccard — the
+    collaborative-filtering neighborhood computation (users-by-items,
+    docs-by-shingles, suppliers-by-parts are all this query). Top-k
+    rather than a fixed similarity cut because absolute Jaccard shrinks
+    as feature sets grow with corpus density — a threshold that fires at
+    one scale is empty at another; ties at the boundary break on the key
+    pair so both engines keep the identical set.
+
+    Scale shape: the classic inverted-index set-similarity join — pair
+    candidates are generated PER PART (posting list), so the work is
+    sum over parts of C(suppliers_carrying_it, 2), never |S|². At web
+    scale a stop-feature cap bounds hot postings (the relative cap
+    join_fuzzy_part_names and contamination_train_test_ngrams already
+    apply); this corpus' postings are naturally bounded, so the plain
+    projection is exact. Degrees broadcast onto the pair aggregate for
+    the Jaccard denominator.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    sp = li.select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")).distinct()
+    deg = sp.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
+    a, b = sp.alias("a"), sp.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
+        .groupBy(F.col("a.s").alias("s1"), F.col("b.s").alias("s2"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    d1 = deg.select(F.col("s").alias("s1"), F.col("d").alias("d1"))
+    d2 = deg.select(F.col("s").alias("s2"), F.col("d").alias("d2"))
+    jac = F.col("shared").cast("double") / (F.col("d1") + F.col("d2") - F.col("shared"))
+    return (
+        pairs.join(F.broadcast(d1), "s1")
+        .join(F.broadcast(d2), "s2")
+        .select(
+            "s1",
+            "s2",
+            F.col("shared").cast("long").alias("shared_parts"),
+            F.round(jac, 6).alias("jaccard"),
+            jac.alias("_j"),
+        )
+        .orderBy(F.col("_j").desc(), "s1", "s2")
+        .limit(20)
+        .drop("_j")
+    )
