@@ -1400,3 +1400,63 @@ def events_anomaly_daily_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "event_type", "day", F.col("n").cast("long").alias("n"), F.round(z, 4).alias("zscore")
     )
+
+
+@query(
+    "orders_pareto_concentration",
+    oracle=f"""
+    WITH spend AS (
+      SELECT o_custkey, {sql_dsum("o_totalprice")} AS s
+      FROM orders GROUP BY o_custkey
+    ), ranked AS (
+      SELECT
+        s,
+        ROW_NUMBER() OVER (ORDER BY s DESC, o_custkey) AS rk,
+        CAST(SUM(CAST(s AS DECIMAL(18,6))) OVER (
+          ORDER BY s DESC, o_custkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS DOUBLE) AS cum,
+        CAST(SUM(CAST(s AS DECIMAL(18,6))) OVER () AS DOUBLE) AS total,
+        COUNT(*) OVER () AS n_cust
+      FROM spend
+    )
+    SELECT
+      CAST(MIN(rk) AS BIGINT) AS n_top_customers,
+      CAST(MAX(n_cust) AS BIGINT) AS n_customers,
+      ROUND(CAST(MIN(rk) AS DOUBLE) / MAX(n_cust), 6) AS top_share_of_customers
+    FROM ranked
+    WHERE cum >= 0.8 * total
+    """,
+)
+def orders_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration (the 80/20 check): how many of the
+    highest-spending customers it takes to cover 80% of total revenue,
+    and what fraction of the customer base that is.
+
+    Scale shape: orders reduce to one decimal spend per customer; the
+    cumulative window then runs over the CUSTOMER aggregate. That window
+    is a global sort — correct here because the input is already one row
+    per customer; at extreme customer counts the same answer comes from a
+    spend-histogram prefix sum (the equi-depth histogram machinery in
+    histogram_equidepth_totalprice) without total ordering. Decimal
+    cumulation makes the >= 0.8*total cut exact, so both engines cross
+    the threshold on the identical customer.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(dsum("o_totalprice").alias("s"))
+    wseq = Window.orderBy(F.col("s").desc(), "o_custkey")
+    wcum = wseq.rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    ranked = spend.select(
+        F.row_number().over(wseq).alias("rk"),
+        F.sum(F.col("s").cast("decimal(18,6)")).over(wcum).cast("double").alias("cum"),
+        F.sum(F.col("s").cast("decimal(18,6)")).over(wall).cast("double").alias("total"),
+        F.count(F.lit(1)).over(wall).alias("n_cust"),
+    )
+    return ranked.where(F.col("cum") >= 0.8 * F.col("total")).agg(
+        F.min("rk").cast("long").alias("n_top_customers"),
+        F.max("n_cust").cast("long").alias("n_customers"),
+        F.round(F.min("rk").cast("double") / F.max("n_cust"), 6).alias(
+            "top_share_of_customers"
+        ),
+    )

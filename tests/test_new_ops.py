@@ -219,3 +219,36 @@ def test_pca_power_iteration_matches_numpy(spark, sf_dir):
     rayleigh = float(v @ gram @ v)
     assert rayleigh >= 0.95 * float(evals[-1])
     assert rows[0]["eigenvalue"] == pytest.approx(rayleigh, rel=5e-2)
+
+
+def test_points_txt_python_datasource_matches_expression_reader(spark, tmp_path):
+    """The Spark 4 Python DataSource must parse the reference format
+    identically to the declarative reader, across partition boundaries."""
+    from k_means_map_reduce_spark.sources.points_datasource import register
+    from k_means_map_reduce_spark.sources.points_txt import read_points_txt
+
+    path = str(tmp_path / "points.txt")
+    lines = [f"{i}.5, {i * 2}.25, {i % 7}" for i in range(200)] + ["", "1, 2, 3"]
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+    register(spark)
+    via_ds = (
+        spark.read.format("points_txt")
+        .option("numPartitions", "5")
+        .load(path)
+    )
+    assert via_ds.rdd.getNumPartitions() == 5
+    a = sorted(tuple(r["coordinates"]) for r in via_ds.collect())
+    b = sorted(tuple(r["coordinates"]) for r in read_points_txt(spark, path).collect())
+    assert a == b and len(a) == 201
+
+
+def test_points_txt_python_datasource_reads_reference_file(spark):
+    from k_means_map_reduce_spark.sources.points_datasource import register
+    from k_means_map_reduce_spark.sources.points_txt import read_points_txt
+
+    ref = "/root/reference/Data/Input/points.txt"
+    register(spark)
+    via_ds = spark.read.format("points_txt").load(ref)
+    assert via_ds.count() == read_points_txt(spark, ref).count()
