@@ -163,7 +163,9 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
-    ranked = und.join(du, "u").join(dv, "v")
+    # deg is one row per NODE (tiny vs edges) — broadcast both lookups so
+    # the edge table never shuffles for orientation
+    ranked = und.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
     lower_first = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
