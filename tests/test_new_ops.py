@@ -252,3 +252,44 @@ def test_points_txt_python_datasource_reads_reference_file(spark):
     register(spark)
     via_ds = spark.read.format("points_txt").load(ref)
     assert via_ds.count() == read_points_txt(spark, ref).count()
+
+
+def test_driver_rotation_ordering(tmp_path, monkeypatch):
+    """_ordered_names drives which rows the driver's (truncating) verify
+    re-checks: previously-FAILED first, then never-checked (oracled before
+    rows-only), then green. A regression here silently starves re-checks."""
+    import importlib.util
+    import json
+
+    spec = importlib.util.spec_from_file_location(
+        "_entry_under_test", "/root/repo/__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    from k_means_map_reduce_spark.registry import ORACLES, QUERIES
+
+    names = list(QUERIES)
+    oracled = [n for n in names if n in ORACLES]
+    rows_only = [n for n in names if n not in ORACLES]
+    failed, green = oracled[0], oracled[1]
+    fake = {
+        failed: {"rows_match": False, "schema_match": True, "hash_match": False, "err": None},
+        green: {"rows_match": True, "schema_match": True, "hash_match": True, "err": None},
+        # rows-only verdict: no_oracle is terminal, must NOT re-check-camp
+        rows_only[0]: {"rows_match": True, "schema_match": None, "hash_match": None, "err": "no_oracle"},
+    }
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps(fake))
+    monkeypatch.setattr(mod, "_REPO", str(tmp_path))
+
+    order = mod._ordered_names()
+    assert order[0] == failed, "previously-failed must re-check first"
+    assert order.index(green) > len(order) - 5 or order.index(green) > order.index(
+        oracled[2]
+    ), "green rows sort behind never-checked"
+    # never-checked oracled queries come before never-checked rows-only
+    first_rows_only = min(order.index(n) for n in rows_only)
+    unchecked_oracled = [n for n in oracled if n not in (failed, green)]
+    assert all(order.index(n) < first_rows_only for n in unchecked_oracled[:5])
+    # the checked no_oracle row must not outrank never-checked queries
+    assert order.index(rows_only[0]) > order.index(unchecked_oracled[0])
