@@ -338,3 +338,38 @@ def scalar_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum(F.when(F.col("dist") <= 10, 1).otherwise(0)).cast("long").alias("near_pairs"),
     )
+
+
+@query(
+    "agg_bitwise_and_listagg",
+    oracle="""
+    SELECT
+      r_name AS region,
+      string_agg(n_name, ',' ORDER BY n_name) AS nations,
+      CAST(bit_and(n_nationkey) AS BIGINT) AS key_bit_and,
+      CAST(bit_or(n_nationkey) AS BIGINT) AS key_bit_or,
+      CAST(bit_xor(n_nationkey) AS BIGINT) AS key_bit_xor
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def agg_bitwise_and_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG ... WITHIN GROUP, new in Spark 4)
+    plus the bitwise aggregate family — both order-insensitive-by-
+    construction (listagg carries an explicit WITHIN GROUP ordering;
+    bit_and/or/xor are commutative), so cross-engine parity is exact.
+    """
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.expr("listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)").alias(
+                "nations"
+            ),
+            F.bit_and("n_nationkey").cast("long").alias("key_bit_and"),
+            F.bit_or("n_nationkey").cast("long").alias("key_bit_or"),
+            F.bit_xor("n_nationkey").cast("long").alias("key_bit_xor"),
+        )
+    )

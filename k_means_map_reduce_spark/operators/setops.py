@@ -71,3 +71,39 @@ def set_intersect_building_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def set_except_building_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _building(spark, sf_dir).subtract(_rich(spark, sf_dir))
+
+
+@query(
+    "set_intersect_all_priorities",
+    oracle="""
+    SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT ALL
+    SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def set_intersect_all_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics intersection (INTERSECT ALL): each priority value
+    survives min(count_left, count_right) times — the multiset algebra
+    DISTINCT-based set ops can't express. Plans as one aggregation per
+    side plus a count-min merge, no row explosion."""
+    o = load_table(spark, sf_dir, "orders")
+    left = o.where(F.col("o_orderstatus") == "F").select("o_orderpriority")
+    right = o.where(F.col("o_orderstatus") == "O").select("o_orderpriority")
+    return left.intersectAll(right)
+
+
+@query(
+    "set_except_all_priorities",
+    oracle="""
+    SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+    EXCEPT ALL
+    SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def set_except_all_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics difference (EXCEPT ALL): multiplicities subtract
+    (max(count_left - count_right, 0) copies survive)."""
+    o = load_table(spark, sf_dir, "orders")
+    left = o.where(F.col("o_orderstatus") == "F").select("o_orderpriority")
+    right = o.where(F.col("o_orderstatus") == "O").select("o_orderpriority")
+    return left.exceptAll(right)
