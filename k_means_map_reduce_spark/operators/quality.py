@@ -262,3 +262,81 @@ def privacy_pseudonymize_customers(spark: SparkSession, sf_dir: str) -> DataFram
         "c_mktsegment",
         "c_nationkey",
     )
+
+
+@query(
+    "dq_profile_orders_columns",
+    oracle=f"""
+    SELECT 'o_orderkey' AS column_name,
+      COUNT(*) AS n_rows,
+      CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+      CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+      CAST(MIN(o_orderkey) AS VARCHAR) AS min_value,
+      CAST(MAX(o_orderkey) AS VARCHAR) AS max_value
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*),
+      CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+      MIN(o_orderstatus), MAX(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', COUNT(*),
+      CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      CAST(COUNT(DISTINCT ROUND(o_totalprice, 6)) AS BIGINT),
+      CAST(ROUND(MIN(o_totalprice), 6) AS VARCHAR),
+      CAST(ROUND(MAX(o_totalprice), 6) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', COUNT(*),
+      CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+      MIN(o_orderpriority), MAX(o_orderpriority)
+    FROM orders
+    """,
+)
+def dq_profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (the Deequ/Great-Expectations profiler shape): one
+    row per column with null count, distinct cardinality, and min/max —
+    the statistics a data catalog publishes and a constraint-suggestion
+    engine consumes.
+
+    Scale shape: ALL per-column measures compute in ONE scan — a single
+    aggregation whose expressions cover every column (count-distincts
+    expand to partial aggregates per column but still share the scan);
+    the per-column rows are then unpivoted from the 1-row aggregate with
+    stack(), never by re-reading the table per column (the naive
+    profiler's O(columns) scans). Min/max emit as strings so one schema
+    carries heterogeneous column types. Doubles are profiled at the
+    contract's 6-decimal grain.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    row = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)).cast("long").alias("nk"),
+        F.countDistinct("o_orderkey").alias("dk"),
+        F.min("o_orderkey").cast("string").alias("mink"),
+        F.max("o_orderkey").cast("string").alias("maxk"),
+        F.sum(F.when(F.col("o_orderstatus").isNull(), 1).otherwise(0)).cast("long").alias("ns"),
+        F.countDistinct("o_orderstatus").alias("ds"),
+        F.min("o_orderstatus").alias("mins"),
+        F.max("o_orderstatus").alias("maxs"),
+        F.sum(F.when(F.col("o_totalprice").isNull(), 1).otherwise(0)).cast("long").alias("np"),
+        F.countDistinct(F.round("o_totalprice", 6)).alias("dp"),
+        F.round(F.min("o_totalprice"), 6).cast("string").alias("minp"),
+        F.round(F.max("o_totalprice"), 6).cast("string").alias("maxp"),
+        F.sum(F.when(F.col("o_orderpriority").isNull(), 1).otherwise(0)).cast("long").alias("no_"),
+        F.countDistinct("o_orderpriority").alias("do_"),
+        F.min("o_orderpriority").alias("mino"),
+        F.max("o_orderpriority").alias("maxo"),
+    )
+    return row.select(
+        F.expr(
+            "stack(4,"
+            " 'o_orderkey', n, nk, dk, mink, maxk,"
+            " 'o_orderstatus', n, ns, ds, mins, maxs,"
+            " 'o_totalprice', n, np, dp, minp, maxp,"
+            " 'o_orderpriority', n, no_, do_, mino, maxo"
+            ") as (column_name, n_rows, n_nulls, n_distinct, min_value, max_value)"
+        )
+    )

@@ -10,7 +10,7 @@ stats_percentiles_by_flag).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -187,4 +187,104 @@ def hll_rolling_7d_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est_users_7d"),
             F.count(F.lit(1)).alias("n_days_merged"),
         )
+    )
+
+
+@query(
+    "hist_quantiles_daily_merge",
+    oracle="""
+    WITH bounds AS (
+      SELECT MIN(value) AS lo, MAX(value) AS hi FROM events WHERE value IS NOT NULL
+    ), binned AS (
+      SELECT
+        event_type,
+        strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS day,
+        LEAST(CAST(floor((value - lo) / ((hi - lo) / 1000.0)) AS BIGINT), 999) AS bin,
+        COUNT(*) AS n
+      FROM events CROSS JOIN bounds
+      WHERE value IS NOT NULL
+      GROUP BY 1, 2, 3
+    ), merged AS (
+      SELECT event_type, bin, CAST(SUM(CAST(n AS BIGINT)) AS BIGINT) AS n
+      FROM binned GROUP BY event_type, bin
+    ), cum AS (
+      SELECT
+        event_type, bin, n,
+        SUM(n) OVER (PARTITION BY event_type ORDER BY bin
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+        SUM(n) OVER (PARTITION BY event_type) AS total
+      FROM merged
+    ), qbins AS (
+      SELECT
+        event_type,
+        MIN(CASE WHEN c >= 0.50 * total THEN bin END) AS b50,
+        MIN(CASE WHEN c >= 0.95 * total THEN bin END) AS b95,
+        MIN(CASE WHEN c >= 0.99 * total THEN bin END) AS b99
+      FROM cum GROUP BY event_type
+    )
+    SELECT
+      event_type,
+      ROUND(lo + (b50 + 0.5) * ((hi - lo) / 1000.0), 6) AS p50_approx,
+      ROUND(lo + (b95 + 0.5) * ((hi - lo) / 1000.0), 6) AS p95_approx,
+      ROUND(lo + (b99 + 0.5) * ((hi - lo) / 1000.0), 6) AS p99_approx
+    FROM qbins CROSS JOIN bounds
+    """,
+)
+def hist_quantiles_daily_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketching — the quantile analogue of the HLL
+    merge family: per-(type, DAY) equi-width histograms (1000 bins over
+    the global value range) are built once, then MERGED by bin addition
+    into per-type quantile estimates (p50/p95/p99, bin-midpoint rule).
+    One daily histogram table serves any grain — day, month, total,
+    trailing windows — by summation, which is why production pipelines
+    store histogram/KLL sketches instead of re-scanning the fact per
+    report. Error is bounded by bin width = range/1000.
+
+    Scale shape: the fact collapses to (type, day, bin) integer counts in
+    one map-side-partial pass (the sketch build); merging is an
+    aggregation over sketch rows — never touching the fact again. All
+    sketch arithmetic is integer/exact (bounds come from exact MIN/MAX),
+    so the approximation itself is deterministic and a SQL oracle
+    recomputes it bit-for-bit — an ORACLED approximate algorithm.
+    """
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    bounds = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    width = (F.col("hi") - F.col("lo")) / 1000.0
+    binned = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy(
+            "event_type",
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+            F.least(
+                F.floor((F.col("value") - F.col("lo")) / width).cast("long"),
+                F.lit(999),
+            ).alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    merged = binned.groupBy("event_type", "bin").agg(
+        F.sum("n").cast("long").alias("n")
+    )
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy("event_type")
+    cum = merged.select(
+        "event_type",
+        "bin",
+        F.sum("n").over(wc).alias("c"),
+        F.sum("n").over(wt).alias("total"),
+    )
+    qbins = cum.groupBy("event_type").agg(
+        F.min(F.when(F.col("c") >= 0.50 * F.col("total"), F.col("bin"))).alias("b50"),
+        F.min(F.when(F.col("c") >= 0.95 * F.col("total"), F.col("bin"))).alias("b95"),
+        F.min(F.when(F.col("c") >= 0.99 * F.col("total"), F.col("bin"))).alias("b99"),
+    )
+    return qbins.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.round(F.col("lo") + (F.col("b50") + 0.5) * width, 6).alias("p50_approx"),
+        F.round(F.col("lo") + (F.col("b95") + 0.5) * width, 6).alias("p95_approx"),
+        F.round(F.col("lo") + (F.col("b99") + 0.5) * width, 6).alias("p99_approx"),
     )
