@@ -633,3 +633,72 @@ def events_peak_concurrency_daily(spark: SparkSession, sf_dir: str) -> DataFrame
     return day_peaks.join(F.broadcast(carries), "day").select(
         "day", (F.col("carry_in") + F.col("day_peak")).cast("long").alias("peak_concurrent")
     )
+
+
+@query(
+    "events_session_windows_dynamic_gap",
+    oracle="""
+    WITH tagged AS (
+      SELECT
+        user_id,
+        event_id,
+        epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        epoch_us(CAST(ts AS TIMESTAMP))
+          + CASE WHEN event_type = 'purchase' THEN 900000000 ELSE 300000000 END
+          AS reach
+      FROM events
+    ), split AS (
+      SELECT
+        user_id, event_id, us,
+        CASE WHEN us >= MAX(reach) OVER (
+          PARTITION BY user_id ORDER BY us, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+        ) THEN 1 ELSE 0 END AS new_session
+      FROM tagged
+    ), numbered AS (
+      SELECT
+        user_id, us,
+        SUM(new_session) OVER (
+          PARTITION BY user_id ORDER BY us, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS session_id
+      FROM split
+    )
+    SELECT
+      user_id,
+      strftime(make_timestamp(MIN(us)), '%Y-%m-%d %H:%M:%S') AS session_start,
+      COUNT(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+)
+def events_session_windows_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a DYNAMIC, per-event inactivity gap
+    (session_window's expression-gap form, Spark 3.2+): purchases hold a
+    session open 15 minutes, other events 5 — the "intent-aware
+    sessionization" product analytics actually wants (a purchase signals
+    engagement; a stray view does not).
+
+    Semantics (and the oracle's reconstruction): each event spans
+    [ts, ts + gap(event)); overlapping spans merge. A new session starts
+    exactly when an event's ts clears the RUNNING MAX of all previous
+    events' span ends — running max, not lag, because a long-gap event
+    can bridge over a later short-gap one. All arithmetic is integer
+    microseconds, so both engines split identically.
+
+    Scale shape: identical to the fixed-gap twin — one shuffle on
+    user_id, merge inside the session-window aggregation.
+    """
+    e = load_table(spark, sf_dir, "events")
+    gap = F.when(F.col("event_type") == "purchase", F.lit("15 minutes")).otherwise(
+        F.lit("5 minutes")
+    )
+    return (
+        e.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), _TS_FMT_SPARK).alias("session_start"),
+            "n_events",
+        )
+    )
