@@ -216,3 +216,31 @@ def test_analyze_stats_enable_broadcast_decision(spark, sf_dir, tmp_path):
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_dynamic_partition_pruning_fires(spark, sf_dir, tmp_path):
+    """DPP: a partitioned fact joined to a filtered dimension must prune
+    fact partitions at RUNTIME from the dim-side filter result — the scan
+    carries a dynamicpruning subquery instead of reading every partition.
+    At 100 TB this is the difference between scanning one day and a year."""
+    o = load_table(spark, sf_dir, "orders")
+    path = str(tmp_path / "orders_by_prio")
+    o.write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)
+    fact = spark.read.parquet(path)
+    prios = F.array(
+        *[F.lit(p) for p in ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]]
+    )
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select(
+            "c_custkey",
+            # data-dependent partition key (NOT constant-foldable): forces
+            # the pruning value set to be computed at runtime -> true DPP
+            F.element_at(prios, (F.pmod(F.col("c_custkey"), F.lit(2)) + 1).cast("int")).alias("prio"),
+        )
+        .distinct()
+    )
+    joined = fact.join(dim, (fact.o_custkey == dim.c_custkey) & (fact.o_orderpriority == dim.prio))
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), "expected a DPP subquery on the fact scan"
