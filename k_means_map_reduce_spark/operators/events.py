@@ -702,3 +702,111 @@ def events_session_windows_dynamic_gap(spark: SparkSession, sf_dir: str) -> Data
             "n_events",
         )
     )
+
+
+@query(
+    "events_new_vs_returning_daily",
+    oracle="""
+    WITH user_days AS (
+      SELECT DISTINCT
+        user_id,
+        strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS day
+      FROM events
+    ), firsts AS (
+      SELECT user_id, MIN(day) AS first_day FROM user_days GROUP BY user_id
+    )
+    SELECT
+      u.day,
+      CAST(SUM(CASE WHEN u.day = f.first_day THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+      CAST(SUM(CASE WHEN u.day > f.first_day THEN 1 ELSE 0 END) AS BIGINT) AS returning_users
+    FROM user_days u JOIN firsts f USING (user_id)
+    GROUP BY u.day
+    """,
+)
+def events_new_vs_returning_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-vs-returning split — the first line of any product
+    dashboard. Same single-scan shape as retention_daily_cohorts: one
+    collect_set of active days per user (bounded by the calendar), the
+    user's first day is array_min of that set, and the daily rollup
+    explodes the set once — no second scan, no self-join.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = (
+        ev.select(
+            "user_id",
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("d"),
+        )
+        .groupBy("user_id")
+        .agg(F.collect_set("d").alias("days"))
+    )
+    return (
+        per_user.select(
+            F.array_min("days").alias("first_day"), F.explode("days").alias("day")
+        )
+        .groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("day") == F.col("first_day"), 1).otherwise(0))
+            .cast("long")
+            .alias("new_users"),
+            F.sum(F.when(F.col("day") > F.col("first_day"), 1).otherwise(0))
+            .cast("long")
+            .alias("returning_users"),
+        )
+    )
+
+
+@query(
+    "events_stickiness_dau_wau",
+    oracle="""
+    WITH user_days AS (
+      SELECT DISTINCT
+        user_id,
+        CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day
+      FROM events
+    ), dau AS (
+      SELECT day, COUNT(*) AS dau FROM user_days GROUP BY day
+    ), coverage AS (
+      SELECT user_id, day + INTERVAL 1 DAY * s.o AS cover_day
+      FROM user_days, (SELECT UNNEST(range(7)) AS o) s
+    ), wau AS (
+      SELECT cover_day AS day, COUNT(DISTINCT user_id) AS wau
+      FROM coverage GROUP BY cover_day
+    )
+    SELECT
+      strftime(d.day, '%Y-%m-%d') AS day,
+      CAST(d.dau AS BIGINT) AS dau,
+      CAST(w.wau AS BIGINT) AS wau,
+      ROUND(CAST(d.dau AS DOUBLE) / w.wau, 6) AS stickiness
+    FROM dau d JOIN wau w ON w.day = CAST(d.day AS TIMESTAMP)
+    """,
+)
+def events_stickiness_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stickiness (DAU / trailing-7d WAU) per day — the engagement ratio.
+    The trailing distinct count uses the bounded day-explode from
+    events_rolling_7d_distinct_users: each (user, active day) covers the
+    next 7 calendar days, so WAU(d) = distinct users covering d — a
+    windowed COUNT DISTINCT that window frames cannot express, computed
+    with a x7 explode of the already-deduped (user, day) grain (bounded
+    by calendar x users, independent of event volume). Only days with
+    DAU appear (inner join), so ratios are always well-defined.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    user_days = ev.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).distinct()
+    dau = user_days.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    coverage = user_days.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("o"),
+        F.col("day"),
+    ).select("user_id", F.date_add(F.col("day"), F.col("o")).alias("day"))
+    wau = coverage.groupBy("day").agg(F.countDistinct("user_id").alias("wau"))
+    return (
+        dau.join(wau, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("dau").cast("long").alias("dau"),
+            F.col("wau").cast("long").alias("wau"),
+            F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias("stickiness"),
+        )
+    )

@@ -293,3 +293,16 @@ def test_driver_rotation_ordering(tmp_path, monkeypatch):
     assert all(order.index(n) < first_rows_only for n in unchecked_oracled[:5])
     # the checked no_oracle row must not outrank never-checked queries
     assert order.index(rows_only[0]) > order.index(unchecked_oracled[0])
+
+
+def test_bench_headline_names_are_registered():
+    """bench.py is a driver contract surface: a renamed query must fail CI
+    here, not at round-bench time."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("_bench_under_test", "/root/repo/bench.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    missing = [n for n in mod.HEADLINE if n not in QUERIES]
+    assert not missing, f"bench names not in registry: {missing}"
+    assert len(set(mod.HEADLINE)) == len(mod.HEADLINE), "duplicate bench entries"
