@@ -1460,3 +1460,65 @@ def orders_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_share_of_customers"
         ),
     )
+
+
+@query(
+    "funnel_time_to_convert_stats",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), p AS (
+      SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t_purchase
+      FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > v.t_view
+      GROUP BY e.user_id
+    ), lat AS (
+      SELECT
+        (epoch_us(t_purchase) - epoch_us(t_view)) / 60000000.0 AS mins
+      FROM v JOIN p USING (user_id)
+    )
+    SELECT
+      COUNT(*) AS n_converters,
+      ROUND(quantile_cont(mins, 0.25), 4) AS p25_minutes,
+      ROUND(median(mins), 4) AS p50_minutes,
+      ROUND(quantile_cont(mins, 0.75), 4) AS p75_minutes,
+      ROUND(MAX(mins), 4) AS max_minutes
+    FROM lat
+    """,
+)
+def funnel_time_to_convert_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: for every user whose first purchase
+    follows their first view, the view→purchase latency quartiles — the
+    "how long does conversion take" companion to the funnel counts.
+
+    Scale shape: two keyed min-aggregations (map-side partials) and one
+    join at USER grain; the quantiles run over one latency value per
+    converter. Latencies are integer-microsecond differences divided by a
+    constant — identical doubles in both engines, so continuous-quantile
+    interpolation agrees exactly before the round.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    lat = v.join(p, "user_id").select(
+        ((us("t_purchase") - us("t_view")) / 60000000.0).alias("mins")
+    )
+    return lat.agg(
+        F.count(F.lit(1)).alias("n_converters"),
+        F.round(F.percentile("mins", F.lit(0.25)), 4).alias("p25_minutes"),
+        F.round(F.percentile("mins", F.lit(0.5)), 4).alias("p50_minutes"),
+        F.round(F.percentile("mins", F.lit(0.75)), 4).alias("p75_minutes"),
+        F.round(F.max("mins"), 4).alias("max_minutes"),
+    )
