@@ -1148,7 +1148,26 @@ def attribution_linear_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-@query("events_ewma_per_user")
+@query(
+    "events_ewma_per_user",
+    oracle="""
+    WITH seq AS (
+      SELECT
+        user_id,
+        COUNT(value) AS n_values,
+        list(value ORDER BY ts, event_id) FILTER (value IS NOT NULL) AS vals
+      FROM events
+      GROUP BY user_id
+    )
+    SELECT
+      user_id,
+      CAST(n_values AS BIGINT) AS n_values,
+      CASE WHEN n_values = 0 THEN NULL
+           ELSE ROUND(list_reduce(vals, (acc, x) -> 0.8 * acc + 0.2 * x), 6)
+      END AS ewma
+    FROM seq
+    """,
+)
 def events_ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user exponentially weighted moving average of event values
     (alpha=0.2, adjust=False: y_t = 0.8*y_{t-1} + 0.2*x_t) — the classic

@@ -311,3 +311,81 @@ def sim_suppliers_by_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .drop("_j")
     )
+
+
+def _pagerank_oracle_sql(rounds: int) -> str:
+    """DuckDB mirror of the decimal-exact PageRank: the same graph, the
+    same per-round formula (0.15 + 0.85 * exact-decimal sum of round-12
+    contributions), unrolled as one CTE per round."""
+    ctes = [
+        "links AS (SELECT DISTINCT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS s FROM lineitem)",
+        "edges AS (SELECT p AS src, s AS dst FROM links UNION ALL SELECT s, p FROM links)",
+        "dg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src)",
+        "w AS (SELECT e.src, e.dst, CAST(1.0 AS DOUBLE) / dg.deg AS frac"
+        " FROM edges e JOIN dg USING (src))",
+        "r0 AS (SELECT DISTINCT src AS node, CAST(1.0 AS DOUBLE) AS rank FROM edges)",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"r{i} AS (SELECT w.dst AS node, CAST(0.15 AS DOUBLE)"
+            f" + CAST(0.85 AS DOUBLE) * CAST(SUM(CAST(ROUND(r.rank * w.frac, 12)"
+            f" AS DECIMAL(28,12))) AS DOUBLE) AS rank"
+            f" FROM w JOIN r{i - 1} r ON w.src = r.node GROUP BY w.dst)"
+        )
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT
+      CASE WHEN node % 2 = 0 THEN 'part' ELSE 'supplier' END AS entity,
+      CAST(node // 2 AS BIGINT) AS entity_key,
+      ROUND(rank, 6) AS rank
+    FROM r{rounds}
+    """
+    )
+
+
+@query("graph_pagerank_exact", oracle=_pagerank_oracle_sql(5))
+def graph_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank with the float-determinism contract applied to the
+    iteration itself: each round's incoming mass is a DECIMAL(28,12) sum
+    of round-12 contributions, so the per-node rank after every round is
+    bit-identical regardless of partitioning — which makes an ITERATIVE
+    graph algorithm fully DuckDB-oracled (5 unrolled rounds in SQL). The
+    production variant (graph_pagerank_partsupp, 10 rounds, plain double
+    sums) stays the throughput path; this query is the correctness
+    anchor proving the loop's algebra, the same division of labor as
+    dedup's exact-vs-LSH tiers.
+
+    Scale shape: identical to pagerank() — per round one rank⋈edges join
+    (edges pre-partitioned by src, persisted) and one map-side-partial
+    aggregation; the decimal accumulator adds ~8 bytes/row to the
+    shuffle, nothing else.
+    """
+    edges = _partsupp_edges(spark, sf_dir)
+    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    w = (
+        edges.join(out_deg, "src")
+        .select("src", "dst", (F.lit(1.0) / F.col("deg")).alias("frac"))
+        .persist()
+    )
+    ranks = (
+        w.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.lit(1.0).alias("rank"))
+    )
+    for _ in range(5):
+        contribs = w.join(ranks, w["src"] == ranks["node"]).select(
+            "dst", F.round(F.col("rank") * F.col("frac"), 12).cast("decimal(28,12)").alias("c")
+        )
+        ranks = (
+            contribs.groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("c").cast("double").alias("in_mass"))
+            .select(
+                "node",
+                (F.lit(0.15) + F.lit(0.85) * F.col("in_mass")).alias("rank"),
+            )
+        )
+    return ranks.select(
+        F.when(F.col("node") % 2 == 0, "part").otherwise("supplier").alias("entity"),
+        (F.col("node") / 2).cast("long").alias("entity_key"),
+        F.round("rank", 6).alias("rank"),
+    )
