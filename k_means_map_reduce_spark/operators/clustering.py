@@ -327,3 +327,136 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
         [(i, round(c, 6), round(eigenvalue, 4)) for i, c in enumerate(v)],
         "dim INT, loading DOUBLE, eigenvalue DOUBLE",
     )
+
+
+def _kmeans_oracle_sql(k: int, rounds: int) -> str:
+    """DuckDB mirror of the determinized Lloyd's loop: same init (k
+    smallest salted-md5 vec_ids), same assignment argmin (sequential
+    left-fold distance, ties to the lowest cid), same decimal-exact mean
+    updates — one assignment + one centroid CTE per round."""
+    dist = (
+        "list_reduce(list_transform(range(len(e.v)),"
+        " i -> (CAST(e.v[i+1] AS DOUBLE) - c.c[i+1]) * (CAST(e.v[i+1] AS DOUBLE) - c.c[i+1])),"
+        " (x, y) -> x + y)"
+    )
+    ctes = [
+        "emb AS (SELECT vec_id, embedding AS v FROM embeddings)",
+        f"""cent0 AS (
+      SELECT cid, c FROM (
+        SELECT
+          ROW_NUMBER() OVER (ORDER BY md5('km:' || CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid,
+          list_transform(v, x -> CAST(x AS DOUBLE)) AS c
+        FROM emb
+      ) WHERE cid < {k}
+    )""",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""a{r} AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT e.vec_id, e.v, c.cid,
+          ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {dist}, c.cid) AS rk
+        FROM emb e CROSS JOIN cent{r - 1} c
+      ) WHERE rk = 1
+    )"""
+        )
+        ctes.append(
+            f"""cent{r} AS (
+      SELECT cid, list(m ORDER BY d) AS c FROM (
+        SELECT cid, u.s.d AS d,
+          CAST(SUM(CAST(ROUND(u.s.x, 6) AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS m
+        FROM a{r}, UNNEST(list_transform(range(len(v)),
+               i -> struct_pack(d := i, x := CAST(v[i+1] AS DOUBLE)))) AS u(s)
+        GROUP BY cid, u.s.d
+      ) GROUP BY cid
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT
+      a.cid,
+      COUNT(*) AS n,
+      ROUND(sqrt(list_reduce(list_transform(c.c, x -> x * x), (p, q) -> p + q)), 6)
+        AS centroid_norm
+    FROM a{rounds} a JOIN cent{rounds} c USING (cid)
+    GROUP BY a.cid, c.c
+    """
+    )
+
+
+@query("kmeans_lloyd_oracled", oracle=_kmeans_oracle_sql(4, 3))
+def kmeans_lloyd_oracled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's K-Means — THE reference's algorithm (master.py's
+    map/shuffle/reduce loop) — made fully hash-comparable against an
+    independent engine: deterministic portable init (the k=4 vectors with
+    smallest salted-md5 vec_id, replacing the reference's random.sample /
+    our seeded takeSample, which no second engine can replay), sequential
+    left-fold distances (identical double streams in both engines),
+    argmin ties to the lowest cid, and DECIMAL-exact per-dimension mean
+    updates so every round's centroids are bit-identical regardless of
+    partitioning. 3 rounds unrolled as SQL CTEs in the DuckDB oracle.
+
+    The production variants (kmeans_native/arrow/mllib, seeded init,
+    convergence loop) stay the throughput path; this query is the
+    cross-engine correctness anchor for the iteration algebra itself —
+    the strongest form of the reference-parity claim.
+
+    Scale shape per round: assignment is the same zero-shuffle
+    broadcast-literal argmin as kmeans.assign_clusters; the mean update
+    shuffles k x dim decimal partials (posexplode before aggregation, so
+    partial aggregation collapses rows map-side). Driver holds k x dim
+    doubles between rounds — exactly the reference's master state.
+    """
+    from ..kmeans import assign_clusters
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    k, rounds = 4, 3
+    init = (
+        emb.select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("v"),
+            F.md5(F.concat(F.lit("km:"), F.col("vec_id").cast("string"))).alias("h"),
+        )
+        .orderBy("h", "vec_id")
+        .limit(k)
+        .collect()
+    )
+    cents = [list(r["v"]) for r in init]
+    e = emb.select("vec_id", F.col("embedding").alias("v"))
+    assigned = None
+    for _ in range(rounds):
+        assigned = assign_clusters(e, cents, vec_col="v")
+        means = (
+            assigned.select("cid", F.posexplode(F.col("v").cast("array<double>")).alias("d", "x"))
+            .groupBy("cid", "d")
+            .agg(
+                (
+                    F.sum(F.round(F.col("x"), 6).cast("decimal(28,6)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("m")
+            )
+            .collect()
+        )
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cid.setdefault(r["cid"], {})[r["d"]] = r["m"]
+        cents = [
+            [by_cid[cid][d] for d in sorted(by_cid[cid])] for cid in sorted(by_cid)
+        ]
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("c"), lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    cent_rows = [(cid, cents[cid]) for cid in range(len(cents))]
+    cent_df = spark.createDataFrame(cent_rows, "cid INT, c ARRAY<DOUBLE>")
+    sizes = assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("n"))
+    return sizes.join(F.broadcast(cent_df), "cid").select(
+        F.col("cid").cast("long").alias("cid"),
+        "n",
+        F.round(norm, 6).alias("centroid_norm"),
+    )

@@ -37,6 +37,7 @@ EAGER_QUERIES = {
     "ml_als_recommendations",  # ALS fit executes at construction
     "ml_fpgrowth_itemsets",  # FP-Growth fit executes at construction
     "embedding_pca_power_iteration",  # power-iteration loop executes at construction
+    "kmeans_lloyd_oracled",  # Lloyd rounds collect centroids at construction
 }
 LAZY_QUERIES = sorted(set(QUERIES) - EAGER_QUERIES)
 
