@@ -810,3 +810,131 @@ def join_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(jac >= _FUZZY_THRESHOLD)
         .select("name_a", "name_b", F.round(jac, 6).alias("jaccard"))
     )
+
+
+# Portable MinHash: 8 permutations (a*h + b) mod p over md5-derived 32-bit
+# shingle hashes — every constant fixed so a second engine can replay the
+# signatures bit-for-bit. p = 2^31 - 1 (Mersenne prime).
+_PMH_P = 2147483647
+_PMH_PERMS = [(7, 3), (11, 17), (13, 29), (19, 47), (23, 59), (29, 83), (31, 101), (37, 127)]
+_PMH_R = 2  # rows per band -> 4 bands
+
+
+def _pmh_oracle_sql() -> str:
+    sig_exprs = ", ".join(
+        f"list_min(list_transform(sh, h -> ({a} * h + {b}) % {_PMH_P})) AS s{j}"
+        for j, (a, b) in enumerate(_PMH_PERMS)
+    )
+    band_exprs = ", ".join(
+        f"CONCAT(CAST(s{2 * i} AS VARCHAR), ':', CAST(s{2 * i + 1} AS VARCHAR))"
+        f" AS band{i}"
+        for i in range(len(_PMH_PERMS) // _PMH_R)
+    )
+    n_bands = len(_PMH_PERMS) // _PMH_R
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {i} AS band_no, band{i} AS band_key FROM sigs"
+        for i in range(n_bands)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+        list_filter(string_split_regex(TRIM(LOWER(text)), '\\s+'), t -> t != '') AS ws
+      FROM documents
+    ), shingles AS (
+      SELECT doc_id,
+        list_distinct(list_transform(range(CAST(len(ws) - 2 AS BIGINT)),
+          i -> CAST(CONCAT('0x', substr(md5(
+                 ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]), 1, 8)) AS BIGINT)
+        )) AS sh
+      FROM toks WHERE len(ws) >= 3
+    ), sigs AS (
+      SELECT doc_id, {sig_exprs} FROM shingles
+    ), bands_wide AS (
+      SELECT doc_id, {band_exprs} FROM sigs
+    ), sigs_long AS ({band_rows.replace("FROM sigs", "FROM bands_wide")}
+    )
+    SELECT
+      a.doc_id AS doc_a, b.doc_id AS doc_b,
+      CAST(COUNT(*) AS BIGINT) AS n_shared_bands
+    FROM sigs_long a JOIN sigs_long b
+      ON a.band_no = b.band_no AND a.band_key = b.band_key
+     AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    """
+
+
+@query("dedup_minhash_portable_pairs", oracle=_pmh_oracle_sql())
+def dedup_minhash_portable_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding with every hash PORTABLE (md5-derived 32-bit
+    shingle hashes, fixed (a*h+b) mod 2^31-1 permutations) — the approximate
+    dedup tier itself cross-engine verified: DuckDB recomputes the exact
+    signatures, bands, and candidate pairs. Completes the oracled-dedup
+    set (exact, winnowing, connected components, jaccard, cosine, and now
+    MinHash banding); the xxhash64 production tier
+    (dedup_minhash_banding_pairs) keeps the throughput crown.
+
+    Scale shape: identical to the production banding tier — signatures are
+    per-doc array expressions (no explode until the 4 band keys), the
+    candidate join is an equi-join on band keys, pair count is bounded by
+    bucket co-occupancy, never |docs|^2.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.trim(F.lower("text")), r"\s+"), lambda t: t != "")
+    n_sh = F.size(toks) - 2
+    shingle_hash = lambda i: F.conv(  # noqa: E731
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.element_at(toks, i + 1),
+                    F.element_at(toks, i + 2),
+                    F.element_at(toks, i + 3),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    sh = F.array_distinct(F.transform(F.sequence(F.lit(0), n_sh - 1), shingle_hash))
+    base = d.where(F.size(toks) >= 3).select("doc_id", sh.alias("sh"))
+    sig_cols = [
+        F.array_min(
+            F.transform(F.col("sh"), lambda h: (F.lit(a) * h + F.lit(b)) % _PMH_P)
+        ).alias(f"s{j}")
+        for j, (a, b) in enumerate(_PMH_PERMS)
+    ]
+    sigs = base.select("doc_id", *sig_cols)
+    n_bands = len(_PMH_PERMS) // _PMH_R
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_no"),
+                        F.concat_ws(
+                            ":",
+                            F.col(f"s{2 * i}").cast("string"),
+                            F.col(f"s{2 * i + 1}").cast("string"),
+                        ).alias("band_key"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.band_no").alias("band_no"), F.col("b.band_key").alias("band_key"))
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_bands"))
+    )
