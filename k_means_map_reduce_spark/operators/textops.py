@@ -1118,3 +1118,74 @@ def text_unigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cross_entropy"),
         )
     )
+
+
+_SIMHASH_BITS = 48
+
+
+def _simhash_oracle_sql() -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+        list_filter(string_split_regex(TRIM(LOWER(text)), '\\s+'), t -> t != '') AS ws
+      FROM documents
+    ), hashes AS (
+      SELECT doc_id,
+        list_transform(list_distinct(ws),
+          t -> CAST(CONCAT('0x', substr(md5(t), 1, 12)) AS BIGINT)) AS hs
+      FROM toks WHERE len(ws) > 0
+    ), bitsums AS (
+      SELECT doc_id, u.bit AS bit,
+        list_sum(list_transform(hs,
+          h -> CASE WHEN (h >> u.bit) & 1 = 1 THEN 1 ELSE -1 END)) AS s
+      FROM hashes, UNNEST(range({_SIMHASH_BITS})) AS u(bit)
+    )
+    SELECT
+      doc_id,
+      CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT)
+        AS simhash
+    FROM bitsums
+    GROUP BY doc_id
+    """
+
+
+@query("text_simhash_signatures", oracle=_simhash_oracle_sql())
+def text_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable SimHash (Charikar 2002) signatures: 48-bit fingerprints
+    from md5-derived token hashes — each bit is the sign of the per-bit
+    vote sum over the document's distinct tokens. With every hash
+    engine-replayable, the SIGNATURE TABLE itself is oracled (DuckDB
+    recomputes all 48 vote sums); near-dup pair generation from
+    signatures (hamming <= k via the pigeonhole block index) is exact
+    given the table, so this anchors the whole simhash tier the way
+    dedup_minhash_portable_pairs anchors minhash. The xxhash64 variant
+    (dedup_simhash) stays the throughput path.
+
+    Scale shape: one explode of distinct tokens, then ONE codegen'd
+    aggregation computing all 48 conditional vote sums map-side — the
+    signature build shuffles 48 small ints per doc, never token text
+    (hashes reduce in the scan projection).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.trim(F.lower("text")), r"\s+"), lambda t: t != "")
+    hashes = d.where(F.size(toks) > 0).select(
+        "doc_id",
+        F.explode(F.array_distinct(toks)).alias("t"),
+    ).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("t"), 1, 12), 16, 10).cast("long").alias("h"),
+    )
+    votes = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1)
+        ).alias(f"s{i}")
+        for i in range(_SIMHASH_BITS)
+    ]
+    bitsums = hashes.groupBy("doc_id").agg(*votes)
+    sig = None
+    for i in range(_SIMHASH_BITS):
+        term = F.when(F.col(f"s{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = term if sig is None else sig + term
+    return bitsums.select("doc_id", sig.alias("simhash"))
