@@ -386,33 +386,13 @@ def _kmeans_oracle_sql(k: int, rounds: int) -> str:
     )
 
 
-@query("kmeans_lloyd_oracled", oracle=_kmeans_oracle_sql(4, 3))
-def kmeans_lloyd_oracled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lloyd's K-Means — THE reference's algorithm (master.py's
-    map/shuffle/reduce loop) — made fully hash-comparable against an
-    independent engine: deterministic portable init (the k=4 vectors with
-    smallest salted-md5 vec_id, replacing the reference's random.sample /
-    our seeded takeSample, which no second engine can replay), sequential
-    left-fold distances (identical double streams in both engines),
-    argmin ties to the lowest cid, and DECIMAL-exact per-dimension mean
-    updates so every round's centroids are bit-identical regardless of
-    partitioning. 3 rounds unrolled as SQL CTEs in the DuckDB oracle.
-
-    The production variants (kmeans_native/arrow/mllib, seeded init,
-    convergence loop) stay the throughput path; this query is the
-    cross-engine correctness anchor for the iteration algebra itself —
-    the strongest form of the reference-parity claim.
-
-    Scale shape per round: assignment is the same zero-shuffle
-    broadcast-literal argmin as kmeans.assign_clusters; the mean update
-    shuffles k x dim decimal partials (posexplode before aggregation, so
-    partial aggregation collapses rows map-side). Driver holds k x dim
-    doubles between rounds — exactly the reference's master state.
-    """
+def _lloyd_portable(spark: SparkSession, sf_dir: str, k: int, rounds: int):
+    """(centroids, final assignment df) of the determinized Lloyd loop:
+    salted-md5 init, sequential-fold distances, decimal-exact means —
+    every number replayable by the SQL oracles built on it."""
     from ..kmeans import assign_clusters
 
     emb = load_table(spark, sf_dir, "embeddings")
-    k, rounds = 4, 3
     init = (
         emb.select(
             "vec_id",
@@ -445,6 +425,33 @@ def kmeans_lloyd_oracled(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents = [
             [by_cid[cid][d] for d in sorted(by_cid[cid])] for cid in sorted(by_cid)
         ]
+    return cents, assigned
+
+
+@query("kmeans_lloyd_oracled", oracle=_kmeans_oracle_sql(4, 3))
+def kmeans_lloyd_oracled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's K-Means — THE reference's algorithm (master.py's
+    map/shuffle/reduce loop) — made fully hash-comparable against an
+    independent engine: deterministic portable init (the k=4 vectors with
+    smallest salted-md5 vec_id, replacing the reference's random.sample /
+    our seeded takeSample, which no second engine can replay), sequential
+    left-fold distances (identical double streams in both engines),
+    argmin ties to the lowest cid, and DECIMAL-exact per-dimension mean
+    updates so every round's centroids are bit-identical regardless of
+    partitioning. 3 rounds unrolled as SQL CTEs in the DuckDB oracle.
+
+    The production variants (kmeans_native/arrow/mllib, seeded init,
+    convergence loop) stay the throughput path; this query is the
+    cross-engine correctness anchor for the iteration algebra itself —
+    the strongest form of the reference-parity claim.
+
+    Scale shape per round: assignment is the same zero-shuffle
+    broadcast-literal argmin as kmeans.assign_clusters; the mean update
+    shuffles k x dim decimal partials (posexplode before aggregation, so
+    partial aggregation collapses rows map-side). Driver holds k x dim
+    doubles between rounds — exactly the reference's master state.
+    """
+    cents, assigned = _lloyd_portable(spark, sf_dir, k=4, rounds=3)
     norm = F.sqrt(
         F.aggregate(
             F.transform(F.col("c"), lambda x: x * x),
@@ -459,4 +466,122 @@ def kmeans_lloyd_oracled(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cid").cast("long").alias("cid"),
         "n",
         F.round(norm, 6).alias("centroid_norm"),
+    )
+
+
+def _ivf_oracle_sql(k: int, rounds: int, nprobe: int, n_query: int, top_k: int) -> str:
+    """DuckDB mirror of the oracled IVF search: the Lloyd CTE chain (same
+    generator as the kmeans oracle), cell assignment, per-query probe of
+    the `nprobe` nearest cells, exact cosine rescore, top-k."""
+    dist = (
+        "list_reduce(list_transform(range(len(e.v)),"
+        " i -> (CAST(e.v[i+1] AS DOUBLE) - c.c[i+1]) * (CAST(e.v[i+1] AS DOUBLE) - c.c[i+1])),"
+        " (x, y) -> x + y)"
+    )
+    # the Lloyd chain, minus its final SELECT
+    lloyd = _kmeans_oracle_sql(k, rounds)
+    chain = lloyd[: lloyd.index("\n    SELECT")]
+    dot = (
+        "list_reduce(list_transform(range(len(q.v)),"
+        " i -> CAST(q.v[i+1] AS DOUBLE) * CAST(x.v[i+1] AS DOUBLE)), (p, s) -> p + s)"
+    )
+    nrm = (
+        "sqrt(list_reduce(list_transform(range(len({t}.v)),"
+        " i -> CAST({t}.v[i+1] AS DOUBLE) * CAST({t}.v[i+1] AS DOUBLE)), (p, s) -> p + s))"
+    )
+    return (
+        chain
+        + f""",
+    probes AS (
+      SELECT vec_id AS q_id, v, cid FROM (
+        SELECT e.vec_id, e.v, c.cid,
+          ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {dist}, c.cid) AS rk
+        FROM emb e CROSS JOIN cent{rounds} c
+        WHERE e.vec_id < {n_query}
+      ) WHERE rk <= {nprobe}
+    ), cands AS (
+      SELECT q.q_id, x.vec_id, q.v AS qv, x.v AS xv,
+        {dot} / ({nrm.format(t='q')} * {nrm.format(t='x')}) AS sim
+      FROM probes q JOIN a{rounds} x USING (cid)
+      WHERE x.vec_id <> q.q_id
+    ), ranked AS (
+      SELECT q_id, vec_id, sim,
+        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
+      FROM cands
+    )
+    SELECT q_id, vec_id, ROUND(sim, 4) AS sim, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= {top_k}
+    """
+    )
+
+
+@query("sim_ann_ivf_oracled", oracle=_ivf_oracle_sql(4, 3, 2, 50, 5))
+def sim_ann_ivf_oracled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbor with EVERY stage cross-engine
+    verified: the coarse quantizer is the determinized Lloyd clustering
+    (kmeans_lloyd_oracled's exact centroids), queries probe their 2
+    nearest of 4 cells, candidates rescore with exact cosine, top-5 per
+    query — and DuckDB replays the whole pipeline (clustering included)
+    to the same hash. The ANN tiers' accuracy was previously argued by
+    recall tests alone; this anchors their MECHANICS (cell assignment,
+    probe pruning, rescore, tie-breaking) exactly, the way
+    kmeans_lloyd_oracled anchors the clustering loop.
+
+    Scale shape: identical to sim_ann_ivf_topk — the corpus partitions by
+    cell (at scale: a partition-pruning column), queries broadcast to
+    their probed cells, rescore touches only candidate rows.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.vectors import cosine_similarity
+    from ..kmeans import assign_clusters
+
+    n_query, top_k, nprobe = 50, 5, 2
+    cents, assigned = _lloyd_portable(spark, sf_dir, k=4, rounds=3)
+    corpus = assigned.select("vec_id", "v", "cid")
+    queries = corpus.where(F.col("vec_id") < n_query).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    probed = assign_clusters(
+        queries.select(F.col("q_id").alias("vec_id"), F.col("qv").alias("v")),
+        cents,
+        vec_col="v",
+    )
+    # rank centroids per query: re-assign with per-centroid distances via
+    # explode of the centroid literal (nprobe nearest, ties to lowest cid)
+    from ..kmeans import _centroid_literal
+
+    cl = _centroid_literal(cents)
+    from ..functions.vectors import sq_euclidean
+
+    per_cell = queries.select(
+        "q_id",
+        "qv",
+        F.explode(cl).alias("c"),
+    ).select(
+        "q_id",
+        "qv",
+        F.col("c.cid").alias("cid"),
+        sq_euclidean(F.col("qv"), F.col("c.cvec")).alias("d2"),
+    )
+    wq = Window.partitionBy("q_id").orderBy("d2", "cid")
+    probes = per_cell.select(
+        "q_id", "qv", "cid", F.row_number().over(wq).alias("rk")
+    ).where(F.col("rk") <= nprobe)
+    cands = (
+        probes.join(corpus, "cid")
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            cosine_similarity(F.col("qv"), F.col("v")).alias("sim"),
+        )
+    )
+    wr = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), "vec_id")
+    return (
+        cands.select(
+            "q_id", "vec_id", "sim", F.row_number().over(wr).cast("long").alias("rnk")
+        )
+        .where(F.col("rnk") <= top_k)
+        .select("q_id", "vec_id", F.round("sim", 4).alias("sim"), "rnk")
     )
