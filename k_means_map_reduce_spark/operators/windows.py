@@ -336,3 +336,43 @@ def window_reorder_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("gap_days").cast("int").alias("min_gap_days"),
         F.max("gap_days").cast("int").alias("max_gap_days"),
     )
+
+
+@query(
+    "window_nth_order_per_customer",
+    oracle="""
+    WITH seq AS (
+      SELECT
+        o_custkey,
+        strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%d') AS d,
+        ROUND(o_totalprice, 6) AS p,
+        ROW_NUMBER() OVER (
+          PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        ) AS rn
+      FROM orders
+    )
+    SELECT
+      o_custkey,
+      d AS third_order_date,
+      p AS third_totalprice
+    FROM seq WHERE rn = 3
+    """,
+)
+def window_nth_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each customer's third order (nth-element selection per group) —
+    row_number with the (date, orderkey) tie-break, the form that pushes
+    down as WindowGroupLimit (per-group 3-row heap before the shuffle)
+    where nth_value over a full frame would not.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.select(
+            "o_custkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("third_order_date"),
+            F.round("o_totalprice", 6).alias("third_totalprice"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") == 3)
+        .drop("rn")
+    )
