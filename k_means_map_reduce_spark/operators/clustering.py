@@ -585,3 +585,66 @@ def sim_ann_ivf_oracled(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= top_k)
         .select("q_id", "vec_id", F.round("sim", 4).alias("sim"), "rnk")
     )
+
+
+def _purity_oracle_sql(k: int, rounds: int) -> str:
+    lloyd = _kmeans_oracle_sql(k, rounds)
+    chain = lloyd[: lloyd.index("\n    SELECT")]
+    return (
+        chain
+        + f""",
+    labeled AS (
+      SELECT a.cid, e2.label
+      FROM a{rounds} a JOIN embeddings e2 ON e2.vec_id = a.vec_id
+    ), per_label AS (
+      SELECT cid, label, COUNT(*) AS n
+      FROM labeled GROUP BY cid, label
+    ), tops AS (
+      SELECT cid, label, n,
+        ROW_NUMBER() OVER (PARTITION BY cid ORDER BY n DESC, label) AS rk,
+        SUM(n) OVER (PARTITION BY cid) AS total
+      FROM per_label
+    )
+    SELECT
+      cid,
+      CAST(total AS BIGINT) AS n,
+      CAST(label AS BIGINT) AS top_label,
+      ROUND(CAST(n AS DOUBLE) / total, 6) AS purity
+    FROM tops WHERE rk = 1
+    """
+    )
+
+
+@query("kmeans_purity_oracled", oracle=_purity_oracle_sql(4, 3))
+def kmeans_purity_oracled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster purity against the embeddings' ground-truth labels, on the
+    determinized Lloyd assignment — an EXTERNAL clustering-quality metric
+    that is itself hash-verified (the seeded variants could only offer
+    rows-only purity, because no second engine can replay their init).
+    Output: per cluster, its size, majority label, and majority share.
+
+    Scale shape: the label join keys on vec_id against the already-
+    partitioned assignment; purity is two small aggregations over
+    (cid, label) counts.
+    """
+    _, assigned = _lloyd_portable(spark, sf_dir, k=4, rounds=3)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    labeled = assigned.select("vec_id", "cid").join(emb, "vec_id")
+    per_label = labeled.groupBy("cid", "label").agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql import Window
+
+    wr = Window.partitionBy("cid").orderBy(F.col("n").desc(), "label")
+    wt = Window.partitionBy("cid")
+    tops = per_label.select(
+        "cid",
+        "label",
+        "n",
+        F.row_number().over(wr).alias("rk"),
+        F.sum("n").over(wt).alias("total"),
+    ).where(F.col("rk") == 1)
+    return tops.select(
+        F.col("cid").cast("long").alias("cid"),
+        F.col("total").cast("long").alias("n"),
+        F.col("label").cast("long").alias("top_label"),
+        F.round(F.col("n").cast("double") / F.col("total"), 6).alias("purity"),
+    )

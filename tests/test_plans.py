@@ -39,6 +39,7 @@ EAGER_QUERIES = {
     "embedding_pca_power_iteration",  # power-iteration loop executes at construction
     "kmeans_lloyd_oracled",  # Lloyd rounds collect centroids at construction
     "sim_ann_ivf_oracled",  # builds on the Lloyd loop (collects at construction)
+    "kmeans_purity_oracled",  # builds on the Lloyd loop (collects at construction)
 }
 LAZY_QUERIES = sorted(set(QUERIES) - EAGER_QUERIES)
 
