@@ -386,11 +386,22 @@ def _kmeans_oracle_sql(k: int, rounds: int) -> str:
     )
 
 
+_LLOYD_CACHE: dict = {}
+
+
 def _lloyd_portable(spark: SparkSession, sf_dir: str, k: int, rounds: int):
     """(centroids, final assignment df) of the determinized Lloyd loop:
     salted-md5 init, sequential-fold distances, decimal-exact means —
-    every number replayable by the SQL oracles built on it."""
+    every number replayable by the SQL oracles built on it. Memoized per
+    (session, sf_dir, k, rounds): three oracled queries share this loop,
+    and the result is deterministic by construction, so recomputing it
+    per query would triple the driver's collect rounds for nothing."""
     from ..kmeans import assign_clusters
+
+    key = (id(spark), sf_dir, k, rounds)
+    hit = _LLOYD_CACHE.get(key)
+    if hit is not None:
+        return hit
 
     emb = load_table(spark, sf_dir, "embeddings")
     init = (
@@ -425,6 +436,7 @@ def _lloyd_portable(spark: SparkSession, sf_dir: str, k: int, rounds: int):
         cents = [
             [by_cid[cid][d] for d in sorted(by_cid[cid])] for cid in sorted(by_cid)
         ]
+    _LLOYD_CACHE[key] = (cents, assigned)
     return cents, assigned
 
 
