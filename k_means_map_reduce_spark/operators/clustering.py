@@ -660,3 +660,107 @@ def kmeans_purity_oracled(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").cast("long").alias("top_label"),
         F.round(F.col("n").cast("double") / F.col("total"), 6).alias("purity"),
     )
+
+
+def _pca_oracle_sql(rounds: int) -> str:
+    """DuckDB mirror of the decimal-exact power iteration: per round, the
+    row-wise dot (sequential left-fold), decimal-summed per-dimension
+    contributions, and the same normalize arithmetic."""
+    ctes = [
+        "emb AS (SELECT embedding AS v FROM embeddings)",
+        "dim0 AS (SELECT len(v) AS nd FROM emb LIMIT 1)",
+        # v0 = [1, 0, 0, ...]
+        "v0 AS (SELECT list_transform(range(nd), i -> CASE WHEN i = 0 THEN"
+        " CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) AS v FROM dim0)",
+    ]
+    for r in range(1, rounds + 1):
+        dot = (
+            f"list_reduce(list_transform(range(len(e.v)),"
+            f" i -> CAST(e.v[i+1] AS DOUBLE) * p.v[i+1]), (a, b) -> a + b)"
+        )
+        ctes.append(
+            f"""w{r} AS (
+      SELECT u.s.d AS d,
+        CAST(SUM(CAST(ROUND(u.s.x * dt, 12) AS DECIMAL(30,12))) AS DOUBLE) AS w
+      FROM (
+        SELECT e.v, {dot} AS dt FROM emb e CROSS JOIN v{r - 1} p
+      ), UNNEST(list_transform(range(len(v)),
+           i -> struct_pack(d := i, x := CAST(v[i+1] AS DOUBLE)))) AS u(s)
+      GROUP BY u.s.d
+    )"""
+        )
+        ctes.append(
+            f"wl{r} AS (SELECT list(w ORDER BY d) AS w FROM w{r})"
+        )
+        ctes.append(
+            f"n{r} AS (SELECT sqrt(list_reduce(list_transform(w, c -> c * c),"
+            f" (a, b) -> a + b)) AS nm FROM wl{r})"
+        )
+        ctes.append(
+            f"v{r} AS (SELECT list_transform(w, c -> c / nm) AS v"
+            f" FROM wl{r} CROSS JOIN n{r})"
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT
+      CAST(u.s.d AS INT) AS dim,
+      ROUND(u.s.x, 6) AS loading,
+      ROUND(nm, 4) AS eigenvalue
+    FROM v{rounds} CROSS JOIN n{rounds},
+      UNNEST(list_transform(range(len(v)),
+        i -> struct_pack(d := i, x := v[i+1]))) AS u(s)
+    """
+    )
+
+
+@query("embedding_pca_oracled", oracle=_pca_oracle_sql(6))
+def embedding_pca_oracled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-iteration PCA with the iteration itself cross-engine
+    verified: the decimal-exact matvec makes every round's vector
+    bit-deterministic (embedding_pca_power_iteration's design), and with
+    a fixed e_1 start DuckDB replays all 6 rounds — dot products as
+    sequential left-folds, per-dimension contributions as exact decimal
+    sums, the same normalize arithmetic — and hash-matches every loading.
+    Completes the oracled-iteration set: PageRank, Lloyd's k-means, IVF
+    search, and now a linear-algebra eigensolver.
+
+    (6 rounds — the mechanics anchor; the 12-round rows-only variant
+    remains the quality path, reaching >=95% captured variance.)
+    """
+    import math
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        F.col("embedding").cast("array<double>").alias("x")
+    )
+    dim = len(e.head()["x"])
+    v = [1.0] + [0.0] * (dim - 1)
+    eigenvalue = 0.0
+    for _ in range(6):
+        vlit = F.array(*[F.lit(float(c)) for c in v])
+        dot = F.aggregate(
+            F.zip_with(F.col("x"), vlit, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, y: acc + y,
+        )
+        contrib = e.select(dot.alias("dot"), F.posexplode("x").alias("d", "xd"))
+        w = (
+            contrib.groupBy("d")
+            .agg(
+                F.sum(F.round(F.col("xd") * F.col("dot"), 12).cast("decimal(30,12)"))
+                .cast("double")
+                .alias("w")
+            )
+            .collect()
+        )
+        wv = [0.0] * dim
+        for r in w:
+            wv[r["d"]] = r["w"]
+        norm = math.sqrt(sum(c * c for c in wv))
+        eigenvalue = norm
+        v = [c / norm for c in wv]
+    return spark.createDataFrame(
+        [(i, round(c, 6), round(eigenvalue, 4)) for i, c in enumerate(v)],
+        "dim INT, loading DOUBLE, eigenvalue DOUBLE",
+    )

@@ -40,6 +40,7 @@ EAGER_QUERIES = {
     "kmeans_lloyd_oracled",  # Lloyd rounds collect centroids at construction
     "sim_ann_ivf_oracled",  # builds on the Lloyd loop (collects at construction)
     "kmeans_purity_oracled",  # builds on the Lloyd loop (collects at construction)
+    "embedding_pca_oracled",  # power-iteration loop executes at construction
 }
 LAZY_QUERIES = sorted(set(QUERIES) - EAGER_QUERIES)
 
