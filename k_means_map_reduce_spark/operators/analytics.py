@@ -1541,3 +1541,48 @@ def funnel_time_to_convert_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("mins", F.lit(0.75)), 4).alias("p75_minutes"),
         F.round(F.max("mins"), 4).alias("max_minutes"),
     )
+
+
+@query(
+    "supplier_lead_time_stats",
+    oracle=f"""
+    SELECT
+      l_suppkey,
+      COUNT(*) AS n_lineitems,
+      ROUND({sql_dsum("CAST(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS DOUBLE)")}
+        / COUNT(*), 6) AS avg_lead_days,
+      CAST(MIN(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))) AS BIGINT)
+        AS min_lead_days,
+      CAST(MAX(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))) AS BIGINT)
+        AS max_lead_days
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY l_suppkey
+    HAVING COUNT(*) >= 10
+    """,
+)
+def supplier_lead_time_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-chain lead time per supplier: order-date to ship-date lag
+    distribution (suppliers with >= 10 shipped lines) — the fulfillment
+    SLA report.
+
+    Scale shape: one fact-fact join on the orderkey both tables are
+    naturally keyed by (bucketing candidate at 100 TB), then a supplier
+    rollup with map-side partials. Day differences are integers; the
+    average divides an exact decimal sum.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    lead = F.datediff(F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.round(dsum(lead.cast("double")) / F.count(F.lit(1)), 6).alias(
+                "avg_lead_days"
+            ),
+            F.min(lead).cast("long").alias("min_lead_days"),
+            F.max(lead).cast("long").alias("max_lead_days"),
+        )
+        .where(F.col("n_lineitems") >= 10)
+    )
