@@ -403,7 +403,11 @@ def _lloyd_portable(spark: SparkSession, sf_dir: str, k: int, rounds: int):
     if hit is not None:
         return hit
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    # fan out the single-row-group embeddings scan: each round's argmin +
+    # posexplode otherwise runs on one core
+    emb = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     init = (
         emb.select(
             "vec_id",
@@ -731,8 +735,10 @@ def embedding_pca_oracled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import math
 
-    e = load_table(spark, sf_dir, "embeddings").select(
-        F.col("embedding").cast("array<double>").alias("x")
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(F.col("embedding").cast("array<double>").alias("x"))
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     dim = len(e.head()["x"])
     v = [1.0] + [0.0] * (dim - 1)

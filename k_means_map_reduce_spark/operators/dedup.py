@@ -878,7 +878,11 @@ def dedup_minhash_portable_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate join is an equi-join on band keys, pair count is bounded by
     bucket co-occupancy, never |docs|^2.
     """
-    d = load_table(spark, sf_dir, "documents")
+    # shingle hashing + 8 signature mins are interpreted HOFs; fan the
+    # single-row-group scan out so they parallelize (same rationale as
+    # textops' chunking queries)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = d.repartition(spark.sparkContext.defaultParallelism)
     toks = F.filter(F.split(F.trim(F.lower("text")), r"\s+"), lambda t: t != "")
     n_sh = F.size(toks) - 2
     shingle_hash = lambda i: F.conv(  # noqa: E731
