@@ -85,6 +85,9 @@ HEADLINE = [
     "attribution_linear_multitouch",
     "dedup_shared_chunk_fraction",
     "sql_recursive_hierarchy_levels",
+    # round-3 oracle arc: portable-hash approximate-dedup tiers
+    "text_simhash_signatures",
+    "dedup_minhash_portable_pairs",
 ]
 
 

@@ -1189,3 +1189,47 @@ def text_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         sig = term if sig is None else sig + term
     return bitsums.select("doc_id", sig.alias("simhash"))
+
+
+@query(
+    "docs_length_histogram_by_lang",
+    oracle="""
+    WITH bounds AS (
+      SELECT MIN(n_chars) AS lo, MAX(n_chars) AS hi FROM documents
+    )
+    SELECT
+      lang,
+      CAST(LEAST(((n_chars - lo) * 10) // GREATEST(hi - lo + 1, 1), 9) AS BIGINT)
+        AS bucket,
+      COUNT(*) AS n_docs,
+      CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+      CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents CROSS JOIN bounds
+    GROUP BY 1, 2
+    """,
+)
+def docs_length_histogram_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length distribution per language in 10 equi-width buckets
+    over the corpus range — the length profile a curation pass reads
+    before setting min/max-length filters. Integer bucket arithmetic
+    ((x-lo)*10 div range) is exact in both engines; the corpus bounds
+    broadcast from a 1-row aggregate.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    bounds = d.agg(F.min("n_chars").alias("lo"), F.max("n_chars").alias("hi"))
+    bucket = F.least(
+        (
+            ((F.col("n_chars") - F.col("lo")) * 10)
+            / F.greatest(F.col("hi") - F.col("lo") + 1, F.lit(1))
+        ).cast("long"),
+        F.lit(9),
+    )
+    return (
+        d.crossJoin(F.broadcast(bounds))
+        .groupBy("lang", bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").cast("long").alias("min_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+        )
+    )
