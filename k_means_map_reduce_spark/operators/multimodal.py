@@ -303,3 +303,51 @@ def multimodal_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("nb").cast("long").alias("payload_bytes"),
         )
     )
+
+
+@query(
+    "multimodal_storage_stats",
+    oracle="""
+    WITH media AS (
+      SELECT
+        doc_id,
+        encode(text) AS payload,
+        ['image', 'audio', 'video'][(CAST(doc_id % 3 AS INT)) + 1] AS media_type,
+        lang
+      FROM documents
+    )
+    SELECT
+      media_type,
+      lang,
+      COUNT(*) AS n_assets,
+      CAST(SUM(CAST(octet_length(payload) AS BIGINT)) AS BIGINT) AS total_bytes,
+      CAST(MAX(octet_length(payload)) AS BIGINT) AS max_bytes,
+      CAST(COUNT(DISTINCT md5(CAST(payload AS VARCHAR))) AS BIGINT) AS n_distinct_payloads
+    FROM media
+    GROUP BY media_type, lang
+    """,
+)
+def multimodal_storage_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asset-inventory rollup over the multimodal table: per (media type,
+    language) counts, byte footprints, and distinct-payload cardinality —
+    the storage report a media lakehouse runs before planning dedup or
+    transcode passes. The payload column participates ONLY through
+    length and digest (both computed in the scan projection), so bytes
+    never shuffle — the discipline every multimodal operator here keeps.
+    """
+    m = media_table(spark, sf_dir)
+    return (
+        m.select(
+            "media_type",
+            F.col("meta.lang").alias("lang"),
+            F.length("media").alias("nb"),
+            F.md5("media").alias("h"),
+        )
+        .groupBy("media_type", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_assets"),
+            F.sum(F.col("nb").cast("long")).cast("long").alias("total_bytes"),
+            F.max("nb").cast("long").alias("max_bytes"),
+            F.countDistinct("h").alias("n_distinct_payloads"),
+        )
+    )
