@@ -164,3 +164,56 @@ def timeseries_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("v", ignorenulls=True).over(w).alias("filled_value"),
         )
     )
+
+
+@query(
+    "lateral_udtf_top_tokens",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+        unnest(list_filter(string_split_regex(TRIM(LOWER(text)), '\\s+'), t -> t != ''))
+          AS tok
+      FROM documents
+    ), counted AS (
+      SELECT doc_id, tok, COUNT(*) AS cnt,
+        ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY COUNT(*) DESC, tok) AS rk
+      FROM toks GROUP BY doc_id, tok
+    )
+    SELECT doc_id, tok, CAST(cnt AS INT) AS cnt
+    FROM counted WHERE rk <= 3
+    """,
+)
+def lateral_udtf_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4's user-defined TABLE function) applied
+    laterally: each document row expands into its top-3 tokens via a
+    Python generator — the extension point for per-row logic that yields
+    MULTIPLE rows and genuinely needs Python (real uses: sentence
+    segmentation with a Python NLP lib, parsing a proprietary record
+    format). Deterministic tie-break (count desc, token asc) makes even
+    this Python path ORACLED.
+
+    Honesty about cost: a UDTF is row-at-a-time Python (BatchEvalPythonUDTF
+    in the plan) — the expression path (explode + agg + WindowGroupLimit,
+    see explode_tokens_top_words) is strictly faster for THIS computable
+    case and remains the production route; this query exists to cover the
+    API surface and is exempted, explicitly and by name, from the
+    no-row-wise-Python plan assertion.
+    """
+    from collections import Counter
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="tok string, cnt int")
+    class TopTokens:
+        def eval(self, text: str, k: int):
+            toks = [t for t in (text or "").lower().strip().split() if t]
+            top = sorted(Counter(toks).items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+            for tok, cnt in top:
+                yield tok, cnt
+
+    spark.udtf.register("top_tokens_udtf", TopTokens)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        "SELECT d.doc_id, t.tok, t.cnt "
+        "FROM documents d, LATERAL top_tokens_udtf(d.text, 3) t"
+    )

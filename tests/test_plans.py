@@ -42,7 +42,12 @@ EAGER_QUERIES = {
     "kmeans_purity_oracled",  # builds on the Lloyd loop (collects at construction)
     "embedding_pca_oracled",  # power-iteration loop executes at construction
 }
-LAZY_QUERIES = sorted(set(QUERIES) - EAGER_QUERIES)
+# Declared Python-boundary queries: the UDTF demo is row-at-a-time Python
+# BY DESIGN (API-surface coverage; its docstring names the faster
+# expression path). Exempt from the no-row-wise-Python assertion by name
+# so the invariant stays meaningful for everything else.
+PYTHON_BOUNDARY_QUERIES = {"lateral_udtf_top_tokens"}
+LAZY_QUERIES = sorted(set(QUERIES) - EAGER_QUERIES - PYTHON_BOUNDARY_QUERIES)
 
 
 @pytest.mark.parametrize("name", LAZY_QUERIES)
