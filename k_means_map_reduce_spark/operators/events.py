@@ -810,3 +810,99 @@ def events_stickiness_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias("stickiness"),
         )
     )
+
+
+@query(
+    "events_hourly_profile",
+    oracle="""
+    WITH per_hour AS (
+      SELECT
+        event_type,
+        EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) AS hour_of_day,
+        COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ), totals AS (
+      SELECT event_type, CAST(SUM(CAST(n AS BIGINT)) AS BIGINT) AS total
+      FROM per_hour GROUP BY event_type
+    )
+    SELECT
+      p.event_type,
+      CAST(p.hour_of_day AS BIGINT) AS hour_of_day,
+      CAST(p.n AS BIGINT) AS n_events,
+      ROUND(CAST(p.n AS DOUBLE) / t.total, 6) AS share
+    FROM per_hour p JOIN totals t USING (event_type)
+    """,
+)
+def events_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day activity profile per event type (the intraday
+    seasonality companion to events_dow_seasonality) — each hour's share
+    of the type's total volume, the shape capacity planning and
+    bot-detection both read.
+
+    Scale shape: one map-side-partial rollup to (type, hour), then
+    arithmetic over <= 24 x types rows with the totals broadcast.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_hour = ev.groupBy(
+        "event_type", F.hour("ts").alias("hour_of_day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    totals = per_hour.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("total")
+    )
+    return per_hour.join(F.broadcast(totals), "event_type").select(
+        "event_type",
+        F.col("hour_of_day").cast("long").alias("hour_of_day"),
+        F.col("n").cast("long").alias("n_events"),
+        F.round(F.col("n").cast("double") / F.col("total"), 6).alias("share"),
+    )
+
+
+@query(
+    "events_dormant_users",
+    oracle="""
+    WITH bounds AS (
+      SELECT MAX(CAST(ts AS TIMESTAMP)) AS mx FROM events
+    ), last_seen AS (
+      SELECT user_id, MAX(CAST(ts AS TIMESTAMP)) AS last_ts, COUNT(*) AS n_events
+      FROM events GROUP BY user_id
+    )
+    SELECT
+      user_id,
+      CAST(n_events AS BIGINT) AS n_events,
+      CAST((epoch_us(mx) - epoch_us(last_ts)) // 86400000000 AS BIGINT)
+        AS days_inactive
+    FROM last_seen CROSS JOIN bounds
+    ORDER BY epoch_us(mx) - epoch_us(last_ts) DESC, user_id
+    LIMIT 25
+    """,
+)
+def events_dormant_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dormancy report: the 25 users longest-inactive relative to the
+    stream's horizon (its max timestamp), with lifetime event count and
+    whole days inactive — the re-engagement targeting list (the
+    events-side analogue of TPC-H q22's dormant-customer shape). Top-k by
+    raw microsecond gap (ties on user_id) instead of a fixed inactivity
+    cut, which goes empty whenever the synthetic population stays active
+    (scale-stability lesson from sim_suppliers_by_parts).
+
+    Scale shape: one per-user rollup; the horizon is a broadcast 1-row
+    aggregate; the top-25 is TakeOrderedAndProject. Day arithmetic is
+    integer microseconds floor-divided — exact in both engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    last_seen = ev.groupBy("user_id").agg(
+        F.max(us).alias("last_us"), F.count(F.lit(1)).alias("n_events")
+    )
+    bounds = ev.agg(F.max(us).alias("mx"))
+    gap = F.col("mx") - F.col("last_us")
+    return (
+        last_seen.crossJoin(F.broadcast(bounds))
+        .orderBy(gap.desc(), "user_id")
+        .limit(25)
+        .select(
+            "user_id",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.floor(gap / 86400000000).cast("long").alias("days_inactive"),
+        )
+    )
