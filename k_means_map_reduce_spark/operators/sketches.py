@@ -190,9 +190,7 @@ def hll_rolling_7d_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "hist_quantiles_daily_merge",
-    oracle="""
+HIST_QUANTILES_ORACLE = """
     WITH bounds AS (
       SELECT MIN(value) AS lo, MAX(value) AS hi FROM events WHERE value IS NOT NULL
     ), binned AS (
@@ -228,8 +226,10 @@ def hll_rolling_7d_users(spark: SparkSession, sf_dir: str) -> DataFrame:
       ROUND(lo + (b95 + 0.5) * ((hi - lo) / 1000.0), 6) AS p95_approx,
       ROUND(lo + (b99 + 0.5) * ((hi - lo) / 1000.0), 6) AS p99_approx
     FROM qbins CROSS JOIN bounds
-    """,
-)
+    """
+
+
+@query("hist_quantiles_daily_merge", oracle=HIST_QUANTILES_ORACLE)
 def hist_quantiles_daily_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable quantile sketching — the quantile analogue of the HLL
     merge family: per-(type, DAY) equi-width histograms (1000 bins over

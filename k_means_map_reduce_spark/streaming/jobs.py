@@ -863,3 +863,126 @@ _CDC_ORACLE = """
 """
 
 _query("streaming_cdc_apply_vs_batch", oracle=_CDC_ORACLE)(stream_cdc_apply)
+
+
+def stream_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming maintenance of the MERGEABLE histogram sketch family
+    (operators/sketches.hist_quantiles_daily_merge): each micro-batch
+    reduces to (event_type, day, bin) integer counts which fold
+    additively into a durable sketch table (copy-on-write parquet, same
+    discipline as the incremental-rollup twin); quantiles read the merged
+    sketch, never the raw stream. This is exactly why mergeable sketches
+    exist — the streaming job and any batch backfill produce byte-equal
+    state because merging is addition.
+
+    Bound fixing, honestly: equi-width sketches need bounds chosen BEFORE
+    ingestion. Production fixes them from a historical profile; here the
+    profile scan reads the same staged table so the streaming result is
+    comparable to the batch oracle (which derives the identical min/max).
+    Arrival order is irrelevant — addition commutes — so no
+    ordering/watermark machinery is needed.
+    """
+    import os as _os
+
+    from ..sources import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    lo, hi = e.where(F.col("value").isNotNull()).agg(
+        F.min("value"), F.max("value")
+    ).first()
+    width = (hi - lo) / 1000.0
+
+    stage = tempfile.mkdtemp(prefix="hist_stage_", dir=_tmp_root())
+    for i in range(4):
+        (
+            e.where(F.pmod(F.col("event_id"), F.lit(4)) == i)
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(stage)
+        )
+    schema = T.StructType(
+        [
+            f if f.name != "ts" else T.StructField("ts", T.TimestampNTZType())
+            for f in TABLE_SCHEMAS["events"]
+        ]
+    )
+    state_path = _os.path.join(
+        tempfile.mkdtemp(prefix="hist_state_", dir=_tmp_root()), "state"
+    )
+
+    def sketch_batch(bdf: DataFrame) -> DataFrame:
+        return (
+            bdf.where(F.col("value").isNotNull())
+            .groupBy(
+                "event_type",
+                F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+                F.least(
+                    F.floor((F.col("value") - F.lit(lo)) / F.lit(width)).cast("long"),
+                    F.lit(999),
+                ).alias("bin"),
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    def refresh(bdf: DataFrame, _epoch: int) -> None:
+        delta = sketch_batch(bdf)
+        if _os.path.isdir(state_path):
+            base = spark.read.parquet(state_path)
+            merged = (
+                base.unionByName(delta)
+                .groupBy("event_type", "day", "bin")
+                .agg(F.sum("n").cast("long").alias("n"))
+            )
+            staging = f"{state_path}__staging"
+            merged.write.mode("overwrite").parquet(staging)
+            old = f"{state_path}__old"
+            _os.rename(state_path, old)
+            _os.rename(staging, state_path)
+            shutil.rmtree(old)
+        else:
+            delta.write.mode("overwrite").parquet(state_path)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stage)
+    )
+    checkpoint = tempfile.mkdtemp(prefix="ckpt_hist_", dir=_tmp_root())
+    q = (
+        stream.writeStream.foreachBatch(refresh)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    sketch = spark.read.parquet(state_path)
+    merged = sketch.groupBy("event_type", "bin").agg(F.sum("n").cast("long").alias("n"))
+    from pyspark.sql.window import Window as _W
+
+    wc = (
+        _W.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(_W.unboundedPreceding, 0)
+    )
+    wt = _W.partitionBy("event_type")
+    cum = merged.select(
+        "event_type",
+        "bin",
+        F.sum("n").over(wc).alias("c"),
+        F.sum("n").over(wt).alias("total"),
+    )
+    qbins = cum.groupBy("event_type").agg(
+        F.min(F.when(F.col("c") >= 0.50 * F.col("total"), F.col("bin"))).alias("b50"),
+        F.min(F.when(F.col("c") >= 0.95 * F.col("total"), F.col("bin"))).alias("b95"),
+        F.min(F.when(F.col("c") >= 0.99 * F.col("total"), F.col("bin"))).alias("b99"),
+    )
+    return qbins.select(
+        "event_type",
+        F.round(F.lit(lo) + (F.col("b50") + 0.5) * F.lit(width), 6).alias("p50_approx"),
+        F.round(F.lit(lo) + (F.col("b95") + 0.5) * F.lit(width), 6).alias("p95_approx"),
+        F.round(F.lit(lo) + (F.col("b99") + 0.5) * F.lit(width), 6).alias("p99_approx"),
+    )
+
+
+from ..operators.sketches import HIST_QUANTILES_ORACLE as _HIST_ORACLE  # noqa: E402
+
+_query("streaming_hist_quantiles_vs_batch", oracle=_HIST_ORACLE)(stream_hist_quantiles)
