@@ -34,6 +34,7 @@ DATE_SENSITIVE = [
     "events_rolling_7d_distinct_users",
     # NTZ end-to-end through a foreachBatch maintenance loop
     "streaming_incremental_rollup_vs_batch",
+    "streaming_hist_quantiles_vs_batch",
     # interval arithmetic + date_format over NTZ
     "events_window_funnel_stages",
     # round-3 third-session ts-sensitive additions: unix_micros differences
