@@ -1586,3 +1586,79 @@ def supplier_lead_time_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_lineitems") >= 10)
     )
+
+
+@query(
+    "orders_backlog_daily",
+    oracle="""
+    WITH spans AS (
+      SELECT
+        o_orderkey,
+        CAST(o_orderdate AS DATE) AS d_open,
+        (SELECT CAST(MAX(l_shipdate) AS DATE) FROM lineitem WHERE l_orderkey = o_orderkey)
+          AS d_close
+      FROM orders
+    ), deltas AS (
+      SELECT strftime(d_open, '%Y-%m-%d') AS day, 1 AS opened, 0 AS closed
+      FROM spans
+      UNION ALL
+      SELECT strftime(d_close, '%Y-%m-%d'), 0, 1
+      FROM spans WHERE d_close IS NOT NULL
+    ), daily AS (
+      SELECT day,
+        CAST(SUM(opened) AS BIGINT) AS n_opened,
+        CAST(SUM(closed) AS BIGINT) AS n_closed
+      FROM deltas GROUP BY day
+    )
+    SELECT
+      day, n_opened, n_closed,
+      CAST(SUM(n_opened - n_closed) OVER (
+        ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      ) AS BIGINT) AS backlog
+    FROM daily
+    """,
+)
+def orders_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily open-order backlog: orders open from order date until their
+    last lineitem ships; the backlog curve is opens-minus-closes
+    cumulated — the operations metric behind every fulfillment dashboard.
+
+    Scale shape: NO per-day interval explosion — each order contributes
+    exactly two deltas (+1 open day, -1 close day), the daily rollup is
+    map-side-partial, and the only ordered pass runs over one row per
+    DAY (the peak-concurrency decomposition's little sibling: here the
+    metric itself is day-grain, so the day rollup IS the sweep). Close
+    dates come from one groupBy over lineitem, not a correlated probe
+    (the oracle states the correlated form; Catalyst would decorrelate
+    it identically).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    closes = li.groupBy("l_orderkey").agg(
+        F.max(F.col("l_shipdate").cast("date")).alias("d_close")
+    )
+    spans = o.select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("d_open")
+    ).join(closes, o.o_orderkey == closes.l_orderkey, "left")
+    deltas = spans.select(
+        F.date_format("d_open", "yyyy-MM-dd").alias("day"),
+        F.lit(1).alias("opened"),
+        F.lit(0).alias("closed"),
+    ).unionAll(
+        spans.where(F.col("d_close").isNotNull()).select(
+            F.date_format("d_close", "yyyy-MM-dd").alias("day"),
+            F.lit(0).alias("opened"),
+            F.lit(1).alias("closed"),
+        )
+    )
+    daily = deltas.groupBy("day").agg(
+        F.sum("opened").cast("long").alias("n_opened"),
+        F.sum("closed").cast("long").alias("n_closed"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "day",
+        "n_opened",
+        "n_closed",
+        F.sum(F.col("n_opened") - F.col("n_closed")).over(w).cast("long").alias("backlog"),
+    )
