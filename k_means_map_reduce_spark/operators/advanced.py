@@ -491,3 +491,41 @@ def sql_recursive_hierarchy_levels(spark: SparkSession, sf_dir: str) -> DataFram
     """
     load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     return spark.sql(_HIERARCHY_LEVELS_SQL.format(div="DIV"))
+
+
+_SUBTREE_TOTALS_SQL = """
+WITH RECURSIVE walk(root, node) AS (
+  SELECT c_custkey, c_custkey FROM customer
+  UNION ALL
+  SELECT w.root, c.c_custkey
+  FROM customer c JOIN walk w ON c.c_custkey {div} 10 = w.node
+  WHERE c.c_custkey > 9
+)
+SELECT
+  w.root AS custkey,
+  CAST(COUNT(*) - 1 AS BIGINT) AS n_descendants,
+  CAST(SUM(CAST(ROUND(c.c_acctbal, 6) AS DECIMAL(18,6))) AS DOUBLE)
+    AS subtree_acctbal
+FROM walk w JOIN customer c ON c.c_custkey = w.node
+GROUP BY w.root
+HAVING COUNT(*) - 1 >= 10
+"""
+
+
+@query(
+    "sql_recursive_subtree_totals",
+    oracle=_SUBTREE_TOTALS_SQL.format(div="//"),
+)
+def sql_recursive_subtree_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The other direction of hierarchy traversal: every node's SUBTREE
+    rollup (descendant count + total balance, roots with >= 10
+    descendants) via a recursive (root, node) closure walk — the
+    manager-rollup / BOM-cost query. Complements
+    sql_recursive_hierarchy_levels (top-down levels) with bottom-up
+    aggregation; total walk size is nodes x depth (~6 here), bounded
+    because the hierarchy is a tree.
+
+    Same SQL text on both engines modulo the integer-division token.
+    """
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_SUBTREE_TOTALS_SQL.format(div="DIV"))

@@ -1662,3 +1662,48 @@ def orders_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_closed",
         F.sum(F.col("n_opened") - F.col("n_closed")).over(w).cast("long").alias("backlog"),
     )
+
+
+@query(
+    "returns_rate_by_brand",
+    oracle=f"""
+    SELECT
+      p_brand,
+      COUNT(*) AS n_lineitems,
+      CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_returned,
+      ROUND(CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS DOUBLE)
+        / COUNT(*), 6) AS return_rate,
+      {sql_dsum("CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0 END")}
+        AS returned_value
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+)
+def returns_rate_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Return-rate quality report per brand: share of lineitems flagged
+    returned and the value coming back — the merchandising-quality signal
+    (q10 finds who returns; this finds WHAT gets returned).
+
+    Scale shape: part broadcasts onto the fact, one rollup at brand
+    grain with conditional aggregates sharing the single scan.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    returned = F.col("l_returnflag") == "R"
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.sum(F.when(returned, 1).otherwise(0)).cast("long").alias("n_returned"),
+            F.round(
+                F.sum(F.when(returned, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("return_rate"),
+            dsum(F.when(returned, F.col("l_extendedprice")).otherwise(F.lit(0.0))).alias(
+                "returned_value"
+            ),
+        )
+    )
