@@ -1707,3 +1707,33 @@ def returns_rate_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "tax_effective_rate_by_status",
+    oracle=f"""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      {sql_dsum("l_extendedprice * l_tax")} AS tax_collected,
+      {sql_dsum("l_extendedprice")} AS gross_value,
+      ROUND({sql_dsum("l_extendedprice * l_tax")} / {sql_dsum("l_extendedprice")}, 6)
+        AS effective_rate
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tax_effective_rate_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective tax rate per (returnflag, linestatus) cell: value-weighted
+    tax share — q1's sibling measure over the one lineitem column no
+    other query exercises (l_tax). One scan, decimal-exact numerator and
+    denominator, IEEE-deterministic ratio of identical doubles.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    tax = dsum(F.col("l_extendedprice") * F.col("l_tax"))
+    gross = dsum("l_extendedprice")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        tax.alias("tax_collected"),
+        gross.alias("gross_value"),
+        F.round(tax / gross, 6).alias("effective_rate"),
+    )

@@ -340,3 +340,34 @@ def dq_profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
             ") as (column_name, n_rows, n_nulls, n_distinct, min_value, max_value)"
         )
     )
+
+
+@query(
+    "dq_name_key_consistency",
+    oracle="""
+    SELECT
+      COUNT(*) AS n_rows,
+      CAST(SUM(CASE WHEN regexp_matches(c_name, '^Customer#[0-9]{9}$')
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_wellformed,
+      CAST(SUM(CASE WHEN TRY_CAST(substr(c_name, 10) AS BIGINT) = c_custkey
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_key_matches
+    FROM customer
+    """,
+)
+def dq_name_key_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Denormalization-consistency check: the display name embeds the key
+    ('Customer#000000042'); this audit counts rows whose name is
+    well-formed AND whose embedded number equals c_custkey — the
+    field-agreement constraint (dbt's relationships-with-transform test)
+    that catches bad backfills where one of a redundant pair was
+    regenerated. One scan, two conditional counts; the regex sticks to
+    the Java/RE2-shared dialect (the text_pii_redaction discipline).
+    """
+    c = load_table(spark, sf_dir, "customer")
+    wellformed = F.col("c_name").rlike("^Customer#[0-9]{9}$")
+    key_match = F.substring("c_name", 10, 9).try_cast("bigint") == F.col("c_custkey")
+    return c.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(wellformed, 1).otherwise(0)).cast("long").alias("n_wellformed"),
+        F.sum(F.when(key_match, 1).otherwise(0)).cast("long").alias("n_key_matches"),
+    )
