@@ -1737,3 +1737,88 @@ def tax_effective_rate_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         gross.alias("gross_value"),
         F.round(tax / gross, 6).alias("effective_rate"),
     )
+
+
+@query(
+    "lines_per_order_distribution",
+    oracle="""
+    WITH sizes AS (
+      SELECT l_orderkey, COUNT(*) AS n_lines FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT
+      CAST(n_lines AS BIGINT) AS n_lines,
+      COUNT(*) AS n_orders
+    FROM sizes
+    GROUP BY n_lines
+    """,
+)
+def lines_per_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of order sizes (how many orders have k lineitems) —
+    the group-size histogram, i.e. an aggregation OF an aggregation. The
+    first rollup bounds everything after it: downstream rows are one per
+    distinct size (~7 here). This distribution is what justified the
+    'pairs bounded by basket size' claims in the basket/triangle
+    operators — now it is a driver-checked fact, not an assumption.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    sizes = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_lines"))
+    return sizes.groupBy(F.col("n_lines").cast("long").alias("n_lines")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+@query(
+    "events_burstiness_fano",
+    oracle="""
+    WITH daily AS (
+      SELECT
+        event_type,
+        date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+        COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ), moments AS (
+      SELECT
+        event_type,
+        COUNT(*) AS n_days,
+        CAST(SUM(CAST(n AS BIGINT)) AS DOUBLE) AS s1,
+        CAST(SUM(CAST(n * n AS BIGINT)) AS DOUBLE) AS s2
+      FROM daily GROUP BY event_type
+    )
+    SELECT
+      event_type,
+      CAST(n_days AS BIGINT) AS n_days,
+      ROUND(s1 / n_days, 6) AS mean_daily,
+      ROUND((s2 / n_days - (s1 / n_days) * (s1 / n_days)) / (s1 / n_days), 6)
+        AS fano_factor
+    FROM moments
+    """,
+)
+def events_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness of daily event volume per type via the Fano factor
+    (variance-to-mean ratio of daily counts): ~1 means Poisson-like
+    arrivals, >1 means bursty/overdispersed traffic — the dispersion
+    diagnostic behind anomaly thresholds (it says whether the z-score
+    model's equal-variance assumption even holds).
+
+    Scale shape: the fact reduces to (type, day) integer counts; moments
+    are exact integer sums, so every division acts on identical doubles
+    in both engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    m = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(F.col("n").cast("long")).cast("double").alias("s1"),
+        F.sum((F.col("n") * F.col("n")).cast("long")).cast("double").alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n_days")
+    return m.select(
+        "event_type",
+        F.col("n_days").cast("long").alias("n_days"),
+        F.round(mean, 6).alias("mean_daily"),
+        F.round((F.col("s2") / F.col("n_days") - mean * mean) / mean, 6).alias(
+            "fano_factor"
+        ),
+    )
