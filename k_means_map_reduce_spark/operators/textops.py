@@ -1233,3 +1233,39 @@ def docs_length_histogram_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame
             F.max("n_chars").cast("long").alias("max_chars"),
         )
     )
+
+
+@query(
+    "text_token_length_profile",
+    oracle="""
+    WITH toks AS (
+      SELECT
+        unnest(list_filter(string_split_regex(TRIM(LOWER(text)), '\\s+'), t -> t != ''))
+          AS tok
+      FROM documents
+    )
+    SELECT
+      CAST(LENGTH(tok) AS BIGINT) AS token_length,
+      COUNT(*) AS n_tokens,
+      CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct
+    FROM toks
+    GROUP BY 1
+    """,
+)
+def text_token_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length distribution over the corpus — the tokenizer
+    diagnostic (a spike at extreme lengths means URLs/DNA/garbage leaked
+    through normalization; the length mix drives bytes-per-token
+    estimates for training budgets). Explode -> length -> two counts;
+    map-side partials collapse the fan-out before the ~20-key shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.trim(F.lower("text")), r"\s+"), lambda t: t != "")
+    return (
+        d.select(F.explode(toks).alias("tok"))
+        .groupBy(F.length("tok").cast("long").alias("token_length"))
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.countDistinct("tok").alias("n_distinct"),
+        )
+    )
