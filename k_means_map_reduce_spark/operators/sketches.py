@@ -288,3 +288,92 @@ def hist_quantiles_daily_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("lo") + (F.col("b95") + 0.5) * width, 6).alias("p95_approx"),
         F.round(F.col("lo") + (F.col("b99") + 0.5) * width, 6).alias("p99_approx"),
     )
+
+
+_CMS_D, _CMS_W = 4, 256
+
+
+def _cms_bucket(j: int, key):
+    """Portable CMS hash row j: md5-derived 32-bit value mod width, identical
+    text recipe in Spark and DuckDB (registry float/hash portability contract)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"cms{j}:"), key.cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % _CMS_W
+    )
+
+
+@query(
+    "sketch_cms_heavy_hitters",
+    oracle=f"""
+    WITH keys AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_count
+      FROM events GROUP BY user_id
+    ),
+    kh AS (
+      SELECT user_id, exact_count, j,
+             CAST(CONCAT('0x', substr(md5(
+               'cms' || CAST(j AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)
+             ), 1, 8)) AS BIGINT) % {_CMS_W} AS bucket
+      FROM keys CROSS JOIN (SELECT UNNEST([0,1,2,3]) AS j) js
+    ),
+    sketch AS (
+      SELECT j, bucket, CAST(SUM(exact_count) AS BIGINT) AS c
+      FROM kh GROUP BY j, bucket
+    ),
+    est AS (
+      SELECT k.user_id, k.exact_count, MIN(s.c) AS est_count
+      FROM kh k JOIN sketch s ON k.j = s.j AND k.bucket = s.bucket
+      GROUP BY k.user_id, k.exact_count
+    )
+    SELECT user_id, est_count, exact_count
+    FROM est ORDER BY est_count DESC, user_id LIMIT 20
+    """,
+)
+def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters with PORTABLE hashes — an ORACLED
+    approximate algorithm (like hist_quantiles_daily_merge): depth=4 md5-row
+    hashes, width=256, estimate = min over rows, top-20 by estimate.
+
+    CMS is deterministic given its hash family, so DuckDB replays the exact
+    sketch — est_count matches bit-for-bit, and est_count >= exact_count by
+    construction (one-sided error; tests/test_sketches.py asserts the bound).
+
+    Scale shape: the sketch is built from the (user_id, count) AGGREGATE —
+    additivity means hashing distinct keys weighted by their counts yields
+    the identical sketch as hashing raw events, at ~1/70th the rows here
+    (and ~1/10^6 at 100 TB). One fact shuffle (the exact per-key counts);
+    the 4x256-cell sketch broadcasts back for the min-probe. At 100 TB the
+    sketch stays 4 KB regardless of key cardinality — the entire point.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    keys = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_count")
+    )
+    depth = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"), _cms_bucket(j, F.col("user_id")).alias("bucket")
+            )
+            for j in range(_CMS_D)
+        ]
+    )
+    kh = keys.select(
+        "user_id", "exact_count", F.explode(depth).alias("e")
+    ).select("user_id", "exact_count", "e.j", "e.bucket")
+    sketch = kh.groupBy("j", "bucket").agg(
+        F.sum("exact_count").cast("long").alias("c")
+    )
+    est = (
+        kh.join(F.broadcast(sketch), ["j", "bucket"])
+        .groupBy("user_id", "exact_count")
+        .agg(F.min("c").alias("est_count"))
+    )
+    return est.select("user_id", "est_count", "exact_count").orderBy(
+        F.desc("est_count"), "user_id"
+    ).limit(20)

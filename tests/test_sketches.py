@@ -123,3 +123,21 @@ def test_hll_rolling_7d_vs_exact(spark, oracle_sf_dir):
     for day, (e_val, n_days) in est.items():
         assert 1 <= n_days <= 7
         assert abs(e_val - exact[day]) / exact[day] < 0.05, (day, e_val, exact[day])
+
+
+def test_cms_one_sided_error_and_coverage(spark, oracle_sf_dir):
+    """CMS never underestimates (est >= exact), and with depth=4 x width=256
+    over ~150 keys the top-20 estimates should sit close to exact counts
+    (collision inflation bounded: width >> keys => expected overshoot
+    e*N/w per row, min over 4 rows tightens it further)."""
+    from k_means_map_reduce_spark.sources import load_table
+
+    n_events = load_table(spark, oracle_sf_dir, "events").count()
+    rows = QUERIES["sketch_cms_heavy_hitters"](spark, oracle_sf_dir).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r["est_count"] >= r["exact_count"], r
+        # CMS error is ADDITIVE, not relative: est <= exact + eps*N with
+        # eps = e/width per row, and the min over depth=4 rows makes
+        # exceeding even one row's bound vanishingly unlikely.
+        assert r["est_count"] <= r["exact_count"] + (3 * n_events) / 256, r
