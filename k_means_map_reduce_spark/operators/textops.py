@@ -1269,3 +1269,112 @@ def text_token_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("tok").alias("n_distinct"),
         )
     )
+
+
+@query(
+    "text_bm25_search",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(TRIM(LOWER(text)), '\s+'),
+                         t -> t != '') AS ts
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl FROM toks),
+    stats AS (
+      SELECT CAST(SUM(dl) AS DOUBLE) AS sum_dl, CAST(COUNT(*) AS DOUBLE) AS nd
+      FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, UNNEST(ts) AS term FROM toks)
+      WHERE term IN ('spark', 'window', 'join', 'vector')
+      GROUP BY doc_id, term
+    ),
+    dfc AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT t.doc_id,
+             ROUND(LN((s.nd - d.df + 0.5) / (d.df + 0.5) + 1.0), 6)
+               * ((CAST(t.tf AS DOUBLE) * 2.2)
+                  / (CAST(t.tf AS DOUBLE)
+                     + 1.2 * (0.25 + 0.75 * (CAST(l.dl AS DOUBLE)
+                                             / (s.sum_dl / s.nd))))) AS sc
+      FROM tf t
+      JOIN dl l USING (doc_id)
+      JOIN dfc d USING (term)
+      CROSS JOIN stats s
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_terms,
+           ROUND(CAST(SUM(CAST(ROUND(sc, 6) AS DECIMAL(18,6))) AS DOUBLE), 5)
+             AS bm25_score
+    FROM scored GROUP BY doc_id
+    ORDER BY bm25_score DESC, doc_id LIMIT 25
+    """,
+)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 full-text ranking (k1=1.2, b=0.75) for a fixed 4-term query —
+    top-25 docs. The relevance scorer Lucene/Elasticsearch ship, expressed
+    as two hash aggregations plus broadcasts.
+
+    Float discipline (registry contract): ln() is the one libm call —
+    round the per-term idf to 6dp, keep the tf normalization in exact IEEE
+    double arithmetic (identical operand chain both engines), round each
+    term score to 6dp, DECIMAL-sum per doc (order-insensitive), round the
+    final score one digit coarser.
+
+    Scale shape: tf for the query terms is a filtered explode (predicate on
+    the term BEFORE the doc-term agg — at 100 TB an inverted index / Bloom
+    file-skip makes this a lookup, cf. layout_index_point_lookup); df and
+    the corpus stats are tiny broadcasts; top-25 is TakeOrderedAndProject,
+    never a global sort.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    terms = ["spark", "window", "join", "vector"]
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda t: t != ""
+    )
+    docs = d.select("doc_id", F.explode(toks).alias("term"))
+    dl = docs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.sum("dl").cast("double").alias("sum_dl"),
+        F.count(F.lit(1)).cast("double").alias("nd"),
+    )
+    tf = (
+        docs.where(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfc = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    idf = F.round(
+        F.log(
+            (F.col("nd") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+            + F.lit(1.0)
+        ),
+        6,
+    )
+    tfd = F.col("tf").cast("double")
+    tfn = (tfd * F.lit(2.2)) / (
+        tfd
+        + F.lit(1.2)
+        * (
+            F.lit(0.25)
+            + F.lit(0.75)
+            * (F.col("dl").cast("double") / (F.col("sum_dl") / F.col("nd")))
+        )
+    )
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(dfc), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", F.round(idf * tfn, 6).cast("decimal(18,6)").alias("sc"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.round(F.sum("sc").cast("double"), 5).alias("bm25_score"),
+        )
+        .orderBy(F.desc("bm25_score"), "doc_id")
+        .limit(25)
+    )
