@@ -399,3 +399,69 @@ def join_asof_nearest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(back_wins, dback).otherwise(dfwd) / 60000000.0, 6
         ).alias("minutes_apart"),
     )
+
+
+@query(
+    "events_time_weighted_avg_daily",
+    oracle="""
+    WITH base AS (
+      SELECT event_type,
+             strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS day,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             event_id,
+             CAST(ROUND(value, 6) AS DECIMAL(18,6)) AS v
+      FROM events
+    ),
+    seg AS (
+      SELECT event_type, day, v,
+             LEAD(us) OVER (
+               PARTITION BY event_type, day ORDER BY us, event_id
+             ) - us AS dur
+      FROM base
+    )
+    SELECT event_type, day,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(dur) AS BIGINT) AS covered_us,
+           ROUND(CAST(SUM(v * CAST(dur AS DECIMAL(20,0))) AS DOUBLE)
+                 / CAST(SUM(dur) AS DOUBLE), 6) AS twap_value
+    FROM seg WHERE dur IS NOT NULL
+    GROUP BY event_type, day
+    """,
+)
+def events_time_weighted_avg_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per (event_type, day) — the TSDB
+    aggregate (TimescaleDB time_weight / InfluxDB integral) for irregular
+    samples, where a plain AVG over-weights bursts: each observation holds
+    until the next one of the same series, weight = microseconds held
+    (LOCF integral; a day's last observation closes the day, weight 0).
+
+    Exactness: value as DECIMAL(18,6) x DECIMAL(20,0) µs duration (width > 18 forces DuckDB int128 multiply) — products and
+    sums stay exact decimals in both engines (no float summation order);
+    the single double division at the end is IEEE-deterministic.
+
+    Scale shape: one shuffle on (event_type, day) serves BOTH the lead()
+    window and the aggregation (same keys); day-partitioning keeps windows
+    bounded, so a year of 100 TB telemetry parallelizes across type x day
+    partitions instead of one sort per series.
+    """
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(
+        "event_type",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+        F.round("value", 6).cast("decimal(18,6)").alias("v"),
+    )
+    w = Window.partitionBy("event_type", "day").orderBy("us", "event_id")
+    seg = base.select(
+        "event_type", "day", "v", (F.lead("us").over(w) - F.col("us")).alias("dur")
+    ).where(F.col("dur").isNotNull())
+    return seg.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum("dur").cast("long").alias("covered_us"),
+        F.round(
+            F.sum(F.col("v") * F.col("dur").cast("decimal(20,0)")).cast("double")
+            / F.sum("dur").cast("double"),
+            6,
+        ).alias("twap_value"),
+    )
