@@ -1822,3 +1822,102 @@ def events_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fano_factor"
         ),
     )
+
+
+@query(
+    "finance_rebate_allocation",
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS w
+      FROM lineitem
+    ),
+    orb AS (
+      SELECT o_orderkey,
+             CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) // 100 AS BIGINT)
+               AS rebate_cents
+      FROM orders
+    ),
+    j AS (
+      SELECT l.l_orderkey, l.l_linenumber, l.w, o.rebate_cents,
+             SUM(l.w) OVER (PARTITION BY l.l_orderkey) AS tw
+      FROM li l JOIN orb o ON l.l_orderkey = o.o_orderkey
+    ),
+    base AS (
+      SELECT l_orderkey, l_linenumber, rebate_cents,
+             CAST((rebate_cents * w) // tw AS BIGINT) AS base_cents,
+             (rebate_cents * w) % tw AS rem,
+             SUM(CAST((rebate_cents * w) // tw AS BIGINT))
+               OVER (PARTITION BY l_orderkey) AS used,
+             ROW_NUMBER() OVER (
+               PARTITION BY l_orderkey
+               ORDER BY (rebate_cents * w) % tw DESC, l_linenumber
+             ) AS rn
+      FROM j
+    )
+    SELECT l_orderkey, l_linenumber,
+           CAST(base_cents
+                + CASE WHEN rn <= rebate_cents - used THEN 1 ELSE 0 END
+             AS BIGINT) AS alloc_cents
+    FROM base
+    """,
+)
+def finance_rebate_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder proration: allocate a 1%-of-order rebate across the
+    order's lineitems proportionally to extended price, in INTEGER CENTS,
+    with the leftover cents going to the largest remainders (linenumber
+    tie-break) — so every order's allocations sum EXACTLY to its rebate
+    (no penny drift; the invoice/billing allocation idiom).
+
+    All arithmetic is int64 (cents), so cross-engine equality is trivial;
+    the one double op (price * 100) rounds to an exact integer both sides.
+
+    Scale shape: one fact shuffle on l_orderkey serves the join and all
+    three window passes (total weight, floor-allocation sum, remainder
+    rank share the partition key); orders broadcasts nothing — it joins
+    on the same key and rides the same exchange.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    cents = lambda c: F.round(F.col(c) * 100).cast("long")  # noqa: E731
+    li = l.select("l_orderkey", "l_linenumber", cents("l_extendedprice").alias("w"))
+    orb = o.select(
+        "o_orderkey",
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT) div 100").alias(
+            "rebate_cents"
+        ),
+    )
+    wp = Window.partitionBy("l_orderkey")
+    j = li.join(orb, li.l_orderkey == orb.o_orderkey).select(
+        "l_orderkey",
+        "l_linenumber",
+        "w",
+        "rebate_cents",
+        F.sum("w").over(wp).alias("tw"),
+    )
+    prod = F.col("rebate_cents") * F.col("w")
+    base = j.select(
+        "l_orderkey",
+        "l_linenumber",
+        "rebate_cents",
+        F.expr("(rebate_cents * w) div tw").alias("base_cents"),
+        (prod % F.col("tw")).alias("rem"),
+    )
+    wr = Window.partitionBy("l_orderkey").orderBy(F.desc("rem"), "l_linenumber")
+    ranked = base.select(
+        "l_orderkey",
+        "l_linenumber",
+        "base_cents",
+        (F.col("rebate_cents") - F.sum("base_cents").over(wp)).alias("leftover"),
+        F.row_number().over(wr).alias("rn"),
+    )
+    return ranked.select(
+        "l_orderkey",
+        "l_linenumber",
+        (
+            F.col("base_cents")
+            + F.when(F.col("rn") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("alloc_cents"),
+    )

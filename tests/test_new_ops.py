@@ -322,3 +322,28 @@ def test_coverage_doc_counts_match_registry():
         f"COVERAGE.md says {m.group(1)}/{m.group(2)}, registry has "
         f"{len(QUERIES)}/{len(ORACLES)}"
     )
+
+
+def test_rebate_allocation_sums_exact(spark, sf_dir):
+    """Largest-remainder guarantee: every order's allocations sum EXACTLY
+    to its rebate (integer cents, no penny drift), and each line gets
+    base or base+1."""
+    from k_means_map_reduce_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    alloc = QUERIES["finance_rebate_allocation"](spark, sf_dir)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT) div 100").alias(
+            "rebate_cents"
+        ),
+    )
+    per_order = alloc.groupBy("l_orderkey").agg(
+        F.sum("alloc_cents").alias("total_alloc")
+    )
+    bad = (
+        per_order.join(o, per_order.l_orderkey == o.o_orderkey)
+        .where(F.col("total_alloc") != F.col("rebate_cents"))
+        .count()
+    )
+    assert bad == 0
