@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..registry import query
 from ..sources import load_table
@@ -769,4 +770,98 @@ def embedding_pca_oracled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(i, round(c, 6), round(eigenvalue, 4)) for i, c in enumerate(v)],
         "dim INT, loading DOUBLE, eigenvalue DOUBLE",
+    )
+
+
+@query(
+    "ml_prefixspan_patterns",
+    oracle="""
+    WITH pos AS (
+      SELECT user_id,
+             strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS day,
+             event_type,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, date_trunc('day', CAST(ts AS TIMESTAMP))
+               ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id
+             ) AS p
+      FROM events
+    ),
+    nseq AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT DISTINCT user_id, day FROM pos)
+    ),
+    stats AS (
+      SELECT user_id, day, event_type,
+             MIN(p) AS mn, MAX(p) AS mx, COUNT(*) AS c
+      FROM pos GROUP BY 1, 2, 3
+    ),
+    singles AS (
+      SELECT event_type AS pattern, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM stats GROUP BY event_type
+    ),
+    pairs AS (
+      SELECT a.event_type || '=>' || b.event_type AS pattern,
+             CAST(COUNT(*) AS BIGINT) AS freq
+      FROM stats a
+      JOIN stats b ON a.user_id = b.user_id AND a.day = b.day
+      WHERE (a.event_type <> b.event_type AND a.mn < b.mx)
+         OR (a.event_type = b.event_type AND a.c >= 2)
+      GROUP BY 1
+    ),
+    allp AS (
+      SELECT * FROM singles UNION ALL SELECT * FROM pairs
+    )
+    SELECT pattern, freq
+    FROM allp, nseq
+    WHERE freq >= CAST(FLOOR(0.07 * n) + 1 AS BIGINT)
+    """,
+)
+def ml_prefixspan_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential pattern mining with MLlib's distributed PrefixSpan (Pei
+    et al. 2001) over per-(user, day) event-type sequences, support > 7%
+    of sequences, maxPatternLength=2 — which makes the FULL output
+    SQL-recomputable: with singleton itemsets, <[a],[b]> is frequent in a
+    sequence iff min_pos(a) < max_pos(b) (a != b) or count(a) >= 2 (a = b).
+
+    minSupport is (k - 0.5)/n so MLlib's internal ceil() lands exactly on
+    the integer floor k the oracle uses (the ml_fpgrowth_itemsets trick).
+
+    Scale shape: PrefixSpan partitions by prefix — no candidate explosion;
+    sequence building is one (user, day) shuffle with an array_sort of
+    per-day events (bounded by a day's activity, never a whole user
+    history); the pattern lattice at maxPatternLength=2 over a 5-type
+    alphabet is trivially small however large the fact is.
+    """
+    from pyspark.ml.fpm import PrefixSpan
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", F.date_trunc("day", "ts")).orderBy(
+        F.unix_micros(F.col("ts").cast("timestamp")), "event_id"
+    )
+    pos = e.select(
+        "user_id",
+        F.date_trunc("day", "ts").alias("day"),
+        "event_type",
+        F.row_number().over(w).alias("p"),
+    )
+    seqs = (
+        pos.groupBy("user_id", "day")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "event_type"))),
+                lambda s: F.array(s.event_type),
+            ).alias("sequence")
+        )
+    )
+    n_seq = seqs.count()
+    k = int(0.07 * n_seq) + 1
+    ps = PrefixSpan(
+        minSupport=(k - 0.5) / n_seq, maxPatternLength=2, sequenceCol="sequence"
+    )
+    out = ps.findFrequentSequentialPatterns(seqs)
+    return out.select(
+        F.array_join(
+            F.transform(F.col("sequence"), lambda its: its[0]), "=>"
+        ).alias("pattern"),
+        F.col("freq").cast("long").alias("freq"),
     )
