@@ -377,3 +377,124 @@ def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.select("user_id", "est_count", "exact_count").orderBy(
         F.desc("est_count"), "user_id"
     ).limit(20)
+
+
+_KMV_K = 32
+_KMV_POW = "1152921504606846976.0"  # 2^60 — exact as a double
+
+
+@query(
+    "sketch_kmv_distinct_users",
+    oracle=f"""
+    WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+    h AS (
+      SELECT event_type, user_id,
+             CAST(CONCAT('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+               AS BIGINT) AS hv
+      FROM du
+    ),
+    ranked AS (
+      SELECT event_type, hv,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rk,
+             COUNT(*) OVER (PARTITION BY event_type) AS nd
+      FROM h
+    ),
+    per_type AS (
+      SELECT event_type,
+             CAST(MAX(nd) AS BIGINT) AS exact_distinct,
+             CASE WHEN MAX(nd) <= {_KMV_K} THEN CAST(MAX(nd) AS DOUBLE)
+                  ELSE ROUND(CAST({_KMV_K - 1} AS DOUBLE)
+                             * ({_KMV_POW}
+                                / CAST(MAX(CASE WHEN rk = {_KMV_K} THEN hv END)
+                                    AS DOUBLE)), 4)
+             END AS est_distinct
+      FROM ranked GROUP BY event_type
+    ),
+    merged AS (
+      SELECT DISTINCT hv FROM ranked WHERE rk <= {_KMV_K}
+    ),
+    mranked AS (
+      SELECT hv, ROW_NUMBER() OVER (ORDER BY hv) AS rk FROM merged
+    ),
+    exact_all AS (SELECT COUNT(DISTINCT user_id) AS nd FROM events),
+    union_row AS (
+      SELECT 'ALL' AS event_type,
+             CAST((SELECT nd FROM exact_all) AS BIGINT) AS exact_distinct,
+             CASE WHEN (SELECT COUNT(*) FROM mranked) < {_KMV_K}
+                  THEN CAST((SELECT nd FROM exact_all) AS DOUBLE)
+                  ELSE ROUND(CAST({_KMV_K - 1} AS DOUBLE)
+                             * ({_KMV_POW}
+                                / CAST((SELECT hv FROM mranked
+                                        WHERE rk = {_KMV_K}) AS DOUBLE)), 4)
+             END AS est_distinct
+    )
+    SELECT * FROM per_type UNION ALL SELECT * FROM union_row
+    """,
+)
+def sketch_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct-count sketch (Bar-Yossef et al. 2002) with
+    PORTABLE md5 hashes — an ORACLED approximate distinct, where HLL
+    (hll_users_*) is engine-opaque: estimate = (k-1) / u_(k), the k-th
+    smallest hash normalized to [0,1). One row per event_type plus a
+    merged 'ALL' row built FROM the per-type sketches (k smallest of the
+    union of k-smallest lists == k smallest of the union — KMV's merge
+    law), demonstrating sketch mergeability with exact cross-engine
+    replay. Types with < k distinct users report their exact count (the
+    sketch IS exact below k).
+
+    Scale shape: one (event_type, user_id) dedup shuffle; the per-type
+    window ranks within each type's distinct users, and everything past
+    rank k is discarded — per-type state is k 8-byte values no matter how
+    many billions of users, and the merged estimate touches only the 5k
+    retained values.
+    """
+    e = load_table(spark, sf_dir, "events")
+    du = e.select("event_type", "user_id").distinct()
+    hv = F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+    h = du.select("event_type", hv.alias("hv"))
+    wrk = Window.partitionBy("event_type").orderBy("hv")
+    wnd = Window.partitionBy("event_type")
+    ranked = h.select(
+        "event_type",
+        "hv",
+        F.row_number().over(wrk).alias("rk"),
+        F.count(F.lit(1)).over(wnd).alias("nd"),
+    )
+    kth = F.max(F.when(F.col("rk") == _KMV_K, F.col("hv")))
+    est = F.when(
+        F.max("nd") <= _KMV_K, F.max("nd").cast("double")
+    ).otherwise(
+        F.round(
+            F.lit(float(_KMV_K - 1))
+            * (F.lit(float(_KMV_POW)) / kth.cast("double")),
+            4,
+        )
+    )
+    per_type = ranked.groupBy("event_type").agg(
+        F.max("nd").cast("long").alias("exact_distinct"), est.alias("est_distinct")
+    )
+    merged = ranked.where(F.col("rk") <= _KMV_K).select("hv").distinct()
+    mranked = merged.select(
+        "hv", F.row_number().over(Window.orderBy("hv")).alias("rk")
+    )
+    exact_all = e.agg(F.countDistinct("user_id").cast("long").alias("nd"))
+    mstats = mranked.agg(
+        F.count(F.lit(1)).alias("m_n"),
+        F.max(F.when(F.col("rk") == _KMV_K, F.col("hv"))).alias("m_kth"),
+    )
+    union_row = exact_all.crossJoin(F.broadcast(mstats)).select(
+        F.lit("ALL").alias("event_type"),
+        F.col("nd").alias("exact_distinct"),
+        F.when(F.col("m_n") < _KMV_K, F.col("nd").cast("double"))
+        .otherwise(
+            F.round(
+                F.lit(float(_KMV_K - 1))
+                * (F.lit(float(_KMV_POW)) / F.col("m_kth").cast("double")),
+                4,
+            )
+        )
+        .alias("est_distinct"),
+    )
+    return per_type.unionByName(union_row)

@@ -141,3 +141,23 @@ def test_cms_one_sided_error_and_coverage(spark, oracle_sf_dir):
         # eps = e/width per row, and the min over depth=4 rows makes
         # exceeding even one row's bound vanishingly unlikely.
         assert r["est_count"] <= r["exact_count"] + (3 * n_events) / 256, r
+
+
+def test_kmv_estimate_bounds(spark, oracle_sf_dir):
+    """KMV with k=32 has relative std error ~1/sqrt(k-1) ~ 18%; assert a
+    3-sigma bound, exactness below k, and that the merged ALL row >= any
+    single type's exact count."""
+    rows = {
+        r["event_type"]: r
+        for r in QUERIES["sketch_kmv_distinct_users"](spark, oracle_sf_dir).collect()
+    }
+    assert "ALL" in rows
+    for t, r in rows.items():
+        if r["exact_distinct"] <= 32:
+            assert r["est_distinct"] == float(r["exact_distinct"]), r
+        else:
+            rel = abs(r["est_distinct"] - r["exact_distinct"]) / r["exact_distinct"]
+            assert rel < 0.55, (t, r)
+    assert rows["ALL"]["exact_distinct"] >= max(
+        r["exact_distinct"] for t, r in rows.items() if t != "ALL"
+    )
