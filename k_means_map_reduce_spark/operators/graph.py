@@ -415,3 +415,91 @@ def graph_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("node") / 2).cast("long").alias("entity_key"),
         F.round("rank", 6).alias("rank"),
     )
+
+
+_BFS_DEPTH = 3
+
+_BFS_ORACLE = """
+WITH li AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+), e0 AS (
+  SELECT DISTINCT a.pk AS u, b.pk AS v
+  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+), e AS (
+  SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0
+),
+f0 AS (SELECT MIN(u) AS node FROM e),
+v0 AS (SELECT node FROM f0),
+{levels}
+{final}
+"""
+
+
+def _bfs_oracle() -> str:
+    levels, selects = [], ["SELECT node, 0 AS dist FROM f0"]
+    for d in range(1, _BFS_DEPTH + 1):
+        levels.append(
+            f"f{d} AS (SELECT DISTINCT e.v AS node FROM e "
+            f"JOIN f{d-1} ON e.u = f{d-1}.node "
+            f"WHERE e.v NOT IN (SELECT node FROM v{d-1})),\n"
+            f"v{d} AS (SELECT node FROM v{d-1} UNION SELECT node FROM f{d})"
+        )
+        selects.append(f"SELECT node, {d} AS dist FROM f{d}")
+    final = (
+        "SELECT CAST(node AS BIGINT) AS node, CAST(dist AS INT) AS dist FROM ("
+        + " UNION ALL ".join(selects)
+        + ")"
+    )
+    return _BFS_ORACLE.format(levels=",\n".join(levels), final=final)
+
+
+_BFS_CACHE: dict = {}
+
+
+@query("graph_bfs_distances", oracle=_bfs_oracle())
+def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Level-synchronous BFS from the lowest-id part over the co-purchase
+    graph, depth <= 3 — single-source shortest paths on an unweighted
+    graph, the Pregel hello-world the iterative family (k-means, PageRank,
+    connected components, PCA) was missing. Oracle = programmatically
+    unrolled frontier CTEs (the graph_pagerank_exact recipe); a recursive
+    path-enumeration CTE would be combinatorial on a graph this dense —
+    level-synchronous frontiers are the only formulation that scales, in
+    SQL or in Spark.
+
+    Scale shape: each round is one join of the edge list against the
+    current frontier plus an anti-join against the visited set — two
+    shuffles per round on the node key, state one row per reached node.
+    Each frontier is persisted (per-session memo): lazily the anti-join
+    would re-expand every earlier round per level, doubling work per
+    depth. Co-purchase graphs have tiny diameters, so bounded depth
+    covers effectively everything reachable.
+    """
+    key = (id(spark), sf_dir)
+    cached = _BFS_CACHE.get(key)
+    if cached is not None:
+        return cached
+    und, _oe = _copurchase_edges(spark, sf_dir)
+    edges = und.select("u", "v").unionByName(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    f0 = edges.agg(F.min("u").alias("node")).persist()
+    visited = f0
+    out = f0.select("node", F.lit(0).alias("dist"))
+    frontier = f0
+    for d in range(1, _BFS_DEPTH + 1):
+        nxt = (
+            edges.join(frontier.select(F.col("node").alias("u")), "u")
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .persist()
+        )
+        visited = visited.unionByName(nxt).select("node").persist()
+        out = out.unionByName(nxt.select("node", F.lit(d).alias("dist")))
+        frontier = nxt
+    result = out.select(
+        F.col("node").cast("long").alias("node"), F.col("dist").cast("int").alias("dist")
+    ).persist()
+    _BFS_CACHE[key] = result
+    return result
