@@ -88,6 +88,12 @@ HEADLINE = [
     # round-3 oracle arc: portable-hash approximate-dedup tiers
     "text_simhash_signatures",
     "dedup_minhash_portable_pairs",
+    # round-3 fourth pass: BM25 ranking, time-weighted average, portable
+    # CMS/KMV sketches, integer-exact proration
+    "text_bm25_search",
+    "events_time_weighted_avg_daily",
+    "sketch_cms_heavy_hitters",
+    "finance_rebate_allocation",
 ]
 
 

@@ -986,3 +986,143 @@ def stream_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 from ..operators.sketches import HIST_QUANTILES_ORACLE as _HIST_ORACLE  # noqa: E402
 
 _query("streaming_hist_quantiles_vs_batch", oracle=_HIST_ORACLE)(stream_hist_quantiles)
+
+
+# --- transformWithState: the Spark 4 arbitrary-stateful-processing API ---
+# (SPARK-42822 "state v2"): typed state primitives (ValueState here; List/
+# MapState available), timers, and schema evolution — the successor to
+# applyInPandasWithState's single-tuple GroupState above. Both are kept:
+# real deployments are mid-migration between the two APIs.
+
+_TWS_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("max_value", T.DoubleType()),
+        T.StructField("min_value", T.DoubleType()),
+    ]
+)
+
+_TWS_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("mx", T.DoubleType()),
+        T.StructField("mn", T.DoubleType()),
+    ]
+)
+
+
+from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
+    StatefulProcessor as _StatefulProcessor,
+)
+
+
+class _UserStatsProcessor(_StatefulProcessor):
+    """StatefulProcessor body: per-user (count, max, min) across
+    micro-batches in a ValueState cell. Arrow-batched like
+    _update_user_stats; only exact order-insensitive aggregates."""
+
+    def init(self, handle) -> None:
+        self._state = handle.getValueState("stats", _TWS_STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues):
+        prior = self._state.get()
+        n, mx, mn = prior if prior is not None else (0, float("-inf"), float("inf"))
+        for pdf in rows:
+            vals = pdf["value"].dropna()
+            n += len(pdf)
+            if len(vals):
+                mx = max(mx, float(vals.max()))
+                mn = min(mn, float(vals.min()))
+        self._state.update((n, mx, mn))
+        (user_id,) = key
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_events": [n], "max_value": [mx], "min_value": [mn]}
+        )
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        return iter(())
+
+    def handleInitialState(self, key, initialState, timerValues) -> None:
+        pass
+
+    def close(self) -> None:
+        pass
+
+
+def stream_user_stats_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running stats via transformWithStateInPandas — the Spark 4
+    stateful API twin of stream_user_running_stats. Requires the RocksDB
+    state store; the provider conf is set for the query start and restored
+    after (session-conf hygiene)."""
+    e = read_events_stream(spark, sf_dir)
+    stats = (
+        e.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=_UserStatsProcessor(),
+            outputStructType=_TWS_OUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+    sink = f"user_stats_tws_{uuid.uuid4().hex[:8]}"
+    checkpoint = tempfile.mkdtemp(prefix=f"ckpt_{sink}_", dir=_tmp_root())
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    prior = spark.conf.get(conf_key, None)
+    try:
+        spark.conf.set(
+            conf_key,
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        q = (
+            stats.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prior is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prior)
+        shutil.rmtree(checkpoint, ignore_errors=True)
+    raw = spark.table(sink)
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        raw.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def _tws_available() -> bool:
+    """transformWithStateInPandas needs google.protobuf in the Python
+    workers (pyspark.sql.streaming.proto.StateMessage_pb2). This container
+    ships pyspark without protobuf, so the query registers only where the
+    runtime actually supports it — any real Spark 4 cluster does. The
+    applyInPandasWithState twin above stays the always-on stateful
+    operator either way."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+if _tws_available():
+    _query(
+        "streaming_user_stats_tws_vs_batch",
+        oracle="""
+        SELECT user_id, COUNT(*) AS n_events,
+               MAX(value) AS max_value, MIN(value) AS min_value
+        FROM events
+        GROUP BY user_id
+        """,
+    )(stream_user_stats_tws)
