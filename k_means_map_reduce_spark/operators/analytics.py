@@ -1921,3 +1921,79 @@ def finance_rebate_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("alloc_cents"),
     )
+
+
+@query(
+    "timeseries_holt_smoothing_daily",
+    oracle="""
+    WITH RECURSIVE daily AS (
+      SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+             CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(18,6))) AS DOUBLE) AS rev
+      FROM events GROUP BY 1, 2
+    ), idx AS (
+      SELECT event_type, rev,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS i,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM daily
+    ), rec AS (
+      SELECT event_type, i, n, rev AS l, CAST(0.0 AS DOUBLE) AS b
+      FROM idx WHERE i = 1
+      UNION ALL
+      SELECT x.event_type, x.i, x.n,
+             0.2 * x.rev + 0.8 * (r.l + r.b) AS l,
+             0.1 * ((0.2 * x.rev + 0.8 * (r.l + r.b)) - r.l) + 0.9 * r.b AS b
+      FROM rec r JOIN idx x ON x.event_type = r.event_type AND x.i = r.i + 1
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_days,
+           ROUND(l, 6) AS level,
+           ROUND(b, 6) AS trend,
+           ROUND(l + b, 6) AS forecast_next
+    FROM rec WHERE i = n
+    """,
+)
+def timeseries_holt_smoothing_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (level + trend, alpha=0.2,
+    beta=0.1) of each event type's daily revenue, with a one-step-ahead
+    forecast — the trend-aware upgrade of events_ewma_per_user's single
+    recurrence, and like it ORACLED: DuckDB list_reduce folds {level,
+    trend} STRUCT state over the identically-ordered series (l1 = x1,
+    b1 = 0), and both engines run the same IEEE double operation chain on
+    bit-identical inputs (the series itself is a decimal-exact daily sum).
+
+    Scale shape: the fact collapses to (type, day) in one map-side-partial
+    aggregation; the inherently-sequential recurrence then runs per key on
+    <= days-long arrays via applyInPandas (the ewma lesson: per-key
+    recursions are the ONE shape that justifies Python, after the heavy
+    lifting is done relationally).
+    """
+    import pandas as pd  # local: keep module import light
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(dsum("value").alias("rev"))
+
+    def holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day")
+        vals = pdf["rev"].tolist()
+        l, b = vals[0], 0.0
+        for x in vals[1:]:
+            l_new = 0.2 * x + 0.8 * (l + b)
+            b = 0.1 * (l_new - l) + 0.9 * b
+            l = l_new
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n_days": [len(vals)],
+                "level": [round(l, 6)],
+                "trend": [round(b, 6)],
+                "forecast_next": [round(l + b, 6)],
+            }
+        )
+
+    return daily.groupBy("event_type").applyInPandas(
+        holt,
+        "event_type STRING, n_days BIGINT, level DOUBLE, trend DOUBLE, "
+        "forecast_next DOUBLE",
+    )
