@@ -1335,15 +1335,28 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda t: t != ""
     )
     docs = d.select("doc_id", F.explode(toks).alias("term"))
-    dl = docs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    stats = dl.agg(
+    # ONE tokenize+explode pass and ONE doc_id shuffle produce BOTH the
+    # doc lengths and the per-query-term tfs (conditional aggs over the
+    # fixed term list) — tokenization is the scan-dominant cost and must
+    # not run once per consumer.
+    per_doc = docs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dl"),
+        *[
+            F.sum(F.when(F.col("term") == t, 1).otherwise(0)).alias(f"tf_{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    stats = per_doc.agg(
         F.sum("dl").cast("double").alias("sum_dl"),
         F.count(F.lit(1)).cast("double").alias("nd"),
     )
+    stack_expr = ", ".join(f"'{t}', tf_{i}" for i, t in enumerate(terms))
     tf = (
-        docs.where(F.col("term").isin(terms))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        per_doc.selectExpr(
+            "doc_id", "dl", f"stack({len(terms)}, {stack_expr}) AS (term, tf)"
+        )
+        .where(F.col("tf") > 0)
+        .select("doc_id", "dl", F.col("tf").cast("long").alias("tf"), "term")
     )
     dfc = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
     idf = F.round(
@@ -1364,8 +1377,7 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     scored = (
-        tf.join(dl, "doc_id")
-        .join(F.broadcast(dfc), "term")
+        tf.join(F.broadcast(dfc), "term")
         .crossJoin(F.broadcast(stats))
         .select("doc_id", F.round(idf * tfn, 6).cast("decimal(18,6)").alias("sc"))
     )
