@@ -775,3 +775,62 @@ def text_rag_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c.h").alias("chunk_hash"),
         )
     )
+
+
+@query(
+    "sample_weighted_reservoir_docs",
+    oracle="""
+    WITH h AS (
+      SELECT lang, doc_id, n_chars,
+             CAST(CONCAT('0x', substr(md5('wrs:' || CAST(doc_id AS VARCHAR)),
+                                      1, 15)) AS BIGINT) AS hv
+      FROM documents WHERE n_chars > 0
+    ), keyed AS (
+      SELECT lang, doc_id, n_chars,
+             ROUND(LN((CAST(hv AS DOUBLE) + 1.0) / 1152921504606846976.0), 6)
+               / CAST(n_chars AS DOUBLE) AS k
+      FROM h
+    ), ranked AS (
+      SELECT lang, doc_id, n_chars, k,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY k DESC, doc_id)
+               AS rk
+      FROM keyed
+    )
+    SELECT lang, CAST(rk AS INT) AS rk, doc_id, n_chars,
+           ROUND(k, 9) AS sample_key
+    FROM ranked WHERE rk <= 10
+    """,
+)
+def sample_weighted_reservoir_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, 10 docs per language with
+    inclusion probability proportional to length (n_chars), via the
+    Efraimidis-Spirakis A-ES reservoir key — u^(1/w), ranked here in the
+    log domain (ln(u)/w, same order) with a PORTABLE md5-derived uniform
+    u in (0, 1]. Deterministic replay: unlike rand()-based sampleBy, the
+    sample is a pure function of the data, so DuckDB reproduces it row
+    for row (the sample_deterministic_stratified_docs contract, upgraded
+    from Bernoulli to weighted-without-replacement).
+
+    Float discipline: ln is the one libm call — rounded to 6dp before the
+    weight division (ranking uses the rounded key in BOTH engines, so the
+    order is identical by construction; doc_id breaks 6dp ties).
+
+    Scale shape: pure expression scan (hash, ln, divide) + per-lang top-k
+    (WindowGroupLimit pushes the k=10 cut below the sort at every
+    partition) — no global sort, no RNG state, restart-safe.
+    """
+    d = load_table(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    hv = F.conv(
+        F.substring(F.md5(F.concat(F.lit("wrs:"), F.col("doc_id").cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+    u = (hv.cast("double") + F.lit(1.0)) / F.lit(1152921504606846976.0)
+    k = F.round(F.log(u), 6) / F.col("n_chars").cast("double")
+    keyed = d.select("lang", "doc_id", "n_chars", k.alias("k"))
+    w = Window.partitionBy("lang").orderBy(F.desc("k"), "doc_id")
+    return (
+        keyed.withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= 10)
+        .select("lang", "rk", "doc_id", "n_chars", F.round("k", 9).alias("sample_key"))
+    )
