@@ -1997,3 +1997,95 @@ def timeseries_holt_smoothing_daily(spark: SparkSession, sf_dir: str) -> DataFra
         "event_type STRING, n_days BIGINT, level DOUBLE, trend DOUBLE, "
         "forecast_next DOUBLE",
     )
+
+
+@query(
+    "events_cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ), pre AS (
+      SELECT event_type, day, x,
+             SUM(x) OVER (PARTITION BY event_type ORDER BY day
+                          ROWS UNBOUNDED PRECEDING) AS s,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS t,
+             CAST(SUM(x) OVER (PARTITION BY event_type) AS DOUBLE)
+               / COUNT(*) OVER (PARTITION BY event_type) AS mean_x,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM daily
+    ), cusum AS (
+      SELECT event_type, day, n, mean_x,
+             CAST(s AS DOUBLE) - CAST(t AS DOUBLE) * mean_x AS c
+      FROM pre
+    ), ranked AS (
+      SELECT event_type, day, n, mean_x, c,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY ABS(c) DESC, day) AS rk
+      FROM cusum
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_days,
+           ROUND(mean_x, 6) AS mean_daily,
+           strftime(day, '%Y-%m-%d') AS changepoint_day,
+           ROUND(c, 6) AS cusum_at_cp
+    FROM ranked WHERE rk = 1
+    """,
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point estimation on each event type's daily volume:
+    C_t = sum_{i<=t}(x_i) - t*mean — the day of max |C_t| is the
+    classic single-change-point estimate (Page 1954 / Taylor's CUSUM
+    changepoint recipe). Exactness: the prefix sum stays INTEGER (bigint)
+    and only the final subtraction touches doubles (identical operand
+    chain both engines) — no accumulation-order float drift, unlike a
+    naive running sum of (x - mean) doubles.
+
+    Scale shape: the fact collapses to (type, day) in one partial-agg
+    pass; the prefix-sum window, the per-type mean, and the argmax window
+    all share the (event_type) partitioning — one small shuffle after the
+    rollup. Bounded by days x types, independent of event volume.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("event_type")
+    wt = Window.partitionBy("event_type").orderBy("day")
+    pre = daily.select(
+        "event_type",
+        "day",
+        F.sum("x").over(wcum).alias("s"),
+        F.row_number().over(wt).alias("t"),
+        (F.sum("x").over(wall).cast("double") / F.count(F.lit(1)).over(wall)).alias(
+            "mean_x"
+        ),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    cusum = pre.select(
+        "event_type",
+        "day",
+        "n",
+        "mean_x",
+        (F.col("s").cast("double") - F.col("t").cast("double") * F.col("mean_x")).alias(
+            "c"
+        ),
+    )
+    wrk = Window.partitionBy("event_type").orderBy(F.abs(F.col("c")).desc(), "day")
+    return (
+        cusum.withColumn("rk", F.row_number().over(wrk))
+        .where(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n_days"),
+            F.round("mean_x", 6).alias("mean_daily"),
+            F.date_format("day", "yyyy-MM-dd").alias("changepoint_day"),
+            F.round("c", 6).alias("cusum_at_cp"),
+        )
+    )

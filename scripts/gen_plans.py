@@ -115,6 +115,27 @@ PICKS = {
         "The token-frequency model broadcasts; the scoring pass is one "
         "explode -> broadcast-join -> per-doc reduce, no vocabulary shuffle."
     ),
+    "text_bm25_search": (
+        "ONE tokenize/explode pass and one doc_id shuffle yield doc "
+        "lengths AND per-term tfs (conditional aggs + stack); df/corpus "
+        "stats broadcast; top-25 is TakeOrderedAndProject."
+    ),
+    "events_time_weighted_avg_daily": (
+        "A single (event_type, day) exchange feeds lead(), the partial "
+        "agg, and the final agg — window and aggregation share one "
+        "partitioning; decimal value x integer-us duration keeps the "
+        "integral exact."
+    ),
+    "sketch_cms_heavy_hitters": (
+        "The sketch is built from the per-key AGGREGATE (additivity: "
+        "identical cells, ~10^6x fewer rows at scale); the 4x256-cell "
+        "table broadcasts back for the min-probe."
+    ),
+    "finance_rebate_allocation": (
+        "One l_orderkey shuffle serves the join and all three window "
+        "passes (total weight, floor-sum, remainder rank) — allocation "
+        "is integer cents end to end."
+    ),
 }
 
 
