@@ -2089,3 +2089,79 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("c", 6).alias("cusum_at_cp"),
         )
     )
+
+
+@query(
+    "embedding_int8_quantization_error",
+    oracle="""
+    WITH dims AS (
+      SELECT UNNEST(embedding) AS xf,
+             UNNEST(range(0, len(embedding))) AS dim
+      FROM embeddings
+    ), vals AS (
+      SELECT CAST(dim AS INT) AS dim, CAST(xf AS DOUBLE) AS x FROM dims
+    ), stats AS (
+      SELECT dim, MIN(x) AS mn, MAX(x) AS mx FROM vals GROUP BY dim
+    ), q AS (
+      SELECT v.dim, v.x, s.mn,
+             (s.mx - s.mn) / 255.0 AS scale,
+             LEAST(255.0, GREATEST(0.0,
+               FLOOR((v.x - s.mn) / ((s.mx - s.mn) / 255.0) + 0.5))) AS code
+      FROM vals v JOIN stats s ON v.dim = s.dim
+    ), err AS (
+      SELECT dim,
+             (x - (mn + code * scale)) * (x - (mn + code * scale)) * 1000000.0
+               AS se6,
+             ABS(x - (mn + code * scale)) * 1000.0 AS ae3
+      FROM q
+    )
+    SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(CAST(ROUND(se6, 6) AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS mse_e6,
+           ROUND(MAX(ae3), 6) AS max_abs_err_e3
+    FROM err GROUP BY dim
+    """,
+)
+def embedding_int8_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar (int8 / 256-level) quantization error per embedding
+    dimension: fit min-max range per dim, quantize with round-half-up
+    (written as floor(x + 0.5) — NOT round(): engines may disagree on
+    exact .5 ties, floor never does), dequantize, report per-dim MSE
+    (x1e6) and max abs error (x1e3). The embedding-compression diagnostic
+    a 100 TB vector pipeline runs before swapping float32 storage for
+    int8: expected MSE is scale^2/12 per dim; a dim whose error breaks
+    from that line has outliers stretching its range.
+
+    Scale shape: two passes over the posexploded (dim, value) stream —
+    a 64-row min/max aggregate (map-side partials), broadcast back for
+    the quantize+error pass, then a 64-group decimal-exact rollup. The
+    vectors themselves never shuffle.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    vals = e.select(F.posexplode("embedding").alias("dim", "xf")).select(
+        F.col("dim").cast("int").alias("dim"), F.col("xf").cast("double").alias("x")
+    )
+    stats = vals.groupBy("dim").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    scale = (F.col("mx") - F.col("mn")) / F.lit(255.0)
+    code = F.least(
+        F.lit(255.0),
+        F.greatest(F.lit(0.0), F.floor((F.col("x") - F.col("mn")) / scale + F.lit(0.5))),
+    )
+    q = vals.join(F.broadcast(stats), "dim").select(
+        "dim", "x", "mn", scale.alias("scale"), code.alias("code")
+    )
+    diff = F.col("x") - (F.col("mn") + F.col("code") * F.col("scale"))
+    err = q.select(
+        "dim",
+        (diff * diff * F.lit(1000000.0)).alias("se6"),
+        (F.abs(diff) * F.lit(1000.0)).alias("ae3"),
+    )
+    return err.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(
+            F.sum(F.round(F.col("se6"), 6).cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mse_e6"),
+        F.round(F.max("ae3"), 6).alias("max_abs_err_e3"),
+    )
