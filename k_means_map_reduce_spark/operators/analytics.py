@@ -2165,3 +2165,91 @@ def embedding_int8_quantization_error(spark: SparkSession, sf_dir: str) -> DataF
         ).alias("mse_e6"),
         F.round(F.max("ae3"), 6).alias("max_abs_err_e3"),
     )
+
+
+@query(
+    "timeseries_classical_decomposition",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+             SUM(CAST(ROUND(value, 6) AS DECIMAL(18,6))) AS rev
+      FROM events GROUP BY 1
+    ), tr AS (
+      SELECT day, rev,
+             SUM(rev) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING
+                            AND 3 FOLLOWING) AS s7,
+             COUNT(*) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING
+                            AND 3 FOLLOWING) AS n7,
+             dayofweek(day) AS dow
+      FROM daily
+    ), det AS (
+      SELECT day, dow, CAST(rev AS DOUBLE) AS x,
+             CAST(s7 AS DOUBLE) / 7.0 AS trend,
+             CAST(rev AS DOUBLE) - CAST(s7 AS DOUBLE) / 7.0 AS d
+      FROM tr WHERE n7 = 7
+    ), seas AS (
+      SELECT dow,
+             CAST(SUM(CAST(ROUND(d, 6) AS DECIMAL(18,6))) AS DOUBLE)
+               / COUNT(*) AS s
+      FROM det GROUP BY dow
+    )
+    SELECT strftime(t.day, '%Y-%m-%d') AS day,
+           ROUND(t.x, 6) AS revenue,
+           ROUND(t.trend, 6) AS trend,
+           ROUND(s.s, 6) AS seasonal,
+           ROUND(t.d - s.s, 6) AS residual
+    FROM det t JOIN seas s ON t.dow = s.dow
+    """,
+)
+def timeseries_classical_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition of daily revenue: trend = centered
+    7-day moving average (full windows only), seasonal = day-of-week mean
+    of the detrended series, residual = the rest — the STL-lite every BI
+    stack ships, and the baseline anomaly detectors subtract first.
+
+    Exactness: the sliding 7-day sum runs over DECIMALS (sliding-window
+    float accumulation is engine-internal — segment trees vs running
+    subtraction — so double sums would drift; decimal sums cannot), and
+    only the /7 division and subtractions touch doubles. Spark dayofweek
+    == DuckDB dayofweek + 1, but both engines only need to agree on the
+    GROUPING, not the label, so the raw dow never leaves the plan.
+
+    Scale shape: the fact collapses to one row per day first; the
+    centered window and dow rollup run on the days table. Per-series
+    windows parallelize across series at scale (here one global series —
+    bounded by the calendar, not the event volume).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum(F.round("value", 6).cast("decimal(18,6)")).alias("rev")
+    )
+    w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    tr = daily.select(
+        "day",
+        "rev",
+        F.sum("rev").over(w7).alias("s7"),
+        F.count(F.lit(1)).over(w7).alias("n7"),
+        F.dayofweek("day").alias("dow"),
+    )
+    det = tr.where(F.col("n7") == 7).select(
+        "day",
+        "dow",
+        F.col("rev").cast("double").alias("x"),
+        (F.col("s7").cast("double") / F.lit(7.0)).alias("trend"),
+        (F.col("rev").cast("double") - F.col("s7").cast("double") / F.lit(7.0)).alias(
+            "d"
+        ),
+    )
+    seas = det.groupBy("dow").agg(
+        (
+            F.sum(F.round("d", 6).cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("s")
+    )
+    return det.join(F.broadcast(seas), "dow").select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.round("x", 6).alias("revenue"),
+        F.round("trend", 6).alias("trend"),
+        F.round("s", 6).alias("seasonal"),
+        F.round(F.col("d") - F.col("s"), 6).alias("residual"),
+    )
