@@ -371,3 +371,91 @@ def dq_name_key_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(wellformed, 1).otherwise(0)).cast("long").alias("n_wellformed"),
         F.sum(F.when(key_match, 1).otherwise(0)).cast("long").alias("n_key_matches"),
     )
+
+
+@query(
+    "dq_orders_lineitem_reconciliation",
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey,
+             CAST(COUNT(*) AS BIGINT) AS n_lines,
+             SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount)
+                            * (1.0 + l_tax), 6) AS DECIMAL(18,6))) AS charge
+      FROM lineitem GROUP BY l_orderkey
+    ), j AS (
+      SELECT o.o_orderkey,
+             CAST(ROUND(o.o_totalprice, 6) AS DECIMAL(18,6)) AS header_total,
+             li.n_lines,
+             li.charge,
+             CASE WHEN li.l_orderkey IS NULL THEN 'no_lines'
+                  WHEN ABS(CAST(CAST(ROUND(o.o_totalprice, 6) AS DECIMAL(18,6))
+                                - li.charge AS DOUBLE))
+                       <= 0.01 * CAST(li.n_lines AS DOUBLE)
+                    THEN 'reconciled'
+                  ELSE 'mismatch'
+             END AS status
+      FROM orders o LEFT JOIN li ON o.o_orderkey = li.l_orderkey
+    )
+    SELECT status,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ABS(COALESCE(header_total - charge, header_total))
+                         AS DECIMAL(18,6))) AS DOUBLE) AS total_abs_gap
+    FROM j GROUP BY status
+    """,
+)
+def dq_orders_lineitem_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-vs-detail reconciliation — the finance-closing control every
+    warehouse runs nightly: does each order's header total equal the sum
+    of its lines' charges (price x (1-disc) x (1+tax)), within a
+    per-line rounding allowance? Orders bucket into reconciled /
+    mismatch / no_lines with the total absolute gap per bucket.
+
+    All money stays DECIMAL(18,6): the per-line charge (2dp x 2dp x 2dp
+    operands) is EXACTLY representable at scale 6, so ROUND is the
+    identity and no engine hits a rounding tie (rounding to cents does —
+    .005 ties resolve differently across engines, the dsum lesson); the
+    one double is the tolerance comparison, identical both engines.
+
+    Scale shape: one map-side-partial rollup of lineitem to per-order
+    (count, charge), one orderkey-colocated LEFT join against the header,
+    then a 3-key rollup — the same single-fact-shuffle shape as q18.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    li = l.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(
+            F.round(
+                F.col("l_extendedprice")
+                * (F.lit(1.0) - F.col("l_discount"))
+                * (F.lit(1.0) + F.col("l_tax")),
+                6,
+            ).cast("decimal(18,6)")
+        ).alias("charge"),
+    )
+    header = F.round("o_totalprice", 6).cast("decimal(18,6)")
+    j = o.join(li, o.o_orderkey == li.l_orderkey, "left").select(
+        header.alias("header_total"),
+        "n_lines",
+        "charge",
+        F.when(F.col("l_orderkey").isNull(), "no_lines")
+        .when(
+            F.abs((header - F.col("charge")).cast("double"))
+            <= F.lit(0.01) * F.col("n_lines").cast("double"),
+            "reconciled",
+        )
+        .otherwise("mismatch")
+        .alias("status"),
+    )
+    return j.groupBy("status").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(
+            F.abs(
+                F.coalesce(
+                    F.col("header_total") - F.col("charge"), F.col("header_total")
+                )
+            ).cast("decimal(18,6)")
+        )
+        .cast("double")
+        .alias("total_abs_gap"),
+    )
