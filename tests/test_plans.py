@@ -253,3 +253,48 @@ def test_dynamic_partition_pruning_fires(spark, sf_dir, tmp_path):
     joined = fact.join(dim, (fact.o_custkey == dim.c_custkey) & (fact.o_orderpriority == dim.prio))
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), "expected a DPP subquery on the fact scan"
+
+
+def test_twap_single_exchange(spark, sf_dir):
+    """events_time_weighted_avg_daily: the lead() window and both agg
+    phases must share ONE (event_type, day) exchange — a second exchange
+    means the window and aggregation stopped sharing a partitioning."""
+    import re
+
+    r = plan_report(QUERIES["events_time_weighted_avg_daily"](spark, sf_dir))
+    n_shuffles = len(re.findall(r"^\(\d+\) Exchange$", r.text, re.M))
+    assert n_shuffles == 1, f"expected 1 hash exchange, plan has {n_shuffles}"
+    assert "Window" in r.text
+
+
+def test_rebate_allocation_exchange_shape(spark, sf_dir):
+    """finance_rebate_allocation: three window passes + the header join
+    must ride the orderkey partitioning — at most the two join-input
+    exchanges, never one per window."""
+    import re
+
+    r = plan_report(QUERIES["finance_rebate_allocation"](spark, sf_dir))
+    n_shuffles = len(re.findall(r"^\(\d+\) Exchange$", r.text, re.M))
+    assert n_shuffles <= 2, f"windows added exchanges: {n_shuffles}"
+
+
+def test_bm25_single_tokenize_pass(spark, sf_dir):
+    """text_bm25_search: ONE explode of the tokenized corpus (the scan-
+    dominant cost) — the per_doc table is persisted and its three
+    consumers (tf stack, df counts, corpus stats) all read the cache;
+    without it each consumer re-expands the explode subtree (filter
+    pushdown differentiates the subtrees, defeating exchange reuse)."""
+    r = plan_report(QUERIES["text_bm25_search"](spark, sf_dir))
+    n_cache_reads = r.text.count("InMemoryTableScan")
+    assert n_cache_reads >= 3, (
+        f"per_doc cache not shared: {n_cache_reads} InMemoryTableScans"
+    )
+
+
+def test_triangle_closure_is_shuffle_hash(spark, sf_dir):
+    """graph_triangle_count: the wedge-closure join must be SHUFFLE_HASH
+    (broadcast measured slower: single-threaded 1.2M-row hash build), and
+    the wedge side must come from the persisted oriented edge list."""
+    r = plan_report(QUERIES["graph_triangle_count"](spark, sf_dir))
+    assert "ShuffledHashJoin" in r.text
+    assert "InMemoryTableScan" in r.text
