@@ -459,3 +459,52 @@ def dq_orders_lineitem_reconciliation(spark: SparkSession, sf_dir: str) -> DataF
         .cast("double")
         .alias("total_abs_gap"),
     )
+
+
+@query(
+    "dq_observe_scan_metrics",
+    oracle="""
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS rows_scanned,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+        WHERE l_discount > 0.05) AS rows_high_discount,
+      (SELECT ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * l_discount, 6)
+                                  AS DECIMAL(18,6))) AS DOUBLE), 6)
+         FROM lineitem
+        WHERE l_discount >= 0.05 AND l_quantity < 24) AS revenue
+    """,
+)
+def dq_observe_scan_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-attached observability via DataFrame.observe(): named metric
+    expressions piggy-back on the business query's ONE scan (here a
+    q6-shaped discount-revenue aggregate) and surface input-side counts —
+    rows scanned, rows in a monitored band — with ZERO extra jobs. This
+    is how production pipelines watch input drift without doubling their
+    scan bill; the streaming twin of the idea is
+    StreamingQueryListener-visible observe() metrics.
+
+    Eager by design (the Observation fills when the action runs —
+    tests/test_plans.py EAGER_QUERIES); every number is an exact
+    aggregate, so the metrics themselves are oracled.
+    """
+    from pyspark.sql import Observation
+
+    from ._util import dsum
+
+    l = load_table(spark, sf_dir, "lineitem")
+    obs = Observation()
+    observed = l.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_scanned"),
+        F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("rows_high_discount"),
+    )
+    rev = (
+        observed.where((F.col("l_discount") >= 0.05) & (F.col("l_quantity") < 24))
+        .agg(F.round(dsum(F.col("l_extendedprice") * F.col("l_discount")), 6).alias("revenue"))
+        .collect()[0]["revenue"]
+    )
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["rows_scanned"], m["rows_high_discount"], float(rev))],
+        "rows_scanned BIGINT, rows_high_discount BIGINT, revenue DOUBLE",
+    )
