@@ -45,6 +45,14 @@ DATE_SENSITIVE = [
     "join_asof_nearest_order",
     "events_dow_seasonality",
     "events_anomaly_daily_zscore",
+    # round-3 fourth-pass ts-sensitive additions: LOCF integral (unix_micros
+    # diffs + day labels), day-grain CUSUM/decomposition/Holt series, and
+    # the per-(user,day) PrefixSpan sequences
+    "events_time_weighted_avg_daily",
+    "events_cusum_changepoint",
+    "timeseries_holt_smoothing_daily",
+    "timeseries_classical_decomposition",
+    "ml_prefixspan_patterns",
 ]
 
 
