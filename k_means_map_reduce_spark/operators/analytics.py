@@ -2253,3 +2253,118 @@ def timeseries_classical_decomposition(spark: SparkSession, sf_dir: str) -> Data
         F.round("s", 6).alias("seasonal"),
         F.round(F.col("d") - F.col("s"), 6).alias("residual"),
     )
+
+
+@query(
+    "orders_gini_coefficient",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY o_custkey
+    ), ranked AS (
+      SELECT cents,
+             ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS i,
+             COUNT(*) OVER () AS n,
+             SUM(cents) OVER () AS total
+      FROM spend
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_customers,
+           CAST(MAX(total) AS BIGINT) AS total_cents,
+           ROUND(
+             (2.0 * CAST(SUM(i * cents) AS DOUBLE))
+               / (CAST(MAX(n) AS DOUBLE) * CAST(MAX(total) AS DOUBLE))
+             - (CAST(MAX(n) AS DOUBLE) + 1.0) / CAST(MAX(n) AS DOUBLE),
+             6) AS gini
+    FROM ranked
+    """,
+)
+def orders_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer spend — the standard inequality
+    summary next to orders_pareto_concentration's top-x% shares:
+    G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n over ascending-sorted spend.
+    All mass stays integer cents (rank x cents products sum in bigint);
+    doubles appear only in the final closed form, identical both engines.
+    Ties rank by custkey — deterministic.
+
+    Scale shape: per-customer rollup (one fact shuffle), then a rank over
+    the customer aggregate. The global sort is real but runs on the
+    AGGREGATE (customers, not orders); at extreme cardinality swap the
+    exact rank for the equi-depth histogram approximation
+    (histogram_equidepth_totalprice) — Gini from decile means.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    wr = Window.orderBy("cents", "o_custkey")
+    wall = Window.partitionBy()
+    ranked = spend.select(
+        "cents",
+        F.row_number().over(wr).alias("i"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+        F.sum("cents").over(wall).alias("total"),
+    )
+    nd = F.max("n").cast("double")
+    td = F.max("total").cast("double")
+    return ranked.agg(
+        F.max("n").cast("long").alias("n_customers"),
+        F.max("total").cast("long").alias("total_cents"),
+        F.round(
+            (F.lit(2.0) * F.sum(F.col("i") * F.col("cents")).cast("double"))
+            / (nd * td)
+            - (nd + F.lit(1.0)) / nd,
+            6,
+        ).alias("gini"),
+    )
+
+
+@query(
+    "events_user_entropy",
+    oracle="""
+    WITH counts AS (
+      SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ), tot AS (
+      SELECT user_id, SUM(c) AS n FROM counts GROUP BY user_id
+    ), terms AS (
+      SELECT c.user_id,
+             ROUND(-(CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE))
+                   * LN(CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE)), 6)
+               AS term
+      FROM counts c JOIN tot t ON c.user_id = t.user_id
+    )
+    SELECT user_id,
+           ROUND(CAST(SUM(CAST(term AS DECIMAL(18,6))) AS DOUBLE), 5)
+             AS entropy_nats,
+           CAST(COUNT(*) AS BIGINT) AS n_types
+    FROM terms GROUP BY user_id
+    """,
+)
+def events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (nats) of each user's event-type mix — the
+    behavioral-diversity feature (0 = single-type bot-like activity,
+    ln(5) = uniform across all types) that feeds churn/anomaly models.
+    Per-term -p*ln(p) rounded to 6dp then decimal-summed (the
+    transcendental discipline); the final score rounds one digit coarser.
+
+    Scale shape: two hash aggs sharing the user_id key (type counts, then
+    totals) and a same-key join — one fact shuffle, then work proportional
+    to users x types.
+    """
+    e = load_table(spark, sf_dir, "events")
+    counts = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tot = counts.groupBy("user_id").agg(F.sum("c").alias("n"))
+    p = F.col("c").cast("double") / F.col("n").cast("double")
+    terms = counts.join(tot, "user_id").select(
+        "user_id", F.round(-p * F.log(p), 6).alias("term")
+    )
+    return terms.groupBy("user_id").agg(
+        F.round(F.sum(F.col("term").cast("decimal(18,6)")).cast("double"), 5).alias(
+            "entropy_nats"
+        ),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+    )

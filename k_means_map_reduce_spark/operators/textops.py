@@ -1415,3 +1415,83 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bm25_score"), "doc_id")
         .limit(25)
     )
+
+
+@query(
+    "text_zipf_fit",
+    oracle=r"""
+    WITH toks AS (
+      SELECT list_filter(string_split_regex(TRIM(LOWER(text)), '\s+'),
+                         t -> t != '') AS ts
+      FROM documents
+    ), freq AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS f
+      FROM (SELECT UNNEST(ts) AS term FROM toks)
+      GROUP BY term HAVING COUNT(*) >= 5
+    ), ranked AS (
+      SELECT ROUND(LN(CAST(ROW_NUMBER() OVER (ORDER BY f DESC, term)
+                           AS DOUBLE)), 6) AS lr,
+             ROUND(LN(CAST(f AS DOUBLE)), 6) AS lf
+      FROM freq
+    ), sums AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(lr AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(lf AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(ROUND(lr * lr, 6) AS DECIMAL(18,6))) AS DOUBLE)
+               AS sxx,
+             CAST(SUM(CAST(ROUND(lr * lf, 6) AS DECIMAL(18,6))) AS DOUBLE)
+               AS sxy
+      FROM ranked
+    )
+    SELECT n AS n_terms,
+           ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
+                 / (CAST(n AS DOUBLE) * sxx - sx * sx), 6) AS zipf_slope,
+           ROUND((sy - ((CAST(n AS DOUBLE) * sxy - sx * sy)
+                        / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)
+                 / CAST(n AS DOUBLE), 6) AS intercept
+    FROM sums
+    """,
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: least-squares slope of
+    ln(frequency) vs ln(rank) for terms with freq >= 5 — the standard
+    corpus-health diagnostic (natural text sits near slope -1; a flat or
+    broken line means templated/duplicated text). Closed-form regression
+    from decimal power sums (the stats_regression_by_flag discipline),
+    ln rounded to 6dp before summing (the transcendental rule).
+
+    Scale shape: one explode + vocabulary-sized agg, a rank window over
+    the (tiny) vocabulary table, then a single-row reduce.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.trim(F.lower("text")), r"\s+"), lambda t: t != "")
+    freq = (
+        d.select(F.explode(toks).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+        .where(F.col("f") >= 5)
+    )
+    from pyspark.sql import Window as W
+
+    rw = W.orderBy(F.desc("f"), "term")
+    ranked = freq.select(
+        F.round(F.log(F.row_number().over(rw).cast("double")), 6).alias("lr"),
+        F.round(F.log(F.col("f").cast("double")), 6).alias("lf"),
+    )
+    dec = lambda c: F.sum(c.cast("decimal(18,6)")).cast("double")  # noqa: E731
+    sums = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        dec(F.col("lr")).alias("sx"),
+        dec(F.col("lf")).alias("sy"),
+        dec(F.round(F.col("lr") * F.col("lr"), 6)).alias("sxx"),
+        dec(F.round(F.col("lr") * F.col("lf"), 6)).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    slope = (nd * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return sums.select(
+        F.col("n").alias("n_terms"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / nd, 6).alias("intercept"),
+    )
