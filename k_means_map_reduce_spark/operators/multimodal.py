@@ -351,3 +351,81 @@ def multimodal_storage_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("h").alias("n_distinct_payloads"),
         )
     )
+
+
+@query(
+    "multimodal_clip_training_pairs",
+    oracle="""
+    WITH img AS (
+      SELECT doc_id, text, n_chars,
+             md5(CAST(doc_id AS VARCHAR) || ':clip') AS shuf
+      FROM documents WHERE doc_id % 3 = 0
+    ), w AS (
+      SELECT doc_id, n_chars, md5(text) AS payload_md5, shuf,
+             LEAD(doc_id) OVER (ORDER BY shuf) AS nxt,
+             FIRST_VALUE(doc_id) OVER (
+               ORDER BY shuf
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+             ) AS fst
+      FROM img
+    )
+    SELECT doc_id,
+           CAST(n_chars AS BIGINT) AS caption_chars,
+           payload_md5,
+           COALESCE(nxt, fst) AS neg_doc_id,
+           CASE WHEN CAST(CONCAT('0x', substr(md5('clipsplit:'
+                      || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                     % 10 < 9
+                THEN 'train' ELSE 'valid' END AS split
+    FROM w
+    """,
+)
+def multimodal_clip_training_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive (CLIP-style) training-pair construction over the image
+    assets: each image pairs with its own caption (positive) and with the
+    NEXT image's caption in a deterministic md5-shuffled ring (in-batch
+    negative — the standard trick, made restart-stable by replacing the
+    RNG shuffle with a salted-hash order; wraparound pairs the last with
+    the first). A portable 90/10 split rides along. Payload integrity is
+    pinned by md5 of the binary itself, so the oracle checks the BYTES
+    the pair pipeline would ship, not just ids.
+
+    Scale shape: metadata-only until the final consumer — the binary
+    column is never shuffled here (the md5 runs scan-side); the ring is
+    one window over the image subset. At billions of assets, partition
+    the ring by a shuffle-bucket column so the window never sees a global
+    sort (negatives stay within a bucket — equally valid contrastively).
+    """
+    m = media_table(spark, sf_dir).where(F.col("media_type") == "image")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    from pyspark.sql import Window as W
+
+    base = m.join(d, "doc_id").select(
+        "doc_id",
+        "n_chars",
+        F.md5("media").alias("payload_md5"),
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":clip"))).alias("shuf"),
+    )
+    w = W.orderBy("shuf")
+    wall = W.orderBy("shuf").rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    split_hash = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("clipsplit:"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 10
+    )
+    return base.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("caption_chars"),
+        "payload_md5",
+        F.coalesce(F.lead("doc_id").over(w), F.first("doc_id").over(wall)).alias(
+            "neg_doc_id"
+        ),
+        F.when(split_hash < 9, "train").otherwise("valid").alias("split"),
+    )
