@@ -529,3 +529,66 @@ def sql_recursive_subtree_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     return spark.sql(_SUBTREE_TOTALS_SQL.format(div="DIV"))
+
+
+@query(
+    "stats_weighted_median_price",
+    oracle="""
+    WITH w AS (
+      SELECT l_returnflag,
+             l_extendedprice AS price,
+             CAST(l_quantity AS BIGINT) AS qty
+      FROM lineitem
+    ), cum AS (
+      SELECT l_returnflag, price, qty,
+             SUM(qty) OVER (PARTITION BY l_returnflag
+                            ORDER BY price, qty
+                            ROWS UNBOUNDED PRECEDING) AS cw,
+             SUM(qty) OVER (PARTITION BY l_returnflag) AS total
+      FROM w
+    )
+    SELECT l_returnflag,
+           CAST(MAX(total) AS BIGINT) AS total_qty,
+           ROUND(MIN(CASE WHEN 2 * cw >= total THEN price END), 6)
+             AS weighted_median_price
+    FROM cum GROUP BY l_returnflag
+    """,
+)
+def stats_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per return flag — the weighted
+    order statistic percentile_approx cannot express: the price at which
+    half the UNITS (not half the rows) are cheaper. Division-free
+    threshold (2*cumweight >= total over integer weights), so there is
+    no interpolation or float comparison for engines to disagree on.
+
+    Scale shape: one partition-sorted cumulative sum per group + a
+    conditional min — the same single-shuffle envelope as any windowed
+    rollup; for extreme groups, swap in the mergeable integer histogram
+    (hist_quantiles_daily_merge) and read the weighted quantile off the
+    bins.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    w = l.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    wc = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("price", "qty")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy("l_returnflag")
+    cum = w.select(
+        "l_returnflag",
+        "price",
+        "qty",
+        F.sum("qty").over(wc).alias("cw"),
+        F.sum("qty").over(wt).alias("total"),
+    )
+    return cum.groupBy("l_returnflag").agg(
+        F.max("total").cast("long").alias("total_qty"),
+        F.round(
+            F.min(F.when(2 * F.col("cw") >= F.col("total"), F.col("price"))), 6
+        ).alias("weighted_median_price"),
+    )

@@ -2368,3 +2368,123 @@ def events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).cast("long").alias("n_types"),
     )
+
+
+_DECAY_ARMS_SQL = " ".join(
+    f"WHEN {d} THEN {0.5 ** d!r}" for d in range(7)
+)
+
+
+@query(
+    "attribution_time_decay",
+    oracle=f"""
+    WITH base AS (
+      SELECT user_id, event_id, event_type, value,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      FROM events
+    ), purchases AS (
+      SELECT user_id, event_id, value, us FROM base
+      WHERE event_type = 'purchase'
+    ), touches AS (
+      SELECT user_id, event_type, us FROM base
+      WHERE event_type IN ('view', 'click')
+    ), pairs AS (
+      SELECT p.event_id, p.value, t.event_type,
+             CASE CAST((p.us - t.us) // 86400000000 AS BIGINT)
+               {_DECAY_ARMS_SQL} END AS w
+      FROM purchases p
+      JOIN touches t
+        ON t.user_id = p.user_id
+       AND t.us < p.us AND t.us >= p.us - 604800000000
+    ), shared AS (
+      SELECT event_id, value, event_type, w,
+             SUM(w) OVER (PARTITION BY event_id) AS sw
+      FROM pairs
+    ), credits AS (
+      SELECT event_type AS touch_type,
+             ROUND(value * (w / sw), 6) AS credit
+      FROM shared
+    ), attributed AS (
+      SELECT touch_type,
+             CAST(COUNT(*) AS BIGINT) AS n_touches,
+             CAST(SUM(CAST(credit AS DECIMAL(18,6))) AS DOUBLE)
+               AS credited_value
+      FROM credits GROUP BY touch_type
+    ), none_row AS (
+      SELECT 'none' AS touch_type,
+             CAST(COUNT(*) AS BIGINT) AS n_touches,
+             CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(18,6))) AS DOUBLE)
+               AS credited_value
+      FROM purchases p
+      WHERE NOT EXISTS (
+        SELECT 1 FROM touches t
+        WHERE t.user_id = p.user_id
+          AND t.us < p.us AND t.us >= p.us - 604800000000
+      )
+    )
+    SELECT * FROM attributed UNION ALL SELECT * FROM none_row
+    """,
+)
+def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay multi-touch attribution (the third member of the family
+    after last-touch and linear): each purchase's value splits across its
+    7-day-lookback views/clicks with weight 2^-days_apart — halving per
+    day, written as a 7-arm CASE of EXACT binary fractions (0.5^d is a
+    power of two; pow() cross-engine exactness is never assumed).
+    Unattributed purchases land in the 'none' bucket at full value.
+
+    Scale shape: unlike the linear model (pure windowed counts), decay
+    weights depend on each (purchase, touch) gap, so this IS a bounded
+    band join — fan-out capped by a user's 7-day activity, the same
+    envelope as join_band_event_pairs; the per-purchase weight
+    normalization is one window over the pair table, partitioned by
+    purchase id.
+    """
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    base = e.select("user_id", "event_id", "event_type", "value", us.alias("us"))
+    purchases = base.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "value", "us"
+    )
+    touches = base.where(F.col("event_type").isin("view", "click")).select(
+        F.col("user_id").alias("t_user"),
+        F.col("event_type").alias("touch_type"),
+        F.col("us").alias("t_us"),
+    )
+    day_us = 86400000000
+    week_us = 604800000000
+    d_apart = F.expr(f"(us - t_us) div {day_us}")
+    w = F.element_at(
+        F.array(*[F.lit(0.5**d) for d in range(7)]), (d_apart + 1).cast("int")
+    )
+    pairs = purchases.join(
+        touches,
+        (F.col("t_user") == F.col("user_id"))
+        & (F.col("t_us") < F.col("us"))
+        & (F.col("t_us") >= F.col("us") - F.lit(week_us)),
+    ).select("event_id", "value", "touch_type", w.alias("w"))
+    sw = Window.partitionBy("event_id")
+    credits = pairs.select(
+        "touch_type",
+        F.round(F.col("value") * (F.col("w") / F.sum("w").over(sw)), 6).alias(
+            "credit"
+        ),
+    )
+    attributed = credits.groupBy("touch_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_touches"),
+        F.sum(F.col("credit").cast("decimal(18,6)")).cast("double").alias(
+            "credited_value"
+        ),
+    )
+    touched = pairs.select("event_id").distinct()
+    none_row = (
+        purchases.join(touched, "event_id", "left_anti")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_touches"),
+            F.sum(F.round("value", 6).cast("decimal(18,6)"))
+            .cast("double")
+            .alias("credited_value"),
+        )
+        .select(F.lit("none").alias("touch_type"), "n_touches", "credited_value")
+    )
+    return attributed.unionByName(none_row)
