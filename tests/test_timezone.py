@@ -53,6 +53,7 @@ DATE_SENSITIVE = [
     "timeseries_holt_smoothing_daily",
     "timeseries_classical_decomposition",
     "ml_prefixspan_patterns",
+    "attribution_time_decay",
 ]
 
 
