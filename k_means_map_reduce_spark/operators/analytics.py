@@ -2488,3 +2488,195 @@ def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("none").alias("touch_type"), "n_touches", "credited_value")
     )
     return attributed.unionByName(none_row)
+
+
+# --- geospatial (derived coordinates) ---------------------------------------
+# The driver tables carry no geo columns, so coordinates are synthesized
+# DETERMINISTICALLY from customer keys (portable md5 -> milli-degree grid),
+# exactly like the multimodal module synthesizes binary payloads: the
+# operators and their scale shapes are real, the data is a stand-in.
+
+
+def _geo_customers_sql() -> str:
+    """DuckDB CTE: (custkey, lat, lon) derived from md5(custkey)."""
+    return """
+      SELECT c_custkey AS custkey,
+             CAST(CAST(CONCAT('0x', substr(md5('lat:' || CAST(c_custkey AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 120000 AS DOUBLE) / 1000.0 - 60.0 AS lat,
+             CAST(CAST(CONCAT('0x', substr(md5('lon:' || CAST(c_custkey AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 340000 AS DOUBLE) / 1000.0 - 170.0 AS lon
+      FROM customer
+    """
+
+
+@query(
+    "geo_radius_join_hubs",
+    oracle=f"""
+    WITH pts AS ({_geo_customers_sql()}),
+    hubs AS (
+      SELECT custkey AS hub_key, lat AS hub_lat, lon AS hub_lon
+      FROM pts ORDER BY custkey LIMIT 5
+    ),
+    boxed AS (
+      SELECT h.hub_key, p.custkey, h.hub_lat, h.hub_lon, p.lat, p.lon
+      FROM hubs h JOIN pts p
+        ON p.lat BETWEEN h.hub_lat - 4.6 AND h.hub_lat + 4.6
+       AND p.lon BETWEEN h.hub_lon - 9.5 AND h.hub_lon + 9.5
+       AND p.custkey <> h.hub_key
+    ),
+    dist AS (
+      SELECT hub_key, custkey,
+             ROUND(12742.0 * ASIN(SQRT(
+               POW(SIN(RADIANS(lat - hub_lat) / 2.0), 2)
+               + COS(RADIANS(hub_lat)) * COS(RADIANS(lat))
+                 * POW(SIN(RADIANS(lon - hub_lon) / 2.0), 2)
+             )), 4) AS dist_km
+      FROM boxed
+    )
+    SELECT hub_key, custkey, dist_km
+    FROM dist WHERE dist_km <= 500.0
+    """,
+)
+def geo_radius_join_hubs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius (within-500 km) join of every customer against 5 hub
+    customers over derived coordinates — the geospatial k-NN/radius shape:
+    a cheap BOUNDING-BOX prune (4.6 deg lat x 9.5 deg lon covers 500 km up
+    to |lat| 60) discards almost everything before the exact haversine
+    runs. Float discipline: sin/cos/asin are libm calls, but their ulp
+    noise reaches the output only through the FINAL distance — rounded to
+    4 dp, where a cross-engine tie needs the true distance within ~1e-12
+    of a rounding boundary (never, practically).
+
+    Scale shape: hubs broadcast (theta join on the box predicate); at
+    millions of probe centers swap the box for integer grid-cell keys
+    (floor(lat), floor(lon)) + neighbor-cell explode — an equi-join that
+    shuffles on cell id (the geohash-bucketing idiom, same pattern as
+    join_band_event_pairs). The verify step is unchanged.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    h8 = lambda salt: F.conv(  # noqa: E731
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col("c_custkey").cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    pts = c.select(
+        F.col("c_custkey").alias("custkey"),
+        ((h8("lat:") % 120000).cast("double") / 1000.0 - 60.0).alias("lat"),
+        ((h8("lon:") % 340000).cast("double") / 1000.0 - 170.0).alias("lon"),
+    )
+    hubs = (
+        pts.orderBy("custkey")
+        .limit(5)
+        .select(
+            F.col("custkey").alias("hub_key"),
+            F.col("lat").alias("hub_lat"),
+            F.col("lon").alias("hub_lon"),
+        )
+    )
+    boxed = pts.join(
+        F.broadcast(hubs),
+        (F.col("lat") >= F.col("hub_lat") - 4.6)
+        & (F.col("lat") <= F.col("hub_lat") + 4.6)
+        & (F.col("lon") >= F.col("hub_lon") - 9.5)
+        & (F.col("lon") <= F.col("hub_lon") + 9.5)
+        & (F.col("custkey") != F.col("hub_key")),
+    )
+    dlat = F.radians(F.col("lat") - F.col("hub_lat")) / 2.0
+    dlon = F.radians(F.col("lon") - F.col("hub_lon")) / 2.0
+    hav = (
+        F.pow(F.sin(dlat), 2)
+        + F.cos(F.radians("hub_lat")) * F.cos(F.radians("lat")) * F.pow(F.sin(dlon), 2)
+    )
+    dist_km = F.round(12742.0 * F.asin(F.sqrt(hav)), 4)
+    return boxed.select(
+        "hub_key", "custkey", dist_km.alias("dist_km")
+    ).where(F.col("dist_km") <= 500.0)
+
+
+@query(
+    "ab_test_conversion_ztest",
+    oracle="""
+    WITH assign AS (
+      SELECT user_id, CAST(user_id % 2 AS INT) AS variant,
+             MAX(CASE WHEN event_type = 'purchase' AND value > 200.0
+                 THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY user_id
+    ), arms AS (
+      SELECT variant,
+             CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(converted) AS BIGINT) AS n_converted
+      FROM assign GROUP BY variant
+    ), wide AS (
+      SELECT
+        MAX(CASE WHEN variant = 0 THEN n_users END) AS n_a,
+        MAX(CASE WHEN variant = 0 THEN n_converted END) AS c_a,
+        MAX(CASE WHEN variant = 1 THEN n_users END) AS n_b,
+        MAX(CASE WHEN variant = 1 THEN n_converted END) AS c_b
+      FROM arms
+    )
+    SELECT n_a, c_a, n_b, c_b,
+           ROUND(CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS rate_a,
+           ROUND(CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS rate_b,
+           ROUND(
+             (CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+              - CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+             / SQRT(
+                 (CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+                 * (1.0 - CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+                 * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))
+               ), 6) AS z_score
+    FROM wide
+    """,
+)
+def ab_test_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test of high-value conversion (a purchase
+    over 200 — plain any-purchase saturates at 100% on this data, making
+    the pooled variance zero) between a hash-split A/B assignment
+    (user_id parity — the deterministic stand-in for an
+    experiment-assignment column): pooled-variance z, the
+    experimentation-platform primitive. Everything derives from integer
+    counts; the one transcendental is sqrt — the ONLY libm call that is
+    exactly correctly rounded everywhere (NEXT.md lesson 3), so the score
+    is bit-identical cross-engine even before rounding.
+
+    Scale shape: one user-grain rollup off the fact, then a 2-row arm
+    aggregate — the same envelope as any per-user feature; significance
+    thresholds stay driver-side (the z-score is the deliverable).
+    """
+    e = load_table(spark, sf_dir, "events")
+    assign = e.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 200.0), 1
+            ).otherwise(0)
+        ).alias("converted")
+    ).select(
+        (F.col("user_id") % 2).cast("int").alias("variant"), "converted"
+    )
+    arms = assign.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("converted").cast("long").alias("n_converted"),
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n_users"))).alias("n_a"),
+        F.max(F.when(F.col("variant") == 0, F.col("n_converted"))).alias("c_a"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_users"))).alias("n_b"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_converted"))).alias("c_b"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    p_a, p_b = d("c_a") / d("n_a"), d("c_b") / d("n_b")
+    pooled = (d("c_a") + d("c_b")) / (d("n_a") + d("n_b"))
+    z = (p_a - p_b) / F.sqrt(
+        pooled * (F.lit(1.0) - pooled) * (F.lit(1.0) / d("n_a") + F.lit(1.0) / d("n_b"))
+    )
+    return wide.select(
+        "n_a",
+        "c_a",
+        "n_b",
+        "c_b",
+        F.round(p_a, 6).alias("rate_a"),
+        F.round(p_b, 6).alias("rate_b"),
+        F.round(z, 6).alias("z_score"),
+    )
