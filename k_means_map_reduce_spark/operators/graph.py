@@ -422,10 +422,10 @@ _BFS_DEPTH = 3
 _BFS_ORACLE = """
 WITH li AS (
   SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
-), e0 AS (
+), e0 AS MATERIALIZED (
   SELECT DISTINCT a.pk AS u, b.pk AS v
   FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
-), e AS (
+), e AS MATERIALIZED (
   SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0
 ),
 f0 AS (SELECT MIN(u) AS node FROM e),
