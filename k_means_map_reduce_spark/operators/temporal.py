@@ -465,3 +465,63 @@ def events_time_weighted_avg_daily(spark: SparkSession, sf_dir: str) -> DataFram
             6,
         ).alias("twap_value"),
     )
+
+
+@query(
+    "events_rolling_median_7d",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+             CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(18,6))) AS DOUBLE)
+               AS rev
+      FROM events GROUP BY 1, 2
+    ), win AS (
+      SELECT event_type, day, rev,
+             list(rev) OVER (PARTITION BY event_type ORDER BY day
+                             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+               AS vals
+      FROM daily
+    )
+    SELECT event_type,
+           strftime(day, '%Y-%m-%d') AS day,
+           CAST(len(vals) AS INT) AS n_in_window,
+           ROUND(list_sort(vals)[CAST((len(vals) + 1) // 2 AS INT)], 6)
+             AS rolling_median
+    FROM win
+    """,
+)
+def events_rolling_median_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day rolling MEDIAN of daily revenue per event type —
+    the robust counterpart of a moving average (one outlier day cannot
+    drag it), and a window shape percentile functions cannot express
+    (no percentile over a sliding frame): collect the frame, sort, take
+    the lower median. An exact order statistic — no interpolation for
+    engines to disagree on; the inputs are decimal-exact daily sums.
+
+    Scale shape: the frame is BOUNDED (7 values), so the collected array
+    is O(1) per row and the whole computation rides the one (event_type)
+    shuffle the daily rollup already produces. Never do this with an
+    unbounded frame — that is what the mergeable histogram sketches
+    (hist_quantiles_daily_merge) are for.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(dsum("value").alias("rev"))
+    w7 = Window.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+    win = daily.select(
+        "event_type",
+        "day",
+        F.collect_list("rev").over(w7).alias("vals"),
+    )
+    sorted_vals = F.array_sort("vals")
+    n = F.size("vals")
+    return win.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        n.cast("int").alias("n_in_window"),
+        F.round(
+            F.element_at(sorted_vals, ((n + 1) / 2).cast("int")), 6
+        ).alias("rolling_median"),
+    )
