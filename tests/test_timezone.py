@@ -54,6 +54,7 @@ DATE_SENSITIVE = [
     "timeseries_classical_decomposition",
     "ml_prefixspan_patterns",
     "attribution_time_decay",
+    "events_rolling_median_7d",
 ]
 
 
