@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..sources import load_table
+from ..sources import load_table, register_views
 from ._util import davg, dsum, sql_davg, sql_dsum
 
 # --------------------------------------------------------------------------
@@ -579,4 +579,59 @@ def agg_collect_sorted_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.array_sort(F.collect_set("p_size")), ",").alias(
             "distinct_sizes"
         ),
+    )
+
+
+@query(
+    "sql_scripting_param_revenue",
+    oracle="""
+    SELECT CASE WHEN (SELECT COUNT(*) FROM lineitem) > 10000
+                THEN 'wide' ELSE 'narrow' END AS band_mode,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * l_discount, 6)
+                               AS DECIMAL(18,6))) AS DOUBLE), 6) AS revenue
+    FROM lineitem
+    WHERE l_discount BETWEEN
+            CASE WHEN (SELECT COUNT(*) FROM lineitem) > 10000
+                 THEN 0.03 ELSE 0.05 END
+          AND
+            CASE WHEN (SELECT COUNT(*) FROM lineitem) > 10000
+                 THEN 0.09 ELSE 0.07 END
+    """,
+)
+def sql_scripting_param_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL SCRIPTING (BEGIN...END compound statements,
+    SPARK-48338): DECLARE session variables, SET them from a scalar
+    query, branch with IF/ELSE, and return the last statement's result —
+    the stored-procedure-style front-end. The script widens the discount
+    band when the table is large (a data-dependent parameter choice a
+    plain query cannot express inline); the oracle replays the same
+    branch with CASE logic.
+
+    The declarative body inside the script still goes through Catalyst
+    unchanged — scripting controls WHICH plan runs, not how it runs.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE n_l BIGINT;
+          DECLARE lo DOUBLE;
+          DECLARE hi DOUBLE;
+          DECLARE band_mode STRING;
+          SET n_l = (SELECT COUNT(*) FROM lineitem);
+          IF n_l > 10000 THEN
+            SET lo = 0.03; SET hi = 0.09; SET band_mode = 'wide';
+          ELSE
+            SET lo = 0.05; SET hi = 0.07; SET band_mode = 'narrow';
+          END IF;
+          SELECT band_mode,
+                 CAST(COUNT(*) AS BIGINT) AS n_lines,
+                 ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * l_discount, 6)
+                                     AS DECIMAL(18,6))) AS DOUBLE), 6)
+                   AS revenue
+          FROM lineitem
+          WHERE l_discount BETWEEN lo AND hi;
+        END
+        """
     )
