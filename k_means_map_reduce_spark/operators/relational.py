@@ -635,3 +635,43 @@ def sql_scripting_param_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         END
         """
     )
+
+
+@query(
+    "sql_pipe_syntax_pricing",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(ROUND(l_quantity, 6) AS DECIMAL(18,6))) AS DOUBLE)
+             AS sum_qty,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount), 6)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def sql_pipe_syntax_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL PIPE syntax (SPARK-49555, the |> operator-chain form
+    adopted from GoogleSQL) combined with a NAMED PARAMETER marker
+    (:ship_cut via spark.sql(args=...)): the q1 pricing-summary shape
+    written as a linear dataflow instead of nested SELECT. Same Catalyst
+    plan underneath — the pipe form is parse-time sugar, which is exactly
+    what the oracle (classic SQL) verifies.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        FROM lineitem
+        |> WHERE l_shipdate <= :ship_cut
+        |> AGGREGATE
+             CAST(COUNT(*) AS BIGINT) AS n_lines,
+             CAST(SUM(CAST(ROUND(l_quantity, 6) AS DECIMAL(18,6))) AS DOUBLE)
+               AS sum_qty,
+             CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount), 6)
+                           AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price
+           GROUP BY l_returnflag, l_linestatus
+        |> SELECT l_returnflag, l_linestatus, n_lines, sum_qty, sum_disc_price
+        """,
+        args={"ship_cut": "1998-09-01 00:00:00"},
+    )

@@ -55,6 +55,7 @@ DATE_SENSITIVE = [
     "ml_prefixspan_patterns",
     "attribution_time_decay",
     "events_rolling_median_7d",
+    "sql_pipe_syntax_pricing",
 ]
 
 
