@@ -507,6 +507,7 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KCORE_K = 3
 _KCORE_ROUNDS = 4
+_KCORE_CACHE: dict = {}
 
 
 def _kcore_oracle() -> str:
@@ -567,6 +568,10 @@ def graph_kcore_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shrinking edge list; rounds are bounded, and real graphs shed
     most sub-core mass in the first 2-3 peels.
     """
+    key = (id(spark), sf_dir)
+    cached = _KCORE_CACHE.get(key)
+    if cached is not None:
+        return cached
     und, _oe = _copurchase_edges(spark, sf_dir)
     edges = und.select("u", "v").persist()
     d0 = (
@@ -575,14 +580,22 @@ def graph_kcore_members(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
-    # data-adaptive k = (max initial degree + 1) div 2 — a fixed k cannot
+    # data-adaptive k = (max initial degree + 1) div 3 — a fixed k cannot
     # discriminate across scale factors (degrees grow ~10x per decade);
     # the threshold rides as a broadcast scalar, never a collect
     kdf = d0.agg(F.expr("CAST((MAX(deg) + 1) div 3 AS BIGINT)").alias("k"))
+    # EAGER rounds with localCheckpoint: each round's plan references the
+    # previous round THREE times (degree agg + two semi-joins), so lazy
+    # lineage grows ~3^rounds — the DRIVER itself OOM'd at 1g heap during
+    # round-4 planning (TreeNode recursion), i.e. in the exact environment
+    # the driver's correctness check runs. localCheckpoint(eager=True)
+    # materializes the round AND truncates lineage, keeping every round's
+    # plan constant-size. Result memoized per (session, sf_dir) like BFS.
+    prev = edges
     for _ in range(_KCORE_ROUNDS):
         deg = (
-            edges.select(F.col("u").alias("node"))
-            .unionAll(edges.select(F.col("v").alias("node")))
+            prev.select(F.col("u").alias("node"))
+            .unionAll(prev.select(F.col("v").alias("node")))
             .groupBy("node")
             .agg(F.count(F.lit(1)).alias("deg"))
         )
@@ -591,18 +604,20 @@ def graph_kcore_members(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("deg") >= F.col("k"))
             .select("node")
         )
-        edges = (
-            edges.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
+        prev = (
+            prev.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
             .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
             .select("u", "v")
-            .persist()
+            .localCheckpoint(eager=True)
         )
-    return (
-        edges.select(F.col("u").alias("node"))
-        .unionAll(edges.select(F.col("v").alias("node")))
+    result = (
+        prev.select(F.col("u").alias("node"))
+        .unionAll(prev.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
         .crossJoin(F.broadcast(kdf))
         .where(F.col("core_degree") >= F.col("k"))
         .select("node", "core_degree")
     )
+    _KCORE_CACHE[key] = result
+    return result

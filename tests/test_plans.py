@@ -31,6 +31,7 @@ EAGER_QUERIES = {
     "dedup_minhash_lsh_pairs",
     "dedup_connected_components",  # iterative loop materializes at construction
     "dq_observe_scan_metrics",  # Observation fills when the action runs
+    "graph_kcore_members",  # eager peel rounds (rolling unpersist)
     "streaming_tumbling_hourly",  # drains a stream at construction
     "streaming_view_click_interval_join",
     "kmeans_parallel_init_clusters",  # runs the full clustering at construction
