@@ -2680,3 +2680,113 @@ def ab_test_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p_b, 6).alias("rate_b"),
         F.round(z, 6).alias("z_score"),
     )
+
+
+@query(
+    "timeseries_dft_periodogram",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+             CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(18,6))) AS DOUBLE)
+               AS rev
+      FROM events GROUP BY 1
+    ), idx AS (
+      SELECT rev,
+             CAST(ROW_NUMBER() OVER (ORDER BY day) - 1 AS BIGINT) AS t,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n
+      FROM daily
+    ), mean_c AS (
+      SELECT CAST(SUM(CAST(ROUND(rev, 6) AS DECIMAL(18,6))) AS DOUBLE)
+               / COUNT(*) AS mu
+      FROM idx
+    ), terms AS (
+      SELECT k.k, i.n,
+             ROUND((i.rev - m.mu)
+                   * ROUND(COS(2.0 * PI() * CAST(k.k AS DOUBLE)
+                               * CAST(i.t AS DOUBLE) / CAST(i.n AS DOUBLE)),
+                           6), 6) AS c_term,
+             ROUND((i.rev - m.mu)
+                   * ROUND(SIN(2.0 * PI() * CAST(k.k AS DOUBLE)
+                               * CAST(i.t AS DOUBLE) / CAST(i.n AS DOUBLE)),
+                           6), 6) AS s_term
+      FROM idx i
+      CROSS JOIN (SELECT UNNEST(range(1, 11)) AS k) k
+      CROSS JOIN mean_c m
+    )
+    SELECT CAST(k AS INT) AS k,
+           ROUND(CAST(MAX(n) AS DOUBLE) / CAST(k AS DOUBLE), 6)
+             AS period_days,
+           ROUND(
+             (CAST(SUM(CAST(c_term AS DECIMAL(18,6))) AS DOUBLE)
+              * CAST(SUM(CAST(c_term AS DECIMAL(18,6))) AS DOUBLE)
+              + CAST(SUM(CAST(s_term AS DECIMAL(18,6))) AS DOUBLE)
+                * CAST(SUM(CAST(s_term AS DECIMAL(18,6))) AS DOUBLE))
+             / 1000000.0, 4) AS power_m
+    FROM terms GROUP BY k
+    """,
+)
+def timeseries_dft_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-Fourier periodogram of mean-centered daily revenue at
+    harmonics k = 1..10: power_k = (sum x_t cos(2 pi k t / N))^2 +
+    (sin ...)^2 — the spectral diagnostic that surfaces weekly
+    seasonality as a peak near period 7 (cross-check:
+    events_dow_seasonality / timeseries_classical_decomposition find the
+    same cycle in the time domain). cos/sin are rounded to 6dp (identical
+    both engines on identical arguments), each term product rounded and
+    DECIMAL-summed, squares taken on the identical final doubles; power
+    reported in millions.
+
+    Scale shape: the series collapses to one row per day first; the k x t
+    term table is 10 x days rows — bounded by the calendar. For long
+    series this shape stays a single map + 10-group aggregation (each
+    day emits its 10 harmonic terms map-side); never an FFT's global
+    butterfly network.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        dsum("value").alias("rev")
+    )
+    w = Window.orderBy("day")
+    idx = daily.select(
+        "rev",
+        (F.row_number().over(w) - 1).cast("long").alias("t"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("long").alias("n"),
+    )
+    mu = idx.agg(
+        (
+            F.sum(F.round("rev", 6).cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mu")
+    )
+    ks = idx.sparkSession.range(1, 11).select(F.col("id").alias("k"))
+    import math
+
+    ang = (
+        F.lit(2.0)
+        * F.lit(math.pi)
+        * F.col("k").cast("double")
+        * F.col("t").cast("double")
+        / F.col("n").cast("double")
+    )
+    terms = (
+        idx.crossJoin(F.broadcast(ks))
+        .crossJoin(F.broadcast(mu))
+        .select(
+            "k",
+            "n",
+            F.round((F.col("rev") - F.col("mu")) * F.round(F.cos(ang), 6), 6).alias(
+                "c_term"
+            ),
+            F.round((F.col("rev") - F.col("mu")) * F.round(F.sin(ang), 6), 6).alias(
+                "s_term"
+            ),
+        )
+    )
+    cs = F.sum(F.col("c_term").cast("decimal(18,6)")).cast("double")
+    ss = F.sum(F.col("s_term").cast("decimal(18,6)")).cast("double")
+    return terms.groupBy("k").agg(
+        F.round(F.max("n").cast("double") / F.col("k").cast("double"), 6).alias(
+            "period_days"
+        ),
+        F.round((cs * cs + ss * ss) / F.lit(1000000.0), 4).alias("power_m"),
+    ).select(F.col("k").cast("int").alias("k"), "period_days", "power_m")

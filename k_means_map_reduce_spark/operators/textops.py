@@ -1495,3 +1495,86 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 6).alias("zipf_slope"),
         F.round((F.col("sy") - slope * F.col("sx")) / nd, 6).alias("intercept"),
     )
+
+
+@query(
+    "text_pmi_keyness",
+    oracle=r"""
+    WITH toks AS (
+      SELECT lang,
+             list_filter(string_split_regex(TRIM(LOWER(text)), '\s+'),
+                         t -> t != '') AS ts
+      FROM documents
+    ), tl AS (
+      SELECT lang, term, CAST(COUNT(*) AS BIGINT) AS n_tl
+      FROM (SELECT lang, UNNEST(ts) AS term FROM toks)
+      GROUP BY lang, term
+    ), tm AS (
+      SELECT term, CAST(SUM(n_tl) AS BIGINT) AS n_t FROM tl GROUP BY term
+    ), lm AS (
+      SELECT lang, CAST(SUM(n_tl) AS BIGINT) AS n_l FROM tl GROUP BY lang
+    ), tot AS (
+      SELECT CAST(SUM(n_tl) AS BIGINT) AS n FROM tl
+    ), pmi AS (
+      SELECT t.lang, t.term, t.n_tl,
+             ROUND(LN((CAST(t.n_tl AS DOUBLE) * CAST(o.n AS DOUBLE))
+                      / (CAST(m.n_t AS DOUBLE) * CAST(l.n_l AS DOUBLE))), 6)
+               AS pmi
+      FROM tl t
+      JOIN tm m ON t.term = m.term
+      JOIN lm l ON t.lang = l.lang
+      CROSS JOIN tot o
+      WHERE t.n_tl >= 5
+    ), ranked AS (
+      SELECT lang, term, n_tl, pmi,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY pmi DESC, term) AS rk
+      FROM pmi
+    )
+    SELECT lang, CAST(rk AS INT) AS rk, term, n_tl, pmi
+    FROM ranked WHERE rk <= 5
+    """,
+)
+def text_pmi_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyness analysis: top-5 terms per language by pointwise mutual
+    information, PMI = ln(P(term, lang) / (P(term) P(lang))) over token
+    counts — the corpus-linguistics statistic behind 'which words
+    characterize this sublanguage', and the drift counterpart of
+    drift_lang_distribution_train_test. Support floor n >= 5 kills the
+    rare-term PMI explosion. One ln per cell, rounded to 6dp (ranking
+    uses the rounded value in BOTH engines; term breaks ties).
+
+    Scale shape: one explode + a (lang, term) agg; the term and lang
+    marginals are rollups of THAT aggregate (never a second corpus
+    scan); marginals broadcast; per-lang top-5 is WindowGroupLimit.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.trim(F.lower("text")), r"\s+"), lambda t: t != "")
+    tl = (
+        d.select("lang", F.explode(toks).alias("term"))
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_tl"))
+        .persist()
+    )
+    tm = tl.groupBy("term").agg(F.sum("n_tl").cast("long").alias("n_t"))
+    lm = tl.groupBy("lang").agg(F.sum("n_tl").cast("long").alias("n_l"))
+    tot = tl.agg(F.sum("n_tl").cast("long").alias("n"))
+    d_ = lambda c: F.col(c).cast("double")  # noqa: E731
+    pmi = F.round(
+        F.log((d_("n_tl") * d_("n")) / (d_("n_t") * d_("n_l"))), 6
+    )
+    scored = (
+        tl.where(F.col("n_tl") >= 5)
+        .join(F.broadcast(tm), "term")
+        .join(F.broadcast(lm), "lang")
+        .crossJoin(F.broadcast(tot))
+        .select("lang", "term", "n_tl", pmi.alias("pmi"))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("lang").orderBy(F.desc("pmi"), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= 5)
+        .select("lang", "rk", "term", "n_tl", "pmi")
+    )

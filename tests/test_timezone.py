@@ -56,6 +56,7 @@ DATE_SENSITIVE = [
     "attribution_time_decay",
     "events_rolling_median_7d",
     "sql_pipe_syntax_pricing",
+    "timeseries_dft_periodogram",
 ]
 
 
