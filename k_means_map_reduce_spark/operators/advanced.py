@@ -592,3 +592,158 @@ def stats_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.when(2 * F.col("cw") >= F.col("total"), F.col("price"))), 6
         ).alias("weighted_median_price"),
     )
+
+
+@query(
+    "parts_abc_classification",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey,
+             SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount), 6)
+                      AS DECIMAL(18,6))) AS r
+      FROM lineitem GROUP BY l_partkey
+    ), ranked AS (
+      SELECT l_partkey, r,
+             SUM(r) OVER (ORDER BY r DESC, l_partkey
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(r) OVER () AS total
+      FROM rev
+    ), classed AS (
+      SELECT l_partkey,
+             CASE WHEN CAST(cum AS DOUBLE) <= 0.8 * CAST(total AS DOUBLE)
+                    THEN 'A'
+                  WHEN CAST(cum AS DOUBLE) <= 0.95 * CAST(total AS DOUBLE)
+                    THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             r
+      FROM ranked
+    )
+    SELECT abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(r) AS DOUBLE) AS class_revenue
+    FROM classed GROUP BY abc_class
+    """,
+)
+def parts_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification: parts ranked by revenue, class A =
+    the head covering 80% of cumulative revenue, B to 95%, C the tail —
+    the warehouse-ops counterpart of orders_pareto_concentration (classes
+    per item, not shares per percentile). The cumulative sum runs over
+    DECIMALS (exact; a double prefix sum's accumulation order is engine
+    internal) and only the two threshold comparisons touch doubles —
+    identical products both engines; partkey breaks revenue ties so the
+    prefix order is total.
+
+    Scale shape: per-part rollup (one fact shuffle), then a rank over the
+    part AGGREGATE. The ordered prefix sum is a single-partition window
+    at the extreme — at catalog scale, bucket by revenue range first
+    (equi-depth histogram) and classify within buckets.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    rev = l.groupBy("l_partkey").agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 6)
+            .cast("decimal(18,6)")
+        ).alias("r")
+    )
+    wc = Window.orderBy(F.desc("r"), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wt = Window.partitionBy()
+    ranked = rev.select(
+        "l_partkey",
+        "r",
+        F.sum("r").over(wc).alias("cum"),
+        F.sum("r").over(wt).alias("total"),
+    )
+    cls = (
+        F.when(
+            F.col("cum").cast("double") <= F.lit(0.8) * F.col("total").cast("double"),
+            "A",
+        )
+        .when(
+            F.col("cum").cast("double") <= F.lit(0.95) * F.col("total").cast("double"),
+            "B",
+        )
+        .otherwise("C")
+    )
+    return (
+        ranked.select(cls.alias("abc_class"), "r")
+        .groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.sum("r").cast("double").alias("class_revenue"),
+        )
+    )
+
+
+@query(
+    "suppliers_herfindahl_by_nation",
+    oracle="""
+    WITH srev AS (
+      SELECT s.s_nationkey, l.l_suppkey,
+             SUM(CAST(ROUND(l.l_extendedprice * (1.0 - l.l_discount), 6)
+                      AS DECIMAL(18,6))) AS r
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY s.s_nationkey, l.l_suppkey
+    ), tot AS (
+      SELECT s_nationkey, SUM(r) AS t, COUNT(*) AS n_suppliers FROM srev
+      GROUP BY s_nationkey
+    )
+    SELECT n.n_name AS nation,
+           CAST(MAX(t.n_suppliers) AS BIGINT) AS n_suppliers,
+           ROUND(CAST(SUM(CAST(ROUND(
+             POW(CAST(s.r AS DOUBLE) / CAST(t.t AS DOUBLE), 2) * 10000.0, 6)
+             AS DECIMAL(18,6))) AS DOUBLE), 4) AS hhi
+    FROM srev s
+    JOIN tot t ON s.s_nationkey = t.s_nationkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def suppliers_herfindahl_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration index of supplier revenue within
+    each nation (HHI = sum of squared market shares x 10000; > 2500 =
+    highly concentrated) — the antitrust/market-structure statistic, and
+    the scalar summary behind orders_pareto_concentration's curves.
+    share^2 is a product of identical doubles both engines (share =
+    decimal-exact revenue / decimal-exact total); each squared share is
+    rounded then DECIMAL-summed. POW(x, 2) compiles to x*x in both
+    engines (integer exponent), keeping pow()'s general-case rounding
+    out of play.
+
+    Scale shape: supplier dim broadcasts into the fact rollup; everything
+    after runs on (nation, supplier) aggregates.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    srev = (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 6
+                ).cast("decimal(18,6)")
+            ).alias("r")
+        )
+    )
+    tot = srev.groupBy("s_nationkey").agg(
+        F.sum("r").alias("t"), F.count(F.lit(1)).alias("n_suppliers")
+    )
+    share = F.col("r").cast("double") / F.col("t").cast("double")
+    return (
+        srev.join(tot, "s_nationkey")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.max("n_suppliers").cast("long").alias("n_suppliers"),
+            F.round(
+                F.sum(
+                    F.round(F.pow(share, 2) * F.lit(10000.0), 6).cast("decimal(18,6)")
+                ).cast("double"),
+                4,
+            ).alias("hhi"),
+        )
+    )
