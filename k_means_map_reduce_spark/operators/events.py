@@ -906,3 +906,92 @@ def events_dormant_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(gap / 86400000000).cast("long").alias("days_inactive"),
         )
     )
+
+
+@query(
+    "events_markov_entropy_rate",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id
+               ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id
+             ) AS nxt
+      FROM events
+    ), trans AS (
+      SELECT event_type AS a, nxt AS b, CAST(COUNT(*) AS BIGINT) AS n
+      FROM ordered WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ), marg AS (
+      SELECT a, SUM(n) AS na FROM trans GROUP BY a
+    ), tot AS (
+      SELECT SUM(n) AS total FROM trans
+    ), terms AS (
+      SELECT t.a,
+             ROUND(-(CAST(t.n AS DOUBLE) / CAST(m.na AS DOUBLE))
+                   * LN(CAST(t.n AS DOUBLE) / CAST(m.na AS DOUBLE)), 6)
+               AS h_term,
+             CAST(m.na AS DOUBLE) / CAST(o.total AS DOUBLE) AS pa
+      FROM trans t JOIN marg m ON t.a = m.a CROSS JOIN tot o
+    ), per_state AS (
+      SELECT a, pa,
+             CAST(SUM(CAST(h_term AS DECIMAL(18,6))) AS DOUBLE) AS h_cond
+      FROM terms GROUP BY a, pa
+    )
+    SELECT a AS state,
+           ROUND(pa, 6) AS p_state,
+           ROUND(h_cond, 5) AS h_next_given_state,
+           ROUND(CAST(SUM(CAST(ROUND(pa * h_cond, 6) AS DECIMAL(18,6)))
+                      OVER () AS DOUBLE), 5) AS entropy_rate
+    FROM per_state
+    """,
+)
+def events_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the user-behavior Markov chain: per current state,
+    the conditional entropy of the NEXT event type H(next | state) =
+    -sum p(b|a) ln p(b|a), plus the chain's overall entropy rate
+    sum p(a) H(next | a) — how predictable behavior is one step ahead
+    (the information-theoretic summary of events_transition_matrix, and
+    the sequence-level sibling of events_user_entropy). Transcendental
+    discipline throughout: each -p ln p term rounds to 6dp before the
+    decimal sum, coarser rounding on the sums.
+
+    Scale shape: one user_id-partitioned lead() (the transition-matrix
+    shuffle), then everything runs on the 5x5 transition aggregate.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros(F.col("ts").cast("timestamp")), "event_id"
+    )
+    trans = (
+        e.select("event_type", F.lead("event_type").over(w).alias("nxt"))
+        .where(F.col("nxt").isNotNull())
+        .groupBy(F.col("event_type").alias("a"), F.col("nxt").alias("b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    marg = trans.groupBy("a").agg(F.sum("n").alias("na"))
+    tot = trans.agg(F.sum("n").alias("total"))
+    p = F.col("n").cast("double") / F.col("na").cast("double")
+    terms = (
+        trans.join(F.broadcast(marg), "a")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "a",
+            F.round(-p * F.log(p), 6).alias("h_term"),
+            (F.col("na").cast("double") / F.col("total").cast("double")).alias("pa"),
+        )
+    )
+    per_state = terms.groupBy("a", "pa").agg(
+        F.sum(F.col("h_term").cast("decimal(18,6)")).cast("double").alias("h_cond")
+    )
+    wall = Window.partitionBy()
+    return per_state.select(
+        F.col("a").alias("state"),
+        F.round("pa", 6).alias("p_state"),
+        F.round("h_cond", 5).alias("h_next_given_state"),
+        F.round(
+            F.sum(F.round(F.col("pa") * F.col("h_cond"), 6).cast("decimal(18,6)"))
+            .over(wall)
+            .cast("double"),
+            5,
+        ).alias("entropy_rate"),
+    )

@@ -508,3 +508,59 @@ def dq_observe_scan_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(m["rows_scanned"], m["rows_high_discount"], float(rev))],
         "rows_scanned BIGINT, rows_high_discount BIGINT, revenue DOUBLE",
     )
+
+
+@query(
+    "dq_benford_leading_digit",
+    oracle="""
+    WITH cents AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+      FROM orders WHERE o_totalprice > 0
+    ), digits AS (
+      SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INT) AS d FROM cents
+    ), obs AS (
+      SELECT d, CAST(COUNT(*) AS BIGINT) AS n FROM digits GROUP BY d
+    ), tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS total FROM obs
+    )
+    SELECT o.d AS leading_digit,
+           o.n AS n_observed,
+           ROUND(CAST(o.n AS DOUBLE) / CAST(t.total AS DOUBLE), 6)
+             AS observed_freq,
+           ROUND(LN(1.0 + 1.0 / CAST(o.d AS DOUBLE)) / LN(10.0), 6)
+             AS benford_freq
+    FROM obs o CROSS JOIN tot t
+    """,
+)
+def dq_benford_leading_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law screen on order totals: observed leading-digit
+    frequencies next to the Benford expectation log10(1 + 1/d) — the
+    classic forensic-accounting / data-fabrication probe (invented or
+    uniformly-generated amounts, like this synthetic data, flunk it —
+    which IS the finding the screen exists to surface). The leading
+    digit comes from the INTEGER cents' decimal string (exact in both
+    engines) — never from log10-and-floor, whose transcendental edge
+    cases straddle digit boundaries.
+
+    Scale shape: one scan projecting a single small int, a 9-key agg.
+    """
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
+    d = F.substring(
+        F.round(F.col("o_totalprice") * 100).cast("long").cast("string"), 1, 1
+    ).cast("int")
+    obs = o.select(d.alias("d")).groupBy("d").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = obs.agg(F.sum("n").cast("long").alias("total"))
+    return obs.crossJoin(F.broadcast(tot)).select(
+        F.col("d").alias("leading_digit"),
+        F.col("n").alias("n_observed"),
+        F.round(F.col("n").cast("double") / F.col("total").cast("double"), 6).alias(
+            "observed_freq"
+        ),
+        F.round(
+            F.log(F.lit(1.0) + F.lit(1.0) / F.col("d").cast("double"))
+            / F.log(F.lit(10.0)),
+            6,
+        ).alias("benford_freq"),
+    )

@@ -57,6 +57,7 @@ DATE_SENSITIVE = [
     "events_rolling_median_7d",
     "sql_pipe_syntax_pricing",
     "timeseries_dft_periodogram",
+    "events_markov_entropy_rate",
 ]
 
 
