@@ -1578,3 +1578,62 @@ def text_pmi_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 5)
         .select("lang", "rk", "term", "n_tl", "pmi")
     )
+
+
+@query(
+    "text_boilerplate_prefixes",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             list_filter(string_split_regex(TRIM(LOWER(text)), '\s+'),
+                         t -> t != '') AS ts
+      FROM documents
+    ), pref AS (
+      SELECT doc_id, source,
+             md5(array_to_string(list_slice(ts, 1, 8), ' ')) AS prefix_hash
+      FROM toks WHERE len(ts) >= 8
+    ), freq AS (
+      SELECT prefix_hash, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+      FROM pref GROUP BY prefix_hash
+    )
+    SELECT p.source, p.prefix_hash, f.n_docs, f.n_sources,
+           CAST(COUNT(*) AS BIGINT) AS n_docs_in_source
+    FROM pref p JOIN freq f ON p.prefix_hash = f.prefix_hash
+    WHERE f.n_docs >= 3
+    GROUP BY p.source, p.prefix_hash, f.n_docs, f.n_sources
+    """,
+)
+def text_boilerplate_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-prefix detection: documents sharing their first 8
+    tokens (hashed) with >= 3 other documents — the shared-header /
+    template signal a curation pipeline strips before training (scraped
+    corpora carry nav bars, license headers, form letters; a prefix
+    repeated ACROSS sources is near-certain boilerplate, within one source
+    it may be a template). Reported per (source, prefix) with corpus-wide
+    document and source counts.
+
+    Scale shape: the prefix reduces to an md5 at the scan (the winnowing/
+    chunk-dedup discipline — text never shuffles), one vocabulary-of-
+    prefixes aggregation, and a hash-key join back.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.trim(F.lower("text")), r"\s+"), lambda t: t != "")
+    pref = (
+        d.select("doc_id", "source", toks.alias("ts"))
+        .where(F.size("ts") >= 8)
+        .select(
+            "doc_id",
+            "source",
+            F.md5(F.concat_ws(" ", F.slice("ts", 1, 8))).alias("prefix_hash"),
+        )
+    )
+    freq = pref.groupBy("prefix_hash").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+    )
+    return (
+        pref.join(freq.where(F.col("n_docs") >= 3), "prefix_hash")
+        .groupBy("source", "prefix_hash", "n_docs", "n_sources")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs_in_source"))
+    )
