@@ -308,9 +308,7 @@ def _cms_bucket(j: int, key):
     )
 
 
-@query(
-    "sketch_cms_heavy_hitters",
-    oracle=f"""
+CMS_ORACLE = f"""
     WITH keys AS (
       SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_count
       FROM events GROUP BY user_id
@@ -333,8 +331,10 @@ def _cms_bucket(j: int, key):
     )
     SELECT user_id, est_count, exact_count
     FROM est ORDER BY est_count DESC, user_id LIMIT 20
-    """,
-)
+    """
+
+
+@query("sketch_cms_heavy_hitters", oracle=CMS_ORACLE)
 def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min-sketch heavy hitters with PORTABLE hashes — an ORACLED
     approximate algorithm (like hist_quantiles_daily_merge): depth=4 md5-row

@@ -1126,3 +1126,119 @@ if _tws_available():
         GROUP BY user_id
         """,
     )(stream_user_stats_tws)
+
+
+def stream_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming maintenance of the PORTABLE count-min sketch
+    (operators/sketches.sketch_cms_heavy_hitters): each micro-batch's
+    events hash into (row j, bucket) cell increments that fold additively
+    into a durable 4x256-cell state table — CMS merging IS addition, so
+    arrival order, batch boundaries, and backfills cannot change the
+    final sketch; the streamed state is cell-for-cell equal to the batch
+    build, and the SAME DuckDB oracle verifies both. Heavy-hitter
+    estimates then probe the streamed sketch with the batch exact counts
+    (the stream-static pattern).
+    """
+    import os as _os
+
+    from ..operators.sketches import _CMS_D, _CMS_W, _cms_bucket
+    from ..sources import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    stage = tempfile.mkdtemp(prefix="cms_stage_", dir=_tmp_root())
+    for i in range(4):
+        (
+            e.where(F.pmod(F.col("event_id"), F.lit(4)) == i)
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(stage)
+        )
+    schema = T.StructType(
+        [
+            f if f.name != "ts" else T.StructField("ts", T.TimestampNTZType())
+            for f in TABLE_SCHEMAS["events"]
+        ]
+    )
+    state_path = _os.path.join(
+        tempfile.mkdtemp(prefix="cms_state_", dir=_tmp_root()), "state"
+    )
+
+    def cells(bdf: DataFrame) -> DataFrame:
+        depth = F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    _cms_bucket(j, F.col("user_id")).alias("bucket"),
+                )
+                for j in range(_CMS_D)
+            ]
+        )
+        return (
+            bdf.select(F.explode(depth).alias("e"))
+            .select("e.j", "e.bucket")
+            .groupBy("j", "bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        )
+
+    def refresh(bdf: DataFrame, _epoch: int) -> None:
+        delta = cells(bdf)
+        if _os.path.isdir(state_path):
+            base = spark.read.parquet(state_path)
+            merged = (
+                base.unionByName(delta)
+                .groupBy("j", "bucket")
+                .agg(F.sum("c").cast("long").alias("c"))
+            )
+            staging = f"{state_path}__staging"
+            merged.write.mode("overwrite").parquet(staging)
+            old = f"{state_path}__old"
+            _os.rename(state_path, old)
+            _os.rename(staging, state_path)
+            shutil.rmtree(old)
+        else:
+            delta.write.mode("overwrite").parquet(state_path)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stage)
+    )
+    checkpoint = tempfile.mkdtemp(prefix="ckpt_cms_", dir=_tmp_root())
+    q = (
+        stream.writeStream.foreachBatch(refresh)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    sketch = spark.read.parquet(state_path)
+    keys = e.select("user_id").groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_count")
+    )
+    depth = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"), _cms_bucket(j, F.col("user_id")).alias("bucket")
+            )
+            for j in range(_CMS_D)
+        ]
+    )
+    kh = keys.select("user_id", "exact_count", F.explode(depth).alias("e")).select(
+        "user_id", "exact_count", "e.j", "e.bucket"
+    )
+    est = (
+        kh.join(F.broadcast(sketch), ["j", "bucket"])
+        .groupBy("user_id", "exact_count")
+        .agg(F.min("c").alias("est_count"))
+    )
+    return (
+        est.select("user_id", "est_count", "exact_count")
+        .orderBy(F.desc("est_count"), "user_id")
+        .limit(20)
+    )
+
+
+from ..operators.sketches import CMS_ORACLE as _CMS_ORACLE  # noqa: E402
+
+_query("streaming_cms_heavy_hitters_vs_batch", oracle=_CMS_ORACLE)(
+    stream_cms_heavy_hitters
+)
