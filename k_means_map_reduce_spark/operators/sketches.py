@@ -383,9 +383,7 @@ _KMV_K = 32
 _KMV_POW = "1152921504606846976.0"  # 2^60 — exact as a double
 
 
-@query(
-    "sketch_kmv_distinct_users",
-    oracle=f"""
+KMV_ORACLE = f"""
     WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
     h AS (
       SELECT event_type, user_id,
@@ -429,8 +427,10 @@ _KMV_POW = "1152921504606846976.0"  # 2^60 — exact as a double
              END AS est_distinct
     )
     SELECT * FROM per_type UNION ALL SELECT * FROM union_row
-    """,
-)
+    """
+
+
+@query("sketch_kmv_distinct_users", oracle=KMV_ORACLE)
 def sketch_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-minimum-values distinct-count sketch (Bar-Yossef et al. 2002) with
     PORTABLE md5 hashes — an ORACLED approximate distinct, where HLL

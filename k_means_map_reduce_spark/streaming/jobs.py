@@ -1242,3 +1242,141 @@ from ..operators.sketches import CMS_ORACLE as _CMS_ORACLE  # noqa: E402
 _query("streaming_cms_heavy_hitters_vs_batch", oracle=_CMS_ORACLE)(
     stream_cms_heavy_hitters
 )
+
+
+def stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming maintenance of the k-minimum-values distinct sketch
+    (operators/sketches.sketch_kmv_distinct_users): unlike CMS the merge
+    is NOT addition — it is 'k smallest of the union of retained values'
+    — but it IS associative, commutative, and idempotent (a lattice
+    join), so folding each micro-batch's per-type k-smallest hash lists
+    into copy-on-write state converges to the identical sketch as the
+    batch build regardless of batch boundaries OR replays (idempotence
+    absorbs at-least-once delivery). The per-type estimates and the
+    merged ALL row read the streamed state; exact counts come batch-side
+    (stream-static), and the SAME DuckDB oracle verifies everything.
+    """
+    import os as _os
+
+    from ..operators.sketches import _KMV_K, _KMV_POW
+    from ..sources import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    stage = tempfile.mkdtemp(prefix="kmv_stage_", dir=_tmp_root())
+    for i in range(4):
+        (
+            e.where(F.pmod(F.col("event_id"), F.lit(4)) == i)
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(stage)
+        )
+    schema = T.StructType(
+        [
+            f if f.name != "ts" else T.StructField("ts", T.TimestampNTZType())
+            for f in TABLE_SCHEMAS["events"]
+        ]
+    )
+    state_path = _os.path.join(
+        tempfile.mkdtemp(prefix="kmv_state_", dir=_tmp_root()), "state"
+    )
+    hv = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+
+    def topk(df: DataFrame) -> DataFrame:
+        from pyspark.sql.window import Window as _W
+
+        w = _W.partitionBy("event_type").orderBy("hv")
+        return (
+            df.select("event_type", "hv")
+            .distinct()
+            .withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= _KMV_K)
+            .select("event_type", "hv")
+        )
+
+    def refresh(bdf: DataFrame, _epoch: int) -> None:
+        delta = topk(bdf.select("event_type", hv.alias("hv")))
+        if _os.path.isdir(state_path):
+            base = spark.read.parquet(state_path)
+            merged = topk(base.unionByName(delta))
+            staging = f"{state_path}__staging"
+            merged.write.mode("overwrite").parquet(staging)
+            old = f"{state_path}__old"
+            _os.rename(state_path, old)
+            _os.rename(staging, state_path)
+            shutil.rmtree(old)
+        else:
+            delta.write.mode("overwrite").parquet(state_path)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stage)
+    )
+    checkpoint = tempfile.mkdtemp(prefix="ckpt_kmv_", dir=_tmp_root())
+    q = (
+        stream.writeStream.foreachBatch(refresh)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    from pyspark.sql.window import Window as _W
+
+    sketch = spark.read.parquet(state_path)
+    ranked = sketch.withColumn(
+        "rk", F.row_number().over(_W.partitionBy("event_type").orderBy("hv"))
+    )
+    exact = (
+        e.select("event_type", "user_id")
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_distinct"))
+    )
+    kth = F.max(F.when(F.col("rk") == _KMV_K, F.col("hv")))
+    n_kept = F.count(F.lit(1))
+    per_type = (
+        ranked.groupBy("event_type")
+        .agg(n_kept.alias("m"), kth.alias("kth"))
+        .join(exact, "event_type")
+        .select(
+            "event_type",
+            "exact_distinct",
+            F.when(F.col("m") < _KMV_K, F.col("exact_distinct").cast("double"))
+            .otherwise(
+                F.round(
+                    F.lit(float(_KMV_K - 1))
+                    * (F.lit(float(_KMV_POW)) / F.col("kth").cast("double")),
+                    4,
+                )
+            )
+            .alias("est_distinct"),
+        )
+    )
+    merged = sketch.select("hv").distinct().withColumn(
+        "rk", F.row_number().over(_W.orderBy("hv"))
+    )
+    mstats = merged.agg(
+        F.count(F.lit(1)).alias("m_n"),
+        F.max(F.when(F.col("rk") == _KMV_K, F.col("hv"))).alias("m_kth"),
+    )
+    exact_all = e.agg(F.countDistinct("user_id").cast("long").alias("nd"))
+    union_row = exact_all.crossJoin(F.broadcast(mstats)).select(
+        F.lit("ALL").alias("event_type"),
+        F.col("nd").alias("exact_distinct"),
+        F.when(F.col("m_n") < _KMV_K, F.col("nd").cast("double"))
+        .otherwise(
+            F.round(
+                F.lit(float(_KMV_K - 1))
+                * (F.lit(float(_KMV_POW)) / F.col("m_kth").cast("double")),
+                4,
+            )
+        )
+        .alias("est_distinct"),
+    )
+    return per_type.unionByName(union_row)
+
+
+from ..operators.sketches import KMV_ORACLE as _KMV_ORACLE  # noqa: E402
+
+_query("streaming_kmv_distinct_vs_batch", oracle=_KMV_ORACLE)(stream_kmv_distinct)
