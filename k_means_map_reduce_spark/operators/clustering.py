@@ -865,3 +865,106 @@ def ml_prefixspan_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pattern"),
         F.col("freq").cast("long").alias("freq"),
     )
+
+
+def _elbow_oracle_sql(ks: tuple[int, ...], rounds: int) -> str:
+    """Union of per-k WSSSE readings, each k's Lloyd loop unrolled with
+    k-prefixed CTE names (the _kmeans_oracle_sql machinery, parameterized
+    twice). Distances use the same sequential left-fold; per-point
+    distances round to 6dp then DECIMAL-sum."""
+    dist = (
+        "list_reduce(list_transform(range(len(a.v)),"
+        " i -> (CAST(a.v[i+1] AS DOUBLE) - c.c[i+1]) * (CAST(a.v[i+1] AS DOUBLE) - c.c[i+1])),"
+        " (x, y) -> x + y)"
+    )
+    adist = (
+        "list_reduce(list_transform(range(len(e.v)),"
+        " i -> (CAST(e.v[i+1] AS DOUBLE) - c.c[i+1]) * (CAST(e.v[i+1] AS DOUBLE) - c.c[i+1])),"
+        " (x, y) -> x + y)"
+    )
+    ctes = ["emb AS (SELECT vec_id, embedding AS v FROM embeddings)"]
+    finals = []
+    for k in ks:
+        p = f"k{k}"
+        ctes.append(
+            f"""{p}cent0 AS (
+      SELECT cid, c FROM (
+        SELECT
+          ROW_NUMBER() OVER (ORDER BY md5('km:' || CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid,
+          list_transform(v, x -> CAST(x AS DOUBLE)) AS c
+        FROM emb
+      ) WHERE cid < {k}
+    )"""
+        )
+        for r in range(1, rounds + 1):
+            ctes.append(
+                f"""{p}a{r} AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT e.vec_id, e.v, c.cid,
+          ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {adist}, c.cid) AS rk
+        FROM emb e CROSS JOIN {p}cent{r - 1} c
+      ) WHERE rk = 1
+    )"""
+            )
+            ctes.append(
+                f"""{p}cent{r} AS (
+      SELECT cid, list(m ORDER BY d) AS c FROM (
+        SELECT cid, u.s.d AS d,
+          CAST(SUM(CAST(ROUND(u.s.x, 6) AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS m
+        FROM {p}a{r}, UNNEST(list_transform(range(len(v)),
+               i -> struct_pack(d := i, x := CAST(v[i+1] AS DOUBLE)))) AS u(s)
+        GROUP BY cid, u.s.d
+      ) GROUP BY cid
+    )"""
+            )
+        finals.append(
+            f"""SELECT {k} AS k, CAST(COUNT(*) AS BIGINT) AS n_points,
+      ROUND(CAST(SUM(CAST(ROUND({dist}, 6) AS DECIMAL(28,6))) AS DOUBLE), 4)
+        AS wssse
+    FROM {p}a{rounds} a JOIN {p}cent{rounds} c USING (cid)"""
+        )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + "\n    UNION ALL ".join(finals)
+
+
+_ELBOW_KS = (2, 4, 8)
+
+
+@query("kmeans_elbow_wssse", oracle=_elbow_oracle_sql(_ELBOW_KS, 3))
+def kmeans_elbow_wssse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model selection for the reference's one algorithm: WSSSE at
+    k = 2, 4, 8 after 3 determinized Lloyd rounds each — the elbow curve,
+    ORACLED (three full unrolled Lloyd loops replayed in one DuckDB
+    query). Distances are the same sequential left-fold as the oracle
+    (F.aggregate with 0.0 init == DuckDB list_reduce, the NEXT.md fold
+    identity); per-point distances round to 6dp, DECIMAL-sum, wssse
+    rounds one digit coarser. _lloyd_portable memoizes each k's loop, so
+    the k=4 run is shared with kmeans_lloyd_oracled and friends.
+
+    Scale shape: per k it is the standard Lloyd round (broadcast-literal
+    argmin, k x dim decimal partials); the WSSSE pass re-reads the
+    assignment once with the final centroids as literals — no extra
+    shuffle.
+    """
+    out = None
+    for k in _ELBOW_KS:
+        cents, assigned = _lloyd_portable(spark, sf_dir, k=k, rounds=3)
+        cent_lit = F.array(
+            *[F.array(*[F.lit(float(x)) for x in c]) for c in cents]
+        )
+        cent = F.element_at(cent_lit, F.col("cid") + 1)
+        diffs = F.zip_with(
+            F.col("v").cast("array<double>"),
+            cent,
+            lambda a, b: (a - b) * (a - b),
+        )
+        d2 = F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+        one = (
+            assigned.select(F.round(d2, 6).cast("decimal(28,6)").alias("d"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_points"),
+                F.round(F.sum("d").cast("double"), 4).alias("wssse"),
+            )
+            .select(F.lit(k).alias("k"), "n_points", "wssse")
+        )
+        out = one if out is None else out.unionByName(one)
+    return out
