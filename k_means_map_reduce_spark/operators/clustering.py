@@ -968,3 +968,96 @@ def kmeans_elbow_wssse(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = one if out is None else out.unionByName(one)
     return out
+
+
+def _silhouette_oracle_sql(k: int, rounds: int) -> str:
+    """Simplified (centroid-based) silhouette per cluster: a = distance
+    to own centroid, b = distance to the second-closest; s = (b - a) /
+    max(a, b). Reuses the unrolled Lloyd CTEs; the rk <= 2 ranking keeps
+    both distances. sqrt is exactly rounded everywhere, so a and b are
+    bit-identical doubles cross-engine before the 6dp rounding."""
+    adist = (
+        "list_reduce(list_transform(range(len(e.v)),"
+        " i -> (CAST(e.v[i+1] AS DOUBLE) - c.c[i+1]) * (CAST(e.v[i+1] AS DOUBLE) - c.c[i+1])),"
+        " (x, y) -> x + y)"
+    )
+    base = _kmeans_oracle_sql(k, rounds)
+    head = base[: base.rindex("SELECT")]  # keep the CTE chain, drop the final select
+    return (
+        head.rstrip()
+        + f""",
+    ranked2 AS (
+      SELECT e.vec_id, c.cid, sqrt({adist}) AS dist,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {adist}, c.cid) AS rk
+      FROM emb e CROSS JOIN cent{rounds} c
+    ),
+    ab AS (
+      SELECT vec_id,
+             MAX(CASE WHEN rk = 1 THEN cid END) AS cid,
+             MAX(CASE WHEN rk = 1 THEN dist END) AS a,
+             MAX(CASE WHEN rk = 2 THEN dist END) AS b
+      FROM ranked2 WHERE rk <= 2 GROUP BY vec_id
+    )
+    SELECT cid,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           ROUND(CAST(SUM(CAST(ROUND((b - a) / GREATEST(a, b), 6)
+                               AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*), 5) AS mean_silhouette
+    FROM ab GROUP BY cid
+    """
+    )
+
+
+@query("kmeans_silhouette_simplified", oracle=_silhouette_oracle_sql(4, 3))
+def kmeans_silhouette_simplified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified silhouette (centroid-based, the scalable variant MLlib's
+    ClusteringEvaluator also uses) for the k=4 determinized Lloyd model:
+    s = (b - a)/max(a, b) with a = distance to own centroid and b = to
+    the runner-up — per-cluster means, ORACLED against the replayed loop.
+    Full silhouette is O(n^2) pairwise; the centroid form is one pass and
+    is the one that exists at 100 TB. The final-round centroids score the
+    points (cent_rounds, not the assignment-time cent_rounds-1 — both
+    engines use the same convention).
+
+    Scale shape: distances to k literal centroids per point (zero
+    shuffle), one vec_id-local top-2, then a k-group rollup.
+    """
+    cents, _assigned = _lloyd_portable(spark, sf_dir, k=4, rounds=3)
+    emb = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    cent_lit = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cents])
+    pairs = e.select(
+        "vec_id",
+        F.posexplode(cent_lit).alias("cid0", "c"),
+        F.col("v"),
+    )
+    diffs = F.zip_with(F.col("v"), F.col("c"), lambda a, b: (a - b) * (a - b))
+    d2 = F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("vec_id").orderBy(d2.asc(), F.col("cid0").asc())
+    ranked = pairs.select(
+        "vec_id",
+        F.col("cid0").alias("cid"),
+        F.sqrt(d2).alias("dist"),
+        F.row_number().over(w).alias("rk"),
+    ).where(F.col("rk") <= 2)
+    ab = ranked.groupBy("vec_id").agg(
+        F.max(F.when(F.col("rk") == 1, F.col("cid"))).alias("cid"),
+        F.max(F.when(F.col("rk") == 1, F.col("dist"))).alias("a"),
+        F.max(F.when(F.col("rk") == 2, F.col("dist"))).alias("b"),
+    )
+    s = (F.col("b") - F.col("a")) / F.greatest(F.col("a"), F.col("b"))
+    return (
+        ab.groupBy(F.col("cid").cast("long").alias("cid"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_points"),
+            F.round(
+                F.sum(F.round(s, 6).cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                5,
+            ).alias("mean_silhouette"),
+        )
+    )
