@@ -42,6 +42,8 @@ EAGER_QUERIES = {
     "kmeans_lloyd_oracled",  # Lloyd rounds collect centroids at construction
     "sim_ann_ivf_oracled",  # builds on the Lloyd loop (collects at construction)
     "kmeans_purity_oracled",  # builds on the Lloyd loop (collects at construction)
+    "kmeans_elbow_wssse",  # three Lloyd loops collect at construction
+    "kmeans_silhouette_simplified",  # builds on the Lloyd loop
     "embedding_pca_oracled",  # power-iteration loop executes at construction
 }
 # Declared Python-boundary queries: the UDTF demo is row-at-a-time Python
