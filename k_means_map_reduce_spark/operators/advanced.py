@@ -747,3 +747,86 @@ def suppliers_herfindahl_by_nation(spark: SparkSession, sf_dir: str) -> DataFram
             ).alias("hhi"),
         )
     )
+
+
+@query(
+    "orders_halfsample_ci_mean",
+    oracle="""
+    WITH reps AS (SELECT UNNEST(range(0, 32)) AS b),
+    marked AS (
+      SELECT r.b, o.o_totalprice
+      FROM orders o CROSS JOIN reps r
+      WHERE CAST(CONCAT('0x', substr(md5('boot' || CAST(r.b AS VARCHAR)
+                  || ':' || CAST(o.o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT)
+            % 2 = 0
+    ), means AS (
+      SELECT b,
+             CAST(SUM(CAST(ROUND(o_totalprice, 6) AS DECIMAL(18,6)))
+                  AS DOUBLE) / COUNT(*) AS m,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM marked GROUP BY b
+    ), ranked AS (
+      SELECT m, ROW_NUMBER() OVER (ORDER BY m, b) AS rk FROM means
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_replicas,
+           ROUND(MIN(CASE WHEN rk = 2 THEN m END), 6) AS ci_lo,
+           ROUND(MIN(CASE WHEN rk = 31 THEN m END), 6) AS ci_hi,
+           ROUND(CAST(SUM(CAST(ROUND(m, 6) AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS replica_mean
+    FROM ranked
+    """,
+)
+def orders_halfsample_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resampling confidence interval for mean(o_totalprice) via 32
+    deterministic HALF-SAMPLE replicas (each row joins replica b iff
+    md5('boot'||b||':'||key) is even — subsample bootstrap, the
+    replicable cousin of classic bootstrap whose Poisson draws no second
+    engine can replay): the CI is the 2nd..31st order statistics of the
+    replica means (~94% nominal). Every replica mean is a decimal-exact
+    sum over an exactly reproducible subset — the whole inference is
+    hash-verified cross-engine, something RNG-based resampling can never
+    be.
+
+    Scale shape: the 32 replicas ride ONE fact scan (cross join against a
+    32-row literal range, filtered scan-side before any shuffle); the
+    aggregation is 32 groups of decimal partials — resampling inference
+    at a 100 TB price of one extra pass, not 32.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    reps = spark.range(0, 32).select(F.col("id").alias("b"))
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("boot"),
+                    F.col("b").cast("string"),
+                    F.lit(":"),
+                    F.col("o_orderkey").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    marked = o.crossJoin(F.broadcast(reps)).where(h % 2 == 0)
+    means = marked.groupBy("b").agg(
+        (
+            F.sum(F.round("o_totalprice", 6).cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("m"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    w = Window.orderBy("m", "b")
+    ranked = means.select("m", F.row_number().over(w).alias("rk"))
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_replicas"),
+        F.round(F.min(F.when(F.col("rk") == 2, F.col("m"))), 6).alias("ci_lo"),
+        F.round(F.min(F.when(F.col("rk") == 31, F.col("m"))), 6).alias("ci_hi"),
+        F.round(
+            F.sum(F.round("m", 6).cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("replica_mean"),
+    )

@@ -834,3 +834,93 @@ def sample_weighted_reservoir_docs(spark: SparkSession, sf_dir: str) -> DataFram
         .where(F.col("rk") <= 10)
         .select("lang", "rk", "doc_id", "n_chars", F.round("k", 9).alias("sample_key"))
     )
+
+
+@query(
+    "drift_length_ks_train_test",
+    oracle=f"""
+    WITH split AS (
+      SELECT n_chars,
+             CASE WHEN {_SPLIT_SQL_BUCKET} < 90 THEN 'train' ELSE 'test' END
+               AS split
+      FROM documents
+    ), counts AS (
+      SELECT n_chars,
+             SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS n_tr,
+             SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS n_te
+      FROM split GROUP BY n_chars
+    ), cum AS (
+      SELECT n_chars,
+             SUM(n_tr) OVER (ORDER BY n_chars) AS c_tr,
+             SUM(n_te) OVER (ORDER BY n_chars) AS c_te,
+             SUM(n_tr) OVER () AS t_tr,
+             SUM(n_te) OVER () AS t_te
+      FROM counts
+    ), gaps AS (
+      SELECT n_chars,
+             ABS(CAST(c_tr AS DOUBLE) / CAST(t_tr AS DOUBLE)
+                 - CAST(c_te AS DOUBLE) / CAST(t_te AS DOUBLE)) AS gap,
+             t_tr, t_te
+      FROM cum
+    ), top AS (
+      SELECT n_chars, gap, t_tr, t_te,
+             ROW_NUMBER() OVER (ORDER BY gap DESC, n_chars) AS rk
+      FROM gaps
+    )
+    SELECT CAST(t_tr AS BIGINT) AS n_train,
+           CAST(t_te AS BIGINT) AS n_test,
+           ROUND(gap, 6) AS ks_statistic,
+           n_chars AS ks_at_length,
+           ROUND(gap / SQRT((CAST(t_tr AS DOUBLE) + CAST(t_te AS DOUBLE))
+                            / (CAST(t_tr AS DOUBLE) * CAST(t_te AS DOUBLE))),
+                 6) AS ks_scaled
+    FROM top WHERE rk = 1
+    """,
+)
+def drift_length_ks_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift test on document length
+    between the portable train/test split: D = sup |ECDF_train -
+    ECDF_test| plus the sample-size-scaled statistic D/sqrt((n+m)/(nm))
+    (compare to ~1.36 for alpha = 0.05) — the distribution-free
+    counterpart of drift_lang_distribution_train_test's chi-square. The
+    ECDF gap is computed on INTEGER cumulative counts at each observed
+    length (the exact sup for step functions — no binning); sqrt is the
+    only transcendental.
+
+    Scale shape: one (n_chars, split) rollup off the corpus, cumulative
+    sums over the distinct-lengths table, a top-1 argmax.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    split = F.when(_bucket(F.col("doc_id")) < 90, "train").otherwise("test")
+    counts = d.select("n_chars", split.alias("split")).groupBy("n_chars").agg(
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).alias("n_tr"),
+        F.sum(F.when(F.col("split") == "test", 1).otherwise(0)).alias("n_te"),
+    )
+    wc = Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    cum = counts.select(
+        "n_chars",
+        F.sum("n_tr").over(wc).alias("c_tr"),
+        F.sum("n_te").over(wc).alias("c_te"),
+        F.sum("n_tr").over(wall).alias("t_tr"),
+        F.sum("n_te").over(wall).alias("t_te"),
+    )
+    gap = F.abs(
+        F.col("c_tr").cast("double") / F.col("t_tr").cast("double")
+        - F.col("c_te").cast("double") / F.col("t_te").cast("double")
+    )
+    wrk = Window.orderBy(gap.desc(), "n_chars")
+    top = cum.select(
+        "n_chars", gap.alias("gap"), "t_tr", "t_te", F.row_number().over(wrk).alias("rk")
+    ).where(F.col("rk") == 1)
+    scale = F.sqrt(
+        (F.col("t_tr").cast("double") + F.col("t_te").cast("double"))
+        / (F.col("t_tr").cast("double") * F.col("t_te").cast("double"))
+    )
+    return top.select(
+        F.col("t_tr").cast("long").alias("n_train"),
+        F.col("t_te").cast("long").alias("n_test"),
+        F.round("gap", 6).alias("ks_statistic"),
+        F.col("n_chars").alias("ks_at_length"),
+        F.round(F.col("gap") / scale, 6).alias("ks_scaled"),
+    )
