@@ -830,3 +830,78 @@ def orders_halfsample_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("replica_mean"),
     )
+
+
+@query(
+    "orders_chi2_priority_status",
+    oracle="""
+    WITH obs AS (
+      SELECT o_orderpriority AS pri, o_orderstatus AS st,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1, 2
+    ), rows_ AS (
+      SELECT pri, SUM(n) AS nr FROM obs GROUP BY pri
+    ), cols_ AS (
+      SELECT st, SUM(n) AS nc FROM obs GROUP BY st
+    ), tot AS (
+      SELECT SUM(n) AS nn FROM obs
+    ), cells AS (
+      SELECT r.pri, c.st,
+             COALESCE(o.n, 0) AS n,
+             CAST(r.nr AS DOUBLE) * CAST(c.nc AS DOUBLE) / CAST(t.nn AS DOUBLE)
+               AS e
+      FROM rows_ r CROSS JOIN cols_ c CROSS JOIN tot t
+      LEFT JOIN obs o ON o.pri = r.pri AND o.st = c.st
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST((SELECT COUNT(*) FROM rows_) - 1 AS BIGINT)
+             * CAST((SELECT COUNT(*) FROM cols_) - 1 AS BIGINT) AS dof,
+           ROUND(CAST(SUM(CAST(ROUND(
+             (CAST(n AS DOUBLE) - e) * (CAST(n AS DOUBLE) - e) / e, 6)
+             AS DECIMAL(18,6))) AS DOUBLE), 4) AS chi2
+    FROM cells
+    """,
+)
+def orders_chi2_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between order priority and order
+    status — the categorical-association test (are rush orders more
+    likely to be open?), completing the inference family (z-test, KS,
+    runs of drift chi-square). The full contingency grid materializes
+    every (priority, status) cell including zero-count ones (expected
+    counts exist for them; dropping them understates chi2); all inputs
+    are integer counts, each cell's term rounds to 6dp then DECIMAL-sums.
+
+    Scale shape: one fact rollup to the contingency table; marginals are
+    rollups of THAT table; the grid is |priorities| x |statuses| rows.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    obs = o.groupBy(
+        F.col("o_orderpriority").alias("pri"), F.col("o_orderstatus").alias("st")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    rows_ = obs.groupBy("pri").agg(F.sum("n").alias("nr"))
+    cols_ = obs.groupBy("st").agg(F.sum("n").alias("nc"))
+    tot = obs.agg(F.sum("n").alias("nn"))
+    cells = (
+        rows_.crossJoin(cols_)
+        .crossJoin(F.broadcast(tot))
+        .join(obs, ["pri", "st"], "left")
+        .select(
+            "pri",
+            "st",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+            (
+                F.col("nr").cast("double")
+                * F.col("nc").cast("double")
+                / F.col("nn").cast("double")
+            ).alias("e"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    term = F.round((nd - F.col("e")) * (nd - F.col("e")) / F.col("e"), 6)
+    n_rows = rows_.count()
+    n_cols = cols_.count()
+    return cells.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.lit((n_rows - 1) * (n_cols - 1)).cast("long").alias("dof"),
+        F.round(F.sum(term.cast("decimal(18,6)")).cast("double"), 4).alias("chi2"),
+    )

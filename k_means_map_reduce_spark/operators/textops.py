@@ -1637,3 +1637,108 @@ def text_boilerplate_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "prefix_hash", "n_docs", "n_sources")
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs_in_source"))
     )
+
+
+@query(
+    "text_heaps_law_fit",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(TRIM(LOWER(text)), '\s+'),
+                         t -> t != '') AS ts
+      FROM documents
+    ), doc_len AS (
+      SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl FROM toks
+    ), first_seen AS (
+      SELECT term, MIN(doc_id) AS first_doc
+      FROM (SELECT doc_id, UNNEST(ts) AS term FROM toks)
+      GROUP BY term
+    ), new_terms AS (
+      SELECT first_doc AS doc_id, CAST(COUNT(*) AS BIGINT) AS nv
+      FROM first_seen GROUP BY first_doc
+    ), cum AS (
+      SELECT d.doc_id,
+             SUM(d.dl) OVER (ORDER BY d.doc_id) AS n_tokens,
+             SUM(COALESCE(v.nv, 0)) OVER (ORDER BY d.doc_id) AS vocab
+      FROM doc_len d LEFT JOIN new_terms v ON v.doc_id = d.doc_id
+    ), sampled AS (
+      SELECT ROUND(LN(CAST(n_tokens AS DOUBLE)), 6) AS lx,
+             ROUND(LN(CAST(vocab AS DOUBLE)), 6) AS ly
+      FROM cum WHERE doc_id % 25 = 24 AND vocab > 0
+    ), sums AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(lx AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(ly AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(ROUND(lx * lx, 6) AS DECIMAL(18,6))) AS DOUBLE)
+               AS sxx,
+             CAST(SUM(CAST(ROUND(lx * ly, 6) AS DECIMAL(18,6))) AS DOUBLE)
+               AS sxy
+      FROM sampled
+    )
+    SELECT n AS n_samples,
+           ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
+                 / (CAST(n AS DOUBLE) * sxx - sx * sx), 6) AS heaps_beta,
+           ROUND((sy - ((CAST(n AS DOUBLE) * sxy - sx * sy)
+                        / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)
+                 / CAST(n AS DOUBLE), 6) AS ln_k
+    FROM sums
+    """,
+)
+def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit of vocabulary growth: V(n) ~ K * n^beta, estimated
+    by ln-ln least squares over the cumulative (tokens seen, distinct
+    terms seen) curve sampled every 25 documents — Zipf's companion law
+    (text_zipf_fit), and the statistic that predicts how much NEW
+    vocabulary another 10x of corpus will bring (natural text: beta ~
+    0.4-0.6; a closed vocabulary like this synthetic corpus saturates,
+    beta -> 0 at the tail — which is the finding). Cumulative distinct
+    counts come from each term's FIRST document (min doc_id) — an
+    aggregation, never a running set.
+
+    Scale shape: one explode + vocabulary-sized first-seen agg, prefix
+    sums over the doc axis, a 20-row regression.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.trim(F.lower("text")), r"\s+"), lambda t: t != "")
+    with_ts = d.select("doc_id", toks.alias("ts"))
+    doc_len = with_ts.select("doc_id", F.size("ts").cast("long").alias("dl"))
+    from pyspark.sql import Window
+
+    first_seen = (
+        with_ts.select("doc_id", F.explode("ts").alias("term"))
+        .groupBy("term")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    new_terms = first_seen.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("nv")
+    )
+    wc = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        doc_len.join(new_terms, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.sum("dl").over(wc).alias("n_tokens"),
+            F.sum(F.coalesce(F.col("nv"), F.lit(0))).over(wc).alias("vocab"),
+        )
+    )
+    sampled = cum.where((F.col("doc_id") % 25 == 24) & (F.col("vocab") > 0)).select(
+        F.round(F.log(F.col("n_tokens").cast("double")), 6).alias("lx"),
+        F.round(F.log(F.col("vocab").cast("double")), 6).alias("ly"),
+    )
+    dec = lambda c: F.sum(c.cast("decimal(18,6)")).cast("double")  # noqa: E731
+    sums = sampled.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        dec(F.col("lx")).alias("sx"),
+        dec(F.col("ly")).alias("sy"),
+        dec(F.round(F.col("lx") * F.col("lx"), 6)).alias("sxx"),
+        dec(F.round(F.col("lx") * F.col("ly"), 6)).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    slope = (nd * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return sums.select(
+        F.col("n").alias("n_samples"),
+        F.round(slope, 6).alias("heaps_beta"),
+        F.round((F.col("sy") - slope * F.col("sx")) / nd, 6).alias("ln_k"),
+    )
