@@ -905,3 +905,87 @@ def orders_chi2_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit((n_rows - 1) * (n_cols - 1)).cast("long").alias("dof"),
         F.round(F.sum(term.cast("decimal(18,6)")).cast("double"), 4).alias("chi2"),
     )
+
+
+@query(
+    "stats_multiple_regression",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(ROUND(l_quantity, 6) AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(ROUND(l_discount, 6) AS DECIMAL(18,6))) AS DOUBLE) AS s2,
+             CAST(SUM(CAST(ROUND(l_extendedprice, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(ROUND(l_quantity * l_quantity, 6) AS DECIMAL(18,6))) AS DOUBLE) AS s11,
+             CAST(SUM(CAST(ROUND(l_quantity * l_discount, 6) AS DECIMAL(18,6))) AS DOUBLE) AS s12,
+             CAST(SUM(CAST(ROUND(l_discount * l_discount, 6) AS DECIMAL(18,6))) AS DOUBLE) AS s22,
+             CAST(SUM(CAST(ROUND(l_quantity * l_extendedprice, 6) AS DECIMAL(18,6))) AS DOUBLE) AS s1y,
+             CAST(SUM(CAST(ROUND(l_discount * l_extendedprice, 6) AS DECIMAL(18,6))) AS DOUBLE) AS s2y
+      FROM lineitem
+    ), c AS (
+      SELECT n,
+             s11 - s1 * s1 / CAST(n AS DOUBLE) AS v11,
+             s12 - s1 * s2 / CAST(n AS DOUBLE) AS v12,
+             s22 - s2 * s2 / CAST(n AS DOUBLE) AS v22,
+             s1y - s1 * sy / CAST(n AS DOUBLE) AS v1y,
+             s2y - s2 * sy / CAST(n AS DOUBLE) AS v2y,
+             s1 / CAST(n AS DOUBLE) AS m1,
+             s2 / CAST(n AS DOUBLE) AS m2,
+             sy / CAST(n AS DOUBLE) AS my
+      FROM m
+    )
+    SELECT n,
+           ROUND((v1y * v22 - v2y * v12) / (v11 * v22 - v12 * v12), 6) AS beta_quantity,
+           ROUND((v2y * v11 - v1y * v12) / (v11 * v22 - v12 * v12), 6) AS beta_discount,
+           ROUND(my - ((v1y * v22 - v2y * v12) / (v11 * v22 - v12 * v12)) * m1
+                    - ((v2y * v11 - v1y * v12) / (v11 * v22 - v12 * v12)) * m2,
+                 4) AS intercept
+    FROM c
+    """,
+)
+def stats_multiple_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-feature linear regression (extendedprice ~ quantity + discount)
+    in closed form: Cramer's rule on the centered 2x2 covariance system —
+    the multivariate upgrade of stats_regression_by_flag's simple slope,
+    fitted distributed in ONE aggregation pass (the nine decimal-exact
+    power sums are the sufficient statistics; the algebra happens on a
+    single row). Every division/multiplication runs the identical operand
+    chain in both engines; no matrix library, no iteration.
+
+    Scale shape: one scan, map-side-partial decimal sums, a 1-row
+    epilogue — the same envelope as any global aggregate. The normal-
+    equations approach generalizes to p features with p(p+3)/2 sums while
+    the data is scanned once (beyond ~30 features you'd switch to
+    distributed gradient descent; the sufficient-statistics trick is THE
+    scale play for small-p regression).
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    ds = lambda c: F.sum(F.round(c, 6).cast("decimal(18,6)")).cast("double")  # noqa: E731
+    q, dc, y = F.col("l_quantity"), F.col("l_discount"), F.col("l_extendedprice")
+    m = l.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        ds(q).alias("s1"),
+        ds(dc).alias("s2"),
+        ds(y).alias("sy"),
+        ds(q * q).alias("s11"),
+        ds(q * dc).alias("s12"),
+        ds(dc * dc).alias("s22"),
+        ds(q * y).alias("s1y"),
+        ds(dc * y).alias("s2y"),
+    )
+    nd = F.col("n").cast("double")
+    v11 = F.col("s11") - F.col("s1") * F.col("s1") / nd
+    v12 = F.col("s12") - F.col("s1") * F.col("s2") / nd
+    v22 = F.col("s22") - F.col("s2") * F.col("s2") / nd
+    v1y = F.col("s1y") - F.col("s1") * F.col("sy") / nd
+    v2y = F.col("s2y") - F.col("s2") * F.col("sy") / nd
+    det = v11 * v22 - v12 * v12
+    b1 = (v1y * v22 - v2y * v12) / det
+    b2 = (v2y * v11 - v1y * v12) / det
+    return m.select(
+        "n",
+        F.round(b1, 6).alias("beta_quantity"),
+        F.round(b2, 6).alias("beta_discount"),
+        F.round(
+            F.col("sy") / nd - b1 * (F.col("s1") / nd) - b2 * (F.col("s2") / nd), 4
+        ).alias("intercept"),
+    )

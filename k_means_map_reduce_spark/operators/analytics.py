@@ -2790,3 +2790,101 @@ def timeseries_dft_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round((cs * cs + ss * ss) / F.lit(1000000.0), 4).alias("power_m"),
     ).select(F.col("k").cast("int").alias("k"), "period_days", "power_m")
+
+
+@query(
+    "events_runs_test_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+             SUM(CAST(ROUND(value, 6) AS DECIMAL(18,6))) AS rev
+      FROM events GROUP BY 1
+    ), med AS (
+      SELECT rev,
+             ROW_NUMBER() OVER (ORDER BY rev, day) AS rk,
+             COUNT(*) OVER () AS n
+      FROM daily
+    ), cutoff AS (
+      SELECT MIN(CASE WHEN 2 * rk >= n THEN rev END) AS median_rev FROM med
+    ), signs AS (
+      SELECT day, CASE WHEN d.rev > c.median_rev THEN 1 ELSE 0 END AS s
+      FROM daily d CROSS JOIN cutoff c
+    ), runs AS (
+      SELECT s,
+             CASE WHEN s = LAG(s) OVER (ORDER BY day) THEN 0 ELSE 1 END
+               AS is_start
+      FROM signs
+    ), counts AS (
+      SELECT CAST(SUM(COALESCE(is_start, 1)) AS BIGINT) AS r,
+             CAST(SUM(s) AS BIGINT) AS n1,
+             CAST(COUNT(*) - SUM(s) AS BIGINT) AS n0
+      FROM runs
+    )
+    SELECT r AS n_runs, n1 AS n_above, n0 AS n_below,
+           ROUND(
+             (CAST(r AS DOUBLE)
+              - (2.0 * CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)
+                 / (CAST(n1 AS DOUBLE) + CAST(n0 AS DOUBLE)) + 1.0))
+             / SQRT(
+                 (2.0 * CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)
+                  * (2.0 * CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)
+                     - CAST(n1 AS DOUBLE) - CAST(n0 AS DOUBLE)))
+                 / ((CAST(n1 AS DOUBLE) + CAST(n0 AS DOUBLE))
+                    * (CAST(n1 AS DOUBLE) + CAST(n0 AS DOUBLE))
+                    * (CAST(n1 AS DOUBLE) + CAST(n0 AS DOUBLE) - 1.0))
+               ), 6) AS z_score
+    FROM counts
+    """,
+)
+def events_runs_test_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on daily revenue: is the above/below-
+    median sequence random, or does it trend/oscillate? (too FEW runs =
+    momentum/trend, too MANY = mean-reversion) — the classic
+    distribution-free randomness check, joining KS / chi-square / z-test
+    in the inference family. Runs are counted from integer sign flips
+    (decimal-exact revenue vs the exact lower-median cutoff; lag over the
+    day order); the z-score's one transcendental is sqrt.
+
+    Scale shape: the fact collapses to one row per day; the runs count is
+    a single lag() pass over the days table.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum(F.round("value", 6).cast("decimal(18,6)")).alias("rev")
+    )
+    wr = Window.orderBy("rev", "day")
+    wall = Window.partitionBy()
+    med = daily.select(
+        "rev",
+        F.row_number().over(wr).alias("rk"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    cutoff = med.agg(
+        F.min(F.when(2 * F.col("rk") >= F.col("n"), F.col("rev"))).alias("median_rev")
+    )
+    signs = daily.crossJoin(F.broadcast(cutoff)).select(
+        "day", F.when(F.col("rev") > F.col("median_rev"), 1).otherwise(0).alias("s")
+    )
+    wd = Window.orderBy("day")
+    runs = signs.select(
+        "s",
+        F.when(F.col("s") == F.lag("s").over(wd), 0).otherwise(1).alias("is_start"),
+    )
+    counts = runs.agg(
+        F.sum(F.coalesce(F.col("is_start"), F.lit(1))).cast("long").alias("r"),
+        F.sum("s").cast("long").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("s")).cast("long").alias("n0"),
+    )
+    rd = F.col("r").cast("double")
+    a = F.col("n1").cast("double")
+    b = F.col("n0").cast("double")
+    mu = F.lit(2.0) * a * b / (a + b) + F.lit(1.0)
+    var = (F.lit(2.0) * a * b * (F.lit(2.0) * a * b - a - b)) / (
+        (a + b) * (a + b) * (a + b - F.lit(1.0))
+    )
+    return counts.select(
+        F.col("r").alias("n_runs"),
+        F.col("n1").alias("n_above"),
+        F.col("n0").alias("n_below"),
+        F.round((rd - mu) / F.sqrt(var), 6).alias("z_score"),
+    )

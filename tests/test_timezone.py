@@ -58,6 +58,7 @@ DATE_SENSITIVE = [
     "sql_pipe_syntax_pricing",
     "timeseries_dft_periodogram",
     "events_markov_entropy_rate",
+    "events_runs_test_daily",
 ]
 
 
