@@ -136,6 +136,16 @@ PICKS = {
         "passes (total weight, floor-sum, remainder rank) — allocation "
         "is integer cents end to end."
     ),
+    "stats_multiple_regression": (
+        "Multivariate fit as ONE aggregation: nine decimal power sums "
+        "are the sufficient statistics; Cramer's rule runs on a single "
+        "row. No iteration, no matrix library, one scan."
+    ),
+    "orders_halfsample_ci_mean": (
+        "32 resampling replicas ride ONE fact scan (literal-range cross "
+        "join filtered scan-side); inference costs one extra pass, not "
+        "32."
+    ),
 }
 
 
