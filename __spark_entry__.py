@@ -71,22 +71,58 @@ def _prior_round_status() -> tuple[set[str], set[str]]:
     return set(latest), green
 
 
+# Queries the round-3 judge named as must-verify this round: the flagship of
+# each family that still lacks a driver CORRECTNESS row. They sort first
+# WITHIN their module's never-checked group so the round-robin's first pass
+# covers exactly these.
+_PRIORITY = (
+    "kmeans_lloyd_oracled",
+    "streaming_tumbling_hourly_vs_batch",
+    "contamination_train_test_ngrams",
+    "graph_pagerank_exact",
+    "sketch_cms_heavy_hitters",
+    "dq_checks_orders",
+    "attribution_linear_multitouch",
+)
+
+
 def _ordered_names() -> list[str]:
     checked, green = _prior_round_status()
     names = list(QUERIES)
-    # tiers: previously-FAILED first (a fixed bug only shows green if its
-    # row is re-checked, and the verify harness may truncate to ~50 — a
-    # grown never-checked tier must not crowd re-checks out), then
-    # never-checked, then green; within each tier oracled before rows-only,
-    # stable registration order.
-    return sorted(
-        names,
-        key=lambda n: (
-            (0 if (n in checked and n not in green) else (1 if n not in checked else 2)),
-            n not in ORACLES,
-            names.index(n),
-        ),
+    reg_order = {n: i for i, n in enumerate(names)}
+
+    def group_key(n: str) -> tuple:
+        # within a module group: judge-priority names first, oracled before
+        # rows-only, then stable registration order.
+        return (n not in _PRIORITY, n not in ORACLES, reg_order[n])
+
+    failed = sorted(
+        (n for n in names if n in checked and n not in green), key=group_key
     )
+    green_tier = sorted((n for n in names if n in green), key=group_key)
+
+    # Never-checked tier: ROUND-ROBIN across operator modules so every
+    # family earns a driver row inside the harness's ~50-row truncation
+    # window (registration order alone starved streaming/kmeans until
+    # round ~6 — round-3 verdict item 1).
+    by_module: dict[str, list[str]] = {}
+    for n in names:
+        if n not in checked:
+            by_module.setdefault(QUERIES[n].__module__, []).append(n)
+    groups = sorted(
+        (sorted(g, key=group_key) for g in by_module.values()),
+        key=lambda g: group_key(g[0]),
+    )
+    never: list[str] = []
+    while groups:
+        nxt = []
+        for g in groups:
+            never.append(g.pop(0))
+            if g:
+                nxt.append(g)
+        groups = nxt
+
+    return failed + never + green_tier
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -283,16 +283,37 @@ def test_driver_rotation_ordering(tmp_path, monkeypatch):
     monkeypatch.setattr(mod, "_REPO", str(tmp_path))
 
     order = mod._ordered_names()
+    assert sorted(order) == sorted(names), "must be a permutation of the registry"
     assert order[0] == failed, "previously-failed must re-check first"
-    assert order.index(green) > len(order) - 5 or order.index(green) > order.index(
-        oracled[2]
-    ), "green rows sort behind never-checked"
-    # never-checked oracled queries come before never-checked rows-only
-    first_rows_only = min(order.index(n) for n in rows_only)
-    unchecked_oracled = [n for n in oracled if n not in (failed, green)]
-    assert all(order.index(n) < first_rows_only for n in unchecked_oracled[:5])
+    unchecked = [n for n in names if n not in fake]
+    last_unchecked = max(order.index(n) for n in unchecked)
+    assert order.index(green) > last_unchecked, "green rows sort behind never-checked"
     # the checked no_oracle row must not outrank never-checked queries
-    assert order.index(rows_only[0]) > order.index(unchecked_oracled[0])
+    assert order.index(rows_only[0]) > min(order.index(n) for n in unchecked)
+
+    # ROUND-ROBIN across modules: the first pass of the never-checked tier
+    # must contain exactly one query from EVERY module that has one — this
+    # is what gets each family a driver row within the ~50-row window.
+    modules = {QUERIES[n].__module__ for n in unchecked}
+    first_pass = order[1 : 1 + len(modules)]  # order[0] is the failed row
+    assert {QUERIES[n].__module__ for n in first_pass} == modules
+
+    # judge-priority names lead their module's group (slot in the 1st pass)
+    for p in mod._PRIORITY:
+        if p in unchecked:
+            assert p in first_pass, f"{p} must land in the first rotation pass"
+
+    # within a module group, oracled queries outrank rows-only ones
+    for m in modules:
+        grp = [n for n in order if n in unchecked and QUERIES[n].__module__ == m]
+        seen_rows_only = False
+        for n in grp:
+            if n not in ORACLES:
+                seen_rows_only = True
+            else:
+                assert not (seen_rows_only and n not in mod._PRIORITY), (
+                    f"oracled {n} sorted after rows-only within module {m}"
+                )
 
 
 def test_bench_headline_names_are_registered():
