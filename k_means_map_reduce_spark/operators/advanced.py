@@ -979,8 +979,11 @@ def stats_multiple_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     v1y = F.col("s1y") - F.col("s1") * F.col("sy") / nd
     v2y = F.col("s2y") - F.col("s2") * F.col("sy") / nd
     det = v11 * v22 - v12 * v12
-    b1 = (v1y * v22 - v2y * v12) / det
-    b2 = (v2y * v11 - v1y * v12) / det
+    # Collinear/constant features make det=0: ANSI Spark throws
+    # DIVIDE_BY_ZERO on double/0 while DuckDB yields NULL — guard so both
+    # engines emit NULL betas (intercept NULL-propagates identically).
+    b1 = F.when(det != 0.0, (v1y * v22 - v2y * v12) / det)
+    b2 = F.when(det != 0.0, (v2y * v11 - v1y * v12) / det)
     return m.select(
         "n",
         F.round(b1, 6).alias("beta_quantity"),

@@ -2105,8 +2105,10 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), q AS (
       SELECT v.dim, v.x, s.mn,
              (s.mx - s.mn) / 255.0 AS scale,
-             LEAST(255.0, GREATEST(0.0,
-               FLOOR((v.x - s.mn) / ((s.mx - s.mn) / 255.0) + 0.5))) AS code
+             CASE WHEN s.mx = s.mn THEN 0.0
+                  ELSE LEAST(255.0, GREATEST(0.0,
+                    FLOOR((v.x - s.mn) / ((s.mx - s.mn) / 255.0) + 0.5)))
+             END AS code
       FROM vals v JOIN stats s ON v.dim = s.dim
     ), err AS (
       SELECT dim,
@@ -2143,9 +2145,17 @@ def embedding_int8_quantization_error(spark: SparkSession, sf_dir: str) -> DataF
     )
     stats = vals.groupBy("dim").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
     scale = (F.col("mx") - F.col("mn")) / F.lit(255.0)
-    code = F.least(
-        F.lit(255.0),
-        F.greatest(F.lit(0.0), F.floor((F.col("x") - F.col("mn")) / scale + F.lit(0.5))),
+    # A constant dimension has scale 0: guard the divide (ANSI Spark throws
+    # DIVIDE_BY_ZERO where DuckDB's IEEE float op returns inf/nan — advisor
+    # finding). Degenerate output: code 0, dequant = mn, zero error — CASE
+    # arm matches the oracle.
+    code = F.when(F.col("mx") == F.col("mn"), F.lit(0.0)).otherwise(
+        F.least(
+            F.lit(255.0),
+            F.greatest(
+                F.lit(0.0), F.floor((F.col("x") - F.col("mn")) / scale + F.lit(0.5))
+            ),
+        )
     )
     q = vals.join(F.broadcast(stats), "dim").select(
         "dim", "x", "mn", scale.alias("scale"), code.alias("code")
@@ -2454,7 +2464,12 @@ def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     day_us = 86400000000
     week_us = 604800000000
     d_apart = F.expr(f"(us - t_us) div {day_us}")
-    w = F.element_at(
+    # try_element_at, not element_at: the lookback bound is INCLUSIVE, so a
+    # touch exactly 7 days (to the µs) before a purchase gives d_apart=7 —
+    # index 8 of a 7-element array. ANSI element_at would throw
+    # INVALID_ARRAY_INDEX on that data-dependent boundary row; the oracle's
+    # 7-arm CASE yields NULL there, and try_element_at matches it.
+    w = F.try_element_at(
         F.array(*[F.lit(0.5**d) for d in range(7)]), (d_apart + 1).cast("int")
     )
     pairs = purchases.join(
@@ -2668,9 +2683,13 @@ def ab_test_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = lambda c: F.col(c).cast("double")  # noqa: E731
     p_a, p_b = d("c_a") / d("n_a"), d("c_b") / d("n_b")
     pooled = (d("c_a") + d("c_b")) / (d("n_a") + d("n_b"))
-    z = (p_a - p_b) / F.sqrt(
+    # Saturated conversion (pooled 0 or 1) zeroes the pooled variance:
+    # ANSI Spark throws DIVIDE_BY_ZERO on double/0 while DuckDB returns
+    # NULL (advisor finding) — guard so both engines emit NULL z.
+    se = F.sqrt(
         pooled * (F.lit(1.0) - pooled) * (F.lit(1.0) / d("n_a") + F.lit(1.0) / d("n_b"))
     )
+    z = F.when(se != 0.0, (p_a - p_b) / se)
     return wide.select(
         "n_a",
         "c_a",

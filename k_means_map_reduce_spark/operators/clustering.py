@@ -813,7 +813,7 @@ def embedding_pca_oracled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT pattern, freq
     FROM allp, nseq
-    WHERE freq >= CAST(FLOOR(0.07 * n) + 1 AS BIGINT)
+    WHERE freq >= CAST(((7 * n) // 100) + 1 AS BIGINT)
     """,
 )
 def ml_prefixspan_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -854,7 +854,11 @@ def ml_prefixspan_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     n_seq = seqs.count()
-    k = int(0.07 * n_seq) + 1
+    # Integer arithmetic, not int(0.07 * n): the float product can land one
+    # ulp below the exact value while the oracle's FLOOR over DuckDB's
+    # exact decimal arithmetic doesn't — k would differ by 1 and the
+    # frequent-pattern sets diverge (advisor finding).
+    k = (7 * n_seq) // 100 + 1
     ps = PrefixSpan(
         minSupport=(k - 0.5) / n_seq, maxPatternLength=2, sequenceCol="sequence"
     )

@@ -81,6 +81,33 @@ def test_attribution_last_touch_window_and_tie(spark, tmp_path):
     assert "view" not in got
 
 
+def test_attribution_time_decay_exact_7d_boundary(spark, tmp_path):
+    """A touch EXACTLY 7 days (to the µs) before a purchase satisfies the
+    inclusive lookback join but has no decay arm (d_apart=7): ANSI
+    element_at would throw INVALID_ARRAY_INDEX; try_element_at must yield
+    NULL weight, matching the oracle's CASE — round-3 advisor finding."""
+    from k_means_map_reduce_spark.oracle import compare_query
+
+    t0 = dt.datetime(2024, 5, 1, 12, 0, 0)
+    rows = [
+        (0, t0, 1, "click", 0.0),  # exactly 7d before -> w NULL both engines
+        (1, t0 + dt.timedelta(days=7), 1, "purchase", 80.0),
+        # user 2: normal 1-day-apart touch so the attributed arm is nonempty
+        (2, t0, 2, "view", 0.0),
+        (3, t0 + dt.timedelta(days=1), 2, "purchase", 40.0),
+    ]
+    _write_events(str(tmp_path / "events.parquet"), rows)
+    r = compare_query(spark, "attribution_time_decay", str(tmp_path))
+    assert r.ok, r.detail
+    got = {
+        row["touch_type"]: row
+        for row in QUERIES["attribution_time_decay"](spark, str(tmp_path)).collect()
+    }
+    # boundary click row joins (n_touches=1) but credits nothing
+    assert got["click"]["n_touches"] == 1 and got["click"]["credited_value"] is None
+    assert got["view"]["credited_value"] == pytest.approx(40.0)
+
+
 def test_compression_ratio_orders_repetitive_below_diverse(spark, tmp_path):
     docs = pa.table(
         {
