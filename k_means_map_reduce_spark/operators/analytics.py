@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .._memo import SessionMemo
 from ..registry import query
 from ..sources import load_table
 from ._util import dsum, sql_dsum
@@ -335,7 +336,7 @@ def events_winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-_BASKETS_CACHE: dict = {}
+_BASKETS_CACHE = SessionMemo("analytics.baskets")
 
 
 @query(
@@ -381,12 +382,11 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # feeds four consumers (the order count, item frequencies, and both
     # sides of the pair self-join); memoizing means repeated invocations
     # reuse ONE cached table instead of stacking persisted copies.
-    key = (id(spark), sf_dir)
-    baskets = _BASKETS_CACHE.get(key)
+    baskets = _BASKETS_CACHE.get(spark, sf_dir)
     if baskets is None:
         l = load_table(spark, sf_dir, "lineitem")
         baskets = l.select("l_orderkey", "l_partkey").distinct().persist()
-        _BASKETS_CACHE[key] = baskets
+        _BASKETS_CACHE.put(spark, sf_dir, baskets)
     # broadcast scalar, not a driver-side collect: the 1-row distinct-order
     # count rides a cross join (same discipline as q11/q22)
     n_orders = baskets.agg(F.countDistinct("l_orderkey").alias("n_orders"))

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .._memo import SessionMemo
 from ..registry import query
 from ..sources import load_table
 from ..kmeans import kmeans_mllib, kmeans_native_df
@@ -387,7 +388,7 @@ def _kmeans_oracle_sql(k: int, rounds: int) -> str:
     )
 
 
-_LLOYD_CACHE: dict = {}
+_LLOYD_CACHE = SessionMemo("clustering.lloyd")
 
 
 def _lloyd_portable(spark: SparkSession, sf_dir: str, k: int, rounds: int):
@@ -399,8 +400,7 @@ def _lloyd_portable(spark: SparkSession, sf_dir: str, k: int, rounds: int):
     per query would triple the driver's collect rounds for nothing."""
     from ..kmeans import assign_clusters
 
-    key = (id(spark), sf_dir, k, rounds)
-    hit = _LLOYD_CACHE.get(key)
+    hit = _LLOYD_CACHE.get(spark, sf_dir, k, rounds)
     if hit is not None:
         return hit
 
@@ -441,7 +441,7 @@ def _lloyd_portable(spark: SparkSession, sf_dir: str, k: int, rounds: int):
         cents = [
             [by_cid[cid][d] for d in sorted(by_cid[cid])] for cid in sorted(by_cid)
         ]
-    _LLOYD_CACHE[key] = (cents, assigned)
+    _LLOYD_CACHE.put(spark, sf_dir, k, rounds, (cents, assigned))
     return cents, assigned
 
 

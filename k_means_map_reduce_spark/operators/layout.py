@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .._memo import SessionMemo
 from ..registry import query
 from ..sources import load_table
 from ..functions.zorder import (
@@ -214,7 +215,7 @@ def layout_index_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_ZIDX_CACHE: dict = {}
+_ZIDX_CACHE = SessionMemo("layout.zidx")
 
 
 def _zidx_artifacts(spark: SparkSession, sf_dir: str, e: DataFrame):
@@ -224,13 +225,12 @@ def _zidx_artifacts(spark: SparkSession, sf_dir: str, e: DataFrame):
     import shutil
     import tempfile
 
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
-    hit = _ZIDX_CACHE.get(key)
+    hit = _ZIDX_CACHE.get(spark, os.path.abspath(sf_dir))
     if hit is not None:
         return hit
     path = tempfile.mkdtemp(prefix="kmmr_zidx_")
     atexit.register(shutil.rmtree, path, ignore_errors=True)
     zorder_write(e, path, "user_id", "value", num_files=8)
     index = build_file_index(spark, path, "user_id").persist()
-    _ZIDX_CACHE[key] = (path, index)
+    _ZIDX_CACHE.put(spark, os.path.abspath(sf_dir), (path, index))
     return path, index

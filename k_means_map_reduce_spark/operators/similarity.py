@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .._memo import SessionMemo
 from ..registry import query
 from ..sources import load_table
 from ..functions.vectors import cosine_similarity
@@ -279,7 +280,7 @@ def sim_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PQ_M, _PQ_KSUB, _PQ_DSUB = 8, 32, 8  # subspaces × codebook size × dims-per-sub
 _PQ_SHORTLIST = 16 * TOP_K
-_PQ_INDEX_CACHE: dict = {}
+_PQ_INDEX_CACHE = SessionMemo("similarity.pq_index")
 
 
 def _pq_index(spark: SparkSession, sf_dir: str):
@@ -290,8 +291,7 @@ def _pq_index(spark: SparkSession, sf_dir: str):
 
     from ..functions.vectors import l2_norm
 
-    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
-    hit = _PQ_INDEX_CACHE.get(key)
+    hit = _PQ_INDEX_CACHE.get(spark, _os.path.abspath(sf_dir))
     if hit is not None:
         return hit
 
@@ -353,7 +353,7 @@ def _pq_index(spark: SparkSession, sf_dir: str):
             )
 
     encoded = corpus.mapInPandas(encode, "vec_id LONG, codes ARRAY<INT>").persist()
-    _PQ_INDEX_CACHE[key] = (corpus, codebooks, encoded)
+    _PQ_INDEX_CACHE.put(spark, _os.path.abspath(sf_dir), (corpus, codebooks, encoded))
     return corpus, codebooks, encoded
 
 
@@ -448,7 +448,7 @@ def sim_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _IVF_CELLS, _IVF_NPROBE = 16, 8
-_IVFPQ_INDEX_CACHE: dict = {}
+_IVFPQ_INDEX_CACHE = SessionMemo("similarity.ivfpq_index")
 
 
 def _ivfpq_index(spark: SparkSession, sf_dir: str):
@@ -461,8 +461,7 @@ def _ivfpq_index(spark: SparkSession, sf_dir: str):
     from ..kmeans import kmeans_arrow
     from ..functions.vectors import l2_norm
 
-    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
-    hit = _IVFPQ_INDEX_CACHE.get(key)
+    hit = _IVFPQ_INDEX_CACHE.get(spark, _os.path.abspath(sf_dir))
     if hit is not None:
         return hit
 
@@ -544,7 +543,7 @@ def _ivfpq_index(spark: SparkSession, sf_dir: str):
     encoded = corpus.mapInPandas(
         encode, "vec_id LONG, cell INT, codes ARRAY<INT>"
     ).persist()
-    _IVFPQ_INDEX_CACHE[key] = (encoded, centers, codebooks, corpus)
+    _IVFPQ_INDEX_CACHE.put(spark, _os.path.abspath(sf_dir), (encoded, centers, codebooks, corpus))
     return encoded, centers, codebooks, corpus
 
 

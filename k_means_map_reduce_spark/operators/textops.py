@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .._memo import SessionMemo
 from ..registry import query
 from ..sources import load_table
 from ..functions.text import (
@@ -269,7 +270,7 @@ WINNOW_CTE_SQL = f"""
 # repeated bench invocations) compute them once, and — unlike the previous
 # per-invocation .cache() — repeated calls don't stack new copies in
 # executor storage.
-_WINNOW_FPS_CACHE: dict[tuple[str, str], DataFrame] = {}
+_WINNOW_FPS_CACHE = SessionMemo("textops.winnow_fps")
 
 
 def winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -279,8 +280,7 @@ def winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
     repartition barrier."""
     import os as _os
 
-    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
-    cached = _WINNOW_FPS_CACHE.get(key)
+    cached = _WINNOW_FPS_CACHE.get(spark, _os.path.abspath(sf_dir))
     if cached is not None:
         return cached
     d = load_table(spark, sf_dir, "documents")
@@ -309,7 +309,7 @@ def winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.expr(fps_from_hs).alias("fps"))
         .persist()
     )
-    _WINNOW_FPS_CACHE[key] = df
+    _WINNOW_FPS_CACHE.put(spark, _os.path.abspath(sf_dir), df)
     return df
 
 
@@ -873,7 +873,7 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_CHUNKS_CACHE: dict = {}
+_CHUNKS_CACHE = SessionMemo("textops.chunks")
 
 
 @query(
@@ -929,8 +929,7 @@ def dedup_shared_chunk_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The chunk table is PERSISTED (session+dir memo): both consumers (the
     # inverted index and the per-doc rollup join side) otherwise re-run the
     # chunking HOF — measured 2.1s -> 0.9s warm at sf0.1.
-    key = (id(spark), sf_dir)
-    chunks = _CHUNKS_CACHE.get(key)
+    chunks = _CHUNKS_CACHE.get(spark, sf_dir)
     if chunks is None:
         d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
         d = d.repartition(spark.sparkContext.defaultParallelism)
@@ -950,7 +949,7 @@ def dedup_shared_chunk_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", F.posexplode("ch").alias("chunk_idx", "chunk_hash"))
             .persist()
         )
-        _CHUNKS_CACHE[key] = chunks
+        _CHUNKS_CACHE.put(spark, sf_dir, chunks)
     shared = chunks.groupBy("chunk_hash").agg(
         F.countDistinct("doc_id").alias("n_docs")
     )
@@ -1285,7 +1284,7 @@ def text_token_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BM25_PERDOC_CACHE: dict = {}
+_BM25_PERDOC_CACHE = SessionMemo("textops.bm25_per_doc")
 
 
 @query(
@@ -1360,8 +1359,7 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-expand the explode subtree each — filter pushdown differentiates
     # the subtrees, defeating exchange reuse (NEXT.md lesson 4; plan-
     # asserted: tests/test_plans.py::test_bm25_single_tokenize_pass).
-    key = (id(spark), sf_dir)
-    per_doc = _BM25_PERDOC_CACHE.get(key)
+    per_doc = _BM25_PERDOC_CACHE.get(spark, sf_dir)
     if per_doc is None:
         per_doc = docs.groupBy("doc_id").agg(
             F.count(F.lit(1)).alias("dl"),
@@ -1370,7 +1368,7 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for i, t in enumerate(terms)
             ],
         ).persist()
-        _BM25_PERDOC_CACHE[key] = per_doc
+        _BM25_PERDOC_CACHE.put(spark, sf_dir, per_doc)
     stats = per_doc.agg(
         F.sum("dl").cast("double").alias("sum_dl"),
         F.count(F.lit(1)).cast("double").alias("nd"),
