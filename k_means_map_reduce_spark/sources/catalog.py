@@ -175,11 +175,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # DuckDB's truncating TIMESTAMP_NS→TIMESTAMP cast. (`ts / 1000` would
         # be DOUBLE division: at 1.7e15 µs the ULP is 0.25µs, so ~¼ of rows
         # round up across the integer boundary and drift +1µs from the oracle.)
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # nanosAsLong rides as a per-READ option (reader options merge into
+        # the relation's Hadoop conf) — never a session-conf mutation, which
+        # would leak into every other query on the session.
         from pyspark.sql import functions as F
 
         return (
             spark.read.schema(TABLE_SCHEMAS[name])
+            .option("spark.sql.legacy.parquet.nanosAsLong", "true")
             .parquet(path)
             .withColumn(
                 "ts",

@@ -117,9 +117,11 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         )
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # per-read option, not a session-conf mutation (sources/catalog.py has
+    # the same discipline on the batch path)
     return (
         spark.readStream.schema(TABLE_SCHEMAS["events"])
+        .option("spark.sql.legacy.parquet.nanosAsLong", "true")
         .parquet(stage)
         .withColumn(
             # integer div, not /1000: double division drifts +1µs on ~¼ of
@@ -1050,11 +1052,89 @@ class _UserStatsProcessor(_StatefulProcessor):
         pass
 
 
+def _update_user_stats_minmax(
+    key, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """applyInPandasWithState body computing the tws twin's exact columns
+    (count, max, min) — the fallback path of stream_user_stats_tws."""
+    (user_id,) = key
+    if state.exists:
+        n, mx, mn = state.get
+    else:
+        n, mx, mn = 0, float("-inf"), float("inf")
+    for pdf in pdfs:
+        vals = pdf["value"].dropna()
+        n += len(pdf)
+        if len(vals):
+            mx = max(mx, float(vals.max()))
+            mn = min(mn, float(vals.min()))
+    state.update((n, mx, mn))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_events": [n],
+            "max_value": [mx if mx != float("-inf") else None],
+            "min_value": [mn if mn != float("inf") else None],
+        }
+    )
+
+
+def _stream_user_stats_apply_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stream_user_stats_tws's columns through applyInPandasWithState —
+    used where transformWithStateInPandas cannot run (see _tws_available)."""
+    e = read_events_stream(spark, sf_dir)
+    stats = (
+        e.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_user_stats_minmax,
+            outputStructType=_TWS_OUT_SCHEMA,
+            stateStructType=_TWS_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    sink = f"user_stats_twsfb_{uuid.uuid4().hex[:8]}"
+    checkpoint = tempfile.mkdtemp(prefix=f"ckpt_{sink}_", dir=_tmp_root())
+    try:
+        q = (
+            stats.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(checkpoint, ignore_errors=True)
+    raw = spark.table(sink)
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        raw.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
 def stream_user_stats_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user running stats via transformWithStateInPandas — the Spark 4
     stateful API twin of stream_user_running_stats. Requires the RocksDB
     state store; the provider conf is set for the query start and restored
-    after (session-conf hygiene)."""
+    after (session-conf hygiene).
+
+    Where the runtime can't run transformWithStateInPandas (no
+    google.protobuf in the Python workers — see _tws_available), the SAME
+    stateful aggregation runs through applyInPandasWithState instead, so
+    the query registers UNCONDITIONALLY and queries() has identical keys
+    in every container (round-3 verdict: a registry that differs between
+    environments makes the driver rotation non-deterministic). Both paths
+    are real incremental stateful streaming with identical output columns
+    and the same oracle."""
+    if not _tws_available():
+        return _stream_user_stats_apply_fallback(spark, sf_dir)
     e = read_events_stream(spark, sf_dir)
     stats = (
         e.select("user_id", "value")
@@ -1116,16 +1196,15 @@ def _tws_available() -> bool:
         return False
 
 
-if _tws_available():
-    _query(
-        "streaming_user_stats_tws_vs_batch",
-        oracle="""
-        SELECT user_id, COUNT(*) AS n_events,
-               MAX(value) AS max_value, MIN(value) AS min_value
-        FROM events
-        GROUP BY user_id
-        """,
-    )(stream_user_stats_tws)
+_query(
+    "streaming_user_stats_tws_vs_batch",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           MAX(value) AS max_value, MIN(value) AS min_value
+    FROM events
+    GROUP BY user_id
+    """,
+)(stream_user_stats_tws)
 
 
 def stream_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -181,19 +181,17 @@ def test_checkpointed_file_sink_is_exactly_once_across_restarts(spark, oracle_sf
     assert got.select(F.count_distinct("event_id")).collect()[0][0] == ev.count()
 
 
-def test_tws_gated_on_protobuf(spark, sf_dir):
-    """transformWithStateInPandas registers only where google.protobuf
-    exists (its state-server client needs StateMessage_pb2); in this
-    container it must be absent from the registry rather than crashing at
-    driver-check time. If protobuf IS present, the query must run and
-    match the plain batch aggregation."""
+def test_tws_registers_everywhere_and_matches_batch(spark, sf_dir):
+    """The tws twin registers UNCONDITIONALLY (round-3 verdict: an
+    environment-conditional registry makes the driver rotation differ
+    between containers). Where google.protobuf is absent
+    (transformWithStateInPandas's state-server client needs
+    StateMessage_pb2) the query runs the documented
+    applyInPandasWithState fallback; either path must match the plain
+    batch aggregation oracle."""
+    from k_means_map_reduce_spark.oracle import compare_query
     from k_means_map_reduce_spark.registry import QUERIES
-    from k_means_map_reduce_spark.streaming.jobs import _tws_available
 
-    registered = "streaming_user_stats_tws_vs_batch" in QUERIES
-    assert registered == _tws_available()
-    if registered:
-        from k_means_map_reduce_spark.oracle import compare_query
-
-        r = compare_query(spark, "streaming_user_stats_tws_vs_batch", sf_dir)
-        assert r.ok, r.detail
+    assert "streaming_user_stats_tws_vs_batch" in QUERIES
+    r = compare_query(spark, "streaming_user_stats_tws_vs_batch", sf_dir)
+    assert r.ok, r.detail
