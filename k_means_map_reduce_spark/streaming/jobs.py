@@ -132,6 +132,41 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _state_epoch(state_path: str) -> int:
+    """Last epoch folded into the copy-on-write state at state_path (-1 if
+    none). The marker lives INSIDE the versioned state dir (parquet readers
+    ignore underscore-prefixed files), so it can never disagree with the
+    data it describes — they publish in one atomic swap."""
+    try:
+        with open(os.path.join(os.path.realpath(state_path), "_epoch")) as fh:
+            return int(fh.read().strip())
+    except (OSError, ValueError):
+        return -1
+
+
+def _publish_state(merged: DataFrame, state_path: str, epoch_id: int) -> None:
+    """Atomically publish a new state version: write to a fresh versioned
+    dir next to state_path, stamp the applied epoch inside it, then swap a
+    symlink with a single rename(2). A crash at any point leaves either the
+    complete old state or the complete new state — the previous two-step
+    directory rename had a window with NO state dir at all (round-3
+    advisor finding). The superseded version dir is removed after the swap.
+    """
+    parent = os.path.dirname(state_path)
+    version = os.path.join(parent, f"v{epoch_id}_{uuid.uuid4().hex[:6]}")
+    merged.write.mode("overwrite").parquet(version)
+    with open(os.path.join(version, "_epoch"), "w") as fh:
+        fh.write(str(epoch_id))
+    prior = (
+        os.path.realpath(state_path) if os.path.lexists(state_path) else None
+    )
+    tmp_link = os.path.join(parent, f".swap_{uuid.uuid4().hex[:6]}")
+    os.symlink(os.path.basename(version), tmp_link)
+    os.replace(tmp_link, state_path)  # atomic on POSIX
+    if prior and prior != version and os.path.isdir(prior):
+        shutil.rmtree(prior, ignore_errors=True)
+
+
 def _run_available_now(
     stream_df: DataFrame, query_name: str, mode: str = "complete"
 ) -> DataFrame:
@@ -711,19 +746,17 @@ def stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.mkdtemp(prefix="inc_state_", dir=_tmp_root()), "state"
     )
 
-    def refresh(bdf: DataFrame, _epoch: int) -> None:
+    def refresh(bdf: DataFrame, epoch_id: int) -> None:
+        # foreachBatch is at-least-once and additive combine is NOT
+        # idempotent: skip epochs already folded into the state.
+        if epoch_id <= _state_epoch(state_path):
+            return
         delta = _agg_batch(bdf)
         if _os.path.isdir(state_path):
-            base = spark.read.parquet(state_path)
-            new = combine_additive(base, delta)
-            staging = f"{state_path}__staging"
-            new.write.mode("overwrite").parquet(staging)
-            old = f"{state_path}__old"
-            _os.rename(state_path, old)
-            _os.rename(staging, state_path)
-            shutil.rmtree(old)
+            merged = combine_additive(spark.read.parquet(state_path), delta)
         else:
-            delta.write.mode("overwrite").parquet(state_path)
+            merged = delta
+        _publish_state(merged, state_path, epoch_id)
 
     stream = (
         spark.readStream.schema(schema)
@@ -813,12 +846,13 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.mkdtemp(prefix="cdc_state_", dir=_tmp_root()), "state"
     )
     base = base_units.withColumn("batch_no", F.lit(-1).cast("int"))
-    base.write.parquet(state_path)
+    _publish_state(base, state_path, -1)
 
-    def apply_batch(bdf: DataFrame, _epoch: int) -> None:
+    def apply_batch(bdf: DataFrame, epoch_id: int) -> None:
         cur = spark.read.parquet(state_path)
         # last-writer-wins by explicit version: keep the incoming row only
-        # where its batch_no beats the current row's.
+        # where its batch_no beats the current row's — this makes a
+        # replayed batch a no-op by construction (no epoch skip needed).
         incoming = bdf.alias("i").join(
             cur.select("o_orderkey", F.col("batch_no").alias("cur_no")),
             "o_orderkey",
@@ -827,12 +861,7 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cur_no").isNull() | (F.col("batch_no") > F.col("cur_no"))
         ).select("o_orderkey", "price_units", "batch_no")
         merged = merge_upsert(cur, incoming, ["o_orderkey"])
-        staging = f"{state_path}__staging"
-        merged.write.mode("overwrite").parquet(staging)
-        old = f"{state_path}__old"
-        _os.rename(state_path, old)
-        _os.rename(staging, state_path)
-        shutil.rmtree(old)
+        _publish_state(merged, state_path, epoch_id)
 
     schema = "o_orderkey LONG, price_units LONG, batch_no INT"
     stream = (
@@ -926,23 +955,21 @@ def stream_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n"))
         )
 
-    def refresh(bdf: DataFrame, _epoch: int) -> None:
+    def refresh(bdf: DataFrame, epoch_id: int) -> None:
+        # additive bin counts are NOT idempotent: skip replayed epochs
+        if epoch_id <= _state_epoch(state_path):
+            return
         delta = sketch_batch(bdf)
         if _os.path.isdir(state_path):
-            base = spark.read.parquet(state_path)
             merged = (
-                base.unionByName(delta)
+                spark.read.parquet(state_path)
+                .unionByName(delta)
                 .groupBy("event_type", "day", "bin")
                 .agg(F.sum("n").cast("long").alias("n"))
             )
-            staging = f"{state_path}__staging"
-            merged.write.mode("overwrite").parquet(staging)
-            old = f"{state_path}__old"
-            _os.rename(state_path, old)
-            _os.rename(staging, state_path)
-            shutil.rmtree(old)
         else:
-            delta.write.mode("overwrite").parquet(state_path)
+            merged = delta
+        _publish_state(merged, state_path, epoch_id)
 
     stream = (
         spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stage)
@@ -1259,23 +1286,24 @@ def stream_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("long").alias("c"))
         )
 
-    def refresh(bdf: DataFrame, _epoch: int) -> None:
+    def refresh(bdf: DataFrame, epoch_id: int) -> None:
+        # foreachBatch is at-least-once and CMS addition is NOT idempotent:
+        # a replayed batch would double-count its cells. The state records
+        # the last applied epoch (inside the atomically-swapped version
+        # dir), so already-folded epochs are skipped — round-3 advisor.
+        if epoch_id <= _state_epoch(state_path):
+            return
         delta = cells(bdf)
         if _os.path.isdir(state_path):
-            base = spark.read.parquet(state_path)
             merged = (
-                base.unionByName(delta)
+                spark.read.parquet(state_path)
+                .unionByName(delta)
                 .groupBy("j", "bucket")
                 .agg(F.sum("c").cast("long").alias("c"))
             )
-            staging = f"{state_path}__staging"
-            merged.write.mode("overwrite").parquet(staging)
-            old = f"{state_path}__old"
-            _os.rename(state_path, old)
-            _os.rename(staging, state_path)
-            shutil.rmtree(old)
         else:
-            delta.write.mode("overwrite").parquet(state_path)
+            merged = delta
+        _publish_state(merged, state_path, epoch_id)
 
     stream = (
         spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stage)
@@ -1374,19 +1402,17 @@ def stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("event_type", "hv")
         )
 
-    def refresh(bdf: DataFrame, _epoch: int) -> None:
+    def refresh(bdf: DataFrame, epoch_id: int) -> None:
+        # no epoch skip HERE by design: the KMV lattice join is idempotent,
+        # so at-least-once replays are absorbed by the merge itself — that
+        # absorption is the property this query demonstrates (and
+        # tests/test_streaming.py replays a batch to prove it).
         delta = topk(bdf.select("event_type", hv.alias("hv")))
         if _os.path.isdir(state_path):
-            base = spark.read.parquet(state_path)
-            merged = topk(base.unionByName(delta))
-            staging = f"{state_path}__staging"
-            merged.write.mode("overwrite").parquet(staging)
-            old = f"{state_path}__old"
-            _os.rename(state_path, old)
-            _os.rename(staging, state_path)
-            shutil.rmtree(old)
+            merged = topk(spark.read.parquet(state_path).unionByName(delta))
         else:
-            delta.write.mode("overwrite").parquet(state_path)
+            merged = delta
+        _publish_state(merged, state_path, epoch_id)
 
     stream = (
         spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stage)

@@ -195,3 +195,90 @@ def test_tws_registers_everywhere_and_matches_batch(spark, sf_dir):
     assert "streaming_user_stats_tws_vs_batch" in QUERIES
     r = compare_query(spark, "streaming_user_stats_tws_vs_batch", sf_dir)
     assert r.ok, r.detail
+
+
+def test_publish_state_atomic_swap_and_epoch_marker(spark, tmp_path):
+    """_publish_state must (a) leave state_path a symlink that always
+    resolves to a complete state version, (b) stamp the applied epoch
+    inside the version so marker and data swap together, (c) drop the
+    superseded version dir."""
+    import os
+
+    from k_means_map_reduce_spark.streaming.jobs import (
+        _publish_state,
+        _state_epoch,
+    )
+
+    state = str(tmp_path / "state")
+    assert _state_epoch(state) == -1
+    _publish_state(spark.range(3).toDF("x"), state, 0)
+    assert os.path.islink(state) and _state_epoch(state) == 0
+    v0 = os.path.realpath(state)
+    _publish_state(spark.read.parquet(state).withColumn("y", F.lit(1)), state, 1)
+    assert _state_epoch(state) == 1
+    assert spark.read.parquet(state).count() == 3
+    assert not os.path.isdir(v0), "superseded version must be removed"
+
+
+def test_cms_stream_replayed_epoch_is_skipped(spark, tmp_path):
+    """foreachBatch is at-least-once: replaying an epoch into the CMS
+    state must NOT double-count (addition is not idempotent — the state's
+    epoch marker makes the replay a no-op). Round-3 advisor finding."""
+    from k_means_map_reduce_spark.streaming.jobs import (
+        _publish_state,
+        _state_epoch,
+    )
+
+    state = str(tmp_path / "state")
+    delta = spark.createDataFrame([(0, 7, 2), (1, 3, 5)], "j INT, bucket INT, c LONG")
+
+    def refresh(bdf, epoch_id):
+        # the exact guard+merge shape stream_cms_heavy_hitters uses
+        if epoch_id <= _state_epoch(state):
+            return
+        import os
+
+        if os.path.isdir(state):
+            merged = (
+                spark.read.parquet(state)
+                .unionByName(bdf)
+                .groupBy("j", "bucket")
+                .agg(F.sum("c").cast("long").alias("c"))
+            )
+        else:
+            merged = bdf
+        _publish_state(merged, state, epoch_id)
+
+    refresh(delta, 0)
+    refresh(delta, 0)  # replayed epoch: must be skipped
+    refresh(delta, 1)  # genuinely new epoch: folds in
+    got = {(r.j, r.bucket): r.c for r in spark.read.parquet(state).collect()}
+    assert got == {(0, 7): 4, (1, 3): 10}
+
+
+def test_streaming_kmv_absorbs_replay_without_epoch_skip(spark, sf_dir):
+    """The KMV lattice merge (k smallest of the union) is idempotent, so a
+    replayed batch leaves the sketch unchanged even WITHOUT the epoch
+    guard — the property the query's docstring claims."""
+    from pyspark.sql import Window as W
+
+    from k_means_map_reduce_spark.operators.sketches import _KMV_K
+
+    hv = F.abs(F.xxhash64(F.col("user_id").cast("string"), F.lit(42)))
+    base = (
+        load_table(spark, sf_dir, "events")
+        .select(F.lit("all").alias("event_type"), hv.alias("hv"))
+        .distinct()
+    )
+    w = W.partitionBy("event_type").orderBy("hv")
+    topk = lambda df: (  # noqa: E731
+        df.distinct()
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _KMV_K)
+        .select("event_type", "hv")
+    )
+    once = topk(base)
+    replayed = topk(once.unionByName(once))
+    assert sorted(r.hv for r in once.collect()) == sorted(
+        r.hv for r in replayed.collect()
+    )
