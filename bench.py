@@ -127,19 +127,39 @@ def main() -> None:
         warm[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
+    total_warm = round(sum(warm.values()), 3)
+    # The driver records only the LAST ~2000 chars of stdout: rounds 1-3
+    # emitted one ~4.5KB line (cold+warm per-query) whose head got cut, so
+    # BENCH_r{1..3}.json all have parsed=null. stdout therefore carries ONE
+    # COMPACT line — warm (steady-state) per-query at 2dp plus both totals —
+    # and the full-precision cold+warm detail goes to bench_detail.json.
+    detail = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "queries_warm": warm,
+        "value_warm": total_warm,
+        "sf": sf,
+    }
+    with open(os.path.join(_REPO, "bench_detail.json"), "w") as fh:
+        json.dump(detail, fh, indent=1)
+    for dp in (2, 1):  # degrade precision before ever exceeding the budget
+        line = json.dumps(
             {
-                "metric": "headline_queries_total",
-                "value": total,
+                "metric": "headline_queries_warm_total",
+                "value": total_warm,
                 "unit": "sec",
-                "queries": timings,
-                "queries_warm": warm,
-                "value_warm": round(sum(warm.values()), 3),
+                "queries": {k: round(v, dp) for k, v in warm.items()},
+                "value_cold": total,
                 "sf": sf,
-            }
+            },
+            separators=(",", ":"),
         )
-    )
+        if len(line) < 1950:
+            break
+    assert len(line) < 1950, f"bench line {len(line)} chars risks driver tail cut"
+    print(line)
     spark.stop()
 
 

@@ -355,6 +355,27 @@ def test_bench_headline_names_are_registered():
     assert not missing, f"bench names not in registry: {missing}"
     assert len(set(mod.HEADLINE)) == len(mod.HEADLINE), "duplicate bench entries"
 
+    # The driver keeps only the last ~2000 chars of bench stdout; the final
+    # JSON line must fit or BENCH_r{N}.json records parsed=null (as it did
+    # rounds 1-3). Worst-case render: every query at 999.99s.
+    import json
+
+    line = json.dumps(
+        {
+            "metric": "headline_queries_warm_total",
+            "value": 99999.99,
+            "unit": "sec",
+            "queries": {n: 99.99 for n in mod.HEADLINE},
+            "value_cold": 99999.99,
+            "sf": 0.1,
+        },
+        separators=(",", ":"),
+    )
+    assert len(line) < 1950, (
+        f"bench stdout line would be {len(line)} chars; trim HEADLINE or "
+        "compact the encoding — the driver tail-truncates at ~2000"
+    )
+
 
 def test_coverage_doc_counts_match_registry():
     """COVERAGE.md's headline counts are judge-facing: keep them honest
