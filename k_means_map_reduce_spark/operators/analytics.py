@@ -1337,13 +1337,15 @@ def timeseries_autocorr_daily_revenue(spark: SparkSession, sf_dir: str) -> DataF
         dsum28(F.col("rev") * F.col("rev") / 1000000.0).alias("sxx"),
         dsum28(F.col("prev") * F.col("prev") / 1000000.0).alias("syy"),
     )
+    # constant series ⇒ a variance term is 0 ⇒ /0: ANSI Spark throws where
+    # DuckDB yields NULL — guard so both emit NULL (advisor-flagged class)
+    vx = F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n") / 1000000.0
+    vy = F.col("syy") - F.col("sy") * F.col("sy") / F.col("n") / 1000000.0
+    num = F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n") / 1000000.0
     return m.select(
         "n",
         F.round(
-            (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n") / 1000000.0)
-            / F.sqrt(F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n") / 1000000.0)
-            / F.sqrt(F.col("syy") - F.col("sy") * F.col("sy") / F.col("n") / 1000000.0),
-            6,
+            F.when((vx > 0) & (vy > 0), num / F.sqrt(vx) / F.sqrt(vy)), 6
         ).alias("lag1_autocorr"),
     )
 
@@ -1413,7 +1415,10 @@ def events_anomaly_daily_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mean = F.col("w_sum") / F.col("w_n")
     var = F.col("w_sum2") / F.col("w_n") - mean * mean
-    z = (F.col("n") - mean) / F.sqrt(var)
+    # when-guard, not just the filter: ANSI vectorized eval computes every
+    # conjunct on every row, so a 14-day window of identical counts (var=0)
+    # would throw DIVIDE_BY_ZERO inside the predicate itself
+    z = F.when(var > 0, (F.col("n") - mean) / F.sqrt(var))
     return scored.where(
         (F.col("w_n") >= 7) & (var > 0) & (F.abs(z) > 2)
     ).select(
@@ -2897,13 +2902,17 @@ def events_runs_test_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     rd = F.col("r").cast("double")
     a = F.col("n1").cast("double")
     b = F.col("n0").cast("double")
-    mu = F.lit(2.0) * a * b / (a + b) + F.lit(1.0)
-    var = (F.lit(2.0) * a * b * (F.lit(2.0) * a * b - a - b)) / (
-        (a + b) * (a + b) * (a + b - F.lit(1.0))
+    mu = F.when((a + b) > 0, F.lit(2.0) * a * b / (a + b) + F.lit(1.0))
+    # all-above/all-below (a or b = 0) or a single observation (a+b=1)
+    # zeroes the variance: guard to NULL like the oracle's IEEE-NULL chain
+    var = F.when(
+        (a > 0) & (b > 0) & (a + b > 1),
+        (F.lit(2.0) * a * b * (F.lit(2.0) * a * b - a - b))
+        / ((a + b) * (a + b) * (a + b - F.lit(1.0))),
     )
     return counts.select(
         F.col("r").alias("n_runs"),
         F.col("n1").alias("n_above"),
         F.col("n0").alias("n_below"),
-        F.round((rd - mu) / F.sqrt(var), 6).alias("z_score"),
+        F.round(F.when(var > 0, (rd - mu) / F.sqrt(var)), 6).alias("z_score"),
     )

@@ -416,3 +416,50 @@ def test_rebate_allocation_sums_exact(spark, sf_dir):
         .count()
     )
     assert bad == 0
+
+
+def test_stats_family_degenerate_constant_series(spark, tmp_path):
+    """Constant data zeroes variances/determinants: ANSI Spark must yield
+    NULL (via when-guards) exactly where DuckDB's /0 yields NULL, not
+    throw DIVIDE_BY_ZERO — the advisor-flagged latent class, pinned on a
+    synthetic constant-value events table."""
+    from k_means_map_reduce_spark.oracle import compare_query
+
+    t0 = dt.datetime(2024, 4, 1, 12, 0, 0)
+    rows = []
+    # 30 days, exactly 3 purchases/day, all value 10.0: constant daily
+    # revenue AND constant daily counts
+    eid = 0
+    for d in range(30):
+        for j in range(3):
+            rows.append(
+                (eid, t0 + dt.timedelta(days=d, minutes=j), 1 + j, "purchase", 10.0)
+            )
+            eid += 1
+    _write_events(str(tmp_path / "events.parquet"), rows)
+    # constant daily revenue in orders too (autocorr reads orders)
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array(list(range(60)), pa.int64()),
+            "o_custkey": pa.array([1] * 60, pa.int64()),
+            "o_orderstatus": pa.array(["F"] * 60, pa.string()),
+            "o_totalprice": pa.array([100.0] * 60, pa.float64()),
+            "o_orderdate": pa.array(
+                [t0 + dt.timedelta(days=d // 2) for d in range(60)],
+                pa.timestamp("us"),
+            ),
+            "o_orderpriority": pa.array(["1-URGENT"] * 60, pa.string()),
+        }
+    )
+    pq.write_table(orders, str(tmp_path / "orders.parquet"))
+    for name in (
+        "timeseries_autocorr_daily_revenue",
+        "events_anomaly_daily_zscore",
+        "events_runs_test_daily",
+    ):
+        r = compare_query(spark, name, str(tmp_path))
+        assert r.ok, f"{name}: {r.detail}"
+    got = QUERIES["timeseries_autocorr_daily_revenue"](spark, str(tmp_path)).collect()
+    assert got[0]["lag1_autocorr"] is None  # constant series: undefined, NULL
+    z = QUERIES["events_runs_test_daily"](spark, str(tmp_path)).collect()
+    assert all(r["z_score"] is None for r in z)
