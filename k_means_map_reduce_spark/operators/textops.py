@@ -160,6 +160,9 @@ def text_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-aggregate. At 100 TB this is the canonical explode→agg shape with
     map-side partial aggregation absorbing the fan-out."""
     d = load_table(spark, sf_dir, "documents")
+    # Fan out the single-row-group scan so tokenize+zip_with+explode (and
+    # the map-side partial agg) parallelize; see text_simhash_signatures.
+    d = d.repartition(spark.sparkContext.defaultParallelism)
     toks = F.filter(F.split(F.trim(F.lower("text")), r"\s+"), lambda t: t != "")
     bigrams = F.zip_with(
         F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
@@ -593,13 +596,22 @@ def text_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     / SEO spam / generation loops — the standard repetition gate a training
     corpus runs after exact dedup (cf. Gopher's repetition filters).
 
-    Shape at 100 TB: explode words (and bigrams) and hash-aggregate on
-    (doc_id, gram) with map-side partial aggregation collapsing in-partition
-    repeats, then a second agg keyed by doc_id; both shuffles carry (id,
-    gram-token, count) — never the document text. The two branches join on
-    the already-shuffled doc_id key. No sort, no window, no UDF.
+    Shape at 100 TB: ONE doc_id-keyed exchange of the raw text per branch,
+    then every aggregation — (doc_id, gram) counts, the per-doc rollup, and
+    the branch join — runs exchange-free on that partitioning
+    (HashPartitioning(doc_id) satisfies clustering on (doc_id, gram)). This
+    beats the explode-then-shuffle-grams alternative outright: the bigram
+    stream carries each word twice, so shuffling text once is strictly
+    fewer bytes than shuffling grams, and the gram fan-out never crosses
+    the wire at all. No sort, no window, no UDF.
     """
     d = load_table(spark, sf_dir, "documents")
+    # ONE doc_id-keyed exchange up front: HashPartitioning(doc_id) satisfies
+    # the clustering needs of BOTH gram aggs (doc_id ⊆ (doc_id, gram)) and
+    # the final doc_id join, so neither branch re-shuffles — and the text
+    # shuffle is CHEAPER than the bigram shuffle it replaces (bigrams carry
+    # each word twice). Also fans out the single-row-group testdata scan.
+    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     ws = d.select(
         "doc_id",
         F.expr(r"filter(split(lower(trim(text)), '\\s+'), t -> t != '')").alias("ws"),
@@ -1180,6 +1192,14 @@ def text_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     (hashes reduce in the scan projection).
     """
     d = load_table(spark, sf_dir, "documents")
+    # Fan out the single-row-group documents scan BY doc_id before the
+    # explode+md5 projection (testdata ships one row group, so without this
+    # all hashing serializes on one core) — hash-partitioning on doc_id
+    # survives the projection, so the groupBy below needs NO second
+    # exchange: net one small shuffle of raw text instead of one large
+    # shuffle of (doc_id, hash) pairs. At 100 TB file splits make the
+    # repartition a no-op cost-wise; the agg reuse still holds.
+    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     toks = F.filter(F.split(F.trim(F.lower("text")), r"\s+"), lambda t: t != "")
     hashes = d.where(F.size(toks) > 0).select(
         "doc_id",

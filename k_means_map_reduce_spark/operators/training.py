@@ -260,6 +260,13 @@ def training_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import token_count
 
     d = load_table(spark, sf_dir, "documents")
+    # Key the fan-out by the pack-bucket expression itself: alias-aware
+    # output partitioning lets the per-bucket groupBy and window below reuse
+    # this ONE exchange, and the token_count regex (the dominant cost)
+    # parallelizes instead of running on the testdata's single row group.
+    d = d.repartition(
+        spark.sparkContext.defaultParallelism, F.expr(f"doc_id div {_PACK_BUCKET}")
+    )
     toks = (
         d.where(_split(_bucket(F.col("doc_id"))) == "train")
         .select(
@@ -554,6 +561,11 @@ def corpus_to_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .textops import _PII_EMAIL, _PII_IPV4, _PII_PHONE
 
     d = load_table(spark, sf_dir, "documents")
+    # Fan out the single-row-group scan: the regex scrub + quality pass is
+    # the dominant cost and otherwise serializes on one core (testdata ships
+    # one row group). At 100 TB file splits already parallelize the scan and
+    # this becomes a cheap no-op round-robin of text rows.
+    d = d.repartition(spark.sparkContext.defaultParallelism)
     gated = d.select(
         # round-6 BEFORE gating/summing: the oracle's QUALITY_SQL mirror is
         # ROUND(...,6), and the decimal-sum recipe needs both engines to see
