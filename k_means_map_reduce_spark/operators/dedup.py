@@ -582,7 +582,11 @@ def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("_df").between(2, 10))
         .select("fp")
     )
-    filtered = ex.join(postings, "fp")
+    # Persist: BOTH sides of the self-join below consume this subtree, and
+    # an unpersisted derived table re-runs its explode + posting join once
+    # per side (lesson 15 — CacheManager dedups the identical plan across
+    # invocations, so repeat calls don't stack copies).
+    filtered = ex.join(postings, "fp").persist()
     a = filtered.select(F.col("doc_id").alias("d1"), "fp")
     b = filtered.select(F.col("doc_id").alias("d2"), "fp")
     pair_counts = (

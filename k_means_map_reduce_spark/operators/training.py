@@ -561,11 +561,6 @@ def corpus_to_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .textops import _PII_EMAIL, _PII_IPV4, _PII_PHONE
 
     d = load_table(spark, sf_dir, "documents")
-    # Fan out the single-row-group scan: the regex scrub + quality pass is
-    # the dominant cost and otherwise serializes on one core (testdata ships
-    # one row group). At 100 TB file splits already parallelize the scan and
-    # this becomes a cheap no-op round-robin of text rows.
-    d = d.repartition(spark.sparkContext.defaultParallelism)
     gated = d.select(
         # round-6 BEFORE gating/summing: the oracle's QUALITY_SQL mirror is
         # ROUND(...,6), and the decimal-sum recipe needs both engines to see
