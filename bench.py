@@ -122,9 +122,15 @@ def main() -> None:
         t0 = time.perf_counter()
         fn(spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 3)
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
-        warm[name] = round(time.perf_counter() - t0, 3)
+        # warm = min of two steady-state passes: single-sample warm timings
+        # swing up to 1.5x with VM contention (NEXT.md), and min-of-N is the
+        # standard low-noise estimator of steady-state cost.
+        samples = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            samples.append(time.perf_counter() - t0)
+        warm[name] = round(min(samples), 3)
 
     total = round(sum(timings.values()), 3)
     total_warm = round(sum(warm.values()), 3)

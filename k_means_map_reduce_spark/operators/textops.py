@@ -1208,18 +1208,22 @@ def text_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.conv(F.substring(F.md5("t"), 1, 12), 16, 10).cast("long").alias("h"),
     )
+    # Vote sum s_i = ones_i - (n - ones_i): aggregate plain bit counts (one
+    # shiftright+and per bit, no conditional) plus one row count, and test
+    # 2*ones_i > n — identical sign to the ±1 formulation at half the
+    # per-row expression work.
     votes = [
-        F.sum(
-            F.when(F.col("h").bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1)
-        ).alias(f"s{i}")
+        F.sum(F.shiftright("h", i).bitwiseAND(F.lit(1)).cast("long")).alias(f"s{i}")
         for i in range(_SIMHASH_BITS)
     ]
-    bitsums = hashes.groupBy("doc_id").agg(*votes)
+    bitsums = hashes.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("_n"), *votes
+    )
     sig = None
     for i in range(_SIMHASH_BITS):
-        term = F.when(F.col(f"s{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
+        term = F.when(
+            F.col(f"s{i}") * 2 > F.col("_n"), F.lit(1 << i).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
         sig = term if sig is None else sig + term
     return bitsums.select("doc_id", sig.alias("simhash"))
 
