@@ -302,3 +302,48 @@ def test_triangle_closure_is_shuffle_hash(spark, sf_dir):
     r = plan_report(QUERIES["graph_triangle_count"](spark, sf_dir))
     assert "ShuffledHashJoin" in r.text
     assert "InMemoryTableScan" in r.text
+
+
+def test_repetition_filters_reuses_doc_partitioning(spark, sf_dir):
+    """text_repetition_filters: one doc_id-keyed text exchange per branch,
+    then ZERO gram-keyed shuffles — HashPartitioning(doc_id) satisfies the
+    (doc_id, gram) aggs and the branch join, so only the two explicit
+    repartitions may appear."""
+    import re
+
+    r = plan_report(QUERIES["text_repetition_filters"](spark, sf_dir))
+    n_shuffles = len(re.findall(r"^\(\d+\) Exchange$", r.text, re.M))
+    assert n_shuffles == 2, f"gram aggs stopped reusing doc_id: {n_shuffles}"
+
+
+def test_simhash_signatures_single_exchange(spark, sf_dir):
+    """text_simhash_signatures: the doc_id fan-out repartition is the ONLY
+    shuffle — the 48 vote sums aggregate on the reused partitioning."""
+    import re
+
+    r = plan_report(QUERIES["text_simhash_signatures"](spark, sf_dir))
+    n_shuffles = len(re.findall(r"^\(\d+\) Exchange$", r.text, re.M))
+    assert n_shuffles == 1, f"expected 1 exchange, plan has {n_shuffles}"
+
+
+def test_pack_sequences_window_reuses_bucket_partitioning(spark, sf_dir):
+    """training_pack_sequences: the per-bucket window and groupBy must ride
+    the explicit (doc_id div bucket) repartitions — no extra pb-keyed
+    exchange may appear between the fan-out and the window sort."""
+    import re
+
+    r = plan_report(QUERIES["training_pack_sequences"](spark, sf_dir))
+    assert not re.search(r"Exchange hashpartitioning\(pb#", r.text), (
+        "per-bucket window added its own pb exchange"
+    )
+
+
+def test_winnowing_pairs_share_filtered_postings(spark, sf_dir):
+    """dedup_winnowing_pairs: the posting-filtered fingerprint table is
+    persisted and BOTH self-join sides read the cache — without it each
+    side re-runs the explode + posting join."""
+    r = plan_report(QUERIES["dedup_winnowing_pairs"](spark, sf_dir))
+    n_cache_reads = r.text.count("InMemoryTableScan")
+    assert n_cache_reads >= 2, (
+        f"filtered postings not shared: {n_cache_reads} InMemoryTableScans"
+    )
