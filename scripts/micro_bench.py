@@ -14,14 +14,17 @@ sys.path.insert(0, ".")
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf_dir = "/root/testdata/sf0.1"
     n = 3
-    for i, a in enumerate(sys.argv):
+    args: list[str] = []
+    it = iter(sys.argv[1:])
+    for a in it:
         if a == "--sf":
-            sf_dir = sys.argv[i + 1]
-        if a == "--n":
-            n = int(sys.argv[i + 1])
+            sf_dir = next(it)
+        elif a == "--n":
+            n = int(next(it))
+        else:
+            args.append(a)
 
     from k_means_map_reduce_spark.registry import QUERIES
     from k_means_map_reduce_spark.session import get_spark
