@@ -70,3 +70,27 @@ def test_bloom_probe_pushed_below_shuffle(spark, sf_dir):
     assert "xxhash64" in plan[join_at:], "bloom probe filter not below the join"
     r = plan_report(df)
     assert not r.has_python_row_udf
+
+
+def test_bloom_words_memo_keys_by_sf_dir(spark):
+    """The memoized filter words MUST track the sf_dir: reusing one dir's
+    words for another's key set would introduce false NEGATIVES (keys
+    absent from the stale filter get wrongly pruned before the exact
+    join) — a correctness bug, not a perf one. Run the query on two dirs
+    in one session and check each against its own plain semi-join."""
+    from k_means_map_reduce_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    for d in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        got = {r["o_orderkey"] for r in QUERIES["bloom_semi_join_orders"](spark, d).collect()}
+        cust = load_table(spark, d, "customer").where(
+            (F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 9000)
+        )
+        orders = load_table(spark, d, "orders")
+        want = {
+            r["o_orderkey"]
+            for r in orders.join(
+                cust, orders["o_custkey"] == cust["c_custkey"], "left_semi"
+            ).collect()
+        }
+        assert got == want, f"bloom words aliased across sf_dirs at {d}"
