@@ -37,8 +37,8 @@ def entry(spark: SparkSession) -> DataFrame:
     return kmeans_mllib(emb, vec_col="embedding", k=8, max_iter=20, tol=1e-6, seed=42)
 
 
-def _prior_round_status() -> tuple[set[str], set[str]]:
-    """(checked, green) query names across all CORRECTNESS_r*.json.
+def _prior_round_status() -> tuple[set[str], set[str], dict[str, int]]:
+    """(checked, green, last_round) query names across CORRECTNESS_r*.json.
 
     The verify harness evaluates queries() in enumeration order and may
     truncate (round 1 recorded exactly the first 50 of 116). Ordering
@@ -47,16 +47,25 @@ def _prior_round_status() -> tuple[set[str], set[str]]:
     row across rounds and every red row gets re-checked promptly, with no
     manual rotation. A name is green iff its LATEST recorded row passed
     (rows/schema match, hash matches when an oracle exists, no error).
+    ``last_round`` maps each checked name to the most recent round index
+    that recorded it, so the green tier can re-check oldest evidence first
+    (testdata regeneration must not silently stale a family).
     """
     latest: dict[str, dict] = {}
-    for path in sorted(glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json"))):
+    last_round: dict[str, int] = {}
+    for round_idx, path in enumerate(
+        sorted(glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json")))
+    ):
         try:
             with open(path) as fh:
                 rows = json.load(fh)
         except (OSError, ValueError):
             continue
         if isinstance(rows, dict):
-            latest.update({k: v for k, v in rows.items() if isinstance(v, dict)})
+            for k, v in rows.items():
+                if isinstance(v, dict):
+                    latest[k] = v
+                    last_round[k] = round_idx
     green = {
         n
         for n, r in latest.items()
@@ -68,7 +77,7 @@ def _prior_round_status() -> tuple[set[str], set[str]]:
         # must not camp in the re-check tier.
         and (not r.get("err") or r.get("err") == "no_oracle")
     }
-    return set(latest), green
+    return set(latest), green, last_round
 
 
 # Queries the round-3 judge named as must-verify this round: the flagship of
@@ -87,7 +96,7 @@ _PRIORITY = (
 
 
 def _ordered_names() -> list[str]:
-    checked, green = _prior_round_status()
+    checked, green, last_round = _prior_round_status()
     names = list(QUERIES)
     reg_order = {n: i for i, n in enumerate(names)}
 
@@ -99,28 +108,39 @@ def _ordered_names() -> list[str]:
     failed = sorted(
         (n for n in names if n in checked and n not in green), key=group_key
     )
-    green_tier = sorted((n for n in names if n in green), key=group_key)
+    # Green tier: oldest driver evidence re-checks first (round-4 verdict
+    # item 4) so once the never-checked backlog drains, rotation pressure
+    # keeps cycling through stale rows and a testdata regeneration cannot
+    # silently invalidate a family that was last checked rounds ago.
+    green_tier = sorted(
+        (n for n in names if n in green),
+        key=lambda n: (last_round.get(n, -1),) + group_key(n),
+    )
 
-    # Never-checked tier: ROUND-ROBIN across operator modules so every
-    # family earns a driver row inside the harness's ~50-row truncation
-    # window (registration order alone starved streaming/kmeans until
-    # round ~6 — round-3 verdict item 1).
+    # Never-checked tier: BACKLOG-PROPORTIONAL interleave across operator
+    # modules (stride scheduling). Plain round-robin gave every module one
+    # slot per pass, which fed the largest backlog (analytics, 35 of 96
+    # after round 4) only ~7 of the driver's ~50-row truncation window;
+    # weighting each module by its remaining backlog makes every window
+    # prefix proportional (analytics ≈ 18 of 50) so the whole backlog
+    # drains in the minimum number of rounds — round-4 verdict item 1.
     by_module: dict[str, list[str]] = {}
     for n in names:
         if n not in checked:
             by_module.setdefault(QUERIES[n].__module__, []).append(n)
     groups = sorted(
         (sorted(g, key=group_key) for g in by_module.values()),
-        key=lambda g: group_key(g[0]),
+        key=lambda g: (-len(g),) + group_key(g[0]),
     )
-    never: list[str] = []
-    while groups:
-        nxt = []
-        for g in groups:
-            never.append(g.pop(0))
-            if g:
-                nxt.append(g)
-        groups = nxt
+    slots: list[tuple[float, int, int, str]] = []
+    for gi, g in enumerate(groups):
+        w = len(g)
+        for j, n in enumerate(g):
+            # item j of a w-item module sits at fractional position
+            # (2j+1)/(2w) ∈ (0,1); sorting by it yields exact proportional
+            # shares for every prefix length (ties break by module rank).
+            slots.append(((2 * j + 1) / (2 * w), gi, j, n))
+    never = [n for _, _, _, n in sorted(slots)]
 
     return failed + never + green_tier
 

@@ -299,40 +299,56 @@ def test_driver_rotation_ordering(tmp_path, monkeypatch):
     names = list(QUERIES)
     oracled = [n for n in names if n in ORACLES]
     rows_only = [n for n in names if n not in ORACLES]
-    failed, green = oracled[0], oracled[1]
-    fake = {
+    failed, green_old, green_new = oracled[0], oracled[1], oracled[2]
+    ok = {"rows_match": True, "schema_match": True, "hash_match": True, "err": None}
+    fake1 = {
         failed: {"rows_match": False, "schema_match": True, "hash_match": False, "err": None},
-        green: {"rows_match": True, "schema_match": True, "hash_match": True, "err": None},
+        green_old: dict(ok),
         # rows-only verdict: no_oracle is terminal, must NOT re-check-camp
         rows_only[0]: {"rows_match": True, "schema_match": None, "hash_match": None, "err": "no_oracle"},
     }
-    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps(fake))
+    fake2 = {green_new: dict(ok)}
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps(fake1))
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps(fake2))
     monkeypatch.setattr(mod, "_REPO", str(tmp_path))
 
     order = mod._ordered_names()
     assert sorted(order) == sorted(names), "must be a permutation of the registry"
     assert order[0] == failed, "previously-failed must re-check first"
-    unchecked = [n for n in names if n not in fake]
+    unchecked = [n for n in names if n not in fake1 and n not in fake2]
     last_unchecked = max(order.index(n) for n in unchecked)
-    assert order.index(green) > last_unchecked, "green rows sort behind never-checked"
+    assert order.index(green_old) > last_unchecked, "green rows sort behind never-checked"
     # the checked no_oracle row must not outrank never-checked queries
     assert order.index(rows_only[0]) > min(order.index(n) for n in unchecked)
 
-    # ROUND-ROBIN across modules: the first pass of the never-checked tier
-    # must contain exactly one query from EVERY module that has one — this
-    # is what gets each family a driver row within the ~50-row window.
-    modules = {QUERIES[n].__module__ for n in unchecked}
-    first_pass = order[1 : 1 + len(modules)]  # order[0] is the failed row
-    assert {QUERIES[n].__module__ for n in first_pass} == modules
+    # GREEN tier re-checks oldest evidence first: the r01-checked green row
+    # must outrank the r02-checked one (testdata regeneration safety).
+    assert order.index(green_old) < order.index(green_new), (
+        "green tier must order oldest driver evidence first"
+    )
 
-    # judge-priority names lead their module's group (slot in the 1st pass)
-    for p in mod._PRIORITY:
-        if p in unchecked:
-            assert p in first_pass, f"{p} must land in the first rotation pass"
+    # BACKLOG-PROPORTIONAL interleave: every prefix of the never-checked
+    # tier carries each module in proportion to its remaining backlog, so
+    # the largest family (analytics after round 4) drains fastest instead
+    # of getting one slot per round-robin pass. Stride scheduling makes
+    # each module's count in a length-L prefix within 1 of L*w/total.
+    never_tier = [n for n in order if n in unchecked]
+    by_module = {}
+    for n in unchecked:
+        by_module.setdefault(QUERIES[n].__module__, []).append(n)
+    total = len(unchecked)
+    for L in (25, 50, 75):
+        prefix = never_tier[:L]
+        for m, grp in by_module.items():
+            got = sum(1 for n in prefix if QUERIES[n].__module__ == m)
+            expect = L * len(grp) / total
+            assert abs(got - expect) <= 1.0 + 1e-9, (
+                f"module {m}: {got} slots in first {L}, expected ~{expect:.1f}"
+            )
 
     # within a module group, oracled queries outrank rows-only ones
-    for m in modules:
-        grp = [n for n in order if n in unchecked and QUERIES[n].__module__ == m]
+    for m in by_module:
+        grp = [n for n in never_tier if QUERIES[n].__module__ == m]
         seen_rows_only = False
         for n in grp:
             if n not in ORACLES:
