@@ -1298,10 +1298,13 @@ def events_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT
       n,
-      ROUND(
+      CASE WHEN (sxx - sx * sx / n / 1000000.0) > 1e-9 * GREATEST(ABS(sxx), CAST(1.0 AS DOUBLE))
+            AND (syy - sy * sy / n / 1000000.0) > 1e-9 * GREATEST(ABS(syy), CAST(1.0 AS DOUBLE))
+      THEN ROUND(
         (sxy - sx * sy / n / 1000000.0)
         / sqrt(sxx - sx * sx / n / 1000000.0)
-        / sqrt(syy - sy * sy / n / 1000000.0), 6) AS lag1_autocorr
+        / sqrt(syy - sy * sy / n / 1000000.0), 6)
+      END AS lag1_autocorr
     FROM moments
     """,
 )
@@ -1338,14 +1341,22 @@ def timeseries_autocorr_daily_revenue(spark: SparkSession, sf_dir: str) -> DataF
         dsum28(F.col("prev") * F.col("prev") / 1000000.0).alias("syy"),
     )
     # constant series ⇒ a variance term is 0 ⇒ /0: ANSI Spark throws where
-    # DuckDB yields NULL — guard so both emit NULL (advisor-flagged class)
+    # DuckDB yields NULL — guard so both emit NULL (advisor-flagged class).
+    # The cut is an EPSILON relative to the power-sum magnitude, not a
+    # strict > 0: on a near-constant series the subtraction cancels to
+    # rounding noise whose SIGN could differ between engines' evaluation
+    # orders, and a sign-based guard would then flake; no genuine variance
+    # lands within 1e-9·|sxx| of zero, so both engines always agree on
+    # which side of the epsilon they are (mirrored in the oracle SQL).
     vx = F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n") / 1000000.0
     vy = F.col("syy") - F.col("sy") * F.col("sy") / F.col("n") / 1000000.0
+    eps_x = F.lit(1e-9) * F.greatest(F.abs(F.col("sxx")), F.lit(1.0))
+    eps_y = F.lit(1e-9) * F.greatest(F.abs(F.col("syy")), F.lit(1.0))
     num = F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n") / 1000000.0
     return m.select(
         "n",
         F.round(
-            F.when((vx > 0) & (vy > 0), num / F.sqrt(vx) / F.sqrt(vy)), 6
+            F.when((vx > eps_x) & (vy > eps_y), num / F.sqrt(vx) / F.sqrt(vy)), 6
         ).alias("lag1_autocorr"),
     )
 

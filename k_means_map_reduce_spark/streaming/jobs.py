@@ -307,15 +307,7 @@ def stream_user_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(checkpoint, ignore_errors=True)
     # update-mode sink may hold several rows per user (one per batch); the
     # final state per user is the row with the max n_events.
-    raw = spark.table(sink)
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
-    return (
-        raw.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .drop("rn")
-    )
+    return _drain_user_stats_sink(spark, sink)
 
 
 def stream_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1106,6 +1098,29 @@ def _update_user_stats_minmax(
     )
 
 
+def _drain_user_stats_sink(spark: SparkSession, sink: str) -> DataFrame:
+    """Read a finished memory-sink table, keep each user's LAST update row,
+    and RELEASE the sink. The per-invocation uuid-named memory sink would
+    otherwise accumulate driver memory for the life of the session (the
+    lazily-returned DataFrame kept the table referenced and nothing ever
+    dropped it — advisor-flagged). localCheckpoint materializes the small
+    per-user result on the executors and cuts lineage, so the temp view can
+    be dropped immediately and the checkpoint blocks are freed by the
+    ContextCleaner once the returned frame is garbage-collected."""
+    from pyspark.sql import Window as _W
+
+    raw = spark.table(sink)
+    w = _W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    out = (
+        raw.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+        .localCheckpoint(eager=True)
+    )
+    spark.catalog.dropTempView(sink)
+    return out
+
+
 def _stream_user_stats_apply_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
     """stream_user_stats_tws's columns through applyInPandasWithState —
     used where transformWithStateInPandas cannot run (see _tws_available)."""
@@ -1135,15 +1150,7 @@ def _stream_user_stats_apply_fallback(spark: SparkSession, sf_dir: str) -> DataF
         q.awaitTermination()
     finally:
         shutil.rmtree(checkpoint, ignore_errors=True)
-    raw = spark.table(sink)
-    from pyspark.sql import Window as _W
-
-    w = _W.partitionBy("user_id").orderBy(F.col("n_events").desc())
-    return (
-        raw.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .drop("rn")
-    )
+    return _drain_user_stats_sink(spark, sink)
 
 
 def stream_user_stats_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1197,15 +1204,7 @@ def stream_user_stats_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             spark.conf.set(conf_key, prior)
         shutil.rmtree(checkpoint, ignore_errors=True)
-    raw = spark.table(sink)
-    from pyspark.sql import Window as _W
-
-    w = _W.partitionBy("user_id").orderBy(F.col("n_events").desc())
-    return (
-        raw.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .drop("rn")
-    )
+    return _drain_user_stats_sink(spark, sink)
 
 
 def _tws_available() -> bool:
