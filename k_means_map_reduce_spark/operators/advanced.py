@@ -719,7 +719,7 @@ def suppliers_herfindahl_by_nation(spark: SparkSession, sf_dir: str) -> DataFram
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     srev = (
-        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        l.join(s, l.l_suppkey == s.s_suppkey)
         .groupBy("s_nationkey", "l_suppkey")
         .agg(
             F.sum(

@@ -599,8 +599,8 @@ def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     s2 = sizes.select(F.col("doc_id").alias("_sd2"), F.col("n_fps").alias("_n2"))
     overlap = F.col("shared").cast("double") / F.least("_n1", "_n2")
     return (
-        pair_counts.join(F.broadcast(s1), F.col("d1") == F.col("_sd1"))
-        .join(F.broadcast(s2), F.col("d2") == F.col("_sd2"))
+        pair_counts.join(s1, F.col("d1") == F.col("_sd1"))
+        .join(s2, F.col("d2") == F.col("_sd2"))
         .where((F.col("shared") >= 8) & (overlap >= 0.12))
         .select("d1", "d2", "shared", F.round(overlap, 6).alias("overlap"))
     )
@@ -813,8 +813,8 @@ def join_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("na") + F.col("nb") - F.col("n_shared")
     )
     return (
-        shared.join(F.broadcast(sa), "name_a")
-        .join(F.broadcast(sb), "name_b")
+        shared.join(sa, "name_a")
+        .join(sb, "name_b")
         .where(jac >= _FUZZY_THRESHOLD)
         .select("name_a", "name_b", F.round(jac, 6).alias("jaccard"))
     )

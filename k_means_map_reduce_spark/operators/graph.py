@@ -71,9 +71,10 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str):
     )
     du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
-    # deg is one row per NODE (tiny vs edges) — broadcast both lookups so
-    # the edge table never shuffles for orientation
-    ranked = und.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
+    # deg is one row per NODE (small vs edges, but it SCALES with the
+    # catalog — no forced broadcast hint; AQE broadcasts the lookups while
+    # they fit and falls back to a shuffle join when they don't)
+    ranked = und.join(du, "u").join(dv, "v")
     lower_first = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
@@ -325,8 +326,8 @@ def sim_suppliers_by_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     d2 = deg.select(F.col("s").alias("s2"), F.col("d").alias("d2"))
     jac = F.col("shared").cast("double") / (F.col("d1") + F.col("d2") - F.col("shared"))
     return (
-        pairs.join(F.broadcast(d1), "s1")
-        .join(F.broadcast(d2), "s2")
+        pairs.join(d1, "s1")
+        .join(d2, "s2")
         .select(
             "s1",
             "s2",

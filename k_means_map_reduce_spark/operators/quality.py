@@ -88,7 +88,7 @@ def dq_checks_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
     )
     dangling = (
-        o.join(F.broadcast(c.select("c_custkey")),
+        o.join(c.select("c_custkey"),
                o["o_custkey"] == c["c_custkey"], "left_anti")
         .agg(F.count(F.lit(1)).alias("dangling_custkey_fk"))
     )

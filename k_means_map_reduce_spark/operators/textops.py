@@ -871,7 +871,7 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     score = F.col("tf") * (F.lit(float(n_docs)) / F.col("df"))
     w = W.partitionBy("doc_id").orderBy(score.desc(), "term")
     return (
-        tf.join(F.broadcast(df_counts), "term")
+        tf.join(df_counts, "term")
         .withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .where(F.col("rnk") <= 5)
         .select(
@@ -1123,7 +1123,7 @@ def text_unigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
     total = vocab.agg(F.sum("cnt").cast("long").alias("n_total"))
     return (
-        toks.join(F.broadcast(vocab), "tok")
+        toks.join(vocab, "tok")
         .crossJoin(F.broadcast(total))
         .groupBy("doc_id", "n_total")
         .agg(
@@ -1424,7 +1424,7 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     scored = (
-        tf.join(F.broadcast(dfc), "term")
+        tf.join(dfc, "term")
         .crossJoin(F.broadcast(stats))
         .select("doc_id", F.round(idf * tfn, 6).cast("decimal(18,6)").alias("sc"))
     )
@@ -1587,7 +1587,7 @@ def text_pmi_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = (
         tl.where(F.col("n_tl") >= 5)
-        .join(F.broadcast(tm), "term")
+        .join(tm, "term")
         .join(F.broadcast(lm), "lang")
         .crossJoin(F.broadcast(tot))
         .select("lang", "term", "n_tl", pmi.alias("pmi"))

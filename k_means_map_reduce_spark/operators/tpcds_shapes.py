@@ -81,7 +81,7 @@ def ds_monthly_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     monthly = (
-        o.join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        o.join(c, F.col("c_custkey") == F.col("o_custkey"))
         .join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
         .groupBy(
             "n_name",
@@ -346,7 +346,7 @@ def ds_cumulative_channel_crossover(spark: SparkSession, sf_dir: str) -> DataFra
     urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     dec = F.round(F.col("o_totalprice"), 6).cast("decimal(18,6)")
     monthly = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .groupBy(
             F.col("c_mktsegment").alias("segment"),
             F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month"),
@@ -416,7 +416,7 @@ def ds_rollup_topn_by_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
-    joined = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).join(
+    joined = o.join(c, o.o_custkey == c.c_custkey).join(
         F.broadcast(n), c.c_nationkey == n.n_nationkey
     )
     dec = F.round(F.col("o_totalprice"), 6).cast("decimal(18,6)")

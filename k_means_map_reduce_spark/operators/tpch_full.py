@@ -83,7 +83,7 @@ def q2_min_acctbal_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     link = (
         load_table(spark, sf_dir, "lineitem")
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
         .select("p_partkey", "p_name", "l_suppkey")
         .distinct()
     )
@@ -91,7 +91,7 @@ def q2_min_acctbal_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
     eligible = (
-        link.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        link.join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .select("p_partkey", "p_name", "s_name", "n_name", "s_acctbal")
@@ -141,8 +141,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         - 0.1 * F.col("p_retailprice") * F.col("l_quantity")
     )
     return (
-        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        l.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .select(
@@ -189,7 +189,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "decimal(18,6)"
     )
     per_part = (
-        l.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        l.join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("l_partkey")
         .agg(F.sum(rev).alias("value_dec"))
@@ -321,7 +321,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         revenue.crossJoin(F.broadcast(mx))
         .where(F.col("total_dec") == F.col("_max"))
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("supplier_no"))
+        .join(s, F.col("s_suppkey") == F.col("supplier_no"))
         .select(
             "s_suppkey", "s_name",
             F.col("total_dec").cast("double").alias("total_revenue"),
@@ -356,7 +356,7 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     link = (
         load_table(spark, sf_dir, "lineitem")
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
         .select("p_brand", "p_type", "p_size", "l_suppkey")
         .distinct()
     )
@@ -367,7 +367,7 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         link.join(
-            F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"
+            bad, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"
         )
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
@@ -400,7 +400,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part").where(
         (F.col("p_brand") == "Brand#3") & (F.col("p_type") == "SMALL")
     )
-    lp = l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+    lp = l.join(p, F.col("p_partkey") == F.col("l_partkey"))
     thresholds = l.groupBy(F.col("l_partkey").alias("_pk")).agg(
         (
             0.2
@@ -461,7 +461,7 @@ def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
     )
     shipped = (
-        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        l.join(p, F.col("p_partkey") == F.col("l_partkey"))
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("sp_qty"))
     )
@@ -475,7 +475,7 @@ def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(
             F.col("sp_qty").cast("double") > 0.3 * F.col("p_qty").cast("double")
         )
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_suppkey", "s_name")
         .distinct()
@@ -549,7 +549,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("_n_late") == 1)
             & (F.col("_n_late_rows") > 0)
         )
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy("s_name")
         .agg(F.sum("_n_late_rows").alias("numwait"))
     )

@@ -242,7 +242,7 @@ def window_yoy_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     yearly = (
-        o.join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        o.join(c, F.col("c_custkey") == F.col("o_custkey"))
         .groupBy("c_mktsegment", F.year("o_orderdate").cast("int").alias("o_year"))
         .agg(dsum("o_totalprice").alias("revenue"))
     )
@@ -283,7 +283,7 @@ def window_ratio_to_report_nation(spark: SparkSession, sf_dir: str) -> DataFrame
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
     per_nation = (
-        o.join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        o.join(c, F.col("c_custkey") == F.col("o_custkey"))
         .join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
         .join(F.broadcast(r), F.col("r_regionkey") == F.col("n_regionkey"))
         .groupBy("r_name", "n_name")

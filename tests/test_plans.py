@@ -347,3 +347,67 @@ def test_winnowing_pairs_share_filtered_postings(spark, sf_dir):
     assert n_cache_reads >= 2, (
         f"filtered postings not shared: {n_cache_reads} InMemoryTableScans"
     )
+
+
+def test_no_forced_broadcast_of_catalog_scaling_tables():
+    """Every F.broadcast hint in the package must name a side whose size is
+    BOUNDED at 100 TB — a fixed dim (nation/region), a scalar/1-row agg, a
+    bounded-cardinality group (event_type, dow, calendar days, k centroids,
+    bounded query sets), or a CDC delta whose smallness is the operator's
+    contract. A hint on a CATALOG-scaling side (part/supplier/customer,
+    per-term vocab, per-node degrees, per-doc stats) overrides the
+    optimizer's size check and OOMs or degrades at scale (round-4 verdict:
+    market_basket_pairs) — those joins are left to AQE, which broadcasts
+    while the side fits and shuffle-joins when it doesn't. Adding a new
+    F.broadcast site fails here until its boundedness is argued and the
+    variable is allowlisted."""
+    import glob
+    import os
+    import re
+
+    pkg = os.path.join(os.path.dirname(__file__), "..", "k_means_map_reduce_spark")
+    allow = {
+        "kmeans.py": {"cents"},  # k rows
+        "operators/advanced.py": {"bounds", "n", "reps", "tot"},
+        "operators/analytics.py": {
+            # event_type / dow / calendar-day grain or 1-row scalars
+            "anchor", "base", "bounds", "cutoff", "days.withColumnRenamed",
+            "hubs", "ks", "mad", "med", "mu", "n", "n_orders", "seas",
+            "stats", "tot",
+        },
+        "operators/clustering.py": {"cent_df"},  # k rows
+        "operators/events.py": {"bounds", "carries", "marg", "stats", "tot", "totals"},
+        "operators/graph.py": {"kdf"},  # 1-row k threshold
+        "operators/incremental.py": {"delta_keys"},  # CDC delta contract
+        "operators/layout.py": {"b"},  # 1-row global bounds
+        "operators/quality.py": {"dangling", "tot"},
+        "operators/relational.py": {"n", "r"},  # nation/region only
+        "operators/scalar_fns.py": {"r"},
+        "operators/similarity.py": {"probe", "probed", "q", "queries", "qv"},  # N_QUERY-bounded
+        "operators/sketches.py": {"bounds", "mstats", "sketch", "targets"},
+        "operators/temporal.py": {"dim"},
+        "operators/textops.py": {"bounds", "lm", "stats", "tot", "total"},  # per-lang / scalars
+        "operators/tpcds_shapes.py": {"n"},
+        "operators/tpch_extra.py": {"n1", "n2", "r", "thresh"},
+        "operators/tpch_full.py": {"mx", "n", "r", "total"},
+        "operators/training.py": {"epochs", "j", "offsets", "tot"},
+        "operators/windows.py": {"n", "r"},
+        "sources/sinks.py": {"updates.select"},  # CDC delta keys
+        "streaming/jobs.py": {"dim", "mstats", "sketch"},
+    }
+    banned_names = {"p", "s", "c", "part", "supplier", "customer", "orders",
+                    "lineitem", "documents", "embeddings", "events"}
+    violations = []
+    for path in sorted(glob.glob(os.path.join(pkg, "**", "*.py"), recursive=True)):
+        rel = os.path.relpath(path, pkg).replace(os.sep, "/")
+        allowed = allow.get(rel, set())
+        for i, line in enumerate(open(path), start=1):
+            for m in re.finditer(r"F\.broadcast\(([A-Za-z_][A-Za-z0-9_.]*)", line):
+                name = m.group(1)
+                if name not in allowed or name in banned_names:
+                    violations.append(f"{rel}:{i}: F.broadcast({name})")
+    assert not violations, (
+        "forced broadcast of a non-allowlisted (potentially catalog-scaling) "
+        "side — justify boundedness and allowlist it, or drop the hint and "
+        "let AQE decide:\n" + "\n".join(violations)
+    )
