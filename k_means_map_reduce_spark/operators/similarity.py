@@ -106,47 +106,150 @@ def sim_norms_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sim_ann_lsh_topk")
-def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-k via BucketedRandomProjectionLSH (Euclidean buckets).
+_LSH_TABLES = 16  # hash tables (OR-amplification: candidate if ANY matches)
+_LSH_BITS = 5  # hyperplanes per table (AND-amplification within a table)
 
-    Rows-only check; recall vs sim_cosine_topk asserted in
-    tests/test_similarity.py. At scale the approxNearestNeighbors probe is a
-    bucket-pruned scan instead of a full corpus pass.
+
+def _lsh_hyperplanes(dim: int) -> list[tuple[int, int, list[float]]]:
+    """(table, bit, components) rows of the md5-derived random hyperplanes.
+
+    Components are ((md5_48bit % 2^20)/2^20)*2 − 1 — every step exact in
+    binary, so Python, Spark, and DuckDB reproduce the identical doubles.
+    Uniform-on-the-cube directions (not Gaussian) keep the derivation
+    transcendental-free; for sign-LSH only the DIRECTION distribution
+    matters and the recall tests hold the empirical guarantee.
     """
-    from pyspark.ml.feature import BucketedRandomProjectionLSH
-    from pyspark.ml.functions import array_to_vector
+    import hashlib
 
+    rows = []
+    for t in range(_LSH_TABLES):
+        for b in range(_LSH_BITS):
+            comps = [
+                (
+                    int(hashlib.md5(f"lsh:{t}:{b}:{j}".encode()).hexdigest()[:12], 16)
+                    % 1048576
+                )
+                / 1048576.0
+                * 2.0
+                - 1.0
+                for j in range(dim)
+            ]
+            rows.append((t, b, comps))
+    return rows
+
+
+def _lsh_oracle_sql(tables: int, bits: int, n_query: int, top_k: int) -> str:
+    """DuckDB replay of the ENTIRE portable sign-LSH search: hyperplane
+    generation from md5, signature dots (same left-fold order as Spark's
+    F.aggregate — equal because 0.0+x == x), bucket packing, candidate
+    bucket-join, exact cosine rescore, top-k."""
+    comp = (
+        "CAST(CAST(CONCAT('0x', SUBSTR(md5('lsh:' || t.range || ':' || b.range"
+        " || ':' || j), 1, 12)) AS BIGINT) % 1048576 AS DOUBLE)"
+        " / CAST(1048576.0 AS DOUBLE) * CAST(2.0 AS DOUBLE) - CAST(1.0 AS DOUBLE)"
+    )
+    return f"""
+    WITH hp AS (
+      SELECT CAST(t.range AS INT) AS t, CAST(b.range AS INT) AS b,
+        list_transform(
+          range(0, (SELECT len(embedding) FROM embeddings LIMIT 1)),
+          j -> {comp}) AS r
+      FROM range({tables}) t, range({bits}) b
+    ), dots AS (
+      SELECT e.vec_id, h.t, h.b,
+        list_reduce(list_transform(range(len(e.embedding)),
+          j -> CAST(e.embedding[j+1] AS DOUBLE) * h.r[j+1]),
+          (p, s) -> p + s) AS d
+      FROM embeddings e CROSS JOIN hp h
+    ), buckets AS (
+      SELECT vec_id, t,
+        SUM(CASE WHEN d >= CAST(0.0 AS DOUBLE) THEN 1 << b ELSE 0 END) AS bucket
+      FROM dots GROUP BY vec_id, t
+    ), cands AS (
+      SELECT DISTINCT q.vec_id AS q_id, x.vec_id
+      FROM buckets q JOIN buckets x USING (t, bucket)
+      WHERE q.vec_id < {n_query} AND x.vec_id <> q.vec_id
+    ), scored AS (
+      SELECT c.q_id, c.vec_id,
+        list_cosine_similarity(CAST(eq.embedding AS DOUBLE[]),
+                               CAST(ex.embedding AS DOUBLE[])) AS sim
+      FROM cands c
+      JOIN embeddings eq ON eq.vec_id = c.q_id
+      JOIN embeddings ex ON ex.vec_id = c.vec_id
+    ), ranked AS (
+      SELECT q_id, vec_id, sim,
+        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
+      FROM scored
+    )
+    SELECT q_id, vec_id, ROUND(sim, 4) AS sim, rnk
+    FROM ranked WHERE rnk <= {top_k}
+    """
+
+
+@query(
+    "sim_ann_lsh_topk",
+    oracle=_lsh_oracle_sql(_LSH_TABLES, _LSH_BITS, N_QUERY, TOP_K),
+)
+def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k via PORTABLE sign-LSH (Charikar random-hyperplane hashing,
+    the canonical cosine-similarity LSH): {_LSH_TABLES} tables ×
+    {_LSH_BITS} hyperplanes, candidates = any shared (table, bucket),
+    exact cosine rescore, top-k.
+
+    Upgraded rows-only → ORACLED (round-4 verdict item 3) by the
+    determinize-and-oracle recipe: MLlib's BucketedRandomProjectionLSH
+    draws hyperplanes from a JVM RNG no second engine can replay, so the
+    hyperplanes are instead derived from md5 (exact binary arithmetic —
+    see _lsh_hyperplanes) and every stage — signature dots (sequential
+    left fold), bit packing, bucket join, cosine rescore, tie-broken
+    top-k — is replayed verbatim by the DuckDB oracle. Recall vs the
+    brute-force baseline stays asserted in tests/test_dedup_similarity.py.
+
+    Scale shape: signatures are a crossJoin against a {_LSH_TABLES}×
+    {_LSH_BITS}-row broadcast hyperplane table (bounded, never
+    catalog-scaling) folded in codegen; the corpus never self-joins —
+    candidates meet only via shared bucket keys, exactly the banded-LSH
+    discipline of dedup_minhash_banding_pairs. At 100 TB the bucket join
+    shuffles (t, bucket, vec_id) triples, not vectors.
+    """
     e = load_table(spark, sf_dir, "embeddings")
-    feats = e.select(
-        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
-    ).cache()
-    lsh = BucketedRandomProjectionLSH(
-        inputCol="features", outputCol="hashes", bucketLength=2.0, numHashTables=4, seed=42
+    dim = len(e.select("embedding").first()["embedding"])
+    hp = spark.createDataFrame(
+        _lsh_hyperplanes(dim), "t INT, b INT, r ARRAY<DOUBLE>"
     )
-    model = lsh.fit(feats)
-    hashed = model.transform(feats).cache()
-    queries = hashed.where(F.col("vec_id") < N_QUERY).select(
-        F.col("vec_id").alias("q_id"), F.col("features").alias("q_features"),
-        F.col("hashes").alias("q_hashes"),
+    base = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    dot = F.aggregate(
+        F.zip_with(F.col("v"), F.col("r"), lambda a, c: a * c),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
     )
-    # Bucket-join candidates: any shared hash bucket in any table.
-    cand = (
-        hashed.join(
-            F.broadcast(queries),
-            F.arrays_overlap(
-                F.transform("hashes", lambda v: v.cast("string")),
-                F.transform("q_hashes", lambda v: v.cast("string")),
-            )
-            & (F.col("vec_id") != F.col("q_id")),
+    buckets = (
+        base.repartition(spark.sparkContext.defaultParallelism)
+        .crossJoin(F.broadcast(hp))
+        .select("vec_id", "t", "b", dot.alias("d"))
+        .groupBy("vec_id", "t")
+        .agg(
+            F.sum(
+                F.when(F.col("d") >= 0.0, F.expr("shiftleft(1, b)")).otherwise(F.lit(0))
+            ).alias("bucket")
         )
     )
-    from pyspark.ml.functions import vector_to_array
-
-    a = vector_to_array(F.col("features"))
-    b = vector_to_array(F.col("q_features"))
-    scored = cand.select(
-        "q_id", "vec_id", cosine_similarity(a, b).alias("sim")
+    qb = buckets.where(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("q_id"), "t", "bucket"
+    )
+    cands = (
+        buckets.join(F.broadcast(qb), ["t", "bucket"])
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id")
+        .distinct()
+    )
+    qv = base.where(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("q_vec")
+    )
+    scored = (
+        cands.join(base, "vec_id")
+        .join(F.broadcast(qv), "q_id")
+        .select("q_id", "vec_id", cosine_similarity(F.col("q_vec"), F.col("v")).alias("sim"))
     )
     w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), "vec_id")
     return (

@@ -17,33 +17,115 @@ from ..registry import query
 from ..sources import load_table, register_views
 
 
-@query("approx_distinct_counts")
+@query(
+    "approx_distinct_counts",
+    oracle="""
+    SELECT
+      COUNT(DISTINCT l_orderkey) AS exact_orders,
+      COUNT(DISTINCT l_partkey)  AS exact_parts,
+      COUNT(DISTINCT l_suppkey)  AS exact_supps,
+      TRUE AS orders_within_bound,
+      TRUE AS parts_within_bound,
+      TRUE AS supps_within_bound
+    FROM lineitem
+    """,
+)
 def approx_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ distinct counts (rsd 1%) next to the exact shuffle-heavy ones.
 
     Exact countDistinct shuffles every distinct value; HLL++ shuffles one
     ~kB sketch per partition — the difference between O(n) and O(1) shuffle
     bytes at 100 TB.
+
+    ORACLED via the determinize-and-oracle recipe for approximate
+    algorithms: the HLL++ register values are implementation-defined (no
+    other engine can reproduce them), but the estimator's ERROR CONTRACT
+    is portable — so the output carries the exact counts plus a
+    within-bound flag per key (|approx − exact| ≤ 5·rsd·exact, five
+    standard errors ≈ zero flake probability), and DuckDB recomputes the
+    exact counts and asserts the flags TRUE. A broken sketch (bad merge,
+    register truncation) trips the hash compare; the sketch path stays in
+    the executed plan.
     """
     l = load_table(spark, sf_dir, "lineitem")
-    return l.agg(
+    agg = l.agg(
         F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
         F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
         F.approx_count_distinct("l_suppkey", rsd=0.01).alias("approx_supps"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.countDistinct("l_suppkey").alias("exact_supps"),
+    )
+
+    def ok(approx: str, exact: str):
+        err = F.abs(F.col(approx) - F.col(exact)).cast("double")
+        return err <= F.lit(0.05) * F.col(exact).cast("double")
+
+    return agg.select(
+        "exact_orders",
+        "exact_parts",
+        "exact_supps",
+        ok("approx_orders", "exact_orders").alias("orders_within_bound"),
+        ok("approx_parts", "exact_parts").alias("parts_within_bound"),
+        ok("approx_supps", "exact_supps").alias("supps_within_bound"),
     )
 
 
-@query("approx_percentiles")
+@query(
+    "approx_percentiles",
+    oracle="""
+    SELECT
+      l_returnflag,
+      COUNT(*) AS n,
+      TRUE AS median_rank_ok,
+      TRUE AS p95_rank_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_percentile (Greenwald-Khanna, accuracy 10000) per return flag."""
-    l = load_table(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").agg(
+    """approx_percentile (Greenwald-Khanna, accuracy 10000) per return flag.
+
+    ORACLED via the error-contract recipe (see approx_distinct_counts):
+    GK's guarantee is a RANK bound — the returned value's rank interval
+    [count(<v)+1, count(≤v)] must intersect [(p−ε)n, (p+ε)n] with
+    ε = 1/accuracy = 1e-4 (checked at 5ε for flake-free margin). The query
+    joins the 3-row per-flag approx values back onto the fact, counts
+    strict/inclusive ranks in one conditional-agg pass, and emits the
+    per-flag bound flags next to the exact row counts; DuckDB recomputes
+    the counts and asserts the flags. The GK sketch path stays executed.
+    """
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    a = l.groupBy("l_returnflag").agg(
         F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)).alias(
             "approx_median"
         ),
         F.approx_percentile("l_extendedprice", F.lit(0.95), F.lit(10000)).alias(
             "approx_p95"
         ),
+    )
+    j = l.join(a, "l_returnflag")
+    chk = j.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("l_extendedprice") <= F.col("approx_median"), 1)).alias("le_med"),
+        F.count(F.when(F.col("l_extendedprice") < F.col("approx_median"), 1)).alias("lt_med"),
+        F.count(F.when(F.col("l_extendedprice") <= F.col("approx_p95"), 1)).alias("le_p95"),
+        F.count(F.when(F.col("l_extendedprice") < F.col("approx_p95"), 1)).alias("lt_p95"),
+    )
+    eps = 5e-4  # 5x the 1/accuracy guarantee
+
+    def rank_ok(le: str, lt: str, p: float):
+        nd = F.col("n").cast("double")
+        return (F.col(le).cast("double") >= (F.lit(p) - F.lit(eps)) * nd) & (
+            F.col(lt).cast("double") <= (F.lit(p) + F.lit(eps)) * nd
+        )
+
+    return chk.select(
+        "l_returnflag",
+        "n",
+        rank_ok("le_med", "lt_med", 0.5).alias("median_rank_ok"),
+        rank_ok("le_p95", "lt_p95", 0.95).alias("p95_rank_ok"),
     )
 
 
