@@ -80,10 +80,11 @@ def _prior_round_status() -> tuple[set[str], set[str], dict[str, int]]:
     return set(latest), green, last_round
 
 
-# Queries the round-3 judge named as must-verify this round: the flagship of
-# each family that still lacks a driver CORRECTNESS row. They sort first
-# WITHIN their module's never-checked group so the round-robin's first pass
-# covers exactly these.
+# Queries a judge named as must-verify: the flagship of each family that
+# still lacks a driver CORRECTNESS row. Never-checked priority names get a
+# GLOBAL position boost (slot position -1, ahead of every stride slot) so
+# they land inside the driver's ~50-row truncation window regardless of how
+# small their module's backlog is; checked ones leave the tier entirely.
 _PRIORITY = (
     "kmeans_lloyd_oracled",
     "streaming_tumbling_hourly_vs_batch",
@@ -139,7 +140,9 @@ def _ordered_names() -> list[str]:
             # item j of a w-item module sits at fractional position
             # (2j+1)/(2w) ∈ (0,1); sorting by it yields exact proportional
             # shares for every prefix length (ties break by module rank).
-            slots.append(((2 * j + 1) / (2 * w), gi, j, n))
+            # Judge-priority names jump to -1: ahead of all stride slots.
+            pos = -1.0 if n in _PRIORITY else (2 * j + 1) / (2 * w)
+            slots.append((pos, gi, j, n))
     never = [n for _, _, _, n in sorted(slots)]
 
     return failed + never + green_tier

