@@ -77,7 +77,17 @@ def _prior_round_status() -> tuple[set[str], set[str], dict[str, int]]:
         # must not camp in the re-check tier.
         and (not r.get("err") or r.get("err") == "no_oracle")
     }
-    return set(latest), green, last_round
+    # A no_oracle verdict on a name that NOW carries an oracle is stale
+    # evidence: the driver only ever row-counted it, but the registry now
+    # claims hash-level parity. Demote it to never-checked so the next
+    # window runs the real compare (rows-only→oracled upgrades would
+    # otherwise coast on the weaker row forever).
+    upgraded = {
+        n
+        for n, r in latest.items()
+        if r.get("err") == "no_oracle" and n in ORACLES
+    }
+    return set(latest) - upgraded, green - upgraded, last_round
 
 
 # Queries a judge named as must-verify: the flagship of each family that

@@ -157,7 +157,19 @@ def grouping_sets_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("hll_users_daily_merge_monthly")
+@query(
+    "hll_users_daily_merge_monthly",
+    oracle="""
+    WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events)
+    SELECT
+      CAST(date_trunc('month', day) AS VARCHAR) AS month,
+      COUNT(DISTINCT day) AS n_days,
+      COUNT(DISTINCT user_id) AS exact_monthly_users,
+      TRUE AS est_within_bound,
+      TRUE AS merge_matches_direct
+    FROM du GROUP BY date_trunc('month', day)
+    """,
+)
 def hll_users_daily_merge_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable distinct-count sketches (Apache DataSketches HLL, the
     engine-native re-aggregation path approx_count_distinct lacks): build
@@ -171,27 +183,66 @@ def hll_users_daily_merge_monthly(spark: SparkSession, sf_dir: str) -> DataFrame
     re-scan the fact for every grain; COUNT(DISTINCT) would shuffle the
     full (day, user) set each time.
 
-    Rows-only driver row (sketch estimates are engine-specific);
-    tests/test_sketches.py asserts <5% error vs exact per day AND that
-    merged-daily == direct-monthly estimates exactly (merge soundness).
+    ORACLED via the determinize-and-oracle recipe (see
+    approx_distinct_counts): the register values are engine-specific, so
+    the output carries the EXACT monthly distincts (DuckDB recomputes them)
+    plus two contract flags the sketch path must earn — est_within_bound
+    (|merged estimate − exact| ≤ 5% · exact; HLL lgK=12 rsd ≈ 1.6%, so 5%
+    is ≈3σ and deterministic for fixed input) and merge_matches_direct
+    (the daily-sketch union's estimate equals a sketch built directly at
+    month grain: HLL union is lossless, so ANY merge defect — register
+    truncation, wrong lgK, bad serde — flips this to false and trips the
+    driver's hash compare). The exact countDistinct exists only to
+    determinize the oracle; the production path at scale is the sketch.
     """
     e = load_table(spark, sf_dir, "events")
-    daily = (
-        e.select(F.to_date("ts").alias("day"), "user_id")
-        .groupBy("day")
+    du = e.select(F.to_date("ts").alias("day"), "user_id")
+    month = F.date_trunc("month", F.col("day")).cast("date").cast("string")
+    merged = (
+        du.groupBy("day")
         .agg(F.hll_sketch_agg("user_id").alias("sketch"))
-    )
-    return (
-        daily.groupBy(F.date_trunc("month", F.col("day")).cast("date").alias("month"))
+        .groupBy(month.alias("month"))
         .agg(
-            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est_monthly_users"),
+            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est"),
             F.count(F.lit(1)).alias("n_days"),
         )
-        .select("month", "est_monthly_users", "n_days")
+    )
+    direct = du.groupBy(month.alias("month")).agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("direct_est"),
+        F.countDistinct("user_id").alias("exact_monthly_users"),
+    )
+    return merged.join(direct, "month").select(
+        "month",
+        "n_days",
+        "exact_monthly_users",
+        (
+            F.abs(F.col("est") - F.col("exact_monthly_users"))
+            <= F.lit(0.05) * F.col("exact_monthly_users").cast("double")
+        ).alias("est_within_bound"),
+        (F.col("est") == F.col("direct_est")).alias("merge_matches_direct"),
     )
 
 
-@query("hll_users_rollup_grains")
+@query(
+    "hll_users_rollup_grains",
+    oracle="""
+    WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+    rows_all AS (
+      SELECT 'day' AS grain, CAST(day AS VARCHAR) AS bucket,
+             COUNT(DISTINCT user_id) AS exact_users
+      FROM du GROUP BY day
+      UNION ALL
+      SELECT 'month', CAST(date_trunc('month', day) AS VARCHAR),
+             COUNT(DISTINCT user_id)
+      FROM du GROUP BY date_trunc('month', day)
+      UNION ALL
+      SELECT 'total', 'all', COUNT(DISTINCT user_id) FROM du
+    )
+    SELECT grain, bucket, exact_users,
+           TRUE AS est_within_bound, TRUE AS union_matches_direct
+    FROM rows_all
+    """,
+)
 def hll_users_rollup_grains(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct users at EVERY grain — day, month, total — derived from one
     daily sketch table by unioning sketches upward (grain = 'day' rows use
@@ -201,43 +252,94 @@ def hll_users_rollup_grains(spark: SparkSession, sf_dir: str) -> DataFrame:
     single fact scan builds the daily sketches; every coarser grain is a
     union over the tiny sketch table, where an approx_count_distinct rollup
     would rescan the fact per grain and COUNT(DISTINCT) would shuffle the
-    raw (grain, user) set for each. Rows-only (estimates are
-    engine-specific); tests assert each grain's estimate equals the
-    directly-built sketch's estimate (union soundness at every level) and
-    sits within 5% of exact.
+    raw (grain, user) set for each.
+
+    ORACLED via the determinize-and-oracle recipe: each grain row carries
+    its EXACT distinct count (DuckDB recomputes all three grains) plus
+    est_within_bound (union estimate within 5% of exact, ≈3σ at lgK=12)
+    and union_matches_direct (the upward sketch union's estimate equals a
+    sketch built directly at that grain — lossless-union law at every
+    level; trivially true at 'day' where the sketch IS direct). The sketch
+    path stays in the executed plan; the exacts only determinize the
+    oracle.
     """
     e = load_table(spark, sf_dir, "events")
+    du = e.select(F.to_date("ts").alias("day"), "user_id")
     daily = (
-        e.select(F.to_date("ts").alias("day"), "user_id")
-        .groupBy("day")
-        .agg(F.hll_sketch_agg("user_id").alias("sketch"))
+        du.groupBy("day")
+        .agg(
+            F.hll_sketch_agg("user_id").alias("sketch"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
         .persist()
     )
+    month = F.date_trunc("month", F.col("day")).cast("date").cast("string")
+
+    def flags(est, direct, exact):
+        bound = F.abs(est - exact.cast("double")) <= F.lit(0.05) * exact.cast(
+            "double"
+        )
+        return bound.alias("est_within_bound"), (est == direct).alias(
+            "union_matches_direct"
+        )
+
+    est_d = F.hll_sketch_estimate("sketch")
     day_rows = daily.select(
         F.lit("day").alias("grain"),
         F.col("day").cast("string").alias("bucket"),
-        F.hll_sketch_estimate("sketch").alias("est_users"),
+        "exact_users",
+        *flags(est_d, est_d, F.col("exact_users")),
+    )
+    m_direct = du.groupBy(month.alias("bucket")).agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("direct_est"),
+        F.countDistinct("user_id").alias("exact_users"),
     )
     month_rows = (
-        daily.groupBy(F.date_trunc("month", F.col("day")).cast("date").alias("m"))
-        .agg(F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est_users"))
+        daily.groupBy(month.alias("bucket"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est"))
+        .join(m_direct, "bucket")
         .select(
             F.lit("month").alias("grain"),
-            F.col("m").cast("string").alias("bucket"),
-            "est_users",
+            "bucket",
+            "exact_users",
+            *flags(F.col("est"), F.col("direct_est"), F.col("exact_users")),
         )
     )
-    total_rows = daily.agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est_users")
-    ).select(
-        F.lit("total").alias("grain"),
-        F.lit("all").alias("bucket"),
-        "est_users",
+    t_direct = du.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("direct_est"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    total_rows = (
+        daily.agg(F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est"))
+        .crossJoin(t_direct)
+        .select(
+            F.lit("total").alias("grain"),
+            F.lit("all").alias("bucket"),
+            "exact_users",
+            *flags(F.col("est"), F.col("direct_est"), F.col("exact_users")),
+        )
     )
     return day_rows.unionByName(month_rows).unionByName(total_rows)
 
 
-@query("hll_rolling_7d_users")
+@query(
+    "hll_rolling_7d_users",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM du),
+    contrib AS (
+      SELECT d.day AS target_day, du.day AS src_day, du.user_id
+      FROM du JOIN days d ON d.day >= du.day AND d.day <= du.day + 6
+    )
+    SELECT CAST(target_day AS VARCHAR) AS day,
+           COUNT(DISTINCT src_day) AS n_days_merged,
+           COUNT(DISTINCT user_id) AS exact_users_7d,
+           TRUE AS est_within_bound
+    FROM contrib GROUP BY target_day
+    """,
+)
 def hll_rolling_7d_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-7-day distinct actives from DAILY SKETCHES: each target day
     unions the <=7 daily sketches in its window — the sketch twin of
@@ -248,27 +350,51 @@ def hll_rolling_7d_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     is O(7 x |day-user pairs|); this one is O(7 x |days|) sketch merges
     over a KB-sized table — the fact is touched once, ever, to build the
     daily sketches, and ANY trailing window (7d, 28d, 90d) reuses them.
-    Rows-only; tests assert <5% error vs the exact rolling counts.
+
+    ORACLED via the determinize-and-oracle recipe: alongside the sketch
+    path the output carries the exact trailing-7d distincts (computed with
+    the same bounded day-fan-out as events_rolling_7d_distinct_users;
+    DuckDB replays it) and est_within_bound — the unioned estimate within
+    5% of exact per target day (≈3σ at lgK=12; sparse-mode HLL is exact
+    for small days, so low-cardinality days cannot flake).
     """
     e = load_table(spark, sf_dir, "events")
+    du = e.select(F.to_date("ts").alias("day"), "user_id").distinct()
     daily = (
-        e.select(F.to_date("ts").alias("day"), "user_id")
-        .groupBy("day")
+        du.groupBy("day")
         .agg(F.hll_sketch_agg("user_id").alias("sketch"))
         .persist()
     )
     targets = daily.select(F.col("day").alias("target_day"))
-    contrib = daily.join(
-        F.broadcast(targets),
-        (F.col("target_day") >= F.col("day"))
-        & (F.col("target_day") <= F.date_add(F.col("day"), 6)),
-    )
-    return (
-        contrib.groupBy(F.col("target_day").cast("string").alias("day"))
+    est = (
+        daily.join(
+            F.broadcast(targets),
+            (F.col("target_day") >= F.col("day"))
+            & (F.col("target_day") <= F.date_add(F.col("day"), 6)),
+        )
+        .groupBy(F.col("target_day").cast("string").alias("day"))
         .agg(
-            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est_users_7d"),
+            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est_7d"),
             F.count(F.lit(1)).alias("n_days_merged"),
         )
+    )
+    exact = (
+        du.join(
+            F.broadcast(targets),
+            (F.col("target_day") >= F.col("day"))
+            & (F.col("target_day") <= F.date_add(F.col("day"), 6)),
+        )
+        .groupBy(F.col("target_day").cast("string").alias("day"))
+        .agg(F.countDistinct("user_id").alias("exact_users_7d"))
+    )
+    return est.join(exact, "day").select(
+        "day",
+        "n_days_merged",
+        "exact_users_7d",
+        (
+            F.abs(F.col("est_7d") - F.col("exact_users_7d"))
+            <= F.lit(0.05) * F.col("exact_users_7d").cast("double")
+        ).alias("est_within_bound"),
     )
 
 

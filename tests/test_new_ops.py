@@ -312,7 +312,16 @@ def test_driver_rotation_ordering(tmp_path, monkeypatch):
                        "hash_match": None, "spark_rows": 17,
                        "oracle_rows": None, "err": "no_oracle"},
     }
-    fake2 = {green_new: dict(ok)}
+    # an ORACLED name whose latest verdict is the stale rows-only
+    # "no_oracle" (checked before its oracle upgrade): must be demoted to
+    # never-checked so the driver runs the real hash compare.
+    upgraded = oracled[3]
+    fake2 = {
+        green_new: dict(ok),
+        upgraded: {"rows_match": None, "schema_match": None,
+                   "hash_match": None, "spark_rows": 9,
+                   "oracle_rows": None, "err": "no_oracle"},
+    }
     (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps(fake1))
     (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps(fake2))
     monkeypatch.setattr(mod, "_REPO", str(tmp_path))
@@ -320,7 +329,8 @@ def test_driver_rotation_ordering(tmp_path, monkeypatch):
     order = mod._ordered_names()
     assert sorted(order) == sorted(names), "must be a permutation of the registry"
     assert order[0] == failed, "previously-failed must re-check first"
-    unchecked = [n for n in names if n not in fake1 and n not in fake2]
+    # the stale-no_oracle oracled row re-enters the never-checked tier
+    unchecked = [n for n in names if n not in fake1 and n not in fake2] + [upgraded]
     last_unchecked = max(order.index(n) for n in unchecked)
     assert order.index(green_old) > last_unchecked, "green rows sort behind never-checked"
     # the checked no_oracle row must not outrank never-checked queries

