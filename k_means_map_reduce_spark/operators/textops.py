@@ -1041,8 +1041,17 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     and report compressed/raw byte ratio — the cheap redundancy detector
     used by large-corpus curation pipelines (highly repetitive or
     boilerplate text compresses far below natural prose; near-random noise
-    barely compresses). No SQL engine exposes deflate, so there is no
-    DuckDB oracle; invariance properties are unit-tested instead.
+    barely compresses).
+
+    Rows-only BY DESIGN, not debt: the ratio column IS the operator's
+    output, and deflate output length is a zlib-implementation detail (no
+    SQL engine exposes it, and the byte count isn't even guaranteed stable
+    across zlib builds) — the determinize-and-oracle recipe used for the
+    sketch family would have to DROP the ratio from the output, gutting the
+    operator, to make the remaining columns hashable. The invariances that
+    can be pinned are unit-tested instead (test_new_ops.py: repetitive <<
+    diverse ordering, 0 < n_compressed <= n_bytes + zlib overhead, ratio
+    consistency with its own numerator/denominator).
 
     Scale shape: zlib is the rare case where Python in the pipeline is
     justified (no Spark builtin), so it runs as mapInPandas — Arrow batches
