@@ -16,7 +16,7 @@ import pandas as pd
 
 from pyspark.sql import SparkSession
 
-from .registry import ORACLES, QUERIES
+from .registry import ORACLES, PENDING_ORACLES, PENDING_QUERIES, QUERIES
 from .sources import TABLE_SCHEMAS
 
 
@@ -66,8 +66,10 @@ def _values_equal(a, b) -> bool:
 def compare_query(
     spark: SparkSession, name: str, sf_dir: str, float_exact: bool = True
 ) -> CompareResult:
-    sdf = QUERIES[name](spark, sf_dir).toPandas()
-    odf = run_oracle(sf_dir, ORACLES[name])
+    fn = QUERIES[name] if name in QUERIES else PENDING_QUERIES[name]
+    sql = ORACLES[name] if name in ORACLES else PENDING_ORACLES[name]
+    sdf = fn(spark, sf_dir).toPandas()
+    odf = run_oracle(sf_dir, sql)
     if sorted(sdf.columns) != sorted(odf.columns):
         return CompareResult(
             name, False, len(sdf), len(odf),
