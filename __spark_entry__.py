@@ -123,9 +123,13 @@ def _ordered_names() -> list[str]:
     # item 4) so once the never-checked backlog drains, rotation pressure
     # keeps cycling through stale rows and a testdata regeneration cannot
     # silently invalidate a family that was last checked rounds ago.
+    # Rows-only entries sort LAST regardless of age: their driver verdict is
+    # the permanent `no_oracle` row, so a re-check can never change anything
+    # — spending a window slot on one is pure waste (round-6 verdict item 2;
+    # 12 of r6's 50 rows were such re-records).
     green_tier = sorted(
         (n for n in names if n in green),
-        key=lambda n: (last_round.get(n, -1),) + group_key(n),
+        key=lambda n: (n not in ORACLES, last_round.get(n, -1)) + group_key(n),
     )
 
     # Never-checked tier: BACKLOG-PROPORTIONAL interleave across operator

@@ -194,6 +194,13 @@ def hll_users_daily_merge_monthly(spark: SparkSession, sf_dir: str) -> DataFrame
     truncation, wrong lgK, bad serde — flips this to false and trips the
     driver's hash compare). The exact countDistinct exists only to
     determinize the oracle; the production path at scale is the sketch.
+
+    Maintenance note: merge_matches_direct / union_matches_direct use exact
+    float equality between the unioned and directly-built estimates. That
+    is deterministic for a FIXED Spark/DataSketches build; if a Spark
+    upgrade changes the union gadget's target type or estimator, these
+    flags can flip with no real accuracy regression — a red here after a
+    dependency bump means re-baseline the contract, not a data bug.
     """
     e = load_table(spark, sf_dir, "events")
     du = e.select(F.to_date("ts").alias("day"), "user_id")

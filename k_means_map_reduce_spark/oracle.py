@@ -16,7 +16,7 @@ import pandas as pd
 
 from pyspark.sql import SparkSession
 
-from .registry import ORACLES, PENDING_ORACLES, PENDING_QUERIES, QUERIES
+from .registry import ORACLES, QUERIES
 from .sources import TABLE_SCHEMAS
 
 
@@ -66,8 +66,8 @@ def _values_equal(a, b) -> bool:
 def compare_query(
     spark: SparkSession, name: str, sf_dir: str, float_exact: bool = True
 ) -> CompareResult:
-    fn = QUERIES[name] if name in QUERIES else PENDING_QUERIES[name]
-    sql = ORACLES[name] if name in ORACLES else PENDING_ORACLES[name]
+    fn = QUERIES[name]
+    sql = ORACLES[name]
     sdf = fn(spark, sf_dir).toPandas()
     odf = run_oracle(sf_dir, sql)
     if sorted(sdf.columns) != sorted(odf.columns):

@@ -23,43 +23,15 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
-# Round-gated staging area: fully implemented + parity-tested queries that are
-# deliberately NOT yet driver-visible. The driver's per-round CORRECTNESS
-# window holds ~50 rows and the rotation puts never-checked entries first, so
-# registering new queries while a never-checked backlog exists would push
-# backlog rows out of the window (NEXT.md round-6: the backlog must drain to 0
-# before expansion). Promotion is a one-token diff per entry
-# (pending_query -> query); tests/test_pending.py parity-verifies every
-# pending entry so promotion is safe the moment the gate lifts.
-PENDING_QUERIES: dict[str, QueryFn] = {}
-PENDING_ORACLES: dict[str, str] = {}
-
-
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     """Register a named query, optionally with its DuckDB oracle SQL."""
 
     def deco(fn: QueryFn) -> QueryFn:
-        if name in QUERIES or name in PENDING_QUERIES:
+        if name in QUERIES:
             raise ValueError(f"duplicate query name {name!r}")
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle
-        return fn
-
-    return deco
-
-
-def pending_query(
-    name: str, oracle: str | None = None
-) -> Callable[[QueryFn], QueryFn]:
-    """Register a query into the round-gated staging area (see above)."""
-
-    def deco(fn: QueryFn) -> QueryFn:
-        if name in QUERIES or name in PENDING_QUERIES:
-            raise ValueError(f"duplicate query name {name!r}")
-        PENDING_QUERIES[name] = fn
-        if oracle is not None:
-            PENDING_ORACLES[name] = oracle
         return fn
 
     return deco

@@ -446,12 +446,12 @@ def test_aqe_skew_join_splits_hot_partition(spark):
         "spark.sql.autoBroadcastJoinThreshold": "-1",
         "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
     }
-    old = {}
+    # Capture with default=None so keys the session never explicitly set
+    # are genuinely UNSET on restore — spark.conf.get(k) would resolve the
+    # built-in default and the unset branch below would be dead, leaving
+    # the shared fixture pinned to defaults it never chose.
+    old = {k: spark.conf.get(k, None) for k in confs}
     for k, v in confs.items():
-        try:
-            old[k] = spark.conf.get(k)
-        except Exception:
-            old[k] = None
         spark.conf.set(k, v)
     try:
         left = spark.range(0, 300_000).select(
