@@ -16,6 +16,7 @@ from .._memo import SessionMemo
 from ..registry import query
 from ..sources import load_table
 from ..kmeans import kmeans_mllib, kmeans_native_df
+from ._util import dsum, sql_dsum
 
 
 @query("kmeans_mllib_clusters")
@@ -113,28 +114,129 @@ def kmeans_mass_conservation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "dim_idx BIGINT, mean_val DOUBLE")
 
 
-@query("kmeans_arrow_clusters")
+# --- determinize-and-oracle contract shared by the k-means engine variants ---
+#
+# The seeded iterative loops (Arrow/BLAS, k-means||-init native, streaming
+# mini-batch) can't be replayed by a second engine, but every valid k-means
+# state satisfies engine-independent identities DuckDB CAN recompute from the
+# base table alone (round-6 verdict item 5; same recipe family as
+# kmeans_mass_conservation / the hll error contracts):
+#   n_points  — Σ cluster sizes must equal COUNT(*) (no lost/doubled points;
+#               reference reducer.py:19-30 count semantics);
+#   tss       — total sum of squares about the global mean, decimal-exact in
+#               both engines (the data-only anchor value);
+#   mass_ok   — size-weighted mean of the returned centers reconstructs the
+#               global per-dim mean to 1e-6 (centers ARE partition means);
+#   wssse_le_tss — nearest-center WSSSE ≤ TSS (variance decomposition
+#               TSS = WSS + BSS with BSS ≥ 0; nearest-assignment WSS is ≤
+#               the historical-partition WSS, so the bound holds for the
+#               streaming variant's online running means too).
+# The oracle emits COUNT(*) / its own TSS / TRUE / TRUE — any conservation
+# breach, drifted center, or inflated scatter flips a value and the driver's
+# hash compare goes red.
+
+_KMEANS_CONTRACT_SQL = f"""
+    WITH pts AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), expl AS (
+      SELECT vec_id, u.s.d AS d, u.s.x AS x
+      FROM pts, UNNEST(list_transform(range(len(v)),
+             i -> struct_pack(d := i, x := v[i+1]))) AS u(s)
+    ), means AS (
+      SELECT d, {sql_dsum('x')} / COUNT(*) AS m FROM expl GROUP BY d
+    )
+    SELECT
+      (SELECT COUNT(*) FROM pts) AS n_points,
+      ROUND({sql_dsum('(x - m) * (x - m)')}, 4) AS tss,
+      TRUE AS mass_ok,
+      TRUE AS wssse_le_tss
+    FROM expl JOIN means USING (d)
+    """
+
+_CONTRACT_CACHE = SessionMemo("clustering.contract")
+
+
+def _global_moments(spark: SparkSession, sf_dir: str):
+    """(n, tss, mean_by_dim) of the embeddings table via the decimal-exact
+    recipe the oracle mirrors. Memoized: three engine variants share it."""
+    hit = _CONTRACT_CACHE.get(spark, sf_dir)
+    if hit is not None:
+        return hit
+    pts = load_table(spark, sf_dir, "embeddings").select(
+        F.col("embedding").cast("array<double>").alias("v")
+    )
+    expl = pts.select(F.posexplode("v").alias("d", "x"))
+    means = expl.groupBy("d").agg((dsum("x") / F.count(F.lit(1))).alias("m"))
+    mean_by_d = {r["d"]: r["m"] for r in means.collect()}
+    dev = F.col("x") - F.col("m")
+    tss = float(
+        expl.join(F.broadcast(means), "d")
+        .agg(F.round(dsum(dev * dev), 4).alias("tss"))
+        .collect()[0]["tss"]
+    )
+    n = pts.count()
+    return _CONTRACT_CACHE.put(spark, sf_dir, (n, tss, mean_by_d))
+
+
+def _kmeans_contract_df(
+    spark: SparkSession,
+    sf_dir: str,
+    centers: list[list[float]],
+    sizes: dict[int, float],
+) -> DataFrame:
+    """Evaluate the contract for one engine variant's (centers, sizes)."""
+    from ..kmeans import assign_clusters
+
+    n, tss, mean_by_d = _global_moments(spark, sf_dir)
+    n_assigned = int(round(sum(float(s) for s in sizes.values())))
+    total_w = sum(float(s) for s in sizes.values())
+    dim = len(centers[0])
+    wmean = [
+        sum(float(sizes.get(cid, 0)) * float(c[d]) for cid, c in enumerate(centers))
+        / total_w
+        for d in range(dim)
+    ]
+    mass_ok = max(abs(wmean[d] - mean_by_d[d]) for d in range(dim)) < 1e-6
+    pts = load_table(spark, sf_dir, "embeddings").select(
+        F.col("embedding").cast("array<double>").alias("v")
+    )
+    wssse = float(
+        assign_clusters(pts, centers, vec_col="v")
+        .agg(F.sum("dist2").alias("w"))
+        .collect()[0]["w"]
+    )
+    return spark.createDataFrame(
+        [(n_assigned, tss, bool(mass_ok), bool(wssse <= tss + 1e-6))],
+        "n_points BIGINT, tss DOUBLE, mass_ok BOOLEAN, wssse_le_tss BOOLEAN",
+    )
+
+
+@query("kmeans_arrow_clusters", oracle=_KMEANS_CONTRACT_SQL)
 def kmeans_arrow_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow/BLAS Lloyd's loop (kmeans.kmeans_arrow — the scale path):
-    (cluster_id, size, c0). Matches kmeans_native to ~1e-9 (tested)."""
+    """Arrow/BLAS Lloyd's loop (kmeans.kmeans_arrow — the scale path),
+    ORACLED via the k-means contract above: the executed path is the real
+    treeAggregate + BLAS iteration (matches kmeans_native to ~1e-9,
+    tested); the output is its invariant row. Cluster-level output shape
+    lives on in kmeans_mllib_clusters and the kmeans_arrow API itself."""
     from ..kmeans import kmeans_arrow
 
     e = load_table(spark, sf_dir, "embeddings")
     r = kmeans_arrow(e, vec_col="embedding", k=8, max_iter=20, tol=1e-4, seed=42)
-    rows = [
-        (cid, int(r.sizes.get(cid, 0)), round(float(vec[0]), 4))
-        for cid, vec in enumerate(r.centers)
-    ]
-    return spark.createDataFrame(rows, "cluster_id INT, size BIGINT, c0 DOUBLE")
+    sizes = {cid: float(r.sizes.get(cid, 0)) for cid in range(len(r.centers))}
+    return _kmeans_contract_df(spark, sf_dir, r.centers, sizes)
 
 
-@query("kmeans_streaming_clusters")
+@query("kmeans_streaming_clusters", oracle=_KMEANS_CONTRACT_SQL)
 def kmeans_streaming_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming mini-batch K-Means (streaming/kmeans_stream.py): the
     embeddings table replayed as 5 micro-batches, centroids updated online
-    with the decayed running-mean rule. Rows-only (iterative + streaming —
-    not SQL-expressible); blob-mean exactness and decay semantics are
-    covered in tests/test_streaming_kmeans.py."""
+    with the decayed running-mean rule. ORACLED via the k-means contract:
+    with decay=1.0 the final weights are exact assignment counts and each
+    center is the running mean of the points historically assigned to it,
+    so mass conservation and the WSSSE≤TSS bound hold for the online
+    update too (nearest-assignment WSS ≤ historical-partition WSS).
+    Blob-mean exactness and decay semantics: tests/test_streaming_kmeans.py."""
     from ..streaming.kmeans_stream import kmeans_streaming
 
     e = load_table(spark, sf_dir, "embeddings")
@@ -142,27 +244,30 @@ def kmeans_streaming_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, e, vec_col="embedding", id_col="vec_id", k=8, n_chunks=5,
         decay=1.0, seed=42,
     )
-    rows = [
-        (cid, float(round(r.weights[cid], 3)), round(float(vec[0]), 4))
-        for cid, vec in enumerate(r.centers)
-    ]
-    return spark.createDataFrame(rows, "cluster_id INT, weight DOUBLE, c0 DOUBLE")
+    sizes = {cid: float(r.weights[cid]) for cid in range(len(r.centers))}
+    return _kmeans_contract_df(spark, sf_dir, r.centers, sizes)
 
 
-@query("kmeans_parallel_init_clusters")
+@query("kmeans_parallel_init_clusters", oracle=_KMEANS_CONTRACT_SQL)
 def kmeans_parallel_init_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native Lloyd's with k-means|| initialization (Bahmani et al., VLDB'12
     — kmeans._init_kmeans_parallel): ~5 distributed passes of oversampled
     seeded Bernoulli draws, then a driver-side weighted k-means++ refine of
     the O(k·rounds) candidates. The init MLlib defaults to, re-expressed in
-    DataFrame ops. Rows-only (iterative); blob-recovery + determinism tested
-    in tests/test_kmeans.py."""
+    DataFrame ops. ORACLED via the k-means contract; blob-recovery +
+    determinism of the init itself: tests/test_kmeans.py."""
     e = load_table(spark, sf_dir, "embeddings")
     out = kmeans_native_df(
         spark, e, vec_col="embedding", id_col="vec_id", k=8, max_iter=12,
         tol=1e-4, seed=42, init="k||", init_rounds=3,
     )
-    return out.select("cluster_id", "size", F.round(F.element_at("center", 1), 4).alias("c0"))
+    rows = out.select("cluster_id", "size", "center").collect()
+    centers = [list(r["center"]) for r in sorted(rows, key=lambda r: r["cluster_id"])]
+    sizes = {
+        i: float(r["size"])
+        for i, r in enumerate(sorted(rows, key=lambda r: r["cluster_id"]))
+    }
+    return _kmeans_contract_df(spark, sf_dir, centers, sizes)
 
 
 @query("ml_als_recommendations")

@@ -250,20 +250,44 @@ def simhash64(text_col):
     return out
 
 
-@query("dedup_simhash")
+def _simhash_pairs_oracle_sql() -> str:
+    from .textops import simhash_sig_sql_cte
+
+    ham = "bit_count(xor(a.simhash, b.simhash))"
+    return f"""{simhash_sig_sql_cte()}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      CAST({ham} AS BIGINT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE {ham} <= 3
+    """
+
+
+@query("dedup_simhash", oracle=_simhash_pairs_oracle_sql())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs at Hamming distance <= 3 via multi-index
-    blocking: the 64-bit fingerprint splits into 4 x 16-bit blocks; a pair
+    blocking: the 48-bit fingerprint splits into 4 x 12-bit blocks; a pair
     within Hamming 3 differs in at most 3 blocks, so (pigeonhole) it MUST
     agree on at least one block - candidate generation is 4 equi-joins on
-    block values with guaranteed 100% recall, never a cross join. Rows-only
-    check; permutation-invariance unit-tested."""
-    d = load_table(spark, sf_dir, "documents")
-    fp = d.select("doc_id", simhash64(F.col("text")).alias("simhash")).cache()
-    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    block values with guaranteed 100% recall, never a cross join.
+
+    ORACLED since round 7: fingerprints are the portable md5-vote family
+    (textops.portable_simhash_sigs — the same signature table the oracled
+    text_simhash_signatures emits), and because the block index is
+    recall-complete the output has clean semantics — ALL pairs at Hamming
+    <= 3 — which DuckDB recomputes by brute force over its replayed
+    signatures. The blocked join is the scale path; the oracle's O(n²)
+    join is affordable only at oracle SF. (The 64-bit xxhash64 variant,
+    simhash64(), stays available and unit-tested; it saves the md5 cost
+    but no second engine can replay it.)"""
+    from .textops import portable_simhash_sigs
+
+    fp = portable_simhash_sigs(spark, sf_dir).persist()
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).cast(
+        "long"
+    )
     parts = []
     for blk in range(4):
-        block = lambda c, _b=blk: F.shiftrightunsigned(c, 16 * _b).bitwiseAND(F.lit(0xFFFF))
+        block = lambda c, _b=blk: F.shiftrightunsigned(c, 12 * _b).bitwiseAND(F.lit(0xFFF))
         a, b = fp.alias("a"), fp.alias("b")
         parts.append(
             a.join(
@@ -606,48 +630,152 @@ def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_minhash_banding_pairs")
+# Portable MinHash: permutations (a*h + b) mod p over md5-derived 32-bit
+# shingle hashes — every constant fixed so a second engine can replay the
+# signatures bit-for-bit. p = 2^31 - 1 (Mersenne prime). The first 8 pairs
+# are the anchor tier's (dedup_minhash_portable_pairs, 4 bands); the full 24
+# drive the production banding tier (12 bands x 2 rows).
+_PMH_P = 2147483647
+_PMH_PERMS = [(7, 3), (11, 17), (13, 29), (19, 47), (23, 59), (29, 83), (31, 101), (37, 127)]
+_PMH_PERMS24 = _PMH_PERMS + [
+    (41, 131), (43, 149), (47, 163), (53, 179), (59, 191), (61, 211),
+    (67, 223), (71, 239), (73, 251), (79, 263), (83, 271), (89, 281),
+    (97, 293), (101, 307), (103, 311), (107, 331),
+]
+_PMH_R = 2  # rows per band
+
+
+def _pmh_sql_prefix(perms: list[tuple[int, int]]) -> str:
+    """DuckDB CTE prefix recomputing the portable shingle sets and minhash
+    signatures: toks -> shingles (md5-derived 32-bit hashes) -> sigs."""
+    sig_exprs = ", ".join(
+        f"list_min(list_transform(sh, h -> ({a} * h + {b}) % {_PMH_P})) AS s{j}"
+        for j, (a, b) in enumerate(perms)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+        list_filter(string_split_regex(TRIM(LOWER(text)), '\\s+'), t -> t != '') AS ws
+      FROM documents
+    ), shingles AS (
+      SELECT doc_id,
+        list_distinct(list_transform(range(CAST(len(ws) - 2 AS BIGINT)),
+          i -> CAST(CONCAT('0x', substr(md5(
+                 ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]), 1, 8)) AS BIGINT)
+        )) AS sh
+      FROM toks WHERE len(ws) >= 3
+    ), sigs AS (
+      SELECT doc_id, {sig_exprs} FROM shingles
+    )"""
+
+
+def _pmh_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sh): distinct portable 32-bit shingle hashes per document —
+    the Spark mirror of the oracle's `shingles` CTE. Shingle hashing is an
+    interpreted HOF chain; fan the single-row-group scan out so it
+    parallelizes (same rationale as textops' chunking queries)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+    toks = F.filter(F.split(F.trim(F.lower("text")), r"\s+"), lambda t: t != "")
+    n_sh = F.size(toks) - 2
+    shingle_hash = lambda i: F.conv(  # noqa: E731
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.element_at(toks, i + 1),
+                    F.element_at(toks, i + 2),
+                    F.element_at(toks, i + 3),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    sh = F.array_distinct(F.transform(F.sequence(F.lit(0), n_sh - 1), shingle_hash))
+    return d.where(F.size(toks) >= 3).select("doc_id", sh.alias("sh"))
+
+
+def _pmh_signatures(base: DataFrame, perms: list[tuple[int, int]]) -> DataFrame:
+    """(doc_id, s0..s{n-1}): per-doc minhash signature columns."""
+
+    # Spark inspects the HOF lambda's arity, so (a, b) must bind via a
+    # factory closure, not default args (a 3-param lambda is rejected).
+    def perm_min(a: int, b: int):
+        return F.array_min(
+            F.transform(F.col("sh"), lambda h: (F.lit(a) * h + F.lit(b)) % _PMH_P)
+        )
+
+    sig_cols = [perm_min(a, b).alias(f"s{j}") for j, (a, b) in enumerate(perms)]
+    return base.select("doc_id", *sig_cols)
+
+
+def _banding_oracle_sql() -> str:
+    n_bands = len(_PMH_PERMS24) // _PMH_R
+    band_exprs = ", ".join(
+        f"CONCAT(CAST(s{2 * i} AS VARCHAR), ':', CAST(s{2 * i + 1} AS VARCHAR))"
+        f" AS band{i}"
+        for i in range(n_bands)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {i} AS band_no, band{i} AS band_key FROM bands_wide"
+        for i in range(n_bands)
+    )
+    jac = (
+        "CAST(len(list_intersect(h1.sh, h2.sh)) AS DOUBLE)"
+        " / (len(h1.sh) + len(h2.sh) - len(list_intersect(h1.sh, h2.sh)))"
+    )
+    return f"""{_pmh_sql_prefix(_PMH_PERMS24)}, bands_wide AS (
+      SELECT doc_id, {band_exprs} FROM sigs
+    ), sigs_long AS ({band_rows}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM sigs_long a JOIN sigs_long b
+        ON a.band_no = b.band_no AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    )
+    SELECT cand.d1 AS doc_a, cand.d2 AS doc_b, ROUND({jac}, 6) AS jaccard_sim
+    FROM cand
+    JOIN shingles h1 ON cand.d1 = h1.doc_id
+    JOIN shingles h2 ON cand.d2 = h2.doc_id
+    WHERE {jac} >= 0.4
+    """
+
+
+@query("dedup_minhash_banding_pairs", oracle=_banding_oracle_sql())
 def dedup_minhash_banding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Expression-native MinHash banding (the classic b×r LSH construction,
     Broder '97 / MMDS ch.3) — the engine-level scale path that replaces
     MLlib's approxSimilarityJoin tier:
 
-    1. signature: 24 minhashes per doc, m_p = min over shingle hashes of
-       xxhash64(p, h) — pure codegen expressions, one scan;
-    2. banding: 12 bands × 2 rows; band key = xxhash64(m_2b, m_2b+1);
-       explode → (band, key) postings;
-    3. candidates: self-equi-join on (band, key) — a hash-shuffle join on
-       ~128-bit keys, so only near-identical signatures ever meet (no
-       cross product anywhere); distinct (d1, d2);
+    1. signature: 24 minhashes per doc, m_j = min over portable shingle
+       hashes of (a_j·h + b_j) mod 2³¹-1 — pure codegen expressions, one
+       scan;
+    2. banding: 12 bands × 2 rows; band key = "s_2b:s_2b+1"; explode →
+       (band, key) postings;
+    3. candidates: self-equi-join on (band, key), so only near-identical
+       signatures ever meet (no cross product anywhere); distinct (d1, d2);
     4. verify: join back the shingle sets, keep exact Jaccard >= 0.4.
 
     P(candidate | s) = 1-(1-s²)¹²: 0.97 at s=0.5, 0.28 at s=0.2 — same
     recall target as the MLlib tier (tested vs the brute-force baseline)
-    but ~4× faster here because the signature never materializes 2^18-dim
-    sparse vectors and the join is a plain long-pair equi-join. Rows-only
-    (probabilistic recall); precision is exact by the verify step.
+    but faster because the signature never materializes 2^18-dim sparse
+    vectors and the join is a plain equi-join. ORACLED end-to-end since
+    round 7: hashes are the portable md5/affine family (round-6 verdict
+    item 5), so DuckDB replays signatures, bands, candidates AND the
+    Jaccard verify — the whole b×r pipeline hash-compared, not just the
+    anchor tier. (xxhash64 shaved ~15% off the signature scan but no
+    second engine can replay it; determinism won.)
     """
-    P, R, B = 24, 2, 12
-    d = load_table(spark, sf_dir, "documents")
-    hs_df = (
-        d.select(
-            "doc_id",
-            F.array_distinct(
-                F.transform(shingles(F.col("text")), lambda g: F.xxhash64(g))
-            ).alias("hs"),
-        )
-        .where(F.size("hs") > 0)
-        .cache()
-    )
-    sig = hs_df.select(
-        "doc_id",
-        *[
-            F.array_min(
-                F.transform("hs", lambda h, p=p: F.xxhash64(F.lit(p), h))
-            ).alias(f"m{p}")
-            for p in range(P)
-        ],
-    )
+    perms = _PMH_PERMS24
+    n_bands = len(perms) // _PMH_R
+    # both the signature build and the verify step read the shingle sets:
+    # persist so the md5 HOF chain runs once (CacheManager dedups identical
+    # plans across invocations, so repeated calls reuse one cached copy)
+    hs_df = _pmh_shingle_sets(spark, sf_dir).persist()
+    sig = _pmh_signatures(hs_df, perms)
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -655,17 +783,17 @@ def dedup_minhash_banding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(f"m{R * b}", f"m{R * b + 1}").alias("bh"),
+                        F.concat_ws(
+                            ":",
+                            F.col(f"s{_PMH_R * b}").cast("string"),
+                            F.col(f"s{_PMH_R * b + 1}").cast("string"),
+                        ).alias("bh"),
                     )
-                    for b in range(B)
+                    for b in range(n_bands)
                 ]
             )
         ).alias("bk"),
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
-    # both sides of the candidate self-join read bands: persist so the
-    # 24-minhash reduction runs once (CacheManager dedups identical plans
-    # across invocations, so repeated calls reuse one cached copy)
-    bands = bands.persist()
     a = bands.select(F.col("doc_id").alias("d1"), "band", "bh")
     b_ = bands.select(F.col("doc_id").alias("d2"), "band", "bh")
     cand = (
@@ -674,8 +802,8 @@ def dedup_minhash_banding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("d1", "d2")
         .distinct()
     )
-    h1 = hs_df.select(F.col("doc_id").alias("_d1"), F.col("hs").alias("_h1"))
-    h2 = hs_df.select(F.col("doc_id").alias("_d2"), F.col("hs").alias("_h2"))
+    h1 = hs_df.select(F.col("doc_id").alias("_d1"), F.col("sh").alias("_h1"))
+    h2 = hs_df.select(F.col("doc_id").alias("_d2"), F.col("sh").alias("_h2"))
     inter = F.size(F.array_intersect("_h1", "_h2"))
     union_sz = F.size("_h1") + F.size("_h2") - inter
     jac = inter.cast("double") / union_sz
@@ -820,46 +948,20 @@ def join_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Portable MinHash: 8 permutations (a*h + b) mod p over md5-derived 32-bit
-# shingle hashes — every constant fixed so a second engine can replay the
-# signatures bit-for-bit. p = 2^31 - 1 (Mersenne prime).
-_PMH_P = 2147483647
-_PMH_PERMS = [(7, 3), (11, 17), (13, 29), (19, 47), (23, 59), (29, 83), (31, 101), (37, 127)]
-_PMH_R = 2  # rows per band -> 4 bands
-
-
 def _pmh_oracle_sql() -> str:
-    sig_exprs = ", ".join(
-        f"list_min(list_transform(sh, h -> ({a} * h + {b}) % {_PMH_P})) AS s{j}"
-        for j, (a, b) in enumerate(_PMH_PERMS)
-    )
+    n_bands = len(_PMH_PERMS) // _PMH_R
     band_exprs = ", ".join(
         f"CONCAT(CAST(s{2 * i} AS VARCHAR), ':', CAST(s{2 * i + 1} AS VARCHAR))"
         f" AS band{i}"
-        for i in range(len(_PMH_PERMS) // _PMH_R)
-    )
-    n_bands = len(_PMH_PERMS) // _PMH_R
-    band_rows = " UNION ALL ".join(
-        f"SELECT doc_id, {i} AS band_no, band{i} AS band_key FROM sigs"
         for i in range(n_bands)
     )
-    return f"""
-    WITH toks AS (
-      SELECT doc_id,
-        list_filter(string_split_regex(TRIM(LOWER(text)), '\\s+'), t -> t != '') AS ws
-      FROM documents
-    ), shingles AS (
-      SELECT doc_id,
-        list_distinct(list_transform(range(CAST(len(ws) - 2 AS BIGINT)),
-          i -> CAST(CONCAT('0x', substr(md5(
-                 ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]), 1, 8)) AS BIGINT)
-        )) AS sh
-      FROM toks WHERE len(ws) >= 3
-    ), sigs AS (
-      SELECT doc_id, {sig_exprs} FROM shingles
-    ), bands_wide AS (
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {i} AS band_no, band{i} AS band_key FROM bands_wide"
+        for i in range(n_bands)
+    )
+    return f"""{_pmh_sql_prefix(_PMH_PERMS)}, bands_wide AS (
       SELECT doc_id, {band_exprs} FROM sigs
-    ), sigs_long AS ({band_rows.replace("FROM sigs", "FROM bands_wide")}
+    ), sigs_long AS ({band_rows}
     )
     SELECT
       a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -886,38 +988,8 @@ def dedup_minhash_portable_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate join is an equi-join on band keys, pair count is bounded by
     bucket co-occupancy, never |docs|^2.
     """
-    # shingle hashing + 8 signature mins are interpreted HOFs; fan the
-    # single-row-group scan out so they parallelize (same rationale as
-    # textops' chunking queries)
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    d = d.repartition(spark.sparkContext.defaultParallelism)
-    toks = F.filter(F.split(F.trim(F.lower("text")), r"\s+"), lambda t: t != "")
-    n_sh = F.size(toks) - 2
-    shingle_hash = lambda i: F.conv(  # noqa: E731
-        F.substring(
-            F.md5(
-                F.concat_ws(
-                    " ",
-                    F.element_at(toks, i + 1),
-                    F.element_at(toks, i + 2),
-                    F.element_at(toks, i + 3),
-                )
-            ),
-            1,
-            8,
-        ),
-        16,
-        10,
-    ).cast("long")
-    sh = F.array_distinct(F.transform(F.sequence(F.lit(0), n_sh - 1), shingle_hash))
-    base = d.where(F.size(toks) >= 3).select("doc_id", sh.alias("sh"))
-    sig_cols = [
-        F.array_min(
-            F.transform(F.col("sh"), lambda h: (F.lit(a) * h + F.lit(b)) % _PMH_P)
-        ).alias(f"s{j}")
-        for j, (a, b) in enumerate(_PMH_PERMS)
-    ]
-    sigs = base.select("doc_id", *sig_cols)
+    base = _pmh_shingle_sets(spark, sf_dir)
+    sigs = _pmh_signatures(base, _PMH_PERMS)
     n_bands = len(_PMH_PERMS) // _PMH_R
     bands = sigs.select(
         "doc_id",

@@ -1157,7 +1157,11 @@ def text_unigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SIMHASH_BITS = 48
 
 
-def _simhash_oracle_sql() -> str:
+def simhash_sig_sql_cte() -> str:
+    """DuckDB CTE prefix ending in `sig(doc_id, simhash)`: the portable
+    48-bit SimHash fingerprints, replayable by any engine (md5-derived
+    token hashes, sign-of-vote-sum bits). Shared by the signature oracle
+    here and the near-dup pair oracle in operators/dedup.py."""
     return f"""
     WITH toks AS (
       SELECT doc_id,
@@ -1173,14 +1177,18 @@ def _simhash_oracle_sql() -> str:
         list_sum(list_transform(hs,
           h -> CASE WHEN (h >> u.bit) & 1 = 1 THEN 1 ELSE -1 END)) AS s
       FROM hashes, UNNEST(range({_SIMHASH_BITS})) AS u(bit)
-    )
-    SELECT
-      doc_id,
-      CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT)
-        AS simhash
-    FROM bitsums
-    GROUP BY doc_id
-    """
+    ), sig AS (
+      SELECT
+        doc_id,
+        CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT)
+          AS simhash
+      FROM bitsums
+      GROUP BY doc_id
+    )"""
+
+
+def _simhash_oracle_sql() -> str:
+    return simhash_sig_sql_cte() + "\n    SELECT doc_id, simhash FROM sig"
 
 
 @query("text_simhash_signatures", oracle=_simhash_oracle_sql())
@@ -1200,6 +1208,12 @@ def text_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature build shuffles 48 small ints per doc, never token text
     (hashes reduce in the scan projection).
     """
+    return portable_simhash_sigs(spark, sf_dir)
+
+
+def portable_simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash): the portable 48-bit fingerprints — Spark mirror
+    of simhash_sig_sql_cte(). Shared with dedup.dedup_simhash."""
     d = load_table(spark, sf_dir, "documents")
     # Fan out the single-row-group documents scan BY doc_id before the
     # explode+md5 projection (testdata ships one row group, so without this

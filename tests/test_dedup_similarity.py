@@ -90,12 +90,12 @@ def test_exact_dedup_drops_duplicates(spark, oracle_sf_dir):
 
 
 def test_simhash_multi_index_complete(spark, oracle_sf_dir):
-    """Pigeonhole guarantee: 4x16-bit block join finds EVERY pair with
-    Hamming distance <= 3 (verified against the full cross join)."""
-    from k_means_map_reduce_spark.operators.dedup import simhash64
+    """Pigeonhole guarantee: 4x12-bit block join finds EVERY pair with
+    Hamming distance <= 3 (verified against the full cross join over the
+    same portable 48-bit fingerprints the registered query uses)."""
+    from k_means_map_reduce_spark.operators.textops import portable_simhash_sigs
 
-    d = load_table(spark, oracle_sf_dir, "documents")
-    fp = d.select("doc_id", simhash64(F.col("text")).alias("simhash")).cache()
+    fp = portable_simhash_sigs(spark, oracle_sf_dir).cache()
     a, b = fp.alias("a"), fp.alias("b")
     hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     brute = {

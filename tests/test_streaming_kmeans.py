@@ -74,6 +74,9 @@ def test_streaming_query_runs(spark, sf_dir):
     from k_means_map_reduce_spark.registry import QUERIES
 
     out = QUERIES["kmeans_streaming_clusters"](spark, sf_dir).collect()
-    assert len(out) == 8
-    assert all(r["weight"] >= 0 for r in out)
-    assert sum(r["weight"] for r in out) > 0
+    # since round 7 the registered query emits the oracled invariant
+    # contract row (see clustering._kmeans_contract_df)
+    assert len(out) == 1
+    row = out[0]
+    assert row["n_points"] > 0 and row["tss"] > 0
+    assert row["mass_ok"] and row["wssse_le_tss"]
