@@ -446,3 +446,266 @@ def ds_rollup_topn_by_level(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("rk") <= 3)
     )
+
+
+@query(
+    "ds_q64_repeat_channel_chain",
+    oracle="""
+    WITH sales AS (
+      SELECT
+        l_partkey,
+        o_custkey,
+        CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+        CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 6)
+                      AS DECIMAL(18,6))) AS DOUBLE) AS net,
+        COUNT(*) AS n_lines
+      FROM lineitem
+      JOIN orders ON o_orderkey = l_orderkey
+      GROUP BY 1, 2, 3
+    )
+    SELECT
+      s1.l_partkey AS partkey,
+      p_brand,
+      s1.o_custkey AS custkey,
+      n_name,
+      s1.yr AS yr1,
+      ROUND(s1.net, 4) AS net1,
+      ROUND(s2.net, 4) AS net2,
+      s1.n_lines AS n1,
+      s2.n_lines AS n2
+    FROM sales s1
+    JOIN sales s2
+      ON s1.l_partkey = s2.l_partkey
+     AND s1.o_custkey = s2.o_custkey
+     AND s2.yr = s1.yr + 1
+    JOIN part ON p_partkey = s1.l_partkey
+    JOIN customer ON c_custkey = s1.o_custkey
+    JOIN nation ON n_nationkey = c_nationkey
+    WHERE s2.net > s1.net
+    """,
+)
+def ds_q64_repeat_channel_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q64's signature: the same (item, customer) pair observed in
+    the sales chain in two CONSECUTIVE years, with both years' aggregates
+    side-by-side through the full dimension chain (part, customer, nation),
+    keeping pairs whose net revenue grew. q64 does this across two channels
+    and two years; with one fact the two-year self-comparison is the core.
+
+    Scale shape: the fact collapses FIRST to a (part, customer, year)
+    rollup (map-side partials), and the year-over-year self-join runs on
+    the rollup keyed by (part, customer) — both sides share that
+    partitioning, so the self-join adds no extra exchange beyond the agg's.
+    Dimensions join AFTER the self-join has shrunk the row set; nation is
+    a bounded broadcast, part/customer scale with SF and stay shuffled
+    (AQE may still broadcast them at small SF).
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    p = load_table(spark, sf_dir, "part")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    net = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6)
+    sales = (
+        l.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_partkey", "o_custkey", F.year("o_orderdate").alias("yr"))
+        .agg(
+            F.sum(net.cast("decimal(18,6)")).cast("double").alias("net"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+    s1 = sales.alias("s1")
+    s2 = sales.select(
+        F.col("l_partkey").alias("pk2"),
+        F.col("o_custkey").alias("ck2"),
+        F.col("yr").alias("yr2"),
+        F.col("net").alias("net_2"),
+        F.col("n_lines").alias("n_lines2"),
+    )
+    chained = s1.join(
+        s2,
+        (F.col("s1.l_partkey") == F.col("pk2"))
+        & (F.col("s1.o_custkey") == F.col("ck2"))
+        & (F.col("yr2") == F.col("s1.yr") + 1),
+    ).where(F.col("net_2") > F.col("s1.net"))
+    return (
+        chained.join(p, F.col("p_partkey") == F.col("s1.l_partkey"))
+        .join(c, F.col("c_custkey") == F.col("s1.o_custkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+        .select(
+            F.col("s1.l_partkey").alias("partkey"),
+            "p_brand",
+            F.col("s1.o_custkey").alias("custkey"),
+            "n_name",
+            F.col("s1.yr").alias("yr1"),
+            F.round(F.col("s1.net"), 4).alias("net1"),
+            F.round(F.col("net_2"), 4).alias("net2"),
+            F.col("s1.n_lines").alias("n1"),
+            F.col("n_lines2").alias("n2"),
+        )
+    )
+
+
+@query(
+    "ds_q72_inventory_window",
+    oracle="""
+    WITH inv AS (
+      SELECT
+        l_partkey AS pk,
+        CAST(date_diff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE)) // 7
+             AS BIGINT) AS wk,
+        CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS inv_qty
+      FROM lineitem
+      GROUP BY 1, 2
+    ),
+    shortage AS (
+      SELECT
+        s.l_partkey,
+        CAST(date_diff('day', DATE '1995-01-01', CAST(s.l_shipdate AS DATE)) // 7
+             AS BIGINT) AS sale_wk,
+        s.l_quantity
+      FROM lineitem s
+      JOIN inv i
+        ON i.pk = s.l_partkey
+       AND (i.wk = CAST(date_diff('day', DATE '1995-01-01',
+                                  CAST(s.l_shipdate AS DATE)) // 7 AS BIGINT) + 1)
+       AND i.inv_qty < 5 * CAST(s.l_quantity AS BIGINT)
+    )
+    SELECT
+      p_brand,
+      sale_wk,
+      COUNT(*) AS shortage_events,
+      COUNT(DISTINCT l_partkey) AS parts_affected
+    FROM shortage
+    JOIN part ON p_partkey = l_partkey
+    GROUP BY 1, 2
+    """,
+)
+def ds_q72_inventory_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q72's signature: a sales row joined to the item's INVENTORY
+    state in a bounded FOLLOWING time window, keeping rows where on-hand
+    quantity can't cover demand (inv_qty < 5x the line quantity), rolled
+    up to (brand, week) shortage counts. Inventory is derived per
+    (part, week) from shipped quantities — testdata ships no inventory
+    table; the window-join shape is q72's.
+
+    Scale shape: q72's range join (inv_date within days after sale) is
+    restated as an EQUI-join — the sale probes exactly the next week's
+    bucket (wk+1), so there is no range-join explosion and no
+    inequality-only join: Spark plans a plain hash join on (part, week).
+    The inventory rollup aggregates map-side first; weeks are integer
+    epoch-week indices computed identically in both engines.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    wk = lambda col: F.floor(  # noqa: E731
+        F.datediff(F.col(col), F.lit("1995-01-01").cast("date")) / 7
+    )
+    inv = l.groupBy(
+        F.col("l_partkey").alias("pk"), wk("l_shipdate").alias("wk")
+    ).agg(F.sum(F.col("l_quantity").cast("long")).alias("inv_qty"))
+    sales = l.select(
+        "l_partkey",
+        wk("l_shipdate").alias("sale_wk"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    shortage = sales.join(
+        inv,
+        (F.col("pk") == F.col("l_partkey"))
+        & (F.col("wk") == F.col("sale_wk") + 1)
+        & (F.col("inv_qty") < 5 * F.col("qty")),
+    )
+    return (
+        shortage.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "sale_wk")
+        .agg(
+            F.count(F.lit(1)).alias("shortage_events"),
+            F.countDistinct("l_partkey").alias("parts_affected"),
+        )
+    )
+
+
+@query(
+    "ds_q93_returns_adjusted_sales",
+    oracle="""
+    WITH lines AS (
+      SELECT
+        p_brand,
+        strftime(date_trunc('month', CAST(o_orderdate AS TIMESTAMP)), '%Y-%m')
+          AS month,
+        CAST(ROUND(l_extendedprice * (1 - l_discount), 6) AS DECIMAL(18,6))
+          AS net,
+        l_returnflag,
+        l_linestatus
+      FROM lineitem
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN part ON p_partkey = l_partkey
+    ),
+    agg AS (
+      SELECT
+        p_brand,
+        month,
+        CAST(SUM(net) AS DOUBLE) AS gross,
+        CAST(COALESCE(SUM(CASE WHEN l_returnflag = 'R' AND l_linestatus = 'F'
+                               THEN net END), 0) AS DOUBLE) AS full_refund,
+        CAST(COALESCE(SUM(CASE WHEN l_returnflag = 'R' AND l_linestatus <> 'F'
+                               THEN net END), 0) AS DOUBLE) AS half_refund
+      FROM lines
+      GROUP BY 1, 2
+    )
+    SELECT
+      p_brand, month, gross, full_refund, half_refund,
+      gross - full_refund - 0.5 * half_refund AS act_sales
+    FROM agg
+    """,
+)
+def ds_q93_returns_adjusted_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q93's signature: actual sales net of returns, where the
+    refund amount depends on the return disposition (q93's CASE over the
+    return reason): finalized returned lines ('R'/'F') refund fully, open
+    returned lines refund half. Rolled up per (brand, month).
+
+    Scale shape: ONE fact pass — the disposition split is conditional
+    aggregation, never a second scan or a returns self-join (q93 is
+    written as store_sales LEFT JOIN store_returns; with the flag on the
+    line the join is free). Decimal sums keep gross/refund exact; the
+    half refund halves an exact double (exact in binary) and the final
+    subtraction of exact doubles is deterministic cross-engine.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    p = load_table(spark, sf_dir, "part")
+    net = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")), 6
+    ).cast("decimal(18,6)")
+    returned = F.col("l_returnflag") == "R"
+    final = F.col("l_linestatus") == "F"
+    zero = F.lit(0).cast("decimal(18,6)")
+    agg = (
+        l.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy(
+            "p_brand",
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+                "month"
+            ),
+        )
+        .agg(
+            F.sum(net).cast("double").alias("gross"),
+            F.coalesce(F.sum(F.when(returned & final, net)), zero)
+            .cast("double")
+            .alias("full_refund"),
+            F.coalesce(F.sum(F.when(returned & ~final, net)), zero)
+            .cast("double")
+            .alias("half_refund"),
+        )
+    )
+    return agg.select(
+        "p_brand",
+        "month",
+        "gross",
+        "full_refund",
+        "half_refund",
+        (
+            F.col("gross") - F.col("full_refund") - 0.5 * F.col("half_refund")
+        ).alias("act_sales"),
+    )
