@@ -525,3 +525,352 @@ def events_rolling_median_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at(sorted_vals, ((n + 1) / 2).cast("int")), 6
         ).alias("rolling_median"),
     )
+
+
+@query(
+    "timeseries_robust_stl_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+             SUM(CAST(ROUND(value, 6) AS DECIMAL(18,6))) AS rev
+      FROM events GROUP BY 1, 2
+    ), win AS (
+      SELECT event_type, day, CAST(rev AS DOUBLE) AS x,
+             list(CAST(rev AS DOUBLE)) OVER (
+               PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS vals,
+             dayofweek(day) AS dow
+      FROM daily
+    ), det AS (
+      SELECT event_type, day, dow, x,
+             list_sort(vals)[4] AS trend,
+             x - list_sort(vals)[4] AS d
+      FROM win WHERE len(vals) = 7
+    ), seas AS (
+      SELECT event_type, dow,
+             list_sort(list(ROUND(d, 6)))
+               [CAST((COUNT(*) + 1) // 2 AS INT)] AS s
+      FROM det GROUP BY 1, 2
+    )
+    SELECT t.event_type,
+           strftime(t.day, '%Y-%m-%d') AS day,
+           ROUND(t.x, 6) AS revenue,
+           ROUND(t.trend, 6) AS trend,
+           ROUND(s.s, 6) AS seasonal,
+           ROUND(ROUND(t.d, 6) - s.s, 6) AS remainder
+    FROM det t JOIN seas s
+      ON t.event_type = s.event_type AND t.dow = s.dow
+    """,
+)
+def timeseries_robust_stl_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-style ROBUST decomposition of each event type's daily revenue:
+    trend = centered 7-day MEDIAN (an exact order statistic — one outlier
+    day cannot bend it, unlike the moving mean in
+    timeseries_classical_decomposition), seasonal = per-day-of-week lower
+    median of the detrended series, remainder = the rest. Medians make
+    every decomposition component robust AND cross-engine exact: order
+    statistics on identical inputs cannot drift, where iterated loess (real
+    STL) would be float-order-sensitive.
+
+    Full 7-day windows only, so the trend median is over an ODD count —
+    the middle element, no interpolation. The seasonal median uses the
+    LOWER median (element (n+1) div 2 of the sorted list) so even counts
+    also pick a real data point. Daily sums are decimal-exact first.
+
+    Scale shape: the fact collapses to (type, day) rows map-side; the
+    bounded 7-row frame collects O(1) values per row; the seasonal rollup
+    groups ≤ 7 rows per type. Everything after the first shuffle is
+    calendar-bounded, not event-bounded.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(F.round("value", 6).cast("decimal(18,6)")).alias("rev"))
+    w7 = (
+        Window.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+    )
+    win = daily.select(
+        "event_type",
+        "day",
+        F.col("rev").cast("double").alias("x"),
+        F.collect_list(F.col("rev").cast("double")).over(w7).alias("vals"),
+        F.dayofweek("day").alias("dow"),
+    )
+    trend = F.element_at(F.array_sort("vals"), 4)
+    det = win.where(F.size("vals") == 7).select(
+        "event_type",
+        "day",
+        "dow",
+        "x",
+        trend.alias("trend"),
+        (F.col("x") - trend).alias("d"),
+    )
+    n = F.count(F.lit(1))
+    seas = det.groupBy("event_type", "dow").agg(
+        F.element_at(
+            F.sort_array(F.collect_list(F.round("d", 6))),
+            ((n + 1) / 2).cast("int"),
+        ).alias("s")
+    )
+    return det.join(F.broadcast(seas), ["event_type", "dow"]).select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.round("x", 6).alias("revenue"),
+        F.round("trend", 6).alias("trend"),
+        F.round("s", 6).alias("seasonal"),
+        F.round(F.round("d", 6) - F.col("s"), 6).alias("remainder"),
+    )
+
+
+@query(
+    "timeseries_cross_correlation_lags",
+    oracle="""
+    WITH daily AS (
+      SELECT date_diff('day', DATE '2024-01-01',
+                       CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE))
+               AS t,
+             COUNT(*) FILTER (WHERE event_type = 'view') AS x,
+             COUNT(*) FILTER (WHERE event_type = 'purchase') AS y
+      FROM events GROUP BY 1
+    ), lags AS (
+      SELECT CAST(range AS BIGINT) AS lag FROM range(0, 8)
+    ), pairs AS (
+      SELECT l.lag, d1.x, d2.y
+      FROM lags l
+      JOIN daily d1 ON TRUE
+      JOIN daily d2 ON d2.t = d1.t + l.lag
+    ), sums AS (
+      SELECT lag,
+             COUNT(*) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sx2, SUM(y * y) AS sy2
+      FROM pairs GROUP BY lag
+    )
+    SELECT lag, CAST(n AS BIGINT) AS n,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST((n * sx2 - sx * sx) AS DOUBLE)
+                        * CAST((n * sy2 - sy * sy) AS DOUBLE)), 6)
+             AS xcorr
+    FROM sums
+    """,
+)
+def timeseries_cross_correlation_lags(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Windowed cross-correlation between the 'view' and 'purchase' daily
+    series at lags 0..7: Pearson r between views(t) and purchases(t+lag),
+    the lead-lag diagnostic behind "do views predict purchases days
+    later". Counts are integers, so every power sum is EXACT (bigint);
+    only the final ratio and sqrt touch doubles — both IEEE-deterministic
+    on identical operands.
+
+    Scale shape: the fact collapses to one row per DAY (calendar-bounded)
+    before anything else; the lag alignment is an 8-way bounded explode of
+    the tiny days table joined on integer day index (equi-join, no range
+    scan); the closed-form r comes from one grouped pass over ≤ 8 x days
+    rows. The event volume only ever flows through the first map-side agg.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.datediff(
+            F.date_trunc("day", "ts"), F.lit("2024-01-01").cast("date")
+        ).alias("t")
+    ).agg(
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("x"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("y"),
+    )
+    lags = spark.range(0, 8).select(F.col("id").alias("lag"))
+    d1 = daily.select("t", "x")
+    d2 = daily.select(F.col("t").alias("t2"), "y")
+    pairs = (
+        F.broadcast(lags)
+        .crossJoin(d1)
+        .join(d2, F.col("t2") == F.col("t") + F.col("lag"))
+    )
+    sums = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sx2"),
+        F.sum(F.col("y") * F.col("y")).alias("sy2"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den = F.sqrt(
+        (F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")).cast("double")
+        * (F.col("n") * F.col("sy2") - F.col("sy") * F.col("sy")).cast(
+            "double"
+        )
+    )
+    return sums.select(
+        "lag",
+        F.col("n").alias("n"),
+        F.round(num / den, 6).alias("xcorr"),
+    )
+
+
+# Fixed holiday calendar for the events window (a broadcast-dim stand-in for
+# the warehouse's date dimension; testdata events span January 2024).
+_HOLIDAYS = ("2024-01-01", "2024-01-15")
+
+
+@query(
+    "timeseries_calendar_effects",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type,
+             date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+             SUM(CAST(ROUND(value, 6) AS DECIMAL(18,6))) AS rev
+      FROM events GROUP BY 1, 2
+    ), classed AS (
+      SELECT event_type, rev,
+             CASE
+               WHEN strftime(day, '%Y-%m-%d') IN {_HOLIDAYS!r} THEN 'holiday'
+               WHEN dayofweek(day) IN (0, 6) THEN 'weekend'
+               ELSE 'weekday'
+             END AS day_class
+      FROM daily
+    ), per_class AS (
+      SELECT event_type, day_class,
+             COUNT(*) AS n_days,
+             SUM(rev) AS class_rev
+      FROM classed GROUP BY 1, 2
+    ), with_total AS (
+      SELECT *,
+             SUM(class_rev) OVER (PARTITION BY event_type) AS total_rev,
+             SUM(n_days) OVER (PARTITION BY event_type) AS total_days
+      FROM per_class
+    )
+    SELECT event_type, day_class, CAST(n_days AS BIGINT) AS n_days,
+           ROUND(CAST(class_rev AS DOUBLE) / n_days, 6) AS avg_daily_rev,
+           ROUND((CAST(class_rev AS DOUBLE) / n_days)
+                 / (CAST(total_rev AS DOUBLE) / total_days), 6) AS lift
+    FROM with_total
+    """,
+)
+def timeseries_calendar_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holiday/calendar-join effects table: each event type's average daily
+    revenue on holidays vs weekends vs weekdays, with the lift against the
+    type's overall daily average — the calendar-dim join every forecast
+    pipeline runs before modeling. The holiday list is a tiny literal dim
+    (broadcast by construction); day classes come from the calendar, so
+    the classification is a projection, not a join against the fact.
+
+    Cross-engine: Spark dayofweek is 1=Sunday..7, DuckDB 0=Sunday..6 —
+    the weekend test is written per-dialect but selects the same days; the
+    class label is what leaves the plan. Revenue sums stay decimal until
+    the final per-day division of exact operands.
+
+    Scale shape: fact -> (type, day) rollup map-side, then a ≤3-row-per-
+    type class rollup; the lift denominator is a window over that tiny
+    table, never a second fact pass.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(F.round("value", 6).cast("decimal(18,6)")).alias("rev"))
+    classed = daily.select(
+        "event_type",
+        "rev",
+        F.when(
+            F.date_format("day", "yyyy-MM-dd").isin(*_HOLIDAYS), "holiday"
+        )
+        .when(F.dayofweek("day").isin(1, 7), "weekend")
+        .otherwise("weekday")
+        .alias("day_class"),
+    )
+    per_class = classed.groupBy("event_type", "day_class").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("rev").alias("class_rev"),
+    )
+    w = Window.partitionBy("event_type")
+    with_total = per_class.select(
+        "event_type",
+        "day_class",
+        "n_days",
+        "class_rev",
+        F.sum("class_rev").over(w).alias("total_rev"),
+        F.sum("n_days").over(w).alias("total_days"),
+    )
+    avg_c = F.col("class_rev").cast("double") / F.col("n_days")
+    avg_t = F.col("total_rev").cast("double") / F.col("total_days")
+    return with_total.select(
+        "event_type",
+        "day_class",
+        "n_days",
+        F.round(avg_c, 6).alias("avg_daily_rev"),
+        F.round(avg_c / avg_t, 6).alias("lift"),
+    )
+
+
+@query(
+    "timeseries_theil_sen_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             date_diff('day', DATE '2024-01-01',
+                       CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE))
+               AS t,
+             CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(18,6))) AS DOUBLE)
+               AS rev
+      FROM events GROUP BY 1, 2
+    ), slopes AS (
+      SELECT a.event_type,
+             ROUND((b.rev - a.rev) / (b.t - a.t), 6) AS slope
+      FROM daily a
+      JOIN daily b
+        ON a.event_type = b.event_type AND b.t > a.t AND b.t <= a.t + 30
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           list_sort(list(slope))[CAST((COUNT(*) + 1) // 2 AS INT)]
+             AS theil_sen_slope
+    FROM slopes GROUP BY event_type
+    """,
+)
+def timeseries_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend estimator per event type: the MEDIAN of all
+    pairwise slopes (rev_j - rev_i)/(t_j - t_i) over day pairs within a
+    30-day horizon — up to 29% of the days can be corrupted before the
+    estimate moves (breakdown point), where least squares bends on one
+    outlier. Lower median = exact order statistic; slopes divide exact
+    doubles by integer day gaps, deterministic in both engines.
+
+    Scale shape: the pairwise join runs on the (type, day) rollup, which
+    is CALENDAR-bounded — the 30-day horizon caps fan-out at 30 pairs per
+    day regardless of event volume, so the "quadratic" estimator is
+    linear in days. The fact itself is touched once, map-side.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(
+            F.date_trunc("day", "ts"), F.lit("2024-01-01").cast("date")
+        ).alias("t"),
+    ).agg(F.sum(F.round("value", 6).cast("decimal(18,6)")).cast("double").alias("rev"))
+    a = daily.select(
+        F.col("event_type").alias("et"),
+        F.col("t").alias("ta"),
+        F.col("rev").alias("ra"),
+    )
+    slopes = a.join(
+        daily,
+        (F.col("et") == F.col("event_type"))
+        & (F.col("t") > F.col("ta"))
+        & (F.col("t") <= F.col("ta") + 30),
+    ).select(
+        "event_type",
+        F.round(
+            (F.col("rev") - F.col("ra")) / (F.col("t") - F.col("ta")), 6
+        ).alias("slope"),
+    )
+    n = F.count(F.lit(1))
+    return slopes.groupBy("event_type").agg(
+        n.alias("n_pairs"),
+        F.element_at(
+            F.sort_array(F.collect_list("slope")), ((n + 1) / 2).cast("int")
+        ).alias("theil_sen_slope"),
+    )
