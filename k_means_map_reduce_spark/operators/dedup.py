@@ -1025,3 +1025,113 @@ def dedup_minhash_portable_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared_bands"))
     )
+
+
+def _banding_components_sql() -> str:
+    """Recursive-CTE fixpoint over the portable banding pair graph: the
+    banding oracle (signatures -> bands -> candidates -> Jaccard verify)
+    nested as a CTE body, then min-label propagation along edges."""
+    return f"""
+    WITH RECURSIVE pairs AS (
+      {_banding_oracle_sql()}
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    w(node, label) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.dst, w.label FROM w JOIN edges e ON e.src = w.node
+    ),
+    comp AS (SELECT node AS doc_id, MIN(label) AS component FROM w GROUP BY node)
+    """
+
+
+@query(
+    "dedup_minhash_clusters",
+    oracle=_banding_components_sql() + "SELECT doc_id, component FROM comp",
+)
+def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER extraction over the MinHash banding pair graph —
+    the full production near-dup path (portable signatures -> banded LSH
+    candidates -> exact-Jaccard verify -> connected components), every
+    stage ORACLED: DuckDB recomputes signatures, bands, pairs, and then
+    propagates min labels along the edges with a recursive CTE to the same
+    fixpoint the Spark loop reaches.
+
+    Spark side composes the two existing sub-quadratic stages: banded
+    candidate generation (band-key equi-join, no cross product) feeding
+    iterative min-label propagation (one shuffle join + one agg per
+    diameter round). Labels are smallest-doc_id-in-component, so the
+    output is engine-independent.
+    """
+    pairs = dedup_minhash_banding_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    return _min_label_components(pairs)
+
+
+@query(
+    "dedup_cluster_survivorship",
+    oracle=_banding_components_sql()
+    + """,
+    labeled AS (
+      SELECT d.doc_id, d.n_chars,
+             COALESCE(c.component, d.doc_id) AS component
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    ),
+    ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY component
+                                ORDER BY n_chars DESC, doc_id) AS rk,
+             COUNT(*) OVER (PARTITION BY component) AS cluster_size
+      FROM labeled
+    )
+    SELECT component, doc_id AS keep_doc_id,
+           CAST(n_chars AS BIGINT) AS keep_chars,
+           CAST(cluster_size AS BIGINT) AS cluster_size
+    FROM ranked WHERE rk = 1
+    """,
+)
+def dedup_cluster_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship: ONE canonical document per near-dup cluster — the step
+    that turns cluster labels into a deduplicated corpus. Every document
+    participates (docs outside the pair graph are their own singleton
+    cluster via COALESCE), and the survivor is picked by a deterministic
+    policy: longest text wins, ties break on lowest doc_id — a total
+    order, so both engines keep the identical row.
+
+    Scale shape: the components run over the pair graph only (near-dups
+    are a small fraction of the corpus); the full corpus joins the tiny
+    label table once (broadcast at scale), and survivor election is a
+    WindowGroupLimit top-1 per cluster, never a self-join. ORACLED
+    end-to-end including the clustering fixpoint.
+    """
+    pairs = dedup_minhash_banding_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    comp = _min_label_components(pairs)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    labeled = d.join(comp, "doc_id", "left").select(
+        "doc_id",
+        "n_chars",
+        F.coalesce("component", "doc_id").alias("component"),
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("n_chars").desc(), "doc_id"
+    )
+    wc = Window.partitionBy("component")
+    return (
+        labeled.select(
+            "component",
+            "doc_id",
+            "n_chars",
+            F.row_number().over(w).alias("rk"),
+            F.count(F.lit(1)).over(wc).alias("cluster_size"),
+        )
+        .where(F.col("rk") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("keep_doc_id"),
+            F.col("n_chars").cast("long").alias("keep_chars"),
+            F.col("cluster_size").alias("cluster_size"),
+        )
+    )
