@@ -931,3 +931,242 @@ def drift_length_ks_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").alias("ks_at_length"),
         F.round(F.col("gap") / scale, 6).alias("ks_scaled"),
     )
+
+
+@query(
+    "contamination_scorecards_by_domain",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id,
+        {_SPLIT_SQL_BUCKET} AS bucket,
+        list_distinct(list_transform(
+          list_transform(range(1, len(toks) - 3),
+            i -> array_to_string(list_slice(toks, i, i + 4), ' ')),
+          g -> hash(g))) AS gs
+      FROM (
+        SELECT doc_id,
+          list_filter(string_split(LOWER(regexp_replace(TRIM(text), '\\s+', ' ', 'g')), ' '),
+                      t -> t != '') AS toks
+        FROM documents
+      )
+      WHERE len(toks) >= 5
+    ),
+    tr AS (SELECT doc_id, unnest(gs) AS g FROM base WHERE bucket < 90),
+    te AS (SELECT doc_id, unnest(gs) AS g FROM base WHERE bucket >= 95),
+    keep AS (SELECT g FROM tr GROUP BY g HAVING COUNT(*) <= 10),
+    pairs AS (
+      SELECT tr.doc_id AS train_doc, te.doc_id AS test_doc,
+             COUNT(*) AS shared_ngrams
+      FROM tr JOIN keep USING (g) JOIN te USING (g)
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 2
+    ),
+    train_docs AS (
+      SELECT source, COUNT(*) AS n_train_docs
+      FROM documents WHERE {_SPLIT_SQL_BUCKET} < 90
+      GROUP BY 1
+    ),
+    hits AS (
+      SELECT d.source,
+             COUNT(DISTINCT p.train_doc) AS contaminated_train_docs,
+             COUNT(DISTINCT p.test_doc) AS test_docs_hit,
+             CAST(SUM(p.shared_ngrams) AS BIGINT) AS total_shared_ngrams
+      FROM pairs p JOIN documents d ON d.doc_id = p.train_doc
+      GROUP BY 1
+    )
+    SELECT t.source,
+           t.n_train_docs,
+           COALESCE(h.contaminated_train_docs, 0) AS contaminated_train_docs,
+           COALESCE(h.test_docs_hit, 0) AS test_docs_hit,
+           COALESCE(h.total_shared_ngrams, 0) AS total_shared_ngrams,
+           ROUND(CAST(COALESCE(h.contaminated_train_docs, 0) AS DOUBLE)
+                 / t.n_train_docs, 6) AS contamination_rate
+    FROM train_docs t LEFT JOIN hits h ON t.source = h.source
+    """,
+)
+def contamination_scorecards_by_domain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-domain contamination scorecard: the decontamination report a data
+    lead actually reads — for each train SOURCE, how many of its documents
+    leak >= 2 distinct 5-grams into the test split, how many test docs they
+    touch, and the contamination rate. Composes the oracled
+    contamination_train_test_ngrams pair table with the source dimension;
+    domains with zero hits still report (LEFT join), so a silent all-clean
+    scorecard is distinguishable from a missing domain.
+
+    Scale shape: the pair generation is the existing inverted-index join
+    (gram hashes + ids shuffle, never text); the scorecard itself is two
+    tiny rollups over |pairs| and |sources| rows. The rate divides exact
+    bigints in double — deterministic cross-engine.
+    """
+    pairs = contamination_train_test_ngrams(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", _bucket(F.col("doc_id")).alias("bucket")
+    )
+    train_docs = (
+        d.where(F.col("bucket") < 90)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_train_docs"))
+    )
+    hits = (
+        pairs.join(
+            d.select(F.col("doc_id").alias("train_doc"), "source"),
+            "train_doc",
+        )
+        .groupBy("source")
+        .agg(
+            F.countDistinct("train_doc").alias("contaminated_train_docs"),
+            F.countDistinct("test_doc").alias("test_docs_hit"),
+            F.sum("shared_ngrams").alias("total_shared_ngrams"),
+        )
+    )
+    return train_docs.join(hits, "source", "left").select(
+        "source",
+        "n_train_docs",
+        F.coalesce("contaminated_train_docs", F.lit(0)).alias(
+            "contaminated_train_docs"
+        ),
+        F.coalesce("test_docs_hit", F.lit(0)).alias("test_docs_hit"),
+        F.coalesce("total_shared_ngrams", F.lit(0)).alias(
+            "total_shared_ngrams"
+        ),
+        F.round(
+            F.coalesce("contaminated_train_docs", F.lit(0)).cast("double")
+            / F.col("n_train_docs"),
+            6,
+        ).alias("contamination_rate"),
+    )
+
+
+_FFD_GROUPS = 16  # packing groups; at scale pick ~corpus_size/10k so each
+# group's doc list stays collectable by one task.
+
+
+@query(
+    "training_pack_ffd_bins",
+    oracle=f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id,
+        CAST(CONCAT('0x', substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 8))
+             AS BIGINT) % {_FFD_GROUPS} AS grp,
+        CAST(len(regexp_extract_all(text, '{_TOKEN_RE_SQL}')) AS BIGINT)
+          AS n_toks
+      FROM documents
+      WHERE {_SPLIT_SQL_BUCKET} < 90
+    ),
+    ordered AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY grp
+                                   ORDER BY n_toks DESC, doc_id) AS rn
+      FROM toks
+    ),
+    ffd AS (
+      SELECT grp, rn, doc_id, n_toks,
+             CAST(0 AS INT) AS bin_id,
+             [greatest({_PACK_BUDGET} - n_toks, CAST(0 AS BIGINT))] AS rems
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT t.grp, t.rn, t.doc_id, t.n_toks,
+        CAST(CASE WHEN COALESCE(list_position(
+                 list_transform(f.rems, r -> r >= t.n_toks), true), 0) = 0
+             THEN len(f.rems)
+             ELSE list_position(
+                 list_transform(f.rems, r -> r >= t.n_toks), true) - 1
+        END AS INT) AS bin_id,
+        CASE WHEN COALESCE(list_position(
+                 list_transform(f.rems, r -> r >= t.n_toks), true), 0) = 0
+             THEN list_append(f.rems,
+                              greatest({_PACK_BUDGET} - t.n_toks,
+                                       CAST(0 AS BIGINT)))
+             ELSE list_transform(range(1, len(f.rems) + 1),
+                    i -> CASE WHEN i = list_position(
+                           list_transform(f.rems, r -> r >= t.n_toks), true)
+                         THEN f.rems[i] - t.n_toks ELSE f.rems[i] END)
+        END AS rems
+      FROM ffd f JOIN ordered t ON t.grp = f.grp AND t.rn = f.rn + 1
+    )
+    SELECT grp, bin_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS bin_tokens,
+           MIN(doc_id) AS first_doc_id
+    FROM ffd
+    GROUP BY 1, 2
+    """,
+)
+def training_pack_ffd_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-boundary bin packing v2: FIRST-FIT-DECREASING within hash
+    groups — no document ever crosses a sequence boundary (v1,
+    training_pack_sequences, splits docs at the budget line; v2 trades
+    ~11/9-OPT bin count for intact documents, the packing used when
+    attention must not cross doc boundaries).
+
+    Within each of {_FFD_GROUPS} salted-md5 groups, docs sort by
+    (tokens desc, doc_id) and each goes into the FIRST open bin with room,
+    else opens a new bin; oversize docs (> {_PACK_BUDGET} tokens) get a
+    dedicated bin. FFD is inherently sequential-per-group (the bin state
+    is a random-access list), so the group fold runs as grouped Arrow
+    applyInPandas — the same justified Python boundary as
+    events_ewma_per_user; everything before it (token counts, grouping)
+    is expression-side. The oracle REPLAYS the exact fold as a DuckDB
+    recursive CTE carrying the open-bin list in a LIST column.
+
+    Scale shape: parallelism = groups; group size is bounded by choosing
+    the group count from the corpus size (constant here for oracle
+    parity), and only (doc_id, n_toks) reaches Python — never text.
+    """
+    from ..functions.text import token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+    toks = d.where(_split(_bucket(F.col("doc_id"))) == "train").select(
+        "doc_id",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("pack:"), F.col("doc_id").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % _FFD_GROUPS
+        ).alias("grp"),
+        token_count(F.col("text")).cast("bigint").alias("n_toks"),
+    )
+
+    def pack(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(
+            ["n_toks", "doc_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        rems: list[int] = []
+        assign: list[int] = []
+        for nt in pdf["n_toks"]:
+            nt = int(nt)
+            for i, r in enumerate(rems):
+                if r >= nt:
+                    rems[i] = r - nt
+                    assign.append(i)
+                    break
+            else:
+                assign.append(len(rems))
+                rems.append(max(_PACK_BUDGET - nt, 0))
+        pdf["bin_id"] = pd.Series(assign, dtype="int32")
+        out = (
+            pdf.groupby("bin_id", as_index=False)
+            .agg(
+                grp=("grp", "first"),
+                n_docs=("doc_id", "size"),
+                bin_tokens=("n_toks", "sum"),
+                first_doc_id=("doc_id", "min"),
+            )
+        )
+        return out[["grp", "bin_id", "n_docs", "bin_tokens", "first_doc_id"]]
+
+    return toks.groupBy("grp").applyInPandas(
+        pack,
+        schema="grp bigint, bin_id int, n_docs bigint, bin_tokens bigint, "
+        "first_doc_id bigint",
+    )
