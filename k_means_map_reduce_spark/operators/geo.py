@@ -1,0 +1,402 @@
+"""Geospatial operators over derived coordinates: point-in-polygon, grid
+(geohash-cell) proximity join, gridded density, nearest-hub assignment.
+
+Spark has no native geospatial types; these express the four core geo shapes
+as compositions of DataFrame ops (SURVEY.md §2b — the reference engine has no
+geo surface; this extends the capability family like operators/graph.py).
+
+Exactness discipline: coordinates are INTEGER milli-degrees derived from
+md5(custkey) (the same portable derivation as analytics.geo_radius_join_hubs,
+scaled x1000 and kept integral), so every geometric predicate below —
+ray-crossing sign tests, squared distances, grid cells — is exact int64
+arithmetic both engines compute identically. No trig, no epsilon.
+
+At 100 TB:
+- point-in-polygon: the polygon dim is tiny (broadcast); the crossing test
+  is a projection per (point, edge) with bounded fan-out = edge count; one
+  aggregation by (point, polygon) on the parity bit. Never a theta join
+  against a scaled table.
+- proximity join: points meet only via shared coarse grid cells (the
+  binary-geohash/Z-order bucketing trick) — the probe side fans out to its
+  9-cell neighborhood (bounded x9), the build side posts once, and the
+  equi-join on the Morton cell key replaces any radius theta-join. Recall
+  is complete for radius <= cell size by construction.
+- density: two grid aggregations (raw + 3x3 smoothed via bounded 9-way
+  contribution explode) — shuffle keys are cells, not points.
+- nearest hub: K hub rows broadcast; per-point argmin over K is a bounded
+  projection + one WindowGroupLimit top-1 (never a crossJoin that scales).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.zorder import interleave_bits
+from ..registry import query
+from ..sources import load_table
+
+# (x = ilon, y = ilat) vertices in integer milli-degrees, wound once.
+_POLYGONS: dict[str, list[tuple[int, int]]] = {
+    "p_west": [
+        (-150000, -40000),
+        (-80000, -45000),
+        (-60000, 20000),
+        (-120000, 50000),
+        (-160000, 10000),
+    ],
+    "p_mid": [
+        (-30000, -50000),
+        (30000, -55000),
+        (45000, 0),
+        (10000, 45000),
+        (-40000, 30000),
+    ],
+    "p_east": [(70000, -30000), (150000, -20000), (160000, 40000), (90000, 50000)],
+}
+
+_CELL = 5000  # grid cell edge in milli-degrees (5 deg)
+_RADIUS = 5000  # proximity radius; recall-complete because radius <= cell
+
+
+def _edges() -> list[tuple[str, int, int, int, int]]:
+    rows = []
+    for pid, verts in _POLYGONS.items():
+        for (x1, y1), (x2, y2) in zip(verts, verts[1:] + verts[:1]):
+            rows.append((pid, x1, y1, x2, y2))
+    return rows
+
+
+def _edges_sql() -> str:
+    vals = ", ".join(
+        f"('{p}', {x1}, {y1}, {x2}, {y2})" for p, x1, y1, x2, y2 in _edges()
+    )
+    return f"(VALUES {vals}) AS e(pid, x1, y1, x2, y2)"
+
+
+_PTS_SQL = """
+  SELECT c_custkey AS custkey,
+    CAST(CONCAT('0x', substr(md5('lat:' || CAST(c_custkey AS VARCHAR)), 1, 8))
+         AS BIGINT) % 120000 - 60000 AS ilat,
+    CAST(CONCAT('0x', substr(md5('lon:' || CAST(c_custkey AS VARCHAR)), 1, 8))
+         AS BIGINT) % 340000 - 170000 AS ilon
+  FROM customer
+"""
+
+
+def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(custkey, ilat, ilon): integer milli-degree coordinates derived from
+    md5(custkey) — portable across engines, stable across runs."""
+    c = load_table(spark, sf_dir, "customer")
+    h8 = lambda salt: F.conv(  # noqa: E731
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col("c_custkey").cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return c.select(
+        F.col("c_custkey").alias("custkey"),
+        (h8("lat:") % 120000 - 60000).alias("ilat"),
+        (h8("lon:") % 340000 - 170000).alias("ilon"),
+    )
+
+
+@query(
+    "geo_point_in_polygon",
+    oracle=f"""
+    WITH pts AS ({_PTS_SQL}),
+    crossings AS (
+      SELECT p.custkey, e.pid,
+        SUM(CASE WHEN (e.y1 > p.ilat) <> (e.y2 > p.ilat)
+                  AND SIGN(e.y2 - e.y1)
+                      * ((e.x2 - e.x1) * (p.ilat - e.y1)
+                         - (p.ilon - e.x1) * (e.y2 - e.y1)) > 0
+             THEN 1 ELSE 0 END) AS n_cross
+      FROM pts p CROSS JOIN {_edges_sql()}
+      GROUP BY 1, 2
+    ),
+    inside AS (
+      SELECT custkey, pid FROM crossings WHERE n_cross % 2 = 1
+    )
+    SELECT i.pid AS polygon_id, c.c_mktsegment AS segment,
+           COUNT(*) AS n_inside, MIN(i.custkey) AS min_custkey
+    FROM inside i JOIN customer c ON c.c_custkey = i.custkey
+    GROUP BY 1, 2
+    """,
+)
+def geo_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-polygon containment via the ray-casting parity test against
+    a broadcast polygon dimension, rolled up to (polygon, market segment)
+    counts — the geofence-report shape.
+
+    The crossing test is division-free: the textbook
+    `x < x1 + (x2-x1)(y-y1)/(y2-y1)` is cross-multiplied into
+    `sign(dy) * ((x2-x1)(y-y1) - (x-x1)(y2-y1)) > 0`, so with integer
+    milli-degree coordinates the whole predicate is exact int64 arithmetic
+    — no float boundary cases for engines to disagree on (products are
+    < 2^38, far inside both int64 and double-exact range).
+
+    Scale shape: the edge table is a literal broadcast dim (14 edges); the
+    per-point cost is a bounded projection over |edges|, then one
+    aggregation keyed by (point, polygon) and one by (polygon, segment).
+    """
+    pts = _points(spark, sf_dir)
+    edges = spark.createDataFrame(
+        _edges(), "pid string, x1 long, y1 long, x2 long, y2 long"
+    )
+    cross_expr = (
+        ((F.col("y1") > F.col("ilat")) != (F.col("y2") > F.col("ilat")))
+        & (
+            F.signum((F.col("y2") - F.col("y1")).cast("double"))
+            * (
+                (F.col("x2") - F.col("x1")) * (F.col("ilat") - F.col("y1"))
+                - (F.col("ilon") - F.col("x1")) * (F.col("y2") - F.col("y1"))
+            )
+            > 0
+        )
+    )
+    crossings = (
+        pts.crossJoin(F.broadcast(edges))
+        .groupBy("custkey", "pid")
+        .agg(F.sum(F.when(cross_expr, 1).otherwise(0)).alias("n_cross"))
+    )
+    inside = crossings.where(F.col("n_cross") % 2 == 1)
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        inside.join(c, F.col("c_custkey") == F.col("custkey"))
+        .groupBy(
+            F.col("pid").alias("polygon_id"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_inside"),
+            F.min("custkey").alias("min_custkey"),
+        )
+    )
+
+
+@query(
+    "geo_grid_proximity_join",
+    oracle=f"""
+    WITH pts AS ({_PTS_SQL}),
+    cells AS (
+      SELECT custkey, ilat, ilon,
+             (ilon + 170000) // {_CELL} + 1 AS cx,
+             (ilat + 60000) // {_CELL} + 1 AS cy
+      FROM pts
+    ),
+    probe AS (
+      SELECT c.custkey, c.ilat, c.ilon, c.cx + d.dx AS cx, c.cy + d.dy AS cy
+      FROM cells c CROSS JOIN (
+        VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)
+      ) AS d(dx, dy)
+    )
+    SELECT a.custkey AS custkey_a, b.custkey AS custkey_b,
+           (a.ilat - b.ilat) * (a.ilat - b.ilat)
+           + (a.ilon - b.ilon) * (a.ilon - b.ilon) AS sq_dist
+    FROM probe a JOIN cells b ON a.cx = b.cx AND a.cy = b.cy
+    WHERE a.custkey < b.custkey
+      AND (a.ilat - b.ilat) * (a.ilat - b.ilat)
+          + (a.ilon - b.ilon) * (a.ilon - b.ilon)
+          <= {_RADIUS * _RADIUS}
+    """,
+)
+def geo_grid_proximity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity (within-radius) self-join via geohash-style grid bucketing:
+    each point posts once at its Morton-keyed grid cell; the probe side
+    fans out to its 3x3 cell neighborhood (bounded x9) and the pair meets
+    through a plain EQUI-join on the cell key — the geohash-prefix
+    candidate trick that replaces a quadratic radius theta-join. Because
+    radius <= cell size, every true pair shares the build cell or one of
+    the probe's 8 neighbors: recall is complete BY CONSTRUCTION, so the
+    output is exactly all pairs within the radius (which is why this tier
+    can be ORACLED, unlike probabilistic LSH tiers).
+
+    The join key is interleave_bits(cx, cy) — the same Z-order key
+    layout.zorder_write files by, i.e. a binary geohash; the oracle joins
+    on the (cx, cy) pair directly, which is the identical equivalence
+    relation, so results match while Spark exercises the Morton path.
+    Distances are exact integer squared milli-degrees.
+    """
+    pts = _points(spark, sf_dir)
+    cells = pts.select(
+        "custkey",
+        "ilat",
+        "ilon",
+        (F.floor((F.col("ilon") + 170000) / _CELL) + 1).alias("cx"),
+        (F.floor((F.col("ilat") + 60000) / _CELL) + 1).alias("cy"),
+    )
+    build = cells.select(
+        F.col("custkey").alias("custkey_b"),
+        F.col("ilat").alias("blat"),
+        F.col("ilon").alias("blon"),
+        interleave_bits(F.col("cx"), F.col("cy")).alias("cell_key"),
+    )
+    offsets = spark.createDataFrame(
+        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)], "dx long, dy long"
+    )
+    probe = cells.crossJoin(F.broadcast(offsets)).select(
+        F.col("custkey").alias("custkey_a"),
+        F.col("ilat").alias("alat"),
+        F.col("ilon").alias("alon"),
+        interleave_bits(
+            F.col("cx") + F.col("dx"), F.col("cy") + F.col("dy")
+        ).alias("cell_key"),
+    )
+    dlat = F.col("alat") - F.col("blat")
+    dlon = F.col("alon") - F.col("blon")
+    sq = dlat * dlat + dlon * dlon
+    return (
+        probe.join(build, "cell_key")
+        .where(
+            (F.col("custkey_a") < F.col("custkey_b"))
+            & (sq <= _RADIUS * _RADIUS)
+        )
+        .select("custkey_a", "custkey_b", sq.alias("sq_dist"))
+    )
+
+
+@query(
+    "geo_gridded_density",
+    oracle=f"""
+    WITH pts AS ({_PTS_SQL}),
+    raw AS (
+      SELECT (ilon + 170000) // {_CELL} AS cx,
+             (ilat + 60000) // {_CELL} AS cy,
+             COUNT(*) AS n_points
+      FROM pts GROUP BY 1, 2
+    ),
+    smoothed AS (
+      SELECT r.cx + d.dx AS cx, r.cy + d.dy AS cy,
+             CAST(SUM(r.n_points) AS BIGINT) AS smooth_points
+      FROM raw r CROSS JOIN (
+        VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)
+      ) AS d(dx, dy)
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT r.cx, r.cy, r.n_points, s.smooth_points,
+             ROW_NUMBER() OVER (ORDER BY s.smooth_points DESC, r.cx, r.cy)
+               AS rk
+      FROM raw r JOIN smoothed s ON r.cx = s.cx AND r.cy = s.cy
+    )
+    SELECT cx, cy, n_points, smooth_points, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 20
+    """,
+)
+def geo_gridded_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gridded density hotspots: per-cell point counts plus a 3x3
+    neighborhood-smoothed count (each raw cell CONTRIBUTES to its 9
+    neighbors via a bounded explode, then one aggregation — kernel
+    smoothing as dataflow, no self-join), ranked to the top-20 hotspot
+    cells. Integer counts everywhere; the rank's tie-break on (cx, cy)
+    makes the top-20 engine-independent.
+
+    Scale shape: points collapse to cells map-side first; the 9-way
+    explode runs on the CELL table (bounded by the grid, not the data);
+    ranking is a WindowGroupLimit top-k over cells.
+    """
+    pts = _points(spark, sf_dir)
+    raw = pts.groupBy(
+        F.floor((F.col("ilon") + 170000) / _CELL).alias("cx"),
+        F.floor((F.col("ilat") + 60000) / _CELL).alias("cy"),
+    ).agg(F.count(F.lit(1)).alias("n_points"))
+    offsets = spark.createDataFrame(
+        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)], "dx long, dy long"
+    )
+    smoothed = (
+        raw.crossJoin(F.broadcast(offsets))
+        .groupBy(
+            (F.col("cx") + F.col("dx")).alias("scx"),
+            (F.col("cy") + F.col("dy")).alias("scy"),
+        )
+        .agg(F.sum("n_points").alias("smooth_points"))
+    )
+    joined = raw.join(
+        smoothed,
+        (F.col("cx") == F.col("scx")) & (F.col("cy") == F.col("scy")),
+    )
+    w = Window.orderBy(F.col("smooth_points").desc(), "cx", "cy")
+    return (
+        joined.select(
+            "cx",
+            "cy",
+            "n_points",
+            "smooth_points",
+            F.row_number().over(w).cast("long").alias("rk"),
+        )
+        .where(F.col("rk") <= 20)
+    )
+
+
+@query(
+    "geo_nearest_hub_assignment",
+    oracle=f"""
+    WITH pts AS ({_PTS_SQL}),
+    hubs AS (
+      SELECT custkey AS hub_key, ilat AS hlat, ilon AS hlon
+      FROM pts ORDER BY custkey LIMIT 5
+    ),
+    dists AS (
+      SELECT p.custkey, h.hub_key,
+             (p.ilat - h.hlat) * (p.ilat - h.hlat)
+             + (p.ilon - h.hlon) * (p.ilon - h.hlon) AS sq_dist,
+             ROW_NUMBER() OVER (
+               PARTITION BY p.custkey
+               ORDER BY (p.ilat - h.hlat) * (p.ilat - h.hlat)
+                        + (p.ilon - h.hlon) * (p.ilon - h.hlon), h.hub_key
+             ) AS rk
+      FROM pts p CROSS JOIN hubs h
+    )
+    SELECT hub_key,
+           COUNT(*) AS n_assigned,
+           CAST(SUM(sq_dist) AS DOUBLE) / COUNT(*) AS avg_sq_dist,
+           CAST(MAX(sq_dist) AS BIGINT) AS max_sq_dist
+    FROM dists WHERE rk = 1
+    GROUP BY hub_key
+    """,
+)
+def geo_nearest_hub_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-hub (Voronoi) assignment: every point to its closest of 5
+    hub points by exact integer squared distance, tie-broken on hub key,
+    rolled up to per-hub counts and mean/max squared distance — the
+    "assign to nearest warehouse" shape, and structurally the K-Means
+    assignment step (kmeans.assign_clusters) applied to a literal
+    centroid dim.
+
+    Scale shape: hubs are a bounded broadcast (5 rows); the candidate set
+    is a x5 bounded projection and the argmin a WindowGroupLimit top-1
+    per point. Sums of int64 squared distances are exact; the mean
+    divides exact operands in double.
+    """
+    pts = _points(spark, sf_dir)
+    hubs = (
+        pts.orderBy("custkey")
+        .limit(5)
+        .select(
+            F.col("custkey").alias("hub_key"),
+            F.col("ilat").alias("hlat"),
+            F.col("ilon").alias("hlon"),
+        )
+    )
+    dlat = F.col("ilat") - F.col("hlat")
+    dlon = F.col("ilon") - F.col("hlon")
+    sq = (dlat * dlat + dlon * dlon).alias("sq_dist")
+    w = Window.partitionBy("custkey").orderBy("sq_dist", "hub_key")
+    dists = (
+        pts.crossJoin(F.broadcast(hubs))
+        .select("custkey", "hub_key", sq)
+        .withColumn("rk", F.row_number().over(w))
+    )
+    return (
+        dists.where(F.col("rk") == 1)
+        .groupBy("hub_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_assigned"),
+            (F.sum("sq_dist").cast("double") / F.count(F.lit(1))).alias(
+                "avg_sq_dist"
+            ),
+            F.max("sq_dist").alias("max_sq_dist"),
+        )
+    )

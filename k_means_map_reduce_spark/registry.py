@@ -60,6 +60,7 @@ from .operators import layout  # noqa: E402,F401
 from .operators import incremental  # noqa: E402,F401
 from .operators import quality  # noqa: E402,F401
 from .operators import graph  # noqa: E402,F401
+from .operators import geo  # noqa: E402,F401
 from .operators import analytics  # noqa: E402,F401
 from .operators import training  # noqa: E402,F401
 from .operators import reshape  # noqa: E402,F401
