@@ -2934,3 +2934,333 @@ def events_runs_test_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n0").alias("n_below"),
         F.round(F.when(var > 0, (rd - mu) / F.sqrt(var)), 6).alias("z_score"),
     )
+
+
+@query(
+    "orders_cohort_ltv_curves",
+    oracle="""
+    WITH firsts AS (
+      SELECT o_custkey,
+             MIN(o_orderdate) AS first_dt
+      FROM orders GROUP BY 1
+    ),
+    cohorts AS (
+      SELECT o_custkey,
+             CAST(EXTRACT(year FROM first_dt) * 4
+                  + (EXTRACT(month FROM first_dt) - 1) // 3 AS BIGINT)
+               AS cohort_idx,
+             strftime(first_dt, '%Y') || '-Q'
+               || CAST((EXTRACT(month FROM first_dt) - 1) // 3 + 1 AS VARCHAR)
+               AS cohort
+      FROM firsts
+    ),
+    sized AS (
+      SELECT cohort, cohort_idx, COUNT(*) AS cohort_customers
+      FROM cohorts GROUP BY 1, 2
+    ),
+    aged AS (
+      SELECT c.cohort,
+             CAST(EXTRACT(year FROM o.o_orderdate) * 4
+                  + (EXTRACT(month FROM o.o_orderdate) - 1) // 3
+                  - c.cohort_idx AS BIGINT) AS age_q,
+             SUM(CAST(ROUND(o.o_totalprice, 6) AS DECIMAL(18,6))) AS rev
+      FROM orders o JOIN cohorts c ON o.o_custkey = c.o_custkey
+      GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT cohort, age_q, rev,
+             SUM(rev) OVER (PARTITION BY cohort ORDER BY age_q
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_rev
+      FROM aged
+    )
+    SELECT a.cohort, a.age_q,
+           s.cohort_customers,
+           CAST(a.rev AS DOUBLE) AS rev,
+           CAST(a.cum_rev AS DOUBLE) AS cum_rev,
+           CAST(a.cum_rev AS DOUBLE) / s.cohort_customers AS ltv_per_customer
+    FROM cum a JOIN sized s ON a.cohort = s.cohort
+    """,
+)
+def orders_cohort_ltv_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curves: customers grouped by first-order QUARTER, revenue
+    accumulated per quarter-of-age since acquisition — the (cohort x age)
+    triangle finance reads lifetime value off. Age is an integer quarter
+    index difference (year*4 + quarter), so cohort assignment and age are
+    pure integer arithmetic; revenue stays decimal through the cumulative
+    window and the per-customer LTV divides exact operands in double.
+
+    Scale shape: first-order dates are one agg over the fact (map-side
+    min); the fact joins the tiny cohort map (broadcast at scale) and
+    collapses immediately to the (cohort, age) grid — the cumulative
+    window runs over a calendar-bounded triangle, never fact rows.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    firsts = o.groupBy("o_custkey").agg(F.min("o_orderdate").alias("first_dt"))
+    qidx = lambda c: (  # noqa: E731
+        F.year(c) * 4 + ((F.month(c) - 1) / 3).cast("long")
+    ).cast("long")
+    cohorts = firsts.select(
+        "o_custkey",
+        qidx(F.col("first_dt")).alias("cohort_idx"),
+        F.concat(
+            F.date_format("first_dt", "yyyy"),
+            F.lit("-Q"),
+            (((F.month("first_dt") - 1) / 3).cast("long") + 1).cast("string"),
+        ).alias("cohort"),
+    )
+    sized = cohorts.groupBy("cohort", "cohort_idx").agg(
+        F.count(F.lit(1)).alias("cohort_customers")
+    )
+    aged = (
+        o.join(cohorts, "o_custkey")
+        .groupBy(
+            "cohort",
+            (qidx(F.col("o_orderdate")) - F.col("cohort_idx")).alias("age_q"),
+        )
+        .agg(F.sum(F.round("o_totalprice", 6).cast("decimal(18,6)")).alias("rev"))
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("age_q")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = aged.select(
+        "cohort", "age_q", "rev", F.sum("rev").over(w).alias("cum_rev")
+    )
+    return cum.join(
+        F.broadcast(sized.select("cohort", "cohort_customers")), "cohort"
+    ).select(
+        "cohort",
+        "age_q",
+        "cohort_customers",
+        F.col("rev").cast("double").alias("rev"),
+        F.col("cum_rev").cast("double").alias("cum_rev"),
+        (F.col("cum_rev").cast("double") / F.col("cohort_customers")).alias(
+            "ltv_per_customer"
+        ),
+    )
+
+
+@query(
+    "supplier_scorecard",
+    oracle="""
+    WITH lines AS (
+      SELECT l_suppkey,
+             CAST(ROUND(l_extendedprice * (1 - l_discount), 6)
+                  AS DECIMAL(18,6)) AS net,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS ret,
+             date_diff('day', CAST(o_orderdate AS DATE),
+                       CAST(l_shipdate AS DATE)) AS lag_days
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    ),
+    per_supp AS (
+      SELECT l_suppkey AS suppkey,
+             COUNT(*) AS n_lines,
+             CAST(SUM(net) AS DOUBLE) AS revenue,
+             CAST(SUM(ret) AS BIGINT) AS n_returned,
+             CAST(SUM(lag_days) AS BIGINT) AS sum_lag
+      FROM lines GROUP BY 1
+    )
+    SELECT s.s_name, n.n_name, p.n_lines, p.revenue,
+           CAST(p.n_returned AS DOUBLE) / p.n_lines AS return_rate,
+           CAST(p.sum_lag AS DOUBLE) / p.n_lines AS avg_ship_lag_days,
+           CAST(NTILE(4) OVER (ORDER BY p.revenue DESC, p.suppkey)
+                AS BIGINT) AS revenue_quartile
+    FROM per_supp p
+    JOIN supplier s ON s.s_suppkey = p.suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    """,
+)
+def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier scorecard: per-supplier revenue, return rate, average
+    order-to-ship lag, and a revenue quartile grade — the vendor-review
+    rollup merchandising runs monthly. Rates and lags divide exact
+    integer sums in double; the quartile NTILE is made deterministic with
+    a suppkey tie-break (revenue ties would otherwise split arbitrarily).
+
+    Scale shape: ONE fact-fact join (lineitem to orders on orderkey — a
+    co-partitioned key join) collapses immediately to the per-supplier
+    rollup; dims join after, on the rollup; the NTILE runs over
+    |suppliers| rows.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    net = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).cast(
+        "decimal(18,6)"
+    )
+    per_supp = (
+        l.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(net).cast("double").alias("revenue"),
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias(
+                "n_returned"
+            ),
+            F.sum(
+                F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+            ).alias("sum_lag"),
+        )
+    )
+    w = Window.orderBy(F.col("revenue").desc(), "suppkey")
+    return (
+        per_supp.join(F.broadcast(s), F.col("s_suppkey") == F.col("suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .select(
+            "s_name",
+            "n_name",
+            "n_lines",
+            "revenue",
+            (F.col("n_returned").cast("double") / F.col("n_lines")).alias(
+                "return_rate"
+            ),
+            (F.col("sum_lag").cast("double") / F.col("n_lines")).alias(
+                "avg_ship_lag_days"
+            ),
+            F.ntile(4).over(w).cast("long").alias("revenue_quartile"),
+        )
+    )
+
+
+@query(
+    "events_interarrival_stats",
+    oracle="""
+    WITH ordered AS (
+      SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS t_s,
+             LAG(epoch_us(CAST(ts AS TIMESTAMP)) // 1000000) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id) AS prev_s
+      FROM events
+    ),
+    gaps AS (
+      SELECT event_type,
+             CAST(t_s - prev_s AS BIGINT) AS gap_s
+      FROM ordered WHERE prev_s IS NOT NULL
+    ),
+    sums AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             CAST(SUM(gap_s) AS BIGINT) AS s1,
+             CAST(SUM(gap_s * gap_s) AS BIGINT) AS s2,
+             CAST(MAX(gap_s) AS BIGINT) AS max_gap_s
+      FROM gaps GROUP BY 1
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_gaps,
+           CAST(s1 AS DOUBLE) / n AS mean_gap_s,
+           max_gap_s,
+           ROUND(sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)) / s1, 6)
+             AS cv
+    FROM sums
+    """,
+)
+def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interarrival-time statistics per event type: mean gap, max gap, and
+    the coefficient of variation — CV ~ 1 diagnoses a Poisson process,
+    CV >> 1 bursty arrivals (the queueing-theory load diagnostic). Gaps
+    are integer epoch SECONDS (floored from identical timestamps in both
+    engines), so every power sum is exact bigint; CV's closed form
+    sqrt(n*s2 - s1^2)/s1 touches doubles only for the final sqrt and
+    division. Ordering ties break on event_id.
+
+    Scale shape: one window pass per type partition computes gaps (the
+    same one shuffle as any per-key lag), then a grouped fold to four
+    exact sums per type — state per type is O(1).
+    """
+    e = load_table(spark, sf_dir, "events")
+    t_s = F.unix_timestamp("ts")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    ordered = e.select(
+        "event_type", t_s.alias("t_s"), F.lag(t_s).over(w).alias("prev_s")
+    )
+    gaps = ordered.where(F.col("prev_s").isNotNull()).select(
+        "event_type", (F.col("t_s") - F.col("prev_s")).alias("gap_s")
+    )
+    sums = gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("gap_s").alias("s1"),
+        F.sum(F.col("gap_s") * F.col("gap_s")).alias("s2"),
+        F.max("gap_s").alias("max_gap_s"),
+    )
+    return sums.select(
+        "event_type",
+        F.col("n").alias("n_gaps"),
+        (F.col("s1").cast("double") / F.col("n")).alias("mean_gap_s"),
+        "max_gap_s",
+        F.round(
+            F.sqrt((F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double"))
+            / F.col("s1"),
+            6,
+        ).alias("cv"),
+    )
+
+
+@query(
+    "parts_discount_quantity_corr",
+    oracle="""
+    WITH lines AS (
+      SELECT p_brand,
+             CAST(ROUND(l_discount * 100) AS BIGINT) AS disc_pct,
+             CAST(l_quantity AS BIGINT) AS qty
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+    ),
+    sums AS (
+      SELECT p_brand,
+             COUNT(*) AS n,
+             SUM(disc_pct) AS sx, SUM(qty) AS sy,
+             SUM(disc_pct * qty) AS sxy,
+             SUM(disc_pct * disc_pct) AS sx2, SUM(qty * qty) AS sy2
+      FROM lines GROUP BY 1
+    )
+    SELECT p_brand, CAST(n AS BIGINT) AS n_lines,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sx2 - sx * sx AS DOUBLE)
+                        * CAST(n * sy2 - sy * sy AS DOUBLE)), 6)
+             AS disc_qty_corr
+    FROM sums
+    WHERE (n * sx2 - sx * sx) > 0 AND (n * sy2 - sy * sy) > 0
+    """,
+)
+def parts_discount_quantity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-elasticity proxy: per-brand Pearson correlation between the
+    discount offered and the quantity bought. Discounts become integer
+    percent points (2-decimal doubles x100 round exactly), quantities are
+    integral — every power sum is exact bigint and the correlation's
+    closed form touches doubles only at the final ratio/sqrt. Brands with
+    a degenerate (zero-variance) side drop via an exact integer guard,
+    never a float epsilon.
+
+    Scale shape: one fact pass with map-side partial sums to the brand
+    grain; the part join is the only shuffle (broadcastable dim at most
+    SFs via AQE).
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    lines = l.join(p, F.col("p_partkey") == F.col("l_partkey")).select(
+        "p_brand",
+        F.round(F.col("l_discount") * 100).cast("long").alias("disc_pct"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    sums = lines.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("disc_pct").alias("sx"),
+        F.sum("qty").alias("sy"),
+        F.sum(F.col("disc_pct") * F.col("qty")).alias("sxy"),
+        F.sum(F.col("disc_pct") * F.col("disc_pct")).alias("sx2"),
+        F.sum(F.col("qty") * F.col("qty")).alias("sy2"),
+    )
+    varx = F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")
+    vary = F.col("n") * F.col("sy2") - F.col("sy") * F.col("sy")
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    return (
+        sums.where((varx > 0) & (vary > 0))
+        .select(
+            "p_brand",
+            F.col("n").alias("n_lines"),
+            F.round(
+                num / F.sqrt(varx.cast("double") * vary.cast("double")), 6
+            ).alias("disc_qty_corr"),
+        )
+    )
