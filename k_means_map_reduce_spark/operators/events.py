@@ -995,3 +995,96 @@ def events_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             5,
         ).alias("entropy_rate"),
     )
+
+
+@query(
+    "events_rolling_mad_anomaly",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+             CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(18,6))) AS DOUBLE)
+               AS rev
+      FROM events GROUP BY 1, 2
+    ), win AS (
+      SELECT event_type, day, rev,
+             list(rev) OVER (PARTITION BY event_type ORDER BY day
+                             ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+               AS vals
+      FROM daily
+    ), med AS (
+      SELECT event_type, day, rev, vals,
+             list_sort(vals)[4] AS med7
+      FROM win WHERE len(vals) = 7
+    ), mad AS (
+      SELECT event_type, day, rev, med7,
+             list_sort(list_transform(vals, v -> abs(v - med7)))[4] AS mad7
+      FROM med
+    )
+    SELECT event_type,
+           strftime(day, '%Y-%m-%d') AS day,
+           ROUND(rev, 6) AS revenue,
+           ROUND(med7, 6) AS med7,
+           ROUND(mad7, 6) AS mad7,
+           ROUND(CASE WHEN mad7 > 0 THEN (rev - med7) / mad7 END, 6)
+             AS robust_z,
+           (mad7 > 0 AND abs(rev - med7) > 3 * mad7) AS is_anomaly
+    FROM mad
+    """,
+)
+def events_rolling_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly flags on daily revenue: each day scored against the
+    MEDIAN and MAD (median absolute deviation) of the PRECEDING 7 days —
+    the robust twin of events_anomaly_daily_zscore. An outlier day cannot
+    poison its own baseline twice over: it is excluded from its window
+    (trailing frame ends at -1) and the median/MAD breakdown point means
+    up to 3 of the 7 baseline days can already be anomalous without
+    moving the threshold. Median and MAD over an odd 7-count are exact
+    order statistics; the anomaly test compares exact doubles — nothing
+    interpolates.
+
+    Scale shape: the fact collapses to (type, day) map-side; the bounded
+    7-row frame collects O(1) values per row on the one (type) shuffle.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.sum(F.round("value", 6).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("rev")
+    )
+    w7 = Window.partitionBy("event_type").orderBy("day").rowsBetween(-7, -1)
+    win = daily.select(
+        "event_type",
+        "day",
+        "rev",
+        F.collect_list("rev").over(w7).alias("vals"),
+    ).where(F.size("vals") == 7)
+    med = win.withColumn("med7", F.element_at(F.array_sort("vals"), 4))
+    mad = med.withColumn(
+        "mad7",
+        F.element_at(
+            F.array_sort(
+                F.transform("vals", lambda v: F.abs(v - F.col("med7")))
+            ),
+            4,
+        ),
+    )
+    return mad.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.round("rev", 6).alias("revenue"),
+        F.round("med7", 6).alias("med7"),
+        F.round("mad7", 6).alias("mad7"),
+        F.round(
+            F.when(
+                F.col("mad7") > 0, (F.col("rev") - F.col("med7")) / F.col("mad7")
+            ),
+            6,
+        ).alias("robust_z"),
+        (
+            (F.col("mad7") > 0)
+            & (F.abs(F.col("rev") - F.col("med7")) > 3 * F.col("mad7"))
+        ).alias("is_anomaly"),
+    )

@@ -1787,3 +1787,168 @@ def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 6).alias("heaps_beta"),
         F.round((F.col("sy") - slope * F.col("sx")) / nd, 6).alias("ln_k"),
     )
+
+
+@query(
+    "text_lang_id_metrics",
+    oracle=f"""
+    WITH toks AS (
+      SELECT lang,
+        list_filter(string_split_regex(TRIM(LOWER(text)), '\\s+'), t -> t != '') AS toks
+      FROM documents
+    ),
+    pred AS (
+      SELECT lang,
+        (CASE WHEN best.n > 0 THEN best.lang ELSE 'und' END) AS pred
+      FROM (SELECT lang, {_lang_votes_sql()} AS best FROM toks)
+    ),
+    labels AS (SELECT DISTINCT lang AS label FROM pred),
+    counts AS (
+      SELECT l.label,
+        (SELECT COUNT(*) FROM pred p
+          WHERE p.lang = l.label AND p.pred = l.label) AS tp,
+        (SELECT COUNT(*) FROM pred p
+          WHERE p.pred = l.label AND p.lang <> l.label) AS fp,
+        (SELECT COUNT(*) FROM pred p
+          WHERE p.lang = l.label AND p.pred <> l.label) AS fn
+      FROM labels l
+    )
+    SELECT label, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn,
+           ROUND(CASE WHEN tp + fp > 0
+                 THEN CAST(tp AS DOUBLE) / (tp + fp) END, 6) AS precision,
+           ROUND(CASE WHEN tp + fn > 0
+                 THEN CAST(tp AS DOUBLE) / (tp + fn) END, 6) AS recall,
+           ROUND(CASE WHEN 2 * tp + fp + fn > 0
+                 THEN CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn) END, 6)
+             AS f1
+    FROM counts
+    """,
+)
+def text_lang_id_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation over the lang-id confusion matrix: per-label
+    true/false positives and negatives with precision / recall / F1 — the
+    quality report any labeling stage in a data pipeline ships alongside
+    its predictions. F1 uses the 2tp/(2tp+fp+fn) form, one division of
+    exact integers instead of a ratio of ratios, so zero-denominator
+    guards are integer tests and the single double division is
+    deterministic cross-engine.
+
+    Scale shape: the confusion matrix (|labels|^2 rows max) is one scan +
+    one agg; per-label counts are conditional sums over that tiny grid —
+    the subqueries in the oracle flatten to the same conditional
+    aggregation Spark runs.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    pred = d.select("lang", lang_id(F.col("text")).alias("pred"))
+    conf = pred.groupBy("lang", "pred").agg(F.count(F.lit(1)).alias("n"))
+    labels = conf.select(F.col("lang").alias("label")).distinct()
+    joined = labels.join(
+        F.broadcast(conf),
+        (F.col("lang") == F.col("label")) | (F.col("pred") == F.col("label")),
+    )
+    counts = joined.groupBy("label").agg(
+        F.sum(
+            F.when((F.col("lang") == F.col("label")) & (F.col("pred") == F.col("label")), F.col("n")).otherwise(0)
+        ).alias("tp"),
+        F.sum(
+            F.when((F.col("pred") == F.col("label")) & (F.col("lang") != F.col("label")), F.col("n")).otherwise(0)
+        ).alias("fp"),
+        F.sum(
+            F.when((F.col("lang") == F.col("label")) & (F.col("pred") != F.col("label")), F.col("n")).otherwise(0)
+        ).alias("fn"),
+    )
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    return counts.select(
+        "label",
+        tp,
+        fp,
+        fn,
+        F.round(
+            F.when(tp + fp > 0, tp.cast("double") / (tp + fp)), 6
+        ).alias("precision"),
+        F.round(
+            F.when(tp + fn > 0, tp.cast("double") / (tp + fn)), 6
+        ).alias("recall"),
+        F.round(
+            F.when(2 * tp + fp + fn > 0, (2 * tp).cast("double") / (2 * tp + fp + fn)),
+            6,
+        ).alias("f1"),
+    )
+
+
+@query(
+    "text_ngram_novelty_by_source",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source,
+        list_filter(string_split(LOWER(regexp_replace(TRIM(text), '\\s+', ' ', 'g')), ' '),
+                    t -> t != '') AS ws
+      FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT source, unnest(
+        list_transform(range(1, len(ws) - 1),
+          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gram
+      FROM toks WHERE len(ws) >= 3
+    ),
+    spread AS (
+      SELECT gram, COUNT(*) AS n_sources FROM grams GROUP BY gram
+    )
+    SELECT g.source,
+           COUNT(*) AS n_gram_types,
+           CAST(SUM(CASE WHEN s.n_sources = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unique_grams,
+           ROUND(CAST(SUM(CASE WHEN s.n_sources = 1 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS novelty
+    FROM grams g JOIN spread s ON g.gram = s.gram
+    GROUP BY g.source
+    """,
+)
+def text_ngram_novelty_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source content novelty: for each source, the share of its
+    distinct word-trigram TYPES that occur in no other source — the
+    "does this source add anything" signal data-mixture decisions weigh
+    (a near-zero novelty source is already covered by the rest of the
+    corpus). Grams are compared as exact strings, not engine-local hashes,
+    so the distinct-source spread is bit-portable; at 100 TB you would md5
+    the grams map-side first (dedup's portable-hash recipe) so only 16-byte
+    digests shuffle — counts would be identical, the strings never leave
+    the scan either way.
+
+    Scale shape: one tokenize pass -> per-source distinct grams (map-side
+    distinct inside the agg), the spread table groups by gram (the only
+    wide shuffle, keyed by gram), and the scorecard is a rollup of the
+    (source, gram) postings joined to the spread.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.filter(
+        F.split(F.lower(F.regexp_replace(F.trim("text"), r"\s+", " ")), " "),
+        lambda t: t != "",
+    )
+    grams_arr = F.transform(
+        F.sequence(F.lit(1), F.size(ws) - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(ws, i),
+            F.element_at(ws, i + 1),
+            F.element_at(ws, i + 2),
+        ),
+    )
+    grams = (
+        d.withColumn("ws", ws)
+        .where(F.size("ws") >= 3)
+        .select("source", F.explode(F.array_distinct(grams_arr)).alias("gram"))
+        .distinct()
+    )
+    spread = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("n_sources"))
+    uniq = F.sum(F.when(F.col("n_sources") == 1, 1).otherwise(0))
+    return (
+        grams.join(spread, "gram")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_gram_types"),
+            uniq.alias("n_unique_grams"),
+            F.round(uniq.cast("double") / F.count(F.lit(1)), 6).alias("novelty"),
+        )
+    )
