@@ -27,7 +27,7 @@ construction), fixed ordering, convergence.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .._memo import SessionMemo
@@ -621,3 +621,98 @@ def graph_kcore_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _KCORE_CACHE.put(spark, sf_dir, result)
     return result
+
+
+_LP_HUB_CAP = 64  # wedge centers above this degree carry no signal and
+# would dominate the wedge fan-out; capping is part of the op's semantics.
+
+
+@query(
+    "graph_jaccard_link_prediction",
+    oracle=f"""
+    WITH li AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ), e AS (
+      SELECT DISTINCT a.pk AS u, b.pk AS v
+      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+    ), nbrs AS (
+      SELECT u AS node, v AS nbr FROM e
+      UNION ALL SELECT v, u FROM e
+    ), deg AS (
+      SELECT node, COUNT(*) AS d FROM nbrs GROUP BY node
+    ), wedges AS (
+      SELECT n1.nbr AS a, n2.nbr AS b
+      FROM nbrs n1
+      JOIN nbrs n2 ON n1.node = n2.node AND n1.nbr < n2.nbr
+      JOIN deg dc ON dc.node = n1.node AND dc.d <= {_LP_HUB_CAP}
+    ), common AS (
+      SELECT a, b, COUNT(*) AS cn FROM wedges GROUP BY a, b
+    ), cand AS (
+      SELECT c.a, c.b, c.cn, da.d AS deg_a, db.d AS deg_b
+      FROM common c
+      JOIN deg da ON da.node = c.a
+      JOIN deg db ON db.node = c.b
+      WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = c.a AND e.v = c.b)
+    ), scored AS (
+      SELECT a, b, cn, deg_a, deg_b,
+             CAST(cn AS DOUBLE) / (deg_a + deg_b - cn) AS jaccard,
+             ROW_NUMBER() OVER (
+               ORDER BY CAST(cn AS DOUBLE) / (deg_a + deg_b - cn) DESC, a, b
+             ) AS rk
+      FROM cand
+    )
+    SELECT a AS part_a, b AS part_b, CAST(cn AS BIGINT) AS common_neighbors,
+           ROUND(jaccard, 6) AS jaccard, CAST(rk AS BIGINT) AS rk
+    FROM scored WHERE rk <= 25
+    """,
+)
+def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the co-purchase graph: the top-25 NON-adjacent
+    part pairs by neighborhood Jaccard (common neighbors / union of
+    neighborhoods) — the classic "customers also bought together"
+    candidate generator. Common neighbors are counted through wedge
+    centers of degree <= {cap} only (hub-capped: a part in thousands of
+    orders connects everything to everything and carries no signal) —
+    the cap is part of the semantics and computed identically in both
+    engines, keeping wedge fan-out bounded by cap^2 per center at any
+    scale. Jaccard divides exact integers; the rank tie-breaks on ids.
+
+    Scale shape: the wedge join runs on (center-capped) adjacency
+    postings — never an all-pairs product; existing edges drop via an
+    anti-join on the oriented edge list; top-25 is a WindowGroupLimit.
+    """
+    und, _ = _copurchase_edges(spark, sf_dir)
+    nbrs = und.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
+        und.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    )
+    deg = nbrs.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    centers = deg.where(F.col("d") <= _LP_HUB_CAP)
+    n1 = nbrs.join(centers, "node").select("node", F.col("nbr").alias("a"))
+    n2 = nbrs.select(F.col("node").alias("node2"), F.col("nbr").alias("b"))
+    wedges = n1.join(
+        n2, (F.col("node") == F.col("node2")) & (F.col("a") < F.col("b"))
+    )
+    common = wedges.groupBy("a", "b").agg(F.count(F.lit(1)).alias("cn"))
+    non_adj = common.join(
+        und,
+        (F.col("a") == F.col("u")) & (F.col("b") == F.col("v")),
+        "left_anti",
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("d").alias("deg_b"))
+    jac = F.col("cn").cast("double") / (
+        F.col("deg_a") + F.col("deg_b") - F.col("cn")
+    )
+    w = Window.orderBy(jac.desc(), "a", "b")
+    return (
+        non_adj.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.col("a").alias("part_a"),
+            F.col("b").alias("part_b"),
+            F.col("cn").alias("common_neighbors"),
+            F.round(jac, 6).alias("jaccard"),
+            F.row_number().over(w).cast("long").alias("rk"),
+        )
+        .where(F.col("rk") <= 25)
+    )

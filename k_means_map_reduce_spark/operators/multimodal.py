@@ -429,3 +429,116 @@ def multimodal_clip_training_pairs(spark: SparkSession, sf_dir: str) -> DataFram
         ),
         F.when(split_hash < 9, "train").otherwise("valid").alias("split"),
     )
+
+
+@query(
+    "multimodal_phash_near_dup",
+    oracle="""
+    WITH crops AS (
+      SELECT doc_id,
+        substr(LOWER(regexp_replace(TRIM(text), '\s+', ' ', 'g')), 1, 256)
+          AS crop
+      FROM documents
+    ),
+    sigs AS (
+      SELECT doc_id,
+        CAST(CONCAT('0x', substr(md5(crop), 1, 8)) AS BIGINT) AS c0,
+        CAST(CONCAT('0x', substr(md5(crop), 9, 8)) AS BIGINT) AS c1,
+        CAST(CONCAT('0x', substr(md5(crop), 17, 8)) AS BIGINT) AS c2,
+        CAST(CONCAT('0x', substr(md5(crop), 25, 8)) AS BIGINT) AS c3
+      FROM crops
+    ),
+    posts AS (
+      SELECT doc_id, 0 AS block_no, c0 AS bv FROM sigs
+      UNION ALL SELECT doc_id, 1, c1 FROM sigs
+      UNION ALL SELECT doc_id, 2, c2 FROM sigs
+      UNION ALL SELECT doc_id, 3, c3 FROM sigs
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM posts a JOIN posts b
+        ON a.block_no = b.block_no AND a.bv = b.bv AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+      CAST(bit_count(xor(s1.c0, s2.c0)) + bit_count(xor(s1.c1, s2.c1))
+         + bit_count(xor(s1.c2, s2.c2)) + bit_count(xor(s1.c3, s2.c3))
+        AS BIGINT) AS hamming
+    FROM cand c
+    JOIN sigs s1 ON s1.doc_id = c.doc_a
+    JOIN sigs s2 ON s2.doc_id = c.doc_b
+    WHERE bit_count(xor(s1.c0, s2.c0)) + bit_count(xor(s1.c1, s2.c1))
+        + bit_count(xor(s1.c2, s2.c2)) + bit_count(xor(s1.c3, s2.c3)) <= 3
+    """,
+)
+def multimodal_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate detection over the binary media
+    column: a 128-bit fingerprint per payload, pairs within Hamming
+    distance 3 found via PIGEONHOLE BLOCKING — the fingerprint splits
+    into 4 x 32-bit blocks, <= 3 flipped bits leave at least one block
+    intact, so candidates meet through a plain equi-join on (block_no,
+    block_value) and recall is complete by construction (the same
+    4-block recipe as dedup_simhash). Payload bytes are touched only at
+    the scan; 4 longs per asset shuffle.
+
+    STUB NOTE (multimodal codec policy, module docstring): with real
+    codecs the fingerprint would be a DCT pHash of the decoded image;
+    here the payload decodes, normalizes (case/whitespace), and CROPS to
+    a fixed 256-byte window before hashing — the same normalize-then-
+    digest structure (edits outside the crop don't move the hash, so
+    template-sharing near-dups land at Hamming 0). The stand-in keeps
+    every downstream stage (block postings, candidate join, Hamming
+    verify) real, tested, and ORACLED: DuckDB recomputes fingerprints
+    from the same bytes and brute-replays the blocking.
+    """
+    m = media_table(spark, sf_dir)
+    crop = F.substring(
+        F.lower(
+            F.regexp_replace(F.trim(F.decode("media", "UTF-8")), r"\s+", " ")
+        ),
+        1,
+        256,
+    )
+    hexmd5 = F.md5(crop)
+    chunk = lambda i: F.conv(  # noqa: E731
+        F.substring(hexmd5, 1 + 8 * i, 8), 16, 10
+    ).cast("long")
+    sigs = m.select(
+        "doc_id", *[chunk(i).alias(f"c{i}") for i in range(4)]
+    )
+    posts = None
+    for i in range(4):
+        p = sigs.select(
+            "doc_id", F.lit(i).alias("block_no"), F.col(f"c{i}").alias("bv")
+        )
+        posts = p if posts is None else posts.unionAll(p)
+    a = posts.select(
+        F.col("doc_id").alias("doc_a"), "block_no", "bv"
+    )
+    b = posts.select(
+        F.col("doc_id").alias("doc_b"), F.col("block_no").alias("bn2"), F.col("bv").alias("bv2")
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("block_no") == F.col("bn2"))
+            & (F.col("bv") == F.col("bv2"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    s1 = sigs.select(
+        F.col("doc_id").alias("doc_a"), *[F.col(f"c{i}").alias(f"a{i}") for i in range(4)]
+    )
+    s2 = sigs.select(
+        F.col("doc_id").alias("doc_b"), *[F.col(f"c{i}").alias(f"b{i}") for i in range(4)]
+    )
+    ham = sum(
+        F.bit_count(F.col(f"a{i}").bitwiseXOR(F.col(f"b{i}"))) for i in range(4)
+    )
+    return (
+        cand.join(s1, "doc_a")
+        .join(s2, "doc_b")
+        .where(ham <= 3)
+        .select("doc_a", "doc_b", ham.cast("long").alias("hamming"))
+    )

@@ -564,3 +564,72 @@ def dq_benford_leading_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("benford_freq"),
     )
+
+
+# (table, time column, snapshot anchor, SLA days) — the freshness contract.
+# Anchors are fixed literals per data domain (TPC-H facts end 2001-08;
+# events span 2024-01); in production the anchor is the pipeline's
+# scheduled-run timestamp injected as a parameter.
+_FRESHNESS = (
+    ("orders", "o_orderdate", "2001-09-01", 35),
+    ("lineitem", "l_shipdate", "2001-09-01", 45),
+    ("events", "ts", "2024-02-01", 3),
+)
+
+
+@query(
+    "dq_freshness_sla",
+    oracle="""
+    SELECT 'orders' AS table_name,
+           strftime(MAX(CAST(o_orderdate AS TIMESTAMP)), '%Y-%m-%d') AS max_day,
+           CAST(date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+                          DATE '2001-09-01') AS BIGINT) AS lag_days,
+           CAST(35 AS BIGINT) AS sla_days,
+           date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+                     DATE '2001-09-01') <= 35 AS is_fresh
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem',
+           strftime(MAX(CAST(l_shipdate AS TIMESTAMP)), '%Y-%m-%d'),
+           CAST(date_diff('day', CAST(MAX(l_shipdate) AS DATE),
+                          DATE '2001-09-01') AS BIGINT),
+           CAST(45 AS BIGINT),
+           date_diff('day', CAST(MAX(l_shipdate) AS DATE),
+                     DATE '2001-09-01') <= 45
+    FROM lineitem
+    UNION ALL
+    SELECT 'events',
+           strftime(MAX(CAST(ts AS TIMESTAMP)), '%Y-%m-%d'),
+           CAST(date_diff('day', CAST(MAX(ts) AS DATE),
+                          DATE '2024-02-01') AS BIGINT),
+           CAST(3 AS BIGINT),
+           date_diff('day', CAST(MAX(ts) AS DATE), DATE '2024-02-01') <= 3
+    FROM events
+    """,
+)
+def dq_freshness_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-freshness SLA audit: for every time-bearing table, the latest
+    watermark, its lag against the pipeline's snapshot anchor, and a
+    pass/fail against the per-table SLA — the staleness monitor that
+    pages before a silently-stuck ingestion poisons downstream
+    aggregates. Lags are integer day arithmetic against literal anchors
+    (production injects the run timestamp); day flooring is identical in
+    both engines.
+
+    Scale shape: three MAX aggregations (map-side partial, one row out
+    each) unioned — at 100 TB each max rides the table's existing scan
+    or, better, its partition metadata; no shuffle carries data rows.
+    """
+    out = None
+    for table, col, anchor, sla in _FRESHNESS:
+        t = load_table(spark, sf_dir, table)
+        lag = F.datediff(F.lit(anchor).cast("date"), F.max(col).cast("date"))
+        row = t.agg(
+            F.lit(table).alias("table_name"),
+            F.date_format(F.max(col), "yyyy-MM-dd").alias("max_day"),
+            lag.cast("long").alias("lag_days"),
+            F.lit(sla).cast("long").alias("sla_days"),
+            (lag <= sla).alias("is_fresh"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out

@@ -713,3 +713,131 @@ def sketch_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("est_distinct"),
     )
     return per_type.unionByName(union_row)
+
+
+_THETA_K = 128  # retained minima per set sketch
+
+
+@query(
+    "sketch_theta_intersection",
+    oracle=f"""
+    WITH du AS (
+      SELECT DISTINCT event_type, user_id FROM events
+      WHERE event_type IN ('view', 'purchase')
+    ),
+    h AS (
+      SELECT event_type, user_id,
+        CAST(CONCAT('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+             AS BIGINT) AS hv
+      FROM du
+    ),
+    ranked AS (
+      SELECT event_type, hv,
+        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rk,
+        COUNT(*) OVER (PARTITION BY event_type) AS nd
+      FROM h
+    ),
+    thetas AS (
+      SELECT event_type,
+        CASE WHEN MAX(nd) < {_THETA_K}
+             THEN CAST({_KMV_POW} AS BIGINT)
+             ELSE MAX(CASE WHEN rk = {_THETA_K} THEN hv END) END AS theta
+      FROM ranked GROUP BY event_type
+    ),
+    theta AS (SELECT MIN(theta) AS th FROM thetas),
+    both_users AS (
+      SELECT user_id FROM du GROUP BY user_id HAVING COUNT(*) = 2
+    ),
+    cand AS (
+      SELECT COUNT(*) AS n_cand
+      FROM both_users b, theta t
+      WHERE CAST(CONCAT('0x', substr(md5(CAST(b.user_id AS VARCHAR)), 1, 15))
+                 AS BIGINT) < t.th
+    )
+    SELECT
+      (SELECT COUNT(*) FROM both_users) AS exact_intersection,
+      (SELECT CAST(n_cand AS BIGINT) FROM cand) AS sketch_candidates,
+      ROUND((SELECT CAST(n_cand AS DOUBLE) FROM cand)
+            * ({_KMV_POW} / (SELECT CAST(th AS DOUBLE) FROM theta)), 4)
+        AS est_intersection,
+      (ABS(ROUND((SELECT CAST(n_cand AS DOUBLE) FROM cand)
+                 * ({_KMV_POW} / (SELECT CAST(th AS DOUBLE) FROM theta)), 4)
+           - (SELECT COUNT(*) FROM both_users))
+       <= GREATEST(24.0, 0.35 * (SELECT COUNT(*) FROM both_users)))
+        AS within_bound
+    """,
+)
+def sketch_theta_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set INTERSECTION (Dasgupta et al., the DataSketches
+    theta family): estimate the overlap of two user sets ('view' vs
+    'purchase' actives) from their KMV sketches alone — theta = the
+    smaller of the two sketches' k-th minima ({_THETA_K} retained values
+    each); every common hash below theta is an intersection witness and
+    the estimate is |witnesses| / (theta / 2^60). With PORTABLE md5
+    hashes the whole sketch path replays bit-exactly in DuckDB, so this
+    approximate operator is ORACLED (the same error-contract recipe as
+    the hll_* family: the exact overlap and a within-bound flag ride
+    beside the executed sketch path — a red flag after a dependency bump
+    means re-baselining the bound, not a data bug; the sketch numbers
+    themselves are portable-exact).
+
+    Scale shape: one dedup shuffle per set; per-set state is {_THETA_K}
+    8-byte minima regardless of cardinality, and the intersection reads
+    only retained values — the estimate costs O(k) after the dedup, vs
+    the exact path's full-set join. The oracle computes the exact twin
+    for the contract, as documented.
+    """
+    e = load_table(spark, sf_dir, "events")
+    du = (
+        e.where(F.col("event_type").isin("view", "purchase"))
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    hv = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    h = du.select("event_type", hv.alias("hv"))
+    wrk = Window.partitionBy("event_type").orderBy("hv")
+    wnd = Window.partitionBy("event_type")
+    ranked = h.select(
+        "event_type",
+        "hv",
+        F.row_number().over(wrk).alias("rk"),
+        F.count(F.lit(1)).over(wnd).alias("nd"),
+    )
+    pow_lit = F.lit(float(_KMV_POW))
+    thetas = ranked.groupBy("event_type").agg(
+        F.when(F.max("nd") < _THETA_K, pow_lit.cast("bigint"))
+        .otherwise(F.max(F.when(F.col("rk") == _THETA_K, F.col("hv"))))
+        .alias("theta")
+    )
+    theta = thetas.agg(F.min("theta").alias("th"))
+    both_users = du.groupBy("user_id").agg(F.count(F.lit(1)).alias("c")).where(
+        F.col("c") == 2
+    )
+    exact = both_users.agg(F.count(F.lit(1)).alias("exact_intersection"))
+    cand = (
+        both_users.select(hv.alias("hv"))
+        .crossJoin(F.broadcast(theta))
+        .where(F.col("hv") < F.col("th"))
+        .agg(F.count(F.lit(1)).alias("n_cand"))
+    )
+    est = F.round(
+        F.col("n_cand").cast("double") * (pow_lit / F.col("th").cast("double")),
+        4,
+    )
+    return (
+        exact.crossJoin(F.broadcast(cand))
+        .crossJoin(F.broadcast(theta))
+        .select(
+            "exact_intersection",
+            F.col("n_cand").alias("sketch_candidates"),
+            est.alias("est_intersection"),
+            (
+                F.abs(est - F.col("exact_intersection"))
+                <= F.greatest(
+                    F.lit(24.0), 0.35 * F.col("exact_intersection")
+                )
+            ).alias("within_bound"),
+        )
+    )
