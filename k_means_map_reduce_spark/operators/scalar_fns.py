@@ -373,3 +373,70 @@ def agg_bitwise_and_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.bit_xor("n_nationkey").cast("long").alias("key_bit_xor"),
         )
     )
+
+
+@query(
+    "scalar_url_parsing",
+    oracle="""
+    WITH urls AS (
+      SELECT doc_id,
+        'https://' || source || '.example.com/' || lang || '/doc/'
+          || CAST(doc_id AS VARCHAR) || '?ref=r' || CAST(doc_id % 7 AS VARCHAR)
+          AS url
+      FROM documents
+    ),
+    parsed AS (
+      SELECT doc_id,
+        regexp_extract(url, '^[a-z]+://([^/]+)/', 1) AS host,
+        regexp_extract(url, '^[a-z]+://[^/]+/([^/?]+)', 1) AS top_path,
+        regexp_extract(url, '[?&]ref=([^&]+)', 1) AS ref
+      FROM urls
+    )
+    SELECT host, ref,
+           COUNT(*) AS n_urls,
+           COUNT(DISTINCT top_path) AS n_langs,
+           MIN(doc_id) AS min_doc_id
+    FROM parsed
+    GROUP BY host, ref
+    """,
+)
+def scalar_url_parsing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL construction + parsing round trip: build canonical URLs from
+    document attributes, then recover host / first path segment / query
+    parameter and roll up traffic by (host, ref) — the clickstream-
+    normalization scalar surface. Spark uses its native parse_url (HOST,
+    PATH, QUERY:key extraction — the JVM fast path); DuckDB has no
+    parse_url, so the oracle recovers the same parts with anchored
+    regexes on the shared RE2/Java dialect subset — agreement is part of
+    the contract (the same discipline as text_pii_redaction).
+
+    Scale shape: stateless projection + one rollup; the URL strings
+    never shuffle (host/ref extraction happens map-side).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    urls = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".example.com/"),
+            F.col("lang"),
+            F.lit("/doc/"),
+            F.col("doc_id").cast("string"),
+            F.lit("?ref=r"),
+            (F.col("doc_id") % 7).cast("string"),
+        ).alias("url"),
+    )
+    parsed = urls.select(
+        "doc_id",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.regexp_extract(F.parse_url("url", F.lit("PATH")), r"^/([^/?]+)", 1).alias(
+            "top_path"
+        ),
+        F.parse_url("url", F.lit("QUERY"), F.lit("ref")).alias("ref"),
+    )
+    return parsed.groupBy("host", "ref").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.countDistinct("top_path").alias("n_langs"),
+        F.min("doc_id").alias("min_doc_id"),
+    )

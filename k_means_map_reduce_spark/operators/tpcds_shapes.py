@@ -709,3 +709,55 @@ def ds_q93_returns_adjusted_sales(spark: SparkSession, sf_dir: str) -> DataFrame
             F.col("gross") - F.col("full_refund") - 0.5 * F.col("half_refund")
         ).alias("act_sales"),
     )
+
+
+@query(
+    "ds_q34_trip_size_bands",
+    oracle="""
+    WITH trip AS (
+      SELECT l_orderkey, COUNT(*) AS n_lines
+      FROM lineitem GROUP BY 1
+    ),
+    big AS (
+      SELECT o_custkey, COUNT(*) AS n_big_trips,
+             CAST(SUM(n_lines) AS BIGINT) AS big_trip_lines
+      FROM trip JOIN orders ON o_orderkey = l_orderkey
+      WHERE n_lines BETWEEN 5 AND 7
+      GROUP BY 1
+    )
+    SELECT c_custkey, c_name, c_mktsegment,
+           n_big_trips, big_trip_lines
+    FROM big JOIN customer ON c_custkey = o_custkey
+    WHERE n_big_trips >= 2
+    """,
+)
+def ds_q34_trip_size_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q34/q73's signature: count items per TRIP (order), keep trips
+    whose size falls in a band (5-7 lines — the 'bulk shopper' band in
+    this schema's 1-7 line range), and report customers with repeated
+    banded trips. The group-size-as-filter pattern: the fact aggregates
+    to trip grain FIRST, the band filter runs on the tiny rollup, and
+    only banded trips join the customer dim.
+
+    Scale shape: one fact pass to the (order, count) rollup (map-side
+    partials on the fact's natural key), the orders join is keyed on the
+    rollup's grain, and the customer join happens after the >= 2-trip
+    filter has shrunk rows to the report set. Integer counts only.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    trip = l.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_lines"))
+    big = (
+        trip.where(F.col("n_lines").between(5, 7))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_big_trips"),
+            F.sum("n_lines").alias("big_trip_lines"),
+        )
+        .where(F.col("n_big_trips") >= 2)
+    )
+    return big.join(c, F.col("c_custkey") == F.col("o_custkey")).select(
+        "c_custkey", "c_name", "c_mktsegment", "n_big_trips", "big_trip_lines"
+    )
