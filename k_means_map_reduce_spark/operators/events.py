@@ -1088,3 +1088,56 @@ def events_rolling_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.abs(F.col("rev") - F.col("med7")) > 3 * F.col("mad7"))
         ).alias("is_anomaly"),
     )
+
+
+@query(
+    "events_top_percentile_users",
+    oracle="""
+    WITH per_user AS (
+      SELECT event_type, user_id, COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT *,
+        ROW_NUMBER() OVER (PARTITION BY event_type
+                           ORDER BY n_events DESC, user_id) AS rk,
+        COUNT(*) OVER (PARTITION BY event_type) AS n_users
+      FROM per_user
+    )
+    SELECT event_type, user_id, n_events,
+           CAST(rk AS BIGINT) AS rk
+    FROM ranked
+    WHERE rk <= CAST(ceil(0.01 * n_users) AS BIGINT)
+    """,
+)
+def events_top_percentile_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-user extraction: the top 1% most active users per event type
+    — the population that dominates load and gets rate limits, selected
+    by RANK CUT (row_number <= ceil(0.01 * n_users)), not a value
+    threshold: order statistics on integer counts with a user_id
+    tie-break make the selected SET engine-independent even when many
+    users tie at the cut count (a "count >= p99-value" rule would
+    include all ties and change size run-to-run as data grows).
+
+    Scale shape: the fact collapses to (type, user) counts map-side; the
+    rank runs per type over the user rollup and the cut pushes down as a
+    WindowGroupLimit — only ~1% of user rows survive the window.
+    """
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.col("n_events").desc(), "user_id"
+    )
+    wc = Window.partitionBy("event_type")
+    ranked = per_user.select(
+        "event_type",
+        "user_id",
+        "n_events",
+        F.row_number().over(wr).alias("rk"),
+        F.count(F.lit(1)).over(wc).alias("n_users"),
+    )
+    return ranked.where(
+        F.col("rk") <= F.ceil(0.01 * F.col("n_users")).cast("long")
+    ).select("event_type", "user_id", "n_events", F.col("rk").cast("long").alias("rk"))

@@ -710,3 +710,87 @@ def _pq_search(spark: SparkSession, corpus: DataFrame, codebooks, encoded: DataF
         .where(F.col("rnk") <= TOP_K)
         .select("q_id", "vec_id", F.round("sim", 4).alias("sim"), "rnk")
     )
+
+
+@query(
+    "sim_centroid_distance_matrix",
+    oracle="""
+    WITH cells AS (
+      SELECT label, u.s.d AS d,
+        CAST(SUM(CAST(ROUND(u.s.x, 6) AS DECIMAL(28,6))) AS DOUBLE)
+          / COUNT(*) AS m
+      FROM embeddings,
+        UNNEST(list_transform(range(len(embedding)),
+          i -> struct_pack(d := i, x := CAST(embedding[i+1] AS DOUBLE))))
+          AS u(s)
+      GROUP BY label, u.s.d
+    ),
+    cent AS (
+      SELECT label, list(m ORDER BY d) AS c FROM cells GROUP BY label
+    ),
+    counts AS (
+      SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label
+    )
+    SELECT a.label AS label_a, b.label AS label_b,
+           CAST(na.n AS BIGINT) AS n_a, CAST(nb.n AS BIGINT) AS n_b,
+           ROUND(sqrt(list_reduce(
+             list_transform(range(len(a.c)),
+               i -> (a.c[i+1] - b.c[i+1]) * (a.c[i+1] - b.c[i+1])),
+             (p, q) -> p + q)), 6) AS centroid_dist
+    FROM cent a JOIN cent b ON a.label < b.label
+    JOIN counts na ON na.label = a.label
+    JOIN counts nb ON nb.label = b.label
+    """,
+)
+def sim_centroid_distance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-class centroid distance matrix: the per-label embedding
+    centroids (decimal-exact per-dimension means — the kmeans float
+    contract) and the Euclidean distance between every label pair — the
+    class-separability diagnostic read before training a classifier on
+    the embedding space (near-zero inter-centroid distance predicts
+    confusion). Distances accumulate via a SEQUENTIAL left fold over
+    dimensions (F.aggregate / list_reduce in the same index order), so
+    the 64-term double sum is bit-identical cross-engine.
+
+    Scale shape: one posexplode pass collapses the embedding table to
+    (label, dim) cells map-side; centroids are k x 64 values, and the
+    k^2/2 pair matrix is driver-trivial — the data-sized stage is only
+    the first aggregation.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    cells = e.select(
+        "label", "vec_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("d", "x")
+    )
+    means = cells.groupBy("label", "d").agg(
+        (
+            F.sum(F.round("x", 6).cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("m")
+    )
+    cent = means.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "m"))), lambda s: s["m"]
+        ).alias("c")
+    )
+    counts = e.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    cent = cent.join(counts, "label")
+    a = cent.select(
+        F.col("label").alias("label_a"), F.col("c").alias("ca"), F.col("n").alias("n_a")
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"), F.col("c").alias("cb"), F.col("n").alias("n_b")
+    )
+    dist = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(F.col("ca"), F.col("cb"), lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        ),
+        6,
+    )
+    return (
+        a.join(b, F.col("label_a") < F.col("label_b"))
+        .select("label_a", "label_b", "n_a", "n_b", dist.alias("centroid_dist"))
+    )

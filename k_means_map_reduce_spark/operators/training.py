@@ -1170,3 +1170,67 @@ def training_pack_ffd_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="grp bigint, bin_id int, n_docs bigint, bin_tokens bigint, "
         "first_doc_id bigint",
     )
+
+
+@query(
+    "training_curriculum_buckets",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+        CAST(len(regexp_extract_all(text, '{_TOKEN_RE_SQL}')) AS BIGINT)
+          AS n_toks
+      FROM documents
+      WHERE {_SPLIT_SQL_BUCKET} < 90
+    ),
+    staged AS (
+      SELECT *,
+        CAST(NTILE(5) OVER (ORDER BY n_toks, doc_id) AS BIGINT) AS stage
+      FROM toks
+    )
+    SELECT stage,
+           COUNT(*) AS n_docs,
+           CAST(MIN(n_toks) AS BIGINT) AS min_toks,
+           CAST(MAX(n_toks) AS BIGINT) AS max_toks,
+           CAST(SUM(n_toks) AS BIGINT) AS stage_tokens,
+           COUNT(DISTINCT lang) AS n_langs,
+           MIN(doc_id) AS first_doc_id
+    FROM staged
+    GROUP BY stage
+    """,
+)
+def training_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum staging: train-split documents quintiled by length
+    (token count — the standard easy-to-hard difficulty proxy for
+    curriculum learning) into 5 ordered stages, with per-stage token
+    budgets and language coverage — the schedule table an epoch planner
+    consumes to feed short documents first. NTILE over (n_toks, doc_id)
+    is a total order, so the stage assignment is engine-independent;
+    everything else is exact integer aggregation.
+
+    Scale shape: token counting is the one data-sized pass; the NTILE
+    needs a global sort of (n_toks, doc_id) pairs only — at scale, swap
+    the exact NTILE for the distributed two-phase prefix-sum rank
+    (training_pack_sequences' recipe) over the same pairs; the stage
+    summary is a 5-row rollup either way.
+    """
+    from ..functions.text import token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+    toks = d.where(_split(_bucket(F.col("doc_id"))) == "train").select(
+        "doc_id",
+        "lang",
+        token_count(F.col("text")).cast("bigint").alias("n_toks"),
+    )
+    w = Window.orderBy("n_toks", "doc_id")
+    staged = toks.select(
+        "doc_id", "lang", "n_toks", F.ntile(5).over(w).cast("long").alias("stage")
+    )
+    return staged.groupBy("stage").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_toks").alias("min_toks"),
+        F.max("n_toks").alias("max_toks"),
+        F.sum("n_toks").alias("stage_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.min("doc_id").alias("first_doc_id"),
+    )

@@ -376,3 +376,79 @@ def window_nth_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame
         .where(F.col("rn") == 3)
         .drop("rn")
     )
+
+
+@query(
+    "window_moving_corr_30d",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(l_shipdate AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) AS BIGINT)
+               AS disc_cents,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+      FROM lineitem GROUP BY 1
+    ),
+    win AS (
+      SELECT day, disc_cents, qty,
+        COUNT(*) OVER w AS n,
+        SUM(disc_cents) OVER w AS sx,
+        SUM(qty) OVER w AS sy,
+        SUM(disc_cents * qty) OVER w AS sxy,
+        SUM(disc_cents * disc_cents) OVER w AS sx2,
+        SUM(qty * qty) OVER w AS sy2
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(n AS BIGINT) AS n_days,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sx2 - sx * sx AS DOUBLE)
+                        * CAST(n * sy2 - sy * sy AS DOUBLE)), 6)
+             AS rolling_corr
+    FROM win
+    WHERE n = 30
+      AND (n * sx2 - sx * sx) > 0 AND (n * sy2 - sy * sy) > 0
+    """,
+)
+def window_moving_corr_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 30-day correlation between daily total discount (integer
+    cents) and daily total quantity — the co-movement monitor behind
+    "are discounts still driving volume". Every windowed power sum is
+    exact bigint over a bounded 30-row frame; the Pearson closed form
+    touches doubles only at the final ratio/sqrt, and degenerate windows
+    drop via exact integer guards. Full windows only (n = 30), so the
+    series starts after a 30-day warmup rather than reporting noisy
+    partial frames.
+
+    Scale shape: the fact collapses to one row per DAY first (map-side
+    partials); all six windowed sums share ONE sort of the tiny
+    calendar-bounded daily table.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    daily = l.groupBy(F.col("l_shipdate").cast("date").alias("day")).agg(
+        F.sum(F.round(F.col("l_discount") * 100).cast("long")).alias("disc_cents"),
+        F.sum(F.col("l_quantity").cast("long")).alias("qty"),
+    )
+    w = Window.orderBy("day").rowsBetween(-29, 0)
+    win = daily.select(
+        "day",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("disc_cents").over(w).alias("sx"),
+        F.sum("qty").over(w).alias("sy"),
+        F.sum(F.col("disc_cents") * F.col("qty")).over(w).alias("sxy"),
+        F.sum(F.col("disc_cents") * F.col("disc_cents")).over(w).alias("sx2"),
+        F.sum(F.col("qty") * F.col("qty")).over(w).alias("sy2"),
+    )
+    varx = F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")
+    vary = F.col("n") * F.col("sy2") - F.col("sy") * F.col("sy")
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    return (
+        win.where((F.col("n") == 30) & (varx > 0) & (vary > 0))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("n").alias("n_days"),
+            F.round(
+                num / F.sqrt(varx.cast("double") * vary.cast("double")), 6
+            ).alias("rolling_corr"),
+        )
+    )
