@@ -1484,3 +1484,357 @@ def stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 from ..operators.sketches import KMV_ORACLE as _KMV_ORACLE  # noqa: E402
 
 _query("streaming_kmv_distinct_vs_batch", oracle=_KMV_ORACLE)(stream_kmv_distinct)
+
+
+# --- Kafka wire-format envelope twin ----------------------------------------
+
+
+def read_events_stream_kafka_envelope(
+    spark: SparkSession, sf_dir: str, n_files: int = 4
+) -> DataFrame:
+    """events consumed through a Kafka WIRE-FORMAT envelope: each staged
+    JSONL line is {topic, partition, offset, timestamp_ms, key, value}
+    where `value` is the serialized event JSON STRING — exactly what a
+    Kafka consumer (or Connect dump) hands a stream job; there is no Kafka
+    broker in this environment, so the envelope is parsed from files (the
+    file-vs-socket difference is the source connector, not the parse
+    path). Envelope discipline mirrors Kafka's contract: partition =
+    hash(key) % N (key = user_id, so a user's events are totally ordered
+    within one partition), offset = per-partition monotonic sequence.
+
+    The job side demonstrates the two-stage parse every Kafka consumer
+    runs: envelope schema first (never inferred), then from_json on the
+    value payload with the event schema, then the same NTZ→instant pin as
+    the JSONL source.
+    """
+    from ..sources.catalog import load_table
+
+    key = ("events_kafka", sf_dir, n_files)
+    stage = _STAGE_CACHE.get(key)
+    if stage is None or not os.path.isdir(stage):
+        stage = tempfile.mkdtemp(prefix="events_kafka_", dir=_tmp_root())
+        from pyspark.sql import Window as W
+
+        batch = load_table(spark, sf_dir, "events")
+        inner = F.to_json(
+            F.struct(
+                "event_id",
+                F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+                "user_id",
+                "event_type",
+                "value",
+            )
+        )
+        part = (F.col("user_id") % n_files).cast("int")
+        woff = W.partitionBy("partition").orderBy("ts", "event_id")
+        env = (
+            batch.select(
+                F.lit("events").alias("topic"),
+                part.alias("partition"),
+                F.floor(
+                    F.unix_micros(
+                        F.expr(
+                            "cast(convert_timezone('UTC', current_timezone(), ts) "
+                            "as timestamp)"
+                        )
+                    )
+                    / 1000
+                ).cast("long").alias("timestamp_ms"),
+                F.col("user_id").cast("string").alias("key"),
+                inner.alias("value"),
+                "ts",
+                "event_id",
+            )
+            .withColumn("offset", F.row_number().over(woff).cast("long") - 1)
+            .drop("ts", "event_id")
+        )
+        env.repartition(n_files).write.mode("overwrite").json(stage)
+        _STAGE_CACHE[key] = stage
+    env_schema = (
+        "topic STRING, partition INT, offset BIGINT, timestamp_ms BIGINT, "
+        "key STRING, value STRING"
+    )
+    event_schema = (
+        "event_id BIGINT, ts STRING, user_id BIGINT, event_type STRING, "
+        "value DOUBLE"
+    )
+    raw = (
+        spark.readStream.schema(env_schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(stage)
+    )
+    return (
+        raw.select(F.from_json("value", event_schema).alias("e"))
+        .select("e.*")
+        .withColumn(
+            "ts",
+            F.expr(
+                "cast(convert_timezone('UTC', current_timezone(), "
+                "to_timestamp_ntz(ts, 'yyyy-MM-dd HH:mm:ss.SSSSSS')) as timestamp)"
+            ),
+        )
+    )
+
+
+def stream_tumbling_hourly_kafka_envelope(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """stream_tumbling_hourly through the Kafka-envelope source — envelope
+    parse + payload from_json feeding the identical windowed aggregation;
+    must equal the batch twin (same oracle)."""
+    from ..operators._util import dsum
+
+    e = read_events_stream_kafka_envelope(spark, sf_dir).withWatermark(
+        "ts", "1 hour"
+    )
+    agg = (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .select(
+            _fmt_utc(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return _run_available_now(agg, "tumbling_hourly_kafka")
+
+
+_query("streaming_kafka_envelope_vs_batch", oracle=_TUMBLING_ORACLE)(
+    stream_tumbling_hourly_kafka_envelope
+)
+
+
+# --- Session windows via applyInPandasWithState + event-time TIMEOUT --------
+
+_SESS_GAP_US = 5 * 60 * 1_000_000  # 5-minute session gap, microseconds
+_SESS_DELAY_MS = 10_000  # watermark delay
+# Chronological staging cut points (the events table spans January 2024).
+# Files land in this order with ascending mtimes, so micro-batches replay
+# time order and the watermark schedule is deterministic.
+_SESS_CUTS = (
+    "2024-01-01",
+    "2024-01-08",
+    "2024-01-15",
+    "2024-01-22",
+    "2024-02-01",
+)
+
+_SESS_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.StringType()),
+        T.StructField("session_end", T.StringType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+_SESS_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("starts", T.ArrayType(T.LongType())),
+        T.StructField("ends", T.ArrayType(T.LongType())),
+        T.StructField("counts", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def _fmt_us(us: int) -> str:
+    import datetime
+
+    return datetime.datetime.fromtimestamp(
+        us // 1_000_000, tz=datetime.timezone.utc
+    ).strftime("%Y-%m-%d %H:%M:%S")
+
+
+def _sessionize_with_timeout(
+    key, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Stateful sessionizer with EXPLICIT event-time timeout handling.
+
+    State = the user's OPEN session spans as parallel (start, end, count)
+    arrays in epoch microseconds. Each invocation (data or timeout) merges
+    any new event times into the span set — interval-closure merging is
+    order-independent, so out-of-order arrival within/across micro-batches
+    cannot corrupt sessions — then EVICTS every span whose end + gap has
+    passed the current watermark (emitted as a closed session, removed
+    from state), and re-arms the timeout at the earliest surviving span's
+    close time so an idle key still gets its sessions flushed.
+    """
+    (user_id,) = key
+    if state.exists:
+        starts, ends, counts = (list(x) for x in state.get)
+    else:
+        starts, ends, counts = [], [], []
+    spans = sorted(zip(starts, ends, counts))
+    for pdf in pdfs:
+        for us in pdf["ts_us"]:
+            spans.append((int(us), int(us), 1))
+    spans.sort()
+    merged: list[list[int]] = []
+    for s, e, n in spans:
+        if merged and s - merged[-1][1] < _SESS_GAP_US:
+            merged[-1][1] = max(merged[-1][1], e)
+            merged[-1][2] += n
+        else:
+            merged.append([s, e, n])
+    wm_us = state.getCurrentWatermarkMs() * 1000
+    closed = [sp for sp in merged if sp[1] + _SESS_GAP_US <= wm_us]
+    open_ = [sp for sp in merged if sp[1] + _SESS_GAP_US > wm_us]
+    if open_:
+        state.update(
+            (
+                [sp[0] for sp in open_],
+                [sp[1] for sp in open_],
+                [sp[2] for sp in open_],
+            )
+        )
+        # Earliest open span closes first; clamp above the watermark
+        # (setTimeoutTimestamp rejects timestamps at/behind it).
+        target = min(sp[1] for sp in open_) // 1000 + _SESS_GAP_US // 1000
+        state.setTimeoutTimestamp(max(target, state.getCurrentWatermarkMs() + 1000))
+    else:
+        state.remove()
+    yield pd.DataFrame(
+        {
+            "user_id": pd.Series([user_id] * len(closed), dtype="int64"),
+            "session_start": [_fmt_us(sp[0]) for sp in closed],
+            "session_end": [_fmt_us(sp[1]) for sp in closed],
+            "n_events": pd.Series([sp[2] for sp in closed], dtype="int64"),
+        }
+    )
+
+
+def read_events_stream_chronological(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The JSONL wire source staged CHRONOLOGICALLY: one shard per literal
+    date range, written in order with ascending mtimes, so
+    maxFilesPerTrigger=1 replays calendar order and the per-batch
+    watermark progression is deterministic (a prerequisite for oracling
+    timeout-driven output)."""
+    from ..sources.catalog import load_table
+
+    key = ("events_chrono", sf_dir)
+    stage = _STAGE_CACHE.get(key)
+    if stage is None or not os.path.isdir(stage):
+        stage = tempfile.mkdtemp(prefix="events_chrono_", dir=_tmp_root())
+        batch = load_table(spark, sf_dir, "events").select(
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+            "ts",
+            "user_id",
+            "event_type",
+            "value",
+        )
+        import glob as _glob
+        import time as _time
+
+        base = _time.time()
+        for i in range(len(_SESS_CUTS) - 1):
+            lo = F.lit(_SESS_CUTS[i]).cast("timestamp_ntz")
+            hi = F.lit(_SESS_CUTS[i + 1]).cast("timestamp_ntz")
+            chunk = (
+                batch.where((F.col("ts") >= lo) & (F.col("ts") < hi))
+                .select(
+                    "event_id",
+                    F.col("ts_str").alias("ts"),
+                    "user_id",
+                    "event_type",
+                    "value",
+                )
+            )
+            tmpd = os.path.join(stage, f"_tmp{i}")
+            chunk.coalesce(1).write.mode("overwrite").json(tmpd)
+            (part,) = _glob.glob(os.path.join(tmpd, "part-*.json"))
+            dest = os.path.join(stage, f"chunk-{i:03d}.json")
+            shutil.move(part, dest)
+            shutil.rmtree(tmpd, ignore_errors=True)
+            os.utime(dest, (base + i, base + i))
+        _STAGE_CACHE[key] = stage
+    schema = (
+        "event_id BIGINT, ts STRING, user_id BIGINT, event_type STRING, "
+        "value DOUBLE"
+    )
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(stage)
+        .withColumn(
+            "ts",
+            F.expr(
+                "cast(convert_timezone('UTC', current_timezone(), "
+                "to_timestamp_ntz(ts, 'yyyy-MM-dd HH:mm:ss.SSSSSS')) as timestamp)"
+            ),
+        )
+    )
+
+
+def stream_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows as a CUSTOM stateful operator with explicit
+    event-time timeout handling (vs stream_sessionization's built-in
+    session_window): closed sessions are emitted either when a key's next
+    data batch observes the watermark passing the span, or — for idle
+    keys — when the armed EventTimeTimeout fires (availableNow runs a
+    final no-data batch after the last file, so pending timeouts flush
+    against the END-of-stream watermark). Output is CLOSED sessions only
+    (append semantics): sessions still open at the final watermark — the
+    last gap+delay of event time — stay unemitted, exactly the set the
+    oracle reproduces with the same integer watermark arithmetic."""
+    e = read_events_stream_chronological(spark, sf_dir).withWatermark(
+        "ts", "10 seconds"
+    )
+    sessions = (
+        e.select("user_id", "ts", F.unix_micros("ts").alias("ts_us"))
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_with_timeout,
+            outputStructType=_SESS_OUT_SCHEMA,
+            stateStructType=_SESS_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    return _run_available_now(sessions, "session_timeout", mode="append")
+
+
+_SESSION_TIMEOUT_ORACLE = f"""
+    WITH ordered AS (
+      SELECT
+        user_id,
+        CAST(ts AS TIMESTAMP) AS ts,
+        CASE
+          WHEN epoch_us(CAST(ts AS TIMESTAMP))
+               - LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+                   PARTITION BY user_id
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id)
+               >= {_SESS_GAP_US}
+          THEN 1 ELSE 0
+        END AS new_session
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts,
+        SUM(new_session) OVER (
+          PARTITION BY user_id ORDER BY ts, new_session
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS session_id
+      FROM ordered
+    ), agg AS (
+      SELECT user_id, MIN(ts) AS s, MAX(ts) AS e, COUNT(*) AS n_events
+      FROM sessions GROUP BY user_id, session_id
+    ), wm AS (
+      SELECT (epoch_us(MAX(CAST(ts AS TIMESTAMP))) // 1000
+              - {_SESS_DELAY_MS}) * 1000 AS wm_us
+      FROM events
+    )
+    SELECT user_id,
+           strftime(s, '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(e, '%Y-%m-%d %H:%M:%S') AS session_end,
+           n_events
+    FROM agg, wm
+    WHERE epoch_us(e) + {_SESS_GAP_US} <= wm_us
+"""
+
+_query("streaming_session_timeout_vs_batch", oracle=_SESSION_TIMEOUT_ORACLE)(
+    stream_session_timeout
+)
