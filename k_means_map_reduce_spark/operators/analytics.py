@@ -3264,3 +3264,79 @@ def parts_discount_quantity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("disc_qty_corr"),
         )
     )
+
+
+@query(
+    "orders_priority_mix_shift",
+    oracle="""
+    WITH cell AS (
+      SELECT strftime(date_trunc('month', CAST(o_orderdate AS TIMESTAMP)),
+                      '%Y-%m') AS month,
+             o_orderpriority AS prio,
+             COUNT(*) AS n
+      FROM orders GROUP BY 1, 2
+    ),
+    month_tot AS (
+      SELECT month, CAST(SUM(n) AS BIGINT) AS mn FROM cell GROUP BY 1
+    ),
+    prio_tot AS (
+      SELECT prio, CAST(SUM(n) AS BIGINT) AS pn FROM cell GROUP BY 1
+    ),
+    grand AS (SELECT CAST(COUNT(*) AS BIGINT) AS gn FROM orders),
+    terms AS (
+      SELECT c.month, m.mn,
+        ROUND(
+          POW(CAST(c.n AS DOUBLE)
+              - CAST(m.mn AS DOUBLE) * p.pn / g.gn, 2)
+          / (CAST(m.mn AS DOUBLE) * p.pn / g.gn), 6) AS term
+      FROM cell c
+      JOIN month_tot m ON c.month = m.month
+      JOIN prio_tot p ON c.prio = p.prio
+      CROSS JOIN grand g
+    )
+    SELECT month, MAX(mn) AS n_orders,
+           CAST(SUM(CAST(term AS DECIMAL(18,6))) AS DOUBLE) AS chi2
+    FROM terms GROUP BY month
+    """,
+)
+def orders_priority_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shift monitor: each month's order-priority MIX scored
+    against the all-time mix with a chi-square statistic — the drift
+    alarm that catches an upstream enum change or routing bug the moment
+    one month's composition diverges. Expected cell counts come from
+    exact integer marginals (month total x priority share); each
+    (observed - expected)^2 / expected term is rounded then DECIMAL-
+    summed, so the per-month statistic is order-insensitive and
+    bit-identical cross-engine (the drift_lang_distribution recipe).
+
+    Scale shape: one fact pass to the (month, priority) grid; marginals
+    are rollups of the grid; the chi-square is a 5-term sum per month
+    over the tiny cell table. Cells absent from a month contribute their
+    expected mass... strictly: only observed cells enter (both engines
+    identically), which underestimates chi2 by the missing-cell expected
+    counts — acceptable for a monitor and exactly mirrored in the oracle.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cell = o.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+            "month"
+        ),
+        F.col("o_orderpriority").alias("prio"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    month_tot = cell.groupBy("month").agg(F.sum("n").alias("mn"))
+    prio_tot = cell.groupBy("prio").agg(F.sum("n").alias("pn"))
+    grand = o.agg(F.count(F.lit(1)).alias("gn"))
+    exp = F.col("mn").cast("double") * F.col("pn") / F.col("gn")
+    term = F.round(
+        F.pow(F.col("n").cast("double") - exp, 2) / exp, 6
+    )
+    terms = (
+        cell.join(month_tot, "month")
+        .join(F.broadcast(prio_tot), "prio")
+        .crossJoin(F.broadcast(grand))
+        .select("month", "mn", term.alias("term"))
+    )
+    return terms.groupBy("month").agg(
+        F.max("mn").alias("n_orders"),
+        F.sum(F.col("term").cast("decimal(18,6)")).cast("double").alias("chi2"),
+    )

@@ -675,3 +675,52 @@ def sql_pipe_syntax_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"ship_cut": "1998-09-01 00:00:00"},
     )
+
+
+@query(
+    "sql_lateral_topn_orders",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment,
+           t.o_orderkey, t.o_totalprice, t.rk
+    FROM customer c,
+    LATERAL (
+      SELECT o_orderkey, o_totalprice,
+             CAST(ROW_NUMBER() OVER (
+               ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk
+      FROM orders
+      WHERE o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 3
+    ) t
+    WHERE c.c_acctbal > 9000
+    """,
+)
+def sql_lateral_topn_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery join (Spark 4 LATERAL, SPARK-34382):
+    each qualifying customer joined to ITS OWN top-3 orders by value —
+    the 'top-N per entity as a join' form analysts write, as opposed to
+    the global-window formulation (window_topk_parts_per_brand). Catalyst
+    decorrelates the LATERAL into a ranked join, so the plan is the same
+    WindowGroupLimit shape — which is exactly what makes the form safe at
+    scale: no per-customer re-execution, one shuffle on the correlation
+    key. Ties break on orderkey; DuckDB runs the identical SQL text
+    modulo nothing (both dialects accept this form).
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_mktsegment,
+               t.o_orderkey, t.o_totalprice, t.rk
+        FROM customer c,
+        LATERAL (
+          SELECT o_orderkey, o_totalprice,
+                 CAST(ROW_NUMBER() OVER (
+                   ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk
+          FROM orders
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey
+          LIMIT 3
+        ) t
+        WHERE c.c_acctbal > 9000
+        """
+    )
