@@ -3028,9 +3028,9 @@ def orders_cohort_ltv_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = aged.select(
         "cohort", "age_q", "rev", F.sum("rev").over(w).alias("cum_rev")
     )
-    return cum.join(
-        F.broadcast(sized.select("cohort", "cohort_customers")), "cohort"
-    ).select(
+    # cohort_sizes: one row per acquisition quarter — calendar-bounded.
+    cohort_sizes = sized.select("cohort", "cohort_customers")
+    return cum.join(F.broadcast(cohort_sizes), "cohort").select(
         "cohort",
         "age_q",
         "cohort_customers",
@@ -3107,7 +3107,9 @@ def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy(F.col("revenue").desc(), "suppkey")
     return (
-        per_supp.join(F.broadcast(s), F.col("s_suppkey") == F.col("suppkey"))
+        # supplier scales with the catalog: no forced broadcast — AQE
+        # broadcasts it while it fits and shuffle-joins beyond that.
+        per_supp.join(s, F.col("s_suppkey") == F.col("suppkey"))
         .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
         .select(
             "s_name",

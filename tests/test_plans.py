@@ -374,9 +374,13 @@ def test_no_forced_broadcast_of_catalog_scaling_tables():
             "anchor", "base", "bounds", "cutoff", "days.withColumnRenamed",
             "hubs", "ks", "mad", "med", "mu", "n", "n_orders", "seas",
             "stats", "tot",
+            # calendar-bounded cohort dim / 5-enum priority marginals /
+            # 1-row grand total
+            "cohort_sizes", "grand", "prio_tot",
         },
-        "operators/clustering.py": {"cent_df"},  # k rows
+        "operators/clustering.py": {"cent_df", "means"},  # k rows; dim rows
         "operators/events.py": {"bounds", "carries", "marg", "stats", "tot", "totals"},
+        "operators/geo.py": {"edges", "hubs", "offsets"},  # literal dims
         "operators/graph.py": {"kdf"},  # 1-row k threshold
         "operators/incremental.py": {"delta_keys"},  # CDC delta contract
         "operators/layout.py": {"b"},  # 1-row global bounds
@@ -388,9 +392,9 @@ def test_no_forced_broadcast_of_catalog_scaling_tables():
         # index metadata, independent of corpus cardinality.
         "operators/similarity.py": {"hp", "probe", "probed", "q", "qb",
                                     "queries", "qv"},
-        "operators/sketches.py": {"bounds", "mstats", "sketch", "targets"},
-        "operators/temporal.py": {"dim"},
-        "operators/textops.py": {"bounds", "lm", "stats", "tot", "total"},  # per-lang / scalars
+        "operators/sketches.py": {"bounds", "cand", "mstats", "sketch", "targets", "theta"},  # + 1-row theta/cand aggs
+        "operators/temporal.py": {"dim", "lags", "seas"},  # 8 lags; type x dow
+        "operators/textops.py": {"bounds", "conf", "lm", "stats", "tot", "total"},  # per-lang / label-enum / scalars
         "operators/tpcds_shapes.py": {"n"},
         "operators/tpch_extra.py": {"n1", "n2", "r", "thresh"},
         "operators/tpch_full.py": {"mx", "n", "r", "total"},
