@@ -436,7 +436,7 @@ def multimodal_clip_training_pairs(spark: SparkSession, sf_dir: str) -> DataFram
     oracle="""
     WITH crops AS (
       SELECT doc_id,
-        substr(LOWER(regexp_replace(TRIM(text), '\s+', ' ', 'g')), 1, 256)
+        substr(LOWER(regexp_replace(TRIM(text), '\\s+', ' ', 'g')), 1, 256)
           AS crop
       FROM documents
     ),
