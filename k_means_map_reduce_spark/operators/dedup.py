@@ -281,7 +281,15 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     but no second engine can replay it.)"""
     from .textops import portable_simhash_sigs
 
-    fp = portable_simhash_sigs(spark, sf_dir).persist()
+    # Eager localCheckpoint, NOT persist(): the signature frame is shared
+    # with text_simhash_signatures, and a persist() here registers the
+    # shared subtree in the session CacheManager — every later query whose
+    # plan contains it (the textops twin) would get an InMemoryTableScan
+    # substituted, changing ITS plan shape depending on which query ran
+    # first (caught by test_simhash_signatures_single_exchange flaking
+    # under full-suite ordering). Checkpoint blocks give the same 8-way
+    # reuse without touching other queries' plans.
+    fp = portable_simhash_sigs(spark, sf_dir).localCheckpoint(eager=True)
     hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).cast(
         "long"
     )
