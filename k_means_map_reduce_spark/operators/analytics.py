@@ -3342,3 +3342,105 @@ def orders_priority_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("mn").alias("n_orders"),
         F.sum(F.col("term").cast("decimal(18,6)")).cast("double").alias("chi2"),
     )
+
+
+@query(
+    "reco_item_item_cosine",
+    oracle="""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    item AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_item FROM baskets GROUP BY 1
+    ),
+    pair AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb, CAST(COUNT(*) AS BIGINT) AS n_pair
+      FROM baskets a
+      JOIN baskets b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 3
+    ),
+    oriented AS (
+      SELECT pa AS item, pb AS other, n_pair FROM pair
+      UNION ALL
+      SELECT pb AS item, pa AS other, n_pair FROM pair
+    ),
+    scored AS (
+      SELECT o.item, o.other, o.n_pair,
+        ROUND(CAST(o.n_pair AS DOUBLE)
+              / sqrt(CAST(ia.n_item * ib.n_item AS DOUBLE)), 6) AS cosine
+      FROM oriented o
+      JOIN item ia ON ia.l_partkey = o.item
+      JOIN item ib ON ib.l_partkey = o.other
+    )
+    SELECT item, other, n_pair, cosine, CAST(rnk AS INT) AS rnk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY item ORDER BY cosine DESC, other) AS rnk
+      FROM scored
+    )
+    WHERE rnk <= 5
+    """,
+)
+def reco_item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering: for every part, its top-5
+    neighbors by co-purchase COSINE similarity n_ab / sqrt(n_a * n_b) —
+    the classic item-CF retrieval table (Linden et al., IEEE Internet
+    Computing '03) that market_basket_pairs' symmetric lift feeds; this
+    adds the per-item RANKED view a recommender actually serves.
+
+    Determinism: integer counts, sqrt is IEEE-correctly-rounded (the one
+    exact transcendental), and the rank comparator orders by the ROUNDED
+    cosine with an item-id tie-break — the same comparator in both
+    engines, so the top-5 SET can't flip on a ulp.
+
+    At 100 TB: the self-join fans out per ORDER (bounded basket size,
+    never catalog size), the support floor (>= 3) prunes the long tail
+    before scoring, and the per-item top-5 runs as a WindowGroupLimit —
+    a bounded heap per task, no full per-item sort.
+    """
+    baskets = _BASKETS_CACHE.get(spark, sf_dir)
+    if baskets is None:
+        l = load_table(spark, sf_dir, "lineitem")
+        baskets = l.select("l_orderkey", "l_partkey").distinct().persist()
+        _BASKETS_CACHE.put(spark, sf_dir, baskets)
+    item = baskets.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_item")
+    )
+    a = baskets.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    b = baskets.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    pair = (
+        a.join(b, "l_orderkey")
+        .where(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pair"))
+        .where(F.col("n_pair") >= 3)
+    )
+    oriented = pair.select(
+        F.col("pa").alias("item"), F.col("pb").alias("other"), "n_pair"
+    ).unionAll(
+        pair.select(F.col("pb").alias("item"), F.col("pa").alias("other"), "n_pair")
+    )
+    ia = item.select(F.col("l_partkey").alias("item"), F.col("n_item").alias("na"))
+    ib = item.select(F.col("l_partkey").alias("other"), F.col("n_item").alias("nb"))
+    scored = (
+        oriented.join(ia, "item")
+        .join(ib, "other")
+        .select(
+            "item",
+            "other",
+            "n_pair",
+            F.round(
+                F.col("n_pair").cast("double")
+                / F.sqrt((F.col("na") * F.col("nb")).cast("double")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("item").orderBy(F.col("cosine").desc(), F.col("other"))
+    return (
+        scored.select("item", "other", "n_pair", "cosine", F.row_number().over(w).alias("rnk"))
+        .where(F.col("rnk") <= 5)
+        .select("item", "other", "n_pair", "cosine", F.col("rnk").cast("int").alias("rnk"))
+    )

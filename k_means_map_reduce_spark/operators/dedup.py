@@ -1143,3 +1143,126 @@ def dedup_cluster_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cluster_size").alias("cluster_size"),
         )
     )
+
+
+@query(
+    "dedup_prefix_filter_jaccard",
+    oracle="""
+    WITH sh AS (
+      SELECT
+        doc_id,
+        list_distinct(list_transform(
+          list_transform(
+            range(1, greatest(len(toks) - 1, 1)),
+            i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]
+          ),
+          g -> hash(g)
+        )) AS hs
+      FROM (
+        SELECT doc_id,
+               list_filter(string_split(LOWER(regexp_replace(TRIM(text), '\\s+', ' ', 'g')), ' '), t -> t != '') AS toks
+        FROM documents
+      )
+      WHERE len(toks) >= 3
+    )
+    SELECT
+      a.doc_id AS doc_a,
+      b.doc_id AS doc_b,
+      ROUND(
+        CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+        / (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))),
+        6
+      ) AS jaccard
+    FROM sh a
+    JOIN sh b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+        / (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))) >= 0.6
+    """,
+)
+def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-similarity self-join at Jaccard >= 0.6 via PREFIX FILTERING
+    (AllPairs/PPJoin, Bayardo et al. WWW'07; Xiao et al. WWW'08) — the
+    third scale strategy for similarity joins beside banding-LSH
+    (dedup_minhash_banding_pairs) and blocking (dedup_ngram_jaccard_pairs),
+    and unlike LSH it is EXACT: prefix filtering is recall-complete by
+    theorem, so the oracle is simply the quadratic join.
+
+    The theorem: order every doc's shingle set by one GLOBAL total order
+    (here ascending document frequency, rarest first, ties by gram text).
+    If J(a,b) >= t then |a n b| >= ceil(t*max(|a|,|b|)), and the first
+    common shingle w (in the global order) sits at position
+    <= |x| - |a n b| + 1 <= |x| - ceil(t*|x|) + 1 in BOTH docs — so
+    indexing only that prefix of each doc cannot miss a true pair.
+    At t = 3/5 the integer prefix length is sz - floor((3*sz + 4)/5) + 1
+    (= sz - ceil(3*sz/5) + 1, exact in int64).
+
+    At 100 TB: candidates meet only through shared PREFIX shingles, and
+    the df-ascending order puts the RAREST shingles in every prefix, so
+    posting lists in the candidate join are the corpus's shortest; the
+    length-ratio filter 3*max(|a|,|b|) <= 5*min(|a|,|b|) (necessary for
+    J >= 3/5) prunes cross-size pairs before verification. Only 16-byte
+    digests and ids shuffle; full shingle arrays are joined back for the
+    tiny candidate set's exact verify. The oracle pays the quadratic join
+    (fine at the driver's sf0.01) — the Spark plan never does.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(_NORM(F.col("text")), " "), lambda t: t != "")
+    docs = (
+        d.select(
+            "doc_id",
+            shingles(F.col("text")).alias("grams"),
+        )
+        .where(F.size(toks) >= 3)
+        .select(
+            "doc_id",
+            "grams",
+            F.size("grams").alias("sz"),
+        )
+    )
+    # posting list + global document frequency per shingle (digests only)
+    g = docs.select(
+        "doc_id", "sz", F.explode("grams").alias("gram")
+    ).select("doc_id", "sz", "gram", F.xxhash64("gram").alias("gid"))
+    df_gram = g.groupBy("gid").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("gram").asc())
+    # prefix length for t = 3/5: sz - ceil(3*sz/5) + 1, all-integer
+    prefix_len = F.col("sz") - F.floor((3 * F.col("sz") + 4) / 5) + 1
+    prefix = (
+        g.join(df_gram, "gid")
+        .select(
+            "doc_id", "sz", "gid", F.row_number().over(w).alias("pos"), prefix_len.alias("plen")
+        )
+        .where(F.col("pos") <= F.col("plen"))
+        .select("doc_id", "sz", "gid")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.gid") == F.col("b.gid"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # length-ratio filter: J >= 3/5 needs 3*max <= 5*min
+            & (3 * F.greatest("a.sz", "b.sz") <= 5 * F.least("a.sz", "b.sz")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    # exact verification on the candidate set only (hash-invariant
+    # intersection cardinality, same trick as the quadratic baseline)
+    hs = docs.select(
+        "doc_id",
+        F.array_distinct(F.transform("grams", lambda s: F.xxhash64(s))).alias("hs"),
+    )
+    ha = hs.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
+    hb = hs.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
+    inter = F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b")))
+    union_sz = F.size("hs_a") + F.size("hs_b") - inter
+    jac = inter.cast("double") / union_sz
+    return (
+        cand.join(ha, "doc_a")
+        .join(hb, "doc_b")
+        .where(jac >= 0.6)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )

@@ -1234,3 +1234,187 @@ def training_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("lang").alias("n_langs"),
         F.min("doc_id").alias("first_doc_id"),
     )
+
+
+@query(
+    "features_target_encoding_loo",
+    oracle="""
+    WITH cat AS (
+      SELECT o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS n_cat,
+             SUM(CAST(ROUND(o_totalprice, 6) AS DECIMAL(18,6))) AS s_cat
+      FROM orders GROUP BY 1
+    )
+    SELECT
+      o_orderkey,
+      o.o_orderpriority AS priority,
+      n_cat,
+      ROUND(
+        CASE WHEN n_cat > 1
+          THEN CAST(s_cat - CAST(ROUND(o_totalprice, 6) AS DECIMAL(18,6)) AS DOUBLE)
+               / (n_cat - 1)
+        END, 6) AS loo_enc
+    FROM orders o JOIN cat USING (o_orderpriority)
+    """,
+)
+def features_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAVE-ONE-OUT target encoding — the standard high-cardinality
+    categorical feature for gradient-boosted / linear models: each row's
+    category is replaced by the mean target of all OTHER rows in that
+    category, (S_cat - y_i) / (n_cat - 1), which avoids the self-leakage
+    of plain mean encoding. Single-member categories yield NULL (no
+    leak-free estimate exists; a trainer would back off to the global
+    prior).
+
+    Cross-engine float discipline: S_cat is a DECIMAL(18,6) sum (order-
+    independent), the subtraction stays decimal-exact, and only the final
+    quotient is IEEE double (identical operands -> identical bits).
+
+    At 100 TB: one 5-row aggregate + a join AQE turns into a broadcast —
+    the fact never shuffles; per-row encoding is a pure projection. For a
+    catalog-scaling category (e.g. per-customer) the same plan holds with
+    a shuffle join on the category key.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    y6 = F.round(F.col("o_totalprice"), 6).cast("decimal(18,6)")
+    cat = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cat"),
+        F.sum(y6).alias("s_cat"),
+    )
+    return o.join(cat, "o_orderpriority").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("priority"),
+        "n_cat",
+        F.round(
+            F.when(
+                F.col("n_cat") > 1,
+                (F.col("s_cat") - y6).cast("double") / (F.col("n_cat") - 1),
+            ),
+            6,
+        ).alias("loo_enc"),
+    )
+
+
+@query(
+    "drift_psi_totalprice_train_test",
+    oracle="""
+    WITH assigned AS (
+      SELECT o_totalprice,
+        CASE WHEN CAST(CONCAT('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90
+             THEN 'train' ELSE 'heldout' END AS split
+      FROM orders
+    ),
+    bounds AS (
+      SELECT MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx FROM assigned
+    ),
+    binned AS (
+      SELECT split,
+        CASE WHEN mx = mn THEN 0
+             ELSE CAST(LEAST(FLOOR((o_totalprice - mn) / ((mx - mn) / 10.0)), 9) AS INT)
+        END AS bucket
+      FROM assigned, bounds
+    ),
+    counts AS (
+      SELECT bucket,
+        CAST(COUNT(*) FILTER (WHERE split = 'train') AS BIGINT) AS n_train,
+        CAST(COUNT(*) FILTER (WHERE split = 'heldout') AS BIGINT) AS n_heldout
+      FROM binned GROUP BY bucket
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_train) AS DOUBLE) AS t_train,
+             CAST(SUM(n_heldout) AS DOUBLE) AS t_heldout
+      FROM counts
+    ),
+    terms AS (
+      SELECT bucket, n_train, n_heldout,
+        ROUND(n_train / t_train, 6) AS rate_train,
+        ROUND(n_heldout / t_heldout, 6) AS rate_heldout,
+        CASE WHEN n_train > 0 AND n_heldout > 0
+          THEN ROUND((n_train / t_train - n_heldout / t_heldout)
+                     * LN((n_train / t_train) / (n_heldout / t_heldout)), 6)
+          ELSE 0.0 END AS psi_term
+      FROM counts CROSS JOIN tot
+    )
+    SELECT bucket, n_train, n_heldout, rate_train, rate_heldout, psi_term,
+      ROUND(CAST(SUM(CAST(psi_term AS DECIMAL(18,6))) OVER () AS DOUBLE), 5)
+        AS psi_total
+    FROM terms
+    """,
+)
+def drift_psi_totalprice_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the train split and the held-out
+    rest over equi-width o_totalprice deciles — the industry-standard
+    drift score (PSI < 0.1 stable, 0.1-0.25 watch, > 0.25 act) that
+    completes the drift battery beside the chi-square composition test
+    (drift_lang_distribution_train_test) and the two-sample KS
+    (drift_length_ks_train_test).
+
+    PSI = sum_bins (p_train - p_heldout) * ln(p_train / p_heldout).
+    Determinism: identical data-derived mn/mx doubles -> identical bin
+    edges in both engines (the histogram_order_totalprice recipe); rates
+    are IEEE divisions of integer counts; each ln term is rounded to 6dp
+    then decimal-summed (the transcendental discipline, lesson 10). An
+    empty bin on either side contributes 0 (the counts columns keep the
+    degeneracy visible; production practice is epsilon-smoothing, which
+    would bury it).
+
+    At 100 TB: one scan -> broadcast 1-row bounds -> one 10-row
+    aggregation; the psi_total window runs over 10 rows.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    assigned = o.select(
+        "o_totalprice",
+        F.when(_bucket(F.col("o_orderkey")) < 90, "train")
+        .otherwise("heldout")
+        .alias("split"),
+    )
+    bounds = assigned.agg(
+        F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx")
+    )
+    width = (F.col("mx") - F.col("mn")) / 10.0
+    bucket = (
+        F.when(F.col("mx") == F.col("mn"), F.lit(0))
+        .otherwise(
+            F.least(F.floor((F.col("o_totalprice") - F.col("mn")) / width), F.lit(9))
+        )
+        .cast("int")
+    )
+    counts = (
+        assigned.crossJoin(F.broadcast(bounds))
+        .select(bucket.alias("bucket"), "split")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.when(F.col("split") == "train", 1)).cast("bigint").alias("n_train"),
+            F.count(F.when(F.col("split") == "heldout", 1))
+            .cast("bigint")
+            .alias("n_heldout"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("n_train").cast("double").alias("t_train"),
+        F.sum("n_heldout").cast("double").alias("t_heldout"),
+    )
+    pt = F.col("n_train") / F.col("t_train")
+    ph = F.col("n_heldout") / F.col("t_heldout")
+    terms = counts.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "n_train",
+        "n_heldout",
+        F.round(pt, 6).alias("rate_train"),
+        F.round(ph, 6).alias("rate_heldout"),
+        F.when(
+            (F.col("n_train") > 0) & (F.col("n_heldout") > 0),
+            F.round((pt - ph) * F.log(pt / ph), 6),
+        )
+        .otherwise(0.0)
+        .alias("psi_term"),
+    )
+    return terms.select(
+        "*",
+        F.round(
+            F.sum(F.col("psi_term").cast("decimal(18,6)"))
+            .over(Window.partitionBy())
+            .cast("double"),
+            5,
+        ).alias("psi_total"),
+    )
