@@ -108,6 +108,10 @@ ADDITIONS = [
     "geo_grid_proximity_join",
     "training_pack_ffd_bins",
     "timeseries_robust_stl_daily",
+    "dedup_prefix_filter_jaccard",
+    "features_target_encoding_loo",
+    "drift_psi_totalprice_train_test",
+    "reco_item_item_cosine",
 ]
 
 

@@ -1207,6 +1207,10 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     toks = F.filter(F.split(_NORM(F.col("text")), " "), lambda t: t != "")
+    # persisted: the tokenize+shingle projection otherwise re-runs once per
+    # consumer — both prefix self-join sides AND both verify sides (lesson
+    # 15); this subtree is unique to this query, so caching it cannot
+    # substitute into other queries' plans (the e57148a simhash gotcha).
     docs = (
         d.select(
             "doc_id",
@@ -1218,6 +1222,7 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "grams",
             F.size("grams").alias("sz"),
         )
+        .persist()
     )
     # posting list + global document frequency per shingle (digests only)
     g = docs.select(
@@ -1227,6 +1232,7 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("gram").asc())
     # prefix length for t = 3/5: sz - ceil(3*sz/5) + 1, all-integer
     prefix_len = F.col("sz") - F.floor((3 * F.col("sz") + 4) / 5) + 1
+    # the prefix posting table feeds both sides of the candidate self-join
     prefix = (
         g.join(df_gram, "gid")
         .select(
@@ -1234,6 +1240,7 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("pos") <= F.col("plen"))
         .select("doc_id", "sz", "gid")
+        .persist()
     )
     a, b = prefix.alias("a"), prefix.alias("b")
     cand = (

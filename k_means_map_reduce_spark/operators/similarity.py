@@ -10,6 +10,18 @@ Three tiers:
    assignment = partition pruning at query time).
 
 Cosine math is expression-only (functions/vectors.py) — JVM codegen, no UDF.
+
+Why no HNSW tier: HNSW's layered greedy beam search walks a graph whose
+every hop depends on the previous hop's result — an inherently sequential,
+pointer-chasing loop per query that the DataFrame algebra cannot express
+(each hop would be a self-join whose key is data-dependent on the prior
+round, i.e. an unbounded iterative plan per query). A mapInPandas beam over
+a broadcast graph is possible but degenerates to near-quadratic work per
+batch at useful beam widths and forfeits the JVM expression path; and the
+graph's random-access build is itself sequential. The partition-pruned
+IVF/IVFPQ tiers cover the same recall/throughput frontier with plans that
+shard naturally (cells = partitions), which is why production Spark stacks
+ship IVF-family indexes and leave HNSW to pointer-chasing serving systems.
 """
 
 from __future__ import annotations

@@ -146,6 +146,12 @@ PICKS = {
         "join filtered scan-side); inference costs one extra pass, not "
         "32."
     ),
+    "dedup_prefix_filter_jaccard": (
+        "AllPairs prefix filtering: the shingle projection is cached once "
+        "(InMemoryTableScan feeds prefix build AND verify); candidates "
+        "meet only on rare df-ordered prefix shingles plus a length-ratio "
+        "guard; the quadratic join exists only in the DuckDB oracle."
+    ),
 }
 
 

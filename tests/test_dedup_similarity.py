@@ -314,3 +314,17 @@ def test_ivfpq_ann_recall_and_exactness(spark, oracle_sf_dir):
     for pair, sim in ivfpq.items():
         if pair in exact:
             assert abs(exact[pair] - sim) < 1e-9, (pair, sim, exact[pair])
+
+
+def test_prefix_filter_length_arithmetic():
+    """The integer prefix length sz - floor((3*sz+4)/5) + 1 must equal the
+    textbook sz - ceil(0.6*sz) + 1 for every set size, and always keep at
+    least one indexed token — the theorem's precondition. Pure arithmetic
+    (no Spark): this is the line that silently breaks recall if the
+    ceil-via-floor identity is off by one."""
+    import math
+
+    for sz in range(1, 50_000):
+        plen = sz - (3 * sz + 4) // 5 + 1
+        assert plen == sz - math.ceil(3 * sz / 5) + 1, sz
+        assert 1 <= plen <= sz, sz

@@ -398,7 +398,8 @@ def test_no_forced_broadcast_of_catalog_scaling_tables():
         "operators/tpcds_shapes.py": {"n"},
         "operators/tpch_extra.py": {"n1", "n2", "r", "thresh"},
         "operators/tpch_full.py": {"mx", "n", "r", "total"},
-        "operators/training.py": {"epochs", "j", "offsets", "tot"},
+        # bounds = 1-row min/max aggregate (PSI bin edges)
+        "operators/training.py": {"bounds", "epochs", "j", "offsets", "tot"},
         "operators/windows.py": {"n", "r"},
         "sources/sinks.py": {"updates.select"},  # CDC delta keys
         "streaming/jobs.py": {"dim", "mstats", "sketch"},

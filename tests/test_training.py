@@ -122,3 +122,32 @@ def test_negative_pairs_shape(spark, sf_dir):
         per_anchor[r["anchor_id"]] = per_anchor.get(r["anchor_id"], 0) + 1
     assert per_anchor and max(per_anchor.values()) <= 4
     assert sum(per_anchor.values()) >= 3.9 * len(per_anchor)
+
+
+def test_loo_encoding_mean_reconstruction(spark, sf_dir):
+    """Leave-one-out identity: the AVERAGE of a category's LOO encodings
+    equals the category's plain mean target — sum_i (S - y_i)/(n-1)
+    = (nS - S)/(n-1) = S, so avg = S/n. Proves the encoding leaks no
+    per-row information in aggregate while re-centering correctly (the
+    property that breaks if the self-exclusion is off by one row)."""
+    rows = QUERIES["features_target_encoding_loo"](spark, sf_dir).collect()
+    from collections import defaultdict
+
+    by_cat = defaultdict(list)
+    for r in rows:
+        assert r["n_cat"] > 1  # every priority has many orders
+        by_cat[r["priority"]].append(r["loo_enc"])
+    from k_means_map_reduce_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    o = load_table(spark, sf_dir, "orders")
+    means = {
+        r["priority"]: r["m"]
+        for r in o.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(F.avg("o_totalprice").alias("m"))
+        .collect()
+    }
+    for cat, encs in by_cat.items():
+        loo_mean = sum(encs) / len(encs)
+        # per-row encodings are rounded at 6dp; the average inherits it
+        assert abs(loo_mean - means[cat]) < 1e-4, (cat, loo_mean, means[cat])
