@@ -515,25 +515,35 @@ def _min_label_components(pairs: DataFrame) -> DataFrame:
         .cache()
     )
     labels.count()
+    ltype = labels.schema["label"].dataType
+    cached = labels
     while True:
         neighbor_min = (
             edges.join(labels, edges.src == labels.node)
             .select(F.col("dst").alias("node"), "label")
         )
-        new_labels = (
-            labels.unionByName(neighbor_min)
+        # Carry each node's OLD label through the same aggregation (every
+        # node appears exactly once in `labels`, so max(old) recovers it;
+        # the neighbor branch contributes NULLs that max ignores). Change
+        # detection then filters the aggregate itself — ONE action and ONE
+        # join per round, where the join-new-against-old formulation cost
+        # an extra join plus a second job per round (pure stage-floor at
+        # dedup sizes, an extra labels-sized shuffle at cluster scale).
+        new_full = (
+            labels.select("node", "label", F.col("label").alias("old"))
+            .unionByName(
+                neighbor_min.select(
+                    "node", "label", F.lit(None).cast(ltype).alias("old")
+                )
+            )
             .groupBy("node")
-            .agg(F.min("label").alias("label"))
+            .agg(F.min("label").alias("label"), F.max("old").alias("old"))
             .cache()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
+        changed = new_full.where(F.col("label") != F.col("old")).count()
+        cached.unpersist()
+        cached = new_full
+        labels = new_full.select("node", "label")
         if changed == 0:
             break
     # Cut lineage with an eager localCheckpoint (blocks are reclaimed by the
@@ -542,7 +552,7 @@ def _min_label_components(pairs: DataFrame) -> DataFrame:
     result = labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("component")
     ).localCheckpoint(eager=True)
-    labels.unpersist()
+    cached.unpersist()
     edges.unpersist()
     return result
 
