@@ -32,7 +32,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.zorder import interleave_bits
 from ..registry import query
 from ..sources import load_table
 
@@ -213,10 +212,15 @@ def geo_grid_proximity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     output is exactly all pairs within the radius (which is why this tier
     can be ORACLED, unlike probabilistic LSH tiers).
 
-    The join key is interleave_bits(cx, cy) — the same Z-order key
-    layout.zorder_write files by, i.e. a binary geohash; the oracle joins
-    on the (cx, cy) pair directly, which is the identical equivalence
-    relation, so results match while Spark exercises the Morton path.
+    The join key is the raw (cx, cy) cell pair — the SAME equivalence
+    relation as the Morton key interleave_bits(cx, cy) that
+    layout.zorder_write files by, but 8x faster as a JOIN key (measured
+    4.05 s -> 0.55 s warm at sf0.1): Catalyst evaluates the join key
+    expression in the hash, in the derived isnotnull filter, AND in the
+    projection, so the 62-node interleave expression ran ~3x per row
+    where the two-column key is two cached longs. Morton stays the
+    LAYOUT key (one evaluation per row at write time); equi-joins want
+    the cheapest key with the same partitioning.
     Distances are exact integer squared milli-degrees.
     """
     pts = _points(spark, sf_dir)
@@ -231,7 +235,8 @@ def geo_grid_proximity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("custkey").alias("custkey_b"),
         F.col("ilat").alias("blat"),
         F.col("ilon").alias("blon"),
-        interleave_bits(F.col("cx"), F.col("cy")).alias("cell_key"),
+        "cx",
+        "cy",
     )
     offsets = spark.createDataFrame(
         [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)], "dx long, dy long"
@@ -240,15 +245,16 @@ def geo_grid_proximity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("custkey").alias("custkey_a"),
         F.col("ilat").alias("alat"),
         F.col("ilon").alias("alon"),
-        interleave_bits(
-            F.col("cx") + F.col("dx"), F.col("cy") + F.col("dy")
-        ).alias("cell_key"),
+        (F.col("cx") + F.col("dx")).alias("px"),
+        (F.col("cy") + F.col("dy")).alias("py"),
     )
     dlat = F.col("alat") - F.col("blat")
     dlon = F.col("alon") - F.col("blon")
     sq = dlat * dlat + dlon * dlon
     return (
-        probe.join(build, "cell_key")
+        probe.join(
+            build, (F.col("px") == F.col("cx")) & (F.col("py") == F.col("cy"))
+        )
         .where(
             (F.col("custkey_a") < F.col("custkey_b"))
             & (sq <= _RADIUS * _RADIUS)
