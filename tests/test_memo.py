@@ -122,3 +122,23 @@ def test_repeated_invocations_do_not_accumulate_pinned_storage(spark):
     finally:
         memo.maxsize = 4
         memo.clear()
+
+
+def test_banding_pair_graph_and_components_are_memoized(spark, sf_dir):
+    """The verified banding pair graph and its components are session-scoped
+    singletons: a second call with the same (session, sf_dir) must return
+    the SAME DataFrame object (no pipeline re-run), and clear_all_memos
+    must drop both entries."""
+    from k_means_map_reduce_spark.operators import dedup as D
+
+    D._BANDING_PAIRS_CACHE.clear()
+    D._BANDING_COMP_CACHE.clear()
+    p1 = D.dedup_minhash_banding_pairs(spark, sf_dir)
+    p2 = D.dedup_minhash_banding_pairs(spark, sf_dir)
+    assert p1 is p2
+    c1 = D._banding_components(spark, sf_dir)
+    c2 = D._banding_components(spark, sf_dir)
+    assert c1 is c2
+    clear_all_memos()
+    assert len(D._BANDING_PAIRS_CACHE) == 0
+    assert len(D._BANDING_COMP_CACHE) == 0

@@ -494,3 +494,37 @@ def test_aqe_skew_join_splits_hot_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_pmh_signatures_stay_in_codegen(spark, sf_dir):
+    """_pmh_signatures must be the explode -> multi-column min aggregate
+    shape (one exchange, no HOFs): N array_min(transform(...)) columns are
+    N CodegenFallback interpreted passes (lesson 26). The plan may contain
+    neither HOF node, and exactly one exchange (the doc_id partial->final
+    aggregation boundary)."""
+    import re
+
+    from k_means_map_reduce_spark.operators import dedup as D
+
+    # synthetic base: the shingle-set BUILD legitimately uses HOFs; this
+    # pins the signature helper's own shape in isolation
+    base = spark.createDataFrame(
+        [(1, [3, 5, 8]), (2, [2, 9])], "doc_id long, sh array<long>"
+    )
+    sig = D._pmh_signatures(base, D._PMH_PERMS24)
+    r = plan_report(sig)
+    assert "ArrayMin" not in r.text and "array_min" not in r.text
+    assert "LambdaFunction" not in r.text and "transform(" not in r.text
+    n_shuffles = len(re.findall(r"^\(\d+\) Exchange$", r.text, re.M))
+    assert n_shuffles == 1, f"expected 1 exchange, plan has {n_shuffles}"
+    assert "HashAggregate" in r.text
+
+
+def test_geo_proximity_joins_on_raw_cell_columns(spark, sf_dir):
+    """geo_grid_proximity_join must join on the raw (cx, cy) longs, never
+    the interleaved Morton key: a wide expression as an equi-join key is
+    re-evaluated in the hash, the derived null filter, and the projection
+    (lesson 25 — measured 8x slower). The bit-interleave fingerprint
+    (shiftleft) must not appear anywhere in the plan."""
+    r = plan_report(QUERIES["geo_grid_proximity_join"](spark, sf_dir))
+    assert "shiftleft" not in r.text, "Morton key leaked back into the join"
