@@ -41,6 +41,7 @@ def main() -> int:
     from k_means_map_reduce_spark.registry import ORACLES, QUERIES
 
     names = entry._ordered_names()[:n]
+    n = len(names)  # requesting more than the registry holds reports actuals
     failures: list[str] = []
     for i, name in enumerate(names):
         t0 = time.perf_counter()
