@@ -199,3 +199,35 @@ def test_zorder_interleave_matches_python(spark, pairs):
         return out
 
     assert got == [morton(x, y) for x, y in pairs]
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=2**31 - 2), min_size=1, max_size=12),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_pmh_signature_agg_matches_python(spark, shingle_sets):
+    """The explode->multi-min-aggregate signature (lesson 26 rewrite) must
+    equal the direct per-doc min over (a*h + b) mod p for every permutation
+    — the property that breaks if the aggregation loses a permutation
+    column or the modulus drifts."""
+    from k_means_map_reduce_spark.operators.dedup import (
+        _PMH_P,
+        _PMH_PERMS24,
+        _pmh_signatures,
+    )
+
+    df = spark.createDataFrame(
+        [(i, hs) for i, hs in enumerate(shingle_sets)],
+        "doc_id long, sh array<long>",
+    )
+    got = {
+        r["doc_id"]: [r[f"s{j}"] for j in range(len(_PMH_PERMS24))]
+        for r in _pmh_signatures(df, _PMH_PERMS24).collect()
+    }
+    for i, hs in enumerate(shingle_sets):
+        want = [min((a * h + b) % _PMH_P for h in hs) for a, b in _PMH_PERMS24]
+        assert got[i] == want, (i, hs)
