@@ -669,6 +669,7 @@ _PMH_R = 2  # rows per band
 # the label-propagation fixpoint run once (LRU + unpersist-on-evict).
 _BANDING_PAIRS_CACHE = SessionMemo("dedup.banding_pairs")
 _BANDING_COMP_CACHE = SessionMemo("dedup.banding_components")
+_PREFIX_JACCARD_CACHE = SessionMemo("dedup.prefix_jaccard")
 
 
 def _pmh_sql_prefix(perms: list[tuple[int, int]]) -> str:
@@ -802,7 +803,7 @@ def dedup_minhash_banding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     cached = _BANDING_PAIRS_CACHE.get(spark, sf_dir)
     if cached is not None:
-        return cached
+        return cached[0]
     perms = _PMH_PERMS24
     n_bands = len(perms) // _PMH_R
     # both the signature build and the verify step read the shingle sets:
@@ -860,7 +861,12 @@ def dedup_minhash_banding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # substitution gotcha).
         .localCheckpoint(eager=False)
     )
-    return _BANDING_PAIRS_CACHE.put(spark, sf_dir, out)
+    # the memo stores the persisted INTERMEDIATES alongside the output so
+    # LRU eviction / clear_all_memos() unpersists hs_df and bands too
+    # (_unpersist_value walks tuples) — storing only `out` would re-run
+    # the pipeline on a re-miss while the stale persisted blocks stay
+    # pinned (round-7 ADVICE).
+    return _BANDING_PAIRS_CACHE.put(spark, sf_dir, (out, bands, hs_df))[0]
 
 
 def _banding_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1252,6 +1258,9 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiny candidate set's exact verify. The oracle pays the quadratic join
     (fine at the driver's sf0.01) — the Spark plan never does.
     """
+    cached = _PREFIX_JACCARD_CACHE.get(spark, sf_dir)
+    if cached is not None:
+        return cached[0]
     d = load_table(spark, sf_dir, "documents")
     toks = F.filter(F.split(_NORM(F.col("text")), " "), lambda t: t != "")
     # persisted: the tokenize+shingle projection otherwise re-runs once per
@@ -1314,9 +1323,13 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b")))
     union_sz = F.size("hs_a") + F.size("hs_b") - inter
     jac = inter.cast("double") / union_sz
-    return (
+    out = (
         cand.join(ha, "doc_a")
         .join(hb, "doc_b")
         .where(jac >= 0.6)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
+    # memoize output + persisted intermediates so repeated invocations in a
+    # long-lived session reuse one pinned copy and eviction releases docs/
+    # prefix (round-7 ADVICE — same discipline as the banding tier).
+    return _PREFIX_JACCARD_CACHE.put(spark, sf_dir, (out, docs, prefix))[0]

@@ -1358,8 +1358,12 @@ def drift_psi_totalprice_train_test(spark: SparkSession, sf_dir: str) -> DataFra
     degeneracy visible; production practice is epsilon-smoothing, which
     would bury it).
 
-    At 100 TB: one scan -> broadcast 1-row bounds -> one 10-row
-    aggregation; the psi_total window runs over 10 rows.
+    At 100 TB: two narrow passes over the pruned two-column scan — one
+    for the 1-row bounds aggregate (broadcast back), one for the bucket
+    counts (counts then feeds both the totals aggregate and the term
+    projection, relying on exchange reuse). Persisting the full scan to
+    save the second pass would cost more than it saves at scale; the
+    psi_total window runs over 10 rows.
     """
     o = load_table(spark, sf_dir, "orders")
     assigned = o.select(
