@@ -761,3 +761,504 @@ def ds_q34_trip_size_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return big.join(c, F.col("c_custkey") == F.col("o_custkey")).select(
         "c_custkey", "c_name", "c_mktsegment", "n_big_trips", "big_trip_lines"
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-8 shapes: q17 / q39 / q49 / q57 / q23 signatures.
+# ---------------------------------------------------------------------------
+
+_Q17_STATS = """
+      COUNT(CASE WHEN l_returnflag <> 'R' THEN 1 END) AS n_sold,
+      CAST(SUM(CASE WHEN l_returnflag <> 'R' THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS s_sold,
+      CAST(SUM(CASE WHEN l_returnflag <> 'R' THEN CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) END) AS BIGINT) AS ss_sold,
+      COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END) AS n_returned,
+      CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS s_ret,
+      CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) END) AS BIGINT) AS ss_ret
+"""
+
+
+def _sql_cov(n: str, s: str, ss: str) -> str:
+    """DuckDB mirror of the coefficient-of-variation expression tree used in
+    ds_q17_quantity_cov (identical operand order => identical doubles)."""
+    nd = f"CAST({n} AS DOUBLE)"
+    sd = f"CAST({s} AS DOUBLE)"
+    ssd = f"CAST({ss} AS DOUBLE)"
+    var = f"(({ssd} - {sd} * {sd} / {nd}) / ({n} - 1))"
+    return (
+        f"CASE WHEN {n} >= 2 THEN "
+        f"ROUND(SQRT(GREATEST({var}, CAST(0 AS DOUBLE))) / ({sd} / {nd}), 6) END"
+    )
+
+
+@query(
+    "ds_q17_quantity_cov",
+    oracle=f"""
+    WITH g AS (
+      SELECT p_brand,
+      {_Q17_STATS}
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      GROUP BY 1
+    )
+    SELECT p_brand, n_sold,
+      CASE WHEN n_sold >= 1
+           THEN ROUND(CAST(s_sold AS DOUBLE) / CAST(n_sold AS DOUBLE), 6) END
+        AS mean_qty_sold,
+      {_sql_cov('n_sold', 's_sold', 'ss_sold')} AS cov_sold,
+      n_returned,
+      CASE WHEN n_returned >= 1
+           THEN ROUND(CAST(s_ret AS DOUBLE) / CAST(n_returned AS DOUBLE), 6) END
+        AS mean_qty_returned,
+      {_sql_cov('n_returned', 's_ret', 'ss_ret')} AS cov_returned
+    FROM g
+    """,
+)
+def ds_q17_quantity_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand quantity mean / stdev / coefficient-of-variation for sold
+    vs returned lineitems (TPC-DS q17's signature: compare quantity
+    dispersion across the sales and returns channels per item group).
+
+    Determinism: quantities are integral, so power sums are exact BIGINT;
+    mean/var/stdev/cov are then IEEE ops on identical doubles in both
+    engines (sqrt is correctly rounded), with n>=1 / n>=2 CASE guards so
+    ANSI division never fires on a degenerate group and GREATEST(var, 0)
+    absorbing negative cancellation dust.
+
+    At 100 TB: ONE fact scan with conditional aggregation (map-side
+    partials into a 25-row brand rollup) — never one pass per channel.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    q = F.col("l_quantity").cast("bigint")
+    sold = F.col("l_returnflag") != "R"
+    g = (
+        l.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.when(sold, 1)).alias("n_sold"),
+            F.sum(F.when(sold, q)).alias("s_sold"),
+            F.sum(F.when(sold, q * q)).alias("ss_sold"),
+            F.count(F.when(~sold, 1)).alias("n_returned"),
+            F.sum(F.when(~sold, q)).alias("s_ret"),
+            F.sum(F.when(~sold, q * q)).alias("ss_ret"),
+        )
+    )
+
+    def mean_of(n: str, s: str):
+        return F.when(
+            F.col(n) >= 1,
+            F.round(F.col(s).cast("double") / F.col(n).cast("double"), 6),
+        )
+
+    def cov_of(n: str, s: str, ss: str):
+        nd = F.col(n).cast("double")
+        sd = F.col(s).cast("double")
+        ssd = F.col(ss).cast("double")
+        var = (ssd - sd * sd / nd) / (F.col(n) - 1)
+        return F.when(
+            F.col(n) >= 2,
+            F.round(
+                F.sqrt(F.greatest(var, F.lit(0.0))) / (sd / nd), 6
+            ),
+        )
+
+    return g.select(
+        "p_brand",
+        "n_sold",
+        mean_of("n_sold", "s_sold").alias("mean_qty_sold"),
+        cov_of("n_sold", "s_sold", "ss_sold").alias("cov_sold"),
+        "n_returned",
+        mean_of("n_returned", "s_ret").alias("mean_qty_returned"),
+        cov_of("n_returned", "s_ret", "ss_ret").alias("cov_returned"),
+    )
+
+
+@query(
+    "ds_q39_inventory_cov_bands",
+    oracle="""
+    WITH daily AS (
+      SELECT s_nationkey,
+        CAST(strftime(l_shipdate, '%Y') AS INT) * 12
+          + CAST(strftime(l_shipdate, '%m') AS INT) AS midx,
+        strftime(l_shipdate, '%Y-%m-%d') AS day,
+        CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS dq
+      FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+      GROUP BY 1, 2, 3
+    ),
+    monthly AS (
+      SELECT s_nationkey, midx,
+        COUNT(*) AS n_days,
+        CAST(SUM(dq) AS BIGINT) AS s,
+        CAST(SUM(dq * dq) AS BIGINT) AS ss
+      FROM daily GROUP BY 1, 2
+    ),
+    cov AS (
+      SELECT s_nationkey, midx,
+        ROUND(
+          SQRT(GREATEST(
+            (CAST(ss AS DOUBLE)
+             - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE))
+            / (n_days - 1),
+            CAST(0 AS DOUBLE)))
+          / (CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE)), 6) AS cov
+      FROM monthly WHERE n_days >= 2
+    ),
+    banded AS (
+      SELECT s_nationkey, midx, cov,
+        CASE WHEN cov < 0.5 THEN 'stable'
+             WHEN cov < 1.0 THEN 'moderate'
+             ELSE 'volatile' END AS band,
+        LEAD(midx) OVER (PARTITION BY s_nationkey ORDER BY midx) AS nxt_midx,
+        LEAD(CASE WHEN cov < 0.5 THEN 'stable'
+                  WHEN cov < 1.0 THEN 'moderate'
+                  ELSE 'volatile' END)
+          OVER (PARTITION BY s_nationkey ORDER BY midx) AS next_band
+      FROM cov
+    )
+    SELECT band, next_band,
+      COUNT(*) AS n_pairs,
+      ROUND(CAST(SUM(CAST(ROUND(cov, 6) AS DECIMAL(18,6))) AS DOUBLE)
+            / COUNT(cov), 6) AS avg_cov
+    FROM banded
+    WHERE nxt_midx = midx + 1
+    GROUP BY 1, 2
+    """,
+)
+def ds_q39_inventory_cov_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inventory-volatility classification with consecutive-month pairing
+    (TPC-DS q39's signature: per warehouse-item-month stdev/mean of daily
+    inventory, classify by coefficient of variation, then self-match month
+    m with month m+1). Warehouse ~ supplier nation; inventory ~ daily
+    shipped quantity.
+
+    Determinism: daily quantities are exact BIGINT sums; cov is the same
+    guarded power-sum expression as ds_q17_quantity_cov, rounded to 6dp
+    BEFORE banding so the 0.5/1.0 band edges compare identical decimals in
+    both engines; month adjacency is integer month-index arithmetic
+    (year*12 + month), never date intervals.
+
+    At 100 TB: fact aggregates to (nation, month, day) first (map-side
+    partials), the cov window runs over the tiny monthly rollup, and the
+    LEAD self-match replaces q39's self-join — one shuffle on the rollup
+    key instead of a second fact pass.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    daily = (
+        l.join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy(
+            "s_nationkey",
+            (F.year("l_shipdate") * 12 + F.month("l_shipdate")).alias("midx"),
+            F.date_format("l_shipdate", "yyyy-MM-dd").alias("day"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("dq"))
+    )
+    monthly = daily.groupBy("s_nationkey", "midx").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("dq").alias("s"),
+        F.sum(F.col("dq") * F.col("dq")).alias("ss"),
+    )
+    nd = F.col("n_days").cast("double")
+    sd = F.col("s").cast("double")
+    ssd = F.col("ss").cast("double")
+    var = (ssd - sd * sd / nd) / (F.col("n_days") - 1)
+    cov = monthly.where(F.col("n_days") >= 2).select(
+        "s_nationkey",
+        "midx",
+        F.round(F.sqrt(F.greatest(var, F.lit(0.0))) / (sd / nd), 6).alias("cov"),
+    )
+    band = (
+        F.when(F.col("cov") < 0.5, "stable")
+        .when(F.col("cov") < 1.0, "moderate")
+        .otherwise("volatile")
+    )
+    w = Window.partitionBy("s_nationkey").orderBy("midx")
+    banded = cov.select(
+        "midx",
+        "cov",
+        band.alias("band"),
+        F.lead("midx").over(w).alias("nxt_midx"),
+        F.lead(band).over(w).alias("next_band"),
+    )
+    return (
+        banded.where(F.col("nxt_midx") == F.col("midx") + 1)
+        .groupBy("band", "next_band")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(dsum("cov") / F.count("cov"), 6).alias("avg_cov"),
+        )
+    )
+
+
+@query(
+    "ds_q49_worst_return_ratios",
+    oracle="""
+    WITH per_part AS (
+      SELECT l_linestatus AS channel, l_partkey AS partkey,
+        CAST(SUM(CASE WHEN l_returnflag = 'R'
+                      THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT)
+          AS ret_qty,
+        CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS tot_qty,
+        CAST(SUM(CAST(ROUND(CASE WHEN l_returnflag = 'R'
+                                 THEN l_extendedprice ELSE 0.0 END, 6)
+                 AS DECIMAL(18,6))) AS DOUBLE) AS ret_amt,
+        CAST(SUM(CAST(ROUND(l_extendedprice, 6) AS DECIMAL(18,6))) AS DOUBLE)
+          AS tot_amt
+      FROM lineitem GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT channel, partkey,
+        ROUND(CAST(ret_qty AS DOUBLE) / CAST(tot_qty AS DOUBLE), 6) AS qty_ratio,
+        ROUND(ret_amt / tot_amt, 6) AS amt_ratio,
+        ROW_NUMBER() OVER (PARTITION BY channel
+          ORDER BY ROUND(CAST(ret_qty AS DOUBLE) / CAST(tot_qty AS DOUBLE), 6) DESC,
+                   partkey) AS qty_rank,
+        ROW_NUMBER() OVER (PARTITION BY channel
+          ORDER BY ROUND(ret_amt / tot_amt, 6) DESC, partkey) AS amt_rank
+      FROM per_part
+    )
+    SELECT channel, partkey, qty_ratio, amt_ratio, qty_rank, amt_rank
+    FROM ranked WHERE qty_rank <= 10 OR amt_rank <= 10
+    """,
+)
+def ds_q49_worst_return_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Worst return ratios ranked per channel (TPC-DS q49's signature: per
+    item, returned/sold ratio in both quantity and currency, ranked within
+    each channel, keep anything in either top-10). Channel ~ l_linestatus.
+
+    Determinism: ratios are exact BIGINT / decimal-sum divisions rounded to
+    6dp BEFORE ranking, and both ROW_NUMBER orders carry the partkey
+    tie-break — a total order, so the top-10 cut cannot flip on a ulp
+    (the reco_item_item_cosine rank-comparator discipline).
+
+    At 100 TB: one fact scan into a (channel, part) rollup with map-side
+    combine; both rank windows run over the rollup partitioned by channel.
+    The top-10 filter keeps the output bounded at ~20 rows per ratio kind.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("bigint")
+    is_r = F.col("l_returnflag") == "R"
+    per_part = l.groupBy(
+        F.col("l_linestatus").alias("channel"), F.col("l_partkey").alias("partkey")
+    ).agg(
+        F.sum(F.when(is_r, q).otherwise(F.lit(0))).alias("ret_qty"),
+        F.sum(q).alias("tot_qty"),
+        dsum(F.when(is_r, F.col("l_extendedprice")).otherwise(F.lit(0.0))).alias(
+            "ret_amt"
+        ),
+        dsum("l_extendedprice").alias("tot_amt"),
+    )
+    qty_ratio = F.round(
+        F.col("ret_qty").cast("double") / F.col("tot_qty").cast("double"), 6
+    )
+    amt_ratio = F.round(F.col("ret_amt") / F.col("tot_amt"), 6)
+    wq = Window.partitionBy("channel").orderBy(
+        qty_ratio.desc(), F.col("partkey").asc()
+    )
+    wa = Window.partitionBy("channel").orderBy(
+        amt_ratio.desc(), F.col("partkey").asc()
+    )
+    ranked = per_part.select(
+        "channel",
+        "partkey",
+        qty_ratio.alias("qty_ratio"),
+        amt_ratio.alias("amt_ratio"),
+        F.row_number().over(wq).cast("bigint").alias("qty_rank"),
+        F.row_number().over(wa).cast("bigint").alias("amt_rank"),
+    )
+    return ranked.where((F.col("qty_rank") <= 10) | (F.col("amt_rank") <= 10))
+
+
+@query(
+    "ds_q57_deviation_extremes",
+    oracle="""
+    WITH monthly AS (
+      SELECT o_orderpriority AS priority,
+        strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+        CAST(SUM(CAST(ROUND(o_totalprice, 6) AS DECIMAL(18,6))) AS DOUBLE)
+          AS revenue
+      FROM orders GROUP BY 1, 2
+    ),
+    win AS (
+      SELECT priority, month, revenue,
+        CAST(SUM(CAST(revenue AS DECIMAL(18,6))) OVER (
+          PARTITION BY priority, substr(month, 1, 4)) AS DOUBLE)
+        / COUNT(*) OVER (PARTITION BY priority, substr(month, 1, 4))
+          AS year_avg,
+        COALESCE(LAG(revenue) OVER (PARTITION BY priority ORDER BY month),
+                 CAST(0 AS DOUBLE)) AS prev_revenue,
+        COALESCE(LEAD(revenue) OVER (PARTITION BY priority ORDER BY month),
+                 CAST(0 AS DOUBLE)) AS next_revenue
+      FROM monthly
+    )
+    SELECT priority, month, revenue,
+      ROUND(year_avg, 4) AS year_avg,
+      ROUND(ABS(revenue - year_avg) / year_avg, 6) AS pct_dev,
+      prev_revenue, next_revenue
+    FROM win
+    WHERE ROUND(ABS(revenue - year_avg) / year_avg, 6) > 0.1
+    """,
+)
+def ds_q57_deviation_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Months whose revenue deviates more than 10% from their series-year
+    mean, with the neighboring months attached (TPC-DS q57's signature —
+    q47's deviation window plus the extreme-month filter and lag/lead
+    context columns). Series dimension ~ order priority.
+
+    Determinism: revenue is a decimal-exact sum; year_avg is decimal-sum /
+    count; the 10% cut compares the ROUNDED 6dp deviation in both engines;
+    edge months coalesce their missing neighbor to 0.0 so no NULL doubles
+    reach the hash compare.
+
+    At 100 TB: one fact aggregation to the (priority, month) rollup; all
+    three windows run over that tiny rollup, partitioned by the rollup key.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+    ).agg(dsum("o_totalprice").alias("revenue"))
+    w_year = Window.partitionBy("priority", F.substring("month", 1, 4))
+    w_series = Window.partitionBy("priority").orderBy("month")
+    dec = F.col("revenue").cast("decimal(18,6)")
+    year_avg = F.sum(dec).over(w_year).cast("double") / F.count(F.lit(1)).over(
+        w_year
+    )
+    win = monthly.select(
+        "priority",
+        "month",
+        "revenue",
+        year_avg.alias("year_avg"),
+        F.coalesce(F.lag("revenue").over(w_series), F.lit(0.0)).alias(
+            "prev_revenue"
+        ),
+        F.coalesce(F.lead("revenue").over(w_series), F.lit(0.0)).alias(
+            "next_revenue"
+        ),
+    )
+    pct_dev = F.round(
+        F.abs(F.col("revenue") - F.col("year_avg")) / F.col("year_avg"), 6
+    )
+    return win.where(pct_dev > 0.1).select(
+        "priority",
+        "month",
+        "revenue",
+        F.round("year_avg", 4).alias("year_avg"),
+        pct_dev.alias("pct_dev"),
+        "prev_revenue",
+        "next_revenue",
+    )
+
+
+@query(
+    "ds_q23_frequent_buyer_sales",
+    oracle="""
+    WITH li AS (
+      SELECT l_partkey, l_orderkey, l_extendedprice,
+             o_custkey, o_orderdate,
+             strftime(o_orderdate, '%Y') AS yr,
+             strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    ),
+    freq AS (
+      SELECT yr, l_partkey FROM (
+        SELECT yr, l_partkey,
+          ROW_NUMBER() OVER (PARTITION BY yr
+            ORDER BY COUNT(DISTINCT l_orderkey) DESC, l_partkey) AS rn
+        FROM li GROUP BY yr, l_partkey
+      ) WHERE rn <= 50
+    ),
+    best AS (
+      SELECT o_custkey FROM (
+        SELECT o_custkey,
+          ROW_NUMBER() OVER (
+            ORDER BY SUM(CAST(ROUND(l_extendedprice, 6) AS DECIMAL(18,6))) DESC,
+                     o_custkey) AS rn
+        FROM li GROUP BY o_custkey
+      ) WHERE rn <= 100
+    )
+    SELECT li.month,
+      CAST(SUM(CAST(ROUND(l_extendedprice, 6) AS DECIMAL(18,6))) AS DOUBLE)
+        AS revenue,
+      COUNT(*) AS n_items
+    FROM li
+    JOIN freq ON freq.yr = li.yr AND freq.l_partkey = li.l_partkey
+    JOIN best ON best.o_custkey = li.o_custkey
+    GROUP BY 1
+    """,
+)
+def ds_q23_frequent_buyer_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue from FREQUENT items sold to BEST customers (TPC-DS
+    q23's signature: two independent aggregate-derived filters — items
+    frequently bought within a year, customers in the global top spend
+    tier — semi-joined back against the fact).
+
+    Frequent = per year, top-50 parts by distinct order count; best = global
+    top-100 customers by decimal-exact spend. Both are rank cuts with id
+    tie-breaks (not fixed thresholds), so the sets are scale-stable
+    (lesson 9) and deterministic.
+
+    At 100 TB: both filter sets derive from rollups far smaller than the
+    fact, and the final pass is fact JOIN two tiny key sets — AQE
+    broadcasts them; never a fixed percentile over raw fact rows. The
+    global best-customer window sorts the per-customer rollup (one
+    machine-sized top-k; a two-phase per-partition top-100 merge at
+    extreme customer counts).
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    li = l.join(o, F.col("o_orderkey") == F.col("l_orderkey")).select(
+        "l_partkey",
+        "l_orderkey",
+        "l_extendedprice",
+        "o_custkey",
+        F.date_format("o_orderdate", "yyyy").alias("yr"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+    )
+    freq = (
+        li.groupBy("yr", "l_partkey")
+        .agg(F.countDistinct("l_orderkey").alias("n_ord"))
+        .select(
+            "yr",
+            "l_partkey",
+            F.row_number()
+            .over(
+                Window.partitionBy("yr").orderBy(
+                    F.col("n_ord").desc(), F.col("l_partkey").asc()
+                )
+            )
+            .alias("rn"),
+        )
+        .where(F.col("rn") <= 50)
+        .select(F.col("yr").alias("f_yr"), F.col("l_partkey").alias("f_partkey"))
+    )
+    best = (
+        li.groupBy("o_custkey")
+        .agg(
+            F.sum(F.round("l_extendedprice", 6).cast("decimal(18,6)")).alias(
+                "spend"
+            )
+        )
+        .select(
+            "o_custkey",
+            F.row_number()
+            .over(
+                Window.orderBy(F.col("spend").desc(), F.col("o_custkey").asc())
+            )
+            .alias("rn"),
+        )
+        .where(F.col("rn") <= 100)
+        .select(F.col("o_custkey").alias("b_custkey"))
+    )
+    return (
+        li.join(
+            freq,
+            (F.col("yr") == F.col("f_yr"))
+            & (F.col("l_partkey") == F.col("f_partkey")),
+        )
+        .join(best, F.col("o_custkey") == F.col("b_custkey"))
+        .groupBy("month")
+        .agg(
+            dsum("l_extendedprice").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
