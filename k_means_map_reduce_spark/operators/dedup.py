@@ -1333,3 +1333,225 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # long-lived session reuse one pinned copy and eviction releases docs/
     # prefix (round-7 ADVICE — same discipline as the banding tier).
     return _PREFIX_JACCARD_CACHE.put(spark, sf_dir, (out, docs, prefix))[0]
+
+
+_PARA_WORDS = 25  # disjoint word-block "paragraph" size (the corpus carries
+# no newlines, so paragraph boundaries are fixed word offsets — the RAG-chunk
+# convention, but non-overlapping because dedup must partition the text)
+
+
+@query(
+    "dedup_paragraph_exact_kept",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+        list_filter(string_split(LOWER(regexp_replace(TRIM(text), '\\s+', ' ', 'g')), ' '),
+                    t -> t != '') AS toks
+      FROM documents
+    ),
+    paras AS (
+      SELECT doc_id, source, i AS para_idx,
+        md5(array_to_string(
+          list_slice(toks, 1 + {_PARA_WORDS} * (i - 1), {_PARA_WORDS} * i), ' '))
+          AS digest
+      FROM (
+        SELECT doc_id, source, toks,
+          UNNEST(range(1, CAST(ceil(len(toks) / {_PARA_WORDS}.0) AS BIGINT) + 1))
+            AS i
+        FROM toks WHERE len(toks) > 0
+      )
+    ),
+    marked AS (
+      SELECT doc_id, source,
+        ROW_NUMBER() OVER (PARTITION BY digest
+                           ORDER BY doc_id, para_idx) AS occ
+      FROM paras
+    )
+    SELECT doc_id, source,
+      COUNT(*) AS n_paras,
+      COUNT(CASE WHEN occ > 1 THEN 1 END) AS n_dup_paras,
+      ROUND(CAST(COUNT(CASE WHEN occ = 1 THEN 1 END) AS DOUBLE)
+            / CAST(COUNT(*) AS DOUBLE), 6) AS kept_fraction
+    FROM marked
+    GROUP BY 1, 2
+    """,
+)
+def dedup_paragraph_exact_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARAGRAPH-level exact deduplication (the sub-document grain the big
+    LLM corpora dedup at — C4/RefinedWeb drop repeated paragraphs, not
+    whole documents): split every doc into disjoint {n}-word blocks, keep
+    each distinct block's FIRST occurrence (ordered by doc_id, block
+    index), and report per-document how much text survives.
+
+    Exact-duplicate documents lose every paragraph after their first copy;
+    near-duplicates lose exactly their unedited aligned blocks — the
+    behavior that distinguishes this from whole-doc dedup
+    (dedup_exact_kept_docs) and from overlap MEASUREMENT
+    (dedup_shared_chunk_fraction, which scores 8-token shingle sharing but
+    removes nothing).
+
+    Determinism: block membership is pure integer word-offset arithmetic;
+    first-occurrence is a ROW_NUMBER total order; the digest is md5 text
+    (portable). At 100 TB: only 16-byte digests + ids shuffle (never
+    text), one window per digest group, one per-doc rollup.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(_NORM(F.col("text")), " "), lambda t: t != "")
+    n_paras = F.ceil(F.size("toks") / F.lit(float(_PARA_WORDS))).cast("bigint")
+    paras = (
+        d.select("doc_id", "source", toks.alias("toks"))
+        .where(F.size("toks") > 0)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.sequence(F.lit(1), n_paras)).alias("para_idx"),
+            F.col("toks"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "para_idx",
+            F.md5(
+                F.array_join(
+                    F.slice(
+                        F.col("toks"),
+                        1 + _PARA_WORDS * (F.col("para_idx") - 1),
+                        _PARA_WORDS,
+                    ),
+                    " ",
+                )
+            ).alias("digest"),
+        )
+    )
+    occ = F.row_number().over(
+        Window.partitionBy("digest").orderBy("doc_id", "para_idx")
+    )
+    marked = paras.select("doc_id", "source", occ.alias("occ"))
+    return marked.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("n_paras"),
+        F.count(F.when(F.col("occ") > 1, 1)).alias("n_dup_paras"),
+        F.round(
+            F.count(F.when(F.col("occ") == 1, 1)).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("kept_fraction"),
+    )
+
+
+@query(
+    "dedup_url_canonical",
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id, source,
+        'https://' || source || '.example.com/' || lang || '/doc/'
+          || CAST(doc_id AS VARCHAR) || '?id=' || CAST(doc_id AS VARCHAR)
+          AS url
+      FROM documents
+      UNION ALL
+      SELECT doc_id, source,
+        'HTTP://WWW.' || UPPER(source) || '.EXAMPLE.COM/' || lang || '/doc/'
+          || CAST(doc_id AS VARCHAR)
+          || '/?utm_source=feed&id=' || CAST(doc_id AS VARCHAR)
+      FROM documents WHERE doc_id % 3 = 0
+      UNION ALL
+      SELECT doc_id, source,
+        'https://' || source || '.example.com/' || lang || '/doc/'
+          || CAST(doc_id AS VARCHAR)
+          || '?utm_campaign=promo&id=' || CAST(doc_id AS VARCHAR)
+          || '&utm_medium=email'
+      FROM documents WHERE doc_id % 3 = 1
+    ),
+    canon AS (
+      SELECT doc_id, source,
+        'https://'
+        || regexp_replace(LOWER(regexp_extract(url, '^[a-zA-Z]+://([^/]+)', 1)),
+                          '^www\\.', '')
+        || regexp_replace(regexp_extract(url, '^[a-zA-Z]+://[^/]+([^?]*)', 1),
+                          '/$', '')
+        || '?id=' || regexp_extract(url, '[?&]id=([^&]+)', 1) AS curl
+      FROM raw
+    ),
+    grouped AS (
+      SELECT source, curl, COUNT(*) AS sz FROM canon GROUP BY 1, 2
+    )
+    SELECT source,
+      CAST(SUM(sz) AS BIGINT) AS n_raw_urls,
+      COUNT(*) AS n_canonical,
+      COUNT(CASE WHEN sz > 1 THEN 1 END) AS n_dup_groups,
+      ROUND(CAST(SUM(sz) - COUNT(*) AS DOUBLE) / CAST(SUM(sz) AS DOUBLE), 6)
+        AS dup_rate
+    FROM grouped GROUP BY 1
+    """,
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup — the crawl-frontier normalization step:
+    scheme folded to https, host lowercased and stripped of `www.`,
+    trailing slash removed, tracking parameters (`utm_*`) dropped while
+    the identifying `id` parameter is kept. Messy variants (uppercase
+    host+www+utm, param-order/utm-noise) are derived deterministically
+    from doc attributes (doc_id mod 3 — the same synthesized-URL
+    convention as scalar_url_parsing) and must collapse onto their clean
+    twin's canonical form.
+
+    Spark canonicalizes with the JVM parse_url fast path (HOST/PATH/
+    QUERY:id extraction); DuckDB recovers identical parts with anchored
+    regexes on the shared RE2/Java dialect subset — parser agreement is
+    part of the contract. Rolled up per source: raw URLs, canonical
+    groups, duplicate rate.
+
+    At 100 TB: a stateless projection then one hash aggregation on the
+    canonical string — URL strings shuffle once, pre-shrunk by the
+    per-source rollup's map-side combine.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    clean = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/"),
+        F.col("lang"), F.lit("/doc/"), did, F.lit("?id="), did,
+    )
+    messy_host = F.concat(
+        F.lit("HTTP://WWW."), F.upper(F.col("source")), F.lit(".EXAMPLE.COM/"),
+        F.col("lang"), F.lit("/doc/"), did, F.lit("/?utm_source=feed&id="), did,
+    )
+    messy_params = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/"),
+        F.col("lang"), F.lit("/doc/"), did,
+        F.lit("?utm_campaign=promo&id="), did, F.lit("&utm_medium=email"),
+    )
+    raw = (
+        d.select("doc_id", "source", clean.alias("url"))
+        .unionAll(
+            d.where(F.col("doc_id") % 3 == 0).select(
+                "doc_id", "source", messy_host.alias("url")
+            )
+        )
+        .unionAll(
+            d.where(F.col("doc_id") % 3 == 1).select(
+                "doc_id", "source", messy_params.alias("url")
+            )
+        )
+    )
+    curl = F.concat(
+        F.lit("https://"),
+        F.regexp_replace(
+            F.lower(F.parse_url("url", F.lit("HOST"))), r"^www\.", ""
+        ),
+        F.regexp_replace(F.parse_url("url", F.lit("PATH")), r"/$", ""),
+        F.lit("?id="),
+        F.parse_url("url", F.lit("QUERY"), F.lit("id")),
+    )
+    grouped = (
+        raw.select("source", curl.alias("curl"))
+        .groupBy("source", "curl")
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
+    return grouped.groupBy("source").agg(
+        F.sum("sz").alias("n_raw_urls"),
+        F.count(F.lit(1)).alias("n_canonical"),
+        F.count(F.when(F.col("sz") > 1, 1)).alias("n_dup_groups"),
+        F.round(
+            (F.sum("sz") - F.count(F.lit(1))).cast("double")
+            / F.sum("sz").cast("double"),
+            6,
+        ).alias("dup_rate"),
+    )

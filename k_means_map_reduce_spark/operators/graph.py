@@ -716,3 +716,95 @@ def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .where(F.col("rk") <= 25)
     )
+
+
+@query(
+    "graph_adamic_adar",
+    oracle=f"""
+    WITH li AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ), e AS (
+      SELECT DISTINCT a.pk AS u, b.pk AS v
+      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+    ), nbrs AS (
+      SELECT u AS node, v AS nbr FROM e
+      UNION ALL SELECT v, u FROM e
+    ), deg AS (
+      SELECT node, COUNT(*) AS d FROM nbrs GROUP BY node
+    ), wedges AS (
+      SELECT n1.nbr AS a, n2.nbr AS b,
+        ROUND(CAST(1 AS DOUBLE) / LN(CAST(dc.d AS DOUBLE)), 6) AS term
+      FROM nbrs n1
+      JOIN nbrs n2 ON n1.node = n2.node AND n1.nbr < n2.nbr
+      JOIN deg dc ON dc.node = n1.node
+                 AND dc.d <= {_LP_HUB_CAP} AND dc.d >= 2
+    ), common AS (
+      SELECT a, b, COUNT(*) AS cn,
+        CAST(SUM(CAST(term AS DECIMAL(18,6))) AS DOUBLE) AS aa
+      FROM wedges GROUP BY a, b
+    ), cand AS (
+      SELECT c.* FROM common c
+      WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = c.a AND e.v = c.b)
+    ), scored AS (
+      SELECT a, b, cn, aa,
+        ROW_NUMBER() OVER (ORDER BY aa DESC, a, b) AS rk
+      FROM cand
+    )
+    SELECT a AS part_a, b AS part_b, CAST(cn AS BIGINT) AS common_neighbors,
+           ROUND(aa, 6) AS aa_score, CAST(rk AS BIGINT) AS rk
+    FROM scored WHERE rk <= 25
+    """,
+)
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction over the co-purchase graph: the top-25
+    non-adjacent part pairs by sum over common neighbors of 1/ln(degree)
+    — the classic refinement of common-neighbor counting where RARE
+    shared neighbors carry more evidence than hubs. Completes the link-
+    prediction pair beside graph_jaccard_link_prediction (same wedge
+    machinery, different evidence weighting).
+
+    Determinism: each per-neighbor 1/ln(d) term is rounded to 6dp BEFORE
+    the exact decimal sum (lesson 10 — never round only the final sum);
+    wedge centers have degree in [2, {_LP_HUB_CAP}] so ln(d) >= ln 2 and
+    the division can never fire ANSI divide-by-zero; the rank order is
+    (exact decimal score desc, ids) — a total order.
+
+    Scale shape: identical to the Jaccard variant — hub-capped wedge
+    join over adjacency postings, anti-join against the oriented edge
+    list, WindowGroupLimit top-25. Degrees ride the wedge join, so no
+    extra per-endpoint join is needed.
+    """
+    und, _ = _copurchase_edges(spark, sf_dir)
+    nbrs = und.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
+        und.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    )
+    deg = nbrs.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    centers = deg.where((F.col("d") <= _LP_HUB_CAP) & (F.col("d") >= 2))
+    term = F.round(F.lit(1.0) / F.log(F.col("d").cast("double")), 6)
+    n1 = nbrs.join(centers, "node").select(
+        "node", F.col("nbr").alias("a"), term.alias("term")
+    )
+    n2 = nbrs.select(F.col("node").alias("node2"), F.col("nbr").alias("b"))
+    wedges = n1.join(
+        n2, (F.col("node") == F.col("node2")) & (F.col("a") < F.col("b"))
+    )
+    common = wedges.groupBy("a", "b").agg(
+        F.count(F.lit(1)).alias("cn"),
+        F.sum(F.col("term").cast("decimal(18,6)")).cast("double").alias("aa"),
+    )
+    non_adj = common.join(
+        und,
+        (F.col("a") == F.col("u")) & (F.col("b") == F.col("v")),
+        "left_anti",
+    )
+    w = Window.orderBy(F.col("aa").desc(), "a", "b")
+    return (
+        non_adj.select(
+            F.col("a").alias("part_a"),
+            F.col("b").alias("part_b"),
+            F.col("cn").alias("common_neighbors"),
+            F.round("aa", 6).alias("aa_score"),
+            F.row_number().over(w).cast("bigint").alias("rk"),
+        )
+        .where(F.col("rk") <= 25)
+    )

@@ -1,0 +1,571 @@
+"""Classical hypothesis-test battery: Spearman rank correlation,
+Mann-Whitney U, Brown-Forsythe (median-centered Levene) variance
+homogeneity, Grubbs outlier test, and PAVA isotonic regression.
+
+Extends the statistics family (z-test, chi-square, KS, runs test, bootstrap
+CI — operators/analytics.py) with the rank-based and robust tests a data
+platform's experimentation/quality layer runs daily. The reference engine
+(SURVEY.md §2a) has no statistics surface; this is §2b breadth, every entry
+DuckDB-oracled.
+
+Determinism strategy (NEXT.md round-8 recipes):
+- RANKS ARE INTEGERS BY CONSTRUCTION: every rank is ROW_NUMBER over
+  (value, id) — never RANK with fractional midpoints — so rank sums,
+  rank differences, and U statistics are exact BIGINT arithmetic and the
+  documented semantics is the deterministic tie-broken variant (NOT
+  SciPy's midrank + tie-corrected one).
+- MONEY IS INTEGER CENTS: |x - median| deviations, power sums, and PAVA
+  pool states stay integral (medians are the LOWER median, an actual
+  sample value); only the final statistic divides in double.
+- The one cross-group float reduction (Brown-Forsythe's 5-term sums) is
+  an ORDERED array fold: Spark F.aggregate(array_sort(collect_list(...)),
+  0.0, +) == DuckDB list_reduce(list(... ORDER BY key)) because
+  0.0 + x == x — the determinize-and-oracle enabler from round 3.
+
+At 100 TB every test aggregates the fact to a group rollup first
+(map-side partials); the only unpartitioned windows (global customer rank,
+Brown-Forsythe's 5-row fold) run over dimension-scale rollups, never fact
+rows — the docstrings note the two-phase variant where even that rollup
+outgrows one task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import load_table
+
+# integer cents for 2dp money columns: x*100 rounds to the exact integer in
+# both engines (identical doubles, identical round-half-even at .0 ties
+# never occur because the product is within 1e-9 of an integer)
+def _cents(col: str) -> F.Column:
+    return F.round(F.col(col) * 100, 0).cast("bigint")
+
+
+_CENTS_SQL = "CAST(ROUND({c} * 100, 0) AS BIGINT)"
+
+
+@query(
+    "stats_spearman_price_quantity",
+    oracle="""
+    WITH sold AS (
+      SELECT l_partkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+      FROM lineitem GROUP BY 1
+    ),
+    ranked AS (
+      SELECT p_brand,
+        ROW_NUMBER() OVER (PARTITION BY p_brand
+                           ORDER BY p_retailprice, p_partkey) AS rx,
+        ROW_NUMBER() OVER (PARTITION BY p_brand
+                           ORDER BY qty, p_partkey) AS ry
+      FROM part JOIN sold ON l_partkey = p_partkey
+    )
+    SELECT p_brand,
+      COUNT(*) AS n,
+      CAST(SUM((rx - ry) * (rx - ry)) AS BIGINT) AS d2_sum,
+      CASE WHEN COUNT(*) >= 2 THEN
+        ROUND(CAST(1 AS DOUBLE)
+              - CAST(6 * SUM((rx - ry) * (rx - ry)) AS DOUBLE)
+                / CAST(COUNT(*) * (COUNT(*) * COUNT(*) - 1) AS DOUBLE), 6)
+      END AS spearman_rho
+    FROM ranked GROUP BY 1
+    """,
+)
+def stats_spearman_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand Spearman rank correlation between a part's retail price and
+    its total sold quantity (does pricing rank-order demand?).
+
+    Ranks are ROW_NUMBER over (value, partkey) — all distinct by
+    construction, so the closed form rho = 1 - 6*sum(d^2)/(n(n^2-1)) is
+    exact and every term up to the final division is BIGINT. This is the
+    deterministic tie-broken variant, not the midrank estimator.
+
+    At 100 TB: the fact collapses to a per-part quantity rollup first; the
+    rank windows partition by brand over part-dimension rows.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    sold = l.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("bigint")).alias("qty")
+    )
+    ranked = (
+        p.join(sold, F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "p_brand",
+            F.row_number()
+            .over(
+                Window.partitionBy("p_brand").orderBy(
+                    "p_retailprice", "p_partkey"
+                )
+            )
+            .cast("bigint")
+            .alias("rx"),
+            F.row_number()
+            .over(Window.partitionBy("p_brand").orderBy("qty", "p_partkey"))
+            .cast("bigint")
+            .alias("ry"),
+        )
+    )
+    d2 = (F.col("rx") - F.col("ry")) * (F.col("rx") - F.col("ry"))
+    g = ranked.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(d2).alias("d2_sum")
+    )
+    n = F.col("n")
+    rho = F.lit(1.0) - (6 * F.col("d2_sum")).cast("double") / (
+        n * (n * n - 1)
+    ).cast("double")
+    return g.select(
+        "p_brand",
+        "n",
+        "d2_sum",
+        F.when(n >= 2, F.round(rho, 6)).alias("spearman_rho"),
+    )
+
+
+@query(
+    "stats_mann_whitney_acctbal",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT c_mktsegment,
+        ROW_NUMBER() OVER (
+          ORDER BY {_CENTS_SQL.format(c='c_acctbal')}, c_custkey) AS r
+      FROM customer
+    ),
+    per_seg AS (
+      SELECT c_mktsegment AS segment,
+        COUNT(*) AS n1,
+        CAST(SUM(r) AS BIGINT) AS r1
+      FROM ranked GROUP BY 1
+    ),
+    tot AS (
+      SELECT *, CAST(SUM(n1) OVER () AS BIGINT) AS n FROM per_seg
+    )
+    SELECT segment, n1, n - n1 AS n2,
+      CAST(r1 - (n1 * (n1 + 1)) // 2 AS BIGINT) AS u1,
+      ROUND(
+        (CAST(r1 - (n1 * (n1 + 1)) // 2 AS DOUBLE)
+         - CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE) / 2)
+        / SQRT(CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE)
+               * CAST(n + 1 AS DOUBLE) / 12), 6) AS z
+    FROM tot
+    """,
+)
+def stats_mann_whitney_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (normal approximation) of account balance for each
+    market segment against the rest of the population — the nonparametric
+    'does this segment skew richer?' test.
+
+    The combined-sample rank is ONE global ROW_NUMBER over (cents,
+    custkey): all ranks distinct by construction, so U1 = R1 - n1(n1+1)/2
+    is exact BIGINT and the tie-free variance n1*n2*(N+1)/12 is the
+    correct variance for this deterministic variant (documented deviation
+    from SciPy's midrank + tie-correction). One ranking serves all five
+    segment-vs-rest tests because the combined sample is always the full
+    population.
+
+    At 100 TB: the global rank is a single sort of the customer DIMENSION
+    (not the fact); at extreme cardinality replace with the two-phase
+    rank (per-partition counts -> offset prefix sums) — the statistic
+    only needs rank SUMS, which the offsets reconstruct exactly.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    ranked = c.select(
+        "c_mktsegment",
+        F.row_number()
+        .over(Window.orderBy(_cents("c_acctbal"), F.col("c_custkey")))
+        .cast("bigint")
+        .alias("r"),
+    )
+    per_seg = ranked.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n1"), F.sum("r").alias("r1")
+    )
+    tot = per_seg.withColumn(
+        "n", F.sum("n1").over(Window.partitionBy()).cast("bigint")
+    )
+    n1, r1, n = F.col("n1"), F.col("r1"), F.col("n")
+    u1 = (r1 - F.floor((n1 * (n1 + 1)) / F.lit(2))).cast("bigint")
+    n2 = n - n1
+    mu = n1.cast("double") * n2.cast("double") / 2
+    sigma = F.sqrt(
+        n1.cast("double") * n2.cast("double") * (n + 1).cast("double") / 12
+    )
+    return tot.select(
+        "segment",
+        "n1",
+        n2.alias("n2"),
+        u1.alias("u1"),
+        F.round((u1.cast("double") - mu) / sigma, 6).alias("z"),
+    )
+
+
+@query(
+    "stats_brown_forsythe_acctbal",
+    oracle=f"""
+    WITH cents AS (
+      SELECT c_mktsegment AS seg, c_custkey,
+             {_CENTS_SQL.format(c='c_acctbal')} AS v
+      FROM customer
+    ),
+    med AS (
+      SELECT seg, v AS med FROM (
+        SELECT seg, v,
+          ROW_NUMBER() OVER (PARTITION BY seg ORDER BY v, c_custkey) AS rn,
+          COUNT(*) OVER (PARTITION BY seg) AS cnt
+        FROM cents
+      ) WHERE rn = (cnt + 1) // 2
+    ),
+    z AS (
+      SELECT c.seg, ABS(c.v - m.med) AS z
+      FROM cents c JOIN med m ON m.seg = c.seg
+    ),
+    grp AS (
+      SELECT seg, COUNT(*) AS ni,
+        CAST(SUM(z) AS BIGINT) AS sz,
+        CAST(SUM(z * z) AS BIGINT) AS szz
+      FROM z GROUP BY 1
+    ),
+    tot AS (
+      SELECT *,
+        CAST(SUM(ni) OVER () AS BIGINT) AS n,
+        CAST(SUM(sz) OVER () AS BIGINT) AS szg,
+        COUNT(*) OVER () AS k
+      FROM grp
+    ),
+    terms AS (
+      SELECT seg, ni, n, k,
+        CAST(ni AS DOUBLE)
+          * (CAST(sz AS DOUBLE) / CAST(ni AS DOUBLE)
+             - CAST(szg AS DOUBLE) / CAST(n AS DOUBLE))
+          * (CAST(sz AS DOUBLE) / CAST(ni AS DOUBLE)
+             - CAST(szg AS DOUBLE) / CAST(n AS DOUBLE)) AS num_i,
+        CAST(szz AS DOUBLE)
+          - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE) / CAST(ni AS DOUBLE)
+          AS den_i
+      FROM tot
+    )
+    SELECT CAST(k AS BIGINT) AS k, n,
+      ROUND(
+        (CAST(n - k AS DOUBLE) / CAST(k - 1 AS DOUBLE))
+        * list_reduce(list(num_i ORDER BY seg), (a, x) -> a + x)
+        / list_reduce(list(den_i ORDER BY seg), (a, x) -> a + x), 6)
+        AS w_stat
+    FROM terms
+    GROUP BY k, n
+    """,
+)
+def stats_brown_forsythe_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe test (median-centered Levene) for homogeneity of
+    account-balance variance across market segments — the robust
+    'do the groups spread equally?' gate run before any pooled-variance
+    test.
+
+    W = ((N-k)/(k-1)) * sum_i n_i (zbar_i - zbar)^2 / sum_ij (z_ij -
+    zbar_i)^2 with z = |cents - group LOWER median|. The lower median is an
+    actual sample value (rank (n+1)//2), so z and both its power sums stay
+    exact BIGINT; the only cross-group float sums (5 num/den terms) run as
+    an ORDERED fold (array_sort + F.aggregate == DuckDB list_reduce over
+    list(... ORDER BY seg)) so summation order is pinned cross-engine.
+
+    At 100 TB: two passes over the customer dimension (median rank, then
+    deviations) and a 5-row fold — the fact never participates.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    cents = c.select(
+        F.col("c_mktsegment").alias("seg"), "c_custkey", _cents("c_acctbal").alias("v")
+    )
+    w_rank = Window.partitionBy("seg").orderBy("v", "c_custkey")
+    w_seg = Window.partitionBy("seg")
+    med = (
+        cents.select(
+            "seg",
+            "v",
+            F.row_number().over(w_rank).alias("rn"),
+            F.count(F.lit(1)).over(w_seg).alias("cnt"),
+        )
+        .where(F.col("rn") == F.floor((F.col("cnt") + 1) / 2))
+        .select("seg", F.col("v").alias("med"))
+    )
+    z = cents.join(med, "seg").select(
+        "seg", F.abs(F.col("v") - F.col("med")).alias("z")
+    )
+    grp = z.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("ni"),
+        F.sum("z").alias("sz"),
+        F.sum(F.col("z") * F.col("z")).alias("szz"),
+    )
+    w_all = Window.partitionBy()
+    tot = grp.select(
+        "seg",
+        "ni",
+        "sz",
+        "szz",
+        F.sum("ni").over(w_all).cast("bigint").alias("n"),
+        F.sum("sz").over(w_all).cast("bigint").alias("szg"),
+        F.count(F.lit(1)).over(w_all).alias("k"),
+    )
+    nid = F.col("ni").cast("double")
+    szd = F.col("sz").cast("double")
+    dev = szd / nid - F.col("szg").cast("double") / F.col("n").cast("double")
+    terms = tot.select(
+        "seg",
+        "n",
+        "k",
+        (nid * dev * dev).alias("num_i"),
+        (F.col("szz").cast("double") - szd * szd / nid).alias("den_i"),
+    )
+
+    def ordered_sum(col: str) -> F.Column:
+        arr = F.array_sort(F.collect_list(F.struct(F.col("seg"), F.col(col))))
+        return F.aggregate(
+            arr, F.lit(0.0), lambda acc, x: acc + x[col]
+        )
+
+    w_mult = (F.col("n") - F.col("k")).cast("double") / (
+        F.col("k") - 1
+    ).cast("double")
+    return (
+        terms.groupBy("k", "n")
+        .agg(
+            ordered_sum("num_i").alias("num"),
+            ordered_sum("den_i").alias("den"),
+        )
+        .select(
+            F.col("k").cast("bigint").alias("k"),
+            "n",
+            F.round(w_mult * F.col("num") / F.col("den"), 6).alias("w_stat"),
+        )
+    )
+
+
+@query(
+    "stats_grubbs_outlier",
+    oracle=f"""
+    WITH cents AS (
+      SELECT o_orderpriority AS priority,
+             {_CENTS_SQL.format(c='o_totalprice')} AS v
+      FROM orders
+    ),
+    g AS (
+      SELECT priority,
+        COUNT(*) AS n,
+        CAST(SUM(v) AS BIGINT) AS s,
+        CAST(SUM(CAST(v AS DECIMAL(19,0)) * CAST(v AS DECIMAL(19,0)))
+             AS DOUBLE) AS ssd,
+        CAST(MIN(v) AS BIGINT) AS mn,
+        CAST(MAX(v) AS BIGINT) AS mx
+      FROM cents GROUP BY 1
+    ),
+    st AS (
+      SELECT priority, n, mn, mx,
+        CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean_c,
+        SQRT(GREATEST(
+          (ssd - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+          / (n - 1), CAST(0 AS DOUBLE))) AS sd_c
+      FROM g WHERE n >= 2
+    )
+    SELECT priority, n,
+      ROUND(mean_c / 100, 6) AS mean_price,
+      ROUND(sd_c / 100, 6) AS stdev_price,
+      ROUND(GREATEST(CAST(mx AS DOUBLE) - mean_c, mean_c - CAST(mn AS DOUBLE))
+            / sd_c, 6) AS g_stat,
+      CASE WHEN mean_c - CAST(mn AS DOUBLE) > CAST(mx AS DOUBLE) - mean_c
+           THEN CAST(mn AS DOUBLE) / 100 ELSE CAST(mx AS DOUBLE) / 100 END
+        AS outlier_value,
+      ROUND(GREATEST(CAST(mx AS DOUBLE) - mean_c, mean_c - CAST(mn AS DOUBLE))
+            / sd_c, 6) > 3.0 AS is_outlier
+    FROM st
+    """,
+)
+def stats_grubbs_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs' max-normed-residual outlier test per order priority: G =
+    max|x - mean| / s, with the candidate outlier value itself.
+
+    The extreme deviation is always attained at the sample min or max, so
+    G needs only (n, sum, sumsq, min, max) — one aggregation, no ranked
+    scan. Cents are BIGINT; the square sum runs in DECIMAL(19,0)^2 ->
+    DECIMAL(38,0) (int128 in DuckDB per lesson 13, exact in both engines);
+    mean/variance/sqrt are then IEEE ops on identical doubles. The 3.0
+    flag threshold compares the ROUNDED statistic (a conservative fixed
+    critical value standing in for the t-quantile, which neither engine
+    can compute deterministically).
+
+    At 100 TB: one fact scan with map-side combine into a 5-row rollup.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    v = _cents("o_totalprice")
+    g = (
+        o.select(F.col("o_orderpriority").alias("priority"), v.alias("v"))
+        .groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("s"),
+            F.sum(
+                F.col("v").cast("decimal(19,0)") * F.col("v").cast("decimal(19,0)")
+            )
+            .cast("double")
+            .alias("ssd"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+        )
+        .where(F.col("n") >= 2)
+    )
+    nd = F.col("n").cast("double")
+    sd_ = F.col("s").cast("double")
+    mean_c = sd_ / nd
+    sd_c = F.sqrt(
+        F.greatest(
+            (F.col("ssd") - sd_ * sd_ / nd) / (F.col("n") - 1), F.lit(0.0)
+        )
+    )
+    mnd, mxd = F.col("mn").cast("double"), F.col("mx").cast("double")
+    g_stat = F.round(F.greatest(mxd - mean_c, mean_c - mnd) / sd_c, 6)
+    return g.select(
+        "priority",
+        "n",
+        F.round(mean_c / 100, 6).alias("mean_price"),
+        F.round(sd_c / 100, 6).alias("stdev_price"),
+        g_stat.alias("g_stat"),
+        F.when(mean_c - mnd > mxd - mean_c, mnd / 100)
+        .otherwise(mxd / 100)
+        .alias("outlier_value"),
+        (g_stat > 3.0).alias("is_outlier"),
+    )
+
+
+@query(
+    "stats_isotonic_pava_monthly",
+    oracle="""
+    WITH RECURSIVE monthly AS (
+      SELECT o_orderpriority AS priority,
+        strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+        CAST(strftime(o_orderdate, '%Y') AS INT) * 12
+          + CAST(strftime(o_orderdate, '%m') AS INT) AS midx,
+        COUNT(*) AS n_orders,
+        CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+          AS cents
+      FROM orders GROUP BY 1, 2, 3
+    ),
+    ordered AS (
+      SELECT *,
+        ROW_NUMBER() OVER (PARTITION BY priority ORDER BY midx) AS rn,
+        COUNT(*) OVER (PARTITION BY priority) AS cnt
+      FROM monthly
+    ),
+    pava AS (
+      SELECT priority, cnt, CAST(2 AS BIGINT) AS nxt,
+             [cents] AS scs, [n_orders] AS sws,
+             [CAST(1 AS BIGINT)] AS starts
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT p.priority, p.cnt,
+        CASE WHEN len(p.scs) >= 2
+                  AND p.scs[-1] * p.sws[-2] < p.scs[-2] * p.sws[-1]
+             THEN p.nxt ELSE p.nxt + 1 END AS nxt,
+        CASE WHEN len(p.scs) >= 2
+                  AND p.scs[-1] * p.sws[-2] < p.scs[-2] * p.sws[-1]
+             THEN list_append(p.scs[1:len(p.scs) - 2],
+                              p.scs[-2] + p.scs[-1])
+             ELSE list_append(p.scs, t.cents) END AS scs,
+        CASE WHEN len(p.scs) >= 2
+                  AND p.scs[-1] * p.sws[-2] < p.scs[-2] * p.sws[-1]
+             THEN list_append(p.sws[1:len(p.sws) - 2],
+                              p.sws[-2] + p.sws[-1])
+             ELSE list_append(p.sws, t.n_orders) END AS sws,
+        CASE WHEN len(p.scs) >= 2
+                  AND p.scs[-1] * p.sws[-2] < p.scs[-2] * p.sws[-1]
+             THEN p.starts[1:len(p.starts) - 1]
+             ELSE list_append(p.starts, p.nxt) END AS starts
+      FROM pava p
+      LEFT JOIN ordered t ON t.priority = p.priority AND t.rn = p.nxt
+      WHERE (len(p.scs) >= 2
+             AND p.scs[-1] * p.sws[-2] < p.scs[-2] * p.sws[-1])
+            OR p.nxt <= p.cnt
+    ),
+    final AS (
+      SELECT * FROM pava
+      WHERE nxt = cnt + 1
+        AND NOT (len(scs) >= 2 AND scs[-1] * sws[-2] < scs[-2] * sws[-1])
+    ),
+    pools AS (
+      SELECT priority, cnt,
+        UNNEST(range(1, len(scs) + 1)) AS i, scs, sws, starts
+      FROM final
+    ),
+    spans AS (
+      SELECT priority, scs[i] AS sc, sws[i] AS sw, starts[i] AS s,
+        CASE WHEN i = len(starts) THEN cnt ELSE starts[i + 1] - 1 END AS e
+      FROM pools
+    )
+    SELECT o.priority, o.month, o.n_orders,
+      ROUND(CAST(p.sc AS DOUBLE) / CAST(p.sw AS DOUBLE) / 100, 6)
+        AS fitted_price
+    FROM ordered o
+    JOIN spans p ON p.priority = o.priority AND o.rn BETWEEN p.s AND p.e
+    """,
+)
+def stats_isotonic_pava_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (monotone non-decreasing) regression of the mean order value
+    over months, per priority, via POOL-ADJACENT-VIOLATORS — the classic
+    calibration / monotone-trend fit (weights = monthly order counts).
+
+    PAVA is inherently sequential per series (the pool stack is
+    random-access state), so the fold runs as grouped-Arrow applyInPandas —
+    the same justified Python boundary as events_ewma_per_user and the FFD
+    bin fold — over the (priority, month) ROLLUP, never raw orders. The
+    pool state is INTEGER (cents sum, weight sum) so every merge decision
+    is an exact cross-multiplication (level_a < level_b iff
+    sc_a*sw_b < sc_b*sw_a), and the oracle replays the identical fold as a
+    DuckDB recursive-CTE state machine carrying the pool stack in LIST
+    columns (one merge-or-push step per iteration, the FFD recipe). The
+    final level divides int-exact sums in double (< 2^53, so Python and
+    SQL divisions see identical operands).
+
+    At 100 TB: parallelism = series count; each series is a months-long
+    rollup, collectable by one task by construction.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("midx"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(_cents("o_totalprice")).alias("cents"),
+    )
+
+    def pava(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("midx").reset_index(drop=True)
+        # pool stack: [cents_sum, weight_sum, start_row_index]
+        pools: list[list[int]] = []
+        for i in range(len(pdf)):
+            pools.append(
+                [int(pdf["cents"].iloc[i]), int(pdf["n_orders"].iloc[i]), i]
+            )
+            while (
+                len(pools) >= 2
+                and pools[-1][0] * pools[-2][1] < pools[-2][0] * pools[-1][1]
+            ):
+                sc, sw, _ = pools.pop()
+                pools[-1][0] += sc
+                pools[-1][1] += sw
+        fitted = [0.0] * len(pdf)
+        for j, (sc, sw, start) in enumerate(pools):
+            end = pools[j + 1][2] if j + 1 < len(pools) else len(pdf)
+            for r in range(start, end):
+                fitted[r] = sc / sw / 100
+        out = pdf[["priority", "month", "n_orders"]].copy()
+        out["fitted_price"] = pd.Series(fitted, dtype="float64")
+        return out
+
+    fit = monthly.groupBy("priority").applyInPandas(
+        pava,
+        schema="priority string, month string, n_orders bigint, "
+        "fitted_price double",
+    )
+    return fit.select(
+        "priority", "month", "n_orders", F.round("fitted_price", 6).alias("fitted_price")
+    )

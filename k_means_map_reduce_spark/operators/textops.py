@@ -1952,3 +1952,61 @@ def text_ngram_novelty_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(uniq.cast("double") / F.count(F.lit(1)), 6).alias("novelty"),
         )
     )
+
+
+@query(
+    "text_tokenizer_fertility_by_lang",
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT lang,
+        CAST(len(list_filter(string_split_regex(TRIM(LOWER(text)), '\\s+'),
+                             t -> t != '')) AS BIGINT) AS n_words,
+        CAST(len(regexp_extract_all(text, '{_TOKEN_RE}')) AS BIGINT) AS n_toks
+      FROM documents
+    )
+    SELECT lang,
+      COUNT(*) AS n_docs,
+      CAST(SUM(n_words) AS BIGINT) AS n_words,
+      CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+      CASE WHEN SUM(n_words) > 0 THEN
+        ROUND(CAST(SUM(n_toks) AS DOUBLE) / CAST(SUM(n_words) AS DOUBLE), 6)
+      END AS fertility
+    FROM per_doc GROUP BY 1
+    """,
+)
+def text_tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY per language: subword tokens (the BPE-ish
+    pre-tokenizer regex, functions/text.py:token_count) per whitespace
+    word — the standard multilingual-tokenizer efficiency metric (a lang
+    whose fertility runs high pays more sequence length per word, skewing
+    compute budgets and mixture math).
+
+    Determinism: both counts are integer regex/split cardinalities; the
+    ratio divides exact BIGINTs in double, guarded for empty corpora.
+
+    At 100 TB: one scan, two counting projections, a 5-row rollup with
+    map-side combine — text never shuffles.
+    """
+    from ..functions.text import token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    words = F.size(
+        F.filter(F.split(F.trim(F.lower("text")), r"\s+"), lambda t: t != "")
+    ).cast("bigint")
+    per_doc = d.select(
+        "lang",
+        words.alias("n_words"),
+        token_count(F.col("text")).cast("bigint").alias("n_toks"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").alias("n_words"),
+        F.sum("n_toks").alias("n_tokens"),
+        F.when(
+            F.sum("n_words") > 0,
+            F.round(
+                F.sum("n_toks").cast("double") / F.sum("n_words").cast("double"),
+                6,
+            ),
+        ).alias("fertility"),
+    )

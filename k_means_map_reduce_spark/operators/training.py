@@ -1422,3 +1422,349 @@ def drift_psi_totalprice_train_test(spark: SparkSession, sf_dir: str) -> DataFra
             5,
         ).alias("psi_total"),
     )
+
+
+_DSIR_BUCKETS = 4096  # hashed-bigram feature space (DSIR's n-gram buckets)
+
+
+@query(
+    "training_dsir_importance_weights",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+        list_filter(string_split(LOWER(regexp_replace(TRIM(text), '\\s+', ' ', 'g')), ' '),
+                    t -> t != '') AS toks
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, lang,
+        CAST(CONCAT('0x', substr(md5('dsir:' ||
+          array_to_string(list_slice(toks, i, i + 1), ' ')), 1, 8)) AS BIGINT)
+          % {_DSIR_BUCKETS} AS b
+      FROM (
+        SELECT doc_id, lang, toks, UNNEST(range(1, len(toks))) AS i
+        FROM toks WHERE len(toks) >= 2
+      )
+    ),
+    cnts AS (
+      SELECT b,
+        COUNT(*) AS cp,
+        COUNT(CASE WHEN lang = 'en' THEN 1 END) AS ct
+      FROM bg GROUP BY 1
+    ),
+    tots AS (
+      SELECT CAST(SUM(cp) AS BIGINT) AS tp, CAST(SUM(ct) AS BIGINT) AS tt
+      FROM cnts
+    ),
+    w AS (
+      SELECT b,
+        ROUND(LN(CAST((ct + 1) * (tp + {_DSIR_BUCKETS}) AS DOUBLE)
+                 / CAST((cp + 1) * (tt + {_DSIR_BUCKETS}) AS DOUBLE)), 6) AS wb
+      FROM cnts CROSS JOIN tots
+    ),
+    docb AS (
+      SELECT doc_id, lang, b, COUNT(*) AS n FROM bg GROUP BY 1, 2, 3
+    )
+    SELECT doc_id, lang,
+      CAST(SUM(n) AS BIGINT) AS n_bigrams,
+      CAST(SUM(n * CAST(wb AS DECIMAL(18,6))) AS DOUBLE) AS log_weight
+    FROM docb JOIN w USING (b)
+    GROUP BY 1, 2
+    """,
+)
+def training_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (Xie et al., Data Selection via
+    Importance Resampling): per-document log importance
+    log p_target(x) - log p_proxy(x) under hashed-bigram bag models —
+    target = the English slice, proxy = the whole corpus; documents whose
+    bigram profile looks target-like score high and would be upsampled.
+
+    Features are word bigrams hashed into {b} buckets with the PORTABLE
+    md5 family (never xxhash64 — no second engine could replay it);
+    bucket weights are add-1-smoothed log count ratios folded into ONE
+    ln per bucket (integer products stay < 2^53, so both engines see the
+    identical double argument), rounded to 6dp then decimal-summed with
+    per-doc bucket multiplicities (lesson 10's transcendental
+    discipline, the text_unigram_cross_entropy recipe verbatim).
+
+    At 100 TB: the weight table is at most {b} rows (broadcast-sized by
+    construction, independent of corpus size); docs reduce to (doc,
+    bucket) counts before the join, so text never shuffles.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(_NORM(F.col("text")), " "), lambda t: t != "")
+    base = d.select("doc_id", "lang", toks.alias("toks")).where(
+        F.size("toks") >= 2
+    )
+    gram = F.array_join(
+        F.slice(F.col("toks"), F.col("i"), 2), " "
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("dsir:"), gram)), 1, 8), 16, 10
+        ).cast("bigint")
+        % _DSIR_BUCKETS
+    )
+    bg = base.select(
+        "doc_id",
+        "lang",
+        F.explode(F.sequence(F.lit(1), F.size("toks") - 1)).alias("i"),
+        "toks",
+    ).select("doc_id", "lang", bucket.alias("b"))
+    cnts = bg.groupBy("b").agg(
+        F.count(F.lit(1)).alias("cp"),
+        F.count(F.when(F.col("lang") == "en", 1)).alias("ct"),
+    )
+    tots = cnts.agg(
+        F.sum("cp").cast("bigint").alias("tp"),
+        F.sum("ct").cast("bigint").alias("tt"),
+    )
+    wb = F.round(
+        F.log(
+            ((F.col("ct") + 1) * (F.col("tp") + _DSIR_BUCKETS)).cast("double")
+            / ((F.col("cp") + 1) * (F.col("tt") + _DSIR_BUCKETS)).cast("double")
+        ),
+        6,
+    )
+    w = cnts.crossJoin(F.broadcast(tots)).select("b", wb.alias("wb"))
+    docb = bg.groupBy("doc_id", "lang", "b").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        docb.join(w, "b")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("n").alias("n_bigrams"),
+            # no further rounding: the decimal sum is exact, so its double
+            # cast is already bit-identical cross-engine (a 4dp ROUND here
+            # measured a .00005 half-tie divergence at sf0.001)
+            F.sum(F.col("n") * F.col("wb").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("log_weight"),
+        )
+    )
+
+
+@query(
+    "contamination_13gram_scorecard",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, source,
+        {_SPLIT_SQL_BUCKET} AS bucket,
+        list_distinct(list_transform(
+          list_transform(range(1, len(toks) - 11),
+            i -> array_to_string(list_slice(toks, i, i + 12), ' ')),
+          g -> hash(g))) AS gs
+      FROM (
+        SELECT doc_id, source,
+          list_filter(string_split(LOWER(regexp_replace(TRIM(text), '\\s+', ' ', 'g')), ' '),
+                      t -> t != '') AS toks
+        FROM documents
+      )
+      WHERE len(toks) >= 13
+    ),
+    te AS (SELECT doc_id, source, unnest(gs) AS g FROM base WHERE bucket >= 95),
+    tr AS (SELECT doc_id, unnest(gs) AS g FROM base WHERE bucket < 90),
+    hits AS (
+      SELECT te.source, te.doc_id AS test_doc,
+        COUNT(*) AS shared, COUNT(DISTINCT tr.doc_id) AS n_train_docs
+      FROM te JOIN tr USING (g)
+      GROUP BY 1, 2
+    ),
+    test_docs AS (
+      SELECT source, COUNT(*) AS n_test_docs
+      FROM base WHERE bucket >= 95 GROUP BY 1
+    )
+    SELECT t.source, t.n_test_docs,
+      COUNT(h.test_doc) AS contaminated_test_docs,
+      COALESCE(CAST(SUM(h.shared) AS BIGINT), 0) AS total_shared_13grams,
+      ROUND(CAST(COUNT(h.test_doc) AS DOUBLE) / CAST(t.n_test_docs AS DOUBLE),
+            6) AS contamination_rate
+    FROM test_docs t LEFT JOIN hits h ON h.source = t.source
+    GROUP BY 1, 2
+    """,
+)
+def contamination_13gram_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-contamination scorecard v2 at the 13-GRAM grain — the published
+    GPT-3/PaLM decontamination standard (a shared 13-token span is
+    essentially conclusive memorization evidence, so unlike the 5-gram
+    tier there is no >=2 floor and no document-frequency cap): per
+    source, how many of its TEST docs share any 13-gram with the train
+    split. Sources with zero hits still report via the LEFT join — an
+    all-clean scorecard is distinguishable from a missing source.
+
+    Cross-engine note: grams hash with each engine's own 64-bit hash
+    (intersection counts agree; hash values never compared — the
+    contamination_train_test_ngrams contract).
+
+    At 100 TB: distinct 13-gram digests + ids shuffle (never text); the
+    train side of the join is the only fact-scale relation and it joins
+    on the gram digest — an inverted-index equi-join, no quadratic path.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(_NORM(F.col("text")), " "), lambda t: t != "")
+    base = (
+        d.select("doc_id", "source", toks.alias("toks"))
+        .where(F.size("toks") >= 13)
+        .select(
+            "doc_id",
+            "source",
+            _bucket(F.col("doc_id")).alias("bucket"),
+            # greatest(...,1): the >=13 filter already excludes short docs,
+            # but ANSI vectorized eval can compute this projection on
+            # pre-filter rows (lesson 19) — a descending sequence through 0
+            # would crash slice(start=0)
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.size("toks") - 12, F.lit(1))),
+                    lambda i: F.xxhash64(
+                        F.array_join(F.slice(F.col("toks"), i, 13), " ")
+                    ),
+                )
+            ).alias("gs"),
+        )
+    )
+    te = base.where(F.col("bucket") >= 95).select(
+        "source", F.col("doc_id").alias("test_doc"), F.explode("gs").alias("g")
+    )
+    tr = base.where(F.col("bucket") < 90).select(
+        F.col("doc_id").alias("train_doc"), F.explode("gs").alias("g")
+    )
+    hits = (
+        te.join(tr, "g")
+        .groupBy("source", "test_doc")
+        .agg(
+            F.count(F.lit(1)).alias("shared"),
+            F.countDistinct("train_doc").alias("n_train_docs"),
+        )
+    )
+    test_docs = (
+        base.where(F.col("bucket") >= 95)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_test_docs"))
+    )
+    return (
+        test_docs.join(hits, "source", "left")
+        .groupBy("source", "n_test_docs")
+        .agg(
+            F.count("test_doc").alias("contaminated_test_docs"),
+            F.coalesce(F.sum("shared"), F.lit(0)).alias("total_shared_13grams"),
+            F.round(
+                F.count("test_doc").cast("double")
+                / F.col("n_test_docs").cast("double"),
+                6,
+            ).alias("contamination_rate"),
+        )
+    )
+
+
+@query(
+    "training_perplexity_mixture",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+        unnest(list_filter(string_split_regex(TRIM(LOWER(text)), '\\s+'), t -> t != ''))
+          AS tok
+      FROM documents
+      WHERE {_SPLIT_SQL_BUCKET} < 90
+    ),
+    vocab AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+    total AS (SELECT CAST(SUM(CAST(cnt AS BIGINT)) AS BIGINT) AS n_total FROM vocab),
+    scored AS (
+      SELECT t.doc_id, COUNT(*) AS n_tokens,
+        ROUND(
+          ln(CAST(n_total AS DOUBLE))
+          - CAST(SUM(CAST(ROUND(ln(CAST(v.cnt AS DOUBLE)), 6) AS DECIMAL(18,6))) AS DOUBLE)
+            / COUNT(*), 4) AS ce
+      FROM toks t JOIN vocab v USING (tok) CROSS JOIN total
+      GROUP BY t.doc_id, n_total
+    ),
+    staged AS (
+      SELECT *, CAST(NTILE(5) OVER (ORDER BY ce, doc_id) AS BIGINT) AS bucket
+      FROM scored
+    ),
+    tot2 AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS all_toks FROM staged)
+    SELECT bucket,
+      COUNT(*) AS n_docs,
+      CAST(SUM(n_tokens) AS BIGINT) AS bucket_tokens,
+      ROUND(CAST(SUM(n_tokens) AS DOUBLE) / CAST(all_toks AS DOUBLE), 6)
+        AS token_share,
+      ROUND(CAST(SUM(CAST(ce AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4)
+        AS avg_ce
+    FROM staged CROSS JOIN tot2
+    GROUP BY bucket, all_toks
+    """,
+)
+def training_perplexity_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-bucketed training mixture (the CCNet head/middle/tail
+    recipe, at quintile grain): score every train doc with the unigram-LM
+    cross-entropy proxy, split into 5 NTILE buckets over (score, doc_id),
+    and report each bucket's doc count, token mass, and mean score — the
+    table a pretraining data lead uses to set mixture weights.
+
+    Reuses text_unigram_cross_entropy's float discipline end-to-end
+    (round-6 ln -> decimal mean, final score at 4dp); the NTILE order is
+    total (rounded score, then doc_id) so bucket membership cannot flip
+    on a ulp; bucket means re-aggregate the ROUNDED 4dp scores as
+    decimals.
+
+    At 100 TB: the LM fits in one vocab aggregation (Heaps' law), scoring
+    is one explode->join->reduce pass, and the NTILE runs over the
+    per-DOC score rollup. Its single-task global sort swaps for a
+    two-phase range partition at extreme doc counts.
+    """
+    d = load_table(spark, sf_dir, "documents").where(
+        _bucket(F.col("doc_id")) < 90
+    )
+    toks_arr = F.filter(F.split(F.trim(F.lower("text")), r"\s+"), lambda t: t != "")
+    toks = d.select("doc_id", F.explode(toks_arr).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").cast("long").alias("n_total"))
+    scored = (
+        toks.join(vocab, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id", "n_total")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (
+                F.sum(
+                    F.round(F.log(F.col("cnt").cast("double")), 6).cast(
+                        "decimal(18,6)"
+                    )
+                ).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_ln_cnt"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(
+                F.log(F.col("n_total").cast("double")) - F.col("mean_ln_cnt"), 4
+            ).alias("ce"),
+        )
+    )
+    staged = scored.select(
+        "doc_id",
+        "n_tokens",
+        "ce",
+        F.ntile(5).over(Window.orderBy("ce", "doc_id")).cast("bigint").alias(
+            "bucket"
+        ),
+    )
+    tot2 = staged.agg(F.sum("n_tokens").cast("bigint").alias("all_toks"))
+    return (
+        staged.crossJoin(F.broadcast(tot2))
+        .groupBy("bucket", "all_toks")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("bucket_tokens"),
+            F.round(
+                F.sum("n_tokens").cast("double") / F.col("all_toks").cast("double"),
+                6,
+            ).alias("token_share"),
+            F.round(
+                F.sum(F.col("ce").cast("decimal(18,4)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_ce"),
+        )
+        .drop("all_toks")
+    )

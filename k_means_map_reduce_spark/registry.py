@@ -65,4 +65,5 @@ from .operators import analytics  # noqa: E402,F401
 from .operators import training  # noqa: E402,F401
 from .operators import reshape  # noqa: E402,F401
 from .operators import skew  # noqa: E402,F401
+from .operators import stats_tests  # noqa: E402,F401
 from .streaming import jobs as _streaming_jobs  # noqa: E402,F401

@@ -398,8 +398,10 @@ def test_no_forced_broadcast_of_catalog_scaling_tables():
         "operators/tpcds_shapes.py": {"n"},
         "operators/tpch_extra.py": {"n1", "n2", "r", "thresh"},
         "operators/tpch_full.py": {"mx", "n", "r", "total"},
-        # bounds = 1-row min/max aggregate (PSI bin edges)
-        "operators/training.py": {"bounds", "epochs", "j", "offsets", "tot"},
+        # bounds = 1-row min/max aggregate (PSI bin edges); tots/total/tot2 =
+        # 1-row corpus totals (DSIR normalizers, perplexity-mixture shares)
+        "operators/training.py": {"bounds", "epochs", "j", "offsets", "tot",
+                                  "tots", "total", "tot2"},
         "operators/windows.py": {"n", "r"},
         "sources/sinks.py": {"updates.select"},  # CDC delta keys
         "streaming/jobs.py": {"dim", "mstats", "sketch"},
