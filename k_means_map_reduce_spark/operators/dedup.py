@@ -1555,3 +1555,121 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("dup_rate"),
     )
+
+
+_PFC_CACHE = SessionMemo("dedup.prefix_cosine")
+
+
+@query(
+    "dedup_prefix_filter_cosine",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+        list_distinct(list_transform(
+          list_transform(
+            range(1, greatest(len(toks) - 1, 1)),
+            i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]
+          ),
+          g -> hash(g)
+        )) AS hs
+      FROM (
+        SELECT doc_id,
+               list_filter(string_split(LOWER(regexp_replace(TRIM(text), '\\s+', ' ', 'g')), ' '), t -> t != '') AS toks
+        FROM documents
+      )
+      WHERE len(toks) >= 3
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        CAST(len(list_intersect(a.hs, b.hs)) AS BIGINT) AS o,
+        CAST(len(a.hs) AS BIGINT) AS sa,
+        CAST(len(b.hs) AS BIGINT) AS sb
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+      ROUND(CAST(o AS DOUBLE)
+            / SQRT(CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE)), 6) AS cosine
+    FROM pairs
+    WHERE 100 * o * o >= 49 * sa * sb
+    """,
+)
+def dedup_prefix_filter_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-COSINE similarity self-join at cos >= 0.7 via prefix filtering —
+    the AllPairs trick carried from Jaccard into cosine space (Bayardo et
+    al. WWW'07 run their algorithm on exactly this binary-vector cosine):
+    cos(a,b) = |a n b| / sqrt(|a|*|b|) over 3-shingle sets.
+
+    The cosine prefix bound: cos >= t implies o >= t*sqrt(|a||b|), and
+    with |b| >= o that squares into o >= t^2 * max(|a|,|b|) — so indexing
+    each doc's first sz - ceil(t^2 * sz) + 1 shingles (global df-ascending
+    order, the rarest first) cannot miss a true pair, and the length
+    filter t^2 * max <= min prunes cross-size pairs. At t = 7/10 the
+    integer prefix length is sz - floor((49*sz + 99)/100) + 1 and BOTH
+    the final threshold and the length filter are exact integer
+    cross-multiplications (100*o^2 >= 49*sa*sb) — no float enters any
+    decision; recall is complete by theorem, so the op is EXACT and the
+    oracle is simply the quadratic join.
+
+    Scale shape: identical to dedup_prefix_filter_jaccard — candidates
+    meet only through rare prefix shingles, only digests shuffle, the
+    exact verify runs on the candidate set, and the persisted
+    intermediates are memoized with the output (round-7 ADVICE).
+    """
+    cached = _PFC_CACHE.get(spark, sf_dir)
+    if cached is not None:
+        return cached[0]
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(_NORM(F.col("text")), " "), lambda t: t != "")
+    docs = (
+        d.select("doc_id", shingles(F.col("text")).alias("grams"))
+        .where(F.size(toks) >= 3)
+        .select("doc_id", "grams", F.size("grams").alias("sz"))
+        .persist()
+    )
+    g = docs.select("doc_id", "sz", F.explode("grams").alias("gram")).select(
+        "doc_id", "sz", "gram", F.xxhash64("gram").alias("gid")
+    )
+    df_gram = g.groupBy("gid").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("gram").asc())
+    # prefix length for t = 7/10: sz - ceil(49*sz/100) + 1, all-integer
+    prefix_len = F.col("sz") - F.floor((49 * F.col("sz") + 99) / 100) + 1
+    prefix = (
+        g.join(df_gram, "gid")
+        .select(
+            "doc_id", "sz", "gid",
+            F.row_number().over(w).alias("pos"),
+            prefix_len.alias("plen"),
+        )
+        .where(F.col("pos") <= F.col("plen"))
+        .select("doc_id", "sz", "gid")
+        .persist()
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.gid") == F.col("b.gid"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # length filter: cos >= 7/10 needs 49*max <= 100*min
+            & (49 * F.greatest("a.sz", "b.sz") <= 100 * F.least("a.sz", "b.sz")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    hs = docs.select(
+        "doc_id",
+        F.array_distinct(F.transform("grams", lambda s: F.xxhash64(s))).alias("hs"),
+    )
+    ha = hs.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
+    hb = hs.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
+    o = F.size(F.array_intersect("hs_a", "hs_b")).cast("bigint")
+    sa = F.size("hs_a").cast("bigint")
+    sb = F.size("hs_b").cast("bigint")
+    cos = o.cast("double") / F.sqrt(sa.cast("double") * sb.cast("double"))
+    out = (
+        cand.join(ha, "doc_a")
+        .join(hb, "doc_b")
+        .where(100 * o * o >= 49 * sa * sb)
+        .select("doc_a", "doc_b", F.round(cos, 6).alias("cosine"))
+    )
+    return _PFC_CACHE.put(spark, sf_dir, (out, docs, prefix))[0]

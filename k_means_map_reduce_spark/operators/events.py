@@ -1141,3 +1141,186 @@ def events_top_percentile_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.where(
         F.col("rk") <= F.ceil(0.01 * F.col("n_users")).cast("long")
     ).select("event_type", "user_id", "n_events", F.col("rk").cast("long").alias("rk"))
+
+
+@query(
+    "events_markov_top_transitions_by_segment",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, COUNT(*) AS n_ev FROM events GROUP BY 1
+    ),
+    seg AS (
+      SELECT user_id,
+        CASE NTILE(3) OVER (ORDER BY n_ev, user_id)
+          WHEN 1 THEN 'light' WHEN 2 THEN 'medium' ELSE 'heavy' END AS segment
+      FROM per_user
+    ),
+    ordered AS (
+      SELECT e.user_id, s.segment, e.event_type,
+        LEAD(e.event_type) OVER (
+          PARTITION BY e.user_id
+          ORDER BY epoch_us(CAST(e.ts AS TIMESTAMP)), e.event_id) AS nxt
+      FROM events e JOIN seg s ON s.user_id = e.user_id
+    ),
+    trans AS (
+      SELECT segment, event_type AS a, nxt AS b, CAST(COUNT(*) AS BIGINT) AS n
+      FROM ordered WHERE nxt IS NOT NULL GROUP BY 1, 2, 3
+    ),
+    ranked AS (
+      SELECT *,
+        CAST(SUM(n) OVER (PARTITION BY segment) AS BIGINT) AS seg_total,
+        ROW_NUMBER() OVER (PARTITION BY segment ORDER BY n DESC, a, b) AS rk
+      FROM trans
+    )
+    SELECT segment, a, b, n,
+      ROUND(CAST(n AS DOUBLE) / CAST(seg_total AS DOUBLE), 6) AS p,
+      CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 5
+    """,
+)
+def events_markov_top_transitions_by_segment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top-5 behavior transitions (event_type a -> b) per USER SEGMENT —
+    segments are activity terciles (light/medium/heavy by event count,
+    NTILE over a total order), so the table answers 'do power users
+    navigate differently?'. The per-segment sibling of the global
+    transition matrix / entropy-rate pair.
+
+    Determinism: integer transition counts, NTILE over (n_ev, user_id)
+    and ROW_NUMBER over (n desc, a, b) are both total orders; p divides
+    exact BIGINTs.
+
+    Scale shape: one user_id-partitioned LEAD (the transition shuffle),
+    a per-user rollup for the segmentation (its global NTILE runs over
+    user-dimension rows; two-phase range partition at extreme user
+    counts), then everything reduces on the (segment, a, b) grain.
+    """
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_ev"))
+    tile = F.ntile(3).over(Window.orderBy("n_ev", "user_id"))
+    seg = per_user.select(
+        "user_id",
+        F.when(tile == 1, "light")
+        .when(tile == 2, "medium")
+        .otherwise("heavy")
+        .alias("segment"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros(F.col("ts").cast("timestamp")), "event_id"
+    )
+    ordered = e.join(seg, "user_id").select(
+        "segment",
+        "event_type",
+        F.lead("event_type").over(w).alias("nxt"),
+    )
+    trans = (
+        ordered.where(F.col("nxt").isNotNull())
+        .groupBy("segment", F.col("event_type").alias("a"), F.col("nxt").alias("b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    ranked = trans.select(
+        "segment",
+        "a",
+        "b",
+        "n",
+        F.sum("n").over(Window.partitionBy("segment")).cast("bigint").alias(
+            "seg_total"
+        ),
+        F.row_number()
+        .over(Window.partitionBy("segment").orderBy(F.col("n").desc(), "a", "b"))
+        .cast("bigint")
+        .alias("rk"),
+    )
+    return ranked.where(F.col("rk") <= 5).select(
+        "segment",
+        "a",
+        "b",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.col("seg_total").cast("double"), 6
+        ).alias("p"),
+        "rk",
+    )
+
+
+@query(
+    "events_session_depth_distribution",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+        CASE WHEN CAST(ts AS TIMESTAMP)
+                  - LAG(CAST(ts AS TIMESTAMP)) OVER (
+                      PARTITION BY user_id
+                      ORDER BY CAST(ts AS TIMESTAMP), event_id)
+                  >= INTERVAL 5 MINUTE
+             THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id,
+        SUM(new_session) OVER (
+          PARTITION BY user_id ORDER BY ts, new_session
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM ordered
+    ),
+    depth AS (
+      SELECT user_id, session_id, COUNT(*) AS n_events
+      FROM sessions GROUP BY 1, 2
+    ),
+    bucketed AS (
+      SELECT CASE WHEN n_events >= 11 THEN '11+'
+                  WHEN n_events >= 6 THEN '6-10'
+                  ELSE CAST(n_events AS VARCHAR) END AS depth_bucket,
+             n_events
+      FROM depth
+    ),
+    tot AS (SELECT COUNT(*) AS n_sessions_total FROM depth)
+    SELECT depth_bucket,
+      COUNT(*) AS n_sessions,
+      CAST(SUM(n_events) AS BIGINT) AS total_events,
+      ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(n_sessions_total AS DOUBLE), 6)
+        AS share
+    FROM bucketed CROSS JOIN tot
+    GROUP BY depth_bucket, n_sessions_total
+    """,
+)
+def events_session_depth_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Session DEPTH distribution: events-per-session histogram (1..5
+    exact, then 6-10 and 11+ bands) with each band's share of all
+    sessions — the engagement-shape report product teams read next to
+    retention. Sessions are the same 5-minute-gap windows as
+    events_session_windows (session_window() on the Spark side, the
+    gaps-and-islands LAG + running-SUM construction in the oracle).
+
+    Scale shape: one user_id-partitioned session assignment, a
+    per-session count, then a ~7-row band rollup; the 1-row total rides
+    a broadcast.
+    """
+    e = load_table(spark, sf_dir, "events")
+    depth = e.groupBy(
+        F.session_window("ts", "5 minutes").alias("w"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    bucket = (
+        F.when(F.col("n_events") >= 11, "11+")
+        .when(F.col("n_events") >= 6, "6-10")
+        .otherwise(F.col("n_events").cast("string"))
+    )
+    tot = depth.agg(F.count(F.lit(1)).alias("n_sessions_total"))
+    return (
+        depth.select(bucket.alias("depth_bucket"), "n_events")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("depth_bucket", "n_sessions_total")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("total_events"),
+            F.round(
+                F.count(F.lit(1)).cast("double")
+                / F.col("n_sessions_total").cast("double"),
+                6,
+            ).alias("share"),
+        )
+        .drop("n_sessions_total")
+    )

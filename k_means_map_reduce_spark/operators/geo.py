@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .._memo import SessionMemo
 from ..registry import query
 from ..sources import load_table
 
@@ -406,3 +407,438 @@ def geo_nearest_hub_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("sq_dist").alias("max_sq_dist"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-8 geo additions: shoelace area/centroid, geohash base32, ring KNN.
+# ---------------------------------------------------------------------------
+
+@query(
+    "geo_polygon_area_centroid",
+    oracle=f"""
+    WITH pts AS ({_PTS_SQL}),
+    edge_terms AS (
+      SELECT pid,
+        COUNT(*) AS n_vertices,
+        CAST(SUM(CAST(x1 AS BIGINT) * y2 - CAST(x2 AS BIGINT) * y1)
+             AS BIGINT) AS a2,
+        CAST(SUM((CAST(x1 AS BIGINT) + x2)
+                 * (CAST(x1 AS BIGINT) * y2 - CAST(x2 AS BIGINT) * y1))
+             AS BIGINT) AS cx6,
+        CAST(SUM((CAST(y1 AS BIGINT) + y2)
+                 * (CAST(x1 AS BIGINT) * y2 - CAST(x2 AS BIGINT) * y1))
+             AS BIGINT) AS cy6
+      FROM {_edges_sql()}
+      GROUP BY 1
+    ),
+    crossings AS (
+      SELECT p.custkey, e.pid,
+        SUM(CASE WHEN (e.y1 > p.ilat) <> (e.y2 > p.ilat)
+                  AND SIGN(e.y2 - e.y1)
+                      * ((e.x2 - e.x1) * (p.ilat - e.y1)
+                         - (p.ilon - e.x1) * (e.y2 - e.y1)) > 0
+             THEN 1 ELSE 0 END) AS n_cross
+      FROM pts p CROSS JOIN {_edges_sql()}
+      GROUP BY 1, 2
+    ),
+    inside AS (
+      SELECT pid, COUNT(*) AS n_inside
+      FROM crossings WHERE n_cross % 2 = 1 GROUP BY 1
+    )
+    SELECT t.pid AS polygon_id, t.n_vertices,
+      ABS(CAST(t.a2 AS DOUBLE)) / 2 AS area_sq_millideg,
+      ROUND(CAST(t.cx6 AS DOUBLE) / (3 * CAST(t.a2 AS DOUBLE)), 6)
+        AS centroid_lon,
+      ROUND(CAST(t.cy6 AS DOUBLE) / (3 * CAST(t.a2 AS DOUBLE)), 6)
+        AS centroid_lat,
+      COALESCE(i.n_inside, 0) AS n_inside,
+      ROUND(CAST(COALESCE(i.n_inside, 0) AS DOUBLE)
+            / (ABS(CAST(t.a2 AS DOUBLE)) / 2) * 1000000, 6)
+        AS density_per_sq_deg
+    FROM edge_terms t LEFT JOIN inside i ON i.pid = t.pid
+    """,
+)
+def geo_polygon_area_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygon area + centroid via the INTEGER SHOELACE formula, with the
+    point-in-polygon population joined on for a density report — the
+    geofence-sizing shape.
+
+    2A = sum(x1*y2 - x2*y1) and 6A*centroid = sum((x1+x2)*cross,
+    (y1+y2)*cross) are exact int64 sums over the edge ring (products
+    < 2^54 stay inside int64; the sums are 5-14 terms); only the final
+    area/centroid divisions run in double, on identical operands. The
+    inside count reuses the division-free ray-casting parity test.
+
+    Scale shape: the polygon dim is a literal broadcast; per-point work
+    is the bounded x|edges| crossing projection; everything else runs on
+    3-row rollups.
+    """
+    pts = _points(spark, sf_dir)
+    edges = spark.createDataFrame(
+        _edges(), "pid string, x1 long, y1 long, x2 long, y2 long"
+    )
+    cross = F.col("x1") * F.col("y2") - F.col("x2") * F.col("y1")
+    terms = edges.groupBy("pid").agg(
+        F.count(F.lit(1)).alias("n_vertices"),
+        F.sum(cross).alias("a2"),
+        F.sum((F.col("x1") + F.col("x2")) * cross).alias("cx6"),
+        F.sum((F.col("y1") + F.col("y2")) * cross).alias("cy6"),
+    )
+    cross_expr = (
+        ((F.col("y1") > F.col("ilat")) != (F.col("y2") > F.col("ilat")))
+        & (
+            F.signum((F.col("y2") - F.col("y1")).cast("double"))
+            * (
+                (F.col("x2") - F.col("x1")) * (F.col("ilat") - F.col("y1"))
+                - (F.col("ilon") - F.col("x1")) * (F.col("y2") - F.col("y1"))
+            )
+            > 0
+        )
+    )
+    inside = (
+        pts.crossJoin(F.broadcast(edges))
+        .groupBy("custkey", "pid")
+        .agg(F.sum(F.when(cross_expr, 1).otherwise(0)).alias("n_cross"))
+        .where(F.col("n_cross") % 2 == 1)
+        .groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("n_inside"))
+        .withColumnRenamed("pid", "ipid")
+    )
+    a2d = F.col("a2").cast("double")
+    area = F.abs(a2d) / 2
+    n_in = F.coalesce(F.col("n_inside"), F.lit(0))
+    return terms.join(
+        inside, F.col("pid") == F.col("ipid"), "left"
+    ).select(
+        F.col("pid").alias("polygon_id"),
+        "n_vertices",
+        area.alias("area_sq_millideg"),
+        F.round(F.col("cx6").cast("double") / (3 * a2d), 6).alias("centroid_lon"),
+        F.round(F.col("cy6").cast("double") / (3 * a2d), 6).alias("centroid_lat"),
+        n_in.alias("n_inside"),
+        F.round(n_in.cast("double") / area * 1000000, 6).alias(
+            "density_per_sq_deg"
+        ),
+    )
+
+
+_GH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"  # geohash base32
+_GH_BITS = 15  # bits per axis -> 30-bit code -> 6 base32 chars
+
+
+def _gh_interleave_sql(lon: str, lat: str) -> str:
+    """30-bit geohash interleave (lon at odd shift = MSB-first lon-lat
+    alternation), as portable SQL bit arithmetic."""
+    terms = [f"((({lon} >> {i}) & 1) << {2 * i + 1})" for i in range(_GH_BITS)]
+    terms += [f"((({lat} >> {i}) & 1) << {2 * i})" for i in range(_GH_BITS)]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _gh_deinterleave_sql(m: str, odd: int) -> str:
+    terms = [f"((({m} >> {2 * i + odd}) & 1) << {i})" for i in range(_GH_BITS)]
+    return "(" + " + ".join(terms) + ")"
+
+
+@query(
+    "geo_geohash_roundtrip",
+    oracle=f"""
+    WITH pts AS ({_PTS_SQL}),
+    cells AS (
+      SELECT custkey,
+        CAST(((ilon + 170000) * 32768) // 340000 AS BIGINT) AS blon,
+        CAST(((ilat + 60000) * 32768) // 120000 AS BIGINT) AS blat
+      FROM pts
+    ),
+    coded AS (
+      SELECT custkey, blon, blat,
+        {_gh_interleave_sql('blon', 'blat')} AS m
+      FROM cells
+    ),
+    hashed AS (
+      SELECT custkey, blon, blat, m,
+        substr('{_GH_ALPHABET}', CAST((m >> 25) & 31 AS INT) + 1, 1)
+        || substr('{_GH_ALPHABET}', CAST((m >> 20) & 31 AS INT) + 1, 1)
+        || substr('{_GH_ALPHABET}', CAST((m >> 15) & 31 AS INT) + 1, 1)
+        || substr('{_GH_ALPHABET}', CAST((m >> 10) & 31 AS INT) + 1, 1)
+        || substr('{_GH_ALPHABET}', CAST((m >> 5) & 31 AS INT) + 1, 1)
+        || substr('{_GH_ALPHABET}', CAST(m & 31 AS INT) + 1, 1) AS geohash
+      FROM coded
+    ),
+    decoded AS (
+      SELECT custkey, blon, blat, geohash,
+        (strpos('{_GH_ALPHABET}', substr(geohash, 1, 1)) - 1) * 33554432
+        + (strpos('{_GH_ALPHABET}', substr(geohash, 2, 1)) - 1) * 1048576
+        + (strpos('{_GH_ALPHABET}', substr(geohash, 3, 1)) - 1) * 32768
+        + (strpos('{_GH_ALPHABET}', substr(geohash, 4, 1)) - 1) * 1024
+        + (strpos('{_GH_ALPHABET}', substr(geohash, 5, 1)) - 1) * 32
+        + (strpos('{_GH_ALPHABET}', substr(geohash, 6, 1)) - 1) AS m2
+      FROM hashed
+    ),
+    verified AS (
+      SELECT custkey, geohash,
+        ({_gh_deinterleave_sql('m2', 1)} = blon
+         AND {_gh_deinterleave_sql('m2', 0)} = blat) AS ok
+      FROM decoded
+    )
+    SELECT substr(geohash, 1, 3) AS gh3,
+      COUNT(*) AS n_points,
+      BOOL_AND(ok) AS all_roundtrip_ok,
+      COUNT(DISTINCT geohash) AS n_cells,
+      MIN(custkey) AS min_custkey
+    FROM verified
+    GROUP BY 1
+    """,
+)
+def geo_geohash_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash BASE32 encode + decode round trip: 15-bit quantized lon/lat
+    interleaved MSB-first (lon leading — the geohash convention) into a
+    30-bit code rendered as 6 base32 chars, then decoded back and
+    verified bit-identical, rolled up by 3-char prefix (the prefix-join
+    locality property that makes geohash a sharding key: one prefix =
+    one contiguous cell).
+
+    Everything is integer bit arithmetic + alphabet lookups — both
+    engines compute the identical string; the round-trip BOOL_AND is an
+    executable proof the decode inverts the encode (pure arithmetic, no
+    float boundary).
+
+    Scale shape: stateless projection (one evaluation per row — this IS
+    a layout/key computation, lesson 25) then a prefix rollup with
+    map-side combine.
+    """
+    from functools import reduce
+
+    pts = _points(spark, sf_dir)
+    cells = pts.select(
+        "custkey",
+        F.floor(((F.col("ilon") + 170000) * 32768) / 340000)
+        .cast("bigint")
+        .alias("blon"),
+        F.floor(((F.col("ilat") + 60000) * 32768) / 120000)
+        .cast("bigint")
+        .alias("blat"),
+    )
+
+    def interleave(lon, lat):
+        parts = [
+            F.shiftleft(F.shiftright(lon, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+            for i in range(_GH_BITS)
+        ] + [
+            F.shiftleft(F.shiftright(lat, i).bitwiseAND(F.lit(1)), 2 * i)
+            for i in range(_GH_BITS)
+        ]
+        return reduce(lambda a, b: a + b, parts)
+
+    def deinterleave(m, odd):
+        parts = [
+            F.shiftleft(
+                F.shiftright(m, 2 * i + odd).bitwiseAND(F.lit(1)), i
+            )
+            for i in range(_GH_BITS)
+        ]
+        return reduce(lambda a, b: a + b, parts)
+
+    coded = cells.select(
+        "custkey", "blon", "blat",
+        interleave(F.col("blon"), F.col("blat")).alias("m"),
+    )
+    alpha = F.lit(_GH_ALPHABET)
+    char_at = lambda shift: F.substring(  # noqa: E731
+        alpha,
+        (F.shiftright(F.col("m"), shift).bitwiseAND(F.lit(31)) + 1).cast("int"),
+        1,
+    )
+    hashed = coded.select(
+        "custkey", "blon", "blat",
+        F.concat(*[char_at(s) for s in (25, 20, 15, 10, 5, 0)]).alias("geohash"),
+    )
+    dig = lambda pos, mul: (  # noqa: E731
+        F.instr(alpha, F.substring(F.col("geohash"), pos, 1)) - 1
+    ).cast("bigint") * mul
+    decoded = hashed.select(
+        "custkey", "blon", "blat", "geohash",
+        (
+            dig(1, 33554432) + dig(2, 1048576) + dig(3, 32768)
+            + dig(4, 1024) + dig(5, 32) + dig(6, 1)
+        ).alias("m2"),
+    )
+    verified = decoded.select(
+        "custkey",
+        "geohash",
+        (
+            (deinterleave(F.col("m2"), 1) == F.col("blon"))
+            & (deinterleave(F.col("m2"), 0) == F.col("blat"))
+        ).alias("ok"),
+    )
+    return verified.groupBy(
+        F.substring("geohash", 1, 3).alias("gh3")
+    ).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.bool_and("ok").alias("all_roundtrip_ok"),
+        F.countDistinct("geohash").alias("n_cells"),
+        F.min("custkey").alias("min_custkey"),
+    )
+
+
+_KNN_K = 3
+_KNN_CACHE = SessionMemo("geo.knn_ring")
+
+
+@query(
+    "geo_knn_ring_search",
+    oracle=f"""
+    WITH pts AS ({_PTS_SQL}),
+    cells AS (
+      SELECT custkey, ilat, ilon,
+             (ilon + 170000) // {_CELL} AS cx,
+             (ilat + 60000) // {_CELL} AS cy
+      FROM pts
+    ),
+    ring1 AS (
+      SELECT a.custkey AS qk, b.custkey AS nk,
+        (a.ilat - b.ilat) * (a.ilat - b.ilat)
+        + (a.ilon - b.ilon) * (a.ilon - b.ilon) AS sq_dist
+      FROM (
+        SELECT c.custkey, c.ilat, c.ilon, c.cx + d.dx AS cx, c.cy + d.dy AS cy
+        FROM cells c CROSS JOIN (
+          VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)
+        ) AS d(dx, dy)
+      ) a JOIN cells b ON a.cx = b.cx AND a.cy = b.cy
+      WHERE a.custkey <> b.custkey
+    ),
+    counts AS (SELECT qk, COUNT(*) AS cnt FROM ring1 GROUP BY 1),
+    satisfied AS (SELECT qk FROM counts WHERE cnt >= {_KNN_K}),
+    top1 AS (
+      SELECT qk, nk, sq_dist, rk, 1 AS ring FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY qk
+                                     ORDER BY sq_dist, nk) AS rk
+        FROM ring1 WHERE qk IN (SELECT qk FROM satisfied)
+      ) WHERE rk <= {_KNN_K}
+    ),
+    need AS (
+      SELECT custkey, ilat, ilon, cx, cy FROM cells
+      WHERE custkey NOT IN (SELECT qk FROM satisfied)
+    ),
+    ring2 AS (
+      SELECT a.custkey AS qk, b.custkey AS nk,
+        (a.ilat - b.ilat) * (a.ilat - b.ilat)
+        + (a.ilon - b.ilon) * (a.ilon - b.ilon) AS sq_dist
+      FROM (
+        SELECT n.custkey, n.ilat, n.ilon,
+               n.cx + d.dx AS cx, n.cy + d.dy AS cy
+        FROM need n
+        CROSS JOIN (
+          SELECT x.dx, y.dy
+          FROM (VALUES (-2),(-1),(0),(1),(2)) AS x(dx),
+               (VALUES (-2),(-1),(0),(1),(2)) AS y(dy)
+        ) d
+      ) a JOIN cells b ON a.cx = b.cx AND a.cy = b.cy
+      WHERE a.custkey <> b.custkey
+    ),
+    top2 AS (
+      SELECT qk, nk, sq_dist, rk, 2 AS ring FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY qk
+                                     ORDER BY sq_dist, nk) AS rk
+        FROM ring2
+      ) WHERE rk <= {_KNN_K}
+    )
+    SELECT qk AS custkey, CAST(rk AS BIGINT) AS rk, nk AS neighbor_key,
+           CAST(sq_dist AS BIGINT) AS sq_dist, ring
+    FROM (SELECT * FROM top1 UNION ALL SELECT * FROM top2)
+    """,
+)
+def geo_knn_ring_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RING-EXPANDING k-nearest-neighbor search (k=3): every point first
+    probes its 3x3 cell neighborhood; only points that found fewer than k
+    candidates there escalate to the 5x5 ring — the standard grid-index
+    KNN that touches exactly as many cells as the local density requires.
+    Points sparse even at 5x5 report what they found (the ring bound is
+    part of the op's semantics, like the proximity join's radius<=cell
+    contract; callers widen the ring to extend the guarantee).
+
+    Determinism: distances are exact integer squared milli-degrees; the
+    per-point top-k orders by (sq_dist, neighbor key) — a total order;
+    ring membership is driven by an integer candidate count, so the
+    escalation set is identical in both engines.
+
+    Scale shape: candidates meet ONLY through raw (cx, cy) equi-joins
+    (lesson 25) with bounded x9 / x25 probe fan-out — never a quadratic
+    radius join; the escalation side runs only on the sparse subset.
+    """
+    cached = _KNN_CACHE.get(spark, sf_dir)
+    if cached is not None:
+        return cached[0]
+    pts = _points(spark, sf_dir)
+    cells = pts.select(
+        "custkey",
+        "ilat",
+        "ilon",
+        F.floor((F.col("ilon") + 170000) / _CELL).alias("cx"),
+        F.floor((F.col("ilat") + 60000) / _CELL).alias("cy"),
+    )
+    build = cells.select(
+        F.col("custkey").alias("nk"),
+        F.col("ilat").alias("blat"),
+        F.col("ilon").alias("blon"),
+        F.col("cx").alias("bx"),
+        F.col("cy").alias("by"),
+    )
+
+    def ring_cands(src: DataFrame, reach: int) -> DataFrame:
+        offs = spark.createDataFrame(
+            [
+                (dx, dy)
+                for dx in range(-reach, reach + 1)
+                for dy in range(-reach, reach + 1)
+            ],
+            "dx long, dy long",
+        )
+        probe = src.crossJoin(F.broadcast(offs)).select(
+            F.col("custkey").alias("qk"),
+            F.col("ilat").alias("alat"),
+            F.col("ilon").alias("alon"),
+            (F.col("cx") + F.col("dx")).alias("px"),
+            (F.col("cy") + F.col("dy")).alias("py"),
+        )
+        dlat = F.col("alat") - F.col("blat")
+        dlon = F.col("alon") - F.col("blon")
+        return (
+            probe.join(
+                build,
+                (F.col("px") == F.col("bx")) & (F.col("py") == F.col("by")),
+            )
+            .where(F.col("qk") != F.col("nk"))
+            .select("qk", "nk", (dlat * dlat + dlon * dlon).alias("sq_dist"))
+        )
+
+    def topk(cand: DataFrame, ring: int) -> DataFrame:
+        w = Window.partitionBy("qk").orderBy("sq_dist", "nk")
+        return (
+            cand.select(
+                "qk", "nk", "sq_dist",
+                F.row_number().over(w).cast("bigint").alias("rk"),
+            )
+            .where(F.col("rk") <= _KNN_K)
+            .withColumn("ring", F.lit(ring))
+        )
+
+    ring1 = ring_cands(cells, 1).persist()
+    satisfied = (
+        ring1.groupBy("qk")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= _KNN_K)
+        .select("qk")
+    )
+    top1 = topk(ring1.join(satisfied, "qk", "left_semi"), 1)
+    need = cells.join(
+        satisfied.withColumnRenamed("qk", "custkey"), "custkey", "left_anti"
+    )
+    top2 = topk(ring_cands(need, 2), 2)
+    out = top1.unionAll(top2).select(
+        F.col("qk").alias("custkey"), "rk",
+        F.col("nk").alias("neighbor_key"), "sq_dist", "ring",
+    )
+    # memoized WITH the persisted ring1 so LRU eviction / clear_all_memos
+    # releases the pinned blocks (the round-7 ADVICE discipline — ring1
+    # feeds three consumers: counts, the semi-join, and top1)
+    return _KNN_CACHE.put(spark, sf_dir, (out, ring1))[0]

@@ -806,3 +806,176 @@ def sim_centroid_distance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, F.col("label_a") < F.col("label_b"))
         .select("label_a", "label_b", "n_a", "n_b", dist.alias("centroid_dist"))
     )
+
+
+_MMR_K = 5  # picks per query
+_MMR_POOL = 20  # relevance shortlist size fed into the re-rank
+
+
+def _mmr_oracle_sql() -> str:
+    """Unrolled k-round MMR CTE chain (the kmeans_elbow pattern): each round
+    re-scores the remaining shortlist against the accumulated picks and
+    takes the per-query argmax on the rounded comparator."""
+    base = f"""
+    WITH q AS (
+      SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
+      WHERE vec_id < {N_QUERY}
+    ),
+    scored AS (
+      SELECT q.q_id, e.vec_id,
+        ROUND(list_cosine_similarity(CAST(q.q_vec AS DOUBLE[]),
+                                     CAST(e.embedding AS DOUBLE[])), 6) AS rel
+      FROM q JOIN embeddings e ON e.vec_id != q.q_id
+    ),
+    sl AS (
+      SELECT q_id, vec_id, rel FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                     ORDER BY rel DESC, vec_id) AS rnk
+        FROM scored
+      ) WHERE rnk <= {_MMR_POOL}
+    ),
+    pw AS (
+      SELECT a.q_id, a.vec_id AS a, b.vec_id AS b,
+        ROUND(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                     CAST(eb.embedding AS DOUBLE[])), 6) AS s
+      FROM sl a
+      JOIN sl b ON a.q_id = b.q_id AND a.vec_id <> b.vec_id
+      JOIN embeddings ea ON ea.vec_id = a.vec_id
+      JOIN embeddings eb ON eb.vec_id = b.vec_id
+    ),
+    sel1 AS (
+      SELECT q_id, vec_id, rel AS mmr_score, 1 AS pick_order FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                     ORDER BY rel DESC, vec_id) AS rk
+        FROM sl
+      ) WHERE rk = 1
+    )"""
+    prev_union = "SELECT q_id, vec_id FROM sel1"
+    for t in range(2, _MMR_K + 1):
+        base += f""",
+    cand{t} AS (
+      SELECT s.q_id, s.vec_id, s.rel,
+        MAX(p.s) AS msim
+      FROM sl s
+      JOIN pw p ON p.q_id = s.q_id AND p.a = s.vec_id
+                AND p.b IN (SELECT vec_id FROM ({prev_union}) u
+                            WHERE u.q_id = s.q_id)
+      WHERE s.vec_id NOT IN (SELECT vec_id FROM ({prev_union}) u2
+                             WHERE u2.q_id = s.q_id)
+      GROUP BY s.q_id, s.vec_id, s.rel
+    ),
+    sel{t} AS (
+      SELECT q_id, vec_id, score AS mmr_score, {t} AS pick_order FROM (
+        SELECT q_id, vec_id,
+          ROUND(0.5 * rel - 0.5 * msim, 6) AS score,
+          ROW_NUMBER() OVER (PARTITION BY q_id
+            ORDER BY ROUND(0.5 * rel - 0.5 * msim, 6) DESC, vec_id) AS rk
+        FROM cand{t}
+      ) WHERE rk = 1
+    )"""
+        prev_union += f" UNION ALL SELECT q_id, vec_id FROM sel{t}"
+    picks = " UNION ALL ".join(
+        f"SELECT * FROM sel{t}" for t in range(1, _MMR_K + 1)
+    )
+    return base + f"""
+    SELECT q_id, vec_id, mmr_score, CAST(pick_order AS BIGINT) AS pick_order
+    FROM ({picks})
+    """
+
+
+@query("sim_mmr_rerank", oracle=_mmr_oracle_sql())
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-rank (Carbonell & Goldstein '98,
+    lambda = 0.5): greedily pick {k} results per query from the exact
+    top-{pool} relevance shortlist, each round maximizing
+    0.5*rel(q,d) - 0.5*max_{{s in picked}} sim(d, s) — the standard
+    diversity re-rank between retrieval and the context window.
+
+    The greedy loop is BOUNDED (k rounds over a {pool}-item shortlist),
+    so each round is a driver-free window argmax over rounded-decimal
+    comparators with vec_id tie-breaks (the reco_item_item_cosine rank
+    discipline), and the oracle replays all k rounds as an unrolled CTE
+    chain (the kmeans_elbow pattern). Pairwise sims exist only within
+    the shortlist (pool^2 per query, a constant).
+
+    At 100 TB: relevance scoring is the existing broadcast-query scan;
+    everything after runs on k*pool-row frames. The round loop builds a
+    k-deep plan — constant, and each round's frame is localCheckpointed
+    to keep the lineage flat (the k-core lesson 18a discipline).
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    scored = e.join(F.broadcast(q), F.col("vec_id") != F.col("q_id")).select(
+        "q_id",
+        "vec_id",
+        F.round(
+            cosine_similarity(F.col("q_vec"), F.col("embedding")), 6
+        ).alias("rel"),
+    )
+    w_rel = Window.partitionBy("q_id").orderBy(F.col("rel").desc(), "vec_id")
+    sl = (
+        scored.withColumn("rnk", F.row_number().over(w_rel))
+        .where(F.col("rnk") <= _MMR_POOL)
+        .drop("rnk")
+        .localCheckpoint(eager=False)
+    )
+    ea = e.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
+    eb = e.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
+    sla = sl.select("q_id", F.col("vec_id").alias("a"))
+    slb = sl.select(F.col("q_id").alias("q2"), F.col("vec_id").alias("b"))
+    pw = (
+        sla.join(slb, (F.col("q_id") == F.col("q2")) & (F.col("a") != F.col("b")))
+        .join(ea, "a")
+        .join(eb, "b")
+        .select(
+            "q_id", "a", "b",
+            F.round(cosine_similarity(F.col("va"), F.col("vb")), 6).alias("s"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    sel = (
+        sl.withColumn("rk", F.row_number().over(w_rel))
+        .where(F.col("rk") == 1)
+        .select(
+            "q_id", "vec_id",
+            F.col("rel").alias("mmr_score"),
+            F.lit(1).cast("bigint").alias("pick_order"),
+        )
+    )
+    picks = sel
+    for t in range(2, _MMR_K + 1):
+        chosen = picks.select("q_id", F.col("vec_id").alias("b"))
+        cand = sl.join(
+            picks.select("q_id", "vec_id"), ["q_id", "vec_id"], "left_anti"
+        )
+        # alias frames to keep the self-referencing join unambiguous
+        c = cand.select(
+            F.col("q_id").alias("cq"), F.col("vec_id").alias("cv"), "rel"
+        )
+        p_sel = pw.join(chosen, ["q_id", "b"], "left_semi").select(
+            F.col("q_id").alias("pq"), F.col("a").alias("pa"), "s"
+        )
+        msim = (
+            c.join(
+                p_sel,
+                (F.col("cq") == F.col("pq")) & (F.col("cv") == F.col("pa")),
+            )
+            .groupBy("cq", "cv", "rel")
+            .agg(F.max("s").alias("msim"))
+        )
+        score = F.round(0.5 * F.col("rel") - 0.5 * F.col("msim"), 6)
+        w_pick = Window.partitionBy("cq").orderBy(score.desc(), F.col("cv"))
+        pick_t = (
+            msim.withColumn("rk", F.row_number().over(w_pick))
+            .where(F.col("rk") == 1)
+            .select(
+                F.col("cq").alias("q_id"),
+                F.col("cv").alias("vec_id"),
+                score.alias("mmr_score"),
+                F.lit(t).cast("bigint").alias("pick_order"),
+            )
+        )
+        picks = picks.unionAll(pick_t).localCheckpoint(eager=False)
+    return picks
