@@ -3444,3 +3444,79 @@ def reco_item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= 5)
         .select("item", "other", "n_pair", "cosine", F.col("rnk").cast("int").alias("rnk"))
     )
+
+
+@query(
+    "orders_price_volume_mix",
+    oracle=f"""
+    WITH yearly AS (
+      SELECT o_orderpriority AS priority,
+        CAST(strftime(o_orderdate, '%Y') AS INT) AS yr,
+        COUNT(*) AS n_orders,
+        {sql_dsum('o_totalprice')} AS revenue
+      FROM orders GROUP BY 1, 2
+    ),
+    lagged AS (
+      SELECT *,
+        LAG(yr) OVER (PARTITION BY priority ORDER BY yr) AS prev_yr,
+        LAG(n_orders) OVER (PARTITION BY priority ORDER BY yr) AS prev_n,
+        LAG(revenue) OVER (PARTITION BY priority ORDER BY yr) AS prev_rev
+      FROM yearly
+    )
+    SELECT priority, yr,
+      ROUND(revenue - prev_rev, 4) AS delta_revenue,
+      ROUND((n_orders - prev_n) * (prev_rev / CAST(prev_n AS DOUBLE)), 4)
+        AS volume_effect,
+      ROUND(CAST(prev_n AS BIGINT)
+            * (revenue / CAST(n_orders AS DOUBLE)
+               - prev_rev / CAST(prev_n AS DOUBLE)), 4) AS price_effect,
+      ROUND((n_orders - prev_n)
+            * (revenue / CAST(n_orders AS DOUBLE)
+               - prev_rev / CAST(prev_n AS DOUBLE)), 4) AS mix_effect
+    FROM lagged
+    WHERE prev_yr = yr - 1
+    """,
+)
+def orders_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-volume-mix decomposition of year-over-year revenue change per
+    priority — the classic FP&A bridge: delta R = volume effect
+    ((n2-n1)*avg1) + price effect (n1*(avg2-avg1)) + mix/cross term
+    ((n2-n1)*(avg2-avg1)), which sum EXACTLY to the revenue delta by
+    construction (algebraic identity on the same operands).
+
+    Revenues are decimal-exact sums; averages divide identical doubles;
+    the 4dp rounding keeps >= 1e5 ulps of margin at these magnitudes
+    (the round-7 large-double rounding hazard stays far away).
+
+    At 100 TB: one fact aggregation to (priority, year); the bridge is a
+    LAG over the tiny rollup with the integer year adjacency guard.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    yearly = o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.year("o_orderdate").alias("yr"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("revenue"),
+    )
+    w = Window.partitionBy("priority").orderBy("yr")
+    lagged = yearly.select(
+        "priority",
+        "yr",
+        "n_orders",
+        "revenue",
+        F.lag("yr").over(w).alias("prev_yr"),
+        F.lag("n_orders").over(w).alias("prev_n"),
+        F.lag("revenue").over(w).alias("prev_rev"),
+    )
+    avg2 = F.col("revenue") / F.col("n_orders").cast("double")
+    avg1 = F.col("prev_rev") / F.col("prev_n").cast("double")
+    dn = F.col("n_orders") - F.col("prev_n")
+    return lagged.where(F.col("prev_yr") == F.col("yr") - 1).select(
+        "priority",
+        "yr",
+        F.round(F.col("revenue") - F.col("prev_rev"), 4).alias("delta_revenue"),
+        F.round(dn * avg1, 4).alias("volume_effect"),
+        F.round(F.col("prev_n") * (avg2 - avg1), 4).alias("price_effect"),
+        F.round(dn * (avg2 - avg1), 4).alias("mix_effect"),
+    )

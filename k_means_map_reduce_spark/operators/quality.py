@@ -633,3 +633,80 @@ def dq_freshness_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+@query(
+    "dq_referential_orphan_rates",
+    oracle="""
+    SELECT 'orders.o_custkey->customer' AS fk_edge,
+      (SELECT COUNT(*) FROM orders) AS n_child,
+      (SELECT COUNT(*) FROM orders o
+       WHERE NOT EXISTS (SELECT 1 FROM customer c
+                         WHERE c.c_custkey = o.o_custkey)) AS n_orphans,
+      (SELECT COUNT(DISTINCT o_custkey) FROM orders) AS n_child_keys
+    UNION ALL
+    SELECT 'lineitem.l_orderkey->orders',
+      (SELECT COUNT(*) FROM lineitem),
+      (SELECT COUNT(*) FROM lineitem l
+       WHERE NOT EXISTS (SELECT 1 FROM orders o
+                         WHERE o.o_orderkey = l.l_orderkey)),
+      (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem)
+    UNION ALL
+    SELECT 'lineitem.l_partkey->part',
+      (SELECT COUNT(*) FROM lineitem),
+      (SELECT COUNT(*) FROM lineitem l
+       WHERE NOT EXISTS (SELECT 1 FROM part p
+                         WHERE p.p_partkey = l.l_partkey)),
+      (SELECT COUNT(DISTINCT l_partkey) FROM lineitem)
+    UNION ALL
+    SELECT 'lineitem.l_suppkey->supplier',
+      (SELECT COUNT(*) FROM lineitem),
+      (SELECT COUNT(*) FROM lineitem l
+       WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                         WHERE s.s_suppkey = l.l_suppkey)),
+      (SELECT COUNT(DISTINCT l_suppkey) FROM lineitem)
+    """,
+)
+def dq_referential_orphan_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity profile over every FK edge of the star schema
+    in one report: child rows, orphan rows (anti-join), and distinct
+    child keys per edge — the cross-table complement of
+    dq_checks_orders' single-table battery (an all-zero orphan column is
+    the PROOF the star joins are safe to run without null-handling).
+
+    At 100 TB: each edge is one anti-join keyed on the FK (AQE picks
+    broadcast vs shuffle per dimension size) plus counts with map-side
+    combine; edges are independent and union at the 4-row report grain.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    c = load_table(spark, sf_dir, "customer")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+
+    def edge(name, child, fk, parent, pk):
+        orphans = child.join(
+            parent.select(pk), child[fk] == parent[pk], "left_anti"
+        )
+        return (
+            child.agg(
+                F.count(F.lit(1)).alias("n_child"),
+                F.countDistinct(fk).alias("n_child_keys"),
+            )
+            .crossJoin(orphans.agg(F.count(F.lit(1)).alias("n_orphans")))
+            .select(
+                F.lit(name).alias("fk_edge"),
+                "n_child",
+                "n_orphans",
+                "n_child_keys",
+            )
+        )
+
+    return (
+        edge("orders.o_custkey->customer", o, "o_custkey", c, "c_custkey")
+        .unionAll(edge("lineitem.l_orderkey->orders", l, "l_orderkey", o, "o_orderkey"))
+        .unionAll(edge("lineitem.l_partkey->part", l, "l_partkey", p, "p_partkey"))
+        .unionAll(
+            edge("lineitem.l_suppkey->supplier", l, "l_suppkey", s, "s_suppkey")
+        )
+    )

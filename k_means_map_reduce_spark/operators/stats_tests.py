@@ -569,3 +569,366 @@ def stats_isotonic_pava_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fit.select(
         "priority", "month", "n_orders", F.round("fitted_price", 6).alias("fitted_price")
     )
+
+
+@query(
+    "stats_kruskal_wallis_acctbal",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT c_mktsegment AS seg,
+        ROW_NUMBER() OVER (
+          ORDER BY {_CENTS_SQL.format(c='c_acctbal')}, c_custkey) AS r
+      FROM customer
+    ),
+    grp AS (
+      SELECT seg, COUNT(*) AS ni, CAST(SUM(r) AS BIGINT) AS ri
+      FROM ranked GROUP BY 1
+    ),
+    tot AS (
+      SELECT *, CAST(SUM(ni) OVER () AS BIGINT) AS n, COUNT(*) OVER () AS k
+      FROM grp
+    ),
+    terms AS (
+      SELECT seg, n, k,
+        CAST(ri AS DOUBLE) * CAST(ri AS DOUBLE) / CAST(ni AS DOUBLE) AS term
+      FROM tot
+    )
+    SELECT CAST(k AS BIGINT) AS k, n,
+      ROUND(
+        12 * list_reduce(list(term ORDER BY seg), (a, x) -> a + x)
+          / CAST(n * (n + 1) AS DOUBLE)
+        - CAST(3 * (n + 1) AS DOUBLE), 6) AS h_stat
+    FROM terms
+    GROUP BY k, n
+    """,
+)
+def stats_kruskal_wallis_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H across market segments on account balance — the
+    k-group generalization of Mann-Whitney (same deterministic tie-broken
+    rank semantics: one global ROW_NUMBER over (cents, custkey), so
+    H = 12/(N(N+1)) * sum R_i^2/n_i - 3(N+1) runs on exact BIGINT rank
+    sums, with the 5-term cross-group float sum as the same ordered fold
+    as stats_brown_forsythe_acctbal).
+
+    At 100 TB: one dimension sort (two-phase rank at extreme cardinality
+    — only rank SUMS are needed), a 5-row rollup, a 5-term fold.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    ranked = c.select(
+        F.col("c_mktsegment").alias("seg"),
+        F.row_number()
+        .over(Window.orderBy(_cents("c_acctbal"), F.col("c_custkey")))
+        .cast("bigint")
+        .alias("r"),
+    )
+    grp = ranked.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("ni"), F.sum("r").alias("ri")
+    )
+    w_all = Window.partitionBy()
+    tot = grp.select(
+        "seg",
+        "ni",
+        "ri",
+        F.sum("ni").over(w_all).cast("bigint").alias("n"),
+        F.count(F.lit(1)).over(w_all).alias("k"),
+    )
+    rid = F.col("ri").cast("double")
+    terms = tot.select(
+        "seg", "n", "k", (rid * rid / F.col("ni").cast("double")).alias("term")
+    )
+
+    def ordered_sum(col: str) -> F.Column:
+        arr = F.array_sort(F.collect_list(F.struct(F.col("seg"), F.col(col))))
+        return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x[col])
+
+    n = F.col("n")
+    h = 12 * F.col("s") / (n * (n + 1)).cast("double") - (
+        3 * (n + 1)
+    ).cast("double")
+    return (
+        terms.groupBy("k", "n")
+        .agg(ordered_sum("term").alias("s"))
+        .select(
+            F.col("k").cast("bigint").alias("k"),
+            "n",
+            F.round(h, 6).alias("h_stat"),
+        )
+    )
+
+
+@query(
+    "stats_kendall_tau_brand",
+    oracle="""
+    WITH sold AS (
+      SELECT l_partkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+      FROM lineitem GROUP BY 1
+    ),
+    pts AS (
+      SELECT p_brand, p_partkey,
+        CAST(ROUND(p_retailprice * 100, 0) AS BIGINT) AS pc, qty
+      FROM part JOIN sold ON l_partkey = p_partkey
+    ),
+    pairs AS (
+      SELECT a.p_brand,
+        SIGN((a.pc - b.pc) * (a.qty - b.qty)) AS sgn
+      FROM pts a JOIN pts b
+        ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    )
+    SELECT p_brand,
+      COUNT(*) AS n_pairs,
+      COUNT(CASE WHEN sgn > 0 THEN 1 END) AS concordant,
+      COUNT(CASE WHEN sgn < 0 THEN 1 END) AS discordant,
+      ROUND(CAST(COUNT(CASE WHEN sgn > 0 THEN 1 END)
+                 - COUNT(CASE WHEN sgn < 0 THEN 1 END) AS DOUBLE)
+            / CAST(COUNT(*) AS DOUBLE), 6) AS tau_a
+    FROM pairs GROUP BY 1
+    """,
+)
+def stats_kendall_tau_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's tau-a per brand between part retail price and total sold
+    quantity — the pairwise-concordance complement to the Spearman entry
+    (tau weights every pair equally; Spearman weights by rank distance).
+
+    Price is integer cents, quantity integer, so every pair's sign is
+    exact integer arithmetic; tau_a = (C - D) / C(n,2) divides exact
+    counts (ties land in neither C nor D, the tau-a convention).
+
+    Scale shape: the pair join is brand-bounded (the fact collapses to a
+    per-part rollup first; within-brand pairs ~ (parts/brand)^2, a
+    catalog-side quadratic — the documented scale path is the
+    O(n log n) merge-inversion count per brand via a grouped sort when
+    brands grow beyond ~10^4 parts).
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    sold = l.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("bigint")).alias("qty")
+    )
+    pts = p.join(sold, F.col("l_partkey") == F.col("p_partkey")).select(
+        "p_brand",
+        "p_partkey",
+        _cents("p_retailprice").alias("pc"),
+        "qty",
+    )
+    a = pts.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_partkey").alias("ka"),
+        F.col("pc").alias("pa"),
+        F.col("qty").alias("qa"),
+    )
+    b = pts.select(
+        F.col("p_brand").alias("brand2"),
+        F.col("p_partkey").alias("kb"),
+        F.col("pc").alias("pb"),
+        F.col("qty").alias("qb"),
+    )
+    sgn = F.signum(
+        ((F.col("pa") - F.col("pb")) * (F.col("qa") - F.col("qb"))).cast(
+            "double"
+        )
+    )
+    pairs = a.join(
+        b, (F.col("brand") == F.col("brand2")) & (F.col("ka") < F.col("kb"))
+    ).select(F.col("brand").alias("p_brand"), sgn.alias("sgn"))
+    conc = F.count(F.when(F.col("sgn") > 0, 1))
+    disc = F.count(F.when(F.col("sgn") < 0, 1))
+    return pairs.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        conc.alias("concordant"),
+        disc.alias("discordant"),
+        F.round(
+            (conc - disc).cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("tau_a"),
+    )
+
+
+@query(
+    "stats_anova_f_acctbal",
+    oracle=f"""
+    WITH cents AS (
+      SELECT c_mktsegment AS seg, {_CENTS_SQL.format(c='c_acctbal')} AS v
+      FROM customer
+    ),
+    grp AS (
+      SELECT seg, COUNT(*) AS ni,
+        CAST(SUM(v) AS BIGINT) AS s,
+        CAST(SUM(CAST(v AS DECIMAL(19,0)) * CAST(v AS DECIMAL(19,0)))
+             AS DOUBLE) AS ssd
+      FROM cents GROUP BY 1
+    ),
+    tot AS (
+      SELECT *,
+        CAST(SUM(ni) OVER () AS BIGINT) AS n,
+        CAST(SUM(s) OVER () AS BIGINT) AS sg,
+        COUNT(*) OVER () AS k
+      FROM grp
+    ),
+    terms AS (
+      SELECT seg, n, k,
+        CAST(ni AS DOUBLE)
+          * (CAST(s AS DOUBLE) / CAST(ni AS DOUBLE)
+             - CAST(sg AS DOUBLE) / CAST(n AS DOUBLE))
+          * (CAST(s AS DOUBLE) / CAST(ni AS DOUBLE)
+             - CAST(sg AS DOUBLE) / CAST(n AS DOUBLE)) AS ssb_i,
+        ssd - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(ni AS DOUBLE)
+          AS ssw_i
+      FROM tot
+    )
+    SELECT CAST(k AS BIGINT) AS k, n,
+      ROUND(
+        (list_reduce(list(ssb_i ORDER BY seg), (a, x) -> a + x)
+         / CAST(k - 1 AS DOUBLE))
+        / (list_reduce(list(ssw_i ORDER BY seg), (a, x) -> a + x)
+           / CAST(n - k AS DOUBLE)), 6) AS f_stat
+    FROM terms
+    GROUP BY k, n
+    """,
+)
+def stats_anova_f_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F across market segments on account balance: F =
+    (SSB/(k-1)) / (SSW/(N-k)) — the parametric sibling of the
+    Brown-Forsythe and Kruskal-Wallis entries, completing the
+    equal-means/equal-variances test triplet over the same grouping.
+
+    Determinism: integer-cents power sums (the DECIMAL(19,0)^2 square-sum
+    recipe from stats_grubbs_outlier), mean/SS arithmetic on identical
+    doubles, cross-group 5-term sums as ordered folds.
+
+    At 100 TB: one dimension scan into a 5-row rollup, two 5-term folds.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    cents = c.select(
+        F.col("c_mktsegment").alias("seg"), _cents("c_acctbal").alias("v")
+    )
+    grp = cents.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("ni"),
+        F.sum("v").alias("s"),
+        F.sum(
+            F.col("v").cast("decimal(19,0)") * F.col("v").cast("decimal(19,0)")
+        )
+        .cast("double")
+        .alias("ssd"),
+    )
+    w_all = Window.partitionBy()
+    tot = grp.select(
+        "seg",
+        "ni",
+        "s",
+        "ssd",
+        F.sum("ni").over(w_all).cast("bigint").alias("n"),
+        F.sum("s").over(w_all).cast("bigint").alias("sg"),
+        F.count(F.lit(1)).over(w_all).alias("k"),
+    )
+    nid = F.col("ni").cast("double")
+    sd_ = F.col("s").cast("double")
+    dev = sd_ / nid - F.col("sg").cast("double") / F.col("n").cast("double")
+    terms = tot.select(
+        "seg",
+        "n",
+        "k",
+        (nid * dev * dev).alias("ssb_i"),
+        (F.col("ssd") - sd_ * sd_ / nid).alias("ssw_i"),
+    )
+
+    def ordered_sum(col: str) -> F.Column:
+        arr = F.array_sort(F.collect_list(F.struct(F.col("seg"), F.col(col))))
+        return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x[col])
+
+    f_stat = (F.col("ssb") / (F.col("k") - 1).cast("double")) / (
+        F.col("ssw") / (F.col("n") - F.col("k")).cast("double")
+    )
+    return (
+        terms.groupBy("k", "n")
+        .agg(ordered_sum("ssb_i").alias("ssb"), ordered_sum("ssw_i").alias("ssw"))
+        .select(
+            F.col("k").cast("bigint").alias("k"),
+            "n",
+            F.round(f_stat, 6).alias("f_stat"),
+        )
+    )
+
+
+@query(
+    "stats_welch_t_segments",
+    oracle=f"""
+    WITH cents AS (
+      SELECT c_mktsegment AS seg, {_CENTS_SQL.format(c='c_acctbal')} AS v
+      FROM customer
+      WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING')
+    ),
+    g AS (
+      SELECT
+        COUNT(CASE WHEN seg = 'AUTOMOBILE' THEN 1 END) AS n1,
+        CAST(SUM(CASE WHEN seg = 'AUTOMOBILE' THEN v END) AS BIGINT) AS s1,
+        CAST(SUM(CASE WHEN seg = 'AUTOMOBILE'
+                 THEN CAST(v AS DECIMAL(19,0)) * CAST(v AS DECIMAL(19,0)) END)
+             AS DOUBLE) AS ss1,
+        COUNT(CASE WHEN seg = 'BUILDING' THEN 1 END) AS n2,
+        CAST(SUM(CASE WHEN seg = 'BUILDING' THEN v END) AS BIGINT) AS s2,
+        CAST(SUM(CASE WHEN seg = 'BUILDING'
+                 THEN CAST(v AS DECIMAL(19,0)) * CAST(v AS DECIMAL(19,0)) END)
+             AS DOUBLE) AS ss2
+      FROM cents
+    ),
+    st AS (
+      SELECT n1, n2,
+        CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+        CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2,
+        (ss1 - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+          / (n1 - 1) / CAST(n1 AS DOUBLE) AS se1,
+        (ss2 - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+          / (n2 - 1) / CAST(n2 AS DOUBLE) AS se2
+      FROM g WHERE n1 >= 2 AND n2 >= 2
+    )
+    SELECT n1, n2,
+      ROUND((m1 - m2) / 100, 6) AS mean_diff,
+      ROUND((m1 - m2) / SQRT(se1 + se2), 6) AS t_stat,
+      ROUND((se1 + se2) * (se1 + se2)
+            / (se1 * se1 / (n1 - 1) + se2 * se2 / (n2 - 1)), 2) AS df_welch
+    FROM st
+    """,
+)
+def stats_welch_t_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between the AUTOMOBILE and BUILDING
+    segments on account balance, with the Welch-Satterthwaite effective
+    degrees of freedom — the default two-sample mean test when the
+    Brown-Forsythe gate rejects equal variances.
+
+    Everything derives from ONE conditional-aggregation row of integer-
+    cents power sums (the Grubbs recipe); t and df are IEEE ops on
+    identical doubles, n>=2 guarded.
+
+    At 100 TB: one dimension scan, one row out.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    cents = c.where(
+        F.col("c_mktsegment").isin("AUTOMOBILE", "BUILDING")
+    ).select(F.col("c_mktsegment").alias("seg"), _cents("c_acctbal").alias("v"))
+    is1 = F.col("seg") == "AUTOMOBILE"
+    is2 = F.col("seg") == "BUILDING"
+    vd = F.col("v").cast("decimal(19,0)")
+    g = cents.agg(
+        F.count(F.when(is1, 1)).alias("n1"),
+        F.sum(F.when(is1, F.col("v"))).alias("s1"),
+        F.sum(F.when(is1, vd * vd)).cast("double").alias("ss1"),
+        F.count(F.when(is2, 1)).alias("n2"),
+        F.sum(F.when(is2, F.col("v"))).alias("s2"),
+        F.sum(F.when(is2, vd * vd)).cast("double").alias("ss2"),
+    ).where((F.col("n1") >= 2) & (F.col("n2") >= 2))
+    n1d, n2d = F.col("n1").cast("double"), F.col("n2").cast("double")
+    s1d, s2d = F.col("s1").cast("double"), F.col("s2").cast("double")
+    m1 = s1d / n1d
+    m2 = s2d / n2d
+    se1 = (F.col("ss1") - s1d * s1d / n1d) / (F.col("n1") - 1) / n1d
+    se2 = (F.col("ss2") - s2d * s2d / n2d) / (F.col("n2") - 1) / n2d
+    return g.select(
+        "n1",
+        "n2",
+        F.round((m1 - m2) / 100, 6).alias("mean_diff"),
+        F.round((m1 - m2) / F.sqrt(se1 + se2), 6).alias("t_stat"),
+        F.round(
+            (se1 + se2) * (se1 + se2)
+            / (se1 * se1 / (F.col("n1") - 1) + se2 * se2 / (F.col("n2") - 1)),
+            2,
+        ).alias("df_welch"),
+    )

@@ -874,3 +874,93 @@ def timeseries_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sort_array(F.collect_list("slope")), ((n + 1) / 2).cast("int")
         ).alias("theil_sen_slope"),
     )
+
+
+@query(
+    "timeseries_sma_crossover_signals",
+    oracle=f"""
+    WITH daily AS (
+      SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+        {sql_dsum('o_totalprice')} AS revenue
+      FROM orders GROUP BY 1
+    ),
+    sma AS (
+      SELECT day, revenue,
+        ROW_NUMBER() OVER (ORDER BY day) AS rn,
+        CAST(SUM(CAST(revenue AS DECIMAL(18,6))) OVER (
+          ORDER BY day ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE)
+          / 5 AS sma5,
+        CAST(SUM(CAST(revenue AS DECIMAL(18,6))) OVER (
+          ORDER BY day ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS DOUBLE)
+          / 20 AS sma20
+      FROM daily
+    ),
+    state AS (
+      SELECT day, rn, sma5, sma20,
+        CASE WHEN ROUND(sma5, 6) > ROUND(sma20, 6) THEN 1
+             WHEN ROUND(sma5, 6) < ROUND(sma20, 6) THEN -1
+             ELSE 0 END AS cmp,
+        LAG(CASE WHEN ROUND(sma5, 6) > ROUND(sma20, 6) THEN 1
+                 WHEN ROUND(sma5, 6) < ROUND(sma20, 6) THEN -1
+                 ELSE 0 END) OVER (ORDER BY day) AS prev_cmp
+      FROM sma
+    )
+    SELECT day, ROUND(sma5, 4) AS sma5, ROUND(sma20, 4) AS sma20,
+      CASE WHEN cmp = 1 THEN 'golden' ELSE 'death' END AS signal
+    FROM state
+    WHERE rn > 20 AND cmp <> 0 AND prev_cmp IS NOT NULL AND cmp <> prev_cmp
+    """,
+)
+def timeseries_sma_crossover_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving-average crossover detection on the daily revenue series: days
+    where the 5-day SMA crosses the 20-day SMA (golden cross up, death
+    cross down) — the canonical trend-change signal.
+
+    Both SMAs are decimal-exact window sums divided by their fixed frame
+    lengths; the crossing state compares ROUNDED 6dp SMAs (so a ulp can
+    never invent a cross), the first 20 warm-up days are excluded, and
+    flat ties (state 0) emit nothing.
+
+    At 100 TB: one fact aggregation to days, then two frames sharing ONE
+    window sort over the day rollup.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("day")
+    ).agg(dsum("o_totalprice").alias("revenue"))
+    wday = Window.orderBy("day")
+    dec = F.col("revenue").cast("decimal(18,6)")
+    sma = daily.select(
+        "day",
+        F.row_number().over(wday).alias("rn"),
+        (F.sum(dec).over(wday.rowsBetween(-4, 0)).cast("double") / 5).alias(
+            "sma5"
+        ),
+        (F.sum(dec).over(wday.rowsBetween(-19, 0)).cast("double") / 20).alias(
+            "sma20"
+        ),
+    )
+    cmp_ = (
+        F.when(F.round("sma5", 6) > F.round("sma20", 6), 1)
+        .when(F.round("sma5", 6) < F.round("sma20", 6), -1)
+        .otherwise(0)
+    )
+    state = sma.select(
+        "day",
+        "rn",
+        "sma5",
+        "sma20",
+        cmp_.alias("cmp"),
+        F.lag(cmp_).over(wday).alias("prev_cmp"),
+    )
+    return state.where(
+        (F.col("rn") > 20)
+        & (F.col("cmp") != 0)
+        & F.col("prev_cmp").isNotNull()
+        & (F.col("cmp") != F.col("prev_cmp"))
+    ).select(
+        "day",
+        F.round("sma5", 4).alias("sma5"),
+        F.round("sma20", 4).alias("sma20"),
+        F.when(F.col("cmp") == 1, "golden").otherwise("death").alias("signal"),
+    )

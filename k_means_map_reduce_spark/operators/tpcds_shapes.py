@@ -1262,3 +1262,224 @@ def ds_q23_frequent_buyer_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+@query(
+    "ds_q99_ship_delay_bands",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+      COUNT(CASE WHEN d <= 30 THEN 1 END) AS d30,
+      COUNT(CASE WHEN d > 30 AND d <= 60 THEN 1 END) AS d60,
+      COUNT(CASE WHEN d > 60 AND d <= 90 THEN 1 END) AS d90,
+      COUNT(CASE WHEN d > 90 AND d <= 120 THEN 1 END) AS d120,
+      COUNT(CASE WHEN d > 120 THEN 1 END) AS d_over
+    FROM (
+      SELECT o_orderpriority,
+        date_diff('day', CAST(o_orderdate AS TIMESTAMP),
+                  CAST(l_shipdate AS TIMESTAMP)) AS d
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    )
+    GROUP BY 1
+    """,
+)
+def ds_q99_ship_delay_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-delay band counts per priority (TPC-DS q99's signature:
+    N delay buckets as conditional counts in ONE pass — q99's five
+    CASE-summed bands verbatim, where naive SQL writes five self-joins).
+
+    Day differences are exact integer date arithmetic; all outputs are
+    counts. At 100 TB: one fact scan, map-side combine into a 5-row
+    rollup.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    d = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    return (
+        l.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(F.col("o_orderpriority").alias("priority"), d.alias("d"))
+        .groupBy("priority")
+        .agg(
+            F.count(F.when(F.col("d") <= 30, 1)).alias("d30"),
+            F.count(F.when((F.col("d") > 30) & (F.col("d") <= 60), 1)).alias("d60"),
+            F.count(F.when((F.col("d") > 60) & (F.col("d") <= 90), 1)).alias("d90"),
+            F.count(F.when((F.col("d") > 90) & (F.col("d") <= 120), 1)).alias(
+                "d120"
+            ),
+            F.count(F.when(F.col("d") > 120, 1)).alias("d_over"),
+        )
+    )
+
+
+@query(
+    "ds_q31_channel_growth_compare",
+    oracle="""
+    WITH q AS (
+      SELECT n_name,
+        CAST(strftime(o_orderdate, '%Y') AS INT) * 4
+          + CAST(quarter(CAST(o_orderdate AS TIMESTAMP)) AS INT) AS qidx,
+        CAST(SUM(CAST(ROUND(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN o_totalprice ELSE 0.0 END, 6)
+                 AS DECIMAL(18,6))) AS DOUBLE) AS rev_hi,
+        CAST(SUM(CAST(ROUND(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                                 THEN o_totalprice ELSE 0.0 END, 6)
+                 AS DECIMAL(18,6))) AS DOUBLE) AS rev_lo
+      FROM orders
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation ON n_nationkey = c_nationkey
+      GROUP BY 1, 2
+    ),
+    lagged AS (
+      SELECT *,
+        LAG(qidx) OVER (PARTITION BY n_name ORDER BY qidx) AS prev_q,
+        LAG(rev_hi) OVER (PARTITION BY n_name ORDER BY qidx) AS prev_hi,
+        LAG(rev_lo) OVER (PARTITION BY n_name ORDER BY qidx) AS prev_lo
+      FROM q
+    )
+    SELECT n_name, qidx,
+      ROUND(rev_hi / prev_hi, 6) AS growth_hi,
+      ROUND(rev_lo / prev_lo, 6) AS growth_lo
+    FROM lagged
+    WHERE prev_q = qidx - 1 AND prev_hi > 0 AND prev_lo > 0
+      AND ROUND(rev_hi / prev_hi, 6) > ROUND(rev_lo / prev_lo, 6)
+    """,
+)
+def ds_q31_channel_growth_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-channel quarter-over-quarter growth comparison (TPC-DS q31's
+    signature: per county, quarters where web sales grew FASTER than
+    store sales). Channels ~ urgent-vs-normal priority tiers, county ~
+    customer nation; both channels aggregate in ONE conditional pass
+    (never two fact scans), growth is a LAG ratio with the integer
+    quarter-index adjacency guard (the q74 idiom), and the comparison
+    runs on 6dp-rounded ratios of decimal-exact revenues.
+
+    At 100 TB: one fact aggregation to (nation, quarter); windows and the
+    compare run over that tiny rollup.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    q = (
+        o.join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy(
+            "n_name",
+            (F.year("o_orderdate") * 4 + F.quarter("o_orderdate")).alias("qidx"),
+        )
+        .agg(
+            dsum(F.when(hi, F.col("o_totalprice")).otherwise(F.lit(0.0))).alias(
+                "rev_hi"
+            ),
+            dsum(F.when(~hi, F.col("o_totalprice")).otherwise(F.lit(0.0))).alias(
+                "rev_lo"
+            ),
+        )
+    )
+    w = Window.partitionBy("n_name").orderBy("qidx")
+    lagged = q.select(
+        "n_name",
+        "qidx",
+        "rev_hi",
+        "rev_lo",
+        F.lag("qidx").over(w).alias("prev_q"),
+        F.lag("rev_hi").over(w).alias("prev_hi"),
+        F.lag("rev_lo").over(w).alias("prev_lo"),
+    )
+    g_hi = F.round(F.col("rev_hi") / F.col("prev_hi"), 6)
+    g_lo = F.round(F.col("rev_lo") / F.col("prev_lo"), 6)
+    return lagged.where(
+        (F.col("prev_q") == F.col("qidx") - 1)
+        & (F.col("prev_hi") > 0)
+        & (F.col("prev_lo") > 0)
+        & (g_hi > g_lo)
+    ).select("n_name", "qidx", g_hi.alias("growth_hi"), g_lo.alias("growth_lo"))
+
+
+@query(
+    "ds_q92_excess_discount",
+    oracle="""
+    WITH pavg AS (
+      SELECT l_partkey AS pk,
+        CAST(SUM(CAST(ROUND(l_discount, 6) AS DECIMAL(18,6))) AS DOUBLE)
+          / COUNT(*) AS avg_disc
+      FROM lineitem GROUP BY 1
+    )
+    SELECT p_brand,
+      COUNT(*) AS n_excess,
+      CAST(SUM(CAST(ROUND(l_extendedprice, 6) AS DECIMAL(18,6))) AS DOUBLE)
+        AS excess_revenue
+    FROM lineitem
+    JOIN pavg ON pk = l_partkey
+    JOIN part ON p_partkey = l_partkey
+    WHERE l_discount > 1.3 * avg_disc
+    GROUP BY 1
+    """,
+)
+def ds_q92_excess_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Excess-discount revenue per brand (TPC-DS q92's signature: lineitems
+    whose discount exceeds 1.3x their part's average discount — the
+    correlated aggregate subquery restated as a per-part rollup joined
+    back onto the fact).
+
+    The threshold compares the fact's exact 2dp discount against
+    1.3 * (decimal-sum / count) — identical doubles in both engines, and
+    the discrete discount grid never lands on the product, so no
+    boundary ties. At 100 TB: the per-part average is a map-side-combined
+    rollup; the fact joins it on the part key it is already bucketed by.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    pavg = l.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (dsum("l_discount") / F.count(F.lit(1))).alias("avg_disc")
+    )
+    return (
+        l.join(pavg, F.col("pk") == F.col("l_partkey"))
+        .where(F.col("l_discount") > 1.3 * F.col("avg_disc"))
+        .join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_excess"),
+            dsum("l_extendedprice").alias("excess_revenue"),
+        )
+    )
+
+
+@query(
+    "ds_q90_am_pm_ratio",
+    oracle="""
+    SELECT event_type,
+      COUNT(CASE WHEN h BETWEEN 7 AND 11 THEN 1 END) AS am_count,
+      COUNT(CASE WHEN h BETWEEN 19 AND 23 THEN 1 END) AS pm_count,
+      CASE WHEN COUNT(CASE WHEN h BETWEEN 19 AND 23 THEN 1 END) > 0 THEN
+        ROUND(CAST(COUNT(CASE WHEN h BETWEEN 7 AND 11 THEN 1 END) AS DOUBLE)
+              / CAST(COUNT(CASE WHEN h BETWEEN 19 AND 23 THEN 1 END) AS DOUBLE),
+              6)
+      END AS am_pm_ratio
+    FROM (
+      SELECT event_type,
+        CAST(strftime(CAST(ts AS TIMESTAMP), '%H') AS INT) AS h
+      FROM events
+    )
+    GROUP BY 1
+    """,
+)
+def ds_q90_am_pm_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morning-vs-evening traffic ratio per event type (TPC-DS q90's
+    signature: AM window count / PM window count from ONE conditional
+    scan instead of q90's two subqueries).
+
+    Hours come from the NTZ event timestamp (session-timezone-proof);
+    the ratio divides exact counts, NULL-guarded when a type has no PM
+    traffic. At 100 TB: one scan, 5-row rollup.
+    """
+    e = load_table(spark, sf_dir, "events")
+    h = F.hour(F.col("ts"))
+    am = F.count(F.when(h.between(7, 11), 1))
+    pm = F.count(F.when(h.between(19, 23), 1))
+    return e.groupBy("event_type").agg(
+        am.alias("am_count"),
+        pm.alias("pm_count"),
+        F.when(pm > 0, F.round(am.cast("double") / pm.cast("double"), 6)).alias(
+            "am_pm_ratio"
+        ),
+    )

@@ -452,3 +452,57 @@ def window_moving_corr_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rolling_corr"),
         )
     )
+
+
+@query(
+    "window_percent_rank_cume_dist",
+    oracle="""
+    WITH ranked AS (
+      SELECT c_custkey, c_mktsegment AS segment,
+        ROW_NUMBER() OVER (
+          PARTITION BY c_mktsegment
+          ORDER BY CAST(ROUND(c_acctbal * 100, 0) AS BIGINT), c_custkey) AS rk,
+        COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+      FROM customer
+    )
+    SELECT c_custkey, segment,
+      ROUND(CAST(rk - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE), 6) AS pct_rank,
+      ROUND(CAST(rk AS DOUBLE) / CAST(n AS DOUBLE), 6) AS cume_dist
+    FROM ranked WHERE n >= 2
+    """,
+)
+def window_percent_rank_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist per customer within segment — the relative-
+    standing window pair (used for percentile badges / 'top X% of
+    customers').
+
+    Under a TOTAL order (integer cents, custkey tie-break) percent_rank
+    collapses to (rk-1)/(n-1) and cume_dist to rk/n — exact integer
+    fractions, so rather than relying on each engine's tie semantics,
+    BOTH sides compute the closed forms from ROW_NUMBER explicitly (the
+    registry's determinism contract applied to rank functions).
+
+    At 100 TB: one window sort per segment over the customer dimension.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100, 0).cast("bigint")
+    wseg = Window.partitionBy("c_mktsegment")
+    ranked = c.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.row_number()
+        .over(wseg.orderBy(cents, F.col("c_custkey")))
+        .cast("bigint")
+        .alias("rk"),
+        F.count(F.lit(1)).over(wseg).cast("bigint").alias("n"),
+    )
+    return ranked.where(F.col("n") >= 2).select(
+        "c_custkey",
+        "segment",
+        F.round(
+            (F.col("rk") - 1).cast("double") / (F.col("n") - 1).cast("double"), 6
+        ).alias("pct_rank"),
+        F.round(F.col("rk").cast("double") / F.col("n").cast("double"), 6).alias(
+            "cume_dist"
+        ),
+    )

@@ -59,6 +59,8 @@ DATE_SENSITIVE = [
     "timeseries_dft_periodogram",
     "events_markov_entropy_rate",
     "events_runs_test_daily",
+    # hour() over TIMESTAMP_NTZ must not consult the session zone
+    "ds_q90_am_pm_ratio",
 ]
 
 
