@@ -7,6 +7,18 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is executed to completion (count() materializes the full plan);
 the session is warmed once with a trivial job so JVM startup isn't billed to
 the first query.
+
+Set shape (round 8 re-baseline):
+  - HEADLINE = LEGACY56 + R7_FOLDED (66 queries). "value" is the warm total
+    of all 66 — the round-over-round headline from round 8 on.
+  - The stdout per-query map carries only LEGACY56 (the driver tail-truncates
+    stdout at ~2000 chars; 66 names don't fit even at 1dp), plus
+    "value_prev56" so rounds <=7 (whose totals covered exactly those 56)
+    stay comparable. Full per-query cold+warm for all 66 lives in
+    bench_detail.json.
+  - ADDITIONS = round-8 operator additions, benched identically but
+    reported detail-only this round (the r7 pattern); they fold into
+    HEADLINE next round once this round's totals exist as the baseline.
 """
 
 from __future__ import annotations
@@ -23,9 +35,11 @@ if _REPO not in sys.path:
 from k_means_map_reduce_spark.session import get_spark  # noqa: E402
 from k_means_map_reduce_spark.registry import QUERIES  # noqa: E402
 
-# Headline set: one per operator family (SURVEY.md §2), weighted toward the
-# shapes that dominate at scale (fact-fact joins, windows, dedup, ANN).
-HEADLINE = [
+# The 56 queries every BENCH_r{1..7}.json total covered — one per operator
+# family (SURVEY.md §2), weighted toward the shapes that dominate at scale
+# (fact-fact joins, windows, dedup, ANN). Kept as the stdout per-query map
+# and the "value_prev56" continuity total.
+LEGACY56 = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -96,12 +110,9 @@ HEADLINE = [
     "finance_rebate_allocation",
 ]
 
-# Round-7 operator additions, benched identically but reported only in
-# bench_detail.json: the stdout line is tail-truncated by the driver at
-# ~2000 chars and already carries the 56 round-over-round-comparable
-# queries; "value"/"value_warm" therefore stay the comparable 56-query
-# totals, with the additions' totals as separate keys.
-ADDITIONS = [
+# Round-7 operator additions, detail-only in rounds 7; folded into the
+# headline total from round 8 on (VERDICT r7 item 2).
+R7_FOLDED = [
     "ds_q64_repeat_channel_chain",
     "ds_q72_inventory_window",
     "dedup_minhash_clusters",
@@ -112,6 +123,27 @@ ADDITIONS = [
     "features_target_encoding_loo",
     "drift_psi_totalprice_train_test",
     "reco_item_item_cosine",
+]
+
+HEADLINE = LEGACY56 + R7_FOLDED
+
+# Round-8 operator additions: benched identically, reported detail-only
+# (bench_detail.json "r8_additions*") so this round's 66-query totals land
+# clean as the new baseline; fold next round.
+ADDITIONS = [
+    "stats_kendall_tau_brand",
+    "stats_kruskal_wallis_acctbal",
+    "stats_isotonic_pava_monthly",
+    "geo_knn_ring_search",
+    "geo_polygon_area_centroid",
+    "sim_mmr_rerank",
+    "dedup_prefix_filter_cosine",
+    "dedup_paragraph_exact_kept",
+    "training_dsir_importance_weights",
+    "contamination_13gram_scorecard",
+    "events_markov_top_transitions_by_segment",
+    "ds_q31_channel_growth_compare",
+    "timeseries_sma_crossover_signals",
 ]
 
 
@@ -128,11 +160,12 @@ def main() -> None:
     for t in TABLE_SCHEMAS:
         load_table(spark, sf_dir, t).count()
 
-    # Two passes per query: the first ("cold") includes plan analysis +
-    # codegen compile — one-time costs a cluster amortizes over thousands of
-    # executions; the second ("warm") is steady-state execution. "queries"/
-    # "value" stay the cold pass (comparable with earlier rounds); the warm
-    # numbers ride alongside.
+    # Per query: one "cold" pass (includes plan analysis + codegen compile —
+    # one-time costs a cluster amortizes over thousands of executions), then
+    # warm = min of THREE steady-state passes (single warm samples swing up
+    # to 1.5x with VM contention — NEXT.md lesson 7; min-of-N is the
+    # standard low-noise estimator, and r5-r7 each burned session time
+    # reconciling single-sample "regressions" that min-of-N dissolved).
     timings: dict[str, float] = {}
     warm: dict[str, float] = {}
     add_timings: dict[str, float] = {}
@@ -144,11 +177,8 @@ def main() -> None:
         t0 = time.perf_counter()
         fn(spark, sf_dir).count()
         t_sink[name] = round(time.perf_counter() - t0, 3)
-        # warm = min of two steady-state passes: single-sample warm timings
-        # swing up to 1.5x with VM contention (NEXT.md), and min-of-N is the
-        # standard low-noise estimator of steady-state cost.
         samples = []
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
             samples.append(time.perf_counter() - t0)
@@ -156,11 +186,14 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     total_warm = round(sum(warm.values()), 3)
+    prev56_warm = round(sum(warm[n] for n in LEGACY56), 3)
+    prev56_cold = round(sum(timings[n] for n in LEGACY56), 3)
     # The driver records only the LAST ~2000 chars of stdout: rounds 1-3
     # emitted one ~4.5KB line (cold+warm per-query) whose head got cut, so
     # BENCH_r{1..3}.json all have parsed=null. stdout therefore carries ONE
-    # COMPACT line — warm (steady-state) per-query at 2dp plus both totals —
-    # and the full-precision cold+warm detail goes to bench_detail.json.
+    # COMPACT line — LEGACY56 warm per-query at 2dp plus the 66-query totals
+    # and the 56-query continuity totals — and the full-precision cold+warm
+    # detail for all 66 goes to bench_detail.json.
     detail = {
         "metric": "headline_queries_total",
         "value": total,
@@ -168,9 +201,11 @@ def main() -> None:
         "queries": timings,
         "queries_warm": warm,
         "value_warm": total_warm,
-        "r7_additions": add_timings,
-        "r7_additions_warm": add_warm,
-        "r7_additions_warm_total": round(sum(add_warm.values()), 3),
+        "value_prev56": prev56_cold,
+        "value_prev56_warm": prev56_warm,
+        "r8_additions": add_timings,
+        "r8_additions_warm": add_warm,
+        "r8_additions_warm_total": round(sum(add_warm.values()), 3),
         "sf": sf,
     }
     with open(os.path.join(_REPO, "bench_detail.json"), "w") as fh:
@@ -181,7 +216,8 @@ def main() -> None:
                 "metric": "headline_queries_warm_total",
                 "value": total_warm,
                 "unit": "sec",
-                "queries": {k: round(v, dp) for k, v in warm.items()},
+                "queries": {n: round(warm[n], dp) for n in LEGACY56},
+                "value_prev56": prev56_warm,
                 "value_cold": total,
                 "sf": sf,
             },
@@ -191,7 +227,7 @@ def main() -> None:
             break
     else:
         # Even dp=1 exceeded the tail-cut budget (would happen only if
-        # HEADLINE grew a lot): a totals-only line is still machine-parsable
+        # LEGACY56 grew a lot): a totals-only line is still machine-parsable
         # by the driver, whereas dying here after every query already ran
         # would record nothing at all — and an assert would be stripped
         # under python -O anyway.
@@ -201,6 +237,7 @@ def main() -> None:
                 "value": total_warm,
                 "unit": "sec",
                 "queries": {},
+                "value_prev56": prev56_warm,
                 "value_cold": total,
                 "sf": sf,
             },

@@ -393,13 +393,19 @@ def test_bench_headline_names_are_registered():
     spec = importlib.util.spec_from_file_location("_bench_under_test", "/root/repo/bench.py")
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
-    missing = [n for n in mod.HEADLINE if n not in QUERIES]
+    benched = mod.HEADLINE + mod.ADDITIONS
+    missing = [n for n in benched if n not in QUERIES]
     assert not missing, f"bench names not in registry: {missing}"
-    assert len(set(mod.HEADLINE)) == len(mod.HEADLINE), "duplicate bench entries"
+    assert len(set(benched)) == len(benched), "duplicate bench entries"
+    assert mod.HEADLINE == mod.LEGACY56 + mod.R7_FOLDED, (
+        "HEADLINE must stay LEGACY56 + R7_FOLDED — the stdout per-query map "
+        "and value_prev56 continuity totals depend on that partition"
+    )
 
     # The driver keeps only the last ~2000 chars of bench stdout; the final
     # JSON line must fit or BENCH_r{N}.json records parsed=null (as it did
-    # rounds 1-3). Worst-case render: every query at 999.99s.
+    # rounds 1-3). Worst-case render: every query at 99.99s. Only LEGACY56
+    # rides the stdout map (66 names don't fit even at 1dp).
     import json
 
     line = json.dumps(
@@ -407,7 +413,8 @@ def test_bench_headline_names_are_registered():
             "metric": "headline_queries_warm_total",
             "value": 99999.99,
             "unit": "sec",
-            "queries": {n: 99.99 for n in mod.HEADLINE},
+            "queries": {n: 99.99 for n in mod.LEGACY56},
+            "value_prev56": 99999.99,
             "value_cold": 99999.99,
             "sf": 0.1,
         },
