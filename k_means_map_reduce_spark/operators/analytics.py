@@ -3520,3 +3520,171 @@ def orders_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("prev_n") * (avg2 - avg1), 4).alias("price_effect"),
         F.round(dn * (avg2 - avg1), 4).alias("mix_effect"),
     )
+
+
+@query(
+    "attribution_position_based",
+    oracle=f"""
+    WITH base AS (
+      SELECT
+        user_id, event_type, value,
+        epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        CASE WHEN event_type = 'view' THEN 0
+             WHEN event_type = 'click' THEN 1 END AS code
+      FROM events
+    ), windowed AS (
+      SELECT
+        event_type, value,
+        MIN(CASE WHEN code IS NOT NULL THEN us * 4 + code END) OVER w AS f_enc,
+        MAX(CASE WHEN code IS NOT NULL THEN us * 4 + code END) OVER w AS l_enc,
+        SUM(CASE WHEN code = 0 THEN 1 ELSE 0 END) OVER w AS n_view,
+        SUM(CASE WHEN code = 1 THEN 1 ELSE 0 END) OVER w AS n_click
+      FROM base
+      WINDOW w AS (
+        PARTITION BY user_id ORDER BY us
+        RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING
+      )
+    ), credit AS (
+      SELECT
+        value,
+        COALESCE(n_view, 0) + COALESCE(n_click, 0) AS n,
+        COALESCE(n_view, 0) AS n_view,
+        CASE WHEN f_enc % 4 = 0 THEN 1 ELSE 0 END AS fv,
+        CASE WHEN l_enc % 4 = 0 THEN 1 ELSE 0 END AS lv,
+        CASE WHEN f_enc % 4 = 1 THEN 1 ELSE 0 END AS fc,
+        CASE WHEN l_enc % 4 = 1 THEN 1 ELSE 0 END AS lc
+      FROM windowed WHERE event_type = 'purchase'
+    ), factored AS (
+      SELECT value, n,
+        CASE WHEN n = 0 THEN CAST(0.0 AS DOUBLE)
+             WHEN n = 1 THEN CAST(fv AS DOUBLE)
+             WHEN n = 2 THEN CAST(0.5 AS DOUBLE) * fv + CAST(0.5 AS DOUBLE) * lv
+             ELSE CAST(0.4 AS DOUBLE) * fv + CAST(0.4 AS DOUBLE) * lv
+                  + CAST(0.2 AS DOUBLE) * (n_view - fv - lv)
+                    / CAST(n - 2 AS DOUBLE) END AS factor_view,
+        CASE WHEN n = 0 THEN CAST(0.0 AS DOUBLE)
+             WHEN n = 1 THEN CAST(fc AS DOUBLE)
+             WHEN n = 2 THEN CAST(0.5 AS DOUBLE) * fc + CAST(0.5 AS DOUBLE) * lc
+             ELSE CAST(0.4 AS DOUBLE) * fc + CAST(0.4 AS DOUBLE) * lc
+                  + CAST(0.2 AS DOUBLE) * (n - n_view - fc - lc)
+                    / CAST(n - 2 AS DOUBLE) END AS factor_click,
+        n_view
+      FROM credit
+    )
+    SELECT 'view' AS touch_type,
+      CAST(SUM(CASE WHEN n_view > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_touched_purchases,
+      {sql_dsum("value * factor_view")} AS credited_value
+    FROM factored
+    UNION ALL
+    SELECT 'click',
+      CAST(SUM(CASE WHEN n - n_view > 0 THEN 1 ELSE 0 END) AS BIGINT),
+      {sql_dsum("value * factor_click")}
+    FROM factored
+    UNION ALL
+    SELECT 'none',
+      CAST(SUM(CASE WHEN n = 0 THEN 1 ELSE 0 END) AS BIGINT),
+      {sql_dsum("CASE WHEN n = 0 THEN value ELSE CAST(0.0 AS DOUBLE) END")}
+    FROM factored
+    """,
+)
+def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution: 40% of each
+    purchase's value to the FIRST touch in the 7-day lookback, 40% to the
+    LAST, 20% split across the middle touches (1 touch -> 100%, 2 touches
+    -> 50/50) — completing the attribution battery beside last-touch,
+    linear, and time-decay.
+
+    First/last touch TYPE rides the same time-RANGE window as the linear
+    variant via an encoded MIN/MAX (us*4 + type_code): no purchase-to-
+    touch explosion, the frame scan yields the earliest/latest touch and
+    its type in one aggregate. Equal-microsecond ties break toward the
+    lower type code identically in both engines (total order on the
+    encoding). Credit factors are CASE trees over exact integers times
+    the same double literals; per-purchase credits round-6 then
+    decimal-sum (the attribution_linear float discipline).
+
+    At 100 TB: one user_id shuffle for the window, a 3-row rollup —
+    identical envelope to attribution_linear_multitouch.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    code = (
+        F.when(F.col("event_type") == "view", 0)
+        .when(F.col("event_type") == "click", 1)
+    )
+    enc = F.when(code.isNotNull(), us * 4 + code)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-604800000000, -1)
+    )
+    windowed = (
+        ev.select(
+            "user_id",
+            "event_type",
+            "value",
+            us.alias("us"),
+            F.min(enc).over(w).alias("f_enc"),
+            F.max(enc).over(w).alias("l_enc"),
+            F.sum(F.when(code == 0, 1).otherwise(0)).over(w).alias("n_view"),
+            F.sum(F.when(code == 1, 1).otherwise(0)).over(w).alias("n_click"),
+        )
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "value",
+            (
+                F.coalesce("n_view", F.lit(0)) + F.coalesce("n_click", F.lit(0))
+            ).alias("n"),
+            F.coalesce("n_view", F.lit(0)).alias("n_view"),
+            F.when(F.col("f_enc") % 4 == 0, 1).otherwise(0).alias("fv"),
+            F.when(F.col("l_enc") % 4 == 0, 1).otherwise(0).alias("lv"),
+            F.when(F.col("f_enc") % 4 == 1, 1).otherwise(0).alias("fc"),
+            F.when(F.col("l_enc") % 4 == 1, 1).otherwise(0).alias("lc"),
+        )
+    )
+    n, nv = F.col("n"), F.col("n_view")
+
+    def factor(first_is: F.Column, last_is: F.Column, mid: F.Column) -> F.Column:
+        return (
+            F.when(n == 0, F.lit(0.0))
+            .when(n == 1, first_is.cast("double"))
+            .when(
+                n == 2,
+                F.lit(0.5) * first_is + F.lit(0.5) * last_is,
+            )
+            .otherwise(
+                F.lit(0.4) * first_is
+                + F.lit(0.4) * last_is
+                + F.lit(0.2) * mid / (n - 2).cast("double")
+            )
+        )
+
+    factored = windowed.select(
+        "value",
+        "n",
+        "n_view",
+        factor(F.col("fv"), F.col("lv"), nv - F.col("fv") - F.col("lv")).alias(
+            "factor_view"
+        ),
+        factor(F.col("fc"), F.col("lc"), n - nv - F.col("fc") - F.col("lc")).alias(
+            "factor_click"
+        ),
+    )
+    row = factored.agg(
+        F.sum(F.when(nv > 0, 1).otherwise(0)).cast("long").alias("tv"),
+        dsum(F.col("value") * F.col("factor_view")).alias("cv"),
+        F.sum(F.when(n - nv > 0, 1).otherwise(0)).cast("long").alias("tc"),
+        dsum(F.col("value") * F.col("factor_click")).alias("cc"),
+        F.sum(F.when(n == 0, 1).otherwise(0)).cast("long").alias("tn"),
+        dsum(F.when(n == 0, F.col("value")).otherwise(F.lit(0.0))).alias("cn"),
+    )
+    # One aggregation pass; stack() pivots the 6 measures into the 3-row
+    # (touch_type, n_touched_purchases, credited_value) report — the
+    # attribution_linear_multitouch output shape.
+    return row.select(
+        F.expr(
+            "stack(3, 'view', tv, cv, 'click', tc, cc, 'none', tn, cn) "
+            "as (touch_type, n_touched_purchases, credited_value)"
+        )
+    )

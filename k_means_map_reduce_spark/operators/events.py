@@ -1324,3 +1324,93 @@ def events_session_depth_distribution(
         )
         .drop("n_sessions_total")
     )
+
+
+@query(
+    "events_burst_rate_topk",
+    oracle="""
+    WITH base AS (
+      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events
+    ), bursts AS (
+      SELECT user_id, us,
+        COUNT(*) OVER (
+          PARTITION BY user_id ORDER BY us
+          RANGE BETWEEN 59999999 PRECEDING AND CURRENT ROW) AS cnt60
+      FROM base
+    ), per_user AS (
+      SELECT user_id,
+        CAST(COUNT(*) AS BIGINT) AS n_events,
+        CAST(MAX(cnt60) AS BIGINT) AS max_burst_60s,
+        MAX(us) - MIN(us) AS span_us
+      FROM bursts GROUP BY user_id
+    ), scored AS (
+      SELECT user_id, n_events, max_burst_60s,
+        ROUND(CAST(span_us AS DOUBLE) / 60000000, 2) AS span_minutes,
+        CASE WHEN span_us > 0 THEN
+          ROUND(CAST(n_events AS DOUBLE)
+                / (CAST(span_us AS DOUBLE) / 60000000), 6)
+        END AS events_per_active_min
+      FROM per_user
+    )
+    SELECT user_id, n_events, max_burst_60s, span_minutes,
+      events_per_active_min,
+      CAST(ROW_NUMBER() OVER (
+        ORDER BY max_burst_60s DESC, n_events DESC, user_id) AS BIGINT) AS rk
+    FROM scored
+    QUALIFY rk <= 25
+    """,
+)
+def events_burst_rate_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 burstiest users: maximum events inside any trailing 60-second
+    window, total activity span, and sustained events-per-active-minute —
+    the bot/spam-rate screen a training-data pipeline runs on behavioral
+    logs BEFORE trusting them (rate-limit heuristics rank users; the cut
+    threshold is a policy knob applied to this ranking, so the query emits
+    the ranking — a fixed cut would be scale-fragile, lesson 9).
+
+    Everything is integer/epoch-microsecond arithmetic (the burst counter
+    is a COUNT over a time-RANGE frame — no self-join, no explode); the
+    two rates divide identical exact operands, NULL-guarded for
+    single-event users; the rank is total-ordered on integers.
+
+    At 100 TB: one user_id shuffle serves both the frame and the per-user
+    rollup (same partitioning, no second exchange); top-25 is a
+    WindowGroupLimit heap over the per-user rollup.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-59999999, 0)
+    )
+    bursts = ev.select("user_id", us.alias("us")).select(
+        "user_id", "us", F.count(F.lit(1)).over(wb).alias("cnt60")
+    )
+    per_user = bursts.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.max("cnt60").cast("bigint").alias("max_burst_60s"),
+        (F.max("us") - F.min("us")).alias("span_us"),
+    )
+    span_min = F.col("span_us").cast("double") / 60000000
+    scored = per_user.select(
+        "user_id",
+        "n_events",
+        "max_burst_60s",
+        F.round(span_min, 2).alias("span_minutes"),
+        F.when(
+            F.col("span_us") > 0,
+            F.round(F.col("n_events").cast("double") / span_min, 6),
+        ).alias("events_per_active_min"),
+    )
+    w = Window.orderBy(
+        F.col("max_burst_60s").desc(), F.col("n_events").desc(), "user_id"
+    )
+    return scored.select(
+        "user_id",
+        "n_events",
+        "max_burst_60s",
+        "span_minutes",
+        "events_per_active_min",
+        F.row_number().over(w).cast("bigint").alias("rk"),
+    ).where(F.col("rk") <= 25)

@@ -808,3 +808,112 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("rk") <= 25)
     )
+
+
+@query(
+    "graph_local_clustering_topk",
+    oracle="""
+    WITH li AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ), e AS (
+      SELECT DISTINCT a.pk AS u, b.pk AS v
+      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+    ), deg AS (
+      SELECT node, COUNT(*) AS d FROM (
+        SELECT u AS node FROM e UNION ALL SELECT v FROM e
+      ) GROUP BY node
+    ), tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e e1 JOIN e e2 ON e1.v = e2.u
+                JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    ), corner AS (
+      SELECT node, COUNT(*) AS t FROM (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+      ) GROUP BY node
+    ), scored AS (
+      SELECT deg.node, CAST(deg.d AS BIGINT) AS degree,
+        CAST(COALESCE(corner.t, 0) AS BIGINT) AS n_triangles,
+        ROUND(CAST(2 * COALESCE(corner.t, 0) AS DOUBLE)
+              / CAST(deg.d * (deg.d - 1) AS DOUBLE), 6) AS clustering_coeff
+      FROM deg LEFT JOIN corner ON corner.node = deg.node
+      WHERE deg.d >= 2
+    )
+    SELECT node, degree, n_triangles, clustering_coeff,
+      CAST(ROW_NUMBER() OVER (
+        ORDER BY clustering_coeff DESC, degree DESC, node) AS BIGINT) AS rk
+    FROM scored
+    QUALIFY rk <= 25
+    """,
+)
+def graph_local_clustering_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 parts by LOCAL clustering coefficient 2*T_i / (d_i*(d_i-1))
+    on the co-purchase graph — the per-node counterpart of
+    graph_triangle_count's global census (Watts-Strogatz '98): how
+    cliquish is each part's neighborhood.
+
+    Per-node triangle counts reuse the degree-ordered compact-forward
+    wedge machinery: each closed wedge (src; x, z) names its triangle's
+    three corners exactly once, so corner counts are a union of three
+    projections of the closure join — no per-node adjacency intersection.
+    The coefficient divides exact integers as identical doubles; rank is
+    ROW_NUMBER over (rounded coeff desc, degree desc, node) — a total
+    order, so the top-25 set can't flip on a ulp.
+
+    Scale shape: the same O(E^1.5)-bounded wedge join as the census plus
+    one corner rollup; the ranking window runs over the per-node rollup
+    (nodes, not edges). The oracle enumerates triangles naively
+    (count-invariant under orientation, so the simple DuckDB plan
+    verifies the clever one).
+    """
+    und, oe = _copurchase_edges(spark, sf_dir)
+    a, b = oe.alias("a"), oe.alias("b")
+    wedges = a.join(
+        b, (F.col("a.src") == F.col("b.src")) & (F.col("a.dst") < F.col("b.dst"))
+    ).select(
+        F.col("a.src").alias("w_src"),
+        F.col("a.dst").alias("x"),
+        F.col("b.dst").alias("z"),
+    )
+    closer = oe.select(
+        F.least("src", "dst").alias("x"), F.greatest("src", "dst").alias("z")
+    )
+    closed = wedges.join(closer.hint("SHUFFLE_HASH"), ["x", "z"])
+    corners = (
+        closed.select(F.col("w_src").alias("node"))
+        .unionAll(closed.select(F.col("x").alias("node")))
+        .unionAll(closed.select(F.col("z").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    scored = (
+        deg.where(F.col("d") >= 2)
+        .join(corners, "node", "left_outer")
+        .select(
+            "node",
+            F.col("d").cast("bigint").alias("degree"),
+            F.coalesce("t", F.lit(0)).cast("bigint").alias("n_triangles"),
+            F.round(
+                (2 * F.coalesce("t", F.lit(0))).cast("double")
+                / (F.col("d") * (F.col("d") - 1)).cast("double"),
+                6,
+            ).alias("clustering_coeff"),
+        )
+    )
+    w = Window.orderBy(
+        F.col("clustering_coeff").desc(), F.col("degree").desc(), "node"
+    )
+    return scored.select(
+        "node",
+        "degree",
+        "n_triangles",
+        "clustering_coeff",
+        F.row_number().over(w).cast("bigint").alias("rk"),
+    ).where(F.col("rk") <= 25)

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .._memo import SessionMemo
 from ..registry import query
 from ..sources import load_table, register_views
 
@@ -841,3 +842,62 @@ def sketch_theta_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("within_bound"),
         )
     )
+
+
+# (applicationId, sf_dir) -> persisted per-(type, bucket) bitmap table: it
+# feeds BOTH the per-type rollup and the OR-merged ALL row — without a
+# persist each consumer re-scans the fact (lesson 15). SessionMemo bounds
+# entries and unpersists on eviction.
+_BITMAP_CACHE = SessionMemo("sketches.bitmap_buckets")
+
+
+@query(
+    "agg_bitmap_distinct_users",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct_users
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 'ALL', COUNT(DISTINCT user_id) FROM events
+    """,
+)
+def agg_bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per event type via Spark's BITMAP aggregate
+    family (bitmap_bucket_number / bitmap_bit_position /
+    bitmap_construct_agg / bitmap_or_agg / bitmap_count — the roaring-
+    bitmap-style surface behind engine-native exact COUNT DISTINCT
+    acceleration), plus an 'ALL' row built by OR-MERGING the per-type
+    bitmaps instead of rescanning the fact.
+
+    The result is exact by construction (a bitmap is a set), so the
+    oracle is plain COUNT(DISTINCT) — this registers the bitmap surface
+    itself, the mergeable counterpart that HLL approximates.
+
+    At 100 TB: the fact aggregates to one <=4KB bitmap per (type,
+    32k-id bucket) with map-side combine — ids never shuffle raw; every
+    rollup grain above it (the 'ALL' row here) is a bitmap OR over those
+    blocks, the same merge law the sketch family exploits, but lossless.
+    """
+    cached = _BITMAP_CACHE.get(spark, sf_dir)
+    if cached is not None:
+        per_bucket = cached[0]
+    else:
+        e = load_table(spark, sf_dir, "events")
+        per_bucket = e.groupBy(
+            "event_type",
+            F.expr("bitmap_bucket_number(user_id)").alias("bucket"),
+        ).agg(
+            F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias(
+                "bm"
+            )
+        ).persist()
+        _BITMAP_CACHE.put(spark, sf_dir, (per_bucket,))
+    per_type = per_bucket.groupBy("event_type").agg(
+        F.sum(F.expr("bitmap_count(bm)")).alias("n_distinct_users")
+    )
+    merged_all = (
+        per_bucket.groupBy("bucket")
+        .agg(F.expr("bitmap_or_agg(bm)").alias("bm"))
+        .agg(F.sum(F.expr("bitmap_count(bm)")).alias("n_distinct_users"))
+        .select(F.lit("ALL").alias("event_type"), "n_distinct_users")
+    )
+    return per_type.unionByName(merged_all)

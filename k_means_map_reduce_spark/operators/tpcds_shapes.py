@@ -1483,3 +1483,104 @@ def ds_q90_am_pm_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             "am_pm_ratio"
         ),
     )
+
+
+@query(
+    "ds_q36_margin_hierarchy",
+    oracle="""
+    WITH fact AS (
+      SELECT n_name, c_mktsegment AS segment,
+        CAST(ROUND(l_extendedprice * (1 - l_discount), 6) AS DECIMAL(18,6))
+          AS net,
+        CAST(ROUND(l_extendedprice, 6) AS DECIMAL(18,6)) AS gross
+      FROM lineitem
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation ON n_nationkey = c_nationkey
+    ), rolled AS (
+      SELECT
+        COALESCE(n_name, 'ALL') AS nation,
+        COALESCE(segment, 'ALL') AS segment,
+        GROUPING(n_name) + GROUPING(segment) AS lochierarchy,
+        CASE WHEN GROUPING(segment) = 1 AND GROUPING(n_name) = 0
+             THEN n_name ELSE '' END AS parent,
+        ROUND(CAST(SUM(net) AS DOUBLE) / CAST(SUM(gross) AS DOUBLE), 6)
+          AS margin_ratio
+      FROM fact
+      GROUP BY ROLLUP (n_name, segment)
+    )
+    SELECT nation, segment, CAST(lochierarchy AS INT) AS lochierarchy,
+      margin_ratio,
+      CAST(ROW_NUMBER() OVER (
+        PARTITION BY lochierarchy,
+          CASE WHEN lochierarchy = 0 THEN nation ELSE parent END
+        ORDER BY margin_ratio, nation, segment) AS BIGINT)
+        AS rank_within_parent
+    FROM rolled
+    """,
+)
+def ds_q36_margin_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gross-margin hierarchy drilldown (TPC-DS q36's signature: a ROLLUP
+    over a two-level dimension hierarchy, lochierarchy =
+    grouping(level1)+grouping(level2), and a rank of the margin ratio
+    WITHIN each parent grain via the PARTITION BY (lochierarchy,
+    CASE WHEN lochierarchy = 0 THEN parent END) idiom). Hierarchy here is
+    nation -> market segment; margin is discounted-over-list revenue.
+
+    Ratios divide two decimal-exact sums as identical doubles, rounded
+    6dp BEFORE ranking; the rank adds (nation, segment) tie-breaks so the
+    order is total. Rolled-up names emit as 'ALL' (never NULL) for
+    cross-engine dtype parity.
+
+    At 100 TB: ONE fact pass into the rollup lattice (Spark's Expand
+    keeps partial aggregation map-side); the ranking windows run over the
+    ~(nations x segments) lattice, not the fact.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    fact = (
+        l.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+        .select(
+            "n_name",
+            F.col("c_mktsegment").alias("segment"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net"),
+            F.col("l_extendedprice").alias("gross"),
+        )
+    )
+    rolled = fact.rollup("n_name", "segment").agg(
+        (F.grouping("n_name") + F.grouping("segment")).alias("lochierarchy"),
+        F.round(dsum("net") / dsum("gross"), 6).alias("margin_ratio"),
+    )
+    shaped = rolled.select(
+        F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+        F.coalesce("segment", F.lit("ALL")).alias("segment"),
+        F.col("lochierarchy").cast("int").alias("lochierarchy"),
+        # grouping() is only legal inside the rollup aggregate; the parent
+        # grain is equivalently "segment rolled up, nation kept", and the
+        # base columns are never NULL in the data, so NULL-ness of the
+        # rollup output identifies the grain exactly.
+        F.when(
+            F.col("segment").isNull() & F.col("n_name").isNotNull(),
+            F.col("n_name"),
+        )
+        .otherwise(F.lit(""))
+        .alias("parent"),
+        "margin_ratio",
+    )
+    w = Window.partitionBy(
+        "lochierarchy",
+        F.when(F.col("lochierarchy") == 0, F.col("nation")).otherwise(
+            F.col("parent")
+        ),
+    ).orderBy("margin_ratio", "nation", "segment")
+    return shaped.select(
+        "nation",
+        "segment",
+        "lochierarchy",
+        "margin_ratio",
+        F.row_number().over(w).cast("bigint").alias("rank_within_parent"),
+    )

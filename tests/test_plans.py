@@ -380,7 +380,9 @@ def test_no_forced_broadcast_of_catalog_scaling_tables():
         },
         "operators/clustering.py": {"cent_df", "means"},  # k rows; dim rows
         "operators/events.py": {"bounds", "carries", "marg", "stats", "tot", "totals"},
-        "operators/geo.py": {"edges", "hubs", "offsets"},  # literal dims
+        # literal dims; offs = (2*reach+1)^2 ring-offset rows (9 or 25 —
+        # reach is a code constant, never data-derived)
+        "operators/geo.py": {"edges", "hubs", "offs", "offsets"},
         "operators/graph.py": {"kdf"},  # 1-row k threshold
         "operators/incremental.py": {"delta_keys"},  # CDC delta contract
         "operators/layout.py": {"b"},  # 1-row global bounds

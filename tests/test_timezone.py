@@ -61,6 +61,9 @@ DATE_SENSITIVE = [
     "events_runs_test_daily",
     # hour() over TIMESTAMP_NTZ must not consult the session zone
     "ds_q90_am_pm_ratio",
+    # unix_micros RANGE frames (shift-invariant) + encoded first/last touch
+    "attribution_position_based",
+    "events_burst_rate_topk",
 ]
 
 
