@@ -512,3 +512,39 @@ def test_stats_family_degenerate_constant_series(spark, tmp_path):
     assert got[0]["lag1_autocorr"] is None  # constant series: undefined, NULL
     z = QUERIES["events_runs_test_daily"](spark, str(tmp_path)).collect()
     assert all(r["z_score"] is None for r in z)
+
+
+def test_position_based_attribution_conserves_value(spark, sf_dir):
+    """U-shaped credit factors sum to exactly 1 per attributed purchase
+    (0.4+0.4+0.2, 0.5+0.5, 1.0 — all exact binary sums), so total credited
+    value across view+click+none must reconstruct total purchase value to
+    within the per-purchase round-6 slack."""
+    from k_means_map_reduce_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    out = QUERIES["attribution_position_based"](spark, sf_dir)
+    credited = sum(r["credited_value"] for r in out.collect())
+    ev = load_table(spark, sf_dir, "events")
+    total = (
+        ev.where(F.col("event_type") == "purchase")
+        .agg(F.sum("value").alias("t"))
+        .collect()[0]["t"]
+    )
+    n_purch = ev.where(F.col("event_type") == "purchase").count()
+    assert abs(credited - total) <= 2e-6 * n_purch + 1e-6, (
+        f"credited {credited} vs purchases {total}"
+    )
+
+
+def test_burst_rate_topk_bounds(spark, sf_dir):
+    """Burst counts are frame-bounded by the user's event count; ranks are
+    a contiguous 1..k prefix; the rate column is NULL exactly for
+    zero-span users."""
+    rows = QUERIES["events_burst_rate_topk"](spark, sf_dir).collect()
+    assert [r["rk"] for r in rows] == list(range(1, len(rows) + 1))
+    for r in rows:
+        assert 1 <= r["max_burst_60s"] <= r["n_events"]
+        if r["span_minutes"] == 0.0:
+            assert r["events_per_active_min"] is None
+        else:
+            assert r["events_per_active_min"] > 0
