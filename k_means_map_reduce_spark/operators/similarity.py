@@ -810,6 +810,7 @@ def sim_centroid_distance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MMR_K = 5  # picks per query
 _MMR_POOL = 20  # relevance shortlist size fed into the re-rank
+_MMR_CACHE = SessionMemo("similarity.mmr_rerank")
 
 
 def _mmr_oracle_sql() -> str:
@@ -901,8 +902,14 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB: relevance scoring is the existing broadcast-query scan;
     everything after runs on k*pool-row frames. The round loop builds a
     k-deep plan — constant, and each round's frame is localCheckpointed
-    to keep the lineage flat (the k-core lesson 18a discipline).
+    to keep the lineage flat (the k-core lesson 18a discipline). The
+    final picks table (queries x k rows) is eagerly checkpointed and
+    memoized per (session, sf_dir) so repeated invocations don't replay
+    the shortlist/pairwise build (the banding-tier discipline).
     """
+    cached = _MMR_CACHE.get(spark, sf_dir)
+    if cached is not None:
+        return cached[0]
     e = load_table(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < N_QUERY).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
@@ -978,4 +985,8 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         picks = picks.unionAll(pick_t).localCheckpoint(eager=False)
-    return picks
+    # eager: materialize ONCE and cut every upstream lineage (sl/pw blocks
+    # become unreferenced); the memoized value is the k*queries-row result
+    out = picks.localCheckpoint(eager=True)
+    _MMR_CACHE.put(spark, sf_dir, (out,))
+    return out
