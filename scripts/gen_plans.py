@@ -152,6 +152,27 @@ PICKS = {
         "meet only on rare df-ordered prefix shingles plus a length-ratio "
         "guard; the quadratic join exists only in the DuckDB oracle."
     ),
+    "graph_local_clustering_topk": (
+        "Per-node triangle counts as three projections of the compact-"
+        "forward closure join (the cached oriented edge list feeds wedge "
+        "pairing, closure, and degrees); the coefficient and top-25 rank "
+        "run over the node rollup, never the edges."
+    ),
+    "ds_q36_margin_hierarchy": (
+        "ONE fact pass feeds the ROLLUP lattice via Expand with map-side "
+        "partial aggregation; the rank-within-parent window partitions "
+        "the tiny lattice, not the fact."
+    ),
+    "attribution_position_based": (
+        "First/last-touch TYPE rides the SAME user_id time-RANGE frame as "
+        "the counts (encoded MIN/MAX) — one exchange feeds all four frame "
+        "aggregates; the 3-row report is a stack() over one agg row."
+    ),
+    "agg_bitmap_distinct_users": (
+        "IDs collapse map-side into per-(type, 32k-bucket) bitmap blocks; "
+        "the ALL row ORs the cached blocks — no second fact scan, and raw "
+        "ids never shuffle."
+    ),
 }
 
 
