@@ -932,3 +932,63 @@ def stats_welch_t_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("df_welch"),
     )
+
+
+@query(
+    "stats_chi2_gof_dow",
+    oracle="""
+    WITH dows AS (
+      SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) % 7
+        AS dow
+      FROM orders
+    ), obs AS (
+      SELECT dow, CAST(COUNT(*) AS BIGINT) AS o FROM dows GROUP BY dow
+    ), tot AS (
+      SELECT *, CAST(SUM(o) OVER () AS BIGINT) AS n FROM obs
+    ), terms AS (
+      SELECT n,
+        ROUND((CAST(o AS DOUBLE) - CAST(n AS DOUBLE) / 7)
+              * (CAST(o AS DOUBLE) - CAST(n AS DOUBLE) / 7)
+              / (CAST(n AS DOUBLE) / 7), 6) AS term
+      FROM tot
+    )
+    SELECT n,
+      CAST(COUNT(*) - 1 AS BIGINT) AS df,
+      ROUND(CAST(SUM(CAST(term AS DECIMAL(18,6))) AS DOUBLE), 5) AS chi2
+    FROM terms GROUP BY n
+    """,
+)
+def stats_chi2_gof_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square GOODNESS-OF-FIT of order day-of-week uniformity (H0:
+    orders land evenly across the week) — completing the chi-square pair
+    beside orders_chi2_priority_status's independence test. The uniform
+    null needs no second sample: expected = n/7 for every cell.
+
+    Day-of-week is epoch-day mod 7 — NEVER each engine's dayofweek()
+    (DuckDB numbers Sunday=0..6, Spark 1..7 — lesson 11); counts are
+    exact, each (o-e)^2/e term is IEEE arithmetic on identical doubles
+    rounded 6dp, then decimal-summed (order-insensitive), final one digit
+    coarser.
+
+    At 100 TB: one fact scan into a 7-row rollup.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    dow = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")) % 7
+    obs = o.select(dow.alias("dow")).groupBy("dow").agg(
+        F.count(F.lit(1)).cast("bigint").alias("o")
+    )
+    w_all = Window.partitionBy()
+    tot = obs.select(
+        "o", F.sum("o").over(w_all).cast("bigint").alias("n")
+    )
+    e = F.col("n").cast("double") / 7
+    od = F.col("o").cast("double")
+    terms = tot.select(
+        "n", F.round((od - e) * (od - e) / e, 6).alias("term")
+    )
+    return terms.groupBy("n").agg(
+        (F.count(F.lit(1)) - 1).cast("bigint").alias("df"),
+        F.round(
+            F.sum(F.col("term").cast("decimal(18,6)")).cast("double"), 5
+        ).alias("chi2"),
+    )

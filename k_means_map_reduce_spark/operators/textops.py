@@ -2010,3 +2010,84 @@ def text_tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFr
             ),
         ).alias("fertility"),
     )
+
+
+@query(
+    "text_oov_rate_by_lang",
+    oracle=r"""
+    WITH toks AS (
+      SELECT lang,
+        unnest(list_filter(
+          string_split_regex(TRIM(LOWER(text)), '\s+'), t -> t != ''))
+          AS term
+      FROM documents
+    ), tf AS (
+      SELECT lang, term, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM toks GROUP BY lang, term
+    ), vocab AS (
+      SELECT term FROM (
+        SELECT term,
+          ROW_NUMBER() OVER (
+            ORDER BY SUM(cnt) DESC, term) AS rk
+        FROM tf GROUP BY term
+      ) WHERE rk <= 1000
+    )
+    SELECT lang,
+      CAST(SUM(cnt) AS BIGINT) AS total_tokens,
+      CAST(SUM(CASE WHEN v.term IS NULL THEN cnt ELSE 0 END) AS BIGINT)
+        AS oov_tokens,
+      ROUND(CAST(SUM(CASE WHEN v.term IS NULL THEN cnt ELSE 0 END) AS DOUBLE)
+            / CAST(SUM(cnt) AS DOUBLE), 6) AS oov_rate
+    FROM tf LEFT JOIN vocab v USING (term)
+    GROUP BY lang
+    """,
+)
+def text_oov_rate_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per language against the corpus's own top-1000
+    term vocabulary — the tokenizer-coverage diagnostic run before
+    committing a vocab/tokenizer to a multilingual corpus (high OOV in a
+    language means its text will fragment into long byte-level tails;
+    pairs with text_tokenizer_fertility_by_lang, which measures the
+    fragmentation itself).
+
+    The vocabulary is a deterministic rank cut: ROW_NUMBER over (global
+    count desc, term asc) — integer counts with a total tie order, so the
+    top-1000 SET is identical cross-engine. Rates divide exact BIGINTs.
+
+    At 100 TB: one tokenize-explode into the (lang, term) rollup; the
+    global-term rollup derives from it (map-side combined); the vocab is
+    a 1000-row broadcast against the term-keyed rollup — never the raw
+    token stream.
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.trim(F.lower("text")), r"\s+"), lambda t: t != ""
+    )
+    tf = (
+        d.select("lang", F.explode(toks).alias("term"))
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    vocab = (
+        tf.groupBy("term")
+        .agg(F.sum("cnt").alias("g"))
+        .select(
+            "term",
+            F.row_number()
+            .over(Window.orderBy(F.col("g").desc(), "term"))
+            .alias("rk"),
+        )
+        .where(F.col("rk") <= 1000)
+        .select("term", F.lit(1).alias("in_vocab"))
+    )
+    joined = tf.join(F.broadcast(vocab), "term", "left_outer")
+    oov = F.when(F.col("in_vocab").isNull(), F.col("cnt")).otherwise(F.lit(0))
+    return joined.groupBy("lang").agg(
+        F.sum("cnt").cast("bigint").alias("total_tokens"),
+        F.sum(oov).cast("bigint").alias("oov_tokens"),
+        F.round(
+            F.sum(oov).cast("double") / F.sum("cnt").cast("double"), 6
+        ).alias("oov_rate"),
+    )

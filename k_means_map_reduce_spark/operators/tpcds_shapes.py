@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 from .._memo import SessionMemo
 from ..registry import query
 from ..sources import load_table
-from ._util import dsum
+from ._util import dsum, sql_dsum
 
 
 @query(
@@ -1600,4 +1600,159 @@ def ds_q36_margin_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lochierarchy",
         "margin_ratio",
         F.row_number().over(w).cast("bigint").alias("rank_within_parent"),
+    )
+
+
+@query(
+    "ds_q38_triple_channel_customers",
+    oracle="""
+    WITH tiers AS (
+      SELECT o_custkey,
+        CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'hi'
+             WHEN o_orderpriority = '3-MEDIUM' THEN 'mid'
+             ELSE 'lo' END AS tier
+      FROM orders
+    ), triple AS (
+      SELECT o_custkey FROM tiers
+      GROUP BY o_custkey HAVING COUNT(DISTINCT tier) = 3
+    )
+    SELECT n_name, COUNT(*) AS n_triple_customers
+    FROM triple
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation ON n_nationkey = c_nationkey
+    GROUP BY n_name
+    """,
+)
+def ds_q38_triple_channel_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers active in ALL THREE channels (TPC-DS q38's signature:
+    INTERSECT of three per-channel customer sets, restated as ONE
+    grouped scan with HAVING COUNT(DISTINCT channel) = 3 — the rewrite
+    every engine's optimizer wants, since a literal 3-way INTERSECT
+    scans the fact three times and shuffles full rows). Channels ~
+    priority tiers; reported per customer nation.
+
+    Pure integer counting end to end. At 100 TB: one fact pass to the
+    (customer, distinct-tier) rollup (map-side partials), the survivor
+    set joins the customer dim once, nation broadcasts.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    tier = (
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "hi")
+        .when(F.col("o_orderpriority") == "3-MEDIUM", "mid")
+        .otherwise("lo")
+    )
+    triple = (
+        o.select("o_custkey", tier.alias("tier"))
+        .groupBy("o_custkey")
+        .agg(F.countDistinct("tier").alias("nt"))
+        .where(F.col("nt") == 3)
+    )
+    return (
+        triple.join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_triple_customers"))
+    )
+
+
+@query(
+    "ds_q28_quantity_band_stats",
+    oracle=f"""
+    SELECT
+      CASE WHEN l_quantity <= 8 THEN 'b1_q1_8'
+           WHEN l_quantity <= 16 THEN 'b2_q9_16'
+           WHEN l_quantity <= 24 THEN 'b3_q17_24'
+           WHEN l_quantity <= 32 THEN 'b4_q25_32'
+           WHEN l_quantity <= 40 THEN 'b5_q33_40'
+           ELSE 'b6_q41_up' END AS band,
+      COUNT(*) AS n_lines,
+      {sql_dsum('l_extendedprice')} / COUNT(*) AS avg_price,
+      COUNT(DISTINCT CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+        AS n_distinct_prices
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def ds_q28_quantity_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-band price statistics (TPC-DS q28's signature: six bucket-scoped
+    (avg list_price, count, count distinct list_price) triples that naive
+    SQL writes as six separate subqueries CROSS JOINed — restated as ONE
+    banded aggregation pass). Bands are quantity ranges.
+
+    avg = decimal-exact sum / exact count; distinct prices count integer
+    cents (never raw doubles). At 100 TB: one fact scan; the distinct
+    lands as a two-phase aggregate per band — 6 groups, no skew hazard.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    band = (
+        F.when(F.col("l_quantity") <= 8, "b1_q1_8")
+        .when(F.col("l_quantity") <= 16, "b2_q9_16")
+        .when(F.col("l_quantity") <= 24, "b3_q17_24")
+        .when(F.col("l_quantity") <= 32, "b4_q25_32")
+        .when(F.col("l_quantity") <= 40, "b5_q33_40")
+        .otherwise("b6_q41_up")
+    )
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+    return l.groupBy(band.alias("band")).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        (dsum("l_extendedprice") / F.count(F.lit(1))).alias("avg_price"),
+        F.countDistinct(cents).alias("n_distinct_prices"),
+    )
+
+
+@query(
+    "ds_q97_channel_overlap",
+    oracle="""
+    WITH flags AS (
+      SELECT o_custkey AS ck, l_partkey AS pk,
+        MAX(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                 THEN 1 ELSE 0 END) AS in_hi,
+        MAX(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                 THEN 1 ELSE 0 END) AS in_lo
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      GROUP BY 1, 2
+    )
+    SELECT
+      COUNT(CASE WHEN in_hi = 1 AND in_lo = 0 THEN 1 END) AS hi_only,
+      COUNT(CASE WHEN in_hi = 0 AND in_lo = 1 THEN 1 END) AS lo_only,
+      COUNT(CASE WHEN in_hi = 1 AND in_lo = 1 THEN 1 END) AS both_channels
+    FROM flags
+    """,
+)
+def ds_q97_channel_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Channel-overlap census of (customer, part) purchase pairs (TPC-DS
+    q97's signature: store-only / catalog-only / both counts via a FULL
+    OUTER JOIN of two per-channel rollups — restated as ONE rollup with
+    per-channel presence flags, which never materializes the outer join
+    and scans the fact once). Channels ~ urgent-vs-normal priority.
+
+    Pure integer flags and counts. At 100 TB: one fact pass into the
+    (customer, part) rollup with map-side combine; the census is a 1-row
+    conditional aggregate over it.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    flags = (
+        l.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            F.col("o_custkey").alias("ck"), F.col("l_partkey").alias("pk")
+        )
+        .agg(
+            F.max(F.when(hi, 1).otherwise(0)).alias("in_hi"),
+            F.max(F.when(~hi, 1).otherwise(0)).alias("in_lo"),
+        )
+    )
+    return flags.agg(
+        F.count(F.when((F.col("in_hi") == 1) & (F.col("in_lo") == 0), 1)).alias(
+            "hi_only"
+        ),
+        F.count(F.when((F.col("in_hi") == 0) & (F.col("in_lo") == 1), 1)).alias(
+            "lo_only"
+        ),
+        F.count(F.when((F.col("in_hi") == 1) & (F.col("in_lo") == 1), 1)).alias(
+            "both_channels"
+        ),
     )

@@ -396,7 +396,9 @@ def test_no_forced_broadcast_of_catalog_scaling_tables():
                                     "queries", "qv"},
         "operators/sketches.py": {"bounds", "cand", "mstats", "sketch", "targets", "theta"},  # + 1-row theta/cand aggs
         "operators/temporal.py": {"dim", "lags", "seas"},  # 8 lags; type x dow
-        "operators/textops.py": {"bounds", "conf", "lm", "stats", "tot", "total"},  # per-lang / label-enum / scalars
+        # per-lang / label-enum / scalars; vocab = fixed 1000-row rank cut
+        "operators/textops.py": {"bounds", "conf", "lm", "stats", "tot",
+                                 "total", "vocab"},
         "operators/tpcds_shapes.py": {"n"},
         "operators/tpch_extra.py": {"n1", "n2", "r", "thresh"},
         "operators/tpch_full.py": {"mx", "n", "r", "total"},
