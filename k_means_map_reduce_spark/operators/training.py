@@ -35,6 +35,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .._memo import SessionMemo
 from ..registry import query
 from ..sources import load_table
 
@@ -1427,6 +1428,12 @@ def drift_psi_totalprice_train_test(spark: SparkSession, sf_dir: str) -> DataFra
 _DSIR_BUCKETS = 4096  # hashed-bigram feature space (DSIR's n-gram buckets)
 
 
+# (applicationId, sf_dir) -> persisted (doc, lang, bucket, n) DSIR feature
+# rollup: bucket totals AND the weight join both consume it (one tokenize+
+# explode pass instead of two). SessionMemo unpersists on eviction.
+_DSIR_CACHE = SessionMemo("training.dsir_docb")
+
+
 @query(
     "training_dsir_importance_weights",
     oracle=f"""
@@ -1489,31 +1496,52 @@ def training_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFr
 
     At 100 TB: the weight table is at most {b} rows (broadcast-sized by
     construction, independent of corpus size); docs reduce to (doc,
-    bucket) counts before the join, so text never shuffles.
+    bucket) counts before the join, so text never shuffles. The (doc,
+    bucket) rollup is PERSISTED and both the bucket totals and the final
+    join derive from it — the tokenize+explode pass runs ONCE (it was
+    the plan's dominant cost and ran twice when cnts and docb each read
+    the raw bigram stream; at cluster scale materialize this rollup to
+    parquet instead of executor storage).
     """
-    d = load_table(spark, sf_dir, "documents")
-    toks = F.filter(F.split(_NORM(F.col("text")), " "), lambda t: t != "")
-    base = d.select("doc_id", "lang", toks.alias("toks")).where(
-        F.size("toks") >= 2
-    )
-    gram = F.array_join(
-        F.slice(F.col("toks"), F.col("i"), 2), " "
-    )
-    bucket = (
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit("dsir:"), gram)), 1, 8), 16, 10
-        ).cast("bigint")
-        % _DSIR_BUCKETS
-    )
-    bg = base.select(
-        "doc_id",
-        "lang",
-        F.explode(F.sequence(F.lit(1), F.size("toks") - 1)).alias("i"),
-        "toks",
-    ).select("doc_id", "lang", bucket.alias("b"))
-    cnts = bg.groupBy("b").agg(
-        F.count(F.lit(1)).alias("cp"),
-        F.count(F.when(F.col("lang") == "en", 1)).alias("ct"),
+    cached = _DSIR_CACHE.get(spark, sf_dir)
+    if cached is not None:
+        docb = cached[0]
+    else:
+        d = load_table(spark, sf_dir, "documents")
+        toks = F.filter(F.split(_NORM(F.col("text")), " "), lambda t: t != "")
+        base = d.select("doc_id", "lang", toks.alias("toks")).where(
+            F.size("toks") >= 2
+        )
+        gram = F.array_join(
+            F.slice(F.col("toks"), F.col("i"), 2), " "
+        )
+        bucket = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("dsir:"), gram)), 1, 8
+                ), 16, 10
+            ).cast("bigint")
+            % _DSIR_BUCKETS
+        )
+        bg = base.select(
+            "doc_id",
+            "lang",
+            F.explode(F.sequence(F.lit(1), F.size("toks") - 1)).alias("i"),
+            "toks",
+        ).select("doc_id", "lang", bucket.alias("b"))
+        docb = (
+            bg.groupBy("doc_id", "lang", "b")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .persist()
+        )
+        _DSIR_CACHE.put(spark, sf_dir, (docb,))
+    # bucket totals derive from the rollup (sum of per-doc multiplicities
+    # == raw bigram counts), so the exploded stream is never re-read
+    cnts = docb.groupBy("b").agg(
+        F.sum("n").alias("cp"),
+        F.sum(F.when(F.col("lang") == "en", F.col("n")).otherwise(0)).alias(
+            "ct"
+        ),
     )
     tots = cnts.agg(
         F.sum("cp").cast("bigint").alias("tp"),
@@ -1527,7 +1555,6 @@ def training_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFr
         6,
     )
     w = cnts.crossJoin(F.broadcast(tots)).select("b", wb.alias("wb"))
-    docb = bg.groupBy("doc_id", "lang", "b").agg(F.count(F.lit(1)).alias("n"))
     return (
         docb.join(w, "b")
         .groupBy("doc_id", "lang")
