@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .._memo import SessionMemo
 from ..registry import query
 from ..sources import load_table
 
@@ -431,6 +432,11 @@ def multimodal_clip_training_pairs(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+# (applicationId, sf_dir) -> persisted 4x32-bit fingerprint table (pHash
+# stand-in): postings, candidate join, and Hamming verify all consume it.
+_PHASH_CACHE = SessionMemo("multimodal.phash_sigs")
+
+
 @query(
     "multimodal_phash_near_dup",
     oracle="""
@@ -490,21 +496,32 @@ def multimodal_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify) real, tested, and ORACLED: DuckDB recomputes fingerprints
     from the same bytes and brute-replays the blocking.
     """
-    m = media_table(spark, sf_dir)
-    crop = F.substring(
-        F.lower(
-            F.regexp_replace(F.trim(F.decode("media", "UTF-8")), r"\s+", " ")
-        ),
-        1,
-        256,
-    )
-    hexmd5 = F.md5(crop)
-    chunk = lambda i: F.conv(  # noqa: E731
-        F.substring(hexmd5, 1 + 8 * i, 8), 16, 10
-    ).cast("long")
-    sigs = m.select(
-        "doc_id", *[chunk(i).alias(f"c{i}") for i in range(4)]
-    )
+    cached = _PHASH_CACHE.get(spark, sf_dir)
+    if cached is not None:
+        sigs = cached[0]
+    else:
+        m = media_table(spark, sf_dir)
+        crop = F.substring(
+            F.lower(
+                F.regexp_replace(
+                    F.trim(F.decode("media", "UTF-8")), r"\s+", " "
+                )
+            ),
+            1,
+            256,
+        )
+        hexmd5 = F.md5(crop)
+        chunk = lambda i: F.conv(  # noqa: E731
+            F.substring(hexmd5, 1 + 8 * i, 8), 16, 10
+        ).cast("long")
+        # persisted: the fingerprint frame feeds the 4 block postings, both
+        # candidate-join sides, AND both verify sides — unpersisted, the
+        # decode+normalize+md5 scan re-runs 10x (scan-audit finding,
+        # lesson 27). 4 longs per asset; bytes never leave the scan.
+        sigs = m.select(
+            "doc_id", *[chunk(i).alias(f"c{i}") for i in range(4)]
+        ).persist()
+        _PHASH_CACHE.put(spark, sf_dir, (sigs,))
     posts = None
     for i in range(4):
         p = sigs.select(

@@ -1683,6 +1683,11 @@ def contamination_13gram_scorecard(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+# (applicationId, sf_dir) -> persisted unigram-LM vocab for the perplexity
+# mixture (corpus total + scoring join both consume it).
+_PPL_VOCAB_CACHE = SessionMemo("training.ppl_vocab")
+
+
 @query(
     "training_perplexity_mixture",
     oracle=f"""
@@ -1743,7 +1748,17 @@ def training_perplexity_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     toks_arr = F.filter(F.split(F.trim(F.lower("text")), r"\s+"), lambda t: t != "")
     toks = d.select("doc_id", F.explode(toks_arr).alias("tok"))
-    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    cached = _PPL_VOCAB_CACHE.get(spark, sf_dir)
+    if cached is not None:
+        vocab = cached[0]
+    else:
+        # persisted: the LM vocab (Heaps-law small) is consumed by the
+        # corpus total AND the scoring join — unpersisted, EACH consumer
+        # re-runs the tokenize+explode+agg subtree (scan-audit finding,
+        # lesson 27). This is also the scale-correct persist target: the
+        # vocab stays broadcastable while the token stream never would.
+        vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt")).persist()
+        _PPL_VOCAB_CACHE.put(spark, sf_dir, (vocab,))
     total = vocab.agg(F.sum("cnt").cast("long").alias("n_total"))
     scored = (
         toks.join(vocab, "tok")
