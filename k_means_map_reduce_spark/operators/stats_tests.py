@@ -197,7 +197,13 @@ def stats_mann_whitney_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n1",
         n2.alias("n2"),
         u1.alias("u1"),
-        F.round((u1.cast("double") - mu) / sigma, 6).alias("z"),
+        # sigma = 0 iff a segment IS the whole population (n2 = 0): the z
+        # is undefined — NULL, matching DuckDB's /0 (lesson 19; ANSI Spark
+        # would throw DIVIDE_BY_ZERO without the guard)
+        F.when(
+            (n1 > 0) & (n2 > 0),
+            F.round((u1.cast("double") - mu) / sigma, 6),
+        ).alias("z"),
     )
 
 
@@ -335,7 +341,13 @@ def stats_brown_forsythe_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("k").cast("bigint").alias("k"),
             "n",
-            F.round(w_mult * F.col("num") / F.col("den"), 6).alias("w_stat"),
+            # den = 0 on constant-deviation data and k = 1 on a one-group
+            # population: W undefined — NULL, matching DuckDB's /0
+            # (lesson 19; ANSI would throw without the guard)
+            F.when(
+                (F.col("den") > 0) & (F.col("k") >= 2),
+                F.round(w_mult * F.col("num") / F.col("den"), 6),
+            ).alias("w_stat"),
         )
     )
 
@@ -374,8 +386,10 @@ def stats_brown_forsythe_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
       CASE WHEN mean_c - CAST(mn AS DOUBLE) > CAST(mx AS DOUBLE) - mean_c
            THEN CAST(mn AS DOUBLE) / 100 ELSE CAST(mx AS DOUBLE) / 100 END
         AS outlier_value,
-      ROUND(GREATEST(CAST(mx AS DOUBLE) - mean_c, mean_c - CAST(mn AS DOUBLE))
-            / sd_c, 6) > 3.0 AS is_outlier
+      COALESCE(
+        ROUND(GREATEST(CAST(mx AS DOUBLE) - mean_c,
+                       mean_c - CAST(mn AS DOUBLE))
+              / sd_c, 6) > 3.0, FALSE) AS is_outlier
     FROM st
     """,
 )
@@ -421,7 +435,11 @@ def stats_grubbs_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     mnd, mxd = F.col("mn").cast("double"), F.col("mx").cast("double")
-    g_stat = F.round(F.greatest(mxd - mean_c, mean_c - mnd) / sd_c, 6)
+    # sd = 0 on constant data: G undefined — NULL (and a NULL boolean),
+    # matching DuckDB's /0 (lesson 19; ANSI would throw without the guard)
+    g_stat = F.when(
+        sd_c > 0, F.round(F.greatest(mxd - mean_c, mean_c - mnd) / sd_c, 6)
+    )
     return g.select(
         "priority",
         "n",
@@ -431,7 +449,11 @@ def stats_grubbs_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(mean_c - mnd > mxd - mean_c, mnd / 100)
         .otherwise(mxd / 100)
         .alias("outlier_value"),
-        (g_stat > 3.0).alias("is_outlier"),
+        # undefined G (constant sample) = no outlier DETECTED: a concrete
+        # FALSE, because a NULL boolean stringifies differently across the
+        # engines' pandas paths ('None' vs 'nan') and the semantic reading
+        # is the same
+        F.coalesce(g_stat > 3.0, F.lit(False)).alias("is_outlier"),
     )
 
 
@@ -855,13 +877,19 @@ def stats_anova_f_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     f_stat = (F.col("ssb") / (F.col("k") - 1).cast("double")) / (
         F.col("ssw") / (F.col("n") - F.col("k")).cast("double")
     )
+    # ssw = 0 on within-group-constant data, k = 1 on a one-group
+    # population, n = k when every group has one row: F undefined — NULL,
+    # matching DuckDB's /0 (lesson 19; ANSI would throw unguarded)
+    guard = (
+        (F.col("ssw") > 0) & (F.col("k") >= 2) & (F.col("n") > F.col("k"))
+    )
     return (
         terms.groupBy("k", "n")
         .agg(ordered_sum("ssb_i").alias("ssb"), ordered_sum("ssw_i").alias("ssw"))
         .select(
             F.col("k").cast("bigint").alias("k"),
             "n",
-            F.round(f_stat, 6).alias("f_stat"),
+            F.when(guard, F.round(f_stat, 6)).alias("f_stat"),
         )
     )
 
@@ -939,15 +967,25 @@ def stats_welch_t_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     m2 = s2d / n2d
     se1 = (F.col("ss1") - s1d * s1d / n1d) / (F.col("n1") - 1) / n1d
     se2 = (F.col("ss2") - s2d * s2d / n2d) / (F.col("n2") - 1) / n2d
+    # se1 + se2 = 0 (and with it the Welch-Satterthwaite denominator) iff
+    # both groups are constant: t and df undefined — NULL, matching
+    # DuckDB's /0 (lesson 19; ANSI would throw unguarded)
+    pos = se1 + se2 > 0
     return g.select(
         "n1",
         "n2",
         F.round((m1 - m2) / 100, 6).alias("mean_diff"),
-        F.round((m1 - m2) / F.sqrt(se1 + se2), 6).alias("t_stat"),
-        F.round(
-            (se1 + se2) * (se1 + se2)
-            / (se1 * se1 / (F.col("n1") - 1) + se2 * se2 / (F.col("n2") - 1)),
-            2,
+        F.when(pos, F.round((m1 - m2) / F.sqrt(se1 + se2), 6)).alias("t_stat"),
+        F.when(
+            pos,
+            F.round(
+                (se1 + se2) * (se1 + se2)
+                / (
+                    se1 * se1 / (F.col("n1") - 1)
+                    + se2 * se2 / (F.col("n2") - 1)
+                ),
+                2,
+            ),
         ).alias("df_welch"),
     )
 

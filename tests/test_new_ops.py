@@ -548,3 +548,72 @@ def test_burst_rate_topk_bounds(spark, sf_dir):
             assert r["events_per_active_min"] is None
         else:
             assert r["events_per_active_min"] > 0
+
+
+def test_stats_battery_degenerate_constant_balances(spark, tmp_path):
+    """Constant data zeroes every variance/deviation denominator in the
+    round-8 stats battery: ANSI Spark must yield NULL via when-guards
+    exactly where DuckDB's /0 yields NULL (lesson 19), never throw
+    DIVIDE_BY_ZERO. Also pins the Mann-Whitney single-segment case
+    (the segment IS the population -> sigma = 0 -> z NULL)."""
+    from k_means_map_reduce_spark.oracle import compare_query
+
+    def write_customer(path, segments):
+        n = 10 * len(segments)
+        tbl = pa.table(
+            {
+                "c_custkey": pa.array(list(range(1, n + 1)), pa.int64()),
+                "c_mktsegment": pa.array(
+                    [segments[i % len(segments)] for i in range(n)], pa.string()
+                ),
+                "c_acctbal": pa.array([500.0] * n, pa.float64()),
+                "c_nationkey": pa.array([1] * n, pa.int64()),
+                "c_name": pa.array([f"Customer#{i}" for i in range(n)], pa.string()),
+            }
+        )
+        pq.write_table(tbl, path)
+
+    two = tmp_path / "two_seg"
+    two.mkdir()
+    write_customer(str(two / "customer.parquet"), ["AUTOMOBILE", "BUILDING"])
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array(list(range(40)), pa.int64()),
+            "o_custkey": pa.array([1] * 40, pa.int64()),
+            "o_orderstatus": pa.array(["F"] * 40, pa.string()),
+            "o_totalprice": pa.array([100.0] * 40, pa.float64()),
+            "o_orderdate": pa.array(
+                [dt.datetime(2024, 4, 1) + dt.timedelta(days=d) for d in range(40)],
+                pa.timestamp("us"),
+            ),
+            "o_orderpriority": pa.array(
+                ["1-URGENT" if i % 2 else "2-HIGH" for i in range(40)], pa.string()
+            ),
+        }
+    )
+    pq.write_table(orders, str(two / "orders.parquet"))
+
+    for name in (
+        "stats_welch_t_segments",
+        "stats_anova_f_acctbal",
+        "stats_brown_forsythe_acctbal",
+        "stats_grubbs_outlier",
+        "stats_kruskal_wallis_acctbal",
+        "stats_mann_whitney_acctbal",
+    ):
+        r = compare_query(spark, name, str(two))
+        assert r.ok, f"{name} on constant data: {r.detail}"
+    w = QUERIES["stats_welch_t_segments"](spark, str(two)).collect()[0]
+    assert w["t_stat"] is None and w["df_welch"] is None
+    f = QUERIES["stats_anova_f_acctbal"](spark, str(two)).collect()[0]
+    assert f["f_stat"] is None
+    g = QUERIES["stats_grubbs_outlier"](spark, str(two)).collect()
+    assert all(r["g_stat"] is None and r["is_outlier"] is False for r in g)
+
+    one = tmp_path / "one_seg"
+    one.mkdir()
+    write_customer(str(one / "customer.parquet"), ["AUTOMOBILE"])
+    r = compare_query(spark, "stats_mann_whitney_acctbal", str(one))
+    assert r.ok, f"mann_whitney single-segment: {r.detail}"
+    z = QUERIES["stats_mann_whitney_acctbal"](spark, str(one)).collect()
+    assert len(z) == 1 and z[0]["z"] is None
