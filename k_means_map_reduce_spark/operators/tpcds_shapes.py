@@ -1402,8 +1402,16 @@ def ds_q31_channel_growth_compare(spark: SparkSession, sf_dir: str) -> DataFrame
         F.lag("rev_hi").over(w).alias("prev_hi"),
         F.lag("rev_lo").over(w).alias("prev_lo"),
     )
-    g_hi = F.round(F.col("rev_hi") / F.col("prev_hi"), 6)
-    g_lo = F.round(F.col("rev_lo") / F.col("prev_lo"), 6)
+    # when-guard the divisions, never rely on the prev>0 conjuncts: ANSI
+    # vectorized eval computes EVERY conjunct of one predicate for every
+    # row (lesson 19), so a nation-quarter with zero prior-channel revenue
+    # would throw DIVIDE_BY_ZERO even though its own conjunct excludes it
+    g_hi = F.when(
+        F.col("prev_hi") > 0, F.round(F.col("rev_hi") / F.col("prev_hi"), 6)
+    )
+    g_lo = F.when(
+        F.col("prev_lo") > 0, F.round(F.col("rev_lo") / F.col("prev_lo"), 6)
+    )
     return lagged.where(
         (F.col("prev_q") == F.col("qidx") - 1)
         & (F.col("prev_hi") > 0)
