@@ -913,7 +913,10 @@ def stream_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo, hi = e.where(F.col("value").isNotNull()).agg(
         F.min("value"), F.max("value")
     ).first()
-    width = (hi - lo) / 1000.0
+    # constant data (hi == lo) zeroes the bucket width and the bin floor
+    # would throw DIVIDE_BY_ZERO under ANSI: any positive width is correct
+    # there (every value lands in bin 0); real data is unaffected
+    width = (hi - lo) / 1000.0 or 1.0
 
     stage = tempfile.mkdtemp(prefix="hist_stage_", dir=_tmp_root())
     for i in range(4):
