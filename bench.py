@@ -8,16 +8,17 @@ Each query is executed to completion (count() materializes the full plan);
 the session is warmed once with a trivial job so JVM startup isn't billed to
 the first query.
 
-Set shape (round 8 re-baseline):
-  - HEADLINE = LEGACY56 + R7_FOLDED (66 queries). "value" is the warm total
-    of all 66 — the round-over-round headline from round 8 on.
-  - The stdout per-query map carries only LEGACY56 (the driver tail-truncates
-    stdout at ~2000 chars; 66 names don't fit even at 1dp), plus
-    "value_prev56" so rounds <=7 (whose totals covered exactly those 56)
-    stay comparable. Full per-query cold+warm for all 66 lives in
+Set shape (round 9 fold):
+  - HEADLINE = LEGACY56 + R7_FOLDED + R8_FOLDED (79 queries). "value" is
+    the warm total of all 79 — the round-over-round headline from round 9
+    on.
+  - The stdout per-query map carries only LEGACY56 (the driver
+    tail-truncates stdout at ~2000 chars; 79 names don't fit even at 1dp),
+    plus "value_prev56" (rounds <=7 comparability) and "value_prev66"
+    (round-8 comparability). Full per-query cold+warm for all 79 lives in
     bench_detail.json.
-  - ADDITIONS = round-8 operator additions, benched identically but
-    reported detail-only this round (the r7 pattern); they fold into
+  - ADDITIONS = round-9 operator additions, benched identically but
+    reported detail-only this round (the r7/r8 pattern); they fold into
     HEADLINE next round once this round's totals exist as the baseline.
 """
 
@@ -125,12 +126,9 @@ R7_FOLDED = [
     "reco_item_item_cosine",
 ]
 
-HEADLINE = LEGACY56 + R7_FOLDED
-
-# Round-8 operator additions: benched identically, reported detail-only
-# (bench_detail.json "r8_additions*") so this round's 66-query totals land
-# clean as the new baseline; fold next round.
-ADDITIONS = [
+# Round-8 operator additions, detail-only in round 8; folded into the
+# headline total from round 9 on (same arc as R7_FOLDED).
+R8_FOLDED = [
     "stats_kendall_tau_brand",
     "stats_kruskal_wallis_acctbal",
     "stats_isotonic_pava_monthly",
@@ -145,6 +143,14 @@ ADDITIONS = [
     "ds_q31_channel_growth_compare",
     "timeseries_sma_crossover_signals",
 ]
+
+HEADLINE = LEGACY56 + R7_FOLDED + R8_FOLDED
+PREV66 = LEGACY56 + R7_FOLDED
+
+# Round-9 operator additions: benched identically, reported detail-only
+# (bench_detail.json "r9_additions*") so this round's 79-query totals land
+# clean as the new baseline; fold next round.
+ADDITIONS: list[str] = []
 
 
 def main() -> None:
@@ -188,12 +194,14 @@ def main() -> None:
     total_warm = round(sum(warm.values()), 3)
     prev56_warm = round(sum(warm[n] for n in LEGACY56), 3)
     prev56_cold = round(sum(timings[n] for n in LEGACY56), 3)
+    prev66_warm = round(sum(warm[n] for n in PREV66), 3)
+    prev66_cold = round(sum(timings[n] for n in PREV66), 3)
     # The driver records only the LAST ~2000 chars of stdout: rounds 1-3
     # emitted one ~4.5KB line (cold+warm per-query) whose head got cut, so
     # BENCH_r{1..3}.json all have parsed=null. stdout therefore carries ONE
-    # COMPACT line — LEGACY56 warm per-query at 2dp plus the 66-query totals
-    # and the 56-query continuity totals — and the full-precision cold+warm
-    # detail for all 66 goes to bench_detail.json.
+    # COMPACT line — LEGACY56 warm per-query at 2dp plus the 79-query totals
+    # and the 56/66-query continuity totals — and the full-precision
+    # cold+warm detail for all 79 goes to bench_detail.json.
     detail = {
         "metric": "headline_queries_total",
         "value": total,
@@ -203,9 +211,11 @@ def main() -> None:
         "value_warm": total_warm,
         "value_prev56": prev56_cold,
         "value_prev56_warm": prev56_warm,
-        "r8_additions": add_timings,
-        "r8_additions_warm": add_warm,
-        "r8_additions_warm_total": round(sum(add_warm.values()), 3),
+        "value_prev66": prev66_cold,
+        "value_prev66_warm": prev66_warm,
+        "r9_additions": add_timings,
+        "r9_additions_warm": add_warm,
+        "r9_additions_warm_total": round(sum(add_warm.values()), 3),
         "sf": sf,
     }
     with open(os.path.join(_REPO, "bench_detail.json"), "w") as fh:
@@ -218,6 +228,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": {n: round(warm[n], dp) for n in LEGACY56},
                 "value_prev56": prev56_warm,
+                "value_prev66": prev66_warm,
                 "value_cold": total,
                 "sf": sf,
             },
@@ -238,6 +249,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": {},
                 "value_prev56": prev56_warm,
+                "value_prev66": prev66_warm,
                 "value_cold": total,
                 "sf": sf,
             },

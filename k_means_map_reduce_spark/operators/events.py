@@ -105,6 +105,7 @@ def events_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ordered AS (
       SELECT
         user_id,
+        event_id,
         CAST(ts AS TIMESTAMP) AS ts,
         CASE
           WHEN CAST(ts AS TIMESTAMP)
@@ -118,7 +119,7 @@ def events_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
         user_id,
         ts,
         SUM(new_session) OVER (
-          PARTITION BY user_id ORDER BY ts, new_session
+          PARTITION BY user_id ORDER BY ts, event_id
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
         ) AS session_id
       FROM ordered
@@ -552,6 +553,7 @@ def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ordered AS (
       SELECT
         user_id,
+        event_id,
         CAST(ts AS TIMESTAMP) AS ts,
         CASE
           WHEN CAST(ts AS TIMESTAMP)
@@ -564,7 +566,7 @@ def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT
         user_id, ts,
         SUM(new_session) OVER (
-          PARTITION BY user_id ORDER BY ts, new_session
+          PARTITION BY user_id ORDER BY ts, event_id
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
         ) AS session_id
       FROM ordered
@@ -1248,7 +1250,7 @@ def events_markov_top_transitions_by_segment(
     "events_session_depth_distribution",
     oracle="""
     WITH ordered AS (
-      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
         CASE WHEN CAST(ts AS TIMESTAMP)
                   - LAG(CAST(ts AS TIMESTAMP)) OVER (
                       PARTITION BY user_id
@@ -1260,7 +1262,7 @@ def events_markov_top_transitions_by_segment(
     sessions AS (
       SELECT user_id,
         SUM(new_session) OVER (
-          PARTITION BY user_id ORDER BY ts, new_session
+          PARTITION BY user_id ORDER BY ts, event_id
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
       FROM ordered
     ),

@@ -49,14 +49,14 @@ def main() -> int:
     from bench import ADDITIONS, HEADLINE
     from k_means_map_reduce_spark.registry import QUERIES
 
-    flagged = 0
+    errors = 0
     for name in HEADLINE + ADDITIONS:
         try:
             df = QUERIES[name](spark, sf_dir)
             plan = df._jdf.queryExecution().executedPlan().toString()
         except Exception as exc:  # noqa: BLE001 — report, keep auditing
             print(f"{name}: ERROR {type(exc).__name__}: {exc}")
-            flagged += 1
+            errors += 1
             continue
         scans = re.findall(
             r"FileScan parquet \[[^\]]*\][^\n]*?(\w+)\.parquet", plan
@@ -70,8 +70,8 @@ def main() -> int:
                 f"{name}: {multi} (InMemoryTableScan={ims}, "
                 f"ReusedExchange={reuse}){marker}"
             )
-    print("audit complete")
-    return 0
+    print(f"audit complete ({errors} queries errored)" if errors else "audit complete")
+    return 1 if errors else 0
 
 
 if __name__ == "__main__":

@@ -397,32 +397,42 @@ def test_bench_headline_names_are_registered():
     missing = [n for n in benched if n not in QUERIES]
     assert not missing, f"bench names not in registry: {missing}"
     assert len(set(benched)) == len(benched), "duplicate bench entries"
-    assert mod.HEADLINE == mod.LEGACY56 + mod.R7_FOLDED, (
-        "HEADLINE must stay LEGACY56 + R7_FOLDED — the stdout per-query map "
-        "and value_prev56 continuity totals depend on that partition"
+    assert mod.HEADLINE == mod.LEGACY56 + mod.R7_FOLDED + mod.R8_FOLDED, (
+        "HEADLINE must stay LEGACY56 + R7_FOLDED + R8_FOLDED — the stdout "
+        "per-query map and value_prev56/value_prev66 continuity totals "
+        "depend on that partition"
     )
+    assert mod.PREV66 == mod.LEGACY56 + mod.R7_FOLDED
 
     # The driver keeps only the last ~2000 chars of bench stdout; the final
     # JSON line must fit or BENCH_r{N}.json records parsed=null (as it did
     # rounds 1-3). Worst-case render: every query at 99.99s. Only LEGACY56
-    # rides the stdout map (66 names don't fit even at 1dp).
+    # rides the stdout map (79 names don't fit even at 1dp). bench.py
+    # degrades 2dp -> 1dp before exceeding the budget — mirror that here:
+    # at least ONE precision tier must fit the worst case.
     import json
 
-    line = json.dumps(
-        {
-            "metric": "headline_queries_warm_total",
-            "value": 99999.99,
-            "unit": "sec",
-            "queries": {n: 99.99 for n in mod.LEGACY56},
-            "value_prev56": 99999.99,
-            "value_cold": 99999.99,
-            "sf": 0.1,
-        },
-        separators=(",", ":"),
-    )
-    assert len(line) < 1950, (
-        f"bench stdout line would be {len(line)} chars; trim HEADLINE or "
-        "compact the encoding — the driver tail-truncates at ~2000"
+    fits = False
+    for per_q in (99.99, 99.9):
+        line = json.dumps(
+            {
+                "metric": "headline_queries_warm_total",
+                "value": 99999.99,
+                "unit": "sec",
+                "queries": {n: per_q for n in mod.LEGACY56},
+                "value_prev56": 99999.99,
+                "value_prev66": 99999.99,
+                "value_cold": 99999.99,
+                "sf": 0.1,
+            },
+            separators=(",", ":"),
+        )
+        if len(line) < 1950:
+            fits = True
+            break
+    assert fits, (
+        f"bench stdout line would be {len(line)} chars even at 1dp; trim "
+        "LEGACY56 or compact the encoding — the driver tail-truncates at ~2000"
     )
 
 
