@@ -1048,3 +1048,270 @@ def stats_chi2_gof_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("term").cast("decimal(18,6)")).cast("double"), 5
         ).alias("chi2"),
     )
+
+
+@query(
+    "stats_two_way_anova_totalprice",
+    oracle=f"""
+    WITH cells AS (
+      SELECT c_mktsegment AS seg, o_orderpriority AS pri,
+        COUNT(*) AS nij,
+        CAST(SUM({_CENTS_SQL.format(c='o_totalprice')}) AS BIGINT) AS sij,
+        CAST(SUM(CAST({_CENTS_SQL.format(c='o_totalprice')} AS DECIMAL(19,0))
+                 * CAST({_CENTS_SQL.format(c='o_totalprice')} AS DECIMAL(19,0)))
+             AS DOUBLE) AS ssdij
+      FROM orders JOIN customer ON c_custkey = o_custkey
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT *,
+        CAST(SUM(nij) OVER () AS BIGINT) AS n,
+        CAST(SUM(sij) OVER () AS BIGINT) AS sg,
+        CAST(SUM(nij) OVER (PARTITION BY seg) AS BIGINT) AS na,
+        CAST(SUM(sij) OVER (PARTITION BY seg) AS BIGINT) AS sa,
+        CAST(SUM(nij) OVER (PARTITION BY pri) AS BIGINT) AS nb,
+        CAST(SUM(sij) OVER (PARTITION BY pri) AS BIGINT) AS sb,
+        COUNT(DISTINCT seg) OVER () AS a,
+        COUNT(DISTINCT pri) OVER () AS b
+      FROM cells
+    ),
+    terms AS (
+      SELECT seg, pri, n, a, b,
+        CAST(nij AS DOUBLE)
+          * (CAST(sij AS DOUBLE) / CAST(nij AS DOUBLE)
+             - CAST(sg AS DOUBLE) / CAST(n AS DOUBLE))
+          * (CAST(sij AS DOUBLE) / CAST(nij AS DOUBLE)
+             - CAST(sg AS DOUBLE) / CAST(n AS DOUBLE)) AS ss_cells_i,
+        CAST(nij AS DOUBLE) / CAST(na AS DOUBLE)
+          * (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+             - CAST(sg AS DOUBLE) / CAST(n AS DOUBLE))
+          * (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+             - CAST(sg AS DOUBLE) / CAST(n AS DOUBLE)) AS ss_a_i,
+        CAST(nij AS DOUBLE) / CAST(nb AS DOUBLE)
+          * (CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)
+             - CAST(sg AS DOUBLE) / CAST(n AS DOUBLE))
+          * (CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)
+             - CAST(sg AS DOUBLE) / CAST(n AS DOUBLE)) AS ss_b_i,
+        ssdij - CAST(sij AS DOUBLE) * CAST(sij AS DOUBLE) / CAST(nij AS DOUBLE)
+          AS ssw_i
+      FROM tot
+    ),
+    folded AS (
+      SELECT n, a, b,
+        list_reduce(list(ss_cells_i ORDER BY seg, pri), (x, y) -> x + y)
+          AS ss_cells,
+        list_reduce(list(ss_a_i ORDER BY seg, pri), (x, y) -> x + y) AS ss_a,
+        list_reduce(list(ss_b_i ORDER BY seg, pri), (x, y) -> x + y) AS ss_b,
+        list_reduce(list(ssw_i ORDER BY seg, pri), (x, y) -> x + y) AS ss_w,
+        COUNT(*) AS n_cells
+      FROM terms GROUP BY n, a, b
+    )
+    SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, n,
+      CASE WHEN ss_w > 0 AND a >= 2 AND b >= 2 AND n > n_cells THEN
+        ROUND((ss_a / CAST(a - 1 AS DOUBLE))
+              / (ss_w / CAST(n - n_cells AS DOUBLE)), 6) END AS f_a,
+      CASE WHEN ss_w > 0 AND a >= 2 AND b >= 2 AND n > n_cells THEN
+        ROUND((ss_b / CAST(b - 1 AS DOUBLE))
+              / (ss_w / CAST(n - n_cells AS DOUBLE)), 6) END AS f_b,
+      CASE WHEN ss_w > 0 AND a >= 2 AND b >= 2 AND n > n_cells THEN
+        ROUND(((ss_cells - ss_a - ss_b)
+               / CAST((a - 1) * (b - 1) AS DOUBLE))
+              / (ss_w / CAST(n - n_cells AS DOUBLE)), 6) END AS f_ab
+    FROM folded
+    """,
+)
+def stats_two_way_anova_totalprice(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Two-way ANOVA on order totalprice with factors market segment (A)
+    and order priority (B): F statistics for both main effects and the
+    interaction, from the weighted (cell-size-proportional, Type-I-style)
+    decomposition SS_A, SS_B, SS_AB = SS_cells - SS_A - SS_B,
+    SS_within = SS_total - SS_cells — the design is unbalanced, so the
+    weighted decomposition is the documented semantics (not SAS Type III).
+
+    Determinism: every cell carries integer-cents (n, sum, square-sum);
+    marginal and grand sums are window sums of those integers; each SS
+    term is arithmetic over identical doubles folded in (seg, pri) order
+    (F.aggregate == list_reduce, 0.0 + x == x). Degenerate guards per the
+    round-8 lesson: constant data (ss_w = 0), a single level on either
+    factor, or one row per cell yield NULL Fs, matching DuckDB's /0.
+
+    At 100 TB: one fact pass into an a*b-cell rollup (map-side combine);
+    marginals ride windows over those ~25 rows; the folds touch 25 rows.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    v = _cents("o_totalprice")
+    cells = (
+        o.join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderpriority").alias("pri"),
+            v.alias("v"),
+        )
+        .groupBy("seg", "pri")
+        .agg(
+            F.count(F.lit(1)).alias("nij"),
+            F.sum("v").cast("bigint").alias("sij"),
+            F.sum(
+                F.col("v").cast("decimal(19,0)")
+                * F.col("v").cast("decimal(19,0)")
+            )
+            .cast("double")
+            .alias("ssdij"),
+        )
+    )
+    w_all = Window.partitionBy()
+    w_a = Window.partitionBy("seg")
+    w_b = Window.partitionBy("pri")
+    tot = cells.select(
+        "seg",
+        "pri",
+        "nij",
+        "sij",
+        "ssdij",
+        F.sum("nij").over(w_all).cast("bigint").alias("n"),
+        F.sum("sij").over(w_all).cast("bigint").alias("sg"),
+        F.sum("nij").over(w_a).cast("bigint").alias("na"),
+        F.sum("sij").over(w_a).cast("bigint").alias("sa"),
+        F.sum("nij").over(w_b).cast("bigint").alias("nb"),
+        F.sum("sij").over(w_b).cast("bigint").alias("sb"),
+        F.size(F.collect_set("seg").over(w_all)).alias("a"),
+        F.size(F.collect_set("pri").over(w_all)).alias("b"),
+    )
+    d = lambda col: F.col(col).cast("double")  # noqa: E731
+    gmean = d("sg") / d("n")
+    cell_dev = d("sij") / d("nij") - gmean
+    a_dev = d("sa") / d("na") - gmean
+    b_dev = d("sb") / d("nb") - gmean
+    terms = tot.select(
+        "seg",
+        "pri",
+        "n",
+        "a",
+        "b",
+        (d("nij") * cell_dev * cell_dev).alias("ss_cells_i"),
+        (d("nij") / d("na") * a_dev * a_dev).alias("ss_a_i"),
+        (d("nij") / d("nb") * b_dev * b_dev).alias("ss_b_i"),
+        (F.col("ssdij") - d("sij") * d("sij") / d("nij")).alias("ssw_i"),
+    )
+
+    def ordered_sum(col: str) -> F.Column:
+        arr = F.array_sort(
+            F.collect_list(F.struct(F.col("seg"), F.col("pri"), F.col(col)))
+        )
+        return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x[col])
+
+    folded = terms.groupBy("n", "a", "b").agg(
+        ordered_sum("ss_cells_i").alias("ss_cells"),
+        ordered_sum("ss_a_i").alias("ss_a"),
+        ordered_sum("ss_b_i").alias("ss_b"),
+        ordered_sum("ssw_i").alias("ss_w"),
+        F.count(F.lit(1)).alias("n_cells"),
+    )
+    guard = (
+        (F.col("ss_w") > 0)
+        & (F.col("a") >= 2)
+        & (F.col("b") >= 2)
+        & (F.col("n") > F.col("n_cells"))
+    )
+    msw = F.col("ss_w") / (F.col("n") - F.col("n_cells")).cast("double")
+    f_a = (F.col("ss_a") / (F.col("a") - 1).cast("double")) / msw
+    f_b = (F.col("ss_b") / (F.col("b") - 1).cast("double")) / msw
+    f_ab = (
+        (F.col("ss_cells") - F.col("ss_a") - F.col("ss_b"))
+        / ((F.col("a") - 1) * (F.col("b") - 1)).cast("double")
+    ) / msw
+    return folded.select(
+        F.col("a").cast("bigint").alias("a"),
+        F.col("b").cast("bigint").alias("b"),
+        "n",
+        F.when(guard, F.round(f_a, 6)).alias("f_a"),
+        F.when(guard, F.round(f_b, 6)).alias("f_b"),
+        F.when(guard, F.round(f_ab, 6)).alias("f_ab"),
+    )
+
+
+@query(
+    "stats_kendall_w_part_rankers",
+    oracle="""
+    WITH sold AS (
+      SELECT l_partkey,
+        CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+        SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)), 6)
+                 AS DECIMAL(18,6))) AS rev
+      FROM lineitem GROUP BY 1
+    ),
+    pts AS (
+      SELECT p_partkey,
+        CAST(ROUND(p_retailprice * 100, 0) AS BIGINT) AS pc, qty, rev
+      FROM part JOIN sold ON l_partkey = p_partkey
+    ),
+    ranked AS (
+      SELECT p_partkey,
+        ROW_NUMBER() OVER (ORDER BY pc, p_partkey)
+        + ROW_NUMBER() OVER (ORDER BY qty, p_partkey)
+        + ROW_NUMBER() OVER (ORDER BY rev, p_partkey) AS rsum,
+        COUNT(*) OVER () AS n
+      FROM pts
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+      CASE WHEN n >= 2 THEN ROUND(
+        CAST(SUM((2 * rsum - 3 * (n + 1)) * (2 * rsum - 3 * (n + 1)))
+             AS DOUBLE)
+        / (CAST(3 AS DOUBLE) * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+           * CAST(n AS DOUBLE) - CAST(n AS DOUBLE))), 6) END AS w
+    FROM ranked GROUP BY n
+    """,
+)
+def stats_kendall_w_part_rankers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Kendall's W (coefficient of concordance) across three derived
+    rankers of the sold-part catalog — retail price, total sold quantity,
+    net revenue: do the three orderings agree? W = 12*S / (m^2 (n^3 - n))
+    with S the sum of squared deviations of per-part rank sums from their
+    mean m(n+1)/2.
+
+    Determinism: each rank is ROW_NUMBER over (metric, p_partkey) — the
+    battery's integer-rank rule (the revenue key is an exact DECIMAL sum,
+    so its ordering is exact too). The fractional mean is cleared by
+    working with 2*rsum - m(n+1): S = sum((2R - m(n+1))^2) / 4, all
+    BIGINT, so W = sum / (3 * (n^3 - n)) for m = 3 — one exact integer
+    cast to double, one division. n >= 2 guards the n^3 - n = 0
+    degenerate (single-part catalog).
+
+    At 100 TB: the fact collapses to a per-part rollup first; the three
+    global rank windows run over the catalog-scale rollup (the docstring
+    rule for the battery — two-phase range-partitioned ranking when the
+    catalog outgrows one task).
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    sold = l.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("bigint")).alias("qty"),
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")), 6
+            ).cast("decimal(18,6)")
+        ).alias("rev"),
+    )
+    pts = p.join(sold, F.col("l_partkey") == F.col("p_partkey")).select(
+        "p_partkey", _cents("p_retailprice").alias("pc"), "qty", "rev"
+    )
+    r = lambda col: F.row_number().over(  # noqa: E731
+        Window.orderBy(F.col(col), F.col("p_partkey"))
+    )
+    ranked = pts.select(
+        (r("pc") + r("qty") + r("rev")).alias("rsum"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    dev = 2 * F.col("rsum") - 3 * (F.col("n") + 1)
+    n_d = F.col("n").cast("double")
+    w = F.sum(dev * dev).cast("double") / (
+        F.lit(3.0) * (n_d * n_d * n_d - n_d)
+    )
+    return ranked.groupBy("n").agg(
+        F.when(F.col("n") >= 2, F.round(w, 6)).alias("w")
+    ).select(F.col("n").cast("bigint").alias("n"), "w")

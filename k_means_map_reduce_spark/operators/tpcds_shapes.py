@@ -1764,3 +1764,160 @@ def ds_q97_channel_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "both_channels"
         ),
     )
+
+
+@query(
+    "ds_q89_rolling_brand_deviation",
+    oracle="""
+    WITH monthly AS (
+      SELECT p_brand AS brand,
+        strftime(date_trunc('month', l_shipdate), '%Y-%m') AS month,
+        CAST(SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)), 6)
+                      AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      GROUP BY 1, 2
+    ),
+    win AS (
+      SELECT brand, month, revenue,
+        CAST(SUM(CAST(revenue AS DECIMAL(18,6))) OVER (
+          PARTITION BY brand ORDER BY month
+          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        / COUNT(*) OVER (
+          PARTITION BY brand ORDER BY month
+          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS roll_avg,
+        ROW_NUMBER() OVER (PARTITION BY brand ORDER BY month) AS rn
+      FROM monthly
+    )
+    SELECT brand, month, revenue,
+      ROUND(roll_avg, 4) AS roll_avg,
+      ROUND(ABS(revenue - roll_avg) / roll_avg, 6) AS pct_dev
+    FROM win
+    WHERE rn >= 3 AND ROUND(ABS(revenue - roll_avg) / roll_avg, 6) > 0.3
+    """,
+)
+def ds_q89_rolling_brand_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand-months whose revenue deviates >30% from the brand's TRAILING
+    3-month rolling average (TPC-DS q89's signature: a rolling-window
+    deviation over the category-month rollup, extreme months surfaced).
+    Rows before the window is full (rn < 3) are excluded — a partial
+    2-month "average" isn't the 3-month signal q89 reads.
+
+    Determinism: monthly revenue is a decimal-exact sum; the rolling mean
+    is a DECIMAL window sum divided by the frame COUNT (identical operands
+    both engines); the 30% cut compares the ROUNDED 6dp deviation
+    (round-before-filter — a ulp on the raw ratio could flip membership).
+
+    At 100 TB: one fact pass (broadcast part dim) into a ~brands x months
+    rollup; every window runs over that tiny rollup partitioned by brand.
+    Reference parity: the same monthly-rollup + window shape as
+    ds_q57_deviation_extremes, with ROWS-frame rolling semantics instead
+    of the year mean.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    monthly = (
+        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.date_format("l_shipdate", "yyyy-MM").alias("month"),
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+    )
+    frame = (
+        Window.partitionBy("brand").orderBy("month").rowsBetween(-2, 0)
+    )
+    w_rn = Window.partitionBy("brand").orderBy("month")
+    roll_avg = (
+        F.sum(F.col("revenue").cast("decimal(18,6)")).over(frame).cast("double")
+        / F.count(F.lit(1)).over(frame)
+    )
+    win = monthly.select(
+        "brand",
+        "month",
+        "revenue",
+        roll_avg.alias("roll_avg"),
+        F.row_number().over(w_rn).alias("rn"),
+    )
+    pct_dev = F.round(
+        F.abs(F.col("revenue") - F.col("roll_avg")) / F.col("roll_avg"), 6
+    )
+    return (
+        win.where((F.col("rn") >= 3) & (pct_dev > 0.3))
+        .select(
+            "brand",
+            "month",
+            "revenue",
+            F.round("roll_avg", 4).alias("roll_avg"),
+            pct_dev.alias("pct_dev"),
+        )
+    )
+
+
+@query(
+    "ds_q66_monthly_nation_pivot",
+    oracle="""
+    SELECT n_name AS nation,
+      CAST(EXTRACT(year FROM o_orderdate) AS INT) AS year,
+      COALESCE(CAST(SUM(CASE WHEN EXTRACT(month FROM o_orderdate) = 1
+        THEN CAST(ROUND(o_totalprice, 6) AS DECIMAL(18,6)) END) AS DOUBLE), CAST(0 AS DOUBLE)) AS m1,
+      COALESCE(CAST(SUM(CASE WHEN EXTRACT(month FROM o_orderdate) = 2
+        THEN CAST(ROUND(o_totalprice, 6) AS DECIMAL(18,6)) END) AS DOUBLE), CAST(0 AS DOUBLE)) AS m2,
+      COALESCE(CAST(SUM(CASE WHEN EXTRACT(month FROM o_orderdate) = 3
+        THEN CAST(ROUND(o_totalprice, 6) AS DECIMAL(18,6)) END) AS DOUBLE), CAST(0 AS DOUBLE)) AS m3,
+      COALESCE(CAST(SUM(CASE WHEN EXTRACT(month FROM o_orderdate) = 4
+        THEN CAST(ROUND(o_totalprice, 6) AS DECIMAL(18,6)) END) AS DOUBLE), CAST(0 AS DOUBLE)) AS m4,
+      COALESCE(CAST(SUM(CASE WHEN EXTRACT(month FROM o_orderdate) = 5
+        THEN CAST(ROUND(o_totalprice, 6) AS DECIMAL(18,6)) END) AS DOUBLE), CAST(0 AS DOUBLE)) AS m5,
+      COALESCE(CAST(SUM(CASE WHEN EXTRACT(month FROM o_orderdate) = 6
+        THEN CAST(ROUND(o_totalprice, 6) AS DECIMAL(18,6)) END) AS DOUBLE), CAST(0 AS DOUBLE)) AS m6,
+      COALESCE(CAST(SUM(CASE WHEN EXTRACT(month FROM o_orderdate) = 7
+        THEN CAST(ROUND(o_totalprice, 6) AS DECIMAL(18,6)) END) AS DOUBLE), CAST(0 AS DOUBLE)) AS m7,
+      COALESCE(CAST(SUM(CASE WHEN EXTRACT(month FROM o_orderdate) = 8
+        THEN CAST(ROUND(o_totalprice, 6) AS DECIMAL(18,6)) END) AS DOUBLE), CAST(0 AS DOUBLE)) AS m8,
+      COALESCE(CAST(SUM(CASE WHEN EXTRACT(month FROM o_orderdate) = 9
+        THEN CAST(ROUND(o_totalprice, 6) AS DECIMAL(18,6)) END) AS DOUBLE), CAST(0 AS DOUBLE)) AS m9,
+      COALESCE(CAST(SUM(CASE WHEN EXTRACT(month FROM o_orderdate) = 10
+        THEN CAST(ROUND(o_totalprice, 6) AS DECIMAL(18,6)) END) AS DOUBLE), CAST(0 AS DOUBLE)) AS m10,
+      COALESCE(CAST(SUM(CASE WHEN EXTRACT(month FROM o_orderdate) = 11
+        THEN CAST(ROUND(o_totalprice, 6) AS DECIMAL(18,6)) END) AS DOUBLE), CAST(0 AS DOUBLE)) AS m11,
+      COALESCE(CAST(SUM(CASE WHEN EXTRACT(month FROM o_orderdate) = 12
+        THEN CAST(ROUND(o_totalprice, 6) AS DECIMAL(18,6)) END) AS DOUBLE), CAST(0 AS DOUBLE)) AS m12
+    FROM orders
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation ON n_nationkey = c_nationkey
+    GROUP BY 1, 2
+    """,
+)
+def ds_q66_monthly_nation_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """12-month revenue pivot per (nation, year) — TPC-DS q66's signature
+    (the warehouse-by-month wide report) as twelve conditional decimal
+    sums in ONE GROUP BY, never engine PIVOT syntax (DuckDB's PIVOT
+    invents its own output column names; explicit CASE aliases keep the
+    schema identical in both engines). Empty (nation, year, month) cells
+    coalesce to 0.0 so no NULL doubles reach the hash compare.
+
+    At 100 TB: one fact pass with map-side combine into nations x years
+    rows; the customer->nation dims broadcast. The wide CASE battery is
+    whole-stage-codegen'd — no Expand, no multi-distinct.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    joined = o.join(
+        F.broadcast(c), F.col("c_custkey") == F.col("o_custkey")
+    ).join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+    month = F.month("o_orderdate")
+    aggs = [
+        F.coalesce(
+            dsum(F.when(month == m, F.col("o_totalprice"))), F.lit(0.0)
+        ).alias(f"m{m}")
+        for m in range(1, 13)
+    ]
+    return joined.groupBy(
+        F.col("n_name").alias("nation"),
+        F.year("o_orderdate").cast("int").alias("year"),
+    ).agg(*aggs)
