@@ -1673,3 +1673,76 @@ def dedup_prefix_filter_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", F.round(cos, 6).alias("cosine"))
     )
     return _PFC_CACHE.put(spark, sf_dir, (out, docs, prefix))[0]
+
+
+def _semantic_pairs_oracle(k: int, rounds: int, tau: float) -> str:
+    """DuckDB mirror of semantic dedup: the unrolled determinized-Lloyd
+    chain (clustering._kmeans_oracle_sql's CTE generator), then the
+    quadratic cosine verify WITHIN each cluster only."""
+    from .clustering import _kmeans_oracle_sql
+
+    lloyd = _kmeans_oracle_sql(k, rounds)
+    chain = lloyd[: lloyd.index("\n    SELECT")]
+    return (
+        chain
+        + f"""
+    SELECT a.cid, a.vec_id AS vec_a, b.vec_id AS vec_b,
+      ROUND(list_cosine_similarity(
+        list_transform(a.v, x -> CAST(x AS DOUBLE)),
+        list_transform(b.v, x -> CAST(x AS DOUBLE))), 4) AS sim
+    FROM a{rounds} a JOIN a{rounds} b
+      ON a.cid = b.cid AND a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(
+        list_transform(a.v, x -> CAST(x AS DOUBLE)),
+        list_transform(b.v, x -> CAST(x AS DOUBLE))), 4) >= {tau}
+    """
+    )
+
+
+@query("dedup_semantic_cluster_pairs", oracle=_semantic_pairs_oracle(4, 3, 0.4))
+def dedup_semantic_cluster_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style SEMANTIC dedup (Abbas et al. 2023): cluster the
+    embedding corpus with the determinized Lloyd loop (k=4, 3 rounds —
+    kmeans_lloyd_oracled's exact machinery), then find near-duplicate
+    pairs by exact cosine >= 0.4 WITHIN each cluster only — the
+    composition that makes semantic dedup tractable: candidates meet
+    only through a shared cluster id, so the quadratic term is
+    (n/k)^2 per cluster, not n^2, and clusters partition the work.
+
+    Fully oracled end-to-end: DuckDB replays the Lloyd rounds (salted-md5
+    init, fold distances, decimal means), the cluster assignment, AND the
+    within-cluster cosine verify to the same hash — the pair set is exact
+    GIVEN the clustering (cross-cluster near-dups are out of scope by the
+    method's own contract; SemDeDup accepts that recall trade).
+
+    At 100 TB: k scales to ~sqrt(n) so each cluster stays bounded; the
+    pair join shuffles on cid (a partition-pruning column after write),
+    and vectors never meet outside their cell. Threshold 0.4 ~ p99.9 of
+    this synthetic corpus (dedup_embedding_cosine_pairs' calibration).
+    """
+    from ..functions.vectors import cosine_similarity
+    from .clustering import _lloyd_portable
+
+    _, assigned = _lloyd_portable(spark, sf_dir, k=4, rounds=3)
+    corpus = assigned.select(
+        F.col("cid").cast("long").alias("cid"), "vec_id", "v"
+    )
+    a = corpus.select(
+        "cid", F.col("vec_id").alias("vec_a"), F.col("v").alias("va")
+    )
+    b = corpus.select(
+        F.col("cid").alias("cid_b"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"),
+    )
+    sim = F.round(
+        cosine_similarity(
+            F.col("va").cast("array<double>"), F.col("vb").cast("array<double>")
+        ),
+        4,
+    )
+    return (
+        a.join(b, (F.col("cid") == F.col("cid_b")) & (F.col("vec_a") < F.col("vec_b")))
+        .select("cid", "vec_a", "vec_b", sim.alias("sim"))
+        .where(F.col("sim") >= 0.4)
+    )

@@ -2091,3 +2091,125 @@ def text_oov_rate_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(oov).cast("double") / F.sum("cnt").cast("double"), 6
         ).alias("oov_rate"),
     )
+
+# (applicationId, sf_dir) -> persisted corpus bigram count table — both the
+# smoothing constants (V, total) and the scoring join consume it; without
+# the persist each consumer re-runs the tokenize+explode pass (lesson 27).
+_BIGRAM_LM_CACHE = SessionMemo("textops.bigram_lm")
+
+
+@query(
+    "text_bigram_perplexity",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+        list_filter(string_split_regex(TRIM(LOWER(text)), '\\s+'),
+                    t -> t != '') AS ws
+      FROM documents
+    ), bigr AS (
+      SELECT doc_id,
+        unnest(list_transform(range(1, len(ws)),
+                              i -> ws[i] || ' ' || ws[i + 1])) AS bg
+      FROM toks
+    ), model AS (
+      SELECT bg, COUNT(*) AS cnt FROM bigr GROUP BY bg
+    ), consts AS (
+      SELECT COUNT(*) AS v,
+        CAST(SUM(CAST(cnt AS BIGINT)) AS BIGINT) AS n_total
+      FROM model
+    )
+    SELECT
+      b.doc_id,
+      COUNT(*) AS n_bigrams,
+      ROUND(
+        ln(CAST(n_total + v AS DOUBLE))
+        - CAST(SUM(CAST(ROUND(ln(CAST(m.cnt + 1 AS DOUBLE)), 6)
+                        AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*),
+        4) AS cross_entropy,
+      ROUND(exp(ROUND(
+        ln(CAST(n_total + v AS DOUBLE))
+        - CAST(SUM(CAST(ROUND(ln(CAST(m.cnt + 1 AS DOUBLE)), 6)
+                        AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*),
+        4)), 4) AS perplexity
+    FROM bigr b JOIN model m USING (bg) CROSS JOIN consts
+    GROUP BY b.doc_id, n_total, v
+    """,
+)
+def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive-smoothed (add-one) bigram-LM perplexity per document — the
+    bigram upgrade of text_unigram_cross_entropy and the standard CCNet/
+    Gopher-style LM quality score: p(bg) = (count(bg) + 1) / (N + V) with
+    V the distinct-bigram vocabulary, per-doc cross-entropy =
+    ln(N + V) - mean(ln(count + 1)), perplexity = exp(ce).
+
+    Float discipline: ln(count+1) rounds to 6dp before the exact decimal
+    mean (lesson 10); ce rounds to 4dp in both engines BEFORE exp, so exp
+    sees an identical double and its own ulp is absorbed by the final
+    4dp round. Raw bigram strings — no hashing needed, the model join is
+    exact either way.
+
+    Scale shape: one tokenize+explode pass builds the bigram model
+    (map-side partials; bigram vocabulary ≪ corpus by Heaps' law),
+    persisted because the smoothing constants AND the scoring join both
+    read it; the scoring pass joins the model onto the exploded bigram
+    stream (broadcast-able until web scale, then a hash shuffle on bg)
+    and reduces per doc.
+    """
+    cached = _BIGRAM_LM_CACHE.get(spark, sf_dir)
+    if cached is not None:
+        model = cached[0]
+    else:
+        d = load_table(spark, sf_dir, "documents")
+        arr = F.filter(
+            F.split(F.trim(F.lower("text")), r"\s+"), lambda t: t != ""
+        )
+        bigrams = F.when(
+            F.size(arr) >= 2,
+            F.zip_with(
+                F.slice(arr, 1, F.size(arr) - 1),
+                F.slice(arr, 2, F.size(arr) - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        bigr = d.select("doc_id", F.explode(bigrams).alias("bg"))
+        model = bigr.groupBy("bg").agg(F.count(F.lit(1)).alias("cnt")).persist()
+        _BIGRAM_LM_CACHE.put(spark, sf_dir, (model,))
+    d = load_table(spark, sf_dir, "documents")
+    arr = F.filter(F.split(F.trim(F.lower("text")), r"\s+"), lambda t: t != "")
+    bigrams = F.when(
+        F.size(arr) >= 2,
+        F.zip_with(
+            F.slice(arr, 1, F.size(arr) - 1),
+            F.slice(arr, 2, F.size(arr) - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bigr = d.select("doc_id", F.explode(bigrams).alias("bg"))
+    consts = model.agg(
+        F.count(F.lit(1)).alias("v"),
+        F.sum("cnt").cast("long").alias("n_total"),
+    )
+    ln_denom = F.log((F.col("n_total") + F.col("v")).cast("double"))
+    mean_ln = (
+        F.sum(
+            F.round(F.log((F.col("cnt") + 1).cast("double")), 6).cast(
+                "decimal(18,6)"
+            )
+        ).cast("double")
+        / F.count(F.lit(1))
+    )
+    return (
+        bigr.join(model, "bg")
+        .crossJoin(F.broadcast(consts))
+        .groupBy("doc_id", "n_total", "v")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(ln_denom - mean_ln, 4).alias("cross_entropy"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "cross_entropy",
+            F.round(F.exp("cross_entropy"), 4).alias("perplexity"),
+        )
+    )
