@@ -1416,3 +1416,146 @@ def events_burst_rate_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "events_per_active_min",
         F.row_number().over(w).cast("bigint").alias("rk"),
     ).where(F.col("rk") <= 25)
+
+
+@query(
+    "events_signup_next3_paths",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        LEAD(event_type, 1) OVER u AS s1,
+        LEAD(event_type, 2) OVER u AS s2,
+        LEAD(event_type, 3) OVER u AS s3
+      FROM events
+      WINDOW u AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+    ),
+    paths AS (
+      SELECT s1 || '>' || s2 || '>' || s3 AS path
+      FROM ordered
+      WHERE event_type = 'signup' AND s3 IS NOT NULL
+    ),
+    counted AS (
+      SELECT path, COUNT(*) AS n_paths,
+        ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, path) AS rk
+      FROM paths GROUP BY path
+    )
+    SELECT path, n_paths, CAST(rk AS BIGINT) AS rk
+    FROM counted WHERE rk <= 10
+    """,
+)
+def events_signup_next3_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 next-3-step paths after a signup event: for every signup in
+    a user's (ts, event_id)-ordered stream, the following three event
+    types joined as 'a>b>c', counted across the corpus — the
+    what-do-users-do-after-onboarding path report. Signups within 3
+    events of the stream end are excluded (no complete path).
+
+    Determinism: the adjacency is three LEADs over the same total-order
+    window; counts are exact; the top-10 rank breaks count ties on the
+    path string.
+
+    At 100 TB: one user_id-partitioned window pass (no self-joins — the
+    three LEADs ride one sort), then a path rollup with map-side combine;
+    the top-10 is a tiny global sort over distinct paths (bounded by
+    |event_type|^3 = 125 here).
+    """
+    e = load_table(spark, sf_dir, "events")
+    u = Window.partitionBy("user_id").orderBy(
+        F.col("ts").cast("timestamp"), "event_id"
+    )
+    ordered = e.select(
+        "event_type",
+        F.lead("event_type", 1).over(u).alias("s1"),
+        F.lead("event_type", 2).over(u).alias("s2"),
+        F.lead("event_type", 3).over(u).alias("s3"),
+    )
+    paths = ordered.where(
+        (F.col("event_type") == "signup") & F.col("s3").isNotNull()
+    ).select(F.concat_ws(">", "s1", "s2", "s3").alias("path"))
+    counted = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_paths"))
+    w = Window.orderBy(F.col("n_paths").desc(), "path")
+    return (
+        counted.select(
+            "path", "n_paths", F.row_number().over(w).cast("long").alias("rk")
+        )
+        .where(F.col("rk") <= 10)
+    )
+
+
+@query(
+    "events_conversion_lag_histogram",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+        MIN(CASE WHEN event_type = 'signup'
+              THEN datediff('day', TIMESTAMP '1970-01-01',
+                            date_trunc('day', CAST(ts AS TIMESTAMP))) END)
+          AS signup_day,
+        MIN(CASE WHEN event_type = 'purchase'
+              THEN datediff('day', TIMESTAMP '1970-01-01',
+                            date_trunc('day', CAST(ts AS TIMESTAMP))) END)
+          AS purchase_day
+      FROM events GROUP BY user_id
+    ),
+    lags AS (
+      SELECT user_id, purchase_day - signup_day AS lag_days
+      FROM firsts
+      WHERE signup_day IS NOT NULL AND purchase_day IS NOT NULL
+    )
+    SELECT
+      CASE WHEN lag_days < 0 THEN 'pre_signup'
+           WHEN lag_days = 0 THEN 'same_day'
+           WHEN lag_days <= 3 THEN '1-3d'
+           WHEN lag_days <= 7 THEN '4-7d'
+           WHEN lag_days <= 30 THEN '8-30d'
+           ELSE '31d+' END AS lag_bucket,
+      COUNT(*) AS n_users,
+      CAST(MIN(lag_days) AS BIGINT) AS min_lag_days,
+      CAST(MAX(lag_days) AS BIGINT) AS max_lag_days
+    FROM lags GROUP BY 1
+    """,
+)
+def events_conversion_lag_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Signup-to-first-purchase conversion-lag histogram: per user the
+    integer-day gap between the first signup and the first purchase
+    (users with both), bucketed into the standard activation bands —
+    growth teams' time-to-convert report. A first purchase BEFORE the
+    first signup (possible in this stream) lands in its own
+    'pre_signup' bucket rather than silently vanishing.
+
+    Pure integer arithmetic: epoch-day numbers via datediff from
+    1970-01-01 on the NTZ timestamps (tz-shift-free — the session
+    timezone never touches the day boundary, unlike unix_micros
+    flooring), two conditional MIN aggregates in ONE pass, exact counts.
+
+    At 100 TB: one fact pass into a per-user rollup (map-side combine),
+    then a ~6-row CASE rollup. No join at all.
+    """
+    e = load_table(spark, sf_dir, "events")
+    day = F.datediff(
+        F.date_trunc("day", "ts"), F.lit("1970-01-01").cast("timestamp_ntz")
+    )
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", day)).alias("signup_day"),
+        F.min(F.when(F.col("event_type") == "purchase", day)).alias(
+            "purchase_day"
+        ),
+    )
+    lags = firsts.where(
+        F.col("signup_day").isNotNull() & F.col("purchase_day").isNotNull()
+    ).select((F.col("purchase_day") - F.col("signup_day")).alias("lag_days"))
+    bucket = (
+        F.when(F.col("lag_days") < 0, "pre_signup")
+        .when(F.col("lag_days") == 0, "same_day")
+        .when(F.col("lag_days") <= 3, "1-3d")
+        .when(F.col("lag_days") <= 7, "4-7d")
+        .when(F.col("lag_days") <= 30, "8-30d")
+        .otherwise("31d+")
+    )
+    return lags.groupBy(bucket.alias("lag_bucket")).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.min("lag_days").cast("bigint").alias("min_lag_days"),
+        F.max("lag_days").cast("bigint").alias("max_lag_days"),
+    )

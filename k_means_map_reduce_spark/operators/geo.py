@@ -842,3 +842,226 @@ def geo_knn_ring_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # releases the pinned blocks (the round-7 ADVICE discipline — ring1
     # feeds three consumers: counts, the semi-join, and top1)
     return _KNN_CACHE.put(spark, sf_dir, (out, ring1))[0]
+
+
+# Deterministic random-walk trajectories over the events stream: each user
+# starts at an md5-derived base point and every event steps +-1 degree
+# (md5(event_id)-derived integer milli-degree deltas), positions = window
+# prefix sums ordered by (ts, event_id). Portable across engines (same md5
+# recipe as _PTS_SQL) and step < _CELL, so consecutive fixes land in the
+# same or an adjacent grid cell — the trajectory shape stay-point and
+# track-length analytics need.
+_WALK_SQL = """
+  SELECT user_id, event_id, ts,
+    base_lat + SUM(dlat) OVER w AS ilat,
+    base_lon + SUM(dlon) OVER w AS ilon
+  FROM (
+    SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      CAST(CONCAT('0x', substr(md5('blat:' || CAST(user_id AS VARCHAR)), 1, 8))
+           AS BIGINT) % 120000 - 60000 AS base_lat,
+      CAST(CONCAT('0x', substr(md5('blon:' || CAST(user_id AS VARCHAR)), 1, 8))
+           AS BIGINT) % 340000 - 170000 AS base_lon,
+      CAST(CONCAT('0x', substr(md5('dlat:' || CAST(event_id AS VARCHAR)), 1, 8))
+           AS BIGINT) % 2001 - 1000 AS dlat,
+      CAST(CONCAT('0x', substr(md5('dlon:' || CAST(event_id AS VARCHAR)), 1, 8))
+           AS BIGINT) % 2001 - 1000 AS dlon
+    FROM events
+  )
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+def _walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, event_id, ts, ilat, ilon): the deterministic random-walk
+    trajectory mirror of _WALK_SQL."""
+    e = load_table(spark, sf_dir, "events")
+    h8 = lambda salt, col: F.conv(  # noqa: E731
+        F.substring(F.md5(F.concat(F.lit(salt), col.cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    stepped = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        (h8("blat:", F.col("user_id")) % 120000 - 60000).alias("base_lat"),
+        (h8("blon:", F.col("user_id")) % 340000 - 170000).alias("base_lon"),
+        (h8("dlat:", F.col("event_id")) % 2001 - 1000).alias("dlat"),
+        (h8("dlon:", F.col("event_id")) % 2001 - 1000).alias("dlon"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return stepped.select(
+        "user_id",
+        "event_id",
+        "ts",
+        (F.col("base_lat") + F.sum("dlat").over(w)).alias("ilat"),
+        (F.col("base_lon") + F.sum("dlon").over(w)).alias("ilon"),
+    )
+
+
+@query(
+    "geo_stay_points",
+    oracle=f"""
+    WITH walk AS ({_WALK_SQL}),
+    celled AS (
+      SELECT user_id, event_id, ts,
+        CAST(floor((ilon + 170000) / 5000.0) AS BIGINT) AS cx,
+        CAST(floor((ilat + 60000) / 5000.0) AS BIGINT) AS cy
+      FROM walk
+    ),
+    flagged AS (
+      SELECT *,
+        CASE WHEN cx = LAG(cx) OVER u AND cy = LAG(cy) OVER u
+             THEN 0 ELSE 1 END AS new_stay
+      FROM celled
+      WINDOW u AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    stays AS (
+      SELECT user_id, event_id, ts, cx, cy,
+        SUM(new_stay) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS stay_id
+      FROM flagged
+    )
+    SELECT user_id, cx, cy,
+      COUNT(*) AS n_events,
+      strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS stay_start,
+      strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS stay_end,
+      CAST((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 60000000 AS BIGINT)
+        AS duration_min
+    FROM stays
+    GROUP BY user_id, stay_id, cx, cy
+    HAVING COUNT(*) >= 3
+    """,
+)
+def geo_stay_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stay-point detection over user trajectories (Li et al. 2008 shape):
+    maximal runs of >= 3 consecutive GPS fixes inside ONE grid cell —
+    the classic gaps-and-islands break-on-cell-change construction, with
+    the run's span reported in minutes. (The time-gap break of the full
+    algorithm is omitted by contract: this synthetic stream averages
+    hours between fixes, so a 30-min gap rule would detect nothing at
+    any SF — lesson 9; the cell-run semantics is what the oracle
+    replays.)
+
+    Determinism: positions are integer random-walk prefix sums (portable
+    md5 steps), cells are floor divisions of integers (exact — the /5000.0
+    quotient's relative error is ~1e-13, six orders below the boundary
+    spacing), islands order by (ts, event_id) in BOTH the LAG and the
+    running sum (the round-8 advice lesson).
+
+    At 100 TB: everything partitions by user_id — one shuffle, three
+    windows over it, then a per-(user, stay) rollup. No global state.
+    """
+    walk = _walk(spark, sf_dir)
+    celled = walk.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.floor((F.col("ilon") + 170000) / 5000.0).cast("bigint").alias("cx"),
+        F.floor((F.col("ilat") + 60000) / 5000.0).cast("bigint").alias("cy"),
+    )
+    u = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = celled.select(
+        "*",
+        F.when(
+            (F.col("cx") == F.lag("cx").over(u))
+            & (F.col("cy") == F.lag("cy").over(u)),
+            0,
+        )
+        .otherwise(1)
+        .alias("new_stay"),
+    )
+    stays = flagged.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "cx",
+        "cy",
+        F.sum("new_stay")
+        .over(u.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("stay_id"),
+    )
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    return (
+        stays.groupBy("user_id", "stay_id", "cx", "cy")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("stay_start"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("stay_end"),
+            F.floor(
+                (F.max(us) - F.min(us)) / F.lit(60000000)
+            ).cast("bigint").alias("duration_min"),
+        )
+        .where(F.col("n_events") >= 3)
+        .select(
+            "user_id", "cx", "cy", "n_events", "stay_start", "stay_end",
+            "duration_min",
+        )
+    )
+
+
+@query(
+    "geo_polyline_length_daily",
+    oracle=f"""
+    WITH walk AS ({_WALK_SQL}),
+    segs AS (
+      SELECT user_id,
+        strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        ilat - LAG(ilat) OVER u AS dy,
+        ilon - LAG(ilon) OVER u AS dx
+      FROM walk
+      WINDOW u AS (PARTITION BY user_id, date_trunc('day', ts)
+                   ORDER BY ts, event_id)
+    )
+    SELECT user_id, day,
+      COUNT(dx) AS n_segments,
+      CAST(SUM(CAST(ROUND(sqrt(CAST(dx * dx + dy * dy AS DOUBLE)), 6)
+                    AS DECIMAL(18,6))) AS DOUBLE) AS track_len
+    FROM segs
+    GROUP BY user_id, day
+    HAVING COUNT(dx) >= 1
+    """,
+)
+def geo_polyline_length_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Track (polyline) length per user-day: sum of consecutive-fix
+    segment lengths within each day, in milli-degrees — the
+    distance-travelled rollup fleet/mobility analytics run. Days with a
+    single fix (no segment) are excluded.
+
+    Determinism: segment deltas are exact integers; sqrt of an exact
+    integer-valued double is CORRECTLY ROUNDED by IEEE (the one exact
+    transcendental — lesson 3), so both engines produce the identical
+    double, and the per-day total is the round-6 decimal sum of those.
+
+    At 100 TB: one user-day-partitioned window for the deltas, then a
+    user-day rollup with map-side combine. The walk's prefix-sum window
+    shares the same (user_id) shuffle.
+    """
+    walk = _walk(spark, sf_dir)
+    day = F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+    u = Window.partitionBy("user_id", F.date_trunc("day", "ts")).orderBy(
+        "ts", "event_id"
+    )
+    segs = walk.select(
+        "user_id",
+        day.alias("day"),
+        (F.col("ilat") - F.lag("ilat").over(u)).alias("dy"),
+        (F.col("ilon") - F.lag("ilon").over(u)).alias("dx"),
+    )
+    seg_len = F.round(
+        F.sqrt((F.col("dx") * F.col("dx") + F.col("dy") * F.col("dy")).cast("double")),
+        6,
+    )
+    return (
+        segs.groupBy("user_id", "day")
+        .agg(
+            F.count("dx").alias("n_segments"),
+            F.sum(seg_len.cast("decimal(18,6)")).cast("double").alias("track_len"),
+        )
+        .where(F.col("n_segments") >= 1)
+    )
