@@ -64,6 +64,15 @@ DATE_SENSITIVE = [
     # unix_micros RANGE frames (shift-invariant) + encoded first/last touch
     "attribution_position_based",
     "events_burst_rate_topk",
+    # round-9 trajectory/path additions: day-grain walk rollups
+    # (date_trunc over NTZ), unix_micros stay durations (shift-invariant
+    # differences), datediff epoch days (tz-free on NTZ)
+    "geo_stay_points",
+    "geo_polyline_length_daily",
+    "events_signup_next3_paths",
+    "events_conversion_lag_histogram",
+    "ds_q89_rolling_brand_deviation",
+    "ds_q66_monthly_nation_pivot",
 ]
 
 
