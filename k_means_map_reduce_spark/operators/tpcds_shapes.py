@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 from .._memo import SessionMemo
 from ..registry import query
 from ..sources import load_table
-from ._util import dsum, sql_dsum
+from ._util import davg, dsum, sql_dsum
 
 
 @query(
@@ -1921,3 +1921,277 @@ def ds_q66_monthly_nation_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_name").alias("nation"),
         F.year("o_orderdate").cast("int").alias("year"),
     ).agg(*aggs)
+
+
+@query(
+    "ds_q75_yoy_brand_decline",
+    oracle="""
+    WITH yearly AS (
+      SELECT p_brand AS brand,
+        CAST(EXTRACT(year FROM l_shipdate) AS INT) AS year,
+        CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+        CAST(SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)), 6)
+                      AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT cur.brand, cur.year,
+      prev.qty AS prev_qty, cur.qty AS cur_qty,
+      CASE WHEN prev.qty > 0
+        THEN ROUND(CAST(cur.qty AS DOUBLE) / CAST(prev.qty AS DOUBLE), 6)
+      END AS qty_ratio,
+      CASE WHEN prev.revenue > 0
+        THEN ROUND(cur.revenue / prev.revenue, 6) END AS rev_ratio
+    FROM yearly cur JOIN yearly prev
+      ON cur.brand = prev.brand AND cur.year = prev.year + 1
+    WHERE prev.qty > 0
+      AND ROUND(CAST(cur.qty AS DOUBLE) / CAST(prev.qty AS DOUBLE), 6) < 0.95
+    """,
+)
+def ds_q75_yoy_brand_decline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand-years whose sold quantity fell more than 5% year-over-year,
+    with the revenue ratio attached — TPC-DS q75's signature (the
+    cross-year decline report that drives assortment reviews).
+
+    Determinism: quantities are exact BIGINT sums, revenue decimal-exact;
+    ratios are divisions of identical operands, ROUNDED 6dp BEFORE the
+    decline filter; the prev > 0 guard is its own predicate (and the
+    ratio is when-guarded too — ANSI evaluates every conjunct,
+    lesson 19).
+
+    At 100 TB: one fact pass (broadcast part) into a brands x years
+    rollup; the yoy self-join runs over that tiny rollup. The persisted
+    frame is unnecessary at this size — both join sides read the same
+    ~200-row aggregate, which AQE plans as a broadcast join.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    yearly = (
+        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.year("l_shipdate").cast("int").alias("year"),
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint")).alias("qty"),
+            dsum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+        )
+        .persist()
+    )
+    cur = yearly.select(
+        "brand",
+        "year",
+        F.col("qty").alias("cur_qty"),
+        F.col("revenue").alias("cur_rev"),
+    )
+    prev = yearly.select(
+        F.col("brand").alias("brand_p"),
+        F.col("year").alias("year_p"),
+        F.col("qty").alias("prev_qty"),
+        F.col("revenue").alias("prev_rev"),
+    )
+    qty_ratio = F.round(
+        F.col("cur_qty").cast("double") / F.col("prev_qty").cast("double"), 6
+    )
+    rev_ratio = F.when(
+        F.col("prev_rev") > 0, F.round(F.col("cur_rev") / F.col("prev_rev"), 6)
+    )
+    return (
+        cur.join(
+            prev,
+            (F.col("brand") == F.col("brand_p"))
+            & (F.col("year") == F.col("year_p") + 1),
+        )
+        .where(F.col("prev_qty") > 0)
+        .where(qty_ratio < 0.95)
+        .select(
+            "brand",
+            "year",
+            "prev_qty",
+            "cur_qty",
+            qty_ratio.alias("qty_ratio"),
+            rev_ratio.alias("rev_ratio"),
+        )
+    )
+
+
+@query(
+    "ds_q59_weekly_yoy_compare",
+    oracle="""
+    WITH weekly AS (
+      SELECT o_orderpriority AS priority,
+        CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) // 7
+             AS BIGINT) AS wk,
+        CAST(SUM(CAST(ROUND(o_totalprice, 6) AS DECIMAL(18,6))) AS DOUBLE)
+          AS revenue
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT cur.priority, cur.wk,
+      prev.revenue AS prev_year_revenue,
+      cur.revenue AS revenue,
+      CASE WHEN prev.revenue > 0
+        THEN ROUND(cur.revenue / prev.revenue, 6) END AS yoy_ratio
+    FROM weekly cur JOIN weekly prev
+      ON cur.priority = prev.priority AND cur.wk = prev.wk + 52
+    """,
+)
+def ds_q59_weekly_yoy_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly revenue per order priority compared to the SAME week one
+    year earlier (wk - 52) — TPC-DS q59's signature (the store-week
+    sales-over-sales report). Weeks are integer epoch-week indices from
+    the q72 recipe (date_diff // 7 — never engine week-of-year, whose
+    ISO conventions differ across engines and at year boundaries).
+
+    Determinism: decimal-exact weekly sums; the yoy ratio divides
+    identical doubles, when-guarded on prev > 0, rounded 6dp.
+
+    At 100 TB: one fact pass into a priorities x weeks rollup with
+    map-side combine; the 52-week-shift self-join runs over that rollup
+    (an equi-join — no range join).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    wk = F.floor(
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")) / 7
+    ).cast("bigint")
+    weekly = (
+        o.groupBy(F.col("o_orderpriority").alias("priority"), wk.alias("wk"))
+        .agg(dsum("o_totalprice").alias("revenue"))
+        .persist()
+    )
+    cur = weekly
+    prev = weekly.select(
+        F.col("priority").alias("priority_p"),
+        F.col("wk").alias("wk_p"),
+        F.col("revenue").alias("prev_year_revenue"),
+    )
+    return (
+        cur.join(
+            prev,
+            (F.col("priority") == F.col("priority_p"))
+            & (F.col("wk") == F.col("wk_p") + 52),
+        )
+        .select(
+            "priority",
+            "wk",
+            "prev_year_revenue",
+            "revenue",
+            F.when(
+                F.col("prev_year_revenue") > 0,
+                F.round(F.col("revenue") / F.col("prev_year_revenue"), 6),
+            ).alias("yoy_ratio"),
+        )
+    )
+
+
+@query(
+    "ds_q98_type_revenue_share",
+    oracle="""
+    WITH rolled AS (
+      SELECT p_brand AS brand, p_type AS type,
+        CAST(SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)), 6)
+                      AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)), 6)
+                 AS DECIMAL(18,6))) AS revenue_dec
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT brand, type, revenue,
+      ROUND(revenue / CAST(SUM(revenue_dec) OVER (PARTITION BY brand)
+                           AS DOUBLE), 6) AS brand_share
+    FROM rolled
+    """,
+)
+def ds_q98_type_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per (brand, type) with each type's share of its brand's
+    total — TPC-DS q98's signature (class revenue ratio-to-category).
+
+    Determinism: the share divides the decimal-exact type revenue by a
+    DECIMAL window sum of the same exact decimals (order-insensitive),
+    rounded 6dp.
+
+    At 100 TB: one fact pass (broadcast part) into the brand x type
+    rollup; the share window partitions by brand over that rollup —
+    the ratio-to-report shape with zero extra scans.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    net = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    rolled = (
+        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy(F.col("p_brand").alias("brand"), F.col("p_type").alias("type"))
+        .agg(
+            dsum(net).alias("revenue"),
+            F.sum(F.round(net, 6).cast("decimal(18,6)")).alias("revenue_dec"),
+        )
+    )
+    w = Window.partitionBy("brand")
+    return rolled.select(
+        "brand",
+        "type",
+        "revenue",
+        F.round(
+            F.col("revenue") / F.sum("revenue_dec").over(w).cast("double"), 6
+        ).alias("brand_share"),
+    )
+
+
+@query(
+    "ds_q27_segment_priority_avg_rollup",
+    oracle="""
+    SELECT
+      COALESCE(c_mktsegment, 'ALL') AS segment,
+      CASE WHEN c_mktsegment IS NULL THEN 'ALL'
+           ELSE COALESCE(o_orderpriority, 'ALL') END AS priority,
+      COUNT(*) AS n_lines,
+      CAST(SUM(CAST(ROUND(l_quantity, 6) AS DECIMAL(18,6))) AS DOUBLE)
+        / COUNT(*) AS avg_qty,
+      CAST(SUM(CAST(ROUND(l_extendedprice, 6) AS DECIMAL(18,6))) AS DOUBLE)
+        / COUNT(*) AS avg_price,
+      CAST(SUM(CAST(ROUND(l_discount, 6) AS DECIMAL(18,6))) AS DOUBLE)
+        / COUNT(*) AS avg_discount
+    FROM lineitem
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    GROUP BY ROLLUP (c_mktsegment, o_orderpriority)
+    """,
+)
+def ds_q27_segment_priority_avg_rollup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Average quantity / price / discount by (segment, priority) with
+    ROLLUP subtotals — TPC-DS q27's signature (the demographic average
+    battery over a grouping hierarchy). NULL rollup labels render as
+    'ALL' (the inner COALESCE is nested in a CASE so a subtotal row
+    can't be confused with a genuine NULL group).
+
+    Determinism: every average is an exact decimal sum divided by the
+    exact count (identical operands both engines).
+
+    At 100 TB: one fact pass; ROLLUP expands 3 grouping sets in the same
+    aggregate (partial aggregation applies per set) — no re-scan per
+    level.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    joined = l.join(o, F.col("o_orderkey") == F.col("l_orderkey")).join(
+        F.broadcast(c), F.col("c_custkey") == F.col("o_custkey")
+    )
+    rolled = joined.rollup("c_mktsegment", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        davg("l_quantity").alias("avg_qty"),
+        davg("l_extendedprice").alias("avg_price"),
+        davg("l_discount").alias("avg_discount"),
+    )
+    return rolled.select(
+        F.coalesce("c_mktsegment", F.lit("ALL")).alias("segment"),
+        F.when(F.col("c_mktsegment").isNull(), "ALL")
+        .otherwise(F.coalesce("o_orderpriority", F.lit("ALL")))
+        .alias("priority"),
+        "n_lines",
+        "avg_qty",
+        "avg_price",
+        "avg_discount",
+    )
