@@ -1315,3 +1315,570 @@ def stats_kendall_w_part_rankers(
     return ranked.groupBy("n").agg(
         F.when(F.col("n") >= 2, F.round(w, 6)).alias("w")
     ).select(F.col("n").cast("bigint").alias("n"), "w")
+
+
+@query(
+    "stats_levene_mean_acctbal",
+    oracle=f"""
+    WITH cents AS (
+      SELECT c_mktsegment AS seg, {_CENTS_SQL.format(c='c_acctbal')} AS v
+      FROM customer
+    ),
+    means AS (
+      SELECT seg, COUNT(*) AS ni, CAST(SUM(v) AS BIGINT) AS s
+      FROM cents GROUP BY 1
+    ),
+    z AS (
+      SELECT c.seg,
+        ROUND(ABS(CAST(c.v AS DOUBLE)
+                  - CAST(m.s AS DOUBLE) / CAST(m.ni AS DOUBLE)), 6) AS z
+      FROM cents c JOIN means m ON m.seg = c.seg
+    ),
+    grp AS (
+      SELECT seg, COUNT(*) AS ni,
+        CAST(SUM(CAST(z AS DECIMAL(18,6))) AS DOUBLE) AS sz,
+        CAST(SUM(CAST(ROUND(z * z, 6) AS DECIMAL(30,6))) AS DOUBLE) AS szz
+      FROM z GROUP BY 1
+    ),
+    tot AS (
+      SELECT *,
+        CAST(SUM(ni) OVER () AS BIGINT) AS n,
+        CAST(SUM(CAST(sz AS DECIMAL(30,6))) OVER () AS DOUBLE) AS szg,
+        COUNT(*) OVER () AS k
+      FROM grp
+    ),
+    terms AS (
+      SELECT seg, ni, n, k,
+        CAST(ni AS DOUBLE)
+          * (sz / CAST(ni AS DOUBLE) - szg / CAST(n AS DOUBLE))
+          * (sz / CAST(ni AS DOUBLE) - szg / CAST(n AS DOUBLE)) AS num_i,
+        szz - sz * sz / CAST(ni AS DOUBLE) AS den_i
+      FROM tot
+    )
+    SELECT CAST(k AS BIGINT) AS k, n,
+      CASE WHEN list_reduce(list(den_i ORDER BY seg), (a, x) -> a + x) > 0
+                AND k >= 2 THEN
+        ROUND(
+          (CAST(n - k AS DOUBLE) / CAST(k - 1 AS DOUBLE))
+          * list_reduce(list(num_i ORDER BY seg), (a, x) -> a + x)
+          / list_reduce(list(den_i ORDER BY seg), (a, x) -> a + x), 6)
+      END AS w_stat
+    FROM terms
+    GROUP BY k, n
+    """,
+)
+def stats_levene_mean_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic (mean-centered) Levene test for variance homogeneity across
+    market segments — the parametric sibling of stats_brown_forsythe
+    (which centers on the lower median): z = |cents - group mean|, then
+    the same one-way-ANOVA-on-z F statistic.
+
+    Determinism: the group mean is an exact integer sum / count, so every
+    z is the same double in both engines; z (and z^2) round to 6dp before
+    their DECIMAL sums (z is a double here, unlike Brown-Forsythe's
+    integer deviations); the 5-term cross-group sums are ordered folds.
+
+    At 100 TB: two dimension passes (means, deviations) + a 5-row fold.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    cents = c.select(
+        F.col("c_mktsegment").alias("seg"), _cents("c_acctbal").alias("v")
+    )
+    means = cents.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("ni"), F.sum("v").cast("bigint").alias("s")
+    )
+    z = cents.join(F.broadcast(means), "seg").select(
+        "seg",
+        F.round(
+            F.abs(
+                F.col("v").cast("double")
+                - F.col("s").cast("double") / F.col("ni").cast("double")
+            ),
+            6,
+        ).alias("z"),
+    )
+    grp = z.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("ni"),
+        F.sum(F.col("z").cast("decimal(18,6)")).cast("double").alias("sz"),
+        F.sum(F.round(F.col("z") * F.col("z"), 6).cast("decimal(30,6)"))
+        .cast("double")
+        .alias("szz"),
+    )
+    w_all = Window.partitionBy()
+    tot = grp.select(
+        "seg",
+        "ni",
+        "sz",
+        "szz",
+        F.sum("ni").over(w_all).cast("bigint").alias("n"),
+        F.sum(F.col("sz").cast("decimal(30,6)"))
+        .over(w_all)
+        .cast("double")
+        .alias("szg"),
+        F.count(F.lit(1)).over(w_all).alias("k"),
+    )
+    nid = F.col("ni").cast("double")
+    dev = F.col("sz") / nid - F.col("szg") / F.col("n").cast("double")
+    terms = tot.select(
+        "seg",
+        "n",
+        "k",
+        (nid * dev * dev).alias("num_i"),
+        (F.col("szz") - F.col("sz") * F.col("sz") / nid).alias("den_i"),
+    )
+
+    def ordered_sum(col: str) -> F.Column:
+        arr = F.array_sort(F.collect_list(F.struct(F.col("seg"), F.col(col))))
+        return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x[col])
+
+    w_mult = (F.col("n") - F.col("k")).cast("double") / (
+        F.col("k") - 1
+    ).cast("double")
+    return (
+        terms.groupBy("k", "n")
+        .agg(
+            ordered_sum("num_i").alias("num"),
+            ordered_sum("den_i").alias("den"),
+        )
+        .select(
+            F.col("k").cast("bigint").alias("k"),
+            "n",
+            F.when(
+                (F.col("den") > 0) & (F.col("k") >= 2),
+                F.round(w_mult * F.col("num") / F.col("den"), 6),
+            ).alias("w_stat"),
+        )
+    )
+
+
+@query(
+    "stats_bartlett_acctbal",
+    oracle=f"""
+    WITH cents AS (
+      SELECT c_mktsegment AS seg, {_CENTS_SQL.format(c='c_acctbal')} AS v
+      FROM customer
+    ),
+    grp AS (
+      SELECT seg, COUNT(*) AS ni,
+        CAST(SUM(v) AS BIGINT) AS s,
+        CAST(SUM(CAST(v AS DECIMAL(19,0)) * CAST(v AS DECIMAL(19,0)))
+             AS DOUBLE) AS ssd
+      FROM cents GROUP BY 1
+    ),
+    vars_ AS (
+      SELECT seg, ni,
+        CASE WHEN ni >= 2 THEN
+          (ssd - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(ni AS DOUBLE))
+          / CAST(ni - 1 AS DOUBLE) END AS vi,
+        CAST(SUM(ni) OVER () AS BIGINT) AS n,
+        COUNT(*) OVER () AS k
+      FROM grp
+    ),
+    folded AS (
+      SELECT n, k,
+        list_reduce(list(CAST(ni - 1 AS DOUBLE) * vi ORDER BY seg),
+                    (a, x) -> a + x) AS ssw,
+        -- ln guarded INSIDE the fold: DuckDB's ln(0) THROWS (not NULL),
+        -- and the degenerate CASE below only filters after evaluation;
+        -- the 0 placeholder never surfaces because min_vi > 0 gates it
+        list_reduce(list(CASE WHEN vi > 0 THEN CAST(ni - 1 AS DOUBLE)
+                         * ROUND(ln(vi), 6) ELSE CAST(0 AS DOUBLE) END
+                         ORDER BY seg),
+                    (a, x) -> a + x) AS sum_df_lnv,
+        list_reduce(list(CAST(1 AS DOUBLE) / CAST(ni - 1 AS DOUBLE)
+                         ORDER BY seg), (a, x) -> a + x) AS sum_inv_df,
+        MIN(vi) AS min_vi,
+        MIN(ni) AS min_ni
+      FROM vars_ GROUP BY n, k
+    )
+    SELECT CAST(k AS BIGINT) AS k, n,
+      CASE WHEN min_vi > 0 AND min_ni >= 2 AND k >= 2 AND n > k THEN
+        ROUND(
+          (CAST(n - k AS DOUBLE)
+             * ROUND(ln(CASE WHEN ssw > 0 AND n > k
+                        THEN ssw / CAST(n - k AS DOUBLE)
+                        ELSE CAST(1 AS DOUBLE) END), 6)
+           - sum_df_lnv)
+          / (CAST(1 AS DOUBLE)
+             + (sum_inv_df - CAST(1 AS DOUBLE) / CAST(n - k AS DOUBLE))
+               / (CAST(3 AS DOUBLE) * CAST(k - 1 AS DOUBLE))), 6)
+      END AS t_stat
+    FROM folded
+    """,
+)
+def stats_bartlett_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartlett's test for equality of variances across market segments —
+    the likelihood-ratio sibling of Levene/Brown-Forsythe (more powerful
+    under normality, famously fragile otherwise, which is why all three
+    ship): T = [(N-k) ln(sp^2) - sum (n_i-1) ln(s_i^2)] / C with the
+    standard correction C = 1 + (sum 1/(n_i-1) - 1/(N-k)) / (3(k-1)).
+
+    Determinism: group variances derive from integer-cents power sums
+    (identical doubles); both ln() calls round to 6dp before entering the
+    statistic (lesson 10 — the 6dp-rounded-log variant IS the documented
+    semantics); every cross-group sum is an ordered fold. Degenerate
+    guards: any zero variance, any one-row group, one group, or N = k
+    yield NULL.
+
+    At 100 TB: one dimension pass into a 5-row rollup; everything after
+    is a 5-row fold.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    cents = c.select(
+        F.col("c_mktsegment").alias("seg"), _cents("c_acctbal").alias("v")
+    )
+    grp = cents.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("ni"),
+        F.sum("v").cast("bigint").alias("s"),
+        F.sum(
+            F.col("v").cast("decimal(19,0)") * F.col("v").cast("decimal(19,0)")
+        )
+        .cast("double")
+        .alias("ssd"),
+    )
+    w_all = Window.partitionBy()
+    nid = F.col("ni").cast("double")
+    sd_ = F.col("s").cast("double")
+    vi = F.when(
+        F.col("ni") >= 2,
+        (F.col("ssd") - sd_ * sd_ / nid) / (F.col("ni") - 1).cast("double"),
+    )
+    vars_ = grp.select(
+        "seg",
+        "ni",
+        vi.alias("vi"),
+        F.sum("ni").over(w_all).cast("bigint").alias("n"),
+        F.count(F.lit(1)).over(w_all).alias("k"),
+    )
+
+    def ordered_fold(expr: F.Column) -> F.Column:
+        arr = F.array_sort(F.collect_list(F.struct(F.col("seg"), expr.alias("t"))))
+        return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x["t"])
+
+    dfd = (F.col("ni") - 1).cast("double")
+    # ln guarded inside the fold term (mirrors the oracle): a zero variance
+    # must reach the NULL verdict via min_vi, not explode inside ln
+    ln_term = F.when(
+        F.col("vi") > 0, dfd * F.round(F.log("vi"), 6)
+    ).otherwise(F.lit(0.0))
+    folded = vars_.groupBy("n", "k").agg(
+        ordered_fold(dfd * F.col("vi")).alias("ssw"),
+        ordered_fold(ln_term).alias("sum_df_lnv"),
+        ordered_fold(F.lit(1.0) / dfd).alias("sum_inv_df"),
+        F.min("vi").alias("min_vi"),
+        F.min("ni").alias("min_ni"),
+    )
+    nk = (F.col("n") - F.col("k")).cast("double")
+    sp2 = F.when(
+        (F.col("ssw") > 0) & (F.col("n") > F.col("k")), F.col("ssw") / nk
+    ).otherwise(F.lit(1.0))
+    t_num = nk * F.round(F.log(sp2), 6) - F.col("sum_df_lnv")
+    c_corr = F.lit(1.0) + (F.col("sum_inv_df") - F.lit(1.0) / nk) / (
+        F.lit(3.0) * (F.col("k") - 1).cast("double")
+    )
+    guard = (
+        (F.col("min_vi") > 0)
+        & (F.col("min_ni") >= 2)
+        & (F.col("k") >= 2)
+        & (F.col("n") > F.col("k"))
+    )
+    return folded.select(
+        F.col("k").cast("bigint").alias("k"),
+        "n",
+        F.when(guard, F.round(t_num / c_corr, 6)).alias("t_stat"),
+    )
+
+
+@query(
+    "stats_jarque_bera_by_segment",
+    oracle=f"""
+    WITH cents AS (
+      SELECT c_mktsegment AS seg,
+        CAST({_CENTS_SQL.format(c='c_acctbal')} AS DECIMAL(19,0)) AS v
+      FROM customer
+    ),
+    pw AS (
+      SELECT seg, COUNT(*) AS n,
+        CAST(SUM(v) AS DOUBLE) AS s1,
+        CAST(SUM(CAST(v * v AS DECIMAL(19,0))) AS DOUBLE) AS s2,
+        CAST(SUM(CAST(CAST(v * v AS DECIMAL(19,0)) * v AS DECIMAL(25,0)))
+             AS DOUBLE) AS s3,
+        CAST(SUM(CAST(CAST(v * v AS DECIMAL(19,0))
+                      * CAST(v * v AS DECIMAL(19,0)) AS DECIMAL(31,0)))
+             AS DOUBLE) AS s4
+      FROM cents GROUP BY 1
+    ),
+    mom AS (
+      SELECT seg, n,
+        s1 / n AS mu,
+        s2 / n - (s1 / n) * (s1 / n) AS m2,
+        s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n)
+          AS m3,
+        s4 / n - 4 * (s1 / n) * (s3 / n)
+          + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+          - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+      FROM pw
+    )
+    SELECT seg, CAST(n AS BIGINT) AS n,
+      CASE WHEN m2 > 0 THEN ROUND(m3 / (m2 * sqrt(m2)), 6) END AS skewness,
+      CASE WHEN m2 > 0 THEN ROUND(m4 / (m2 * m2), 6) END AS kurtosis,
+      CASE WHEN m2 > 0 THEN ROUND(
+        CAST(n AS DOUBLE) / 6 * (
+          (m3 / (m2 * sqrt(m2))) * (m3 / (m2 * sqrt(m2)))
+          + (m4 / (m2 * m2) - 3) * (m4 / (m2 * m2) - 3) / 4), 6)
+      END AS jb_stat
+    FROM mom
+    """,
+)
+def stats_jarque_bera_by_segment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Jarque-Bera normality statistic per market segment: JB = n/6 *
+    (skew^2 + (kurt - 3)^2 / 4) from the first four raw power sums of
+    integer-cents balances — the is-this-distribution-normal gate the
+    parametric battery (ANOVA/Welch/Bartlett) assumes.
+
+    Determinism: all four power sums are exact DECIMAL (cents^4 of a
+    ~1e6-cent balance is ~1e24, within DECIMAL(31,0); sums stay under
+    38 digits to ~1e7 rows per group — beyond that, center first);
+    moments and the statistic are arithmetic over identical doubles
+    (m2^1.5 via m2*sqrt(m2) — sqrt is exact, pow() is not); final
+    values round 6dp. m2 = 0 (constant group) yields NULLs.
+
+    At 100 TB: one dimension pass into a 5-row power-sum rollup with
+    map-side combine; the moment algebra runs on 5 rows.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    cents = c.select(
+        F.col("c_mktsegment").alias("seg"),
+        _cents("c_acctbal").cast("decimal(19,0)").alias("v"),
+    )
+    v = F.col("v")
+    v2 = (v * v).cast("decimal(19,0)")
+    pw = cents.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).cast("double").alias("s1"),
+        F.sum(v2).cast("double").alias("s2"),
+        F.sum((v2 * v).cast("decimal(25,0)")).cast("double").alias("s3"),
+        F.sum((v2 * v2).cast("decimal(31,0)")).cast("double").alias("s4"),
+    )
+    n_d = F.col("n").cast("double")
+    mu = F.col("s1") / n_d
+    m2 = F.col("s2") / n_d - mu * mu
+    m3 = F.col("s3") / n_d - 3 * mu * (F.col("s2") / n_d) + 2 * mu * mu * mu
+    m4 = (
+        F.col("s4") / n_d
+        - 4 * mu * (F.col("s3") / n_d)
+        + 6 * mu * mu * (F.col("s2") / n_d)
+        - 3 * mu * mu * mu * mu
+    )
+    skew = m3 / (m2 * F.sqrt(m2))
+    kurt = m4 / (m2 * m2)
+    jb = n_d / 6 * (skew * skew + (kurt - 3) * (kurt - 3) / 4)
+    ok = m2 > 0
+    return pw.select(
+        "seg",
+        F.col("n").cast("bigint").alias("n"),
+        F.when(ok, F.round(skew, 6)).alias("skewness"),
+        F.when(ok, F.round(kurt, 6)).alias("kurtosis"),
+        F.when(ok, F.round(jb, 6)).alias("jb_stat"),
+    )
+
+
+@query(
+    "stats_cohens_d_segments",
+    oracle=f"""
+    WITH cents AS (
+      SELECT c_mktsegment AS seg, {_CENTS_SQL.format(c='c_acctbal')} AS v
+      FROM customer
+      WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING')
+    ),
+    g AS (
+      SELECT
+        COUNT(CASE WHEN seg = 'AUTOMOBILE' THEN 1 END) AS n1,
+        CAST(SUM(CASE WHEN seg = 'AUTOMOBILE' THEN v END) AS BIGINT) AS s1,
+        CAST(SUM(CASE WHEN seg = 'AUTOMOBILE'
+                 THEN CAST(v AS DECIMAL(19,0)) * CAST(v AS DECIMAL(19,0)) END)
+             AS DOUBLE) AS ss1,
+        COUNT(CASE WHEN seg = 'BUILDING' THEN 1 END) AS n2,
+        CAST(SUM(CASE WHEN seg = 'BUILDING' THEN v END) AS BIGINT) AS s2,
+        CAST(SUM(CASE WHEN seg = 'BUILDING'
+                 THEN CAST(v AS DECIMAL(19,0)) * CAST(v AS DECIMAL(19,0)) END)
+             AS DOUBLE) AS ss2
+      FROM cents
+    ),
+    d_ AS (
+      SELECT n1, n2,
+        (CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2) AS mean_diff,
+        CASE WHEN n1 >= 2 AND n2 >= 2 AND n1 + n2 > 2 THEN
+          sqrt(((ss1 - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n1)
+                + (ss2 - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / n2))
+               / CAST(n1 + n2 - 2 AS DOUBLE)) END AS sp
+      FROM g
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+      CASE WHEN sp > 0 THEN ROUND(mean_diff / sp, 6) END AS cohens_d,
+      CASE WHEN sp > 0 THEN ROUND(
+        (mean_diff / sp)
+        * (CAST(1 AS DOUBLE)
+           - CAST(3 AS DOUBLE) / (CAST(4 AS DOUBLE) * (n1 + n2) - 9)), 6)
+      END AS hedges_g
+    FROM d_
+    """,
+)
+def stats_cohens_d_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d (pooled-SD standardized mean difference) and the
+    small-sample Hedges' g correction between the AUTOMOBILE and BUILDING
+    segments' balances — the EFFECT-SIZE companion the test battery
+    (Welch t, Mann-Whitney) reports next to its p-values: how big is the
+    difference, not just whether it exists.
+
+    Determinism: the same integer-cents power-sum recipe as
+    stats_welch_t_segments (one conditional-aggregate pass); sqrt is
+    exact; the 6dp round lands on identical doubles. Degenerate guards:
+    one-row or constant groups yield NULL d.
+
+    At 100 TB: one dimension scan, a 1-row conditional rollup, pure
+    closed-form arithmetic after.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    cents = c.where(
+        F.col("c_mktsegment").isin("AUTOMOBILE", "BUILDING")
+    ).select(F.col("c_mktsegment").alias("seg"), _cents("c_acctbal").alias("v"))
+    is1 = F.col("seg") == "AUTOMOBILE"
+    is2 = F.col("seg") == "BUILDING"
+    vdec = F.col("v").cast("decimal(19,0)")
+    g = cents.agg(
+        F.count(F.when(is1, 1)).alias("n1"),
+        F.sum(F.when(is1, F.col("v"))).cast("bigint").alias("s1"),
+        F.sum(F.when(is1, vdec * vdec)).cast("double").alias("ss1"),
+        F.count(F.when(is2, 1)).alias("n2"),
+        F.sum(F.when(is2, F.col("v"))).cast("bigint").alias("s2"),
+        F.sum(F.when(is2, vdec * vdec)).cast("double").alias("ss2"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    mean_diff = F.col("s1").cast("double") / n1d - F.col("s2").cast("double") / n2d
+    ssw = (
+        F.col("ss1") - F.col("s1").cast("double") * F.col("s1").cast("double") / n1d
+    ) + (
+        F.col("ss2") - F.col("s2").cast("double") * F.col("s2").cast("double") / n2d
+    )
+    sp = F.when(
+        (F.col("n1") >= 2) & (F.col("n2") >= 2) & (F.col("n1") + F.col("n2") > 2),
+        F.sqrt(ssw / (F.col("n1") + F.col("n2") - 2).cast("double")),
+    )
+    d_ = g.select("n1", "n2", mean_diff.alias("mean_diff"), sp.alias("sp"))
+    d_stat = F.col("mean_diff") / F.col("sp")
+    corr = F.lit(1.0) - F.lit(3.0) / (
+        F.lit(4.0) * (F.col("n1") + F.col("n2")) - 9
+    )
+    return d_.select(
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        F.when(F.col("sp") > 0, F.round(d_stat, 6)).alias("cohens_d"),
+        F.when(F.col("sp") > 0, F.round(d_stat * corr, 6)).alias("hedges_g"),
+    )
+
+
+@query(
+    "stats_friedman_nation_segment",
+    oracle="""
+    WITH cells AS (
+      SELECT c_nationkey AS blk, c_mktsegment AS seg,
+        CAST(SUM(CAST(ROUND(c_acctbal, 6) AS DECIMAL(18,6))) AS DOUBLE)
+          / COUNT(*) AS mean_bal
+      FROM customer GROUP BY 1, 2
+    ),
+    k_ AS (SELECT COUNT(DISTINCT seg) AS k FROM cells),
+    complete AS (
+      SELECT blk FROM cells CROSS JOIN k_
+      GROUP BY blk, k HAVING COUNT(*) = k
+    ),
+    ranked AS (
+      SELECT c.seg,
+        ROW_NUMBER() OVER (PARTITION BY c.blk ORDER BY c.mean_bal, c.seg)
+          AS rk
+      FROM cells c JOIN complete USING (blk)
+    ),
+    rsums AS (
+      SELECT seg, CAST(SUM(rk) AS BIGINT) AS rj FROM ranked GROUP BY seg
+    ),
+    consts AS (
+      SELECT (SELECT COUNT(*) FROM complete) AS nb,
+             (SELECT k FROM k_) AS k,
+             CAST(SUM(rj * rj) AS BIGINT) AS sum_rj2
+      FROM rsums
+    )
+    SELECT CAST(nb AS BIGINT) AS n_blocks, CAST(k AS BIGINT) AS k,
+      CASE WHEN nb >= 1 AND k >= 2 THEN ROUND(
+        CAST(12 AS DOUBLE) * CAST(sum_rj2 AS DOUBLE)
+          / (CAST(nb AS DOUBLE) * CAST(k AS DOUBLE) * CAST(k + 1 AS DOUBLE))
+        - CAST(3 AS DOUBLE) * CAST(nb AS DOUBLE) * CAST(k + 1 AS DOUBLE), 6)
+      END AS q_stat
+    FROM consts
+    """,
+)
+def stats_friedman_nation_segment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Friedman rank test: do market segments rank consistently across
+    nation blocks on mean account balance? Q = 12/(n k(k+1)) * sum R_j^2
+    - 3n(k+1) over within-block ranks — the repeated-measures sibling of
+    Kruskal-Wallis (blocks remove the between-nation variation).
+
+    Only COMPLETE blocks participate (nations holding all k segments —
+    at tiny SFs sparse nation x segment cells would otherwise corrupt
+    the rank sums; the complete-block rule is the test's own
+    requirement). Ranks are ROW_NUMBER over (mean, segment) — the
+    battery's integer-rank rule; cell means are exact decimal sums over
+    counts, so the rank key is the identical double in both engines;
+    sum R_j^2 stays BIGINT.
+
+    At 100 TB: one dimension pass into nations x segments cells, a
+    blk-partitioned rank window over those ~125 rows, then a k-row
+    rollup.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    cells = c.groupBy(
+        F.col("c_nationkey").alias("blk"), F.col("c_mktsegment").alias("seg")
+    ).agg(
+        (
+            F.sum(F.round(F.col("c_acctbal"), 6).cast("decimal(18,6)")).cast(
+                "double"
+            )
+            / F.count(F.lit(1))
+        ).alias("mean_bal")
+    )
+    k_ = cells.agg(F.countDistinct("seg").alias("k"))
+    complete = (
+        cells.crossJoin(F.broadcast(k_))
+        .groupBy("blk", "k")
+        .agg(F.count(F.lit(1)).alias("nseg"))
+        .where(F.col("nseg") == F.col("k"))
+        .select("blk")
+    )
+    w = Window.partitionBy("blk").orderBy("mean_bal", "seg")
+    ranked = cells.join(F.broadcast(complete), "blk").select(
+        "seg", F.row_number().over(w).alias("rk")
+    )
+    rsums = ranked.groupBy("seg").agg(F.sum("rk").cast("bigint").alias("rj"))
+    nb = complete.agg(F.count(F.lit(1)).alias("nb"))
+    consts = (
+        rsums.agg(F.sum(F.col("rj") * F.col("rj")).cast("bigint").alias("sum_rj2"))
+        .crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(k_))
+    )
+    nbd = F.col("nb").cast("double")
+    kd = F.col("k").cast("double")
+    q = (
+        F.lit(12.0) * F.col("sum_rj2").cast("double") / (nbd * kd * (kd + 1))
+        - F.lit(3.0) * nbd * (kd + 1)
+    )
+    return consts.select(
+        F.col("nb").cast("bigint").alias("n_blocks"),
+        F.col("k").cast("bigint").alias("k"),
+        F.when((F.col("nb") >= 1) & (F.col("k") >= 2), F.round(q, 6)).alias(
+            "q_stat"
+        ),
+    )

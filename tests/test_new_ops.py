@@ -577,7 +577,7 @@ def test_stats_battery_degenerate_constant_balances(spark, tmp_path):
                     [segments[i % len(segments)] for i in range(n)], pa.string()
                 ),
                 "c_acctbal": pa.array([500.0] * n, pa.float64()),
-                "c_nationkey": pa.array([1] * n, pa.int64()),
+                "c_nationkey": pa.array([1] * n, pa.int32()),
                 "c_name": pa.array([f"Customer#{i}" for i in range(n)], pa.string()),
             }
         )
@@ -610,6 +610,13 @@ def test_stats_battery_degenerate_constant_balances(spark, tmp_path):
         "stats_grubbs_outlier",
         "stats_kruskal_wallis_acctbal",
         "stats_mann_whitney_acctbal",
+        # round-9 additions: same when-guard contract
+        "stats_levene_mean_acctbal",
+        "stats_bartlett_acctbal",
+        "stats_jarque_bera_by_segment",
+        "stats_cohens_d_segments",
+        "stats_friedman_nation_segment",
+        "stats_two_way_anova_totalprice",
     ):
         r = compare_query(spark, name, str(two))
         assert r.ok, f"{name} on constant data: {r.detail}"
@@ -619,6 +626,16 @@ def test_stats_battery_degenerate_constant_balances(spark, tmp_path):
     assert f["f_stat"] is None
     g = QUERIES["stats_grubbs_outlier"](spark, str(two)).collect()
     assert all(r["g_stat"] is None and r["is_outlier"] is False for r in g)
+    lv = QUERIES["stats_levene_mean_acctbal"](spark, str(two)).collect()[0]
+    assert lv["w_stat"] is None
+    bt = QUERIES["stats_bartlett_acctbal"](spark, str(two)).collect()[0]
+    assert bt["t_stat"] is None
+    jb = QUERIES["stats_jarque_bera_by_segment"](spark, str(two)).collect()
+    assert all(r["jb_stat"] is None for r in jb)
+    cd = QUERIES["stats_cohens_d_segments"](spark, str(two)).collect()[0]
+    assert cd["cohens_d"] is None and cd["hedges_g"] is None
+    aw = QUERIES["stats_two_way_anova_totalprice"](spark, str(two)).collect()[0]
+    assert aw["f_a"] is None and aw["f_b"] is None and aw["f_ab"] is None
 
     one = tmp_path / "one_seg"
     one.mkdir()
