@@ -917,3 +917,85 @@ def graph_local_clustering_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "clustering_coeff",
         F.row_number().over(w).cast("bigint").alias("rk"),
     ).where(F.col("rk") <= 25)
+
+
+@query(
+    "graph_degree_assortativity",
+    oracle="""
+    WITH li AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ), e AS (
+      SELECT DISTINCT a.pk AS u, b.pk AS v
+      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+    ), deg AS (
+      SELECT node, COUNT(*) AS d FROM (
+        SELECT u AS node FROM e UNION ALL SELECT v FROM e
+      ) GROUP BY node
+    ), sums AS (
+      SELECT
+        CAST(2 * COUNT(*) AS BIGINT) AS m,
+        CAST(SUM(du.d + dv.d) AS BIGINT) AS sx,
+        CAST(SUM(CAST(du.d AS BIGINT) * du.d
+                 + CAST(dv.d AS BIGINT) * dv.d) AS BIGINT) AS sxx,
+        CAST(SUM(2 * CAST(du.d AS BIGINT) * dv.d) AS BIGINT) AS sxy
+      FROM e
+      JOIN deg du ON du.node = e.u
+      JOIN deg dv ON dv.node = e.v
+    )
+    SELECT m AS n_directed_edges,
+      CASE WHEN CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0 THEN
+        ROUND(
+          (CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          / (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+      END AS assortativity
+    FROM sums
+    """,
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity coefficient of the co-purchase graph
+    (Newman 2002): the Pearson correlation of endpoint degrees over
+    directed edges — do high-degree parts co-purchase with other hubs
+    (r > 0) or with the periphery (r < 0)?
+
+    Both orientations of every undirected edge contribute, so the x and
+    y marginals coincide and r = (m*Sxy - Sx^2) / (m*Sxx - Sx^2) from
+    FOUR exact BIGINT sums — no float accumulates anywhere before the
+    final division (products stay under 2^63 to ~1e7 edges x 1e6-degree
+    hubs; beyond that the sums shift to DECIMAL). A degree-regular graph
+    (zero variance) yields NULL.
+
+    At 100 TB: the edge list joins the degree table twice (AQE
+    broadcasts while it fits); one 1-row aggregate after.
+    """
+    und, _ = _copurchase_edges(spark, sf_dir)
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    dub = F.col("du").cast("bigint")
+    dvb = F.col("dv").cast("bigint")
+    sums = (
+        und.join(du, "u")
+        .join(dv, "v")
+        .agg(
+            (2 * F.count(F.lit(1))).cast("bigint").alias("m"),
+            F.sum(dub + dvb).cast("bigint").alias("sx"),
+            F.sum(dub * dub + dvb * dvb).cast("bigint").alias("sxx"),
+            F.sum(2 * dub * dvb).cast("bigint").alias("sxy"),
+        )
+    )
+    md = F.col("m").cast("double")
+    sxd = F.col("sx").cast("double")
+    den = md * F.col("sxx").cast("double") - sxd * sxd
+    num = md * F.col("sxy").cast("double") - sxd * sxd
+    return sums.select(
+        F.col("m").alias("n_directed_edges"),
+        F.when(den > 0, F.round(num / den, 6)).alias("assortativity"),
+    )

@@ -964,3 +964,291 @@ def timeseries_sma_crossover_signals(spark: SparkSession, sf_dir: str) -> DataFr
         F.round("sma20", 4).alias("sma20"),
         F.when(F.col("cmp") == 1, "golden").otherwise("death").alias("signal"),
     )
+
+
+@query(
+    "timeseries_bollinger_breaches",
+    oracle=f"""
+    WITH daily AS (
+      SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+        {sql_dsum('o_totalprice')} AS revenue
+      FROM orders GROUP BY 1
+    ),
+    win AS (
+      SELECT day, revenue,
+        ROW_NUMBER() OVER (ORDER BY day) AS rn,
+        CAST(SUM(CAST(revenue AS DECIMAL(18,6))) OVER f AS DOUBLE) AS s,
+        CAST(SUM(CAST(ROUND(revenue * revenue, 6) AS DECIMAL(32,6)))
+             OVER f AS DOUBLE) AS ss,
+        COUNT(*) OVER f AS n
+      FROM daily
+      WINDOW f AS (ORDER BY day ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    ),
+    bands AS (
+      SELECT day, revenue, rn,
+        s / n AS mid,
+        sqrt((ss - s * s / n) / (n - 1)) AS sd
+      FROM win WHERE rn >= 20
+    )
+    SELECT day, revenue,
+      ROUND(mid, 4) AS sma20,
+      ROUND(mid + 2 * sd, 4) AS upper_band,
+      ROUND(mid - 2 * sd, 4) AS lower_band,
+      CASE WHEN ROUND(revenue - (mid + 2 * sd), 6) > 0 THEN 'above'
+           ELSE 'below' END AS breach
+    FROM bands
+    WHERE ROUND(revenue - (mid + 2 * sd), 6) > 0
+       OR ROUND((mid - 2 * sd) - revenue, 6) > 0
+    """,
+)
+def timeseries_bollinger_breaches(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bollinger-band breaches on the daily revenue series: days whose
+    revenue closes outside the 20-day moving mean +- 2 sigma envelope —
+    the volatility-normalized outlier signal traders (and capacity
+    planners) watch. Warm-up days (rn < 20) are excluded.
+
+    Determinism: the rolling mean and the rolling second moment are
+    decimal window sums (revenue^2 rounds to 6dp first — products of
+    identical doubles); sigma is the sample-variance closed form with
+    sqrt (exact); breach membership compares 6dp-rounded differences so
+    a ulp can't flip a day in or out.
+
+    At 100 TB: one fact aggregation to days, then both frames share ONE
+    window sort over the ~2400-row day rollup.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("day")
+    ).agg(dsum("o_totalprice").alias("revenue"))
+    f = Window.orderBy("day").rowsBetween(-19, 0)
+    win = daily.select(
+        "day",
+        "revenue",
+        F.row_number().over(Window.orderBy("day")).alias("rn"),
+        F.sum(F.col("revenue").cast("decimal(18,6)")).over(f).cast("double").alias("s"),
+        F.sum(
+            F.round(F.col("revenue") * F.col("revenue"), 6).cast("decimal(32,6)")
+        )
+        .over(f)
+        .cast("double")
+        .alias("ss"),
+        F.count(F.lit(1)).over(f).alias("n"),
+    )
+    nd = F.col("n").cast("double")
+    mid = F.col("s") / nd
+    sd = F.sqrt((F.col("ss") - F.col("s") * F.col("s") / nd) / (nd - 1))
+    bands = win.where(F.col("rn") >= 20).select(
+        "day", "revenue", mid.alias("mid"), sd.alias("sd")
+    )
+    above = F.round(F.col("revenue") - (F.col("mid") + 2 * F.col("sd")), 6) > 0
+    below = F.round((F.col("mid") - 2 * F.col("sd")) - F.col("revenue"), 6) > 0
+    return (
+        bands.where(above | below)
+        .select(
+            "day",
+            "revenue",
+            F.round("mid", 4).alias("sma20"),
+            F.round(F.col("mid") + 2 * F.col("sd"), 4).alias("upper_band"),
+            F.round(F.col("mid") - 2 * F.col("sd"), 4).alias("lower_band"),
+            F.when(above, "above").otherwise("below").alias("breach"),
+        )
+    )
+
+
+@query(
+    "timeseries_rsi_signals",
+    oracle=f"""
+    WITH daily AS (
+      SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+        {sql_dsum('o_totalprice')} AS revenue
+      FROM orders GROUP BY 1
+    ),
+    deltas AS (
+      SELECT day,
+        ROW_NUMBER() OVER (ORDER BY day) AS rn,
+        revenue - LAG(revenue) OVER (ORDER BY day) AS delta
+      FROM daily
+    ),
+    smoothed AS (
+      SELECT day, rn,
+        CAST(SUM(CAST(ROUND(GREATEST(delta, CAST(0 AS DOUBLE)), 6)
+                      AS DECIMAL(18,6))) OVER f AS DOUBLE) / 14 AS avg_gain,
+        CAST(SUM(CAST(ROUND(GREATEST(-delta, CAST(0 AS DOUBLE)), 6)
+                      AS DECIMAL(18,6))) OVER f AS DOUBLE) / 14 AS avg_loss
+      FROM deltas
+      WINDOW f AS (ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    ),
+    rsi AS (
+      SELECT day, rn,
+        CASE WHEN avg_loss > 0
+          THEN ROUND(100 - 100 / (1 + avg_gain / avg_loss), 4)
+          ELSE CAST(100 AS DOUBLE) END AS rsi14
+      FROM smoothed WHERE rn >= 15
+    ),
+    ranked AS (
+      SELECT day, rsi14,
+        CASE WHEN rsi14 >= 50 THEN 'overbought' ELSE 'oversold' END AS side,
+        ROW_NUMBER() OVER (ORDER BY ABS(rsi14 - 50) DESC, day) AS rk
+      FROM rsi
+    )
+    SELECT day, rsi14, side, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 25
+    """,
+)
+def timeseries_rsi_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """14-day RSI (simple-average variant, not Wilder's recursive
+    smoothing — that recurrence lives in timeseries_holt_smoothing_daily's
+    family) on the daily revenue series, reporting the 25 MOST EXTREME
+    days by |RSI - 50| with their side. (A fixed 70/30 cut is not
+    scale-stable: an aggregate revenue series mean-reverts toward RSI 50
+    as orders-per-day grow, and the classic bands go empty at sf0.01 —
+    lesson 9; the top-k form fires at every SF.)
+
+    Determinism: deltas are differences of identical doubles; gains and
+    losses round to 6dp before their decimal frame sums; avg_loss = 0
+    pins RSI to exactly 100 (the convention) rather than dividing; the
+    rank orders by the 4dp-rounded RSI distance with a day tie-break.
+    The first 14 deltas are warm-up.
+
+    At 100 TB: day rollup + LAG + one 14-row frame — all three share one
+    global day sort over the ~2400-row series (partition by series key
+    when this generalizes to per-entity RSI).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("day")
+    ).agg(dsum("o_totalprice").alias("revenue"))
+    wd = Window.orderBy("day")
+    deltas = daily.select(
+        "day",
+        F.row_number().over(wd).alias("rn"),
+        (F.col("revenue") - F.lag("revenue").over(wd)).alias("delta"),
+    )
+    f = wd.rowsBetween(-13, 0)
+    gain = F.round(F.greatest(F.col("delta"), F.lit(0.0)), 6).cast(
+        "decimal(18,6)"
+    )
+    loss = F.round(F.greatest(-F.col("delta"), F.lit(0.0)), 6).cast(
+        "decimal(18,6)"
+    )
+    smoothed = deltas.select(
+        "day",
+        "rn",
+        (F.sum(gain).over(f).cast("double") / 14).alias("avg_gain"),
+        (F.sum(loss).over(f).cast("double") / 14).alias("avg_loss"),
+    )
+    rsi14 = F.when(
+        F.col("avg_loss") > 0,
+        F.round(100 - 100 / (1 + F.col("avg_gain") / F.col("avg_loss")), 4),
+    ).otherwise(F.lit(100.0))
+    rsi = smoothed.where(F.col("rn") >= 15).select("day", rsi14.alias("rsi14"))
+    wr = Window.orderBy(F.abs(F.col("rsi14") - 50).desc(), "day")
+    return (
+        rsi.select(
+            "day",
+            "rsi14",
+            F.when(F.col("rsi14") >= 50, "overbought")
+            .otherwise("oversold")
+            .alias("side"),
+            F.row_number().over(wr).cast("bigint").alias("rk"),
+        )
+        .where(F.col("rk") <= 25)
+    )
+
+
+@query(
+    "timeseries_dow_seasonal_strength",
+    oracle=f"""
+    WITH daily AS (
+      SELECT
+        datediff('day', TIMESTAMP '1970-01-01',
+                 date_trunc('day', o_orderdate)) % 7 AS dow,
+        {sql_dsum('o_totalprice')} AS revenue
+      FROM orders
+      GROUP BY strftime(o_orderdate, '%Y-%m-%d'),
+               datediff('day', TIMESTAMP '1970-01-01',
+                        date_trunc('day', o_orderdate)) % 7
+    ),
+    grp AS (
+      SELECT dow, COUNT(*) AS ni,
+        CAST(SUM(CAST(revenue AS DECIMAL(18,6))) AS DOUBLE) AS s,
+        CAST(SUM(CAST(ROUND(revenue * revenue, 6) AS DECIMAL(32,6)))
+             AS DOUBLE) AS ss
+      FROM daily GROUP BY 1
+    ),
+    folded AS (
+      SELECT
+        CAST(SUM(ni) AS BIGINT) AS n,
+        list_reduce(list(s ORDER BY dow), (a, x) -> a + x) AS sg,
+        list_reduce(list(ss ORDER BY dow), (a, x) -> a + x) AS ssg,
+        list_reduce(list(ss - s * s / ni ORDER BY dow), (a, x) -> a + x)
+          AS ssw
+      FROM grp
+    )
+    SELECT n AS n_days,
+      CASE WHEN ssg - sg * sg / n > 0 THEN
+        ROUND(CAST(1 AS DOUBLE) - ssw / (ssg - sg * sg / n), 6)
+      END AS eta2_dow
+    FROM folded
+    """,
+)
+def timeseries_dow_seasonal_strength(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Day-of-week seasonal STRENGTH of the daily revenue series: eta^2 =
+    1 - SS_within(dow) / SS_total — the share of daily variance the
+    weekly cycle explains (the variance-ratio strength measure STL
+    reports, restated as the dow factor's one-way decomposition; 0 = no
+    weekly seasonality, 1 = perfectly periodic).
+
+    Determinism: day-of-week is epoch-day mod 7 (never engine
+    dayofweek()); per-dow power sums are decimal-exact over the identical
+    daily-revenue doubles (squares round to 6dp first); the 7-term
+    cross-group sums are ordered folds. A constant series (zero total
+    variance) yields NULL.
+
+    At 100 TB: one fact pass to the day rollup, a 7-row rollup over it,
+    one fold.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    dow = (
+        F.datediff(
+            F.date_trunc("day", "o_orderdate"),
+            F.lit("1970-01-01").cast("timestamp_ntz"),
+        )
+        % 7
+    )
+    daily = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"),
+        dow.alias("dow"),
+    ).agg(dsum("o_totalprice").alias("revenue"))
+    grp = daily.groupBy("dow").agg(
+        F.count(F.lit(1)).alias("ni"),
+        F.sum(F.col("revenue").cast("decimal(18,6)")).cast("double").alias("s"),
+        F.sum(
+            F.round(F.col("revenue") * F.col("revenue"), 6).cast("decimal(32,6)")
+        )
+        .cast("double")
+        .alias("ss"),
+    )
+
+    def ordered_fold(expr: F.Column) -> F.Column:
+        arr = F.array_sort(F.collect_list(F.struct(F.col("dow"), expr.alias("t"))))
+        return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x["t"])
+
+    nid = F.col("ni").cast("double")
+    folded = grp.agg(
+        F.sum("ni").cast("bigint").alias("n"),
+        ordered_fold(F.col("s")).alias("sg"),
+        ordered_fold(F.col("ss")).alias("ssg"),
+        ordered_fold(F.col("ss") - F.col("s") * F.col("s") / nid).alias("ssw"),
+    )
+    sst = F.col("ssg") - F.col("sg") * F.col("sg") / F.col("n").cast("double")
+    return folded.select(
+        F.col("n").alias("n_days"),
+        F.when(sst > 0, F.round(F.lit(1.0) - F.col("ssw") / sst, 6)).alias(
+            "eta2_dow"
+        ),
+    )
