@@ -724,3 +724,38 @@ def sql_lateral_topn_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c.c_acctbal > 9000
         """
     )
+
+
+@query(
+    "agg_group_by_all",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+      CAST(COUNT(*) AS BIGINT) AS n_orders,
+      CAST(SUM(CAST(ROUND(o_totalprice, 6) AS DECIMAL(18,6))) AS DOUBLE)
+        AS revenue
+    FROM orders
+    GROUP BY ALL
+    """,
+)
+def agg_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL (Spark 4 / DuckDB shared SQL surface): every
+    non-aggregate select item becomes a grouping key — the analyst
+    shorthand both engines now parse IDENTICALLY, so the oracle is the
+    same SQL text verbatim (the strongest cross-engine surface check:
+    not just equal results, equal syntax).
+
+    At 100 TB: a plain hash aggregate with map-side combine — GROUP BY
+    ALL is parse-time sugar, the Catalyst plan is identical to the
+    explicit column list.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+          CAST(COUNT(*) AS BIGINT) AS n_orders,
+          CAST(SUM(CAST(ROUND(o_totalprice, 6) AS DECIMAL(18,6))) AS DOUBLE)
+            AS revenue
+        FROM orders
+        GROUP BY ALL
+        """
+    )

@@ -2213,3 +2213,179 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.exp("cross_entropy"), 4).alias("perplexity"),
         )
     )
+
+
+@query(
+    "text_hapax_ratio_by_lang",
+    oracle="""
+    WITH toks AS (
+      SELECT lang,
+        unnest(list_filter(string_split_regex(TRIM(LOWER(text)), '\\s+'),
+                           t -> t != '')) AS tok
+      FROM documents
+    ),
+    vocab AS (
+      SELECT lang, tok, COUNT(*) AS cnt FROM toks GROUP BY 1, 2
+    )
+    SELECT lang,
+      COUNT(*) AS vocab_size,
+      CAST(SUM(CAST(cnt AS BIGINT)) AS BIGINT) AS n_tokens,
+      COUNT(CASE WHEN cnt = 1 THEN 1 END) AS hapax_count,
+      ROUND(CAST(COUNT(CASE WHEN cnt = 1 THEN 1 END) AS DOUBLE)
+            / CAST(COUNT(*) AS DOUBLE), 6) AS hapax_share
+    FROM vocab GROUP BY lang
+    """,
+)
+def text_hapax_ratio_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hapax-legomena profile per language: vocabulary size, token mass,
+    and the share of vocabulary occurring exactly once — the classic
+    lexical-richness probe (hapax share tracks Heaps' exponent, and a
+    collapsing hapax share is the standard symptom of template/boilerplate
+    corpora in pretraining-data audits; complements text_heaps_law_fit).
+
+    Pure integer counts and one exact ratio, rounded 6dp.
+
+    At 100 TB: one tokenize+explode pass into the (lang, token) rollup
+    with map-side combine; the per-lang census aggregates the rollup —
+    vocabulary-scale, not corpus-scale.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks_arr = F.filter(
+        F.split(F.trim(F.lower("text")), r"\s+"), lambda t: t != ""
+    )
+    toks = d.select("lang", F.explode(toks_arr).alias("tok"))
+    vocab = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    hapax = F.count(F.when(F.col("cnt") == 1, 1))
+    return vocab.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.sum("cnt").cast("bigint").alias("n_tokens"),
+        hapax.alias("hapax_count"),
+        F.round(
+            hapax.cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("hapax_share"),
+    )
+
+
+@query(
+    "text_js_divergence_by_source",
+    oracle="""
+    WITH toks AS (
+      SELECT source,
+        unnest(list_filter(string_split_regex(TRIM(LOWER(text)), '\\s+'),
+                           t -> t != '')) AS tok
+      FROM documents
+    ),
+    per_src AS (
+      SELECT source, tok, COUNT(*) AS cnt FROM toks GROUP BY 1, 2
+    ),
+    all_tok AS (
+      SELECT tok, CAST(SUM(CAST(cnt AS BIGINT)) AS BIGINT) AS cnt_all
+      FROM per_src GROUP BY tok
+    ),
+    src_tot AS (
+      SELECT source, CAST(SUM(CAST(cnt AS BIGINT)) AS BIGINT) AS tot_s
+      FROM per_src GROUP BY source
+    ),
+    grand AS (
+      SELECT CAST(SUM(cnt_all) AS BIGINT) AS tot_all FROM all_tok
+    ),
+    expanded AS (
+      SELECT s.source, a.tok, a.cnt_all, s.tot_s, g.tot_all,
+        COALESCE(p.cnt, 0) AS cnt_s
+      FROM src_tot s
+      CROSS JOIN all_tok a
+      CROSS JOIN grand g
+      LEFT JOIN per_src p ON p.source = s.source AND p.tok = a.tok
+    ),
+    terms AS (
+      SELECT source,
+        CAST(cnt_s AS DOUBLE) / CAST(tot_s AS DOUBLE) AS p,
+        CAST(cnt_all - cnt_s AS DOUBLE)
+          / CAST(tot_all - tot_s AS DOUBLE) AS q
+      FROM expanded
+    ),
+    contribs AS (
+      SELECT source,
+        ROUND(
+          0.5 * (CASE WHEN p > 0
+                 THEN p * ROUND(ln(2 * p / (p + q)), 6) ELSE 0 END)
+          + 0.5 * (CASE WHEN q > 0
+                   THEN q * ROUND(ln(2 * q / (p + q)), 6) ELSE 0 END),
+          12) AS contrib
+      FROM terms
+    )
+    SELECT source,
+      ROUND(CAST(SUM(CAST(contrib AS DECIMAL(24,12))) AS DOUBLE), 6)
+        AS js_nats
+    FROM contribs GROUP BY source
+    """,
+)
+def text_js_divergence_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Jensen-Shannon divergence (nats) of each source's unigram
+    distribution against the REST of the corpus — the
+    which-source-is-distributionally-odd report driving pretraining
+    mixture weights and contamination triage (JS is symmetric and
+    bounded, unlike raw KL).
+
+    Determinism: p and q are ratios of exact BIGINT counts (identical
+    doubles); each ln rounds to 6dp (lesson 10); per-token contributions
+    round to 12dp before the exact DECIMAL(24,12) sum (they are O(p) ~
+    1e-4-scale, so 12dp keeps ~8 significant digits while making the sum
+    order-insensitive); the final JS rounds to 6.
+
+    At 100 TB: the vocabulary x sources expansion is Heaps-bounded
+    (vocab ≪ corpus) and the per-source left join keys on (source, tok);
+    everything else is rollups with map-side combine. The complement
+    ("rest") distribution derives from corpus totals — the corpus is
+    never re-scanned per source.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks_arr = F.filter(
+        F.split(F.trim(F.lower("text")), r"\s+"), lambda t: t != ""
+    )
+    toks = d.select("source", F.explode(toks_arr).alias("tok"))
+    per_src = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    all_tok = per_src.groupBy("tok").agg(
+        F.sum("cnt").cast("bigint").alias("cnt_all")
+    )
+    src_tot = per_src.groupBy("source").agg(
+        F.sum("cnt").cast("bigint").alias("tot_s")
+    )
+    grand = all_tok.agg(F.sum("cnt_all").cast("bigint").alias("tot_all"))
+    expanded = (
+        src_tot.crossJoin(all_tok)
+        .crossJoin(F.broadcast(grand))
+        .join(per_src, ["source", "tok"], "left")
+        .select(
+            "source",
+            "cnt_all",
+            "tot_s",
+            "tot_all",
+            F.coalesce("cnt", F.lit(0)).alias("cnt_s"),
+        )
+    )
+    p = F.col("cnt_s").cast("double") / F.col("tot_s").cast("double")
+    q = (F.col("cnt_all") - F.col("cnt_s")).cast("double") / (
+        F.col("tot_all") - F.col("tot_s")
+    ).cast("double")
+    terms = expanded.select("source", p.alias("p"), q.alias("q"))
+    half_p = F.when(
+        F.col("p") > 0,
+        F.col("p")
+        * F.round(F.log(2 * F.col("p") / (F.col("p") + F.col("q"))), 6),
+    ).otherwise(F.lit(0.0))
+    half_q = F.when(
+        F.col("q") > 0,
+        F.col("q")
+        * F.round(F.log(2 * F.col("q") / (F.col("p") + F.col("q"))), 6),
+    ).otherwise(F.lit(0.0))
+    contribs = terms.select(
+        "source", F.round(0.5 * half_p + 0.5 * half_q, 12).alias("contrib")
+    )
+    return contribs.groupBy("source").agg(
+        F.round(
+            F.sum(F.col("contrib").cast("decimal(24,12)")).cast("double"), 6
+        ).alias("js_nats")
+    )
