@@ -1144,7 +1144,7 @@ def stats_two_way_anova_totalprice(
     c = load_table(spark, sf_dir, "customer")
     v = _cents("o_totalprice")
     cells = (
-        o.join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        o.join(c, F.col("c_custkey") == F.col("o_custkey"))
         .select(
             F.col("c_mktsegment").alias("seg"),
             F.col("o_orderpriority").alias("pri"),

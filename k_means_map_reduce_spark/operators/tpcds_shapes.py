@@ -1807,8 +1807,8 @@ def ds_q89_rolling_brand_deviation(spark: SparkSession, sf_dir: str) -> DataFram
     both engines); the 30% cut compares the ROUNDED 6dp deviation
     (round-before-filter — a ulp on the raw ratio could flip membership).
 
-    At 100 TB: one fact pass (broadcast part dim) into a ~brands x months
-    rollup; every window runs over that tiny rollup partitioned by brand.
+    At 100 TB: one fact pass (AQE broadcasts the part dim while it fits)
+    into a ~brands x months rollup; every window runs over that tiny rollup partitioned by brand.
     Reference parity: the same monthly-rollup + window shape as
     ds_q57_deviation_extremes, with ROWS-frame rolling semantics instead
     of the year mean.
@@ -1816,7 +1816,7 @@ def ds_q89_rolling_brand_deviation(spark: SparkSession, sf_dir: str) -> DataFram
     l = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
     monthly = (
-        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        l.join(p, F.col("p_partkey") == F.col("l_partkey"))
         .groupBy(
             F.col("p_brand").alias("brand"),
             F.date_format("l_shipdate", "yyyy-MM").alias("month"),
@@ -1901,15 +1901,16 @@ def ds_q66_monthly_nation_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     coalesce to 0.0 so no NULL doubles reach the hash compare.
 
     At 100 TB: one fact pass with map-side combine into nations x years
-    rows; the customer->nation dims broadcast. The wide CASE battery is
+    rows; nation rides a forced broadcast (fixed 25-row dim) and AQE
+    broadcasts customer while it fits. The wide CASE battery is
     whole-stage-codegen'd — no Expand, no multi-distinct.
     """
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
-    joined = o.join(
-        F.broadcast(c), F.col("c_custkey") == F.col("o_custkey")
-    ).join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+    joined = o.join(c, F.col("c_custkey") == F.col("o_custkey")).join(
+        F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey")
+    )
     month = F.month("o_orderdate")
     aggs = [
         F.coalesce(
@@ -1959,7 +1960,8 @@ def ds_q75_yoy_brand_decline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio is when-guarded too — ANSI evaluates every conjunct,
     lesson 19).
 
-    At 100 TB: one fact pass (broadcast part) into a brands x years
+    At 100 TB: one fact pass (AQE broadcasts part while it fits) into a
+    brands x years
     rollup; the yoy self-join runs over that tiny rollup. The persisted
     frame is unnecessary at this size — both join sides read the same
     ~200-row aggregate, which AQE plans as a broadcast join.
@@ -1967,7 +1969,7 @@ def ds_q75_yoy_brand_decline(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
     yearly = (
-        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        l.join(p, F.col("p_partkey") == F.col("l_partkey"))
         .groupBy(
             F.col("p_brand").alias("brand"),
             F.year("l_shipdate").cast("int").alias("year"),
@@ -2111,15 +2113,15 @@ def ds_q98_type_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL window sum of the same exact decimals (order-insensitive),
     rounded 6dp.
 
-    At 100 TB: one fact pass (broadcast part) into the brand x type
-    rollup; the share window partitions by brand over that rollup —
+    At 100 TB: one fact pass (AQE broadcasts part while it fits) into
+    the brand x type rollup; the share window partitions by brand over that rollup —
     the ratio-to-report shape with zero extra scans.
     """
     l = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
     net = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
     rolled = (
-        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        l.join(p, F.col("p_partkey") == F.col("l_partkey"))
         .groupBy(F.col("p_brand").alias("brand"), F.col("p_type").alias("type"))
         .agg(
             dsum(net).alias("revenue"),
@@ -2177,7 +2179,7 @@ def ds_q27_segment_priority_avg_rollup(
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     joined = l.join(o, F.col("o_orderkey") == F.col("l_orderkey")).join(
-        F.broadcast(c), F.col("c_custkey") == F.col("o_custkey")
+        c, F.col("c_custkey") == F.col("o_custkey")
     )
     rolled = joined.rollup("c_mktsegment", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_lines"),

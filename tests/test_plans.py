@@ -396,9 +396,14 @@ def test_no_forced_broadcast_of_catalog_scaling_tables():
                                     "queries", "qv"},
         "operators/sketches.py": {"bounds", "cand", "mstats", "sketch", "targets", "theta"},  # + 1-row theta/cand aggs
         "operators/temporal.py": {"dim", "lags", "seas"},  # 8 lags; type x dow
-        # per-lang / label-enum / scalars; vocab = fixed 1000-row rank cut
-        "operators/textops.py": {"bounds", "conf", "lm", "stats", "tot",
-                                 "total", "vocab"},
+        # per-lang / label-enum / scalars; vocab = fixed 1000-row rank cut;
+        # consts/grand = 1-row aggregates (bigram-LM smoothing constants,
+        # corpus token total)
+        "operators/textops.py": {"bounds", "conf", "consts", "grand", "lm",
+                                 "stats", "tot", "total", "vocab"},
+        # means = segment-enum rollup (5 rows); k_/nb = 1-row aggregates;
+        # complete = nation-enum-bounded complete-block list (<= 25 rows)
+        "operators/stats_tests.py": {"complete", "k_", "means", "nb"},
         "operators/tpcds_shapes.py": {"n"},
         "operators/tpch_extra.py": {"n1", "n2", "r", "thresh"},
         "operators/tpch_full.py": {"mx", "n", "r", "total"},
