@@ -150,7 +150,23 @@ PREV66 = LEGACY56 + R7_FOLDED
 # Round-9 operator additions: benched identically, reported detail-only
 # (bench_detail.json "r9_additions*") so this round's 79-query totals land
 # clean as the new baseline; fold next round.
-ADDITIONS: list[str] = []
+ADDITIONS: list[str] = [
+    "ds_q89_rolling_brand_deviation",
+    "ds_q66_monthly_nation_pivot",
+    "ds_q75_yoy_brand_decline",
+    "stats_two_way_anova_totalprice",
+    "stats_kendall_w_part_rankers",
+    "stats_jarque_bera_by_segment",
+    "text_bigram_perplexity",
+    "text_js_divergence_by_source",
+    "dedup_semantic_cluster_pairs",
+    "geo_stay_points",
+    "geo_polyline_length_daily",
+    "events_signup_next3_paths",
+    "events_conversion_lag_histogram",
+    "timeseries_bollinger_breaches",
+    "graph_degree_assortativity",
+]
 
 
 def main() -> None:

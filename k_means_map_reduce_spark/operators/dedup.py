@@ -1724,9 +1724,12 @@ def dedup_semantic_cluster_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .clustering import _lloyd_portable
 
     _, assigned = _lloyd_portable(spark, sf_dir, k=4, rounds=3)
+    # persisted: corpus feeds BOTH sides of the within-cluster pair join —
+    # unpersisted, the assignment argmin (an embeddings scan + k-centroid
+    # fold) recomputes per side (scan_audit: embeddings x2, zero reuse)
     corpus = assigned.select(
         F.col("cid").cast("long").alias("cid"), "vec_id", "v"
-    )
+    ).persist()
     a = corpus.select(
         "cid", F.col("vec_id").alias("vec_a"), F.col("v").alias("va")
     )

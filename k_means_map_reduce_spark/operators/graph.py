@@ -971,11 +971,14 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts while it fits); one 1-row aggregate after.
     """
     und, _ = _copurchase_edges(spark, sf_dir)
+    # persisted: deg feeds both endpoint lookups — unpersisted, the degree
+    # aggregation over the (cached) edge list runs once per lookup
     deg = (
         und.select(F.col("u").alias("node"))
         .unionAll(und.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("d"))
+        .persist()
     )
     du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))

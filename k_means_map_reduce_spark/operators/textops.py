@@ -2346,7 +2346,12 @@ def text_js_divergence_by_source(
         F.split(F.trim(F.lower("text")), r"\s+"), lambda t: t != ""
     )
     toks = d.select("source", F.explode(toks_arr).alias("tok"))
-    per_src = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    # persisted: per_src feeds all_tok, src_tot, grand AND the scoring left
+    # join — unpersisted, the tokenize+explode pass re-runs per consumer
+    # (lesson 27; found by scripts/scan_audit.py as documents x4)
+    per_src = (
+        toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("cnt")).persist()
+    )
     all_tok = per_src.groupBy("tok").agg(
         F.sum("cnt").cast("bigint").alias("cnt_all")
     )
