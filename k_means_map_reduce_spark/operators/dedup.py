@@ -1749,3 +1749,113 @@ def dedup_semantic_cluster_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cid", "vec_a", "vec_b", sim.alias("sim"))
         .where(F.col("sim") >= 0.4)
     )
+
+
+_CONTAIN_DF_CAP = 50  # stop-shingle cap: postings hotter than this don't vote
+_CONTAIN_TAU = 0.6
+
+
+@query(
+    "dedup_containment_pairs",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id,
+        list_distinct(list_transform(
+          list_transform(
+            range(1, greatest(len(toks) - 1, 1)),
+            i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]
+          ),
+          g -> hash(g)
+        )) AS hs
+      FROM (
+        SELECT doc_id,
+          list_filter(string_split(LOWER(regexp_replace(TRIM(text), '\\s+', ' ', 'g')), ' '),
+                      t -> t != '') AS toks
+        FROM documents
+      )
+      WHERE len(toks) >= 3
+    ),
+    postings AS (
+      SELECT doc_id, unnest(hs) AS h FROM sh
+    ),
+    rare AS (
+      SELECT h FROM postings GROUP BY h HAVING COUNT(*) <= {_CONTAIN_DF_CAP}
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM postings a
+      JOIN rare USING (h)
+      JOIN postings b USING (h)
+      WHERE a.doc_id <> b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+      ROUND(CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+            / len(sa.hs), 6) AS containment
+    FROM cands c
+    JOIN sh sa ON sa.doc_id = c.doc_a
+    JOIN sh sb ON sb.doc_id = c.doc_b
+    WHERE ROUND(CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+                / len(sa.hs), 6) >= {_CONTAIN_TAU}
+    """,
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC containment near-dup pairs: |A ∩ B| / |A| >= 0.6 over
+    distinct 3-gram shingles — the sub/superset detector (quote farms,
+    re-posts with added boilerplate) that symmetric Jaccard misses, the
+    shape behind exact-substring dedup in pretraining pipelines.
+    Directed: (doc_a contained-in doc_b) and the reverse are separate
+    verdicts with different denominators.
+
+    Candidates meet ONLY through shared RARE shingles (document frequency
+    <= {_CONTAIN_DF_CAP}; hotter "stop shingles" don't vote — the
+    join_fuzzy_part_names stop-gram trick). Recall contract: complete
+    unless EVERY shared shingle is a stop shingle (boilerplate-only
+    overlap), which the threshold intends to ignore anyway; the oracle
+    replays the identical cap so parity is by construction. The verify
+    is exact set intersection on the full shingle arrays.
+
+    Determinism: intersection CARDINALITY is hash-invariant (each engine
+    hashes its own shingles); membership compares the 6dp-rounded ratio.
+
+    At 100 TB: postings bound the candidate fan-out (df-capped equi-join,
+    never a cross join); the array verify touches only candidate pairs.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    _gate_quadratic(d, "dedup_containment_pairs", "dedup_minhash_banding_pairs")
+    toks = F.filter(F.split(_NORM(F.col("text")), " "), lambda t: t != "")
+    sh = (
+        d.select(
+            "doc_id",
+            F.array_distinct(
+                F.transform(shingles(F.col("text")), lambda g: F.xxhash64(g))
+            ).alias("hs"),
+        )
+        .where(F.size(toks) >= 3)
+        .persist()
+    )
+    postings = sh.select("doc_id", F.explode("hs").alias("h"))
+    rare = postings.groupBy("h").agg(F.count(F.lit(1)).alias("df")).where(
+        F.col("df") <= _CONTAIN_DF_CAP
+    ).select("h")
+    pa = postings.select(F.col("doc_id").alias("doc_a"), "h")
+    pb = postings.select(F.col("doc_id").alias("doc_b"), "h")
+    cands = (
+        pa.join(rare, "h")
+        .join(pb, "h")
+        .where(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
+    containment = F.round(
+        F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b"))).cast("double")
+        / F.size(F.col("hs_a")),
+        6,
+    )
+    return (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", containment.alias("containment"))
+        .where(F.col("containment") >= _CONTAIN_TAU)
+    )

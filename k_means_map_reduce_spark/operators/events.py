@@ -1559,3 +1559,57 @@ def events_conversion_lag_histogram(
         F.min("lag_days").cast("bigint").alias("min_lag_days"),
         F.max("lag_days").cast("bigint").alias("max_lag_days"),
     )
+
+
+@query(
+    "events_dow_hour_heatmap",
+    oracle="""
+    WITH cells AS (
+      SELECT
+        datediff('day', TIMESTAMP '1970-01-01',
+                 date_trunc('day', CAST(ts AS TIMESTAMP))) % 7 AS dow,
+        EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) AS hour,
+        COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2
+    )
+    SELECT CAST(dow AS BIGINT) AS dow, CAST(hour AS BIGINT) AS hour,
+      n_events,
+      ROUND(CAST(n_events AS DOUBLE)
+            / CAST(SUM(n_events) OVER () AS DOUBLE), 6) AS share
+    FROM cells
+    """,
+)
+def events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week x hour-of-day activity heatmap with each cell's share
+    of total traffic — the capacity-planning / on-call-staffing grid.
+    Day-of-week is epoch-day mod 7 (0 = Thursday; never engine
+    dayofweek(), whose 0/1-origin and week-start conventions differ);
+    hour() over the NTZ timestamp is session-timezone-free.
+
+    Pure integer counts; the share divides exact BIGINTs over the
+    168-row grid's window total.
+
+    At 100 TB: one fact pass into <= 168 cells with map-side combine.
+    """
+    e = load_table(spark, sf_dir, "events")
+    dow = (
+        F.datediff(
+            F.date_trunc("day", "ts"), F.lit("1970-01-01").cast("timestamp_ntz")
+        )
+        % 7
+    )
+    cells = e.groupBy(
+        dow.cast("bigint").alias("dow"),
+        F.hour("ts").cast("bigint").alias("hour"),
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.partitionBy()
+    return cells.select(
+        "dow",
+        "hour",
+        "n_events",
+        F.round(
+            F.col("n_events").cast("double")
+            / F.sum("n_events").over(w).cast("double"),
+            6,
+        ).alias("share"),
+    )

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -709,4 +709,102 @@ def dq_referential_orphan_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(
             edge("lineitem.l_suppkey->supplier", l, "l_suppkey", s, "s_suppkey")
         )
+    )
+
+
+@query(
+    "dq_outlier_iqr_fences",
+    oracle="""
+    WITH cents AS (
+      SELECT c_mktsegment AS seg, c_custkey,
+        CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS v
+      FROM customer
+    ),
+    ranked AS (
+      SELECT seg, v,
+        ROW_NUMBER() OVER (PARTITION BY seg ORDER BY v, c_custkey) AS rn,
+        COUNT(*) OVER (PARTITION BY seg) AS n
+      FROM cents
+    ),
+    quartiles AS (
+      SELECT seg,
+        MAX(CASE WHEN rn = (n + 1) // 4 THEN v END) AS q1,
+        MAX(CASE WHEN rn = (3 * (n + 1)) // 4 THEN v END) AS q3,
+        MAX(n) AS n
+      FROM ranked GROUP BY seg
+    )
+    SELECT c.seg AS segment,
+      CAST(q.n AS BIGINT) AS n,
+      q.q1 AS q1_cents, q.q3 AS q3_cents,
+      COUNT(CASE WHEN 2 * c.v < 2 * q.q1 - 3 * (q.q3 - q.q1)
+                   OR 2 * c.v > 2 * q.q3 + 3 * (q.q3 - q.q1)
+             THEN 1 END) AS n_outliers,
+      ROUND(CAST(COUNT(CASE WHEN 2 * c.v < 2 * q.q1 - 3 * (q.q3 - q.q1)
+                              OR 2 * c.v > 2 * q.q3 + 3 * (q.q3 - q.q1)
+                        THEN 1 END) AS DOUBLE)
+            / CAST(q.n AS DOUBLE), 6) AS outlier_share
+    FROM cents c JOIN quartiles q ON q.seg = c.seg
+    GROUP BY c.seg, q.n, q.q1, q.q3
+    """,
+)
+def dq_outlier_iqr_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey IQR-fence outlier census per market segment: values beyond
+    Q1 - 1.5*IQR / Q3 + 1.5*IQR of account balance — the boxplot outlier
+    rule every data-quality profiler reports next to z-scores (robust
+    where the z-score's own mean/sd are outlier-contaminated).
+
+    Exactness: quartiles are ACTUAL SAMPLE VALUES at ranks (n+1)//4 and
+    3(n+1)//4 (ROW_NUMBER over (cents, custkey) — the Brown-Forsythe
+    lower-median trick), and the 1.5x fences clear the fraction by
+    doubling: outlier iff 2v < 2*q1 - 3*iqr or 2v > 2*q3 + 3*iqr — pure
+    int64 predicates, no float anywhere before the final share.
+
+    At 100 TB: one segment-partitioned rank window over the dimension,
+    a 5-row quartile rollup, one counting join back.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    cents = c.select(
+        F.col("c_mktsegment").alias("seg"),
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100, 0).cast("bigint").alias("v"),
+    )
+    w_rank = Window.partitionBy("seg").orderBy("v", "c_custkey")
+    w_seg = Window.partitionBy("seg")
+    ranked = cents.select(
+        "seg",
+        "v",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_seg).alias("n"),
+    )
+    quartiles = ranked.groupBy("seg").agg(
+        F.max(
+            F.when(F.col("rn") == F.floor((F.col("n") + 1) / 4), F.col("v"))
+        ).alias("q1"),
+        F.max(
+            F.when(
+                F.col("rn") == F.floor((3 * (F.col("n") + 1)) / 4), F.col("v")
+            )
+        ).alias("q3"),
+        F.max("n").alias("n"),
+    )
+    joined = cents.join(F.broadcast(quartiles), "seg")
+    iqr = F.col("q3") - F.col("q1")
+    is_out = (2 * F.col("v") < 2 * F.col("q1") - 3 * iqr) | (
+        2 * F.col("v") > 2 * F.col("q3") + 3 * iqr
+    )
+    return joined.groupBy(
+        F.col("seg").alias("segment"), "n", "q1", "q3"
+    ).agg(
+        F.count(F.when(is_out, 1)).alias("n_outliers"),
+        F.round(
+            F.count(F.when(is_out, 1)).cast("double") / F.col("n").cast("double"),
+            6,
+        ).alias("outlier_share"),
+    ).select(
+        "segment",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("q1").alias("q1_cents"),
+        F.col("q3").alias("q3_cents"),
+        "n_outliers",
+        "outlier_share",
     )
