@@ -1170,3 +1170,242 @@ def kmeans_silhouette_simplified(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_silhouette"),
         )
     )
+
+
+def _db_index_oracle_sql(k: int, rounds: int) -> str:
+    """DuckDB mirror of the Davies-Bouldin index over the determinized
+    Lloyd clustering: per-cluster mean member distance (scatter), pairwise
+    centroid separations, DB_i = max_j (s_i + s_j) / d_ij."""
+    lloyd = _kmeans_oracle_sql(k, rounds)
+    chain = lloyd[: lloyd.index("\n    SELECT")]
+    dist_mc = (
+        "list_reduce(list_transform(range(len(m.v)),"
+        " i -> (CAST(m.v[i+1] AS DOUBLE) - c.c[i+1])"
+        " * (CAST(m.v[i+1] AS DOUBLE) - c.c[i+1])), (x, y) -> x + y)"
+    )
+    dist_cc = (
+        "list_reduce(list_transform(range(len(a.c)),"
+        " i -> (a.c[i+1] - b.c[i+1]) * (a.c[i+1] - b.c[i+1])),"
+        " (x, y) -> x + y)"
+    )
+    return (
+        chain
+        + f""",
+    scatter AS (
+      SELECT m.cid, COUNT(*) AS n,
+        CAST(SUM(CAST(ROUND(sqrt({dist_mc}), 6) AS DECIMAL(18,6)))
+             AS DOUBLE) / COUNT(*) AS si
+      FROM a{rounds} m JOIN cent{rounds} c USING (cid)
+      GROUP BY m.cid
+    ),
+    pairs AS (
+      SELECT a.cid AS i,
+        (sa.si + sb.si) / ROUND(sqrt({dist_cc}), 6) AS r
+      FROM cent{rounds} a JOIN cent{rounds} b ON a.cid <> b.cid
+      JOIN scatter sa ON sa.cid = a.cid
+      JOIN scatter sb ON sb.cid = b.cid
+      WHERE ROUND(sqrt({dist_cc}), 6) > 0
+    ),
+    dbi AS (SELECT i AS cid, MAX(r) AS db_i FROM pairs GROUP BY i)
+    SELECT s.cid, CAST(s.n AS BIGINT) AS n,
+      ROUND(s.si, 6) AS scatter,
+      ROUND(d.db_i, 6) AS db_i
+    FROM scatter s JOIN dbi d USING (cid)
+    """
+    )
+
+
+@query("kmeans_davies_bouldin_oracled", oracle=_db_index_oracle_sql(4, 3))
+def kmeans_davies_bouldin_oracled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Davies-Bouldin cluster-validity index per cluster on the
+    determinized Lloyd clustering: DB_i = max over other clusters of
+    (s_i + s_j) / d(c_i, c_j) with s = mean member-to-centroid distance —
+    completes the INTERNAL validity set beside the simplified silhouette
+    and the elbow WSSSE, and like them it is fully hash-verified because
+    the portable Lloyd loop is replayable by DuckDB.
+
+    Determinism: member and centroid distances are sequential-fold exact;
+    each sqrt is IEEE-correctly-rounded; per-member distances round to
+    6dp before the decimal scatter mean; the max runs over identical
+    doubles; coincident centroids (d = 0) drop out of the max rather
+    than dividing.
+
+    Scale shape: one assignment-joined scan for the scatters (k-row
+    broadcast centroid dim), then k x k bounded pair arithmetic.
+    """
+    from ..functions.vectors import sq_euclidean
+
+    cents, assigned = _lloyd_portable(spark, sf_dir, k=4, rounds=3)
+    cent_rows = [(cid, cents[cid]) for cid in range(len(cents))]
+    cent_df = spark.createDataFrame(cent_rows, "cid INT, c ARRAY<DOUBLE>")
+    members = assigned.select(
+        "cid", F.col("v").cast("array<double>").alias("v")
+    )
+    dist = F.round(F.sqrt(sq_euclidean(F.col("v"), F.col("c"))), 6)
+    scatter = (
+        members.join(F.broadcast(cent_df), "cid")
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(dist.cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("si"),
+        )
+    )
+    a = cent_df.select(F.col("cid").alias("i"), F.col("c").alias("ca"))
+    b = cent_df.select(F.col("cid").alias("j"), F.col("c").alias("cb"))
+    dij = F.round(F.sqrt(sq_euclidean(F.col("ca"), F.col("cb"))), 6)
+    sa = scatter.select(F.col("cid").alias("i"), F.col("si").alias("sa"))
+    sb = scatter.select(F.col("cid").alias("j"), F.col("si").alias("sb"))
+    pairs = (
+        a.join(F.broadcast(b), F.col("i") != F.col("j"))
+        .where(dij > 0)
+        .join(sa, "i")
+        .join(sb, "j")
+        .select("i", ((F.col("sa") + F.col("sb")) / dij).alias("r"))
+    )
+    dbi = pairs.groupBy("i").agg(F.max("r").alias("db_i"))
+    return (
+        scatter.join(dbi, scatter.cid == dbi.i)
+        .select(
+            F.col("cid").cast("long").alias("cid"),
+            F.col("n").cast("bigint").alias("n"),
+            F.round("si", 6).alias("scatter"),
+            F.round("db_i", 6).alias("db_i"),
+        )
+    )
+
+
+def _ch_oracle_sql(k: int, rounds: int) -> str:
+    """DuckDB mirror of the Calinski-Harabasz score over the determinized
+    Lloyd clustering: SSB from centroid-to-grand-mean distances weighted
+    by cluster size, SSW from member-to-centroid distances."""
+    lloyd = _kmeans_oracle_sql(k, rounds)
+    chain = lloyd[: lloyd.index("\n    SELECT")]
+    dist_mc = (
+        "list_reduce(list_transform(range(len(m.v)),"
+        " i -> (CAST(m.v[i+1] AS DOUBLE) - c.c[i+1])"
+        " * (CAST(m.v[i+1] AS DOUBLE) - c.c[i+1])), (x, y) -> x + y)"
+    )
+    dist_cg = (
+        "list_reduce(list_transform(range(len(c.c)),"
+        " i -> (c.c[i+1] - g.c[i+1]) * (c.c[i+1] - g.c[i+1])),"
+        " (x, y) -> x + y)"
+    )
+    return (
+        chain
+        + f""",
+    gm AS (
+      SELECT list(m ORDER BY d) AS c FROM (
+        SELECT u.s.d AS d,
+          CAST(SUM(CAST(ROUND(u.s.x, 6) AS DECIMAL(28,6))) AS DOUBLE)
+            / COUNT(*) AS m
+        FROM emb, UNNEST(list_transform(range(len(v)),
+               i -> struct_pack(d := i, x := CAST(v[i+1] AS DOUBLE)))) AS u(s)
+        GROUP BY u.s.d
+      )
+    ),
+    ssw_ AS (
+      SELECT COUNT(*) AS n,
+        CAST(SUM(CAST(ROUND({dist_mc}, 6) AS DECIMAL(24,6))) AS DOUBLE)
+          AS ssw
+      FROM a{rounds} m JOIN cent{rounds} c USING (cid)
+    ),
+    ssb_ AS (
+      SELECT CAST(SUM(CAST(ROUND(sz.n * {dist_cg}, 6) AS DECIMAL(24,6)))
+                  AS DOUBLE) AS ssb
+      FROM cent{rounds} c CROSS JOIN gm g
+      JOIN (SELECT cid, COUNT(*) AS n FROM a{rounds} GROUP BY cid) sz
+        USING (cid)
+    )
+    SELECT CAST({k} AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+      CASE WHEN ssw > 0 AND n > {k} THEN
+        ROUND((ssb / CAST({k} - 1 AS DOUBLE))
+              / (ssw / CAST(n - {k} AS DOUBLE)), 6) END AS ch_score
+    FROM ssw_ CROSS JOIN ssb_
+    """
+    )
+
+
+@query("kmeans_calinski_harabasz_oracled", oracle=_ch_oracle_sql(4, 3))
+def kmeans_calinski_harabasz_oracled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Calinski-Harabasz (variance-ratio) score of the determinized Lloyd
+    clustering: (SSB/(k-1)) / (SSW/(n-k)) — the third internal validity
+    metric beside silhouette and Davies-Bouldin, hash-verified end to end
+    (DuckDB replays the Lloyd rounds, the grand mean, and both sums).
+
+    Determinism: the grand mean uses the same decimal per-dimension mean
+    recipe as the centroid updates; every squared distance is a
+    sequential fold of identical doubles, rounded 6dp before its exact
+    decimal sum; constant data (ssw = 0) or n <= k yields NULL.
+
+    Scale shape: SSW rides the assignment scan with a k-row broadcast
+    dim; the grand mean is one posexplode aggregation (k x dim decimal
+    partials); SSB is k rows of arithmetic.
+    """
+    from ..functions.vectors import sq_euclidean
+
+    cents, assigned = _lloyd_portable(spark, sf_dir, k=4, rounds=3)
+    k = len(cents)
+    cent_rows = [(cid, cents[cid]) for cid in range(k)]
+    cent_df = spark.createDataFrame(cent_rows, "cid INT, c ARRAY<DOUBLE>")
+    members = assigned.select(
+        "cid", F.col("v").cast("array<double>").alias("v")
+    )
+    # grand mean: same decimal per-dim mean recipe as the Lloyd update
+    gm_rows = (
+        members.select(F.posexplode("v").alias("d", "x"))
+        .groupBy("d")
+        .agg(
+            (
+                F.sum(F.round(F.col("x"), 6).cast("decimal(28,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("m")
+        )
+        .collect()
+    )
+    gm = [0.0] * len(cents[0])
+    for r in gm_rows:
+        gm[r["d"]] = r["m"]
+    gm_lit = F.array(*[F.lit(float(x)) for x in gm])
+    ssw_df = (
+        members.join(F.broadcast(cent_df), "cid")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.round(sq_euclidean(F.col("v"), F.col("c")), 6).cast(
+                    "decimal(24,6)"
+                )
+            )
+            .cast("double")
+            .alias("ssw"),
+        )
+    )
+    sizes = members.groupBy("cid").agg(F.count(F.lit(1)).alias("nc"))
+    ssb_df = (
+        cent_df.join(F.broadcast(sizes), "cid")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("nc") * sq_euclidean(F.col("c"), gm_lit), 6
+                ).cast("decimal(24,6)")
+            )
+            .cast("double")
+            .alias("ssb")
+        )
+    )
+    out = ssw_df.crossJoin(F.broadcast(ssb_df))
+    ch = (F.col("ssb") / F.lit(float(k - 1))) / (
+        F.col("ssw") / (F.col("n") - k).cast("double")
+    )
+    guard = (F.col("ssw") > 0) & (F.col("n") > k)
+    return out.select(
+        F.lit(k).cast("bigint").alias("k"),
+        F.col("n").cast("bigint").alias("n"),
+        F.when(guard, F.round(ch, 6)).alias("ch_score"),
+    )
