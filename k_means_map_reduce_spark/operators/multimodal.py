@@ -559,3 +559,78 @@ def multimodal_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(ham <= 3)
         .select("doc_a", "doc_b", ham.cast("long").alias("hamming"))
     )
+
+
+@query(
+    "multimodal_quality_gates",
+    oracle="""
+    WITH feats AS (
+      SELECT doc_id,
+        (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INT)]
+          AS media_type,
+        octet_length(encode(text)) AS n_bytes,
+        64 + CAST(CONCAT('0x', substr(sha256(text), 1, 2)) AS INT) % 192
+          AS width,
+        64 + CAST(CONCAT('0x', substr(sha256(text), 3, 2)) AS INT) % 192
+          AS height
+      FROM documents
+    ),
+    gated AS (
+      SELECT media_type,
+        CASE WHEN n_bytes < 64 THEN 'too_few_bytes'
+             WHEN width < 96 OR height < 96 THEN 'too_small'
+             WHEN GREATEST(width, height) > 2 * LEAST(width, height)
+               THEN 'extreme_aspect'
+             ELSE 'kept' END AS verdict
+      FROM feats
+    )
+    SELECT media_type, verdict, COUNT(*) AS n,
+      ROUND(CAST(COUNT(*) AS DOUBLE)
+            / CAST(SUM(COUNT(*)) OVER (PARTITION BY media_type) AS DOUBLE),
+            6) AS share
+    FROM gated GROUP BY media_type, verdict
+    """,
+)
+def multimodal_quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media quality-gate census — the image-filtering stage of a
+    multimodal pretraining pipeline (LAION-style): per media type, how
+    many assets each gate drops (payload too small, decoded dims under
+    96px, aspect ratio beyond 2:1) and how many survive. First failing
+    gate wins (the CASE order IS the pipeline order).
+
+    The decode is the stub codec's documented contract (dims derived
+    from the payload sha256 — _decode_image), which is exactly what lets
+    DuckDB replay the whole report: sha256 over the utf-8 payload,
+    hex-byte arithmetic, integer gates, exact shares. Swapping in PIL
+    changes _decode_image and drops the oracle to rows-only — the
+    Spark-side plumbing (mapInPandas Arrow batches over binary) is the
+    real, tested artifact.
+
+    At 100 TB: one mapInPandas pass over the media scan (bytes touched
+    once, never shuffled), then a <= 12-row census.
+    """
+    feats = extract_features(media_table(spark, sf_dir))
+    verdict = (
+        F.when(F.col("n_bytes") < 64, "too_few_bytes")
+        .when((F.col("width") < 96) | (F.col("height") < 96), "too_small")
+        .when(
+            F.greatest("width", "height") > 2 * F.least("width", "height"),
+            "extreme_aspect",
+        )
+        .otherwise("kept")
+    )
+    from pyspark.sql import Window
+
+    gated = feats.select("media_type", verdict.alias("verdict"))
+    counts = gated.groupBy("media_type", "verdict").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("media_type")
+    return counts.select(
+        "media_type",
+        "verdict",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(w).cast("double"), 6
+        ).alias("share"),
+    )

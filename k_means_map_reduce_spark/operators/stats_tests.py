@@ -1882,3 +1882,58 @@ def stats_friedman_nation_segment(
             "q_stat"
         ),
     )
+
+
+@query(
+    "stats_percentile_cont_priority",
+    oracle=f"""
+    WITH cents AS (
+      SELECT o_orderpriority AS priority,
+        {_CENTS_SQL.format(c='o_totalprice')} AS v
+      FROM orders
+    ),
+    q AS (
+      SELECT priority,
+        quantile_cont(v, [0.25, 0.5, 0.75, 0.9, 0.99]) AS qs
+      FROM cents GROUP BY priority
+    )
+    SELECT priority,
+      unnest(['p25', 'p50', 'p75', 'p90', 'p99']) AS pct,
+      unnest(list_transform(qs, x -> ROUND(x, 6))) AS value_cents
+    FROM q
+    """,
+)
+def stats_percentile_cont_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT continuous-interpolation percentiles (p25/p50/p75/p90/p99) of
+    order totalprice per priority — Spark's percentile() vs DuckDB's
+    quantile_cont(), both implementing the standard (n-1)p convention:
+    value = v_lo + frac * (v_hi - v_lo) over the sorted sample. The
+    exact-percentile surface beside the approx (approx_percentiles),
+    equi-depth (histogram_equidepth), and weighted-median entries.
+
+    Determinism: inputs are integer cents, both engines sort identically
+    and interpolate the same formula over identical doubles; the 6dp
+    round absorbs any last-ulp difference in the fma shape.
+
+    At 100 TB: Spark's percentile() is a full-sort-per-group aggregate —
+    fine per bounded group; the documented scale path for heavy groups
+    is approx_percentile or the equi-depth ntile table.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cents = o.select(
+        F.col("o_orderpriority").alias("priority"),
+        _cents("o_totalprice").alias("v"),
+    )
+    q = cents.groupBy("priority").agg(
+        F.percentile(F.col("v"), F.array(*[F.lit(p) for p in (0.25, 0.5, 0.75, 0.9, 0.99)])).alias("qs")
+    )
+    labels = F.array(*[F.lit(s) for s in ("p25", "p50", "p75", "p90", "p99")])
+    return q.select(
+        "priority", F.posexplode("qs").alias("pos", "qv")
+    ).select(
+        "priority",
+        F.element_at(labels, F.col("pos") + 1).alias("pct"),
+        F.round("qv", 6).alias("value_cents"),
+    )
