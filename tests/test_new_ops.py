@@ -644,3 +644,133 @@ def test_stats_battery_degenerate_constant_balances(spark, tmp_path):
     assert r.ok, f"mann_whitney single-segment: {r.detail}"
     z = QUERIES["stats_mann_whitney_acctbal"](spark, str(one)).collect()
     assert len(z) == 1 and z[0]["z"] is None
+
+
+def test_walk_trajectory_matches_python_prefix_sums(spark, sf_dir):
+    """The geo random-walk positions must equal base + cumulative md5
+    steps recomputed independently in Python for a sampled user —
+    pinning the (ts, event_id) ordering and the md5 arithmetic."""
+    import hashlib
+
+    from k_means_map_reduce_spark.operators.geo import _walk
+    from k_means_map_reduce_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    uid = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .orderBy("user_id")
+        .first()["user_id"]
+    )
+    rows = (
+        _walk(spark, sf_dir)
+        .where(F.col("user_id") == uid)
+        .orderBy("ts", "event_id")
+        .collect()
+    )
+    evs = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id") == uid)
+        .orderBy("ts", "event_id")
+        .collect()
+    )
+
+    def h8(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    lat = h8(f"blat:{uid}") % 120000 - 60000
+    for r, e in zip(rows, evs):
+        lat += h8(f"dlat:{e['event_id']}") % 2001 - 1000
+        assert r["ilat"] == lat, (r["event_id"], r["ilat"], lat)
+
+
+def test_containment_planted_superset(spark, tmp_path):
+    """A document whose text is a strict prefix of another must surface
+    with containment 1.0 in the prefix->superset direction."""
+    base = " ".join(f"tok{i}" for i in range(40))
+    sup = base + " " + " ".join(f"extra{i}" for i in range(10))
+    # 8 distinct filler docs keep every planted shingle under the df cap
+    fillers = [
+        " ".join(f"f{k}w{i}" for i in range(30)) for k in range(8)
+    ]
+    texts = [base, sup] + fillers
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(texts), pa.string()),
+            "source": pa.array(["src0"] * len(texts), pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    d = tmp_path / "contain"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    out = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in QUERIES["dedup_containment_pairs"](spark, str(d)).collect()
+    }
+    assert out.get((0, 1)) == 1.0, out
+    # the superset direction has a larger denominator — strictly below 1
+    assert (1, 0) in out and out[(1, 0)] < 1.0, out
+
+
+def test_bollinger_breaches_respect_warmup(spark, oracle_sf_dir):
+    """No breach may be reported before the 20-day frame is full, and
+    every reported row must actually sit outside its band."""
+    import duckdb
+
+    rows = QUERIES["timeseries_bollinger_breaches"](
+        spark, oracle_sf_dir
+    ).collect()
+    assert rows, "expected breaches on the synthetic series"
+    con = duckdb.connect()
+    days = [
+        r[0]
+        for r in con.execute(
+            "SELECT DISTINCT strftime(o_orderdate, '%Y-%m-%d') AS d "
+            f"FROM read_parquet('{oracle_sf_dir}/orders.parquet') ORDER BY d"
+        ).fetchall()
+    ]
+    warmup_end = days[18]  # rn >= 20 -> first reportable day is days[19]
+    for r in rows:
+        assert r["day"] > warmup_end, r
+        assert (
+            r["revenue"] > r["upper_band"] or r["revenue"] < r["lower_band"]
+        ), r
+
+
+def test_conversion_lag_buckets_partition_users(spark, oracle_sf_dir):
+    """Bucket counts must partition exactly the users having BOTH a
+    signup and a purchase event."""
+    from k_means_map_reduce_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    out = QUERIES["events_conversion_lag_histogram"](
+        spark, oracle_sf_dir
+    ).collect()
+    total = sum(r["n_users"] for r in out)
+    e = load_table(spark, oracle_sf_dir, "events")
+    both = (
+        e.groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("event_type") == "signup", 1)).alias("s"),
+            F.max(F.when(F.col("event_type") == "purchase", 1)).alias("p"),
+        )
+        .where(F.col("s").isNotNull() & F.col("p").isNotNull())
+        .count()
+    )
+    assert total == both
+
+
+def test_cluster_validity_indices_sane(spark, oracle_sf_dir):
+    """DB index and CH score structural invariants: positive scatters and
+    ratios, one DB row per cluster, CH defined on real data."""
+    db = QUERIES["kmeans_davies_bouldin_oracled"](spark, oracle_sf_dir).collect()
+    assert len(db) == 4
+    for r in db:
+        assert r["scatter"] >= 0 and r["db_i"] > 0, r
+    ch = QUERIES["kmeans_calinski_harabasz_oracled"](
+        spark, oracle_sf_dir
+    ).collect()[0]
+    assert ch["ch_score"] is not None and ch["ch_score"] > 0
