@@ -173,6 +173,33 @@ PICKS = {
         "the ALL row ORs the cached blocks — no second fact scan, and raw "
         "ids never shuffle."
     ),
+    # round-9 picks
+    "dedup_semantic_cluster_pairs": (
+        "SemDeDup: vectors meet ONLY through a shared Lloyd cluster id — "
+        "the persisted assignment feeds both self-join sides, so the "
+        "quadratic term is (n/k)^2 per cluster and cid is a "
+        "partition-pruning key at scale."
+    ),
+    "geo_stay_points": (
+        "Everything partitions by user_id: ONE exchange feeds the walk "
+        "prefix sums, the LAG island flags, and the running stay ids; "
+        "the per-(user, stay) rollup aggregates map-side."
+    ),
+    "ds_q66_monthly_nation_pivot": (
+        "Twelve conditional decimal sums ride ONE hash aggregate with "
+        "map-side combine — no Expand, no PIVOT, no multi-distinct; the "
+        "dims broadcast."
+    ),
+    "dedup_containment_pairs": (
+        "Asymmetric containment: candidates meet only on df-capped RARE "
+        "shingle postings (the stop-shingle cap bounds fan-out); the "
+        "cached shingle arrays serve postings AND the exact verify."
+    ),
+    "text_bigram_perplexity": (
+        "The persisted bigram LM serves the smoothing constants and the "
+        "scoring join; the corpus is tokenized once per pass and scored "
+        "with a model-side equi-join — broadcastable until web scale."
+    ),
 }
 
 
