@@ -378,7 +378,10 @@ def test_no_forced_broadcast_of_catalog_scaling_tables():
             # 1-row grand total
             "cohort_sizes", "grand", "prio_tot",
         },
-        "operators/clustering.py": {"cent_df", "means"},  # k rows; dim rows
+        # cent_df/b = k-row centroid frames; means = dim rows; sizes =
+        # k-row cluster sizes; ssb_df = 1-row SSB aggregate
+        "operators/clustering.py": {"b", "cent_df", "means", "sizes",
+                                    "ssb_df"},
         "operators/events.py": {"bounds", "carries", "marg", "stats", "tot", "totals"},
         # literal dims; offs = (2*reach+1)^2 ring-offset rows (9 or 25 —
         # reach is a code constant, never data-derived)
@@ -386,7 +389,8 @@ def test_no_forced_broadcast_of_catalog_scaling_tables():
         "operators/graph.py": {"kdf"},  # 1-row k threshold
         "operators/incremental.py": {"delta_keys"},  # CDC delta contract
         "operators/layout.py": {"b"},  # 1-row global bounds
-        "operators/quality.py": {"dangling", "tot"},
+        # quartiles = segment-enum rollup (5 rows)
+        "operators/quality.py": {"dangling", "quartiles", "tot"},
         "operators/relational.py": {"n", "r"},  # nation/region only
         "operators/scalar_fns.py": {"r"},
         # N_QUERY-bounded, plus: hp = N_TABLES*N_BITS (16x5=80) hyperplane
