@@ -1065,3 +1065,184 @@ def geo_polyline_length_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_segments") >= 1)
     )
+
+
+@query(
+    "geo_od_matrix_topk",
+    oracle=f"""
+    WITH walk AS ({_WALK_SQL}),
+    celled AS (
+      SELECT user_id, event_id, ts,
+        strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        CAST(floor((ilon + 170000) / 5000.0) AS BIGINT) AS cx,
+        CAST(floor((ilat + 60000) / 5000.0) AS BIGINT) AS cy
+      FROM walk
+    ),
+    od AS (
+      SELECT user_id, day,
+        FIRST_VALUE(cx) OVER w AS ocx, FIRST_VALUE(cy) OVER w AS ocy,
+        LAST_VALUE(cx) OVER w AS dcx, LAST_VALUE(cy) OVER w AS dcy,
+        ROW_NUMBER() OVER w AS rn
+      FROM celled
+      WINDOW w AS (PARTITION BY user_id, day ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND UNBOUNDED FOLLOWING)
+    ),
+    counted AS (
+      SELECT ocx, ocy, dcx, dcy, COUNT(*) AS n_user_days,
+        ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, ocx, ocy, dcx, dcy)
+          AS rk
+      FROM od WHERE rn = 1
+      GROUP BY ocx, ocy, dcx, dcy
+    )
+    SELECT ocx, ocy, dcx, dcy, n_user_days, CAST(rk AS BIGINT) AS rk
+    FROM counted WHERE rk <= 25
+    """,
+)
+def geo_od_matrix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Origin-destination matrix over the walk trajectories: each
+    user-day's FIRST and LAST grid cell, rolled up to the top-25 OD cell
+    pairs — the commute-flow report mobility platforms build from GPS
+    traces (the diagonal, origin = destination, is the stay population
+    and deliberately stays in).
+
+    Determinism: first/last ride one UNBOUNDED frame ordered by
+    (ts, event_id); cells are exact integers; the top-25 rank breaks
+    count ties on the full OD key.
+
+    At 100 TB: the OD extraction shares the walk's user_id exchange
+    (the frame partitions by (user, day)); the matrix rollup aggregates
+    map-side; only distinct OD cells reach the final tiny sort.
+    """
+    walk = _walk(spark, sf_dir)
+    day = F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+    celled = walk.select(
+        "user_id",
+        "event_id",
+        "ts",
+        day.alias("day"),
+        F.floor((F.col("ilon") + 170000) / 5000.0).cast("bigint").alias("cx"),
+        F.floor((F.col("ilat") + 60000) / 5000.0).cast("bigint").alias("cy"),
+    )
+    w = (
+        Window.partitionBy("user_id", "day")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    od = celled.select(
+        F.first("cx").over(w).alias("ocx"),
+        F.first("cy").over(w).alias("ocy"),
+        F.last("cx").over(w).alias("dcx"),
+        F.last("cy").over(w).alias("dcy"),
+        F.row_number()
+        .over(
+            Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+        )
+        .alias("rn"),
+    ).where(F.col("rn") == 1)
+    counted = od.groupBy("ocx", "ocy", "dcx", "dcy").agg(
+        F.count(F.lit(1)).alias("n_user_days")
+    )
+    wr = Window.orderBy(
+        F.col("n_user_days").desc(), "ocx", "ocy", "dcx", "dcy"
+    )
+    return (
+        counted.select(
+            "ocx", "ocy", "dcx", "dcy", "n_user_days",
+            F.row_number().over(wr).cast("bigint").alias("rk"),
+        )
+        .where(F.col("rk") <= 25)
+    )
+
+
+@query(
+    "geo_colocation_pairs_topk",
+    oracle=f"""
+    WITH walk AS ({_WALK_SQL}),
+    fixes AS (
+      SELECT DISTINCT user_id,
+        strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        EXTRACT(hour FROM ts) * 2 + EXTRACT(minute FROM ts) // 30 AS slot,
+        CAST(floor((ilon + 170000) / 5000.0) AS BIGINT) AS cx,
+        CAST(floor((ilat + 60000) / 5000.0) AS BIGINT) AS cy
+      FROM walk
+    ),
+    pairs AS (
+      SELECT a.user_id AS user_a, b.user_id AS user_b,
+        COUNT(*) AS n_colocations
+      FROM fixes a
+      JOIN fixes b
+        ON a.day = b.day AND a.slot = b.slot
+       AND a.cx = b.cx AND a.cy = b.cy
+       AND a.user_id < b.user_id
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT user_a, user_b, n_colocations,
+        ROW_NUMBER() OVER (ORDER BY n_colocations DESC, user_a, user_b)
+          AS rk
+      FROM pairs
+    )
+    SELECT user_a, user_b, n_colocations, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 25
+    """,
+)
+def geo_colocation_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-location detection: the top-25 user pairs by number of
+    (same grid cell, same 30-minute slot) co-occurrences — the
+    contact-graph / companion-inference primitive of trajectory
+    analytics. Users meet ONLY through a shared (day, slot, cell)
+    bucket — never a distance theta-join.
+
+    The slot is derived from the NTZ hour/minute fields (day string +
+    hour*2 + minute//30), so bucket membership is session-timezone-free
+    by construction (an epoch_us//1800s bucket would shift with the
+    session zone). Per-bucket fixes are DISTINCT per user first, so a
+    burst of events in one bucket counts one co-location, not a
+    cross product. (At sf0.001 the stream is too sparse for ANY
+    co-occupancy and the result is legitimately empty — both engines
+    agree on the empty set; sf0.01+ fires.)
+
+    At 100 TB: the self-join keys on the full bucket (equi-join); the
+    quadratic term is per-bucket occupancy squared — bounded by how many
+    users physically share a 5-degree cell in 30 minutes, the same
+    envelope real co-location systems accept (tighter cells shrink it).
+    """
+    walk = _walk(spark, sf_dir)
+    fixes = walk.select(
+        "user_id",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        (F.hour("ts") * 2 + F.floor(F.minute("ts") / 30)).alias("slot"),
+        F.floor((F.col("ilon") + 170000) / 5000.0).cast("bigint").alias("cx"),
+        F.floor((F.col("ilat") + 60000) / 5000.0).cast("bigint").alias("cy"),
+    ).distinct()
+    a = fixes.select(
+        F.col("user_id").alias("user_a"), "day", "slot", "cx", "cy"
+    )
+    b = fixes.select(
+        F.col("user_id").alias("user_b"),
+        F.col("day").alias("day_b"),
+        F.col("slot").alias("slot_b"),
+        F.col("cx").alias("cx_b"),
+        F.col("cy").alias("cy_b"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("day") == F.col("day_b"))
+            & (F.col("slot") == F.col("slot_b"))
+            & (F.col("cx") == F.col("cx_b"))
+            & (F.col("cy") == F.col("cy_b"))
+            & (F.col("user_a") < F.col("user_b")),
+        )
+        .groupBy("user_a", "user_b")
+        .agg(F.count(F.lit(1)).alias("n_colocations"))
+    )
+    wr = Window.orderBy(F.col("n_colocations").desc(), "user_a", "user_b")
+    return (
+        pairs.select(
+            "user_a", "user_b", "n_colocations",
+            F.row_number().over(wr).cast("bigint").alias("rk"),
+        )
+        .where(F.col("rk") <= 25)
+    )

@@ -2474,3 +2474,68 @@ def text_vocab_coverage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("coverage"),
     )
+
+
+@query(
+    "text_bytes_per_token_by_source",
+    oracle="""
+    WITH per_doc AS (
+      SELECT source,
+        octet_length(encode(text)) AS n_bytes,
+        length(text) AS n_chars,
+        len(list_filter(string_split_regex(TRIM(LOWER(text)), '\\s+'),
+                        t -> t != '')) AS n_tokens
+      FROM documents
+    )
+    SELECT source,
+      CAST(SUM(CAST(n_bytes AS BIGINT)) AS BIGINT) AS total_bytes,
+      CAST(SUM(CAST(n_tokens AS BIGINT)) AS BIGINT) AS total_tokens,
+      CASE WHEN SUM(CAST(n_tokens AS BIGINT)) > 0 THEN
+        ROUND(CAST(SUM(CAST(n_bytes AS BIGINT)) AS DOUBLE)
+              / CAST(SUM(CAST(n_tokens AS BIGINT)) AS DOUBLE), 6) END
+        AS bytes_per_token,
+      CASE WHEN SUM(CAST(n_tokens AS BIGINT)) > 0 THEN
+        ROUND(CAST(SUM(CAST(n_chars AS BIGINT)) AS DOUBLE)
+              / CAST(SUM(CAST(n_tokens AS BIGINT)) AS DOUBLE), 6) END
+        AS chars_per_token
+    FROM per_doc GROUP BY source
+    """,
+)
+def text_bytes_per_token_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bytes-per-token and chars-per-token by source — the
+    tokenizer-budget metric that converts a storage estimate into a
+    token count per corpus slice (and exposes multi-byte-heavy sources,
+    where bytes/token diverges from chars/token). Complements the
+    per-LANGUAGE fertility entry with the per-SOURCE cost view.
+
+    Pure integer sums (utf-8 octet length, char length, whitespace token
+    count) and two guarded exact ratios.
+
+    At 100 TB: one scan; the per-doc numbers are three scalar
+    expressions, the rollup combines map-side.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks_arr = F.filter(
+        F.split(F.trim(F.lower("text")), r"\s+"), lambda t: t != ""
+    )
+    per_doc = d.select(
+        "source",
+        F.octet_length("text").alias("n_bytes"),
+        F.length("text").alias("n_chars"),
+        F.size(toks_arr).alias("n_tokens"),
+    )
+    tb = F.sum(F.col("n_bytes").cast("bigint"))
+    tc = F.sum(F.col("n_chars").cast("bigint"))
+    tt = F.sum(F.col("n_tokens").cast("bigint"))
+    return per_doc.groupBy("source").agg(
+        tb.cast("bigint").alias("total_bytes"),
+        tt.cast("bigint").alias("total_tokens"),
+        F.when(tt > 0, F.round(tb.cast("double") / tt.cast("double"), 6)).alias(
+            "bytes_per_token"
+        ),
+        F.when(tt > 0, F.round(tc.cast("double") / tt.cast("double"), 6)).alias(
+            "chars_per_token"
+        ),
+    )

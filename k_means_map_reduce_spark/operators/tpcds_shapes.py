@@ -2197,3 +2197,96 @@ def ds_q27_segment_priority_avg_rollup(
         "avg_price",
         "avg_discount",
     )
+
+
+@query(
+    "ds_q25_return_repurchase_chain",
+    oracle="""
+    WITH base AS (
+      SELECT o_custkey AS c, p_brand AS p,
+        CAST(l_shipdate AS TIMESTAMP) AS d, l_returnflag AS f
+      FROM lineitem
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN part ON p_partkey = l_partkey
+    ),
+    s1 AS (
+      SELECT c, p, MIN(CASE WHEN f = 'N' THEN d END) AS t1
+      FROM base GROUP BY c, p
+      HAVING MIN(CASE WHEN f = 'N' THEN d END) IS NOT NULL
+    ),
+    s2 AS (
+      SELECT b.c, b.p, s1.t1, MIN(b.d) AS t2
+      FROM base b JOIN s1 ON s1.c = b.c AND s1.p = b.p
+      WHERE b.f = 'R' AND b.d > s1.t1
+      GROUP BY b.c, b.p, s1.t1
+    ),
+    s3 AS (
+      SELECT b.c, b.p
+      FROM base b JOIN s2 ON s2.c = b.c AND s2.p = b.p
+      WHERE b.f = 'N' AND b.d > s2.t2
+      GROUP BY b.c, b.p
+    )
+    SELECT p AS brand,
+      COUNT(*) AS n_chains,
+      COUNT(DISTINCT c) AS n_customers
+    FROM s3
+    GROUP BY p
+    """,
+)
+def ds_q25_return_repurchase_chain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sold -> returned -> re-purchased chains per brand (TPC-DS q25/q29's
+    signature: the same customer-item pair moving through a sale, a
+    return, and a later repurchase) — the win-back / exchange report, at
+    (customer, BRAND) grain: the exact part-key grain fires on ~0 pairs
+    at these SFs (a pair needs 3+ fact lines — lesson 9), and brand is
+    q25's own item-attribute rollup level. Stage semantics: first sale
+    t1 = earliest non-returned line; return t2 = earliest 'R' line
+    strictly after t1; chain completes on any non-returned line strictly
+    after t2.
+
+    Determinism: pure timestamp comparisons and exact counts — three
+    (customer, part)-grain rollups chained by equi-joins.
+
+    At 100 TB: the fact projects to 4 columns once (persisted — three
+    stage passes consume it; AQE broadcasts the part dim while it fits);
+    every stage is a rollup + equi-join on the (customer, brand) key, so
+    the chain never widens beyond pair grain.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    p = load_table(spark, sf_dir, "part")
+    base = (
+        l.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .select(
+            F.col("o_custkey").alias("c"),
+            F.col("p_brand").alias("p"),
+            F.col("l_shipdate").alias("d"),
+            F.col("l_returnflag").alias("f"),
+        )
+        .persist()
+    )
+    s1 = (
+        base.groupBy("c", "p")
+        .agg(F.min(F.when(F.col("f") == "N", F.col("d"))).alias("t1"))
+        .where(F.col("t1").isNotNull())
+    )
+    s2 = (
+        base.join(s1, ["c", "p"])
+        .where((F.col("f") == "R") & (F.col("d") > F.col("t1")))
+        .groupBy("c", "p", "t1")
+        .agg(F.min("d").alias("t2"))
+    )
+    s3 = (
+        base.join(s2.select("c", "p", "t2"), ["c", "p"])
+        .where((F.col("f") == "N") & (F.col("d") > F.col("t2")))
+        .groupBy("c", "p")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select("c", "p")
+    )
+    return s3.groupBy(F.col("p").alias("brand")).agg(
+        F.count(F.lit(1)).alias("n_chains"),
+        F.countDistinct("c").alias("n_customers"),
+    )
