@@ -166,6 +166,8 @@ ADDITIONS: list[str] = [
     "events_conversion_lag_histogram",
     "timeseries_bollinger_breaches",
     "graph_degree_assortativity",
+    "geo_od_matrix_topk",
+    "ds_q25_return_repurchase_chain",
 ]
 
 

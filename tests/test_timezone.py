@@ -73,6 +73,9 @@ DATE_SENSITIVE = [
     "events_conversion_lag_histogram",
     "ds_q89_rolling_brand_deviation",
     "ds_q66_monthly_nation_pivot",
+    "geo_od_matrix_topk",
+    "geo_colocation_pairs_topk",
+    "ds_q25_return_repurchase_chain",
 ]
 
 
