@@ -1209,13 +1209,19 @@ def geo_colocation_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     envelope real co-location systems accept (tighter cells shrink it).
     """
     walk = _walk(spark, sf_dir)
-    fixes = walk.select(
-        "user_id",
-        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
-        (F.hour("ts") * 2 + F.floor(F.minute("ts") / 30)).alias("slot"),
-        F.floor((F.col("ilon") + 170000) / 5000.0).cast("bigint").alias("cx"),
-        F.floor((F.col("ilat") + 60000) / 5000.0).cast("bigint").alias("cy"),
-    ).distinct()
+    # persisted: fixes feeds BOTH self-join sides — unpersisted, the walk
+    # window + distinct recompute per side (lesson 15/27)
+    fixes = (
+        walk.select(
+            "user_id",
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+            (F.hour("ts") * 2 + F.floor(F.minute("ts") / 30)).alias("slot"),
+            F.floor((F.col("ilon") + 170000) / 5000.0).cast("bigint").alias("cx"),
+            F.floor((F.col("ilat") + 60000) / 5000.0).cast("bigint").alias("cy"),
+        )
+        .distinct()
+        .persist()
+    )
     a = fixes.select(
         F.col("user_id").alias("user_a"), "day", "slot", "cx", "cy"
     )
