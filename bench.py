@@ -8,17 +8,17 @@ Each query is executed to completion (count() materializes the full plan);
 the session is warmed once with a trivial job so JVM startup isn't billed to
 the first query.
 
-Set shape (round 9 fold):
-  - HEADLINE = LEGACY56 + R7_FOLDED + R8_FOLDED (79 queries). "value" is
-    the warm total of all 79 — the round-over-round headline from round 9
-    on.
+Set shape (round 10 fold):
+  - HEADLINE = LEGACY56 + R7_FOLDED + R8_FOLDED + R9_FOLDED (96 queries).
+    "value" is the warm total of all 96 — the round-over-round headline
+    from round 10 on.
   - The stdout per-query map carries only LEGACY56 (the driver
-    tail-truncates stdout at ~2000 chars; 79 names don't fit even at 1dp),
-    plus "value_prev56" (rounds <=7 comparability) and "value_prev66"
-    (round-8 comparability). Full per-query cold+warm for all 79 lives in
-    bench_detail.json.
-  - ADDITIONS = round-9 operator additions, benched identically but
-    reported detail-only this round (the r7/r8 pattern); they fold into
+    tail-truncates stdout at ~2000 chars; 96 names don't fit even at 1dp),
+    plus "value_prev56" (rounds <=7 comparability), "value_prev66"
+    (round-8 comparability) and "value_prev79" (round-9 comparability).
+    Full per-query cold+warm for all 96 lives in bench_detail.json.
+  - ADDITIONS = round-10 operator additions, benched identically but
+    reported detail-only this round (the r7/r8/r9 pattern); they fold into
     HEADLINE next round once this round's totals exist as the baseline.
 """
 
@@ -144,13 +144,9 @@ R8_FOLDED = [
     "timeseries_sma_crossover_signals",
 ]
 
-HEADLINE = LEGACY56 + R7_FOLDED + R8_FOLDED
-PREV66 = LEGACY56 + R7_FOLDED
-
-# Round-9 operator additions: benched identically, reported detail-only
-# (bench_detail.json "r9_additions*") so this round's 79-query totals land
-# clean as the new baseline; fold next round.
-ADDITIONS: list[str] = [
+# Round-9 operator additions, detail-only in round 9; folded into the
+# headline total from round 10 on (same arc as R7_FOLDED/R8_FOLDED).
+R9_FOLDED = [
     "ds_q89_rolling_brand_deviation",
     "ds_q66_monthly_nation_pivot",
     "ds_q75_yoy_brand_decline",
@@ -169,6 +165,15 @@ ADDITIONS: list[str] = [
     "geo_od_matrix_topk",
     "ds_q25_return_repurchase_chain",
 ]
+
+HEADLINE = LEGACY56 + R7_FOLDED + R8_FOLDED + R9_FOLDED
+PREV66 = LEGACY56 + R7_FOLDED
+PREV79 = LEGACY56 + R7_FOLDED + R8_FOLDED
+
+# Round-10 operator additions: benched identically, reported detail-only
+# (bench_detail.json "r10_additions*") so this round's 96-query totals land
+# clean as the new baseline; fold next round.
+ADDITIONS: list[str] = []
 
 
 def main() -> None:
@@ -214,12 +219,14 @@ def main() -> None:
     prev56_cold = round(sum(timings[n] for n in LEGACY56), 3)
     prev66_warm = round(sum(warm[n] for n in PREV66), 3)
     prev66_cold = round(sum(timings[n] for n in PREV66), 3)
+    prev79_warm = round(sum(warm[n] for n in PREV79), 3)
+    prev79_cold = round(sum(timings[n] for n in PREV79), 3)
     # The driver records only the LAST ~2000 chars of stdout: rounds 1-3
     # emitted one ~4.5KB line (cold+warm per-query) whose head got cut, so
     # BENCH_r{1..3}.json all have parsed=null. stdout therefore carries ONE
-    # COMPACT line — LEGACY56 warm per-query at 2dp plus the 79-query totals
-    # and the 56/66-query continuity totals — and the full-precision
-    # cold+warm detail for all 79 goes to bench_detail.json.
+    # COMPACT line — LEGACY56 warm per-query at 2dp plus the 96-query totals
+    # and the 56/66/79-query continuity totals — and the full-precision
+    # cold+warm detail for all 96 goes to bench_detail.json.
     detail = {
         "metric": "headline_queries_total",
         "value": total,
@@ -231,9 +238,11 @@ def main() -> None:
         "value_prev56_warm": prev56_warm,
         "value_prev66": prev66_cold,
         "value_prev66_warm": prev66_warm,
-        "r9_additions": add_timings,
-        "r9_additions_warm": add_warm,
-        "r9_additions_warm_total": round(sum(add_warm.values()), 3),
+        "value_prev79": prev79_cold,
+        "value_prev79_warm": prev79_warm,
+        "r10_additions": add_timings,
+        "r10_additions_warm": add_warm,
+        "r10_additions_warm_total": round(sum(add_warm.values()), 3),
         "sf": sf,
     }
     with open(os.path.join(_REPO, "bench_detail.json"), "w") as fh:
@@ -247,6 +256,7 @@ def main() -> None:
                 "queries": {n: round(warm[n], dp) for n in LEGACY56},
                 "value_prev56": prev56_warm,
                 "value_prev66": prev66_warm,
+                "value_prev79": prev79_warm,
                 "value_cold": total,
                 "sf": sf,
             },
@@ -268,6 +278,7 @@ def main() -> None:
                 "queries": {},
                 "value_prev56": prev56_warm,
                 "value_prev66": prev66_warm,
+                "value_prev79": prev79_warm,
                 "value_cold": total,
                 "sf": sf,
             },

@@ -1082,12 +1082,12 @@ def stats_chi2_gof_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
              - CAST(sg AS DOUBLE) / CAST(n AS DOUBLE))
           * (CAST(sij AS DOUBLE) / CAST(nij AS DOUBLE)
              - CAST(sg AS DOUBLE) / CAST(n AS DOUBLE)) AS ss_cells_i,
-        CAST(nij AS DOUBLE) / CAST(na AS DOUBLE)
+        CAST(nij AS DOUBLE)
           * (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
              - CAST(sg AS DOUBLE) / CAST(n AS DOUBLE))
           * (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
              - CAST(sg AS DOUBLE) / CAST(n AS DOUBLE)) AS ss_a_i,
-        CAST(nij AS DOUBLE) / CAST(nb AS DOUBLE)
+        CAST(nij AS DOUBLE)
           * (CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)
              - CAST(sg AS DOUBLE) / CAST(n AS DOUBLE))
           * (CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)
@@ -1125,10 +1125,15 @@ def stats_two_way_anova_totalprice(
 ) -> DataFrame:
     """Two-way ANOVA on order totalprice with factors market segment (A)
     and order priority (B): F statistics for both main effects and the
-    interaction, from the weighted (cell-size-proportional, Type-I-style)
-    decomposition SS_A, SS_B, SS_AB = SS_cells - SS_A - SS_B,
-    SS_within = SS_total - SS_cells — the design is unbalanced, so the
-    weighted decomposition is the documented semantics (not SAS Type III).
+    interaction, from the cell-count-weighted (Type-I-style) decomposition
+    SS_A = sum_i n_i.(mean_A_i - grand)^2 (each per-cell term is
+    nij * a_dev^2, so the terms within one A level sum to na * a_dev^2),
+    SS_B likewise, SS_AB = SS_cells - SS_A - SS_B, SS_within =
+    SS_total - SS_cells — the design is unbalanced, so the weighted
+    decomposition is the documented semantics (not SAS Type III).
+    Round-9 ADVICE fix: the earlier form weighted main-effect terms by
+    nij/na (summing to 1 per level instead of na), deflating f_a/f_b by
+    ~n/a and letting f_ab absorb the main effects; now standard.
 
     Determinism: every cell carries integer-cents (n, sum, square-sum);
     marginal and grand sums are window sums of those integers; each SS
@@ -1192,8 +1197,8 @@ def stats_two_way_anova_totalprice(
         "a",
         "b",
         (d("nij") * cell_dev * cell_dev).alias("ss_cells_i"),
-        (d("nij") / d("na") * a_dev * a_dev).alias("ss_a_i"),
-        (d("nij") / d("nb") * b_dev * b_dev).alias("ss_b_i"),
+        (d("nij") * a_dev * a_dev).alias("ss_a_i"),
+        (d("nij") * b_dev * b_dev).alias("ss_b_i"),
         (F.col("ssdij") - d("sij") * d("sij") / d("nij")).alias("ssw_i"),
     )
 

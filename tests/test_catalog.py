@@ -155,3 +155,29 @@ def test_events_ns_branch_no_session_conf_mutation(spark, tmp_path):
     after = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
     assert got == {1: ts[0], 2: ts[1]}
     assert before == after, "load_table must not mutate session conf"
+
+
+@pytest.mark.parametrize("sf_dir", [SF_DIR, SF_DIR_ORACLE])
+def test_week_epoch_precedes_all_dates(spark, sf_dir):
+    """The epoch-week recipes (ds_q72/ds_q59) compute floor(datediff/7) in
+    Spark but DATE_DIFF // 7 in DuckDB; // truncates toward zero, so any
+    date BEFORE the epoch would shift week keys by 1 between engines
+    (round-9 ADVICE). The epoch is pinned at 1990-01-01, and this test
+    fails loudly if the driver ever widens the data window past it.
+    """
+    import pyspark.sql.functions as F
+
+    epoch = datetime.date(1990, 1, 1)
+    o = load_table(spark, sf_dir, "orders").agg(
+        F.min("o_orderdate").alias("lo")
+    ).collect()[0]
+    l = load_table(spark, sf_dir, "lineitem").agg(
+        F.min("l_shipdate").alias("lo")
+    ).collect()[0]
+    for name, lo in (("o_orderdate", o.lo), ("l_shipdate", l.lo)):
+        low = lo.date() if isinstance(lo, datetime.datetime) else lo
+        assert low >= epoch, (
+            f"{name} min {low} precedes the 1990-01-01 week epoch; "
+            "floor vs truncate divergence — move the epoch earlier in "
+            "tpcds_shapes.py (both engines) before trusting week keys."
+        )

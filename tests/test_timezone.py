@@ -88,3 +88,28 @@ def test_parity_under_tokyo_session(spark, oracle_sf_dir, name):
         assert r.ok, f"{name} under Asia/Tokyo: {r.detail}"
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+# Queries whose span arithmetic must also survive a DST-transitioning zone
+# (Asia/Tokyo is fixed-offset, so shift-invariant differences pass there
+# even when routed through the session zone — round-9 ADVICE). New York
+# jumps an hour twice a year; a min/max span crossing a transition would
+# diverge +-60 min unless computed NTZ-safely.
+DST_SENSITIVE = [
+    "geo_stay_points",
+    "geo_polyline_length_daily",
+    "events_conversion_lag_histogram",
+    "geo_od_matrix_topk",
+    "geo_colocation_pairs_topk",
+]
+
+
+@pytest.mark.parametrize("name", DST_SENSITIVE)
+def test_parity_under_new_york_session(spark, oracle_sf_dir, name):
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        r = compare_query(spark, name, oracle_sf_dir)
+        assert r.ok, f"{name} under America/New_York: {r.detail}"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
