@@ -33,7 +33,10 @@ from pyspark.sql import functions as F
 from .._memo import SessionMemo
 from ..registry import query
 from ..sources import load_table
-from ._util import davg, dsum, sql_dsum
+from ._util import davg, dsum, sql_davg, sql_dsum
+
+# integer cents for 2dp money columns (the stats battery's recipe)
+_CENTS_SQL = "CAST(ROUND({c} * 100, 0) AS BIGINT)"
 
 
 @query(
@@ -455,11 +458,36 @@ def ds_rollup_topn_by_level(spark: SparkSession, sf_dir: str) -> DataFrame:
 # full fact scans). SessionMemo bounds entries and unpersists on eviction.
 _Q64_CACHE = SessionMemo("tpcds.q64_sales")
 
-# (applicationId, sf_dir) -> persisted 4-column (cust, brand, date, flag)
-# fact projection — ds_q25's three stage rollups consume it; warm bench
-# reps must reuse one bounded entry, not pin a new block per call
-# (round-9 verdict advisory / lesson 30).
+# (applicationId, sf_dir) -> persisted 5-column (cust, brand, date, flag,
+# qty) fact projection — ds_q25's three stage rollups AND ds_q29's
+# quantity chain consume it; warm bench reps must reuse one bounded entry,
+# not pin a new block per call (round-9 verdict advisory / lesson 30).
 _Q25_CACHE = SessionMemo("tpcds.q25_base")
+
+
+def _q25_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared sold/returned/re-sold chain fact: one persisted 5-column
+    projection of lineitem x orders x part at (customer, brand) grain."""
+    hit = _Q25_CACHE.get(spark, sf_dir)
+    if hit is not None:
+        return hit[0]
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    p = load_table(spark, sf_dir, "part")
+    base = (
+        l.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .select(
+            F.col("o_custkey").alias("c"),
+            F.col("p_brand").alias("p"),
+            F.col("l_shipdate").alias("d"),
+            F.col("l_returnflag").alias("f"),
+            F.col("l_quantity").cast("long").alias("q"),
+        )
+        .persist()
+    )
+    _Q25_CACHE.put(spark, sf_dir, (base,))
+    return base
 
 
 @query(
@@ -2263,31 +2291,14 @@ def ds_q25_return_repurchase_chain(
     Determinism: pure timestamp comparisons and exact counts — three
     (customer, part)-grain rollups chained by equi-joins.
 
-    At 100 TB: the fact projects to 4 columns once (persisted and
-    SessionMemo'd — three stage passes and every warm re-invocation
-    consume one bounded entry; AQE broadcasts the part dim while it fits);
+    At 100 TB: the fact projects to 5 columns once (persisted and
+    SessionMemo'd, shared with ds_q29 — the stage passes and every warm
+    re-invocation consume one bounded entry; AQE broadcasts the part dim
+    while it fits);
     every stage is a rollup + equi-join on the (customer, brand) key, so
     the chain never widens beyond pair grain.
     """
-    hit = _Q25_CACHE.get(spark, sf_dir)
-    if hit is not None:
-        (base,) = hit
-    else:
-        l = load_table(spark, sf_dir, "lineitem")
-        o = load_table(spark, sf_dir, "orders")
-        p = load_table(spark, sf_dir, "part")
-        base = (
-            l.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
-            .join(p, F.col("p_partkey") == F.col("l_partkey"))
-            .select(
-                F.col("o_custkey").alias("c"),
-                F.col("p_brand").alias("p"),
-                F.col("l_shipdate").alias("d"),
-                F.col("l_returnflag").alias("f"),
-            )
-            .persist()
-        )
-        _Q25_CACHE.put(spark, sf_dir, (base,))
+    base = _q25_base(spark, sf_dir)
     s1 = (
         base.groupBy("c", "p")
         .agg(F.min(F.when(F.col("f") == "N", F.col("d"))).alias("t1"))
@@ -2309,4 +2320,397 @@ def ds_q25_return_repurchase_chain(
     return s3.groupBy(F.col("p").alias("brand")).agg(
         F.count(F.lit(1)).alias("n_chains"),
         F.countDistinct("c").alias("n_customers"),
+    )
+
+
+@query(
+    "ds_q11_two_channel_yoy_winners",
+    oracle="""
+    WITH yearly AS (
+      SELECT o_custkey AS c,
+        CAST(substr(CAST(o_orderdate AS VARCHAR), 1, 4) AS INT) AS yr,
+        CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+            THEN CAST(ROUND(o_totalprice, 6) AS DECIMAL(18,6))
+            ELSE CAST(0 AS DECIMAL(18,6)) END) * 1000000
+          AS DECIMAL(38,0)) AS hi_us,
+        CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+            THEN CAST(ROUND(o_totalprice, 6) AS DECIMAL(18,6))
+            ELSE CAST(0 AS DECIMAL(18,6)) END) * 1000000
+          AS DECIMAL(38,0)) AS lo_us
+      FROM orders GROUP BY 1, 2
+    ),
+    paired AS (
+      SELECT cur.yr,
+        CAST(cur.hi_us AS HUGEINT) * CAST(prev.lo_us AS HUGEINT)
+          AS hi_cross,
+        CAST(cur.lo_us AS HUGEINT) * CAST(prev.hi_us AS HUGEINT)
+          AS lo_cross
+      FROM yearly cur JOIN yearly prev
+        ON cur.c = prev.c AND cur.yr = prev.yr + 1
+      WHERE cur.hi_us > 0 AND cur.lo_us > 0
+        AND prev.hi_us > 0 AND prev.lo_us > 0
+    )
+    SELECT yr, COUNT(*) AS n_eligible,
+      COUNT(CASE WHEN hi_cross > lo_cross THEN 1 END) AS n_hi_outgrew
+    FROM paired GROUP BY yr
+    """,
+)
+def ds_q11_two_channel_yoy_winners(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Customers whose year-over-year growth in one channel outpaced the
+    other (TPC-DS q11's signature: the web yoy ratio > store yoy ratio
+    predicate over per-customer-year rollups of two channels). Channels ~
+    urgent vs routine order priority; output is the per-year census of
+    eligible customers (positive revenue in both channels both years)
+    and how many grew faster in the urgent channel.
+
+    Determinism: q11's ratio comparison hi_cur/hi_prev > lo_cur/lo_prev
+    is restated as the CROSS-MULTIPLICATION hi_cur*lo_prev >
+    lo_cur*hi_prev over exact integer micro-dollar revenues (decimal
+    sums x 1e6), so no division ever happens — Spark compares
+    DECIMAL(38,0) products, DuckDB HUGEINT products, both exact
+    (products <= ~1e30 fit both; lesson 13's int64 overflow is bypassed
+    by widening BEFORE the multiply).
+
+    At 100 TB: one fact pass into the (customer, year) two-channel
+    rollup with map-side combine; the year-shift self-join runs on the
+    rollup keyed by customer — same-shuffle equi-join, no skew (each
+    customer has <= 7 year rows).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    dec = F.round(F.col("o_totalprice"), 6).cast("decimal(18,6)")
+    zero = F.lit(0).cast("decimal(18,6)")
+    us = lambda c: (F.sum(c) * 1000000).cast("decimal(38,0)")  # noqa: E731
+    yearly = o.groupBy(
+        F.col("o_custkey").alias("c"),
+        F.year("o_orderdate").alias("yr"),
+    ).agg(
+        us(F.when(hi, dec).otherwise(zero)).alias("hi_us"),
+        us(F.when(~hi, dec).otherwise(zero)).alias("lo_us"),
+    )
+    prev = yearly.select(
+        F.col("c").alias("c_p"),
+        F.col("yr").alias("yr_p"),
+        F.col("hi_us").alias("hi_p"),
+        F.col("lo_us").alias("lo_p"),
+    )
+    paired = yearly.join(
+        prev,
+        (F.col("c") == F.col("c_p")) & (F.col("yr") == F.col("yr_p") + 1),
+    ).where(
+        (F.col("hi_us") > 0)
+        & (F.col("lo_us") > 0)
+        & (F.col("hi_p") > 0)
+        & (F.col("lo_p") > 0)
+    )
+    hi_cross = F.col("hi_us") * F.col("lo_p")
+    lo_cross = F.col("lo_us") * F.col("hi_p")
+    return paired.groupBy("yr").agg(
+        F.count(F.lit(1)).alias("n_eligible"),
+        F.count(F.when(hi_cross > lo_cross, 1)).alias("n_hi_outgrew"),
+    )
+
+
+@query(
+    "ds_q35_demographic_channel_census",
+    oracle=f"""
+    WITH flags AS (
+      SELECT o_custkey AS ck,
+        MAX(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                 THEN 1 ELSE 0 END) AS in_a,
+        MAX(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS in_b,
+        MAX(CASE WHEN o_orderpriority IN ('4-NOT SPECIFIED', '5-LOW')
+                 THEN 1 ELSE 0 END) AS in_c
+      FROM orders GROUP BY 1
+    )
+    SELECT n_name, c_mktsegment AS segment,
+      COUNT(*) AS n_customers,
+      MIN({_CENTS_SQL.format(c='c_acctbal')}) AS min_bal_cents,
+      MAX({_CENTS_SQL.format(c='c_acctbal')}) AS max_bal_cents,
+      {sql_davg('c_acctbal')} AS avg_bal
+    FROM flags
+    JOIN customer ON c_custkey = ck
+    JOIN nation ON n_nationkey = c_nationkey
+    WHERE in_a = 1 AND (in_b = 1 OR in_c = 1)
+    GROUP BY 1, 2
+    """,
+)
+def ds_q35_demographic_channel_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Demographic report of customers active in channel A AND (B OR C)
+    (TPC-DS q35's signature: an EXISTS per channel with an OR across the
+    secondary channels, then count/min/max/avg rollups over the customer
+    demographic grain). Channels ~ priority tiers; demographics ~
+    (nation, market segment).
+
+    The three EXISTS subqueries are restated as presence FLAGS from ONE
+    grouped scan (the q38/q97 recipe) — no semi-join per channel, no
+    triple fact scan. min/max report integer cents; avg is the exact
+    decimal sum over the count.
+
+    At 100 TB: one fact pass to per-customer flags (map-side combine),
+    one hash join to the customer dim, nation broadcast; the rollup has
+    nations x segments cells.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    pri = F.col("o_orderpriority")
+    flags = o.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.max(
+            F.when(pri.isin("1-URGENT", "2-HIGH"), 1).otherwise(0)
+        ).alias("in_a"),
+        F.max(F.when(pri == "3-MEDIUM", 1).otherwise(0)).alias("in_b"),
+        F.max(
+            F.when(pri.isin("4-NOT SPECIFIED", "5-LOW"), 1).otherwise(0)
+        ).alias("in_c"),
+    )
+    cents = F.round(F.col("c_acctbal") * 100, 0).cast("bigint")
+    return (
+        flags.where(
+            (F.col("in_a") == 1) & ((F.col("in_b") == 1) | (F.col("in_c") == 1))
+        )
+        .join(c, F.col("c_custkey") == F.col("ck"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("n_name", F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.min(cents).alias("min_bal_cents"),
+            F.max(cents).alias("max_bal_cents"),
+            davg("c_acctbal").alias("avg_bal"),
+        )
+    )
+
+
+@query(
+    "ds_q54_post_anchor_revenue_bands",
+    oracle=f"""
+    WITH monthly AS (
+      SELECT o_custkey AS ck,
+        CAST(substr(CAST(o_orderdate AS VARCHAR), 1, 4) AS INT) * 12
+          + CAST(substr(CAST(o_orderdate AS VARCHAR), 6, 2) AS INT) AS mi,
+        CAST(SUM({_CENTS_SQL.format(c='o_totalprice')}) AS BIGINT) AS cents
+      FROM orders GROUP BY 1, 2
+    ),
+    anchors AS (
+      SELECT ck, MIN(mi) AS m0 FROM monthly GROUP BY ck
+    ),
+    window_rev AS (
+      SELECT a.ck,
+        COALESCE(CAST(SUM(m.cents) AS BIGINT), 0) AS rev_cents
+      FROM anchors a
+      LEFT JOIN monthly m
+        ON m.ck = a.ck AND m.mi BETWEEN a.m0 + 1 AND a.m0 + 3
+      GROUP BY a.ck
+    )
+    SELECT CAST(rev_cents // 5000 AS BIGINT) AS band,
+      COUNT(*) AS n_customers
+    FROM window_rev GROUP BY 1
+    """,
+)
+def ds_q54_post_anchor_revenue_bands(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Revenue census in the three months FOLLOWING each customer's anchor
+    purchase, bucketed into $50 bands (TPC-DS q54's signature: find
+    customers who bought the anchor item, total their revenue in the
+    consecutive month window after it, and count customers per 50-dollar
+    segment). Anchor ~ the customer's first order month; months are
+    integer year*12+month indices so the window is pure integer
+    arithmetic in both engines.
+
+    Customers with no orders in the window land in band 0 via the LEFT
+    join + COALESCE — q54 counts zero-revenue segments too. Bands divide
+    exact integer cents by 5000 (both quotients nonnegative, so DuckDB
+    // and Spark floor-div agree).
+
+    At 100 TB: one fact pass to the (customer, month) rollup; the anchor
+    is a per-customer MIN over it; the window join re-uses the rollup's
+    own customer partitioning (<= 84 month rows per customer, no fan-out
+    hazard); the final band rollup is tiny.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    mi = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("mi")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    monthly = o.groupBy(F.col("o_custkey").alias("ck"), mi).agg(
+        F.sum(cents).cast("bigint").alias("cents")
+    )
+    anchors = monthly.groupBy("ck").agg(F.min("mi").alias("m0"))
+    m = monthly.select(
+        F.col("ck").alias("ck_m"), "mi", F.col("cents").alias("cents_m")
+    )
+    window_rev = (
+        anchors.join(
+            m,
+            (F.col("ck_m") == F.col("ck"))
+            & (F.col("mi") >= F.col("m0") + 1)
+            & (F.col("mi") <= F.col("m0") + 3),
+            "left",
+        )
+        .groupBy("ck")
+        .agg(F.coalesce(F.sum("cents_m"), F.lit(0)).cast("bigint").alias("rev_cents"))
+    )
+    return window_rev.groupBy(
+        F.floor(F.col("rev_cents") / 5000).cast("bigint").alias("band")
+    ).agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+@query(
+    "ds_q29_quantity_chain_by_brand",
+    oracle="""
+    WITH base AS (
+      SELECT o_custkey AS c, p_brand AS p, l_shipdate AS d,
+             l_returnflag AS f, CAST(l_quantity AS BIGINT) AS q
+      FROM lineitem
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN part ON p_partkey = l_partkey
+    ),
+    s1 AS (
+      SELECT c, p, MIN(CASE WHEN f = 'N' THEN d END) AS t1
+      FROM base GROUP BY c, p
+      HAVING MIN(CASE WHEN f = 'N' THEN d END) IS NOT NULL
+    ),
+    sold AS (
+      SELECT b.c, b.p, s1.t1, CAST(SUM(b.q) AS BIGINT) AS qty_sold
+      FROM base b JOIN s1 ON s1.c = b.c AND s1.p = b.p
+      WHERE b.f = 'N' AND b.d = s1.t1
+      GROUP BY b.c, b.p, s1.t1
+    ),
+    s2 AS (
+      SELECT b.c, b.p, sold.qty_sold, MIN(b.d) AS t2
+      FROM base b JOIN sold ON sold.c = b.c AND sold.p = b.p
+      WHERE b.f = 'R' AND b.d > sold.t1
+      GROUP BY b.c, b.p, sold.qty_sold
+    ),
+    ret AS (
+      SELECT b.c, b.p, s2.qty_sold, s2.t2,
+        CAST(SUM(b.q) AS BIGINT) AS qty_returned
+      FROM base b JOIN s2 ON s2.c = b.c AND s2.p = b.p
+      WHERE b.f = 'R' AND b.d = s2.t2
+      GROUP BY b.c, b.p, s2.qty_sold, s2.t2
+    ),
+    chains AS (
+      SELECT b.c, b.p, ret.qty_sold, ret.qty_returned,
+        CAST(SUM(b.q) AS BIGINT) AS qty_repurchased
+      FROM base b JOIN ret ON ret.c = b.c AND ret.p = b.p
+      WHERE b.f = 'N' AND b.d > ret.t2
+      GROUP BY b.c, b.p, ret.qty_sold, ret.qty_returned
+    )
+    SELECT p AS brand,
+      COUNT(*) AS n_chains,
+      CAST(SUM(qty_sold) AS BIGINT) AS qty_sold,
+      CAST(SUM(qty_returned) AS BIGINT) AS qty_returned,
+      CAST(SUM(qty_repurchased) AS BIGINT) AS qty_repurchased
+    FROM chains GROUP BY p
+    """,
+)
+def ds_q29_quantity_chain_by_brand(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quantity flow through sold -> returned -> re-purchased chains per
+    brand (TPC-DS q29's signature: q25's chain with QUANTITY aggregates
+    at each stage instead of profit). Stage semantics match ds_q25:
+    first-sale day t1, earliest return day t2 strictly after t1, chain
+    completes on any later non-returned line; the stage quantities are
+    the units sold on t1, returned on t2, and re-purchased after t2.
+
+    Shares ds_q25's persisted 5-column fact projection (_q25_base — one
+    scan serves both chains). Pure integer date comparisons and BIGINT
+    quantity sums end to end.
+
+    At 100 TB: every stage is a (customer, brand)-grain rollup chained
+    by equi-joins over the shared persisted projection — the fact is
+    read once, and no stage widens beyond pair grain.
+    """
+    base = _q25_base(spark, sf_dir)
+    s1 = (
+        base.groupBy("c", "p")
+        .agg(F.min(F.when(F.col("f") == "N", F.col("d"))).alias("t1"))
+        .where(F.col("t1").isNotNull())
+    )
+    sold = (
+        base.join(s1, ["c", "p"])
+        .where((F.col("f") == "N") & (F.col("d") == F.col("t1")))
+        .groupBy("c", "p", "t1")
+        .agg(F.sum("q").cast("bigint").alias("qty_sold"))
+    )
+    s2 = (
+        base.join(sold, ["c", "p"])
+        .where((F.col("f") == "R") & (F.col("d") > F.col("t1")))
+        .groupBy("c", "p", "qty_sold")
+        .agg(F.min("d").alias("t2"))
+    )
+    ret = (
+        base.join(s2, ["c", "p"])
+        .where((F.col("f") == "R") & (F.col("d") == F.col("t2")))
+        .groupBy("c", "p", "qty_sold", "t2")
+        .agg(F.sum("q").cast("bigint").alias("qty_returned"))
+    )
+    chains = (
+        base.join(ret, ["c", "p"])
+        .where((F.col("f") == "N") & (F.col("d") > F.col("t2")))
+        .groupBy("c", "p", "qty_sold", "qty_returned")
+        .agg(F.sum("q").cast("bigint").alias("qty_repurchased"))
+    )
+    return chains.groupBy(F.col("p").alias("brand")).agg(
+        F.count(F.lit(1)).alias("n_chains"),
+        F.sum("qty_sold").cast("bigint").alias("qty_sold"),
+        F.sum("qty_returned").cast("bigint").alias("qty_returned"),
+        F.sum("qty_repurchased").cast("bigint").alias("qty_repurchased"),
+    )
+
+
+@query(
+    "ds_q88_halfhour_band_census",
+    oracle="""
+    SELECT
+      COUNT(CASE WHEN hh = 17 THEN 1 END) AS h0830,
+      COUNT(CASE WHEN hh = 18 THEN 1 END) AS h0900,
+      COUNT(CASE WHEN hh = 19 THEN 1 END) AS h0930,
+      COUNT(CASE WHEN hh = 20 THEN 1 END) AS h1000,
+      COUNT(CASE WHEN hh = 21 THEN 1 END) AS h1030,
+      COUNT(CASE WHEN hh = 22 THEN 1 END) AS h1100,
+      COUNT(CASE WHEN hh = 23 THEN 1 END) AS h1130,
+      COUNT(CASE WHEN hh = 24 THEN 1 END) AS h1200
+    FROM (
+      SELECT CAST(EXTRACT(hour FROM ts) * 2
+                  + EXTRACT(minute FROM ts) // 30 AS INT) AS hh
+      FROM events
+      WHERE event_type IN ('view', 'click', 'purchase') AND value >= 1.0
+    )
+    """,
+)
+def ds_q88_halfhour_band_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Half-hour traffic census from 8:30 to 12:30 (TPC-DS q88's literal
+    shape: EIGHT half-hour-band counts under a demographic filter,
+    written in the spec as eight self-joined subqueries — restated as
+    ONE conditional-aggregation scan; the day-part variant lives in
+    ds_time_band_counts, this is the finer-band q88 itself). Filter ~
+    engaged browse/buy events with value >= 1.
+
+    Half-hour index = hour*2 + minute//30 over NTZ fields (tz-proof,
+    nonnegative so // and floor agree). Pure exact counts.
+
+    At 100 TB: one scan, eight map-side conditional partials, 1 row out.
+    """
+    e = load_table(spark, sf_dir, "events")
+    hh = F.hour("ts") * 2 + F.floor(F.minute("ts") / 30)
+    engaged = (
+        F.col("event_type").isin("view", "click", "purchase")
+        & (F.col("value") >= 1.0)
+    )
+    labels = [
+        (17, "h0830"), (18, "h0900"), (19, "h0930"), (20, "h1000"),
+        (21, "h1030"), (22, "h1100"), (23, "h1130"), (24, "h1200"),
+    ]
+    return e.where(engaged).agg(
+        *[
+            F.count(F.when(hh == F.lit(v), 1)).alias(name)
+            for v, name in labels
+        ]
     )
