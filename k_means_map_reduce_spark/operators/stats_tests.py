@@ -1942,3 +1942,620 @@ def stats_percentile_cont_priority(
         F.element_at(labels, F.col("pos") + 1).alias("pct"),
         F.round("qv", 6).alias("value_cents"),
     )
+
+
+@query(
+    "stats_sign_test_nation_balance",
+    oracle="""
+    WITH pairs AS (
+      SELECT c.nk,
+        c.cm AS cm, s.sm AS sm
+      FROM (
+        SELECT c_nationkey AS nk,
+          CAST(SUM(CAST(ROUND(c_acctbal, 6) AS DECIMAL(18,6))) AS DOUBLE)
+            / COUNT(*) AS cm
+        FROM customer GROUP BY 1
+      ) c
+      JOIN (
+        SELECT s_nationkey AS nk,
+          CAST(SUM(CAST(ROUND(s_acctbal, 6) AS DECIMAL(18,6))) AS DOUBLE)
+            / COUNT(*) AS sm
+        FROM supplier GROUP BY 1
+      ) s ON s.nk = c.nk
+      WHERE c.cm <> s.sm
+    ),
+    km AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m,
+        CAST(COUNT(CASE WHEN cm > sm THEN 1 END) AS BIGINT) AS k
+      FROM pairs
+    ),
+    coeffs AS (
+      SELECT m, k, i,
+        CASE WHEN i = 0 THEN CAST(1 AS BIGINT)
+          ELSE list_reduce(
+            list_prepend(CAST(1 AS BIGINT),
+                         list_transform(range(1, CAST(i + 1 AS BIGINT)),
+                                        j -> CAST(j AS BIGINT))),
+            (acc, j) -> acc * (m - i + j) // j)
+        END AS c
+      FROM (SELECT m, k, unnest(range(0, m + 1)) AS i FROM km)
+    )
+    SELECT m AS n_pairs, k AS k_pos,
+      CASE WHEN m > 0 THEN ROUND(LEAST(
+        CAST(1 AS DOUBLE),
+        2.0 * CAST(LEAST(SUM(CASE WHEN i <= k THEN c ELSE 0 END),
+                         SUM(CASE WHEN i >= k THEN c ELSE 0 END)) AS DOUBLE)
+          / CAST(SUM(c) AS DOUBLE)), 6)
+      END AS p_two_sided
+    FROM coeffs GROUP BY m, k
+    """,
+)
+def stats_sign_test_nation_balance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact binomial sign test over paired per-nation aggregates: does
+    mean CUSTOMER account balance exceed mean SUPPLIER balance across
+    nations more often than a fair coin predicts? n <= 25 pairs always
+    (one per nation regardless of SF), so the two-sided p-value is the
+    EXACT binomial tail — no normal approximation.
+
+    Determinism: binomial coefficients are built by the integer-exact
+    multiplicative fold C(m,i) = fold_{j=1..i} acc*(m-i+j)/j, whose
+    every intermediate IS an integer (the partial product equals
+    C(m-i+j, j)) bounded by 25*C(25,12) ~ 1.3e8 — BIGINT-safe in both
+    engines (Spark `div`, DuckDB `//`). Tail sums and 2^m = SUM(c) stay
+    exact integers; the p-value divides exact integers once. Tied pairs
+    (identical decimal-mean doubles) are excluded per the test's
+    convention.
+
+    At 100 TB: two dimension passes into 25-row per-nation means; the
+    coefficient table is <= 26 rows. Nothing touches a fact table.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    dmean = lambda col: (  # noqa: E731
+        F.sum(F.round(F.col(col), 6).cast("decimal(18,6)")).cast("double")
+        / F.count(F.lit(1))
+    )
+    cm = c.groupBy(F.col("c_nationkey").alias("nk")).agg(
+        dmean("c_acctbal").alias("cm")
+    )
+    sm = s.groupBy(F.col("s_nationkey").alias("nk2")).agg(
+        dmean("s_acctbal").alias("sm")
+    )
+    pairs = cm.join(sm, F.col("nk") == F.col("nk2")).where(
+        F.col("cm") != F.col("sm")
+    )
+    km = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.count(F.when(F.col("cm") > F.col("sm"), 1))
+        .cast("bigint")
+        .alias("k"),
+    )
+    coeffs = km.select(
+        "m", "k", F.explode(F.sequence(F.lit(0), F.col("m"))).alias("i")
+    ).select(
+        "m",
+        "k",
+        "i",
+        F.expr(
+            "CASE WHEN i = 0 THEN CAST(1 AS BIGINT) ELSE"
+            " aggregate(sequence(1, CAST(i AS INT)), CAST(1 AS BIGINT),"
+            " (acc, j) -> acc * (m - i + j) div j) END"
+        ).alias("c"),
+    )
+    lo = F.sum(F.when(F.col("i") <= F.col("k"), F.col("c")).otherwise(F.lit(0)))
+    hi = F.sum(F.when(F.col("i") >= F.col("k"), F.col("c")).otherwise(F.lit(0)))
+    p = F.least(
+        F.lit(1.0),
+        2.0 * F.least(lo, hi).cast("double") / F.sum("c").cast("double"),
+    )
+    return coeffs.groupBy("m", "k").agg(
+        F.when(F.col("m") > 0, F.round(p, 6)).alias("p_two_sided")
+    ).select(
+        F.col("m").alias("n_pairs"),
+        F.col("k").alias("k_pos"),
+        "p_two_sided",
+    )
+
+
+@query(
+    "stats_nemenyi_posthoc_segments",
+    oracle="""
+    WITH cells AS (
+      SELECT c_nationkey AS blk, c_mktsegment AS seg,
+        CAST(SUM(CAST(ROUND(c_acctbal, 6) AS DECIMAL(18,6))) AS DOUBLE)
+          / COUNT(*) AS mean_bal
+      FROM customer GROUP BY 1, 2
+    ),
+    k_ AS (SELECT COUNT(DISTINCT seg) AS k FROM cells),
+    complete AS (
+      SELECT blk FROM cells CROSS JOIN k_
+      GROUP BY blk, k HAVING COUNT(*) = k
+    ),
+    ranked AS (
+      SELECT c.seg,
+        ROW_NUMBER() OVER (PARTITION BY c.blk ORDER BY c.mean_bal, c.seg)
+          AS rk
+      FROM cells c JOIN complete USING (blk)
+    ),
+    rsums AS (
+      SELECT seg, CAST(SUM(rk) AS BIGINT) AS rj FROM ranked GROUP BY seg
+    ),
+    consts AS (
+      SELECT (SELECT COUNT(*) FROM complete) AS nb, (SELECT k FROM k_) AS k
+    )
+    SELECT a.seg AS seg_a, b.seg AS seg_b,
+      a.rj AS rank_sum_a, b.rj AS rank_sum_b,
+      CASE WHEN nb > 0 THEN ROUND(
+        ABS(CAST(a.rj - b.rj AS DOUBLE))
+        / sqrt(CAST(nb AS DOUBLE) * CAST(k AS DOUBLE)
+               * CAST(k + 1 AS DOUBLE) / 6.0), 6)
+      END AS z_stat
+    FROM rsums a JOIN rsums b ON a.seg < b.seg
+    CROSS JOIN consts
+    """,
+)
+def stats_nemenyi_posthoc_segments(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Nemenyi post-hoc pairwise comparisons following the Friedman test
+    (stats_friedman_nation_segment): for every segment pair, the
+    rank-sum difference standardized by sqrt(n k (k+1) / 6) — the
+    statistic compared against the studentized-range critical value to
+    decide WHICH treatments differ once Friedman rejects.
+
+    Shares Friedman's block machinery verbatim (complete nation blocks,
+    ROW_NUMBER ranks over identical decimal-mean doubles) so both tests
+    are consistent by construction; rank sums stay BIGINT and the z
+    denominator is sqrt of a value computed from the same exact
+    integers in both engines (correctly-rounded sqrt of identical
+    doubles — lesson 3).
+
+    At 100 TB: the dimension rollup is nations x segments (~125 rows);
+    the pairwise join runs over k=5 rank-sum rows.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    cells = c.groupBy(
+        F.col("c_nationkey").alias("blk"), F.col("c_mktsegment").alias("seg")
+    ).agg(
+        (
+            F.sum(F.round(F.col("c_acctbal"), 6).cast("decimal(18,6)")).cast(
+                "double"
+            )
+            / F.count(F.lit(1))
+        ).alias("mean_bal")
+    )
+    k_ = cells.agg(F.countDistinct("seg").alias("k"))
+    complete = (
+        cells.crossJoin(F.broadcast(k_))
+        .groupBy("blk", "k")
+        .agg(F.count(F.lit(1)).alias("nseg"))
+        .where(F.col("nseg") == F.col("k"))
+        .select("blk")
+    )
+    w = Window.partitionBy("blk").orderBy("mean_bal", "seg")
+    ranked = cells.join(F.broadcast(complete), "blk").select(
+        "seg", F.row_number().over(w).alias("rk")
+    )
+    rsums = ranked.groupBy("seg").agg(F.sum("rk").cast("bigint").alias("rj"))
+    nb = complete.agg(F.count(F.lit(1)).alias("nb"))
+    a = rsums.select(F.col("seg").alias("seg_a"), F.col("rj").alias("rank_sum_a"))
+    b = rsums.select(F.col("seg").alias("seg_b"), F.col("rj").alias("rank_sum_b"))
+    pairs = (
+        a.join(b, F.col("seg_a") < F.col("seg_b"))
+        .crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(k_))
+    )
+    z = F.abs(
+        (F.col("rank_sum_a") - F.col("rank_sum_b")).cast("double")
+    ) / F.sqrt(
+        F.col("nb").cast("double")
+        * F.col("k").cast("double")
+        * (F.col("k") + 1).cast("double")
+        / F.lit(6.0)
+    )
+    return pairs.select(
+        "seg_a",
+        "seg_b",
+        "rank_sum_a",
+        "rank_sum_b",
+        F.when(F.col("nb") > 0, F.round(z, 6)).alias("z_stat"),
+    )
+
+
+@query(
+    "stats_theils_u_segment_priority",
+    oracle="""
+    WITH cells AS (
+      SELECT c_mktsegment AS seg, o_orderpriority AS pri,
+        CAST(COUNT(*) AS BIGINT) AS nab
+      FROM orders JOIN customer ON c_custkey = o_custkey
+      GROUP BY 1, 2
+    ),
+    margins AS (
+      SELECT seg, CAST(SUM(nab) AS BIGINT) AS na FROM cells GROUP BY seg
+    ),
+    pri_margins AS (
+      SELECT pri, CAST(SUM(nab) AS BIGINT) AS nb FROM cells GROUP BY pri
+    ),
+    n_ AS (SELECT CAST(SUM(nab) AS BIGINT) AS n FROM cells),
+    h_a AS (
+      SELECT CAST(SUM(CAST(ROUND(
+        -(CAST(na AS DOUBLE) / CAST(n AS DOUBLE))
+          * ln(CAST(na AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+        AS DECIMAL(18,6))) AS DOUBLE) AS h
+      FROM margins CROSS JOIN n_
+    ),
+    h_ab AS (
+      SELECT CAST(SUM(CAST(ROUND(
+        -(CAST(nab AS DOUBLE) / CAST(n AS DOUBLE))
+          * ln(CAST(nab AS DOUBLE) / CAST(nb AS DOUBLE)), 6)
+        AS DECIMAL(18,6))) AS DOUBLE) AS h
+      FROM cells JOIN pri_margins USING (pri) CROSS JOIN n_
+    )
+    SELECT ROUND(h_a.h, 6) AS h_a,
+      ROUND(h_ab.h, 6) AS h_a_given_b,
+      CASE WHEN h_a.h > 0
+        THEN ROUND((h_a.h - h_ab.h) / h_a.h, 6) END AS theils_u
+    FROM h_a CROSS JOIN h_ab
+    """,
+)
+def stats_theils_u_segment_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Theil's uncertainty coefficient U(segment | priority): the fraction
+    of market-segment entropy explained by knowing the order priority —
+    the asymmetric, entropy-based association measure for categorical
+    pairs, U = (H(A) - H(A|B)) / H(A).
+
+    Determinism (lesson 10's transcendental recipe): every entropy term
+    -(p) ln(ratio) is computed from EXACT BIGINT count ratios (identical
+    doubles in both engines), rounded to 6dp, and accumulated as an
+    order-insensitive DECIMAL sum — so libm differences between the JVM
+    and DuckDB cannot leak into the hash. Cells exist only where counts
+    are positive, so ln never sees 0 (lesson 28); a single-segment
+    degenerate corpus yields H(A) = 0 and a NULL U via the guard.
+
+    At 100 TB: one fact-dim join into a 25-cell contingency rollup
+    (map-side combine); every entropy pass runs over <= 25 rows.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    cells = (
+        o.join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderpriority").alias("pri"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("nab"))
+    )
+    margins = cells.groupBy("seg").agg(
+        F.sum("nab").cast("bigint").alias("na")
+    )
+    pri_margins = cells.groupBy("pri").agg(
+        F.sum("nab").cast("bigint").alias("nb")
+    )
+    n_ = cells.agg(F.sum("nab").cast("bigint").alias("n"))
+    d = lambda col: F.col(col).cast("double")  # noqa: E731
+    term_a = F.round(
+        -(d("na") / d("n")) * F.log(d("na") / d("n")), 6
+    ).cast("decimal(18,6)")
+    h_a = (
+        margins.crossJoin(F.broadcast(n_))
+        .agg(F.sum(term_a).cast("double").alias("ha"))
+    )
+    term_ab = F.round(
+        -(d("nab") / d("n")) * F.log(d("nab") / d("nb")), 6
+    ).cast("decimal(18,6)")
+    h_ab = (
+        cells.join(F.broadcast(pri_margins), "pri")
+        .crossJoin(F.broadcast(n_))
+        .agg(F.sum(term_ab).cast("double").alias("hab"))
+    )
+    return (
+        h_a.crossJoin(h_ab)
+        .select(
+            F.round(F.col("ha"), 6).alias("h_a"),
+            F.round(F.col("hab"), 6).alias("h_a_given_b"),
+            F.when(
+                F.col("ha") > 0,
+                F.round((F.col("ha") - F.col("hab")) / F.col("ha"), 6),
+            ).alias("theils_u"),
+        )
+    )
+
+
+@query(
+    "stats_mcnemar_era_activity",
+    oracle="""
+    WITH flags AS (
+      SELECT o_custkey,
+        MAX(CASE WHEN CAST(substr(CAST(o_orderdate AS VARCHAR), 1, 4) AS INT)
+                      < 1998 THEN 1 ELSE 0 END) AS early,
+        MAX(CASE WHEN CAST(substr(CAST(o_orderdate AS VARCHAR), 1, 4) AS INT)
+                      >= 1998 THEN 1 ELSE 0 END) AS late
+      FROM orders GROUP BY 1
+    ),
+    bc AS (
+      SELECT
+        CAST(COUNT(CASE WHEN early = 1 AND late = 0 THEN 1 END) AS BIGINT)
+          AS b,
+        CAST(COUNT(CASE WHEN early = 0 AND late = 1 THEN 1 END) AS BIGINT)
+          AS c
+      FROM flags
+    )
+    SELECT b, c,
+      CASE WHEN b + c > 0 THEN ROUND(
+        CAST((b - c) * (b - c) AS DOUBLE) / CAST(b + c AS DOUBLE), 6)
+      END AS mcnemar_chi2,
+      CASE WHEN b + c > 0 THEN ROUND(
+        CAST(GREATEST(ABS(b - c) - 1, 0) * GREATEST(ABS(b - c) - 1, 0)
+             AS DOUBLE) / CAST(b + c AS DOUBLE), 6)
+      END AS mcnemar_chi2_cc
+    FROM bc
+    """,
+)
+def stats_mcnemar_era_activity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """McNemar's test for paired binary outcomes: per customer, active in
+    the EARLY era (orders before 1998) vs the LATE era (1998 on) — did
+    significantly more customers churn (early-only) than newly arrive
+    (late-only)? chi2 = (b - c)^2 / (b + c) over the two discordant
+    counts, plus Edwards' continuity-corrected variant
+    (|b - c| - 1)^2 / (b + c) clamped at 0 when b = c.
+
+    Pure integer flags and counts; one exact division per statistic,
+    NULL-guarded when no discordant pairs exist (degenerate data).
+
+    At 100 TB: one fact pass into per-customer era flags with map-side
+    combine; the 2x2 census is a 1-row conditional aggregate.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    yr = F.year("o_orderdate")
+    flags = o.groupBy("o_custkey").agg(
+        F.max(F.when(yr < 1998, 1).otherwise(0)).alias("early"),
+        F.max(F.when(yr >= 1998, 1).otherwise(0)).alias("late"),
+    )
+    bc = flags.agg(
+        F.count(F.when((F.col("early") == 1) & (F.col("late") == 0), 1))
+        .cast("bigint")
+        .alias("b"),
+        F.count(F.when((F.col("early") == 0) & (F.col("late") == 1), 1))
+        .cast("bigint")
+        .alias("c"),
+    )
+    n_disc = (F.col("b") + F.col("c")).cast("double")
+    diff = (F.col("b") - F.col("c")).cast("double")
+    cc = F.greatest(
+        F.abs(F.col("b") - F.col("c")) - 1, F.lit(0)
+    ).cast("double")
+    return bc.select(
+        "b",
+        "c",
+        F.when(
+            F.col("b") + F.col("c") > 0, F.round(diff * diff / n_disc, 6)
+        ).alias("mcnemar_chi2"),
+        F.when(
+            F.col("b") + F.col("c") > 0, F.round(cc * cc / n_disc, 6)
+        ).alias("mcnemar_chi2_cc"),
+    )
+
+
+@query(
+    "stats_cramers_v_segment_priority",
+    oracle="""
+    WITH cells AS (
+      SELECT c_mktsegment AS seg, o_orderpriority AS pri,
+        CAST(COUNT(*) AS BIGINT) AS nab
+      FROM orders JOIN customer ON c_custkey = o_custkey
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT seg, pri, nab,
+        CAST(SUM(nab) OVER (PARTITION BY seg) AS BIGINT) AS na,
+        CAST(SUM(nab) OVER (PARTITION BY pri) AS BIGINT) AS nb,
+        CAST(SUM(nab) OVER () AS BIGINT) AS n,
+        COUNT(DISTINCT seg) OVER () AS a,
+        COUNT(DISTINCT pri) OVER () AS b
+      FROM cells
+    ),
+    chi AS (
+      SELECT a, b, n,
+        CAST(SUM(CAST(ROUND(
+          (CAST(nab AS DOUBLE)
+           - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / CAST(n AS DOUBLE))
+          * (CAST(nab AS DOUBLE)
+             - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / CAST(n AS DOUBLE))
+          / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / CAST(n AS DOUBLE)),
+          6) AS DECIMAL(18,6))) AS DOUBLE) AS chi2
+      FROM tot GROUP BY a, b, n
+    )
+    SELECT ROUND(chi2, 6) AS chi2,
+      CAST((a - 1) * (b - 1) AS BIGINT) AS dof,
+      CASE WHEN a >= 2 AND b >= 2 AND n > 0 THEN ROUND(
+        sqrt(chi2 / (CAST(n AS DOUBLE)
+                     * CAST(LEAST(a - 1, b - 1) AS DOUBLE))), 6)
+      END AS cramers_v
+    FROM chi
+    """,
+)
+def stats_cramers_v_segment_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Chi-square test of independence over the (market segment, order
+    priority) contingency table plus Cramer's V effect size
+    sqrt(chi2 / (n * (min(a,b) - 1))) — the standard strength-of-
+    association pair for two categoricals.
+
+    Determinism: observed and marginal counts are exact BIGINTs; each
+    cell's (o - e)^2 / e term is computed from identical doubles
+    (na * nb <= ~1e10 is exact in double), rounded 6dp, and decimal-
+    summed order-insensitively (lesson 10); V is a correctly-rounded
+    sqrt of identical inputs. Single-level factors NULL-guard V.
+
+    At 100 TB: one fact-dim join into a <= 25-cell rollup; windows and
+    folds touch only those rows.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    cells = (
+        o.join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderpriority").alias("pri"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("nab"))
+    )
+    w_all = Window.partitionBy()
+    tot = cells.select(
+        "nab",
+        F.sum("nab").over(Window.partitionBy("seg")).cast("bigint").alias("na"),
+        F.sum("nab").over(Window.partitionBy("pri")).cast("bigint").alias("nb"),
+        F.sum("nab").over(w_all).cast("bigint").alias("n"),
+        F.size(F.collect_set("seg").over(w_all)).alias("a"),
+        F.size(F.collect_set("pri").over(w_all)).alias("b"),
+    )
+    d = lambda col: F.col(col).cast("double")  # noqa: E731
+    e = d("na") * d("nb") / d("n")
+    term = F.round((d("nab") - e) * (d("nab") - e) / e, 6).cast(
+        "decimal(18,6)"
+    )
+    chi = tot.groupBy("a", "b", "n").agg(
+        F.sum(term).cast("double").alias("chi2")
+    )
+    v = F.sqrt(
+        F.col("chi2")
+        / (d("n") * F.least(F.col("a") - 1, F.col("b") - 1).cast("double"))
+    )
+    return chi.select(
+        F.round(F.col("chi2"), 6).alias("chi2"),
+        ((F.col("a") - 1) * (F.col("b") - 1)).cast("bigint").alias("dof"),
+        F.when(
+            (F.col("a") >= 2) & (F.col("b") >= 2) & (F.col("n") > 0),
+            F.round(v, 6),
+        ).alias("cramers_v"),
+    )
+
+
+@query(
+    "stats_cochran_q_segments",
+    oracle="""
+    WITH cells AS (
+      SELECT c_nationkey AS blk, c_mktsegment AS seg,
+        CAST(SUM(CAST(ROUND(c_acctbal, 6) AS DECIMAL(18,6))) AS DOUBLE)
+          / COUNT(*) AS mean_bal
+      FROM customer GROUP BY 1, 2
+    ),
+    k_ AS (SELECT COUNT(DISTINCT seg) AS k FROM cells),
+    complete AS (
+      SELECT blk FROM cells CROSS JOIN k_
+      GROUP BY blk, k HAVING COUNT(*) = k
+    ),
+    kept AS (SELECT c.* FROM cells c JOIN complete USING (blk)),
+    grand AS (
+      SELECT CAST(SUM(CAST(ROUND(mean_bal, 6) AS DECIMAL(18,6))) AS DOUBLE)
+        / COUNT(*) AS gm
+      FROM kept
+    ),
+    bin AS (
+      SELECT blk, seg,
+        CASE WHEN mean_bal > gm THEN 1 ELSE 0 END AS x
+      FROM kept CROSS JOIN grand
+    ),
+    rows_ AS (
+      SELECT blk, CAST(SUM(x) AS BIGINT) AS ri FROM bin GROUP BY blk
+    ),
+    cols_ AS (
+      SELECT seg, CAST(SUM(x) AS BIGINT) AS cj FROM bin GROUP BY seg
+    ),
+    consts AS (
+      SELECT (SELECT k FROM k_) AS k,
+        (SELECT CAST(SUM(cj) AS BIGINT) FROM cols_) AS ntot,
+        (SELECT CAST(SUM(cj * cj) AS BIGINT) FROM cols_) AS sum_cj2,
+        (SELECT CAST(SUM(ri) AS BIGINT) FROM rows_) AS sum_ri,
+        (SELECT CAST(SUM(ri * ri) AS BIGINT) FROM rows_) AS sum_ri2
+    )
+    SELECT CAST(k AS BIGINT) AS k, ntot AS n_successes,
+      CASE WHEN k * sum_ri - sum_ri2 > 0 THEN ROUND(
+        CAST((k - 1) * (k * sum_cj2 - ntot * ntot) AS DOUBLE)
+        / CAST(k * sum_ri - sum_ri2 AS DOUBLE), 6)
+      END AS q_stat
+    FROM consts
+    """,
+)
+def stats_cochran_q_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q test — the binary-outcome sibling of Friedman: across
+    complete nation blocks, does the PROPORTION of segments whose mean
+    balance beats the grand mean differ between segments?
+    Q = (k-1)(k sum C_j^2 - N^2) / (k sum R_i - sum R_i^2) over the 0/1
+    outcome matrix (R_i row sums, C_j column sums, N total successes).
+
+    Determinism: the binarization threshold (grand mean of cell means)
+    is an exact-decimal quotient, identical in both engines; everything
+    after is INTEGER arithmetic — numerator and denominator are exact
+    BIGINTs, divided once. The complete-block rule matches Friedman's.
+
+    At 100 TB: one dimension pass into the 125-cell rollup; every later
+    stage runs on <= 125 rows.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    cells = c.groupBy(
+        F.col("c_nationkey").alias("blk"), F.col("c_mktsegment").alias("seg")
+    ).agg(
+        (
+            F.sum(F.round(F.col("c_acctbal"), 6).cast("decimal(18,6)")).cast(
+                "double"
+            )
+            / F.count(F.lit(1))
+        ).alias("mean_bal")
+    )
+    k_ = cells.agg(F.countDistinct("seg").alias("k"))
+    complete = (
+        cells.crossJoin(F.broadcast(k_))
+        .groupBy("blk", "k")
+        .agg(F.count(F.lit(1)).alias("nseg"))
+        .where(F.col("nseg") == F.col("k"))
+        .select("blk")
+    )
+    kept = cells.join(F.broadcast(complete), "blk")
+    grand = kept.agg(
+        (
+            F.sum(F.round(F.col("mean_bal"), 6).cast("decimal(18,6)")).cast(
+                "double"
+            )
+            / F.count(F.lit(1))
+        ).alias("gm")
+    )
+    bin_ = kept.crossJoin(F.broadcast(grand)).select(
+        "blk",
+        "seg",
+        F.when(F.col("mean_bal") > F.col("gm"), 1).otherwise(0).alias("x"),
+    )
+    rows_ = bin_.groupBy("blk").agg(F.sum("x").cast("bigint").alias("ri"))
+    cols_ = bin_.groupBy("seg").agg(F.sum("x").cast("bigint").alias("cj"))
+    col_consts = cols_.agg(
+        F.sum("cj").cast("bigint").alias("ntot"),
+        F.sum(F.col("cj") * F.col("cj")).cast("bigint").alias("sum_cj2"),
+    )
+    row_consts = rows_.agg(
+        F.sum("ri").cast("bigint").alias("sum_ri"),
+        F.sum(F.col("ri") * F.col("ri")).cast("bigint").alias("sum_ri2"),
+    )
+    consts = (
+        col_consts.crossJoin(F.broadcast(row_consts))
+        .crossJoin(F.broadcast(k_))
+    )
+    denom = F.col("k") * F.col("sum_ri") - F.col("sum_ri2")
+    q = (
+        ((F.col("k") - 1)
+         * (F.col("k") * F.col("sum_cj2") - F.col("ntot") * F.col("ntot")))
+        .cast("double")
+        / denom.cast("double")
+    )
+    return consts.select(
+        F.col("k").cast("bigint").alias("k"),
+        F.col("ntot").alias("n_successes"),
+        F.when(denom > 0, F.round(q, 6)).alias("q_stat"),
+    )
