@@ -1894,3 +1894,174 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", containment.alias("containment"))
         .where(F.col("containment") >= _CONTAIN_TAU)
     )
+
+
+# (applicationId, sf_dir) -> persisted (doc_id, para_idx, hs) paragraph
+# shingle table — the postings build and both verify sides consume it
+# (lesson 30: SessionMemo, never a bare per-call persist).
+_PARA_SHINGLES_CACHE = SessionMemo("dedup.paragraph_shingles")
+
+_PARA_CONTAIN_DF_CAP = 50
+_PARA_CONTAIN_TAU = 0.6
+
+
+@query(
+    "dedup_paragraph_containment_pairs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+        list_filter(string_split(LOWER(regexp_replace(TRIM(text), '\\s+', ' ', 'g')), ' '),
+                    t -> t != '') AS ws
+      FROM documents
+    ),
+    paras AS (
+      SELECT doc_id, i AS para_idx,
+        list_slice(ws, 1 + {_PARA_WORDS} * (i - 1), {_PARA_WORDS} * i) AS b
+      FROM (
+        SELECT doc_id, ws,
+          UNNEST(range(1, CAST(ceil(len(ws) / {_PARA_WORDS}.0) AS BIGINT) + 1))
+            AS i
+        FROM toks WHERE len(ws) > 0
+      )
+    ),
+    sh AS (
+      SELECT doc_id, para_idx,
+        list_distinct(list_transform(range(1, len(b) - 1),
+          i -> hash(array_to_string(list_slice(b, i, i + 2), ' ')))) AS hs
+      FROM paras WHERE len(b) >= 3
+    ),
+    postings AS (SELECT doc_id, para_idx, unnest(hs) AS h FROM sh),
+    rare AS (
+      SELECT h FROM postings GROUP BY h
+      HAVING COUNT(*) <= {_PARA_CONTAIN_DF_CAP}
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS doc_a, a.para_idx AS pa,
+                      b.doc_id AS doc_b, b.para_idx AS pb
+      FROM postings a JOIN rare USING (h) JOIN postings b USING (h)
+      WHERE a.doc_id < b.doc_id
+    ),
+    verified AS (
+      SELECT doc_a, doc_b,
+        ROUND(CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+              / len(sa.hs), 6) AS containment
+      FROM cands
+      JOIN sh sa ON sa.doc_id = doc_a AND sa.para_idx = pa
+      JOIN sh sb ON sb.doc_id = doc_b AND sb.para_idx = pb
+      WHERE CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+            / len(sa.hs) >= {_PARA_CONTAIN_TAU}
+    )
+    SELECT doc_a, doc_b,
+      COUNT(*) AS n_contained_paras,
+      MAX(containment) AS max_containment
+    FROM verified GROUP BY doc_a, doc_b
+    """,
+)
+def dedup_paragraph_containment_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PARAGRAPH-grain containment detection across documents: the
+    dedup_containment_pairs machinery applied at the {25}-word block
+    grain (dedup_paragraph_exact_kept's unit), catching documents that
+    share near-verbatim PASSAGES even when the whole-document overlap is
+    too diluted to trip doc-level thresholds — the cross-document quote/
+    boilerplate detector LLM pipelines run beside paragraph dedup.
+
+    Candidates meet only through shared rare paragraph shingles (df <=
+    50 over the paragraph universe); the verify is exact shingle-set
+    intersection with directed containment (a-side denominator) >= 0.6,
+    rolled up to cross-document pairs (doc_a < doc_b) with the contained
+    paragraph count and max containment. Intersection CARDINALITY is
+    hash-invariant, so each engine hashes its own shingles (the
+    dedup_containment_pairs trick); the 6dp-rounded ratio compares
+    identical rationals.
+
+    At 100 TB: postings bound the candidate fan-out per rare shingle;
+    the verify touches only candidate paragraph pairs; the shingle table
+    is persisted once (SessionMemo) and feeds postings + both verify
+    sides.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    _gate_quadratic(
+        d, "dedup_paragraph_containment_pairs", "dedup_minhash_banding_pairs"
+    )
+    hit = _PARA_SHINGLES_CACHE.get(spark, sf_dir)
+    if hit is not None:
+        (sh,) = hit
+    else:
+        toks = F.filter(F.split(_NORM(F.col("text")), " "), lambda t: t != "")
+        n_paras = F.ceil(
+            F.size("ws") / F.lit(float(_PARA_WORDS))
+        ).cast("bigint")
+        paras = (
+            d.select("doc_id", toks.alias("ws"))
+            .where(F.size("ws") > 0)
+            .select(
+                "doc_id",
+                F.explode(F.sequence(F.lit(1), n_paras)).alias("para_idx"),
+                F.expr(
+                    f"slice(ws, 1 + {_PARA_WORDS} * (para_idx - 1),"
+                    f" {_PARA_WORDS})"
+                ).alias("b"),
+            )
+        )
+        sh = (
+            paras.where(F.size("b") >= 3)
+            .select(
+                "doc_id",
+                "para_idx",
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(1, size(b) - 2),"
+                        " i -> xxhash64(concat_ws(' ', slice(b, i, 3))))"
+                    )
+                ).alias("hs"),
+            )
+            .persist()
+        )
+        _PARA_SHINGLES_CACHE.put(spark, sf_dir, (sh,))
+    postings = sh.select("doc_id", "para_idx", F.explode("hs").alias("h"))
+    rare = (
+        postings.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= _PARA_CONTAIN_DF_CAP)
+        .select("h")
+    )
+    pa = postings.select(
+        F.col("doc_id").alias("doc_a"), F.col("para_idx").alias("pa"), "h"
+    )
+    pb = postings.select(
+        F.col("doc_id").alias("doc_b"), F.col("para_idx").alias("pb"), "h"
+    )
+    cands = (
+        pa.join(rare, "h")
+        .join(pb, "h")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "pa", "doc_b", "pb")
+        .distinct()
+    )
+    sa = sh.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("para_idx").alias("pa"),
+        F.col("hs").alias("hs_a"),
+    )
+    sb = sh.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("para_idx").alias("pb"),
+        F.col("hs").alias("hs_b"),
+    )
+    containment = F.size(
+        F.array_intersect(F.col("hs_a"), F.col("hs_b"))
+    ).cast("double") / F.size(F.col("hs_a"))
+    verified = (
+        cands.join(sa, ["doc_a", "pa"])
+        .join(sb, ["doc_b", "pb"])
+        .where(containment >= _PARA_CONTAIN_TAU)
+        .select(
+            "doc_a", "doc_b", F.round(containment, 6).alias("containment")
+        )
+    )
+    return verified.groupBy("doc_a", "doc_b").agg(
+        F.count(F.lit(1)).alias("n_contained_paras"),
+        F.max("containment").alias("max_containment"),
+    )

@@ -2539,3 +2539,247 @@ def text_bytes_per_token_by_source(
             "chars_per_token"
         ),
     )
+
+
+@query(
+    "text_sttr_by_source",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source,
+        list_filter(string_split(LOWER(regexp_replace(TRIM(text), '\\s+', ' ', 'g')), ' '),
+                    t -> t != '') AS ws
+      FROM documents
+    ),
+    chunks AS (
+      SELECT source,
+        ROUND(CAST(len(list_distinct(
+          list_slice(ws, 1 + 25 * (i - 1), 25 * i))) AS DOUBLE) / 25.0, 6)
+          AS ttr
+      FROM (
+        SELECT doc_id, source, ws,
+          UNNEST(range(1, CAST(len(ws) // 25 AS BIGINT) + 1)) AS i
+        FROM toks WHERE len(ws) >= 25
+      )
+    )
+    SELECT source,
+      CAST(COUNT(*) AS BIGINT) AS n_chunks,
+      CAST(SUM(CAST(ttr AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS sttr
+    FROM chunks GROUP BY source
+    """,
+)
+def text_sttr_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standardized (segmented) type-token ratio per source: mean TTR over
+    disjoint complete 25-word chunks — the length-robust lexical-
+    diversity metric (raw TTR shrinks with document length, so corpora
+    are compared on fixed-size segments; 25 matches the paragraph grain
+    used by the dedup family). Partial trailing chunks are excluded by
+    the STTR definition (len // 25 complete chunks per doc).
+
+    Determinism: each chunk's TTR is an exact distinct-count / 25
+    (identical doubles), rounded 6dp; the per-source mean is an
+    order-insensitive decimal sum over exact counts.
+
+    At 100 TB: one tokenize pass, chunk membership is integer offset
+    arithmetic, and only (source, ttr) rows shuffle into a 20-row
+    rollup.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.filter(
+        F.split(F.lower(F.regexp_replace(F.trim("text"), r"\s+", " ")), " "),
+        lambda t: t != "",
+    )
+    chunks = (
+        d.select("source", ws.alias("ws"))
+        .where(F.size("ws") >= 25)
+        .select(
+            "source",
+            F.explode(
+                F.sequence(F.lit(1), F.floor(F.size("ws") / 25).cast("int"))
+            ).alias("i"),
+            F.col("ws"),
+        )
+        .select(
+            "source",
+            F.round(
+                F.size(
+                    F.array_distinct(
+                        F.expr("slice(ws, 1 + 25 * (i - 1), 25)")
+                    )
+                ).cast("double")
+                / F.lit(25.0),
+                6,
+            ).alias("ttr"),
+        )
+    )
+    return chunks.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        (
+            F.sum(F.col("ttr").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("sttr"),
+    )
+
+
+@query(
+    "text_simpson_diversity_by_source",
+    oracle="""
+    WITH toks AS (
+      SELECT source,
+        unnest(list_filter(
+          string_split(LOWER(regexp_replace(TRIM(text), '\\s+', ' ', 'g')), ' '),
+          t -> t != '')) AS tok
+      FROM documents
+    ),
+    freqs AS (
+      SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS f
+      FROM toks GROUP BY 1, 2
+    )
+    SELECT source,
+      CAST(SUM(f) AS BIGINT) AS n_tokens,
+      CAST(COUNT(*) AS BIGINT) AS vocab_size,
+      CASE WHEN SUM(f) >= 2 THEN ROUND(
+        CAST(SUM(f * (f - 1)) AS DOUBLE)
+        / (CAST(SUM(f) AS DOUBLE) * CAST(SUM(f) - 1 AS DOUBLE)), 6)
+      END AS simpson_d,
+      CASE WHEN SUM(f) >= 2 THEN ROUND(
+        1.0 - CAST(SUM(f * (f - 1)) AS DOUBLE)
+        / (CAST(SUM(f) AS DOUBLE) * CAST(SUM(f) - 1 AS DOUBLE)), 6)
+      END AS gini_simpson
+    FROM freqs GROUP BY source
+    """,
+)
+def text_simpson_diversity_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Simpson's diversity index per source: D = sum f(f-1) / (N(N-1)),
+    the probability that two tokens drawn without replacement are the
+    SAME type, plus the Gini-Simpson complement 1-D — the repetition/
+    diversity pair corpus-QC dashboards track beside entropy (which
+    needs transcendentals; Simpson is a pure exact rational).
+
+    Determinism: token frequencies are exact BIGINTs; numerator and
+    denominator are exact integer sums, divided once. No rounding
+    recipe needed beyond the final 6dp.
+
+    At 100 TB: one tokenize+explode pass into the (source, token)
+    rollup with map-side combine; the census aggregates vocabulary-
+    scale rows.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.filter(
+        F.split(F.lower(F.regexp_replace(F.trim("text"), r"\s+", " ")), " "),
+        lambda t: t != "",
+    )
+    freqs = (
+        d.select("source", F.explode(ws).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    )
+    n = F.sum("f").cast("bigint")
+    rep = F.sum(F.col("f") * (F.col("f") - 1)).cast("bigint")
+    dsimp = rep.cast("double") / (
+        n.cast("double") * (n - 1).cast("double")
+    )
+    return freqs.groupBy("source").agg(
+        n.alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+        F.when(n >= 2, F.round(dsimp, 6)).alias("simpson_d"),
+        F.when(n >= 2, F.round(1.0 - dsimp, 6)).alias("gini_simpson"),
+    )
+
+
+@query(
+    "text_bigram_entropy_rate_by_lang",
+    oracle="""
+    WITH toks AS (
+      SELECT lang,
+        list_filter(string_split(LOWER(regexp_replace(TRIM(text), '\\s+', ' ', 'g')), ' '),
+                    t -> t != '') AS ws
+      FROM documents
+    ),
+    bigrams AS (
+      SELECT lang, ws[i] AS a, ws[i + 1] AS b
+      FROM (SELECT lang, ws, unnest(range(1, len(ws))) AS i
+            FROM toks WHERE len(ws) >= 2)
+    ),
+    cells AS (
+      SELECT lang, a, b, CAST(COUNT(*) AS BIGINT) AS cab
+      FROM bigrams GROUP BY 1, 2, 3
+    ),
+    marg AS (
+      SELECT lang, a, CAST(SUM(cab) AS BIGINT) AS ca
+      FROM cells GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT lang, CAST(SUM(cab) AS BIGINT) AS n FROM cells GROUP BY 1
+    )
+    SELECT c.lang,
+      MIN(n) AS n_bigrams,
+      CAST(SUM(CAST(ROUND(
+        -(CAST(cab AS DOUBLE) / CAST(n AS DOUBLE))
+          * ln(CAST(cab AS DOUBLE) / CAST(ca AS DOUBLE)), 6)
+        AS DECIMAL(18,6))) AS DOUBLE) AS entropy_rate
+    FROM cells c
+    JOIN marg m ON m.lang = c.lang AND m.a = c.a
+    JOIN tot t ON t.lang = c.lang
+    GROUP BY c.lang
+    """,
+)
+def text_bigram_entropy_rate_by_lang(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Conditional bigram entropy rate per language: H(next | prev) =
+    -sum p(ab) ln p(b|a) over word bigrams — how predictable the next
+    word is given the previous one, the sequence-level companion of the
+    unigram entropy ops (text_unigram_cross_entropy) and the text-side
+    sibling of events_markov_entropy_rate.
+
+    Determinism (lesson 10): every term is built from EXACT BIGINT
+    count ratios (identical doubles), the ln result is rounded 6dp, and
+    terms accumulate as an order-insensitive DECIMAL sum — engine libm
+    differences cannot reach the hash. Cells exist only at positive
+    counts, so ln never sees 0 (lesson 28).
+
+    At 100 TB: one tokenize pass into the (lang, bigram) rollup with
+    map-side combine; marginals and totals are rollups OF that rollup
+    (vocabulary-squared scale, not corpus scale).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.filter(
+        F.split(F.lower(F.regexp_replace(F.trim("text"), r"\s+", " ")), " "),
+        lambda t: t != "",
+    )
+    bigrams = (
+        d.select("lang", ws.alias("ws"))
+        .where(F.size("ws") >= 2)
+        .select(
+            "lang",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 1),"
+                    " i -> struct(ws[i - 1] AS a, ws[i] AS b))"
+                )
+            ).alias("ab"),
+        )
+        .select("lang", F.col("ab.a").alias("a"), F.col("ab.b").alias("b"))
+    )
+    cells = bigrams.groupBy("lang", "a", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cab")
+    )
+    marg = cells.groupBy("lang", "a").agg(
+        F.sum("cab").cast("bigint").alias("ca")
+    )
+    tot = cells.groupBy("lang").agg(F.sum("cab").cast("bigint").alias("n"))
+    dd = lambda col: F.col(col).cast("double")  # noqa: E731
+    term = F.round(
+        -(dd("cab") / dd("n")) * F.log(dd("cab") / dd("ca")), 6
+    ).cast("decimal(18,6)")
+    return (
+        cells.join(marg, ["lang", "a"])
+        .join(tot, "lang")
+        .groupBy("lang")
+        .agg(
+            F.min("n").alias("n_bigrams"),
+            F.sum(term).cast("double").alias("entropy_rate"),
+        )
+    )

@@ -1810,3 +1810,103 @@ def training_perplexity_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("all_toks")
     )
+
+
+@query(
+    "contamination_crosslingual_fingerprints",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang,
+        list_filter(string_split(LOWER(regexp_replace(TRIM(text), '\\s+', ' ', 'g')), ' '),
+                    t -> t != '') AS ws
+      FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, lang,
+        md5(array_to_string(list_slice(ws, i, i + 4), ' ')) AS g
+      FROM (SELECT doc_id, lang, ws, unnest(range(1, len(ws) - 3)) AS i
+            FROM toks WHERE len(ws) >= 5)
+    ),
+    fp AS (
+      SELECT g FROM grams GROUP BY g
+      HAVING COUNT(*) BETWEEN 2 AND 10 AND COUNT(DISTINCT lang) >= 2
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, a.lang AS lang_a,
+             b.doc_id AS doc_b, b.lang AS lang_b,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM grams a JOIN fp USING (g) JOIN grams b USING (g)
+      WHERE a.doc_id < b.doc_id AND a.lang <> b.lang
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_a, lang_a, doc_b, lang_b, n_shared
+    FROM pairs WHERE n_shared >= 2
+    """,
+)
+def contamination_crosslingual_fingerprints(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-lingual contamination detection WITHOUT translation: document
+    pairs in DIFFERENT languages that share >= 2 rare word-5-gram
+    fingerprints. Verbatim splices (code blocks, named entities,
+    untranslated quotes, benchmark strings) survive translation intact,
+    so shared rare n-grams across languages flag test-set leakage that a
+    same-language decontamination pass misses.
+
+    A fingerprint is a 5-gram md5 seen in 2..10 documents AND >= 2
+    languages: the lower bound requires actual sharing, the upper bound
+    drops boilerplate the way dedup_containment_pairs drops stop
+    shingles (recall contract: pairs connected ONLY by hot grams are
+    boilerplate by definition). md5 digests are byte-identical across
+    engines, so the postings join is portable.
+
+    At 100 TB: the postings join fans out at most C(10,2) pairs per
+    fingerprint (df cap), shuffles 16-byte digests + ids only, and the
+    pair rollup aggregates map-side. Never a cross join.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.filter(
+        F.split(F.lower(F.regexp_replace(F.trim("text"), r"\s+", " ")), " "),
+        lambda t: t != "",
+    )
+    grams = (
+        d.select("doc_id", "lang", ws.alias("ws"))
+        .where(F.size("ws") >= 5)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 4),"
+                    " i -> md5(concat_ws(' ', slice(ws, i, 5))))"
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    fp = (
+        grams.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.countDistinct("lang").alias("nl"),
+        )
+        .where((F.col("df") >= 2) & (F.col("df") <= 10) & (F.col("nl") >= 2))
+        .select("g")
+    )
+    a = grams.select(
+        F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a"), "g"
+    )
+    b = grams.select(
+        F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b"), "g"
+    )
+    return (
+        a.join(fp, "g")
+        .join(b, "g")
+        .where(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.col("lang_a") != F.col("lang_b"))
+        )
+        .groupBy("doc_a", "lang_a", "doc_b", "lang_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .where(F.col("n_shared") >= 2)
+    )
