@@ -1613,3 +1613,64 @@ def events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("share"),
     )
+
+
+@query(
+    "events_user_activity_gini",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY user_id
+    ),
+    ranked AS (
+      SELECT x,
+        CAST(ROW_NUMBER() OVER (ORDER BY x, user_id) AS BIGINT) AS i,
+        CAST(COUNT(*) OVER () AS BIGINT) AS n
+      FROM per_user
+    )
+    SELECT n AS n_users,
+      CAST(SUM(x) AS BIGINT) AS total_events,
+      CASE WHEN n >= 2 AND SUM(x) > 0 THEN ROUND(
+        CAST(2 * SUM(i * x) - (n + 1) * SUM(x) AS DOUBLE)
+        / CAST(n * SUM(x) AS DOUBLE), 6)
+      END AS gini
+    FROM ranked GROUP BY n
+    """,
+)
+def events_user_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user event counts — the activity-
+    concentration number ("do 10% of users generate 90% of traffic?")
+    platform-health dashboards track. Computed via the sorted-rank
+    closed form G = (2 sum(i*x_i) - (n+1) sum(x)) / (n sum(x)) with
+    ranks ROW_NUMBER over (count, user_id) — the battery's integer-rank
+    rule, so numerator and denominator stay exact BIGINTs and divide
+    once.
+
+    At 100 TB: one fact pass into the per-user rollup (map-side
+    combine); the global rank window runs over user-scale rows, never
+    fact rows — the two-phase variant (range-partitioned sort + offset
+    per partition) is the documented path if even users outgrow one
+    task.
+    """
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    )
+    w = Window.orderBy("x", "user_id")
+    ranked = per_user.select(
+        "x",
+        F.row_number().over(w).cast("bigint").alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("bigint").alias("n"),
+    )
+    num = (2 * F.sum(F.col("i") * F.col("x")) - (F.col("n") + 1) * F.sum("x")).cast(
+        "double"
+    )
+    den = (F.col("n") * F.sum("x")).cast("double")
+    return ranked.groupBy("n").agg(
+        F.sum("x").cast("bigint").alias("total_events"),
+        F.when(
+            (F.col("n") >= 2) & (F.sum("x") > 0), F.round(num / den, 6)
+        ).alias("gini"),
+    ).select(
+        F.col("n").alias("n_users"), "total_events", "gini"
+    )

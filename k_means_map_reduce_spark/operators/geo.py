@@ -1281,3 +1281,118 @@ def geo_colocation_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("rk") <= 25)
     )
+
+
+@query(
+    "geo_radius_of_gyration",
+    oracle=f"""
+    WITH walk AS ({_WALK_SQL}),
+    sums AS (
+      SELECT user_id,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(ilat) AS BIGINT) AS sy, CAST(SUM(ilon) AS BIGINT) AS sx,
+        CAST(SUM(ilat * ilat) AS BIGINT) AS syy,
+        CAST(SUM(ilon * ilon) AS BIGINT) AS sxx
+      FROM walk GROUP BY user_id
+    )
+    SELECT user_id, n AS n_fixes,
+      CASE WHEN n > 0 THEN ROUND(sqrt(
+        CAST(CAST(n AS HUGEINT) * (CAST(sxx AS HUGEINT) + CAST(syy AS HUGEINT))
+             - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT)
+             - CAST(sy AS HUGEINT) * CAST(sy AS HUGEINT) AS DOUBLE)
+        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 6)
+      END AS radius_gyration
+    FROM sums
+    """,
+)
+def geo_radius_of_gyration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius of gyration per user — the canonical human-mobility metric
+    (Gonzalez et al. 2008): RMS displacement of a user's fixes from
+    their trajectory centroid, in milli-degree grid units, via the
+    computational form r_g^2 = (n*(Sxx+Syy) - Sx^2 - Sy^2) / n^2 so the
+    centroid is never materialized.
+
+    Determinism: positions are exact integers (the md5 random walk), so
+    all power sums are exact BIGINTs; the n*S - S^2 numerator is widened
+    BEFORE multiplying (Spark DECIMAL(38,0), DuckDB HUGEINT — lesson
+    13's overflow bypass), cast once to double, and sqrt of identical
+    doubles is correctly rounded (lesson 3).
+
+    At 100 TB: the walk's prefix sums partition by user_id; the rollup
+    reuses that shuffle with map-side combine; one row per user out.
+    """
+    walk = _walk(spark, sf_dir)
+    sums = walk.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("ilat").cast("bigint").alias("sy"),
+        F.sum("ilon").cast("bigint").alias("sx"),
+        F.sum(F.col("ilat") * F.col("ilat")).cast("bigint").alias("syy"),
+        F.sum(F.col("ilon") * F.col("ilon")).cast("bigint").alias("sxx"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    num = (
+        dec("n") * (dec("sxx") + dec("syy"))
+        - dec("sx") * dec("sx")
+        - dec("sy") * dec("sy")
+    )
+    rg = F.sqrt(
+        num.cast("double") / (F.col("n").cast("double") * F.col("n").cast("double"))
+    )
+    return sums.select(
+        "user_id",
+        F.col("n").alias("n_fixes"),
+        F.when(F.col("n") > 0, F.round(rg, 6)).alias("radius_gyration"),
+    )
+
+
+@query(
+    "geo_jump_length_histogram",
+    oracle=f"""
+    WITH walk AS ({_WALK_SQL}),
+    segs AS (
+      SELECT
+        (ilat - LAG(ilat) OVER u) AS dy,
+        (ilon - LAG(ilon) OVER u) AS dx
+      FROM walk
+      WINDOW u AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    d2s AS (
+      SELECT dx * dx + dy * dy AS d2 FROM segs WHERE dx IS NOT NULL
+    )
+    SELECT
+      CASE WHEN d2 < 250000 THEN 'b1_lt500'
+           WHEN d2 < 500000 THEN 'b2_lt707'
+           WHEN d2 < 1000000 THEN 'b3_lt1000'
+           WHEN d2 < 1500000 THEN 'b4_lt1225'
+           ELSE 'b5_rest' END AS bucket,
+      CAST(COUNT(*) AS BIGINT) AS n_jumps
+    FROM d2s GROUP BY 1
+    """,
+)
+def geo_jump_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jump-length (displacement) distribution over consecutive trajectory
+    fixes — the truncated-power-law census mobility papers fit (Brockmann
+    et al. 2006). Buckets compare the exact integer SQUARED displacement
+    against integer band edges, so no sqrt, no float, no rounding
+    anywhere — pure integer classification and counting.
+
+    At 100 TB: the LAG window shares the walk's own user_id partitioning;
+    the histogram is a 5-group rollup with map-side combine.
+    """
+    walk = _walk(spark, sf_dir)
+    u = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    segs = walk.select(
+        (F.col("ilat") - F.lag("ilat").over(u)).alias("dy"),
+        (F.col("ilon") - F.lag("ilon").over(u)).alias("dx"),
+    ).where(F.col("dx").isNotNull())
+    d2 = F.col("dx") * F.col("dx") + F.col("dy") * F.col("dy")
+    bucket = (
+        F.when(d2 < 250000, "b1_lt500")
+        .when(d2 < 500000, "b2_lt707")
+        .when(d2 < 1000000, "b3_lt1000")
+        .when(d2 < 1500000, "b4_lt1225")
+        .otherwise("b5_rest")
+    )
+    return segs.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_jumps")
+    )

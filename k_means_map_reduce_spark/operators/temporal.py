@@ -1252,3 +1252,166 @@ def timeseries_dow_seasonal_strength(
             "eta2_dow"
         ),
     )
+
+
+@query(
+    "timeseries_max_drawdown_daily",
+    oracle=f"""
+    WITH daily AS (
+      SELECT strftime(date_trunc('day', o_orderdate), '%Y-%m-%d') AS day,
+        CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+          AS rev_cents
+      FROM orders GROUP BY 1
+    ),
+    dd AS (
+      SELECT day, rev_cents,
+        CAST(MAX(rev_cents) OVER (ORDER BY day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS peak_cents
+      FROM daily
+    ),
+    ranked AS (
+      SELECT day, rev_cents, peak_cents,
+        peak_cents - rev_cents AS drawdown_cents,
+        ROW_NUMBER() OVER (ORDER BY peak_cents - rev_cents DESC, day) AS rk
+      FROM dd
+    )
+    SELECT day AS trough_day, rev_cents, peak_cents, drawdown_cents,
+      CASE WHEN peak_cents > 0 THEN ROUND(
+        CAST(drawdown_cents AS DOUBLE) / CAST(peak_cents AS DOUBLE), 6)
+      END AS drawdown_frac
+    FROM ranked WHERE rk = 1
+    """,
+)
+def timeseries_max_drawdown_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Maximum drawdown of the daily revenue series: the deepest drop
+    below the running historical peak, with the trough day — the risk
+    metric every financial/ops time-series monitor computes. Running
+    peak is a cumulative MAX window; the argmax row is picked by
+    ROW_NUMBER over (drawdown DESC, day), so ties break on the earliest
+    trough deterministically.
+
+    Pure integer cents end to end; the one division (drawdown fraction
+    of peak) divides exact integers, rounded 6dp.
+
+    At 100 TB: the fact collapses to a per-day rollup first (map-side
+    combine); the unbounded windows run over ~2500 day rows.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    daily = o.groupBy(
+        F.date_format(F.date_trunc("day", "o_orderdate"), "yyyy-MM-dd").alias(
+            "day"
+        )
+    ).agg(F.sum(cents).cast("bigint").alias("rev_cents"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    dd = daily.select(
+        "day",
+        "rev_cents",
+        F.max("rev_cents").over(w).cast("bigint").alias("peak_cents"),
+    )
+    draw = (F.col("peak_cents") - F.col("rev_cents")).alias("drawdown_cents")
+    rk = F.row_number().over(
+        Window.orderBy((F.col("peak_cents") - F.col("rev_cents")).desc(), "day")
+    )
+    return (
+        dd.select("day", "rev_cents", "peak_cents", draw, rk.alias("rk"))
+        .where(F.col("rk") == 1)
+        .select(
+            F.col("day").alias("trough_day"),
+            "rev_cents",
+            "peak_cents",
+            "drawdown_cents",
+            F.when(
+                F.col("peak_cents") > 0,
+                F.round(
+                    F.col("drawdown_cents").cast("double")
+                    / F.col("peak_cents").cast("double"),
+                    6,
+                ),
+            ).alias("drawdown_frac"),
+        )
+    )
+
+
+@query(
+    "timeseries_seasonal_naive_error",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderpriority AS priority,
+        CAST(date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))
+             AS BIGINT) AS di,
+        CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+          AS cents
+      FROM orders GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT cur.priority,
+        ROUND(ABS(CAST(cur.cents - prev.cents AS DOUBLE))
+              / CAST(prev.cents AS DOUBLE), 6) AS ape,
+        ROUND(2.0 * ABS(CAST(cur.cents - prev.cents AS DOUBLE))
+              / CAST(cur.cents + prev.cents AS DOUBLE), 6) AS sape
+      FROM daily cur JOIN daily prev
+        ON cur.priority = prev.priority AND cur.di = prev.di + 7
+      WHERE prev.cents > 0 AND cur.cents + prev.cents > 0
+    )
+    SELECT priority,
+      CAST(COUNT(*) AS BIGINT) AS n_days,
+      CAST(SUM(CAST(ape AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mape,
+      CAST(SUM(CAST(sape AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS smape
+    FROM scored GROUP BY priority
+    """,
+)
+def timeseries_seasonal_naive_error(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Forecast-error baseline: MAPE and sMAPE of the SEASONAL-NAIVE
+    forecast (predict each day's per-priority revenue with the value 7
+    days earlier) — the floor every real forecasting model must beat,
+    and the denominator of MASE-style skill scores. The 7-day shift is
+    an equi-join on integer epoch-day indices (never a lag over
+    possibly-gapped rows — a missing day must invalidate the pair, not
+    silently shift the season).
+
+    Determinism: revenues are integer cents; each APE/sAPE divides
+    exact integers (identical doubles), rounded 6dp, then averaged as
+    an order-insensitive decimal sum over the exact day count.
+
+    At 100 TB: one fact pass to the (priority, day) rollup; the 7-day
+    shift joins the rollup to itself on its own grouping key.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    di = F.datediff(
+        F.col("o_orderdate"), F.lit("1990-01-01").cast("timestamp_ntz")
+    ).cast("bigint")
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("priority"), di.alias("di")
+    ).agg(F.sum(cents).cast("bigint").alias("cents"))
+    prev = daily.select(
+        F.col("priority").alias("priority_p"),
+        F.col("di").alias("di_p"),
+        F.col("cents").alias("cents_p"),
+    )
+    joined = daily.join(
+        prev,
+        (F.col("priority") == F.col("priority_p"))
+        & (F.col("di") == F.col("di_p") + 7),
+    ).where((F.col("cents_p") > 0) & (F.col("cents") + F.col("cents_p") > 0))
+    diff = F.abs((F.col("cents") - F.col("cents_p")).cast("double"))
+    ape = F.round(diff / F.col("cents_p").cast("double"), 6)
+    sape = F.round(
+        2.0 * diff / (F.col("cents") + F.col("cents_p")).cast("double"), 6
+    )
+    scored = joined.select(
+        "priority",
+        ape.cast("decimal(18,6)").alias("ape"),
+        sape.cast("decimal(18,6)").alias("sape"),
+    )
+    return scored.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        (F.sum("ape").cast("double") / F.count(F.lit(1))).alias("mape"),
+        (F.sum("sape").cast("double") / F.count(F.lit(1))).alias("smape"),
+    )
