@@ -3688,3 +3688,78 @@ def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
             "as (touch_type, n_touched_purchases, credited_value)"
         )
     )
+
+
+@query(
+    "embedding_matryoshka_energy",
+    oracle="""
+    WITH per_vec AS (
+      SELECT label, d.d AS dim_prefix,
+        ROUND(
+          list_reduce(list_transform(embedding[1:d.d],
+            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, x) -> a + x)
+          / list_reduce(list_transform(embedding,
+            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, x) -> a + x),
+          6) AS energy
+      FROM embeddings
+      CROSS JOIN (SELECT UNNEST([4, 8, 16, 32]) AS d) d
+      WHERE list_reduce(list_transform(embedding,
+        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, x) -> a + x) > 0
+    )
+    SELECT label, CAST(dim_prefix AS BIGINT) AS dim_prefix,
+      CAST(COUNT(*) AS BIGINT) AS n_vectors,
+      CAST(SUM(CAST(energy AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+        AS mean_energy
+    FROM per_vec GROUP BY label, dim_prefix
+    """,
+)
+def embedding_matryoshka_energy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Matryoshka energy profile: the fraction of each embedding's squared
+    L2 mass captured by its first 4/8/16/32 dimensions, averaged per
+    label — the truncation-quality table that decides how far
+    Matryoshka-style prefix truncation can shrink the ANN index before
+    recall collapses (front-loaded energy -> safe truncation).
+
+    Determinism: both engines left-fold the squared elements in array
+    order from identical float->double casts (the embedding_norm_stats
+    recipe), the prefix/full ratio divides identical doubles, rounds
+    6dp, and averages as an order-insensitive decimal sum.
+
+    At 100 TB: one scan; each vector emits 4 (label, d, energy) rows —
+    no shuffle of the vectors themselves, map-side combine into a
+    labels x 4 rollup.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    sq_sum = lambda arr: F.expr(  # noqa: E731
+        f"aggregate(transform({arr}, x -> CAST(x AS DOUBLE)"
+        " * CAST(x AS DOUBLE)), CAST(0 AS DOUBLE), (a, x) -> a + x)"
+    )
+    full = sq_sum("embedding")
+    per_vec = (
+        emb.select(
+            "label",
+            F.explode(F.array(*[F.lit(v) for v in (4, 8, 16, 32)])).alias(
+                "dim_prefix"
+            ),
+            F.col("embedding"),
+        )
+        .where(full > 0)
+        .select(
+            "label",
+            "dim_prefix",
+            F.round(
+                sq_sum("slice(embedding, 1, dim_prefix)") / full, 6
+            ).alias("energy"),
+        )
+    )
+    return per_vec.groupBy(
+        "label", F.col("dim_prefix").cast("bigint").alias("dim_prefix")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        (
+            F.sum(F.col("energy").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_energy"),
+    )

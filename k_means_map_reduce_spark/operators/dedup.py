@@ -2065,3 +2065,62 @@ def dedup_paragraph_containment_pairs(
         F.count(F.lit(1)).alias("n_contained_paras"),
         F.max("containment").alias("max_containment"),
     )
+
+
+@query(
+    "join_fuzzy_levenshtein_names",
+    oracle="""
+    WITH names AS (SELECT DISTINCT p_name FROM part),
+    blocked AS (
+      SELECT p_name, string_split(p_name, ' ')[-1] AS noun FROM names
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+      CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_distance
+    FROM blocked a JOIN blocked b
+      ON a.noun = b.noun AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    """,
+)
+def join_fuzzy_levenshtein_names(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EDIT-DISTANCE fuzzy join on the distinct part-name dictionary:
+    pairs within levenshtein <= 3, blocked on the head noun (the last
+    name token) so the quadratic term is per-block, never a dictionary
+    cross join — the classic record-linkage alternative to the trigram
+    Jaccard tier (join_fuzzy_part_names), catching single-typo variants
+    that shared-gram thresholds can miss.
+
+    Determinism: levenshtein is a pure integer function with one
+    standard definition — both engines return the identical BIGINT.
+    Blocking recall contract: a pair whose NOUN itself is misspelled is
+    out of scope by design (the Jaccard tier covers cross-noun
+    similarity); the oracle replays the same blocking.
+
+    At 100 TB: linkage cost scales with the name VOCABULARY (distinct
+    names), not part rows; blocks bound the pairwise term to noun-group
+    sizes, and only short strings shuffle.
+    """
+    p = load_table(spark, sf_dir, "part")
+    names = p.select("p_name").distinct()
+    blocked = names.select(
+        "p_name", F.element_at(F.split("p_name", " "), -1).alias("noun")
+    )
+    a = blocked.select(
+        F.col("p_name").alias("name_a"), F.col("noun").alias("noun_a")
+    )
+    b = blocked.select(
+        F.col("p_name").alias("name_b"), F.col("noun").alias("noun_b")
+    )
+    lev = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    return (
+        a.join(
+            b,
+            (F.col("noun_a") == F.col("noun_b"))
+            & (F.col("name_a") < F.col("name_b")),
+        )
+        .where(lev <= 3)
+        .select(
+            "name_a", "name_b", lev.cast("bigint").alias("edit_distance")
+        )
+    )

@@ -1910,3 +1910,214 @@ def contamination_crosslingual_fingerprints(
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
         .where(F.col("n_shared") >= 2)
     )
+
+
+@query(
+    "training_token_budget_apportionment",
+    oracle="""
+    WITH weights AS (
+      SELECT source,
+        CAST(SUM(len(list_filter(
+          string_split_regex(LOWER(TRIM(text)), '\\s+'), t -> t != '')))
+          AS BIGINT) AS w
+      FROM documents GROUP BY source
+    ),
+    quotas AS (
+      SELECT source, w,
+        CAST(SUM(w) OVER () AS BIGINT) AS wtot,
+        CAST((1000000 * w) // CAST(SUM(w) OVER () AS BIGINT) AS BIGINT)
+          AS base,
+        CAST((1000000 * w) % CAST(SUM(w) OVER () AS BIGINT) AS BIGINT)
+          AS rem
+      FROM weights
+    ),
+    ranked AS (
+      SELECT source, w, base, rem,
+        CAST(1000000 - SUM(base) OVER () AS BIGINT) AS leftover,
+        ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk
+      FROM quotas
+    )
+    SELECT source, w AS n_tokens,
+      CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+        AS token_quota
+    FROM ranked
+    """,
+)
+def training_token_budget_apportionment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of a 1M-token training
+    budget across sources, proportional to each source's measured token
+    mass — the integer-exact mixture allocator: floor quotas first, then
+    the leftover tokens go to the largest fractional remainders (ties by
+    source name), so quotas always sum to EXACTLY the budget with no
+    float drift ever.
+
+    Determinism: everything is BIGINT — floor quota = (B*w) div W,
+    remainder = (B*w) mod W, and the leftover ranking is a total order.
+    (B*w fits BIGINT through ~9e12 tokens; the DECIMAL(38,0) widening is
+    the documented path beyond.)
+
+    At 100 TB: one tokenize pass into a 20-row per-source rollup; the
+    apportionment windows run over those rows only.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.filter(
+        F.split(F.lower(F.trim("text")), r"\s+"), lambda t: t != ""
+    )
+    weights = d.groupBy("source").agg(
+        F.sum(F.size(ws)).cast("bigint").alias("w")
+    )
+    w_all = Window.partitionBy()
+    quotas = weights.select(
+        "source",
+        "w",
+        F.sum("w").over(w_all).cast("bigint").alias("wtot"),
+    ).select(
+        "source",
+        "w",
+        F.expr("CAST((1000000 * w) DIV wtot AS BIGINT)").alias("base"),
+        F.expr("CAST((1000000 * w) % wtot AS BIGINT)").alias("rem"),
+    )
+    ranked = quotas.select(
+        "source",
+        "w",
+        "base",
+        "rem",
+        (F.lit(1000000) - F.sum("base").over(w_all)).cast("bigint").alias(
+            "leftover"
+        ),
+        F.row_number().over(Window.orderBy(F.col("rem").desc(), "source")).alias(
+            "rk"
+        ),
+    )
+    return ranked.select(
+        "source",
+        F.col("w").alias("n_tokens"),
+        (
+            F.col("base")
+            + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("token_quota"),
+    )
+
+
+@query(
+    "training_quality_filter_funnel",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, text,
+        LENGTH(text) AS n_chars,
+        ROUND(CASE WHEN LENGTH(text) > 0
+          THEN CAST(LENGTH(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                    AS DOUBLE) / LENGTH(text) ELSE 0.0 END, 8) AS punct,
+        list_filter(string_split_regex(LOWER(TRIM(text)), '\\s+'),
+                    t -> t != '') AS ws
+      FROM documents
+    ),
+    flagged AS (
+      SELECT doc_id, text,
+        CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END AS pass_len,
+        CASE WHEN punct <= 0.2 THEN 1 ELSE 0 END AS pass_punct,
+        CASE WHEN len(ws) > 0 AND
+          CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) >= 0.3
+          THEN 1 ELSE 0 END AS pass_rep
+      FROM scored
+    ),
+    deduped AS (
+      SELECT doc_id, pass_len, pass_punct, pass_rep,
+        CASE WHEN pass_len = 1 AND pass_punct = 1 AND pass_rep = 1 THEN
+          CASE WHEN ROW_NUMBER() OVER (
+            PARTITION BY CASE WHEN pass_len = 1 AND pass_punct = 1
+                              AND pass_rep = 1 THEN md5(text) END
+            ORDER BY doc_id) = 1 THEN 1 ELSE 0 END
+        ELSE 0 END AS pass_dedup
+      FROM flagged
+    )
+    SELECT
+      CAST(COUNT(*) AS BIGINT) AS n_total,
+      CAST(SUM(pass_len) AS BIGINT) AS after_length,
+      CAST(SUM(pass_len * pass_punct) AS BIGINT) AS after_punct,
+      CAST(SUM(pass_len * pass_punct * pass_rep) AS BIGINT)
+        AS after_repetition,
+      CAST(SUM(pass_dedup) AS BIGINT) AS after_dedup
+    FROM deduped
+    """,
+)
+def training_quality_filter_funnel(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The curation-funnel ablation table: how many documents survive each
+    successive quality gate — length >= 100 chars, punctuation ratio <=
+    0.2, distinct-token ratio >= 0.3 (repetition screen), then exact
+    dedup (first occurrence by text digest among docs passing the prior
+    gates, ordered by doc_id). Every corpus pipeline publishes exactly
+    this funnel to explain where the data went.
+
+    Determinism: gates compare exact integers or the 8dp-rounded punct
+    ratio (identical doubles — the text_stats_per_doc recipe); the
+    dedup survivor is a ROW_NUMBER total order scoped to the filtered
+    set via a NULL partition key for non-candidates.
+
+    At 100 TB: one scan computes all stage flags; only the digest window
+    shuffles (16-byte digests), and the funnel is a 1-row conditional
+    aggregate.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    n_chars = F.length("text")
+    punct = F.round(
+        F.when(
+            n_chars > 0,
+            F.length(F.regexp_replace("text", r"[A-Za-z0-9\s]", "")).cast(
+                "double"
+            )
+            / n_chars,
+        ).otherwise(0.0),
+        8,
+    )
+    ws = F.filter(
+        F.split(F.lower(F.trim("text")), r"\s+"), lambda t: t != ""
+    )
+    flagged = d.select(
+        "doc_id",
+        "text",
+        F.when(n_chars >= 100, 1).otherwise(0).alias("pass_len"),
+        F.when(punct <= 0.2, 1).otherwise(0).alias("pass_punct"),
+        F.when(
+            (F.size(ws) > 0)
+            & (
+                F.size(F.array_distinct(ws)).cast("double") / F.size(ws)
+                >= 0.3
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("pass_rep"),
+    )
+    all_pass = (
+        (F.col("pass_len") == 1)
+        & (F.col("pass_punct") == 1)
+        & (F.col("pass_rep") == 1)
+    )
+    digest_key = F.when(all_pass, F.md5("text"))
+    occ = F.row_number().over(
+        Window.partitionBy(digest_key).orderBy("doc_id")
+    )
+    deduped = flagged.select(
+        "pass_len",
+        "pass_punct",
+        "pass_rep",
+        F.when(all_pass & (occ == 1), 1).otherwise(0).alias("pass_dedup"),
+    )
+    return deduped.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        F.sum("pass_len").cast("bigint").alias("after_length"),
+        F.sum(F.col("pass_len") * F.col("pass_punct"))
+        .cast("bigint")
+        .alias("after_punct"),
+        F.sum(F.col("pass_len") * F.col("pass_punct") * F.col("pass_rep"))
+        .cast("bigint")
+        .alias("after_repetition"),
+        F.sum("pass_dedup").cast("bigint").alias("after_dedup"),
+    )
