@@ -1841,3 +1841,91 @@ _SESSION_TIMEOUT_ORACLE = f"""
 _query("streaming_session_timeout_vs_batch", oracle=_SESSION_TIMEOUT_ORACLE)(
     stream_session_timeout
 )
+
+
+def stream_conversion_lag_vs_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of operators.events.events_conversion_lag_histogram:
+    the stateful stage maintains per-user first-signup / first-purchase
+    epoch days as TWO conditional MIN aggregates — order-insensitive and
+    idempotent, so replays and out-of-order arrival cannot change the
+    final state (trivially replay-safe, unlike sums). The tiny lag-bucket
+    histogram is computed OVER the drained per-user state as a batch
+    step, because Structured Streaming forbids chaining a second stateful
+    aggregation in the same stream.
+
+    Day boundaries: stream event time is an instant TIMESTAMP (watermarks
+    reject NTZ), so the epoch day is taken on the UTC wall time via
+    convert_timezone(session -> UTC) on the NTZ cast — matching the batch
+    twin's session-zone-free datediff exactly (the _fmt_utc discipline).
+
+    At 100 TB: per-user MIN state is two BIGINTs per user — the smallest
+    possible stateful footprint; the histogram is a ~6-row rollup over
+    the state store contents.
+    """
+    e = read_events_stream(spark, sf_dir)
+    utc_ntz = F.convert_timezone(
+        None, F.lit("UTC"), F.col("ts").cast("timestamp_ntz")
+    )
+    day = F.datediff(
+        F.date_trunc("day", utc_ntz), F.lit("1970-01-01").cast("timestamp_ntz")
+    )
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", day)).alias(
+            "signup_day"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", day)).alias(
+            "purchase_day"
+        ),
+    )
+    drained = _run_available_now(firsts, "conversion_lag")
+    lags = drained.where(
+        F.col("signup_day").isNotNull() & F.col("purchase_day").isNotNull()
+    ).select((F.col("purchase_day") - F.col("signup_day")).alias("lag_days"))
+    bucket = (
+        F.when(F.col("lag_days") < 0, "pre_signup")
+        .when(F.col("lag_days") == 0, "same_day")
+        .when(F.col("lag_days") <= 3, "1-3d")
+        .when(F.col("lag_days") <= 7, "4-7d")
+        .when(F.col("lag_days") <= 30, "8-30d")
+        .otherwise("31d+")
+    )
+    return lags.groupBy(bucket.alias("lag_bucket")).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.min("lag_days").cast("bigint").alias("min_lag_days"),
+        F.max("lag_days").cast("bigint").alias("max_lag_days"),
+    )
+
+
+_query(
+    "streaming_conversion_lag_vs_batch",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+        MIN(CASE WHEN event_type = 'signup'
+              THEN datediff('day', TIMESTAMP '1970-01-01',
+                            date_trunc('day', CAST(ts AS TIMESTAMP))) END)
+          AS signup_day,
+        MIN(CASE WHEN event_type = 'purchase'
+              THEN datediff('day', TIMESTAMP '1970-01-01',
+                            date_trunc('day', CAST(ts AS TIMESTAMP))) END)
+          AS purchase_day
+      FROM events GROUP BY user_id
+    ),
+    lags AS (
+      SELECT user_id, purchase_day - signup_day AS lag_days
+      FROM firsts
+      WHERE signup_day IS NOT NULL AND purchase_day IS NOT NULL
+    )
+    SELECT
+      CASE WHEN lag_days < 0 THEN 'pre_signup'
+           WHEN lag_days = 0 THEN 'same_day'
+           WHEN lag_days <= 3 THEN '1-3d'
+           WHEN lag_days <= 7 THEN '4-7d'
+           WHEN lag_days <= 30 THEN '8-30d'
+           ELSE '31d+' END AS lag_bucket,
+      COUNT(*) AS n_users,
+      CAST(MIN(lag_days) AS BIGINT) AS min_lag_days,
+      CAST(MAX(lag_days) AS BIGINT) AS max_lag_days
+    FROM lags GROUP BY 1
+    """,
+)(stream_conversion_lag_vs_batch)

@@ -76,6 +76,20 @@ DATE_SENSITIVE = [
     "geo_od_matrix_topk",
     "geo_colocation_pairs_topk",
     "ds_q25_return_repurchase_chain",
+    # round-10 ts-sensitive additions: the streaming conversion-lag twin
+    # (UTC wall-day via convert_timezone), week-epoch yoy compare on the
+    # 1990 epoch, McNemar's era split (year() over NTZ), seasonal-naive
+    # epoch-day shift, q54 month indices, q88 half-hour NTZ bands,
+    # drawdown day labels
+    "streaming_conversion_lag_vs_batch",
+    "stats_mcnemar_era_activity",
+    "timeseries_seasonal_naive_error",
+    "timeseries_max_drawdown_daily",
+    "ds_q54_post_anchor_revenue_bands",
+    "ds_q88_halfhour_band_census",
+    "ds_q11_two_channel_yoy_winners",
+    "geo_radius_of_gyration",
+    "geo_jump_length_histogram",
 ]
 
 
