@@ -1002,3 +1002,87 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m").alias("n_directed_edges"),
         F.when(den > 0, F.round(num / den, 6)).alias("assortativity"),
     )
+
+
+@query(
+    "graph_global_clustering_ratio",
+    oracle="""
+    WITH li AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ), e AS (
+      SELECT DISTINCT a.pk AS u, b.pk AS v
+      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+    ), deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+      FROM (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+      GROUP BY node
+    ), consts AS (
+      SELECT
+        (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
+        (SELECT COUNT(*)
+           FROM e e1 JOIN e e2 ON e1.v = e2.u
+                     JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+          AS n_triangles
+    )
+    SELECT n_triangles, n_wedges,
+      CASE WHEN n_wedges > 0 THEN ROUND(
+        3.0 * CAST(n_triangles AS DOUBLE) / CAST(n_wedges AS DOUBLE), 6)
+      END AS global_clustering
+    FROM consts
+    """,
+)
+def graph_global_clustering_ratio(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """GLOBAL clustering coefficient (transitivity ratio) of the
+    co-purchase graph: C = 3 * triangles / wedges, where wedges =
+    sum_v C(d_v, 2) over undirected degrees — the one-number closure
+    summary beside the per-node tier (graph_local_clustering_topk) and
+    the raw count (graph_triangle_count).
+
+    Triangles reuse the degree-ordered compact-forward closure (shared
+    _copurchase_edges persisted frames, O(E^1.5) wedge bound); the wedge
+    denominator is an exact integer sum over the degree table. One exact
+    division, rounded 6dp.
+
+    At 100 TB: same plan envelope as graph_triangle_count (three
+    shuffles); the degree rollup reuses the persisted undirected edges.
+    """
+    und, oe = _copurchase_edges(spark, sf_dir)
+    a, b = oe.alias("a"), oe.alias("b")
+    wedges_paths = a.join(
+        b, (F.col("a.src") == F.col("b.src")) & (F.col("a.dst") < F.col("b.dst"))
+    ).select(F.col("a.dst").alias("x"), F.col("b.dst").alias("z"))
+    closer = oe.select(
+        F.least("src", "dst").alias("x"), F.greatest("src", "dst").alias("z")
+    )
+    tri = wedges_paths.join(closer.hint("SHUFFLE_HASH"), ["x", "z"]).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    w = deg.agg(
+        F.sum(F.expr("CAST(d * (d - 1) DIV 2 AS BIGINT)"))
+        .cast("bigint")
+        .alias("n_wedges")
+    )
+    return (
+        tri.crossJoin(F.broadcast(w))
+        .select(
+            "n_triangles",
+            "n_wedges",
+            F.when(
+                F.col("n_wedges") > 0,
+                F.round(
+                    3.0
+                    * F.col("n_triangles").cast("double")
+                    / F.col("n_wedges").cast("double"),
+                    6,
+                ),
+            ).alias("global_clustering"),
+        )
+    )

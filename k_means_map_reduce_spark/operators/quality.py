@@ -808,3 +808,54 @@ def dq_outlier_iqr_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_outliers",
         "outlier_share",
     )
+
+
+@query(
+    "privacy_l_diversity_check",
+    oracle="""
+    WITH groups AS (
+      SELECT c_nationkey, c_mktsegment,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(COUNT(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT))
+             AS BIGINT) AS diversity
+      FROM customer
+      GROUP BY 1, 2
+    )
+    SELECT
+      CAST(COUNT(*) AS BIGINT) AS n_groups,
+      CAST(COUNT(CASE WHEN diversity < 3 THEN 1 END) AS BIGINT)
+        AS n_violating,
+      CAST(MIN(diversity) AS BIGINT) AS min_diversity,
+      ROUND(CAST(COUNT(CASE WHEN diversity < 3 THEN 1 END) AS DOUBLE)
+            / COUNT(*), 6) AS violating_share
+    FROM groups
+    """,
+)
+def privacy_l_diversity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (l=3), the standard companion of the k-anonymity
+    check: within each quasi-identifier group (nation, segment), the
+    SENSITIVE attribute (balance band, the same banding
+    privacy_k_anonymity_check treats as quasi-ID) must take at least 3
+    distinct values — a group that is k-anonymous but balance-homogeneous
+    still leaks the sensitive value, which k-anonymity alone misses.
+
+    Pure integer banding, distinct counts, and one exact ratio.
+
+    At 100 TB: one dimension pass into a 125-group rollup (two-phase
+    distinct), then a 1-row census.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal") / 1000.0).cast("bigint")
+    groups = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.countDistinct(band).cast("bigint").alias("diversity"),
+    )
+    viol = F.count(F.when(F.col("diversity") < 3, 1))
+    return groups.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        viol.cast("bigint").alias("n_violating"),
+        F.min("diversity").cast("bigint").alias("min_diversity"),
+        F.round(viol.cast("double") / F.count(F.lit(1)), 6).alias(
+            "violating_share"
+        ),
+    )

@@ -759,3 +759,106 @@ def agg_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY ALL
         """
     )
+
+
+@query(
+    "agg_exact_mode_by_segment",
+    oracle="""
+    WITH counts AS (
+      SELECT c_mktsegment AS segment, o_orderpriority AS priority,
+        CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders JOIN customer ON c_custkey = o_custkey
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT segment, priority, n,
+        ROW_NUMBER() OVER (PARTITION BY segment
+                           ORDER BY n DESC, priority) AS rk
+      FROM counts
+    )
+    SELECT segment, priority AS mode_priority, n AS mode_count
+    FROM ranked WHERE rk = 1
+    """,
+)
+def agg_exact_mode_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact MODE with a DETERMINISTIC tie-break: the most frequent order
+    priority per market segment, ties broken by priority name — the
+    portable restatement of mode()/any_value(), whose tie behavior is
+    engine-defined and therefore un-oracle-able as a builtin. ROW_NUMBER
+    over (count DESC, value) is the battery's total-order rule.
+
+    At 100 TB: one fact-dim join into a 25-cell rollup (map-side
+    combine); the rank window runs over those cells.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    from pyspark.sql import Window
+
+    counts = (
+        o.join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    w = Window.partitionBy("segment").orderBy(F.col("n").desc(), "priority")
+    return (
+        counts.select(
+            "segment", "priority", "n", F.row_number().over(w).alias("rk")
+        )
+        .where(F.col("rk") == 1)
+        .select(
+            "segment",
+            F.col("priority").alias("mode_priority"),
+            F.col("n").alias("mode_count"),
+        )
+    )
+
+
+@query(
+    "agg_max_by_min_by_injective",
+    oracle="""
+    SELECT n_nationkey,
+      max_by(c_custkey,
+             CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) * 10000000 + c_custkey)
+        AS richest_custkey,
+      min_by(c_custkey,
+             CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) * 10000000 + c_custkey)
+        AS poorest_custkey,
+      CAST(MAX(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+        AS max_bal_cents,
+      CAST(MIN(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+        AS min_bal_cents
+    FROM customer JOIN nation ON n_nationkey = c_nationkey
+    GROUP BY n_nationkey
+    """,
+)
+def agg_max_by_min_by_injective(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """max_by / min_by (argmax / argmin aggregates) made deterministic:
+    richest and poorest customer per nation. Raw max_by(key, acctbal) is
+    nondeterministic on balance ties in BOTH engines, so the ordering
+    value is the INJECTIVE composite cents*1e7 + custkey (custkey < 1e7
+    by catalog contract) — ties then break on customer key in the value
+    itself, with no window needed. The standard trick for making
+    arg-extrema aggregates oracle-able.
+
+    At 100 TB: a single map-side-combining aggregate per nation — the
+    cheapest argmax plan there is (no sort, no window).
+    """
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    cents = F.round(F.col("c_acctbal") * 100, 0).cast("bigint")
+    key = cents * F.lit(10000000).cast("bigint") + F.col("c_custkey")
+    return (
+        c.join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("n_nationkey")
+        .agg(
+            F.max_by("c_custkey", key).alias("richest_custkey"),
+            F.min_by("c_custkey", key).alias("poorest_custkey"),
+            F.max(cents).cast("bigint").alias("max_bal_cents"),
+            F.min(cents).cast("bigint").alias("min_bal_cents"),
+        )
+    )

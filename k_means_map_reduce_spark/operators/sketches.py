@@ -901,3 +901,132 @@ def agg_bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("ALL").alias("event_type"), "n_distinct_users")
     )
     return per_type.unionByName(merged_all)
+
+
+@query(
+    "sketch_bloom_fpr_exact",
+    oracle="""
+    WITH members AS (
+      SELECT c_custkey AS ck FROM customer WHERE c_mktsegment = 'BUILDING'
+    ),
+    probes AS (
+      SELECT c_custkey AS ck FROM customer WHERE c_mktsegment <> 'BUILDING'
+    ),
+    bits AS (
+      SELECT DISTINCT
+        CAST(CONCAT('0x', substr(md5('bf' || CAST(j AS VARCHAR) || ':'
+                                     || CAST(ck AS VARCHAR)), 1, 8))
+             AS BIGINT) % 16384 AS pos
+      FROM members, LATERAL UNNEST(range(0, 4)) AS t(j)
+    ),
+    probe_pos AS (
+      SELECT ck,
+        CAST(CONCAT('0x', substr(md5('bf' || CAST(j AS VARCHAR) || ':'
+                                     || CAST(ck AS VARCHAR)), 1, 8))
+             AS BIGINT) % 16384 AS pos
+      FROM probes, LATERAL UNNEST(range(0, 4)) AS t(j)
+    ),
+    hits AS (
+      SELECT p.ck, COUNT(DISTINCT p.pos) AS n_pos,
+        COUNT(DISTINCT CASE WHEN b.pos IS NOT NULL THEN p.pos END) AS n_hit
+      FROM probe_pos p LEFT JOIN bits b ON b.pos = p.pos
+      GROUP BY p.ck
+    )
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM members) AS n_members,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM bits) AS n_bits_set,
+      CAST(COUNT(*) AS BIGINT) AS n_probes,
+      CAST(COUNT(CASE WHEN n_hit = n_pos THEN 1 END) AS BIGINT)
+        AS n_false_positives,
+      ROUND(CAST(COUNT(CASE WHEN n_hit = n_pos THEN 1 END) AS DOUBLE)
+            / COUNT(*), 6) AS measured_fpr
+    FROM hits
+    """,
+)
+def sketch_bloom_fpr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A PORTABLE Bloom filter with its false-positive rate MEASURED
+    against ground truth: BUILDING-segment customers are inserted into a
+    16384-bit / 4-hash filter (positions from salted md5, the engine's
+    portable-hash recipe), every non-member probes it, and a probe is a
+    false positive iff ALL its positions are set. The measured FPR is
+    the calibration number a capacity planner compares against the
+    (1 - e^(-kn/m))^k model before sizing bloom_semi_join_orders at
+    scale.
+
+    Determinism: md5 is byte-identical across engines, positions are
+    exact integer arithmetic on nonnegative hashes, and membership is a
+    set join — no engine-native bloom internals anywhere, so DuckDB
+    replays the filter bit-for-bit.
+
+    At 100 TB: the bit set is at most m=16384 distinct positions
+    (broadcastable by construction); probes shuffle only (key, position)
+    pairs; both sides aggregate map-side.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    members = c.where(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("ck")
+    )
+    probes = c.where(F.col("c_mktsegment") != "BUILDING").select(
+        F.col("c_custkey").alias("ck")
+    )
+    pos = lambda df: df.select(  # noqa: E731
+        "ck",
+        F.explode(F.array(*[F.lit(j) for j in range(4)])).alias("j"),
+    ).select(
+        "ck",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("bf"),
+                            F.col("j").cast("string"),
+                            F.lit(":"),
+                            F.col("ck").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 16384
+        ).alias("pos"),
+    )
+    bits = pos(members).select("pos").distinct()
+    probe_pos = pos(probes)
+    marked = probe_pos.join(
+        bits.select(F.col("pos").alias("pos_b")),
+        F.col("pos") == F.col("pos_b"),
+        "left",
+    )
+    hits = marked.groupBy("ck").agg(
+        F.countDistinct("pos").alias("n_pos"),
+        F.countDistinct(
+            F.when(F.col("pos_b").isNotNull(), F.col("pos"))
+        ).alias("n_hit"),
+    )
+    n_members = members.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members")
+    )
+    n_bits = bits.agg(F.count(F.lit(1)).cast("bigint").alias("n_bits_set"))
+    fp = F.count(F.when(F.col("n_hit") == F.col("n_pos"), 1))
+    return (
+        hits.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_probes"),
+            fp.cast("bigint").alias("n_false_positives"),
+            F.round(fp.cast("double") / F.count(F.lit(1)), 6).alias(
+                "measured_fpr"
+            ),
+        )
+        .crossJoin(F.broadcast(n_members))
+        .crossJoin(F.broadcast(n_bits))
+        .select(
+            "n_members",
+            "n_bits_set",
+            "n_probes",
+            "n_false_positives",
+            "measured_fpr",
+        )
+    )
