@@ -440,3 +440,48 @@ def scalar_url_parsing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("top_path").alias("n_langs"),
         F.min("doc_id").alias("min_doc_id"),
     )
+
+
+@query(
+    "scalar_interval_arithmetic",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+      CAST(COUNT(CASE WHEN last_day(CAST(o_orderdate AS DATE))
+                           = CAST(o_orderdate AS DATE) THEN 1 END) AS BIGINT)
+        AS month_end_orders,
+      CAST(MIN(CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE))
+           AS VARCHAR) AS min_due_plus_3m,
+      CAST(MAX(CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE))
+           AS VARCHAR) AS max_due_plus_3m,
+      CAST(COUNT(DISTINCT date_trunc('quarter', CAST(o_orderdate AS DATE)))
+           AS BIGINT) AS n_quarters
+    FROM orders GROUP BY 1
+    """,
+)
+def scalar_interval_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar INTERVAL arithmetic surface: add_months with its
+    end-of-month clamping (Jan 31 + 3 months = Apr 30 — probed identical
+    to DuckDB's DATE + INTERVAL), last_day month-end detection, and
+    quarter truncation — the date-math battery a billing/due-date
+    pipeline leans on, verified cross-engine per priority.
+
+    Determinism: pure calendar-field arithmetic over DATE values
+    (tz-free), emitted as strings per the battery's date-column rule.
+
+    At 100 TB: one scan, map-side conditional counts + min/max; the
+    quarter distinct is a 5 x ~30 group rollup.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.when(F.last_day(d) == d, 1))
+        .cast("bigint")
+        .alias("month_end_orders"),
+        F.min(F.add_months(d, 3)).cast("string").alias("min_due_plus_3m"),
+        F.max(F.add_months(d, 3)).cast("string").alias("max_due_plus_3m"),
+        F.countDistinct(
+            F.date_trunc("quarter", F.col("o_orderdate"))
+        )
+        .cast("bigint")
+        .alias("n_quarters"),
+    )

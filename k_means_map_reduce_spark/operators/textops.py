@@ -7,7 +7,7 @@ the aggregating variants.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .._memo import SessionMemo
@@ -2782,4 +2782,180 @@ def text_bigram_entropy_rate_by_lang(
             F.min("n").alias("n_bigrams"),
             F.sum(term).cast("double").alias("entropy_rate"),
         )
+    )
+
+
+@query(
+    "ml_naive_bayes_lang_confusion",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang AS true_lang, tok, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (
+        SELECT doc_id, lang,
+          unnest(list_filter(
+            string_split_regex(LOWER(TRIM(text)), '\\s+'), t -> t != ''))
+            AS tok
+        FROM documents
+      ) GROUP BY 1, 2, 3
+    ),
+    vocab AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM toks),
+    class_counts AS (
+      SELECT true_lang AS lang, tok, CAST(SUM(c) AS BIGINT) AS cnt
+      FROM toks GROUP BY 1, 2
+    ),
+    class_tot AS (
+      SELECT lang, CAST(SUM(cnt) AS BIGINT) AS tot
+      FROM class_counts GROUP BY 1
+    ),
+    doc_counts AS (
+      SELECT true_lang AS lang, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd
+      FROM toks GROUP BY 1
+    ),
+    nd_tot AS (SELECT CAST(SUM(nd) AS BIGINT) AS ndt FROM doc_counts),
+    langs AS (
+      SELECT t.lang, t.tot, d.nd, v, ndt,
+        CAST(ROUND(ln(1.0 / CAST(t.tot + v AS DOUBLE)), 6)
+             AS DECIMAL(18,6)) AS default_logp,
+        CAST(ROUND(ln(CAST(d.nd AS DOUBLE) / CAST(ndt AS DOUBLE)), 6)
+             AS DECIMAL(18,6)) AS prior_logp
+      FROM class_tot t
+      JOIN doc_counts d ON d.lang = t.lang
+      CROSS JOIN vocab CROSS JOIN nd_tot
+    ),
+    logps AS (
+      SELECT c.lang, c.tok,
+        CAST(ROUND(ln(CAST(c.cnt + 1 AS DOUBLE)
+                      / CAST(l.tot + l.v AS DOUBLE)), 6)
+             AS DECIMAL(18,6)) AS logp
+      FROM class_counts c JOIN langs l ON l.lang = c.lang
+    ),
+    scores AS (
+      SELECT t.doc_id, t.true_lang, l.lang AS cand,
+        l.prior_logp + SUM(t.c * COALESCE(p.logp, l.default_logp)) AS score
+      FROM toks t
+      CROSS JOIN langs l
+      LEFT JOIN logps p ON p.lang = l.lang AND p.tok = t.tok
+      GROUP BY t.doc_id, t.true_lang, l.lang, l.prior_logp
+    ),
+    predicted AS (
+      SELECT doc_id, true_lang, cand AS predicted_lang,
+        ROW_NUMBER() OVER (PARTITION BY doc_id
+                           ORDER BY score DESC, cand) AS rk
+      FROM scores
+    )
+    SELECT true_lang, predicted_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM predicted WHERE rk = 1
+    GROUP BY 1, 2
+    """,
+)
+def ml_naive_bayes_lang_confusion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Multinomial Naive Bayes language classifier, trained AND evaluated
+    on the corpus in one plan, reported as a (true, predicted) confusion
+    matrix — the classic from-scratch distributed-ML exercise, fully
+    oracled: add-one-smoothed token log-likelihoods plus document-count
+    priors, argmax over the 5 language classes.
+
+    Determinism: every log-prob is ln of an exact BIGINT ratio
+    ((cnt+1)/(tot+V) — identical doubles), rounded 6dp into
+    DECIMAL(18,6); per-document scores are ORDER-INSENSITIVE decimal
+    sums of c * logp (integer-scaled exact arithmetic, lesson 10's
+    recipe extended to a full classifier); the argmax is ROW_NUMBER over
+    (score DESC, lang). Unseen (doc-token x class) cells take the
+    class's smoothing floor via the LEFT-join COALESCE.
+
+    At 100 TB: one tokenize pass to (doc, token, count); model tables
+    are vocabulary-scale rollups of it; scoring joins the doc-token
+    rollup to the |V| x 5 model on the token key (never a cross join of
+    docs x vocab), and the confusion rollup is 25 cells.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.filter(
+        F.split(F.lower(F.trim("text")), r"\s+"), lambda t: t != ""
+    )
+    toks = (
+        d.select("doc_id", F.col("lang").alias("true_lang"), F.explode(ws).alias("tok"))
+        .groupBy("doc_id", "true_lang", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    vocab = toks.agg(F.countDistinct("tok").cast("bigint").alias("v"))
+    class_counts = toks.groupBy(F.col("true_lang").alias("lang"), "tok").agg(
+        F.sum("c").cast("bigint").alias("cnt")
+    )
+    class_tot = class_counts.groupBy("lang").agg(
+        F.sum("cnt").cast("bigint").alias("tot")
+    )
+    doc_counts = toks.groupBy(F.col("true_lang").alias("lang_d")).agg(
+        F.countDistinct("doc_id").cast("bigint").alias("nd")
+    )
+    nd_tot = doc_counts.agg(F.sum("nd").cast("bigint").alias("ndt"))
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    langs = (
+        class_tot.join(
+            doc_counts, F.col("lang") == F.col("lang_d")
+        )
+        .crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(nd_tot))
+        .select(
+            "lang",
+            "tot",
+            "v",
+            F.round(F.log(1.0 / (F.col("tot") + F.col("v")).cast("double")), 6)
+            .cast("decimal(18,6)")
+            .alias("default_logp"),
+            F.round(F.log(dd("nd") / dd("ndt")), 6)
+            .cast("decimal(18,6)")
+            .alias("prior_logp"),
+        )
+    )
+    logps = class_counts.join(
+        langs.select("lang", "tot", "v"), "lang"
+    ).select(
+        "lang",
+        "tok",
+        F.round(
+            F.log(
+                (F.col("cnt") + 1).cast("double")
+                / (F.col("tot") + F.col("v")).cast("double")
+            ),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("logp"),
+    )
+    cand = langs.select(
+        F.col("lang").alias("cand"), "default_logp", "prior_logp"
+    )
+    scores = (
+        toks.crossJoin(F.broadcast(cand))
+        .join(
+            logps.select(
+                F.col("lang").alias("cand_l"),
+                F.col("tok").alias("tok_l"),
+                "logp",
+            ),
+            (F.col("cand") == F.col("cand_l")) & (F.col("tok") == F.col("tok_l")),
+            "left",
+        )
+        .groupBy("doc_id", "true_lang", "cand", "prior_logp")
+        .agg(
+            (
+                F.first("prior_logp")
+                + F.sum(
+                    F.col("c")
+                    * F.coalesce(F.col("logp"), F.col("default_logp"))
+                )
+            ).alias("score")
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "cand")
+    predicted = scores.select(
+        "doc_id",
+        "true_lang",
+        F.col("cand").alias("predicted_lang"),
+        F.row_number().over(w).alias("rk"),
+    ).where(F.col("rk") == 1)
+    return predicted.groupBy("true_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
     )

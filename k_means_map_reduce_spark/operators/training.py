@@ -2121,3 +2121,118 @@ def training_quality_filter_funnel(
         .alias("after_repetition"),
         F.sum("pass_dedup").cast("bigint").alias("after_dedup"),
     )
+
+
+@query(
+    "features_woe_binning_returns",
+    oracle="""
+    WITH bands AS (
+      SELECT
+        CASE WHEN l_quantity <= 10 THEN 'b1_q01_10'
+             WHEN l_quantity <= 20 THEN 'b2_q11_20'
+             WHEN l_quantity <= 30 THEN 'b3_q21_30'
+             WHEN l_quantity <= 40 THEN 'b4_q31_40'
+             ELSE 'b5_q41_up' END AS band,
+        CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+      FROM lineitem
+    ),
+    cells AS (
+      SELECT band,
+        CAST(SUM(y) AS BIGINT) AS n_pos,
+        CAST(COUNT(*) - SUM(y) AS BIGINT) AS n_neg
+      FROM bands GROUP BY band
+    ),
+    tot AS (
+      SELECT band, n_pos, n_neg,
+        CAST(SUM(n_pos) OVER () AS BIGINT) AS pos_tot,
+        CAST(SUM(n_neg) OVER () AS BIGINT) AS neg_tot
+      FROM cells
+    ),
+    scored AS (
+      SELECT band, n_pos, n_neg,
+        CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+          CAST(ROUND(ln(CAST(n_pos * neg_tot AS DOUBLE)
+                        / CAST(n_neg * pos_tot AS DOUBLE)), 6)
+               AS DECIMAL(18,6))
+        END AS woe,
+        CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+          CAST(ROUND((CAST(n_pos AS DOUBLE) / CAST(pos_tot AS DOUBLE)
+                      - CAST(n_neg AS DOUBLE) / CAST(neg_tot AS DOUBLE))
+                     * ROUND(ln(CAST(n_pos * neg_tot AS DOUBLE)
+                                / CAST(n_neg * pos_tot AS DOUBLE)), 6), 6)
+               AS DECIMAL(18,6))
+        END AS iv_term
+      FROM tot
+    )
+    SELECT band, n_pos, n_neg,
+      CAST(woe AS DOUBLE) AS woe,
+      CAST(SUM(iv_term) OVER () AS DOUBLE) AS information_value
+    FROM scored
+    """,
+)
+def features_woe_binning_returns(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Weight-of-evidence encoding of quantity bands against the return
+    outcome, plus the feature's total Information Value — the credit-
+    scoring / feature-selection standard: WOE_b = ln((pos_b/pos_tot) /
+    (neg_b/neg_tot)), IV = sum (pos share - neg share) * WOE.
+
+    Determinism: counts are exact BIGINTs; the WOE ln argument is a
+    cross-multiplied exact-integer ratio (pos_b*neg_tot)/(neg_b*pos_tot)
+    — identical doubles — rounded 6dp (lesson 10); IV terms multiply
+    identical doubles by the ROUNDED WOE, round 6dp, and window-sum as
+    order-insensitive decimals. Empty-side bands NULL out per the WOE
+    convention.
+
+    At 100 TB: one fact pass into a 5-band rollup (map-side combine);
+    everything after runs on 5 rows.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    band = (
+        F.when(F.col("l_quantity") <= 10, "b1_q01_10")
+        .when(F.col("l_quantity") <= 20, "b2_q11_20")
+        .when(F.col("l_quantity") <= 30, "b3_q21_30")
+        .when(F.col("l_quantity") <= 40, "b4_q31_40")
+        .otherwise("b5_q41_up")
+    )
+    y = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+    cells = l.select(band.alias("band"), y.alias("y")).groupBy("band").agg(
+        F.sum("y").cast("bigint").alias("n_pos"),
+        (F.count(F.lit(1)) - F.sum("y")).cast("bigint").alias("n_neg"),
+    )
+    w_all = Window.partitionBy()
+    tot = cells.select(
+        "band",
+        "n_pos",
+        "n_neg",
+        F.sum("n_pos").over(w_all).cast("bigint").alias("pos_tot"),
+        F.sum("n_neg").over(w_all).cast("bigint").alias("neg_tot"),
+    )
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    ok = (F.col("n_pos") > 0) & (F.col("n_neg") > 0)
+    woe_raw = F.round(
+        F.log(
+            (F.col("n_pos") * F.col("neg_tot")).cast("double")
+            / (F.col("n_neg") * F.col("pos_tot")).cast("double")
+        ),
+        6,
+    )
+    iv_term = F.round(
+        (dd("n_pos") / dd("pos_tot") - dd("n_neg") / dd("neg_tot")) * woe_raw,
+        6,
+    )
+    scored = tot.select(
+        "band",
+        "n_pos",
+        "n_neg",
+        F.when(ok, woe_raw).cast("decimal(18,6)").alias("woe"),
+        F.when(ok, iv_term).cast("decimal(18,6)").alias("iv_term"),
+    )
+    return scored.select(
+        "band",
+        "n_pos",
+        "n_neg",
+        F.col("woe").cast("double").alias("woe"),
+        F.sum("iv_term").over(w_all).cast("double").alias("information_value"),
+    )

@@ -1929,3 +1929,57 @@ _query(
     FROM lags GROUP BY 1
     """,
 )(stream_conversion_lag_vs_batch)
+
+
+def stream_am_pm_ratio_vs_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of operators.tpcds_shapes.ds_q90_am_pm_ratio: the
+    AM/PM band counts are plain conditional COUNTs per event type —
+    order-insensitive and replay-idempotent under availableNow, so the
+    streaming state is just two integers per type. Hours are taken on
+    the UTC wall time (convert_timezone on the NTZ cast — the _fmt_utc
+    discipline) to match the batch twin's session-zone-free NTZ hour().
+    The ratio is computed over the drained state as a stateless
+    projection (no second stateful stage needed)."""
+    e = read_events_stream(spark, sf_dir)
+    h = F.hour(
+        F.convert_timezone(None, F.lit("UTC"), F.col("ts").cast("timestamp_ntz"))
+    )
+    agg = e.groupBy("event_type").agg(
+        F.count(F.when(h.between(7, 11), 1)).alias("am_count"),
+        F.count(F.when(h.between(19, 23), 1)).alias("pm_count"),
+    )
+    drained = _run_available_now(agg, "am_pm_ratio")
+    return drained.select(
+        "event_type",
+        "am_count",
+        "pm_count",
+        F.when(
+            F.col("pm_count") > 0,
+            F.round(
+                F.col("am_count").cast("double")
+                / F.col("pm_count").cast("double"),
+                6,
+            ),
+        ).alias("am_pm_ratio"),
+    )
+
+
+_query(
+    "streaming_am_pm_ratio_vs_batch",
+    oracle="""
+    SELECT event_type,
+      COUNT(CASE WHEN h BETWEEN 7 AND 11 THEN 1 END) AS am_count,
+      COUNT(CASE WHEN h BETWEEN 19 AND 23 THEN 1 END) AS pm_count,
+      CASE WHEN COUNT(CASE WHEN h BETWEEN 19 AND 23 THEN 1 END) > 0 THEN
+        ROUND(CAST(COUNT(CASE WHEN h BETWEEN 7 AND 11 THEN 1 END) AS DOUBLE)
+              / CAST(COUNT(CASE WHEN h BETWEEN 19 AND 23 THEN 1 END) AS DOUBLE),
+              6)
+      END AS am_pm_ratio
+    FROM (
+      SELECT event_type,
+        CAST(strftime(CAST(ts AS TIMESTAMP), '%H') AS INT) AS h
+      FROM events
+    )
+    GROUP BY 1
+    """,
+)(stream_am_pm_ratio_vs_batch)
