@@ -3763,3 +3763,152 @@ def embedding_matryoshka_energy(
             / F.count(F.lit(1))
         ).alias("mean_energy"),
     )
+
+
+@query(
+    "finance_fifo_lot_matching",
+    oracle="""
+    WITH base AS (
+      SELECT l_partkey AS pk, l_returnflag AS f,
+        CAST(l_quantity AS BIGINT) AS q, l_shipdate AS d,
+        l_orderkey AS ok, l_linenumber AS ln
+      FROM lineitem
+    ),
+    buys AS (
+      SELECT pk, ok, ln, q,
+        CAST(SUM(q) OVER w - q AS BIGINT) AS lo,
+        CAST(SUM(q) OVER w AS BIGINT) AS hi
+      FROM base WHERE f = 'N'
+      WINDOW w AS (PARTITION BY pk ORDER BY d, ok, ln)
+    ),
+    sells AS (
+      SELECT pk, ok, ln, q,
+        CAST(SUM(q) OVER w - q AS BIGINT) AS lo,
+        CAST(SUM(q) OVER w AS BIGINT) AS hi
+      FROM base WHERE f = 'R'
+      WINDOW w AS (PARTITION BY pk ORDER BY d, ok, ln)
+    ),
+    matches AS (
+      SELECT b.pk,
+        CAST(LEAST(b.hi, s.hi) - GREATEST(b.lo, s.lo) AS BIGINT) AS matched
+      FROM buys b JOIN sells s
+        ON b.pk = s.pk AND b.lo < s.hi AND s.lo < b.hi
+    ),
+    sold AS (
+      SELECT pk, CAST(SUM(q) AS BIGINT) AS returned_qty
+      FROM base WHERE f = 'R' GROUP BY pk
+    )
+    SELECT m.pk AS partkey,
+      CAST(COUNT(*) AS BIGINT) AS n_lot_matches,
+      CAST(SUM(m.matched) AS BIGINT) AS matched_qty,
+      s.returned_qty,
+      ROUND(CAST(SUM(m.matched) AS DOUBLE) / CAST(s.returned_qty AS DOUBLE),
+            6) AS coverage
+    FROM matches m JOIN sold s ON s.pk = m.pk
+    GROUP BY m.pk, s.returned_qty
+    """,
+)
+def finance_fifo_lot_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFO lot matching — the inventory-accounting primitive (and the
+    classic "hard SQL" interview problem) as a distributed plan: each
+    part's shipped lines are purchase LOTS and its returned lines are
+    disposals; FIFO consumes lots in ship-date order, which is exactly
+    the INTERVAL INTERSECTION of the two cumulative-quantity ranges
+    ([cum-q, cum) per line, ordered by (date, order, line)). matched =
+    min(hi) - max(lo) per overlapping (lot, disposal) pair, rolled up
+    per part with the disposal coverage ratio.
+
+    The Spark plan buckets each cumulative range into floor(lo/128)..
+    floor((hi-1)/128) buckets (every range spans <= 2 buckets because
+    line quantity <= 50 < 128) and equi-joins on (part, bucket) with the
+    overlap predicate as a residual — the banded-join trick that keeps
+    per-join-key fan-out O(bucket occupancy) instead of O(lots x
+    disposals) per part; pairs meeting in both buckets dedupe before
+    aggregation. The oracle verifies the clever plan with the naive
+    range join (the q72 pattern). Pure integer arithmetic throughout.
+
+    At 100 TB: two windows share the fact's (part) partitioning; the
+    bucketed join bounds every key's fan-out by how many ~128-unit lots
+    coexist in one cumulative band (a data-model constant), never by a
+    part's total history.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    base = l.select(
+        F.col("l_partkey").alias("pk"),
+        F.col("l_returnflag").alias("f"),
+        F.col("l_quantity").cast("bigint").alias("q"),
+        F.col("l_shipdate").alias("d"),
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_linenumber").alias("ln"),
+    )
+    w = Window.partitionBy("pk").orderBy("d", "ok", "ln").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+
+    def ranged(flag: str) -> DataFrame:
+        side = base.where(F.col("f") == flag)
+        hi = F.sum("q").over(w).cast("bigint")
+        return side.select(
+            "pk", "ok", "ln", "q", (hi - F.col("q")).alias("lo"), hi.alias("hi")
+        )
+
+    buys, sells = ranged("N"), ranged("R")
+    bucketed = lambda df: df.select(  # noqa: E731
+        "*",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("lo") / 128).cast("bigint"),
+                F.floor((F.col("hi") - 1) / 128).cast("bigint"),
+            )
+        ).alias("bkt"),
+    )
+    b = bucketed(buys).select(
+        "pk",
+        "bkt",
+        F.col("ok").alias("b_ok"),
+        F.col("ln").alias("b_ln"),
+        F.col("lo").alias("b_lo"),
+        F.col("hi").alias("b_hi"),
+    )
+    s = bucketed(sells).select(
+        F.col("pk").alias("pk_s"),
+        F.col("bkt").alias("bkt_s"),
+        F.col("ok").alias("s_ok"),
+        F.col("ln").alias("s_ln"),
+        F.col("lo").alias("s_lo"),
+        F.col("hi").alias("s_hi"),
+    )
+    pairs = (
+        b.join(
+            s,
+            (F.col("pk") == F.col("pk_s"))
+            & (F.col("bkt") == F.col("bkt_s"))
+            & (F.col("b_lo") < F.col("s_hi"))
+            & (F.col("s_lo") < F.col("b_hi")),
+        )
+        .select("pk", "b_ok", "b_ln", "s_ok", "s_ln", "b_lo", "b_hi", "s_lo", "s_hi")
+        .distinct()
+    )
+    matched = F.least(F.col("b_hi"), F.col("s_hi")) - F.greatest(
+        F.col("b_lo"), F.col("s_lo")
+    )
+    per_part = pairs.groupBy("pk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lot_matches"),
+        F.sum(matched).cast("bigint").alias("matched_qty"),
+    )
+    sold = (
+        base.where(F.col("f") == "R")
+        .groupBy("pk")
+        .agg(F.sum("q").cast("bigint").alias("returned_qty"))
+    )
+    return per_part.join(sold, "pk").select(
+        F.col("pk").alias("partkey"),
+        "n_lot_matches",
+        "matched_qty",
+        "returned_qty",
+        F.round(
+            F.col("matched_qty").cast("double")
+            / F.col("returned_qty").cast("double"),
+            6,
+        ).alias("coverage"),
+    )

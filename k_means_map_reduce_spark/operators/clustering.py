@@ -1409,3 +1409,97 @@ def kmeans_calinski_harabasz_oracled(
         F.col("n").cast("bigint").alias("n"),
         F.when(guard, F.round(ch, 6)).alias("ch_score"),
     )
+
+
+def _bic_oracle_sql(k: int, rounds: int) -> str:
+    """DuckDB mirror of the BIC/AIC scores over the determinized Lloyd
+    clustering: both need only SSW, n, and the dimensionality."""
+    lloyd = _kmeans_oracle_sql(k, rounds)
+    chain = lloyd[: lloyd.index("\n    SELECT")]
+    dist_mc = (
+        "list_reduce(list_transform(range(len(m.v)),"
+        " i -> (CAST(m.v[i+1] AS DOUBLE) - c.c[i+1])"
+        " * (CAST(m.v[i+1] AS DOUBLE) - c.c[i+1])), (x, y) -> x + y)"
+    )
+    return (
+        chain
+        + f""",
+    ssw_ AS (
+      SELECT COUNT(*) AS n,
+        CAST(SUM(CAST(ROUND({dist_mc}, 6) AS DECIMAL(24,6))) AS DOUBLE)
+          AS ssw
+      FROM a{rounds} m JOIN cent{rounds} c USING (cid)
+    ),
+    dim_ AS (SELECT CAST(MIN(len(c)) AS BIGINT) AS d FROM cent{rounds})
+    SELECT CAST({k} AS BIGINT) AS k, CAST(n AS BIGINT) AS n, d,
+      CASE WHEN ssw > 0 AND n > 0 THEN
+        ROUND(CAST(n * CAST(ROUND(ln(ssw / CAST(n AS DOUBLE)), 6)
+                            AS DECIMAL(18,6))
+                   + {k} * d * CAST(ROUND(ln(CAST(n AS DOUBLE)), 6)
+                                    AS DECIMAL(18,6)) AS DOUBLE), 6)
+      END AS bic,
+      CASE WHEN ssw > 0 AND n > 0 THEN
+        ROUND(CAST(n * CAST(ROUND(ln(ssw / CAST(n AS DOUBLE)), 6)
+                            AS DECIMAL(18,6))
+                   + 2 * {k} * d AS DOUBLE), 6)
+      END AS aic
+    FROM ssw_ CROSS JOIN dim_
+    """
+    )
+
+
+@query("kmeans_bic_aic_oracled", oracle=_bic_oracle_sql(4, 3))
+def kmeans_bic_aic_oracled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BIC and AIC model-selection scores of the determinized Lloyd
+    clustering (the X-means / elbow-replacement criteria): BIC =
+    n ln(SSW/n) + k·d·ln(n), AIC = n ln(SSW/n) + 2·k·d — the
+    information-criterion companions to the validity battery
+    (silhouette, Davies-Bouldin, Calinski-Harabasz), hash-verified end
+    to end (DuckDB replays the Lloyd rounds and the SSW sum).
+
+    Determinism: SSW is the same round-6 decimal sum as the CH score;
+    each ln sees identical doubles and is rounded 6dp (lesson 10), the
+    n·ln and k·d·ln terms stay exact decimal arithmetic, and only the
+    final sum casts to double. Constant data (SSW = 0) yields NULLs.
+
+    Scale shape: one assignment scan with a k-row broadcast dim — the
+    cheapest of the validity metrics (no grand mean, no pairwise term).
+    """
+    from ..functions.vectors import sq_euclidean
+
+    cents, assigned = _lloyd_portable(spark, sf_dir, k=4, rounds=3)
+    k = len(cents)
+    dim = len(cents[0])
+    cent_rows = [(cid, cents[cid]) for cid in range(k)]
+    cent_df = spark.createDataFrame(cent_rows, "cid INT, c ARRAY<DOUBLE>")
+    members = assigned.select(
+        "cid", F.col("v").cast("array<double>").alias("v")
+    )
+    ssw_df = members.join(F.broadcast(cent_df), "cid").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.round(sq_euclidean(F.col("v"), F.col("c")), 6).cast(
+                "decimal(24,6)"
+            )
+        )
+        .cast("double")
+        .alias("ssw"),
+    )
+    ln_w = F.round(
+        F.log(F.col("ssw") / F.col("n").cast("double")), 6
+    ).cast("decimal(18,6)")
+    ln_n = F.round(F.log(F.col("n").cast("double")), 6).cast("decimal(18,6)")
+    ok = (F.col("ssw") > 0) & (F.col("n") > 0)
+    bic = F.round(
+        (F.col("n") * ln_w + F.lit(k * dim) * ln_n).cast("double"), 6
+    )
+    aic = F.round(
+        (F.col("n") * ln_w + F.lit(2 * k * dim)).cast("double"), 6
+    )
+    return ssw_df.select(
+        F.lit(k).cast("bigint").alias("k"),
+        F.col("n").cast("bigint").alias("n"),
+        F.lit(dim).cast("bigint").alias("d"),
+        F.when(ok, bic).alias("bic"),
+        F.when(ok, aic).alias("aic"),
+    )
