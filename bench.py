@@ -173,7 +173,24 @@ PREV79 = LEGACY56 + R7_FOLDED + R8_FOLDED
 # Round-10 operator additions: benched identically, reported detail-only
 # (bench_detail.json "r10_additions*") so this round's 96-query totals land
 # clean as the new baseline; fold next round.
-ADDITIONS: list[str] = []
+ADDITIONS: list[str] = [
+    "ds_q11_two_channel_yoy_winners",
+    "ds_q35_demographic_channel_census",
+    "ds_q54_post_anchor_revenue_bands",
+    "ds_q29_quantity_chain_by_brand",
+    "stats_sign_test_nation_balance",
+    "stats_theils_u_segment_priority",
+    "dedup_paragraph_containment_pairs",
+    "contamination_crosslingual_fingerprints",
+    "ml_naive_bayes_lang_confusion",
+    "geo_radius_of_gyration",
+    "timeseries_seasonal_naive_error",
+    "graph_global_clustering_ratio",
+    "finance_fifo_lot_matching",
+    "sketch_bloom_fpr_exact",
+    "kmeans_bic_aic_oracled",
+    "features_woe_binning_returns",
+]
 
 
 def main() -> None:

@@ -84,3 +84,19 @@ def clear_all_memos() -> None:
     """Release every memoized persisted artifact (all operator modules)."""
     for memo in _ALL_MEMOS:
         memo.clear()
+
+
+def memo_persist(memo: "SessionMemo", spark: SparkSession, key: Any, build):
+    """Fetch-or-build a persisted single-DataFrame memo entry.
+
+    The standard fix for lesson 27/30's pair of hazards: a derived frame
+    consumed by several plan branches must be persisted (or every consumer
+    re-runs its subtree), and that persist must be memoized per
+    (applicationId, key) (or every warm bench rep pins a fresh block).
+    """
+    hit = memo.get(spark, key)
+    if hit is not None:
+        return hit[0]
+    df = build().persist()
+    memo.put(spark, key, (df,))
+    return df

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .._memo import SessionMemo
+from .._memo import SessionMemo, memo_persist
 from ..registry import query
 from ..sources import load_table
 from ._util import dsum, sql_dsum
@@ -3765,6 +3765,11 @@ def embedding_matryoshka_energy(
     )
 
 
+# (applicationId, sf_dir) -> persisted 6-column FIFO fact projection —
+# the buy ranges, sell ranges, and returned-qty rollup consume it.
+_FIFO_BASE_CACHE = SessionMemo("analytics.fifo_base")
+
+
 @query(
     "finance_fifo_lot_matching",
     oracle="""
@@ -3833,13 +3838,20 @@ def finance_fifo_lot_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     part's total history.
     """
     l = load_table(spark, sf_dir, "lineitem")
-    base = l.select(
-        F.col("l_partkey").alias("pk"),
-        F.col("l_returnflag").alias("f"),
-        F.col("l_quantity").cast("bigint").alias("q"),
-        F.col("l_shipdate").alias("d"),
-        F.col("l_orderkey").alias("ok"),
-        F.col("l_linenumber").alias("ln"),
+    # buys, sells, and the returned-qty rollup all consume the projection —
+    # persisted + memoized (lesson 27/30, scan_audit-found)
+    base = memo_persist(
+        _FIFO_BASE_CACHE,
+        spark,
+        sf_dir,
+        lambda: l.select(
+            F.col("l_partkey").alias("pk"),
+            F.col("l_returnflag").alias("f"),
+            F.col("l_quantity").cast("bigint").alias("q"),
+            F.col("l_shipdate").alias("d"),
+            F.col("l_orderkey").alias("ok"),
+            F.col("l_linenumber").alias("ln"),
+        ),
     )
     w = Window.partitionBy("pk").orderBy("d", "ok", "ln").rowsBetween(
         Window.unboundedPreceding, 0

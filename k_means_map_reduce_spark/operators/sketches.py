@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .._memo import SessionMemo
+from .._memo import SessionMemo, memo_persist
 from ..registry import query
 from ..sources import load_table, register_views
 
@@ -903,6 +903,11 @@ def agg_bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_type.unionByName(merged_all)
 
 
+# (applicationId, sf_dir) -> persisted distinct Bloom bit positions of the
+# member set — the probe join and the set-bit census consume it.
+_BLOOM_BITS_CACHE = SessionMemo("sketches.bloom_bits")
+
+
 @query(
     "sketch_bloom_fpr_exact",
     oracle="""
@@ -994,7 +999,14 @@ def sketch_bloom_fpr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             % 16384
         ).alias("pos"),
     )
-    bits = pos(members).select("pos").distinct()
+    # the bit set feeds the probe join AND the n_bits census — persisted +
+    # memoized (<= 16384 rows; lesson 27/30, scan_audit-found)
+    bits = memo_persist(
+        _BLOOM_BITS_CACHE,
+        spark,
+        sf_dir,
+        lambda: pos(members).select("pos").distinct(),
+    )
     probe_pos = pos(probes)
     marked = probe_pos.join(
         bits.select(F.col("pos").alias("pos_b")),

@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .._memo import SessionMemo
+from .._memo import SessionMemo, memo_persist
 from ..registry import query
 from ..sources import load_table
 
@@ -2164,6 +2164,11 @@ def stats_nemenyi_posthoc_segments(
     )
 
 
+# (applicationId, sf_dir) -> persisted 25-cell (segment, priority) counts —
+# Theil's U marginals, total, and both entropy passes consume it.
+_THEILS_CELLS_CACHE = SessionMemo("stats.theils_cells")
+
+
 @query(
     "stats_theils_u_segment_priority",
     oracle="""
@@ -2222,13 +2227,21 @@ def stats_theils_u_segment_priority(
     """
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
-    cells = (
-        o.join(c, F.col("c_custkey") == F.col("o_custkey"))
-        .groupBy(
-            F.col("c_mktsegment").alias("seg"),
-            F.col("o_orderpriority").alias("pri"),
-        )
-        .agg(F.count(F.lit(1)).cast("bigint").alias("nab"))
+    # the 25-cell contingency feeds both marginals, the total, and both
+    # entropy passes — persisted + memoized or the fact-dim join re-runs
+    # once per consumer (lesson 27/30, scan_audit-found)
+    cells = memo_persist(
+        _THEILS_CELLS_CACHE,
+        spark,
+        sf_dir,
+        lambda: (
+            o.join(c, F.col("c_custkey") == F.col("o_custkey"))
+            .groupBy(
+                F.col("c_mktsegment").alias("seg"),
+                F.col("o_orderpriority").alias("pri"),
+            )
+            .agg(F.count(F.lit(1)).cast("bigint").alias("nab"))
+        ),
     )
     margins = cells.groupBy("seg").agg(
         F.sum("nab").cast("bigint").alias("na")

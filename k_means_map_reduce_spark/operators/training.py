@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .._memo import SessionMemo
+from .._memo import SessionMemo, memo_persist
 from ..registry import query
 from ..sources import load_table
 
@@ -1812,6 +1812,11 @@ def training_perplexity_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# (applicationId, sf_dir) -> persisted distinct (doc, lang, 5-gram md5)
+# postings — the rare-fingerprint filter and both pair sides consume it.
+_XLING_GRAMS_CACHE = SessionMemo("training.xling_grams")
+
+
 @query(
     "contamination_crosslingual_fingerprints",
     oracle="""
@@ -1869,20 +1874,27 @@ def contamination_crosslingual_fingerprints(
         F.split(F.lower(F.regexp_replace(F.trim("text"), r"\s+", " ")), " "),
         lambda t: t != "",
     )
-    grams = (
-        d.select("doc_id", "lang", ws.alias("ws"))
-        .where(F.size("ws") >= 5)
-        .select(
-            "doc_id",
-            "lang",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(ws) - 4),"
-                    " i -> md5(concat_ws(' ', slice(ws, i, 5))))"
-                )
-            ).alias("g"),
-        )
-        .distinct()
+    # grams feeds the fingerprint df filter AND both pair-join sides —
+    # persisted + memoized (lesson 27/30, scan_audit-found)
+    grams = memo_persist(
+        _XLING_GRAMS_CACHE,
+        spark,
+        sf_dir,
+        lambda: (
+            d.select("doc_id", "lang", ws.alias("ws"))
+            .where(F.size("ws") >= 5)
+            .select(
+                "doc_id",
+                "lang",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(ws) - 4),"
+                        " i -> md5(concat_ws(' ', slice(ws, i, 5))))"
+                    )
+                ).alias("g"),
+            )
+            .distinct()
+        ),
     )
     fp = (
         grams.groupBy("g")
