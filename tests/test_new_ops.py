@@ -774,3 +774,158 @@ def test_cluster_validity_indices_sane(spark, oracle_sf_dir):
         spark, oracle_sf_dir
     ).collect()[0]
     assert ch["ch_score"] is not None and ch["ch_score"] > 0
+
+
+# ---------------------------------------------------------------------------
+# round-10 operator invariants
+# ---------------------------------------------------------------------------
+
+
+def test_token_budget_apportionment_sums_exact(spark, sf_dir):
+    """Hamilton-quota guarantee: quotas sum EXACTLY to the 1M budget and
+    each source gets floor-quota or floor-quota + 1."""
+    from pyspark.sql import functions as F
+
+    out = QUERIES["training_token_budget_apportionment"](spark, sf_dir)
+    rows = out.collect()
+    assert sum(r.token_quota for r in rows) == 1_000_000
+    w = sum(r.n_tokens for r in rows)
+    for r in rows:
+        base = (1_000_000 * r.n_tokens) // w
+        assert r.token_quota in (base, base + 1), (r.source, r.token_quota, base)
+
+
+def test_quality_filter_funnel_monotone(spark, sf_dir):
+    """Each successive gate can only shrink the surviving set."""
+    r = QUERIES["training_quality_filter_funnel"](spark, sf_dir).collect()[0]
+    assert (
+        r.n_total
+        >= r.after_length
+        >= r.after_punct
+        >= r.after_repetition
+        >= r.after_dedup
+        >= 0
+    )
+
+
+def test_sign_test_p_value_bounds(spark, sf_dir):
+    """Exact binomial two-sided p must be in (0, 1]; pairs bounded by the
+    25-nation catalog."""
+    r = QUERIES["stats_sign_test_nation_balance"](spark, sf_dir).collect()[0]
+    assert 0 < r.n_pairs <= 25
+    assert 0 <= r.k_pos <= r.n_pairs
+    assert 0.0 < r.p_two_sided <= 1.0
+
+
+def test_nemenyi_rank_sums_conserve(spark, sf_dir):
+    """Friedman/Nemenyi rank bookkeeping: over complete blocks the k rank
+    sums total nb * k(k+1)/2, and every pairwise z is nonnegative."""
+    rows = QUERIES["stats_nemenyi_posthoc_segments"](spark, sf_dir).collect()
+    assert rows, "no segment pairs"
+    sums = {}
+    for r in rows:
+        sums[r.seg_a] = r.rank_sum_a
+        sums[r.seg_b] = r.rank_sum_b
+        assert r.z_stat is None or r.z_stat >= 0
+    k = len(sums)
+    total = sum(sums.values())
+    # total = nb * k(k+1)/2 for integer nb
+    assert total % (k * (k + 1) // 2) == 0, (total, k)
+
+
+def test_theils_u_and_cramers_v_bounds(spark, sf_dir):
+    u = QUERIES["stats_theils_u_segment_priority"](spark, sf_dir).collect()[0]
+    assert 0.0 <= u.theils_u <= 1.0
+    assert u.h_a_given_b <= u.h_a + 1e-9
+    v = QUERIES["stats_cramers_v_segment_priority"](spark, sf_dir).collect()[0]
+    assert 0.0 <= v.cramers_v <= 1.0
+    assert v.chi2 >= 0 and v.dof >= 1
+
+
+def test_matryoshka_energy_monotone(spark, sf_dir):
+    """Prefix energy must be nondecreasing in the prefix length and <= 1."""
+    rows = QUERIES["embedding_matryoshka_energy"](spark, sf_dir).collect()
+    by_label = {}
+    for r in rows:
+        assert 0.0 <= r.mean_energy <= 1.0 + 1e-9
+        by_label.setdefault(r.label, {})[r.dim_prefix] = r.mean_energy
+    for label, m in by_label.items():
+        seq = [m[d] for d in sorted(m)]
+        assert seq == sorted(seq), (label, seq)
+
+
+def test_bloom_fpr_bounds(spark, sf_dir):
+    r = QUERIES["sketch_bloom_fpr_exact"](spark, sf_dir).collect()[0]
+    assert r.n_bits_set <= min(16384, 4 * r.n_members)
+    assert 0 <= r.n_false_positives <= r.n_probes
+    assert 0.0 <= r.measured_fpr <= 1.0
+
+
+def test_fifo_matching_coverage_bounds(spark, sf_dir):
+    """FIFO interval intersection can never match more than was returned,
+    and coverage caps at the available bought quantity."""
+    rows = QUERIES["finance_fifo_lot_matching"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.matched_qty <= r.returned_qty
+        assert 0.0 < r.coverage <= 1.0
+
+
+def test_gini_and_clustering_ratio_bounds(spark, sf_dir):
+    g = QUERIES["events_user_activity_gini"](spark, sf_dir).collect()[0]
+    assert 0.0 <= g.gini < 1.0
+    c = QUERIES["graph_global_clustering_ratio"](spark, sf_dir).collect()[0]
+    assert 0.0 <= c.global_clustering <= 1.0
+    assert c.n_wedges >= 3 * c.n_triangles
+
+
+def test_naive_bayes_confusion_conserves_docs(spark, sf_dir):
+    """Every document receives exactly one prediction: confusion row sums
+    per true language equal that language's document count."""
+    from pyspark.sql import functions as F
+
+    from k_means_map_reduce_spark.sources import load_table
+
+    conf = QUERIES["ml_naive_bayes_lang_confusion"](spark, sf_dir)
+    got = {
+        r.true_lang: r.total
+        for r in conf.groupBy("true_lang")
+        .agg(F.sum("n_docs").alias("total"))
+        .collect()
+    }
+    want = {
+        r.lang: r.n
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_max_drawdown_identity(spark, sf_dir):
+    r = QUERIES["timeseries_max_drawdown_daily"](spark, sf_dir).collect()[0]
+    assert r.peak_cents - r.rev_cents == r.drawdown_cents
+    assert r.drawdown_cents >= 0
+
+
+def test_q11_winners_bounded_by_eligible(spark, sf_dir):
+    for r in QUERIES["ds_q11_two_channel_yoy_winners"](spark, sf_dir).collect():
+        assert 0 <= r.n_hi_outgrew <= r.n_eligible
+
+
+def test_q54_bands_conserve_customers(spark, sf_dir):
+    """Every customer with at least one order lands in exactly one band."""
+    from pyspark.sql import functions as F
+
+    from k_means_map_reduce_spark.sources import load_table
+
+    out = QUERIES["ds_q54_post_anchor_revenue_bands"](spark, sf_dir)
+    total = out.agg(F.sum("n_customers")).collect()[0][0]
+    want = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert total == want
