@@ -397,17 +397,20 @@ def test_bench_headline_names_are_registered():
     missing = [n for n in benched if n not in QUERIES]
     assert not missing, f"bench names not in registry: {missing}"
     assert len(set(benched)) == len(benched), "duplicate bench entries"
-    assert mod.HEADLINE == mod.LEGACY56 + mod.R7_FOLDED + mod.R8_FOLDED, (
-        "HEADLINE must stay LEGACY56 + R7_FOLDED + R8_FOLDED — the stdout "
-        "per-query map and value_prev56/value_prev66 continuity totals "
-        "depend on that partition"
+    assert mod.HEADLINE == (
+        mod.LEGACY56 + mod.R7_FOLDED + mod.R8_FOLDED + mod.R9_FOLDED
+    ), (
+        "HEADLINE must stay LEGACY56 + R7_FOLDED + R8_FOLDED + R9_FOLDED — "
+        "the stdout per-query map and the prev56/prev66/prev79 continuity "
+        "totals depend on that partition"
     )
     assert mod.PREV66 == mod.LEGACY56 + mod.R7_FOLDED
+    assert mod.PREV79 == mod.LEGACY56 + mod.R7_FOLDED + mod.R8_FOLDED
 
     # The driver keeps only the last ~2000 chars of bench stdout; the final
     # JSON line must fit or BENCH_r{N}.json records parsed=null (as it did
     # rounds 1-3). Worst-case render: every query at 99.99s. Only LEGACY56
-    # rides the stdout map (79 names don't fit even at 1dp). bench.py
+    # rides the stdout map (96 names don't fit even at 1dp). bench.py
     # degrades 2dp -> 1dp before exceeding the budget — mirror that here:
     # at least ONE precision tier must fit the worst case.
     import json
@@ -422,6 +425,7 @@ def test_bench_headline_names_are_registered():
                 "queries": {n: per_q for n in mod.LEGACY56},
                 "value_prev56": 99999.99,
                 "value_prev66": 99999.99,
+                "value_prev79": 99999.99,
                 "value_cold": 99999.99,
                 "sf": 0.1,
             },
