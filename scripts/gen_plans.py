@@ -200,6 +200,38 @@ PICKS = {
         "scoring join; the corpus is tokenized once per pass and scored "
         "with a model-side equi-join — broadcastable until web scale."
     ),
+    # round-10 picks
+    "finance_fifo_lot_matching": (
+        "FIFO as interval intersection of cumulative-quantity ranges: "
+        "buys and sells bucket into <= 2 cumulative bands each (width 50 "
+        "< 128), so the join is an equi-join on (part, band) with the "
+        "overlap predicate as a residual — per-key fan-out bounded by "
+        "band occupancy, never lots x disposals per part."
+    ),
+    "ml_naive_bayes_lang_confusion": (
+        "The persisted (doc, token, count) rollup is tokenized ONCE and "
+        "serves vocab, class counts, priors, and the scoring join; "
+        "scoring is a token-keyed equi-join against the |V| x 5 model "
+        "(vocabulary-scale, broadcastable), argmax is one 5-row window "
+        "per doc."
+    ),
+    "ds_q11_two_channel_yoy_winners": (
+        "One fact pass into the (customer, year) two-channel rollup; the "
+        "year-shift self-join reuses the rollup's own customer "
+        "partitioning, and the ratio comparison is exact DECIMAL(38,0) "
+        "cross-multiplication — no division, no float."
+    ),
+    "graph_global_clustering_ratio": (
+        "Reuses the persisted compact-forward oriented edges — the "
+        "O(E^1.5)-bounded wedge closure and the integer wedge-count "
+        "rollup share one cached build; the ratio is a 1-row cross join."
+    ),
+    "dedup_paragraph_containment_pairs": (
+        "Paragraph-grain containment: the SessionMemo'd shingle table "
+        "serves postings and BOTH verify sides; candidates meet only on "
+        "df-capped rare shingles, so fan-out is bounded per posting and "
+        "the verify touches candidate pairs only."
+    ),
 }
 
 
