@@ -386,7 +386,8 @@ def test_no_forced_broadcast_of_catalog_scaling_tables():
         # literal dims; offs = (2*reach+1)^2 ring-offset rows (9 or 25 —
         # reach is a code constant, never data-derived)
         "operators/geo.py": {"edges", "hubs", "offs", "offsets"},
-        "operators/graph.py": {"kdf"},  # 1-row k threshold
+        # kdf/w = 1-row aggregates (k threshold, global wedge count)
+        "operators/graph.py": {"kdf", "w"},
         "operators/incremental.py": {"delta_keys"},  # CDC delta contract
         "operators/layout.py": {"b"},  # 1-row global bounds
         # quartiles = segment-enum rollup (5 rows)
@@ -398,16 +399,26 @@ def test_no_forced_broadcast_of_catalog_scaling_tables():
         # index metadata, independent of corpus cardinality.
         "operators/similarity.py": {"hp", "probe", "probed", "q", "qb",
                                     "queries", "qv"},
-        "operators/sketches.py": {"bounds", "cand", "mstats", "sketch", "targets", "theta"},  # + 1-row theta/cand aggs
+        # + 1-row theta/cand/member-count/set-bit-count aggregates
+        "operators/sketches.py": {"bounds", "cand", "mstats", "n_bits",
+                                  "n_members", "sketch", "targets", "theta"},
         "operators/temporal.py": {"dim", "lags", "seas"},  # 8 lags; type x dow
         # per-lang / label-enum / scalars; vocab = fixed 1000-row rank cut;
         # consts/grand = 1-row aggregates (bigram-LM smoothing constants,
         # corpus token total)
-        "operators/textops.py": {"bounds", "conf", "consts", "grand", "lm",
-                                 "stats", "tot", "total", "vocab"},
-        # means = segment-enum rollup (5 rows); k_/nb = 1-row aggregates;
-        # complete = nation-enum-bounded complete-block list (<= 25 rows)
-        "operators/stats_tests.py": {"complete", "k_", "means", "nb"},
+        # + nd_tot = 1-row doc total; cand = lang-enum NB class constants
+        # (5 rows)
+        "operators/textops.py": {"bounds", "cand", "conf", "consts",
+                                 "grand", "lm", "nd_tot", "stats", "tot",
+                                 "total", "vocab"},
+        # means = segment-enum rollup (5 rows); k_/nb/n_/grand/row_consts =
+        # 1-row aggregates (level count, block count, contingency total,
+        # grand mean, Cochran row-sum consts); pri_margins = 5-enum
+        # priority marginals; complete = nation-enum-bounded complete-block
+        # list (<= 25 rows)
+        "operators/stats_tests.py": {"complete", "grand", "k_", "means",
+                                     "n_", "nb", "pri_margins",
+                                     "row_consts"},
         "operators/tpcds_shapes.py": {"n"},
         "operators/tpch_extra.py": {"n1", "n2", "r", "thresh"},
         "operators/tpch_full.py": {"mx", "n", "r", "total"},
