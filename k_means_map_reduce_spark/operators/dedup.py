@@ -2124,3 +2124,174 @@ def join_fuzzy_levenshtein_names(
             "name_a", "name_b", lev.cast("bigint").alias("edit_distance")
         )
     )
+
+
+_SURV_THRESHOLDS = [0.4, 0.5, 0.6, 0.7, 0.8, 0.9]
+
+
+@query(
+    "dedup_survivorship_threshold_curve",
+    oracle=f"""
+    WITH pairs AS (
+      {_banding_oracle_sql()}
+    ),
+    th AS (
+      SELECT unnest(list_transform(
+        [{", ".join(str(t) for t in _SURV_THRESHOLDS)}],
+        x -> CAST(x AS DOUBLE))) AS threshold
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+    SELECT t.threshold,
+      CAST(COUNT(p.doc_a) AS BIGINT) AS n_pairs,
+      CAST(COUNT(DISTINCT p.doc_b) AS BIGINT) AS n_removed,
+      CAST(MIN(n.n_docs) - COUNT(DISTINCT p.doc_b) AS BIGINT) AS n_kept
+    FROM th t CROSS JOIN n
+    LEFT JOIN pairs p ON p.jaccard_sim >= t.threshold
+    GROUP BY t.threshold
+    """,
+)
+def dedup_survivorship_threshold_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dedup survivorship as a function of the similarity threshold: for
+    each candidate Jaccard cut (0.4..0.9) over the VERIFIED banding pair
+    graph, how many pairs fire, how many documents a keep-lowest-doc_id
+    policy removes, and how many survive — the curve a corpus team reads
+    before committing a dedup threshold (too low = over-merging, too
+    high = residual duplication). The removal rule is the deterministic
+    'drop any document with a smaller-id neighbor at >= t' greedy (the
+    keep-earliest-crawl policy), NOT per-threshold connected components —
+    documented, and exactly replayed by the oracle.
+
+    Plan shape: the memoized banding pair list (near-dup pairs only —
+    tiny) joined to a 6-row threshold spine via a bounded
+    nested-loop join (6 x |pairs|), then one rollup. Threshold
+    membership compares the ROUNDED 6dp jaccard against double literals
+    (round-before-filter; DuckDB bare 0.4 is DECIMAL — the oracle casts
+    the spine to DOUBLE, lesson from the 1.0-literal gotcha).
+
+    At 100 TB the pair graph is the already-sub-quadratic banding output;
+    the curve is a constant-factor (x6) pass over it — never over the
+    corpus.
+    """
+    pairs = dedup_minhash_banding_pairs(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    n = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    th = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(float(t)) for t in _SURV_THRESHOLDS])
+        ).alias("threshold")
+    )
+    joined = th.crossJoin(n).join(
+        pairs, F.col("jaccard_sim") >= F.col("threshold"), "left"
+    )
+    return joined.groupBy("threshold").agg(
+        F.count("doc_a").cast("bigint").alias("n_pairs"),
+        F.countDistinct("doc_b").cast("bigint").alias("n_removed"),
+        (F.min("n_docs") - F.countDistinct("doc_b"))
+        .cast("bigint")
+        .alias("n_kept"),
+    )
+
+
+@query(
+    "contamination_winnowing_train_test",
+    oracle=f"""
+    WITH {WINNOW_CTE_SQL},
+    split AS (
+      SELECT w.doc_id, d.source, w.fps,
+        CASE WHEN CAST(CONCAT('0x', substr(md5('split:' || doc_id), 1, 8))
+                  AS BIGINT) % 10 < 8
+             THEN 1 ELSE 0 END AS is_train
+      FROM winnow w JOIN documents d USING (doc_id)
+    ),
+    train_fps AS (
+      SELECT DISTINCT unnest(fps) AS fp FROM split WHERE is_train = 1
+    ),
+    test_ex AS (
+      SELECT doc_id, source, unnest(list_distinct(fps)) AS fp
+      FROM split WHERE is_train = 0
+    ),
+    per_doc AS (
+      SELECT t.doc_id, t.source,
+        CAST(COUNT(tf.fp) AS BIGINT) AS n_shared
+      FROM test_ex t LEFT JOIN train_fps tf ON t.fp = tf.fp
+      GROUP BY 1, 2
+    )
+    SELECT source,
+      CAST(COUNT(*) AS BIGINT) AS n_test_docs,
+      CAST(COUNT(CASE WHEN n_shared >= 8 THEN 1 END) AS BIGINT)
+        AS n_contaminated,
+      ROUND(CAST(COUNT(CASE WHEN n_shared >= 8 THEN 1 END) AS DOUBLE)
+            / COUNT(*), 6) AS contamination_rate,
+      CAST(MAX(n_shared) AS BIGINT) AS max_shared_fps
+    FROM per_doc GROUP BY source
+    """,
+)
+def contamination_winnowing_train_test(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Tokenizer-free train/test contamination via winnowing fingerprints:
+    split the corpus 80/20 on a portable md5 hash of doc_id, then flag
+    test documents sharing >= 8 winnowing fingerprints (the MOSS bar
+    dedup_winnowing_pairs verified as the real-overlap tail) with ANY
+    training document. Character-gram fingerprints survive tokenizer
+    changes and small edits — the complement of the 13-gram token-based
+    contamination scorecard (contamination_train_test_ngrams).
+
+    Plan shape: test fingerprints semi-join the DISTINCT train
+    fingerprint SET (never train documents), so a boilerplate
+    fingerprint held by 10^6 training docs contributes ONE row to the
+    join side — no posting explosion by construction; the census is a
+    per-source rollup of per-doc counts. The fingerprint frame is the
+    session-memoized winnow_fps (one rolling-hash scan per session).
+
+    Determinism: the split is md5-portable (replayed identically by the
+    oracle), fingerprints are exact modular arithmetic, and the verdict
+    is an integer count compare — nothing floats until the final rate.
+
+    At 100 TB: the distinct-fp table is vocabulary-scale; both the
+    distinct and the left join hash-partition on fp with map-side
+    combine on (doc, fp).
+    """
+    fps = winnow_fps(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    is_train = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 10
+        < 8
+    )
+    split = fps.join(d, "doc_id").select(
+        "doc_id", "source", "fps", is_train.alias("is_train")
+    )
+    train_fps = (
+        split.where(F.col("is_train"))
+        .select(F.explode("fps").alias("fp"))
+        .distinct()
+    )
+    test_ex = split.where(~F.col("is_train")).select(
+        "doc_id", "source", F.explode(F.array_distinct("fps")).alias("fp")
+    )
+    tf = train_fps.select(F.col("fp").alias("_tfp"))
+    per_doc = (
+        test_ex.join(tf, F.col("fp") == F.col("_tfp"), "left")
+        .groupBy("doc_id", "source")
+        .agg(F.count("_tfp").cast("bigint").alias("n_shared"))
+    )
+    contaminated = F.count(F.when(F.col("n_shared") >= 8, 1))
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_test_docs"),
+        contaminated.cast("bigint").alias("n_contaminated"),
+        F.round(
+            contaminated.cast("double") / F.count(F.lit(1)), 6
+        ).alias("contamination_rate"),
+        F.max("n_shared").cast("bigint").alias("max_shared_fps"),
+    )

@@ -1674,3 +1674,162 @@ def events_user_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("n").alias("n_users"), "total_events", "gini"
     )
+
+
+@query(
+    "events_kaplan_meier_conversion",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+        MIN(CASE WHEN event_type = 'signup'
+              THEN datediff('day', TIMESTAMP '1970-01-01',
+                            date_trunc('day', CAST(ts AS TIMESTAMP))) END)
+          AS signup_day,
+        MIN(CASE WHEN event_type = 'purchase'
+              THEN datediff('day', TIMESTAMP '1970-01-01',
+                            date_trunc('day', CAST(ts AS TIMESTAMP))) END)
+          AS purchase_day
+      FROM events GROUP BY user_id
+    ),
+    horizon AS (
+      SELECT MAX(datediff('day', TIMESTAMP '1970-01-01',
+                          date_trunc('day', CAST(ts AS TIMESTAMP)))) AS max_day
+      FROM events
+    ),
+    obs AS (
+      SELECT
+        CASE WHEN purchase_day IS NOT NULL AND purchase_day >= signup_day
+             THEN purchase_day - signup_day
+             ELSE max_day - signup_day END AS t,
+        CASE WHEN purchase_day IS NOT NULL AND purchase_day >= signup_day
+             THEN 1 ELSE 0 END AS is_event
+      FROM firsts CROSS JOIN horizon
+      WHERE signup_day IS NOT NULL
+    ),
+    grid AS (
+      SELECT t,
+        CAST(SUM(is_event) AS BIGINT) AS d,
+        CAST(COUNT(*) AS BIGINT) AS c,
+        CAST((SELECT COUNT(*) FROM obs) AS BIGINT) AS n_total
+      FROM obs GROUP BY t
+    ),
+    risk AS (
+      SELECT t, d,
+        n_total - COALESCE(SUM(c) OVER (ORDER BY t
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_at_risk
+      FROM grid
+    ),
+    terms AS (
+      SELECT t, d, n_at_risk,
+        CASE WHEN d < n_at_risk THEN CAST(ROUND(
+          ln(1.0 - CAST(d AS DOUBLE) / CAST(n_at_risk AS DOUBLE)), 6)
+          AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END AS logterm,
+        CASE WHEN d >= n_at_risk THEN 1 ELSE 0 END AS zeroed
+      FROM risk WHERE d > 0
+    )
+    SELECT CAST(t AS BIGINT) AS t_days,
+      CAST(n_at_risk AS BIGINT) AS n_at_risk,
+      d AS n_events,
+      CASE WHEN SUM(zeroed) OVER cum > 0 THEN 0.0
+           ELSE ROUND(exp(CAST(SUM(logterm) OVER cum AS DOUBLE)), 6)
+      END AS survival
+    FROM terms
+    WINDOW cum AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)
+    """,
+)
+def events_kaplan_meier_conversion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Kaplan-Meier product-limit survival curve of signup-to-first-
+    purchase conversion WITH right-censoring: users who signed up but
+    never purchased are censored at the end of the observation window
+    (max event day) instead of being dropped — the estimator growth
+    teams should use where events_conversion_lag_histogram silently
+    conditions on converters. S(t) = prod_{u <= t} (1 - d_u / n_u) over
+    event days u, with n_u the at-risk count (events AND censored with
+    T >= u). Users whose only first purchase precedes their signup are
+    treated as censored (documented; the histogram twin gives them a
+    pre_signup bucket).
+
+    Determinism: day indices are tz-free NTZ datediffs; d and n are
+    exact BIGINTs; each hazard factor enters as round-6 ln then a
+    DECIMAL(18,6) cumulative sum ordered by the distinct event day
+    (deterministic), so both engines exponentiate an identical double
+    (the text_bigram_perplexity exp discipline); a saturated day
+    (d = n, ln(0) THROWS in DuckDB — lesson 28) is guarded inside the
+    term and survival pins to 0.0 from that day on via the cumulative
+    zero flag.
+
+    At 100 TB: one fact pass to per-user firsts (map-side combine), a
+    day-grain grid (hundreds of rows), and two ordered windows over the
+    grid — nothing fact-grain past the first rollup.
+    """
+    e = load_table(spark, sf_dir, "events")
+    day = F.datediff(
+        F.date_trunc("day", "ts"), F.lit("1970-01-01").cast("timestamp_ntz")
+    )
+    # last_day rides the same per-user rollup so the censoring horizon
+    # (global max event day = max over per-user maxes) never re-scans the
+    # fact — ONE events pass total (the scan-audit discipline, lesson 27)
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", day)).alias("signup_day"),
+        F.min(F.when(F.col("event_type") == "purchase", day)).alias(
+            "purchase_day"
+        ),
+        F.max(day).alias("last_day"),
+    ).persist()
+    horizon = firsts.agg(F.max("last_day").alias("max_day"))
+    converted = F.col("purchase_day").isNotNull() & (
+        F.col("purchase_day") >= F.col("signup_day")
+    )
+    obs = (
+        firsts.crossJoin(horizon)
+        .where(F.col("signup_day").isNotNull())
+        .select(
+            F.when(converted, F.col("purchase_day") - F.col("signup_day"))
+            .otherwise(F.col("max_day") - F.col("signup_day"))
+            .alias("t"),
+            F.when(converted, 1).otherwise(0).alias("is_event"),
+        )
+    )
+    wall = Window.partitionBy()
+    grid = obs.groupBy("t").agg(
+        F.sum("is_event").cast("bigint").alias("d"),
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+    )
+    wt = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    risk = grid.select(
+        "t",
+        "d",
+        (
+            F.sum("c").over(wall)
+            - F.coalesce(F.sum("c").over(wt), F.lit(0))
+        ).alias("n_at_risk"),
+    )
+    hazard = F.col("d").cast("double") / F.col("n_at_risk").cast("double")
+    terms = risk.where(F.col("d") > 0).select(
+        "t",
+        "d",
+        "n_at_risk",
+        F.when(
+            F.col("d") < F.col("n_at_risk"),
+            F.round(F.log(1.0 - hazard), 6).cast("decimal(18,6)"),
+        )
+        .otherwise(F.lit(0).cast("decimal(18,6)"))
+        .alias("logterm"),
+        F.when(F.col("d") >= F.col("n_at_risk"), 1).otherwise(0).alias(
+            "zeroed"
+        ),
+    )
+    cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    return terms.select(
+        F.col("t").cast("bigint").alias("t_days"),
+        F.col("n_at_risk").cast("bigint").alias("n_at_risk"),
+        F.col("d").alias("n_events"),
+        F.when(F.sum("zeroed").over(cum) > 0, F.lit(0.0))
+        .otherwise(
+            F.round(F.exp(F.sum("logterm").over(cum).cast("double")), 6)
+        )
+        .alias("survival"),
+    )

@@ -1396,3 +1396,67 @@ def geo_jump_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return segs.groupBy(bucket.alias("bucket")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_jumps")
     )
+
+
+@query(
+    "geo_mean_squared_displacement",
+    oracle=f"""
+    WITH walk AS ({_WALK_SQL}),
+    origin AS (
+      SELECT user_id, ilat, ilon,
+        ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+          AS step,
+        FIRST_VALUE(ilat) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          AS lat0,
+        FIRST_VALUE(ilon) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          AS lon0
+      FROM walk
+    )
+    SELECT step,
+      CAST(COUNT(*) AS BIGINT) AS n_users,
+      ROUND(CAST(SUM((ilat - lat0) * (ilat - lat0)
+                     + (ilon - lon0) * (ilon - lon0)) AS DOUBLE)
+            / COUNT(*), 6) AS msd
+    FROM origin
+    WHERE step BETWEEN 1 AND 50
+    GROUP BY step
+    """,
+)
+def geo_mean_squared_displacement(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mean squared displacement by step index over the deterministic
+    random-walk trajectories: MSD(s) = mean over users of the squared
+    integer distance between a user's s-th fix and their first fix —
+    THE diffusion diagnostic (a memoryless walk shows MSD linear in s;
+    sub/super-linear growth exposes confinement or drift in a real
+    mobility feed). Completes the trajectory family beside stay points,
+    polyline length, radius of gyration, and the jump-length histogram.
+
+    Determinism: positions are exact integer prefix sums (the shared
+    _WALK_SQL md5 walk), squared displacements are exact BIGINTs
+    (<= (50 x 1000)^2 per axis at the 50-step cap), and the mean is one
+    division of identical doubles. Steps are capped at 50 to bound the
+    output and keep every step's cohort dense.
+
+    At 100 TB: both windows partition by user_id on the walk's own
+    exchange — one shuffle total; the census is a <=50-row rollup.
+    """
+    walk = _walk(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    origin = walk.select(
+        (F.row_number().over(w) - 1).cast("bigint").alias("step"),
+        (F.col("ilat") - F.first("ilat").over(w)).alias("dlat"),
+        (F.col("ilon") - F.first("ilon").over(w)).alias("dlon"),
+    )
+    sq = F.col("dlat") * F.col("dlat") + F.col("dlon") * F.col("dlon")
+    return (
+        origin.where(F.col("step").between(1, 50))
+        .groupBy("step")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.round(
+                F.sum(sq).cast("double") / F.count(F.lit(1)), 6
+            ).alias("msd"),
+        )
+    )

@@ -2572,3 +2572,390 @@ def stats_cochran_q_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ntot").alias("n_successes"),
         F.when(denom > 0, F.round(q, 6)).alias("q_stat"),
     )
+
+
+@query(
+    "stats_page_trend_segments",
+    oracle="""
+    WITH cells AS (
+      SELECT c_nationkey AS blk, c_mktsegment AS seg,
+        CAST(SUM(CAST(ROUND(c_acctbal, 6) AS DECIMAL(18,6))) AS DOUBLE)
+          / COUNT(*) AS mean_bal
+      FROM customer GROUP BY 1, 2
+    ),
+    k_ AS (SELECT COUNT(DISTINCT seg) AS k FROM cells),
+    complete AS (
+      SELECT blk FROM cells CROSS JOIN k_
+      GROUP BY blk, k HAVING COUNT(*) = k
+    ),
+    ranked AS (
+      SELECT c.seg,
+        ROW_NUMBER() OVER (PARTITION BY c.blk ORDER BY c.mean_bal, c.seg)
+          AS rk
+      FROM cells c JOIN complete USING (blk)
+    ),
+    rsums AS (
+      SELECT seg, CAST(SUM(rk) AS BIGINT) AS rj FROM ranked GROUP BY seg
+    ),
+    ordered AS (
+      SELECT seg, rj,
+        ROW_NUMBER() OVER (ORDER BY seg) AS ord FROM rsums
+    ),
+    consts AS (
+      SELECT (SELECT COUNT(*) FROM complete) AS nb,
+             (SELECT k FROM k_) AS k,
+             CAST(SUM(ord * rj) AS BIGINT) AS page_l
+      FROM ordered
+    )
+    SELECT CAST(nb AS BIGINT) AS n_blocks, CAST(k AS BIGINT) AS k, page_l,
+      CASE WHEN nb >= 1 AND k >= 3 THEN ROUND(
+        (CAST(page_l AS DOUBLE)
+         - CAST(nb AS DOUBLE) * CAST(k AS DOUBLE)
+           * CAST((k + 1) * (k + 1) AS DOUBLE) / 4.0)
+        / sqrt(CAST(nb AS DOUBLE) * CAST(k * k AS DOUBLE)
+               * CAST(k + 1 AS DOUBLE) * CAST(k * k - 1 AS DOUBLE) / 144.0),
+        6)
+      END AS z_stat
+    FROM consts
+    """,
+)
+def stats_page_trend_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's trend test (the ordered-alternative Friedman): is mean
+    customer account balance MONOTONE across market segments in their
+    lexicographic label order, judged over nation blocks? L = sum_j
+    ord_j * R_j with ord_j the a-priori treatment position and R_j the
+    within-block rank sum; z = (L - n k (k+1)^2 / 4) /
+    sqrt(n k^2 (k+1)(k^2-1) / 144). The hypothesized order is the FIXED
+    lexicographic segment order — deterministic and documented (a real
+    deployment would pass its domain ordering; the statistic's machinery
+    is identical).
+
+    Shares the Friedman entry's complete-block discipline
+    (stats_friedman_nation_segment): only nations holding all k segments
+    participate, ranks are ROW_NUMBER over (mean, seg) so L and every
+    rank sum stay exact BIGINTs; the z denominator's sqrt is the one
+    transcendental (exact per lesson 10).
+
+    At 100 TB: one dimension rollup into ~125 nation x segment cells,
+    a blk-partitioned rank window over those, then a k-row reduce.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    cells = c.groupBy(
+        F.col("c_nationkey").alias("blk"), F.col("c_mktsegment").alias("seg")
+    ).agg(
+        (
+            F.sum(F.round(F.col("c_acctbal"), 6).cast("decimal(18,6)")).cast(
+                "double"
+            )
+            / F.count(F.lit(1))
+        ).alias("mean_bal")
+    )
+    k_ = cells.agg(F.countDistinct("seg").cast("bigint").alias("k"))
+    complete = (
+        cells.crossJoin(F.broadcast(k_))
+        .groupBy("blk", "k")
+        .agg(F.count(F.lit(1)).alias("nseg"))
+        .where(F.col("nseg") == F.col("k"))
+        .select("blk")
+    )
+    w = Window.partitionBy("blk").orderBy("mean_bal", "seg")
+    ranked = cells.join(F.broadcast(complete), "blk").select(
+        "seg", F.row_number().over(w).alias("rk")
+    )
+    rsums = ranked.groupBy("seg").agg(F.sum("rk").cast("bigint").alias("rj"))
+    ordered = rsums.select(
+        "rj", F.row_number().over(Window.orderBy("seg")).alias("ord")
+    )
+    nb = complete.agg(F.count(F.lit(1)).cast("bigint").alias("nb"))
+    consts = (
+        ordered.agg(
+            F.sum(F.col("ord") * F.col("rj")).cast("bigint").alias("page_l")
+        )
+        .crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(k_))
+    )
+    nbd = F.col("nb").cast("double")
+    kd = F.col("k").cast("double")
+    mu = nbd * kd * ((F.col("k") + 1) * (F.col("k") + 1)).cast("double") / 4.0
+    var = (
+        nbd
+        * (F.col("k") * F.col("k")).cast("double")
+        * (F.col("k") + 1).cast("double")
+        * (F.col("k") * F.col("k") - 1).cast("double")
+        / 144.0
+    )
+    z = (F.col("page_l").cast("double") - mu) / F.sqrt(var)
+    return consts.select(
+        F.col("nb").alias("n_blocks"),
+        F.col("k"),
+        F.col("page_l"),
+        F.when((F.col("nb") >= 1) & (F.col("k") >= 3), F.round(z, 6)).alias(
+            "z_stat"
+        ),
+    )
+
+
+@query(
+    "stats_ansari_bradley_segments",
+    oracle="""
+    WITH pool AS (
+      SELECT c_custkey AS id,
+        CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS g1,
+        CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS v
+      FROM customer
+      WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+    ),
+    ranked AS (
+      SELECT g1, ROW_NUMBER() OVER (ORDER BY v, id) AS r,
+        CAST(COUNT(*) OVER () AS BIGINT) AS n
+      FROM pool
+    ),
+    scored AS (
+      SELECT g1, n, LEAST(r, n + 1 - r) AS score FROM ranked
+    )
+    SELECT
+      CAST(SUM(g1) AS BIGINT) AS n1,
+      CAST(COUNT(*) - SUM(g1) AS BIGINT) AS n2,
+      CAST(SUM(CASE WHEN g1 = 1 THEN score ELSE 0 END) AS BIGINT) AS ab_stat,
+      CASE WHEN SUM(g1) >= 1 AND COUNT(*) - SUM(g1) >= 1 AND COUNT(*) >= 3
+        THEN ROUND((
+          CAST(SUM(CASE WHEN g1 = 1 THEN score ELSE 0 END) AS DOUBLE)
+          - CASE WHEN ANY_VALUE(n) % 2 = 0
+              THEN CAST(SUM(g1) AS DOUBLE) * CAST(ANY_VALUE(n) + 2 AS DOUBLE)
+                   / 4.0
+              ELSE CAST(SUM(g1) AS DOUBLE)
+                   * CAST((ANY_VALUE(n) + 1) * (ANY_VALUE(n) + 1) AS DOUBLE)
+                   / (4.0 * CAST(ANY_VALUE(n) AS DOUBLE))
+            END)
+          / sqrt(CASE WHEN ANY_VALUE(n) % 2 = 0
+              THEN CAST(SUM(g1) AS DOUBLE)
+                   * CAST(COUNT(*) - SUM(g1) AS DOUBLE)
+                   * CAST(ANY_VALUE(n) + 2 AS DOUBLE)
+                   * CAST(ANY_VALUE(n) - 2 AS DOUBLE)
+                   / (48.0 * CAST(ANY_VALUE(n) - 1 AS DOUBLE))
+              ELSE CAST(SUM(g1) AS DOUBLE)
+                   * CAST(COUNT(*) - SUM(g1) AS DOUBLE)
+                   * CAST(ANY_VALUE(n) + 1 AS DOUBLE)
+                   * (3.0 + CAST(ANY_VALUE(n) AS DOUBLE)
+                            * CAST(ANY_VALUE(n) AS DOUBLE))
+                   / (48.0 * CAST(ANY_VALUE(n) AS DOUBLE)
+                           * CAST(ANY_VALUE(n) AS DOUBLE))
+            END), 6)
+      END AS z_stat
+    FROM scored
+    """,
+)
+def stats_ansari_bradley_segments(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Ansari-Bradley two-sample SCALE test: do BUILDING and MACHINERY
+    customers' account balances differ in dispersion (not location)?
+    Scores rank the pooled sample from BOTH ends — score = min(r, N+1-r)
+    — so extreme values get LOW scores and a sample concentrated in the
+    middle accumulates a HIGH score sum. Completes the scale-inference
+    family beside Levene / Brown-Forsythe / Bartlett (moment-based);
+    this is the rank-based, distribution-free member.
+
+    Determinism: the battery's integer-rank rule (ROW_NUMBER over
+    (cents, custkey) — the deterministic tie-broken variant, NOT SciPy's
+    midranks), so the AB statistic is an exact BIGINT. The normal
+    moments differ by pool parity (even: E = n1(N+2)/4, Var =
+    n1 n2 (N+2)(N-2)/(48(N-1)); odd: E = n1(N+1)^2/(4N), Var =
+    n1 n2 (N+1)(3+N^2)/(48 N^2)) — both engines branch on the same
+    parity and multiply identical doubles in the same order (N^2 exceeds
+    BIGINT products at warehouse scale, so moments multiply as doubles).
+
+    At 100 TB: the two-segment filter prunes at scan; one global rank
+    window over the surviving rows — the documented scale path is the
+    two-phase distributed rank (per-partition counts then offset).
+    """
+    c = load_table(spark, sf_dir, "customer")
+    pool = c.where(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+    ).select(
+        F.col("c_custkey").alias("id"),
+        F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0).alias("g1"),
+        _cents("c_acctbal").alias("v"),
+    )
+    wr = Window.orderBy("v", "id")
+    wall = Window.partitionBy()
+    ranked = pool.select(
+        "g1",
+        F.row_number().over(wr).alias("r"),
+        F.count(F.lit(1)).over(wall).cast("bigint").alias("n"),
+    )
+    scored = ranked.select(
+        "g1", "n", F.least(F.col("r"), F.col("n") + 1 - F.col("r")).alias("score")
+    )
+    agg = scored.agg(
+        F.sum("g1").cast("bigint").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("g1")).cast("bigint").alias("n2"),
+        F.sum(F.when(F.col("g1") == 1, F.col("score")).otherwise(0))
+        .cast("bigint")
+        .alias("ab_stat"),
+        F.any_value("n").alias("n"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    nd = F.col("n").cast("double")
+    even = F.col("n") % 2 == 0
+    mu = F.when(even, n1d * (nd + 2.0) / 4.0).otherwise(
+        n1d * ((F.col("n") + 1) * (F.col("n") + 1)).cast("double") / (4.0 * nd)
+    )
+    var = F.when(
+        even, n1d * n2d * (nd + 2.0) * (nd - 2.0) / (48.0 * (nd - 1.0))
+    ).otherwise(
+        n1d * n2d * (nd + 1.0) * (3.0 + nd * nd) / (48.0 * nd * nd)
+    )
+    z = (F.col("ab_stat").cast("double") - mu) / F.sqrt(var)
+    return agg.select(
+        "n1",
+        "n2",
+        "ab_stat",
+        F.when(
+            (F.col("n1") >= 1) & (F.col("n2") >= 1) & (F.col("n") >= 3),
+            F.round(z, 6),
+        ).alias("z_stat"),
+    )
+
+
+@query(
+    "stats_runs_above_median_by_segment",
+    oracle="""
+    WITH daily AS (
+      SELECT c_mktsegment AS seg, o_orderdate AS day,
+        CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+          AS rev
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2
+    ),
+    med AS (
+      SELECT seg,
+        MIN(CASE WHEN 2 * rk >= n THEN rev END) AS median_rev
+      FROM (
+        SELECT seg, rev,
+          ROW_NUMBER() OVER (PARTITION BY seg ORDER BY rev, day) AS rk,
+          COUNT(*) OVER (PARTITION BY seg) AS n
+        FROM daily
+      ) GROUP BY seg
+    ),
+    signs AS (
+      SELECT d.seg, d.day,
+        CASE WHEN d.rev > m.median_rev THEN 1 ELSE 0 END AS s
+      FROM daily d JOIN med m ON d.seg = m.seg
+    ),
+    runs AS (
+      SELECT seg, s,
+        CASE WHEN s = LAG(s) OVER (PARTITION BY seg ORDER BY day)
+             THEN 0 ELSE 1 END AS is_start
+      FROM signs
+    )
+    SELECT seg,
+      CAST(SUM(COALESCE(is_start, 1)) AS BIGINT) AS r,
+      CAST(SUM(s) AS BIGINT) AS n1,
+      CAST(COUNT(*) - SUM(s) AS BIGINT) AS n0,
+      CASE WHEN SUM(s) >= 1 AND COUNT(*) - SUM(s) >= 1
+                AND COUNT(*) >= 3 THEN ROUND(
+        (CAST(SUM(COALESCE(is_start, 1)) AS DOUBLE)
+         - (2.0 * CAST(SUM(s) AS DOUBLE)
+              * CAST(COUNT(*) - SUM(s) AS DOUBLE)
+              / CAST(COUNT(*) AS DOUBLE) + 1.0))
+        / sqrt(2.0 * CAST(SUM(s) AS DOUBLE)
+                 * CAST(COUNT(*) - SUM(s) AS DOUBLE)
+               * (2.0 * CAST(SUM(s) AS DOUBLE)
+                    * CAST(COUNT(*) - SUM(s) AS DOUBLE)
+                  - CAST(COUNT(*) AS DOUBLE))
+               / (CAST(COUNT(*) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE)
+                  * CAST(COUNT(*) - 1 AS DOUBLE))), 6)
+      END AS z_stat
+    FROM runs GROUP BY seg
+    """,
+)
+def stats_runs_above_median_by_segment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-segment Wald-Wolfowitz runs test: is each market segment's
+    daily order revenue randomly scattered about its own median, or does
+    it trend (too few runs) / oscillate (too many)? The PER-GROUP member
+    of the randomness family — events_runs_test_daily runs the global
+    variant over the events stream; this one partitions the whole test
+    (median, signs, runs, z) by segment in one pass stack.
+
+    Determinism: revenue is exact integer cents; the cutoff is the LOWER
+    median (an actual sample value via the 2*rk >= n trick); days equal
+    to the median count as 'not above' (strict >, documented); the runs
+    count is an integer lag-flip sum. Only the z divides, with the
+    standard moments E[R] = 2 n1 n0 / n + 1 and
+    Var = 2 n1 n0 (2 n1 n0 - n) / (n^2 (n-1)), guarded for one-sided
+    segments (n1 or n0 = 0 -> NULL, matching DuckDB /0).
+
+    At 100 TB: the fact collapses to (segment, day) rollup rows with
+    map-side combine; every window partitions by segment over ~day-count
+    rows — nothing global, nothing fact-grain past the first rollup.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    daily = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"), F.col("o_orderdate").alias("day")
+        )
+        .agg(F.sum(_cents("o_totalprice")).cast("bigint").alias("rev"))
+        # both the median rollup and the sign pass consume the daily frame;
+        # unpersisted, the orders x customer join runs once per consumer
+        # (lesson 15)
+        .persist()
+    )
+    wr = Window.partitionBy("seg").orderBy("rev", "day")
+    wn = Window.partitionBy("seg")
+    med = (
+        daily.select(
+            "seg",
+            "rev",
+            F.row_number().over(wr).alias("rk"),
+            F.count(F.lit(1)).over(wn).alias("n"),
+        )
+        .groupBy("seg")
+        .agg(
+            F.min(F.when(2 * F.col("rk") >= F.col("n"), F.col("rev"))).alias(
+                "median_rev"
+            )
+        )
+    )
+    signs = daily.join(F.broadcast(med), "seg").select(
+        "seg",
+        "day",
+        F.when(F.col("rev") > F.col("median_rev"), 1).otherwise(0).alias("s"),
+    )
+    wd = Window.partitionBy("seg").orderBy("day")
+    runs = signs.select(
+        "seg",
+        "s",
+        F.when(F.col("s") == F.lag("s").over(wd), 0).otherwise(1).alias(
+            "is_start"
+        ),
+    )
+    counts = runs.groupBy("seg").agg(
+        F.sum(F.coalesce(F.col("is_start"), F.lit(1))).cast("bigint").alias("r"),
+        F.sum("s").cast("bigint").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("s")).cast("bigint").alias("n0"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    a = F.col("n1").cast("double")
+    b = F.col("n0").cast("double")
+    nd = F.col("n").cast("double")
+    mu = 2.0 * a * b / nd + 1.0
+    var = (
+        2.0 * a * b * (2.0 * a * b - nd) / (nd * nd * (nd - 1.0))
+    )
+    z = (F.col("r").cast("double") - mu) / F.sqrt(var)
+    return counts.select(
+        "seg",
+        "r",
+        "n1",
+        "n0",
+        F.when(
+            (F.col("n1") >= 1) & (F.col("n0") >= 1) & (F.col("n") >= 3),
+            F.round(z, 6),
+        ).alias("z_stat"),
+    )

@@ -2974,3 +2974,68 @@ def ml_naive_bayes_lang_confusion(
     return predicted.groupBy("true_lang", "predicted_lang").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs")
     )
+
+
+@query(
+    "text_yules_k_by_source",
+    oracle="""
+    WITH toks AS (
+      SELECT source,
+        unnest(list_filter(
+          string_split(LOWER(regexp_replace(TRIM(text), '\\s+', ' ', 'g')), ' '),
+          t -> t != '')) AS tok
+      FROM documents
+    ),
+    freqs AS (
+      SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS f
+      FROM toks GROUP BY 1, 2
+    )
+    SELECT source,
+      CAST(SUM(f) AS BIGINT) AS n_tokens,
+      CAST(COUNT(*) AS BIGINT) AS vocab_size,
+      CASE WHEN SUM(f) >= 2 THEN ROUND(
+        10000.0 * (CAST(SUM(f * f) AS DOUBLE) - CAST(SUM(f) AS DOUBLE))
+        / (CAST(SUM(f) AS DOUBLE) * CAST(SUM(f) AS DOUBLE)), 6)
+      END AS yules_k
+    FROM freqs GROUP BY source
+    """,
+)
+def text_yules_k_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yule's K characteristic per source: K = 10^4 (S2 - N) / N^2 with
+    S2 = sum f^2 over type frequencies — the classic repetitiveness
+    constant (large K = a few types dominate; it is N-invariant where raw
+    TTR is not). Completes the lexical-richness battery beside Simpson
+    diversity (a resampling probability), STTR (windowed TTR), and the
+    hapax ratio (tail mass) — K is the second-moment member.
+
+    Determinism: type frequencies are exact BIGINTs; S2 and N are exact
+    integer sums (BIGINT here; the 100 TB path widens the f^2 sum to
+    DECIMAL(38,0) before the one double division), divided once, 6dp.
+
+    At 100 TB: one tokenize+explode pass into the (source, token) rollup
+    with map-side combine; the census aggregates vocabulary-scale rows —
+    the same shape as text_simpson_diversity_by_source, so the two ride
+    one physical rollup when composed.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.filter(
+        F.split(F.lower(F.regexp_replace(F.trim("text"), r"\s+", " ")), " "),
+        lambda t: t != "",
+    )
+    freqs = (
+        d.select("source", F.explode(ws).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    )
+    n = F.sum("f").cast("bigint")
+    s2 = F.sum(F.col("f") * F.col("f")).cast("bigint")
+    k = (
+        10000.0
+        * (s2.cast("double") - n.cast("double"))
+        / (n.cast("double") * n.cast("double"))
+    )
+    return freqs.groupBy("source").agg(
+        n.alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+        F.when(n >= 2, F.round(k, 6)).alias("yules_k"),
+    )

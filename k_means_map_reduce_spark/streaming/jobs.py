@@ -1983,3 +1983,79 @@ _query(
     GROUP BY 1
     """,
 )(stream_am_pm_ratio_vs_batch)
+
+
+def stream_session_conversion_vs_batch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Session-window conversion census: the stateful stage groups by
+    (user_id, session_window(5 min)) with CONDITIONAL COUNTS of views /
+    purchases / events — order-insensitive state, so replays and
+    out-of-order arrival inside the watermark cannot change a closed
+    session's counts. The drained per-session rows then collapse to the
+    4-cell (has_view x has_purchase) conversion census as a stateless
+    batch step (Structured Streaming forbids a second stateful
+    aggregation in-stream). The conversion sibling of
+    streaming_session_windows_vs_batch: same gap, same island oracle,
+    but the payload is the funnel verdict per session.
+
+    At 100 TB: session state is three integers per open session; the
+    census is a 4-row rollup over the drained state.
+    """
+    e = read_events_stream(spark, sf_dir).withWatermark("ts", "30 minutes")
+    agg = e.groupBy(
+        F.session_window("ts", "5 minutes").alias("w"), "user_id"
+    ).agg(
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("n_views"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias(
+            "n_purchases"
+        ),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    drained = _run_available_now(agg, "session_conversion")
+    return drained.groupBy(
+        F.when(F.col("n_views") > 0, 1).otherwise(0).alias("has_view"),
+        F.when(F.col("n_purchases") > 0, 1).otherwise(0).alias("has_purchase"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.sum("n_events").cast("bigint").alias("total_events"),
+    )
+
+
+_query(
+    "streaming_session_conversion_vs_batch",
+    oracle="""
+    WITH ordered AS (
+      SELECT
+        user_id, event_type,
+        CAST(ts AS TIMESTAMP) AS ts,
+        CASE
+          WHEN CAST(ts AS TIMESTAMP)
+               - LAG(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+               >= INTERVAL 5 MINUTE
+          THEN 1 ELSE 0
+        END AS new_session
+      FROM events
+    ), sessions AS (
+      SELECT
+        user_id, event_type, ts,
+        SUM(new_session) OVER (
+          PARTITION BY user_id ORDER BY ts, new_session
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS session_id
+      FROM ordered
+    ), per_sess AS (
+      SELECT user_id, session_id,
+        COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n_views,
+        COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchases,
+        COUNT(*) AS n_events
+      FROM sessions GROUP BY user_id, session_id
+    )
+    SELECT
+      CASE WHEN n_views > 0 THEN 1 ELSE 0 END AS has_view,
+      CASE WHEN n_purchases > 0 THEN 1 ELSE 0 END AS has_purchase,
+      CAST(COUNT(*) AS BIGINT) AS n_sessions,
+      CAST(SUM(n_events) AS BIGINT) AS total_events
+    FROM per_sess GROUP BY 1, 2
+    """,
+)(stream_session_conversion_vs_batch)

@@ -621,6 +621,10 @@ def test_stats_battery_degenerate_constant_balances(spark, tmp_path):
         "stats_cohens_d_segments",
         "stats_friedman_nation_segment",
         "stats_two_way_anova_totalprice",
+        # round-10 additions: same when-guard contract
+        "stats_page_trend_segments",
+        "stats_ansari_bradley_segments",
+        "stats_runs_above_median_by_segment",
     ):
         r = compare_query(spark, name, str(two))
         assert r.ok, f"{name} on constant data: {r.detail}"
@@ -640,6 +644,12 @@ def test_stats_battery_degenerate_constant_balances(spark, tmp_path):
     assert cd["cohens_d"] is None and cd["hedges_g"] is None
     aw = QUERIES["stats_two_way_anova_totalprice"](spark, str(two)).collect()[0]
     assert aw["f_a"] is None and aw["f_b"] is None and aw["f_ab"] is None
+    pg = QUERIES["stats_page_trend_segments"](spark, str(two)).collect()[0]
+    assert pg["z_stat"] is None  # k = 2 < 3: trend over two levels undefined
+    ab = QUERIES["stats_ansari_bradley_segments"](spark, str(two)).collect()[0]
+    assert ab["z_stat"] is None  # MACHINERY absent: one-sided pool
+    rm = QUERIES["stats_runs_above_median_by_segment"](spark, str(two)).collect()
+    assert all(r["z_stat"] is None for r in rm)  # constant: rev == median
 
     one = tmp_path / "one_seg"
     one.mkdir()

@@ -416,8 +416,9 @@ def test_no_forced_broadcast_of_catalog_scaling_tables():
         # grand mean, Cochran row-sum consts); pri_margins = 5-enum
         # priority marginals; complete = nation-enum-bounded complete-block
         # list (<= 25 rows)
+        # med = per-segment lower medians (segment-enum bounded, <= 5 rows)
         "operators/stats_tests.py": {"complete", "grand", "k_", "means",
-                                     "n_", "nb", "pri_margins",
+                                     "med", "n_", "nb", "pri_margins",
                                      "row_consts"},
         "operators/tpcds_shapes.py": {"n"},
         "operators/tpch_extra.py": {"n1", "n2", "r", "thresh"},

@@ -90,6 +90,13 @@ DATE_SENSITIVE = [
     "ds_q11_two_channel_yoy_winners",
     "geo_radius_of_gyration",
     "geo_jump_length_histogram",
+    # round-10 continuation: KM day-grain survival (NTZ datediff + global
+    # horizon), the session-window conversion twin (instant event time,
+    # closed-session islands), walk-ordered MSD windows, per-day runs test
+    "events_kaplan_meier_conversion",
+    "streaming_session_conversion_vs_batch",
+    "geo_mean_squared_displacement",
+    "stats_runs_above_median_by_segment",
 ]
 
 
@@ -115,6 +122,8 @@ DST_SENSITIVE = [
     "events_conversion_lag_histogram",
     "geo_od_matrix_topk",
     "geo_colocation_pairs_topk",
+    # KM's day grid and the censoring horizon are pure NTZ datediffs
+    "events_kaplan_meier_conversion",
 ]
 
 
