@@ -190,6 +190,12 @@ ADDITIONS: list[str] = [
     "sketch_bloom_fpr_exact",
     "kmeans_bic_aic_oracled",
     "features_woe_binning_returns",
+    # round-10 continuation additions (one per new family)
+    "stats_runs_above_median_by_segment",
+    "dedup_survivorship_threshold_curve",
+    "contamination_winnowing_train_test",
+    "events_kaplan_meier_conversion",
+    "geo_mean_squared_displacement",
 ]
 
 

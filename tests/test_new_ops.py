@@ -943,3 +943,107 @@ def test_q54_bands_conserve_customers(spark, sf_dir):
         .count()
     )
     assert total == want
+
+
+# round-10 continuation invariants
+
+
+def test_kaplan_meier_curve_is_monotone(spark, sf_dir):
+    """Product-limit survival is non-increasing in t, lives in (0, 1]
+    (or exactly 0 after a saturated day), events never exceed the risk
+    set, and the risk set shrinks as t grows."""
+    rows = sorted(
+        QUERIES["events_kaplan_meier_conversion"](spark, sf_dir).collect(),
+        key=lambda r: r.t_days,
+    )
+    assert rows
+    prev_s, prev_n = 1.0 + 1e-9, None
+    for r in rows:
+        assert 1 <= r.n_events <= r.n_at_risk
+        assert 0.0 <= r.survival <= prev_s + 1e-9, (r.t_days, r.survival)
+        if prev_n is not None:
+            assert r.n_at_risk <= prev_n
+        prev_s, prev_n = r.survival, r.n_at_risk
+
+
+def test_msd_step_cohorts_shrink(spark, sf_dir):
+    """A user contributing step s also contributed every earlier step, so
+    per-step cohorts are non-increasing; squared displacements are
+    nonnegative and bounded by (1000 * s)^2 per axis."""
+    rows = sorted(
+        QUERIES["geo_mean_squared_displacement"](spark, sf_dir).collect(),
+        key=lambda r: r.step,
+    )
+    assert rows and rows[0].step == 1
+    prev = None
+    for r in rows:
+        assert r.msd >= 0.0
+        assert r.msd <= 2 * (1000.0 * r.step) ** 2
+        if prev is not None:
+            assert r.n_users <= prev
+        prev = r.n_users
+
+
+def test_survivorship_curve_is_monotone_in_threshold(spark, sf_dir):
+    """Raising the Jaccard cut can only drop pairs and removals; kept +
+    removed reconstructs the corpus size at every threshold."""
+    rows = sorted(
+        QUERIES["dedup_survivorship_threshold_curve"](spark, sf_dir).collect(),
+        key=lambda r: r.threshold,
+    )
+    assert [round(r.threshold, 1) for r in rows] == [0.4, 0.5, 0.6, 0.7, 0.8, 0.9]
+    n_docs = rows[0].n_kept + rows[0].n_removed
+    prev_pairs = prev_removed = None
+    for r in rows:
+        assert r.n_kept + r.n_removed == n_docs
+        assert r.n_removed <= r.n_pairs or r.n_pairs == 0
+        if prev_pairs is not None:
+            assert r.n_pairs <= prev_pairs
+            assert r.n_removed <= prev_removed
+        prev_pairs, prev_removed = r.n_pairs, r.n_removed
+
+
+def test_winnowing_contamination_census_bounds(spark, sf_dir):
+    rows = QUERIES["contamination_winnowing_train_test"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_contaminated <= r.n_test_docs
+        assert 0.0 <= r.contamination_rate <= 1.0
+        if r.n_contaminated > 0:
+            assert r.max_shared_fps >= 8
+
+
+def test_rank_test_statistic_bounds(spark, sf_dir):
+    """Ansari-Bradley scores are in [1, (N+1)//2]; Page's L lies between
+    the anti-ordered and perfectly-ordered rank-sum arrangements; per-
+    segment runs counts are in [1, n]."""
+    ab = QUERIES["stats_ansari_bradley_segments"](spark, sf_dir).collect()[0]
+    n = ab.n1 + ab.n2
+    assert ab.n1 >= 1 and ab.n2 >= 1
+    assert ab.n1 <= ab.ab_stat <= ab.n1 * ((n + 1) // 2)
+
+    pg = QUERIES["stats_page_trend_segments"](spark, sf_dir).collect()[0]
+    k, nb = pg.k, pg.n_blocks
+    lo = nb * sum(j * (k + 1 - j) for j in range(1, k + 1))
+    hi = nb * sum(j * j for j in range(1, k + 1))
+    assert lo <= pg.page_l <= hi
+
+    for r in QUERIES["stats_runs_above_median_by_segment"](spark, sf_dir).collect():
+        assert 1 <= r.r <= r.n1 + r.n0
+        # lower-median cutoff: strictly-above days are a minority half
+        assert r.n1 <= r.n0
+
+
+def test_session_conversion_census_consistent(spark, sf_dir):
+    rows = QUERIES["streaming_session_conversion_vs_batch"](spark, sf_dir).collect()
+    assert 1 <= len(rows) <= 4
+    for r in rows:
+        assert r.n_sessions >= 1
+        # a session holding a view (or purchase) has at least that event
+        assert r.total_events >= r.n_sessions * (r.has_view + r.has_purchase or 1)
+
+
+def test_yules_k_nonnegative(spark, sf_dir):
+    for r in QUERIES["text_yules_k_by_source"](spark, sf_dir).collect():
+        assert r.vocab_size <= r.n_tokens
+        assert r.yules_k is None or r.yules_k >= 0.0
