@@ -232,6 +232,26 @@ PICKS = {
         "df-capped rare shingles, so fan-out is bounded per posting and "
         "the verify touches candidate pairs only."
     ),
+    # round-10 continuation picks
+    "contamination_winnowing_train_test": (
+        "Test fingerprints semi-join the DISTINCT train fingerprint SET, "
+        "never train documents — a boilerplate fingerprint held by 10^6 "
+        "train docs is ONE join-side row, so there is no posting "
+        "explosion to cap; the winnow scan itself is the session-memoized "
+        "fps frame (one rolling-hash pass per session)."
+    ),
+    "events_kaplan_meier_conversion": (
+        "ONE fact pass: the censoring horizon rides the same per-user "
+        "rollup as the signup/purchase firsts (max-of-maxes), the KM grid "
+        "is day-grain (hundreds of rows), and both cumulative windows "
+        "run over the grid, never fact rows."
+    ),
+    "dedup_survivorship_threshold_curve": (
+        "The 6-row threshold spine nested-loop-joins the memoized "
+        "verified pair graph (near-dups only) — a constant-factor pass "
+        "over an already-sub-quadratic structure; the corpus is never "
+        "rescanned."
+    ),
 }
 
 
