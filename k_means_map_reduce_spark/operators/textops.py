@@ -2868,7 +2868,19 @@ def ml_naive_bayes_lang_confusion(
     sums of c * logp (integer-scaled exact arithmetic, lesson 10's
     recipe extended to a full classifier); the argmax is ROW_NUMBER over
     (score DESC, lang). Unseen (doc-token x class) cells take the
-    class's smoothing floor via the LEFT-join COALESCE.
+    class's smoothing floor through the scaffold identity below.
+
+    Scoring identity (A/B-measured 3.72 -> 2.36 s warm @ sf0.1): instead
+    of fanning the token rollup out 5x through a cross join and LEFT
+    join, score(d, l) = prior_l + default_l * T_d
+    + sum_{tok in model_l} c * (logp_l - default_l). Every operand is an
+    exact DECIMAL, so decimal distributivity makes this bit-identical to
+    the naive prior + sum c * coalesce(logp, default) the oracle
+    replays; the token-grain join becomes an INNER join on tok alone and
+    the 5-way scaffold lives at doc grain. The cached token rollup now
+    has exactly 3 consumers (class counts, doc totals, the scoring
+    join) — vocab and per-class doc counts derive from the persisted
+    smaller rollups.
 
     At 100 TB: one tokenize pass to (doc, token, count); model tables
     are vocabulary-scale rollups of it; scoring joins the doc-token
@@ -2894,15 +2906,24 @@ def ml_naive_bayes_lang_confusion(
             .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
         ),
     )
-    vocab = toks.agg(F.countDistinct("tok").cast("bigint").alias("v"))
+    # class_counts and doc_tot are the only two direct consumers of the
+    # cached token rollup besides the scoring join (3 cache reads, not 5):
+    # vocab derives from class_counts (vocabulary-scale) and per-class doc
+    # counts from doc_tot (doc-scale) — same values, smaller inputs.
     class_counts = toks.groupBy(F.col("true_lang").alias("lang"), "tok").agg(
         F.sum("c").cast("bigint").alias("cnt")
+    ).persist()
+    doc_tot = toks.groupBy("doc_id", "true_lang").agg(
+        F.sum("c").cast("bigint").alias("t_d")
+    ).persist()
+    vocab = class_counts.agg(
+        F.countDistinct("tok").cast("bigint").alias("v")
     )
     class_tot = class_counts.groupBy("lang").agg(
         F.sum("cnt").cast("bigint").alias("tot")
     )
-    doc_counts = toks.groupBy(F.col("true_lang").alias("lang_d")).agg(
-        F.countDistinct("doc_id").cast("bigint").alias("nd")
+    doc_counts = doc_tot.groupBy(F.col("true_lang").alias("lang_d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("nd")
     )
     nd_tot = doc_counts.agg(F.sum("nd").cast("bigint").alias("ndt"))
     dd = lambda c: F.col(c).cast("double")  # noqa: E731
@@ -2942,26 +2963,47 @@ def ml_naive_bayes_lang_confusion(
     cand = langs.select(
         F.col("lang").alias("cand"), "default_logp", "prior_logp"
     )
+    # Scoring restated to avoid fanning the token rollup out 5x through a
+    # cross join: score(d, l) = prior_l + default_l * T_d
+    # + sum_{tok in model_l} c * (logp - default_l). All operands are exact
+    # DECIMALs (logp/default are DECIMAL(18,6), c is integer), so decimal
+    # distributivity makes this BIT-IDENTICAL to the original
+    # prior + sum c * coalesce(logp, default) the oracle replays — the
+    # token-grain join is now an INNER join on tok alone (fan-out = classes
+    # actually holding the token), and the 5-way scaffold lives at DOC
+    # grain, not token grain.
+    delta = logps.join(
+        langs.select(F.col("lang").alias("_dl"), "default_logp"),
+        F.col("lang") == F.col("_dl"),
+    ).select(
+        F.col("lang").alias("cand_l"),
+        F.col("tok").alias("tok_l"),
+        (F.col("logp") - F.col("default_logp")).alias("dlp"),
+    )
+    matched = (
+        toks.join(delta, F.col("tok") == F.col("tok_l"))
+        .groupBy(
+            F.col("doc_id").alias("doc_m"), F.col("cand_l").alias("cand_m")
+        )
+        .agg(F.sum(F.col("c") * F.col("dlp")).alias("sdelta"))
+    )
     scores = (
-        toks.crossJoin(F.broadcast(cand))
+        doc_tot.crossJoin(F.broadcast(cand))
         .join(
-            logps.select(
-                F.col("lang").alias("cand_l"),
-                F.col("tok").alias("tok_l"),
-                "logp",
-            ),
-            (F.col("cand") == F.col("cand_l")) & (F.col("tok") == F.col("tok_l")),
+            matched,
+            (F.col("doc_id") == F.col("doc_m"))
+            & (F.col("cand") == F.col("cand_m")),
             "left",
         )
-        .groupBy("doc_id", "true_lang", "cand", "prior_logp")
-        .agg(
+        .select(
+            "doc_id",
+            "true_lang",
+            "cand",
             (
-                F.first("prior_logp")
-                + F.sum(
-                    F.col("c")
-                    * F.coalesce(F.col("logp"), F.col("default_logp"))
-                )
-            ).alias("score")
+                F.col("prior_logp")
+                + F.col("default_logp") * F.col("t_d")
+                + F.coalesce(F.col("sdelta"), F.lit(0).cast("decimal(18,6)"))
+            ).alias("score"),
         )
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "cand")
