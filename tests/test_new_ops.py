@@ -1047,3 +1047,87 @@ def test_yules_k_nonnegative(spark, sf_dir):
     for r in QUERIES["text_yules_k_by_source"](spark, sf_dir).collect():
         assert r.vocab_size <= r.n_tokens
         assert r.yules_k is None or r.yules_k >= 0.0
+
+
+def test_ansari_bradley_matches_python_reimplementation(spark, sf_dir):
+    """Third implementation: recompute the AB statistic in plain
+    pandas/Python from the parquet (independent of both the Spark
+    expressions and the DuckDB oracle's shared SQL formulation)."""
+    import pyarrow.parquet as pq_
+
+    c = pq_.read_table(f"{sf_dir}/customer.parquet").to_pandas()
+    pool = c[c.c_mktsegment.isin(["BUILDING", "MACHINERY"])].copy()
+    pool["v"] = (pool.c_acctbal * 100).round(0).astype("int64")
+    pool = pool.sort_values(["v", "c_custkey"]).reset_index(drop=True)
+    n = len(pool)
+    pool["r"] = range(1, n + 1)
+    pool["score"] = pool.r.where(pool.r <= n + 1 - pool.r, n + 1 - pool.r)
+    want_ab = int(pool.loc[pool.c_mktsegment == "BUILDING", "score"].sum())
+    want_n1 = int((pool.c_mktsegment == "BUILDING").sum())
+
+    got = QUERIES["stats_ansari_bradley_segments"](spark, sf_dir).collect()[0]
+    assert (got.ab_stat, got.n1, got.n2) == (want_ab, want_n1, n - want_n1)
+
+
+def test_page_trend_matches_python_reimplementation(spark, sf_dir):
+    """Third implementation of Page's L: complete blocks, within-block
+    ranks with the (mean, seg) tie-break, lexicographic treatment order."""
+    import pyarrow.parquet as pq_
+    from decimal import Decimal
+
+    c = pq_.read_table(f"{sf_dir}/customer.parquet").to_pandas()
+    cells = {}
+    for (blk, seg), grp in c.groupby(["c_nationkey", "c_mktsegment"]):
+        s = sum(Decimal(str(round(v, 6))) for v in grp.c_acctbal)
+        cells[(blk, seg)] = float(s) / len(grp)
+    segs = sorted({s for (_, s) in cells})
+    k = len(segs)
+    blocks = [
+        b
+        for b in {b for (b, _) in cells}
+        if all((b, s) in cells for s in segs)
+    ]
+    rank_sums = {s: 0 for s in segs}
+    for b in blocks:
+        ordered = sorted(segs, key=lambda s: (cells[(b, s)], s))
+        for rk, s in enumerate(ordered, start=1):
+            rank_sums[s] += rk
+    want_l = sum((j + 1) * rank_sums[s] for j, s in enumerate(segs))
+
+    got = QUERIES["stats_page_trend_segments"](spark, sf_dir).collect()[0]
+    assert (got.page_l, got.k, got.n_blocks) == (want_l, k, len(blocks))
+
+
+def test_kaplan_meier_known_fixture(spark, tmp_path):
+    """Hand-computed product-limit curve: 5 signups at day 0; purchases on
+    days 1, 1, 3; two users never purchase (censored at the horizon day 5
+    set by a late unrelated event). S(1) = 1 - 2/5 = 0.6,
+    S(3) = 0.6 * (1 - 1/3) = 0.4; risk sets 5 then 3."""
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = []
+    eid = 0
+    for u in (1, 2, 3, 4, 5):
+        rows.append((eid, t0, u, "signup", 0.0))
+        eid += 1
+    for u, day in ((1, 1), (2, 1), (3, 3)):
+        rows.append((eid, t0 + dt.timedelta(days=day), u, "purchase", 9.9))
+        eid += 1
+    rows.append((eid, t0 + dt.timedelta(days=5), 4, "view", 0.0))
+    _write_events(str(tmp_path / "events.parquet"), rows)
+
+    got = {
+        r.t_days: r
+        for r in QUERIES["events_kaplan_meier_conversion"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert set(got) == {1, 3}
+    assert got[1].n_at_risk == 5 and got[1].n_events == 2
+    assert got[3].n_at_risk == 3 and got[3].n_events == 1
+    assert got[1].survival == pytest.approx(0.6, abs=2e-6)
+    assert got[3].survival == pytest.approx(0.4, abs=2e-6)
+
+    from k_means_map_reduce_spark.oracle import compare_query
+
+    r = compare_query(spark, "events_kaplan_meier_conversion", str(tmp_path))
+    assert r.ok, r.detail
