@@ -1131,3 +1131,45 @@ def test_kaplan_meier_known_fixture(spark, tmp_path):
 
     r = compare_query(spark, "events_kaplan_meier_conversion", str(tmp_path))
     assert r.ok, r.detail
+
+
+def test_theils_u_and_cramers_v_match_python_reimplementation(spark, sf_dir):
+    """Third implementation: recompute both association measures in plain
+    pandas/numpy from the parquet files (independent of the Spark
+    expressions AND the shared DuckDB SQL formulation). Tolerances absorb
+    the production pipeline's round-6-then-decimal term discipline."""
+    import math
+
+    import pyarrow.parquet as pq_
+
+    o = pq_.read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"]
+    ).to_pandas()
+    c = pq_.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).to_pandas()
+    j = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    cells = j.groupby(["c_mktsegment", "o_orderpriority"]).size()
+    n = cells.sum()
+    na = cells.groupby(level=0).sum()
+    nb = cells.groupby(level=1).sum()
+
+    h_a = -sum((v / n) * math.log(v / n) for v in na)
+    h_ab = -sum(
+        (v / n) * math.log(v / nb[pri]) for (seg, pri), v in cells.items()
+    )
+    want_u = (h_a - h_ab) / h_a
+    got = QUERIES["stats_theils_u_segment_priority"](spark, sf_dir).collect()[0]
+    assert got.h_a == pytest.approx(h_a, abs=2e-4)
+    assert got.h_a_given_b == pytest.approx(h_ab, abs=2e-4)
+    assert got.theils_u == pytest.approx(want_u, abs=2e-3)
+
+    chi2 = sum(
+        (v - na[seg] * nb[pri] / n) ** 2 / (na[seg] * nb[pri] / n)
+        for (seg, pri), v in cells.items()
+    )
+    a, b = len(na), len(nb)
+    want_v = math.sqrt(chi2 / (n * (min(a, b) - 1)))
+    gv = QUERIES["stats_cramers_v_segment_priority"](spark, sf_dir).collect()[0]
+    assert gv.chi2 == pytest.approx(chi2, abs=2e-4)
+    assert gv.cramers_v == pytest.approx(want_v, abs=1e-4)
