@@ -1173,3 +1173,56 @@ def test_theils_u_and_cramers_v_match_python_reimplementation(spark, sf_dir):
     gv = QUERIES["stats_cramers_v_segment_priority"](spark, sf_dir).collect()[0]
     assert gv.chi2 == pytest.approx(chi2, abs=2e-4)
     assert gv.cramers_v == pytest.approx(want_v, abs=1e-4)
+
+
+def test_sign_test_matches_math_comb(spark, sf_dir):
+    """Third implementation of the exact binomial sign test: pair counts
+    from pandas (decimal-exact per-nation means) and the two-sided tail
+    probability from math.comb — validating the SQL multiplicative
+    C(m,i) fold (NEXT.md lesson 35) against Python's exact integers."""
+    import math
+    from decimal import Decimal
+
+    import pyarrow.parquet as pq_
+
+    def nation_means(path, key, bal):
+        t = pq_.read_table(path, columns=[key, bal]).to_pandas()
+        out = {}
+        for nk, grp in t.groupby(key):
+            s = sum(Decimal(str(round(v, 6))) for v in grp[bal])
+            out[nk] = float(s) / len(grp)
+        return out
+
+    cm = nation_means(f"{sf_dir}/customer.parquet", "c_nationkey", "c_acctbal")
+    sm = nation_means(f"{sf_dir}/supplier.parquet", "s_nationkey", "s_acctbal")
+    diffs = [cm[nk] - sm[nk] for nk in set(cm) & set(sm) if cm[nk] != sm[nk]]
+    m, k = len(diffs), sum(1 for d_ in diffs if d_ > 0)
+    lo = sum(math.comb(m, i) for i in range(0, k + 1))
+    hi = sum(math.comb(m, i) for i in range(k, m + 1))
+    want_p = min(1.0, 2.0 * min(lo, hi) / 2 ** m)
+
+    got = QUERIES["stats_sign_test_nation_balance"](spark, sf_dir).collect()[0]
+    assert (got.n_pairs, got.k_pos) == (m, k)
+    assert got.p_two_sided == pytest.approx(want_p, abs=1e-6)
+
+
+def test_max_drawdown_matches_pandas_cummax(spark, sf_dir):
+    """Third implementation: running-peak drawdown via pandas cummax over
+    the integer-cents daily revenue series."""
+    import pyarrow.parquet as pq_
+
+    o = pq_.read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+    ).to_pandas()
+    o["day"] = o.o_orderdate.dt.strftime("%Y-%m-%d")
+    o["cents"] = (o.o_totalprice * 100).round(0).astype("int64")
+    daily = o.groupby("day").cents.sum().sort_index()
+    peak = daily.cummax()
+    draw = peak - daily
+    worst = draw.max()
+    trough = draw[draw == worst].index.min()  # earliest-trough tie-break
+
+    got = QUERIES["timeseries_max_drawdown_daily"](spark, sf_dir).collect()[0]
+    assert got.drawdown_cents == int(worst)
+    assert got.trough_day == trough
+    assert got.peak_cents == int(peak[trough])
