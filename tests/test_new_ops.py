@@ -1226,3 +1226,55 @@ def test_max_drawdown_matches_pandas_cummax(spark, sf_dir):
     assert got.drawdown_cents == int(worst)
     assert got.trough_day == trough
     assert got.peak_cents == int(peak[trough])
+
+
+def test_token_budget_apportionment_matches_python_hamilton(spark, sf_dir):
+    """Third implementation: Hamilton's largest-remainder method in plain
+    Python integers over pandas token counts."""
+    import re
+
+    import pyarrow.parquet as pq_
+
+    d = pq_.read_table(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]
+    ).to_pandas()
+    d["ntok"] = d.text.map(lambda t: len(re.split(r"\s+", t.lower().strip()))
+                           if t.strip() else 0)
+    w = d.groupby("source").ntok.sum().astype(int)
+    wtot, budget = int(w.sum()), 1_000_000
+    base = {s: budget * int(v) // wtot for s, v in w.items()}
+    rem = {s: budget * int(v) % wtot for s, v in w.items()}
+    leftover = budget - sum(base.values())
+    order = sorted(w.index, key=lambda s: (-rem[s], s))
+    want = {
+        s: base[s] + (1 if i < leftover else 0) for i, s in enumerate(order)
+    }
+
+    got = {
+        r.source: (r.token_quota, r.n_tokens)
+        for r in QUERIES["training_token_budget_apportionment"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert {s: q for s, (q, _) in got.items()} == want
+    assert {s: n for s, (_, n) in got.items()} == {s: int(v) for s, v in w.items()}
+
+
+def test_activity_gini_matches_numpy(spark, sf_dir):
+    """Third implementation: the sorted-rank Gini closed form in numpy
+    over per-user event counts."""
+    import numpy as np
+    import pyarrow.parquet as pq_
+
+    e = pq_.read_table(
+        f"{sf_dir}/events.parquet", columns=["user_id"]
+    ).to_pandas()
+    x = np.sort(e.groupby("user_id").size().to_numpy())
+    n = len(x)
+    i = np.arange(1, n + 1)
+    want = float((2 * (i * x).sum() - (n + 1) * x.sum()) / (n * x.sum()))
+
+    got = QUERIES["events_user_activity_gini"](spark, sf_dir).collect()[0]
+    assert got.n_users == n
+    assert got.total_events == int(x.sum())
+    assert got.gini == pytest.approx(want, abs=1e-6)
