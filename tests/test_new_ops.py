@@ -1278,3 +1278,50 @@ def test_activity_gini_matches_numpy(spark, sf_dir):
     assert got.n_users == n
     assert got.total_events == int(x.sum())
     assert got.gini == pytest.approx(want, abs=1e-6)
+
+
+def test_fifo_matching_matches_sequential_simulation(spark, sf_dir):
+    """Third implementation: an actual SEQUENTIAL FIFO lot-consumption
+    loop in Python (two pointers over date-ordered lots and disposals)
+    must produce the same per-part pair counts and matched quantities as
+    the distributed cumulative-range interval-intersection plan — the
+    equivalence the operator's design rests on."""
+    import pyarrow.parquet as pq_
+
+    li = pq_.read_table(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_partkey", "l_returnflag", "l_quantity", "l_shipdate",
+            "l_orderkey", "l_linenumber",
+        ],
+    ).to_pandas()
+    li = li.sort_values(["l_shipdate", "l_orderkey", "l_linenumber"])
+    want = {}
+    for pk, grp in li.groupby("l_partkey"):
+        lots = [int(q) for q in grp[grp.l_returnflag == "N"].l_quantity]
+        disp = [int(q) for q in grp[grp.l_returnflag == "R"].l_quantity]
+        if not lots or not disp:
+            continue
+        n_pairs = matched = 0
+        i, lot_left = 0, lots[0] if lots else 0
+        for dq in disp:
+            while dq > 0 and i < len(lots):
+                take = min(dq, lot_left)
+                if take > 0:
+                    n_pairs += 1
+                    matched += take
+                dq -= take
+                lot_left -= take
+                if lot_left == 0:
+                    i += 1
+                    lot_left = lots[i] if i < len(lots) else 0
+            if i >= len(lots):
+                break
+        if n_pairs:
+            want[int(pk)] = (n_pairs, matched, sum(disp))
+
+    got = {
+        r.partkey: (r.n_lot_matches, r.matched_qty, r.returned_qty)
+        for r in QUERIES["finance_fifo_lot_matching"](spark, sf_dir).collect()
+    }
+    assert got == want
