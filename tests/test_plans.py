@@ -296,10 +296,14 @@ def test_bm25_single_tokenize_pass(spark, sf_dir):
 
 
 def test_triangle_closure_is_shuffle_hash(spark, sf_dir):
-    """graph_triangle_count: the wedge-closure join must be SHUFFLE_HASH
-    (broadcast measured slower: single-threaded 1.2M-row hash build), and
-    the wedge side must come from the persisted oriented edge list."""
-    r = plan_report(QUERIES["graph_triangle_count"](spark, sf_dir))
+    """The wedge-closure BUILD must be SHUFFLE_HASH (broadcast measured
+    slower: single-threaded 1.2M-row hash build) with the wedge side from
+    the persisted oriented edge list. Pinned on _triangle_count_build —
+    consumers (graph_triangle_count, graph_global_clustering_ratio) see
+    only the memoized 1-row checkpoint of it."""
+    from k_means_map_reduce_spark.operators.graph import _triangle_count_build
+
+    r = plan_report(_triangle_count_build(spark, sf_dir))
     assert "ShuffledHashJoin" in r.text
     assert "InMemoryTableScan" in r.text
 
