@@ -337,6 +337,62 @@ def events_winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 _BASKETS_CACHE = SessionMemo("analytics.baskets")
+# the support-pruned co-purchase pair counts feed BOTH market_basket_pairs
+# (lift) and reco_item_item_cosine (ranked neighbors); memoize the persisted
+# rollup so the basket self-join runs once per (session, sf_dir)
+_PAIR_COUNTS_CACHE = SessionMemo("analytics.pair_counts")
+
+
+def _baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(l_orderkey, l_partkey) deduped basket table, memoized-persisted."""
+    baskets = _BASKETS_CACHE.get(spark, sf_dir)
+    if baskets is None:
+        l = load_table(spark, sf_dir, "lineitem")
+        baskets = l.select("l_orderkey", "l_partkey").distinct().persist()
+        _BASKETS_CACHE.put(spark, sf_dir, baskets)
+    return baskets
+
+
+_ITEM_FREQ_CACHE = SessionMemo("analytics.item_freqs")
+
+
+def _item_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(l_partkey, n_item) basket frequency per part — consumed TWICE per
+    lift/cosine query (both join sides), so the catalog-scale rollup is
+    memoized-persisted alongside the pair counts."""
+    cached = _ITEM_FREQ_CACHE.get(spark, sf_dir)
+    if cached is not None:
+        return cached
+    item = (
+        _baskets(spark, sf_dir)
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_item"))
+        .persist()
+    )
+    _ITEM_FREQ_CACHE.put(spark, sf_dir, item)
+    return item
+
+
+def _pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(pa, pb, n_pair) co-purchase pairs with the support >= 3 floor:
+    the basket self-join fans out per ORDER (bounded basket size), the
+    floor prunes before any consumer joins."""
+    cached = _PAIR_COUNTS_CACHE.get(spark, sf_dir)
+    if cached is not None:
+        return cached
+    baskets = _baskets(spark, sf_dir)
+    a = baskets.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    b = baskets.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    pair = (
+        a.join(b, "l_orderkey")
+        .where(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pair"))
+        .where(F.col("n_pair") >= 3)
+        .persist()
+    )
+    _PAIR_COUNTS_CACHE.put(spark, sf_dir, pair)
+    return pair
 
 
 @query(
@@ -382,23 +438,13 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # feeds four consumers (the order count, item frequencies, and both
     # sides of the pair self-join); memoizing means repeated invocations
     # reuse ONE cached table instead of stacking persisted copies.
-    baskets = _BASKETS_CACHE.get(spark, sf_dir)
-    if baskets is None:
-        l = load_table(spark, sf_dir, "lineitem")
-        baskets = l.select("l_orderkey", "l_partkey").distinct().persist()
-        _BASKETS_CACHE.put(spark, sf_dir, baskets)
+    baskets = _baskets(spark, sf_dir)
     # broadcast scalar, not a driver-side collect: the 1-row distinct-order
     # count rides a cross join (same discipline as q11/q22)
     n_orders = baskets.agg(F.countDistinct("l_orderkey").alias("n_orders"))
-    item = baskets.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
-    a = baskets.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
-    b = baskets.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
-    pair = (
-        a.join(b, "l_orderkey")
-        .where(F.col("part_a") < F.col("part_b"))
-        .groupBy("part_a", "part_b")
-        .agg(F.count(F.lit(1)).alias("n_pair"))
-        .where(F.col("n_pair") >= 3)
+    item = _item_freqs(spark, sf_dir)
+    pair = _pair_counts(spark, sf_dir).select(
+        F.col("pa").alias("part_a"), F.col("pb").alias("part_b"), "n_pair"
     )
     # No broadcast hints on the frequency tables: they scale with the part
     # CATALOG (~200k rows at sf1, ~20M at 100x), and a forced hint overrides
@@ -3400,23 +3446,8 @@ def reco_item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     before scoring, and the per-item top-5 runs as a WindowGroupLimit —
     a bounded heap per task, no full per-item sort.
     """
-    baskets = _BASKETS_CACHE.get(spark, sf_dir)
-    if baskets is None:
-        l = load_table(spark, sf_dir, "lineitem")
-        baskets = l.select("l_orderkey", "l_partkey").distinct().persist()
-        _BASKETS_CACHE.put(spark, sf_dir, baskets)
-    item = baskets.groupBy("l_partkey").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_item")
-    )
-    a = baskets.select("l_orderkey", F.col("l_partkey").alias("pa"))
-    b = baskets.select("l_orderkey", F.col("l_partkey").alias("pb"))
-    pair = (
-        a.join(b, "l_orderkey")
-        .where(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pair"))
-        .where(F.col("n_pair") >= 3)
-    )
+    item = _item_freqs(spark, sf_dir)
+    pair = _pair_counts(spark, sf_dir)
     oriented = pair.select(
         F.col("pa").alias("item"), F.col("pb").alias("other"), "n_pair"
     ).unionAll(
