@@ -1097,6 +1097,23 @@ def test_page_trend_matches_python_reimplementation(spark, sf_dir):
     got = QUERIES["stats_page_trend_segments"](spark, sf_dir).collect()[0]
     assert (got.page_l, got.k, got.n_blocks) == (want_l, k, len(blocks))
 
+    # the same block/rank machinery verifies the Friedman Q ...
+    nb = len(blocks)
+    q_want = (
+        12.0 * sum(r * r for r in rank_sums.values()) / (nb * k * (k + 1))
+        - 3.0 * nb * (k + 1)
+    )
+    fr = QUERIES["stats_friedman_nation_segment"](spark, sf_dir).collect()[0]
+    assert fr.q_stat == pytest.approx(q_want, abs=1e-5)
+
+    # ... and the Nemenyi post-hoc pairwise rank sums
+    nz = QUERIES["stats_nemenyi_posthoc_segments"](spark, sf_dir).collect()
+    for r in nz:
+        assert (r.rank_sum_a, r.rank_sum_b) == (
+            rank_sums[r.seg_a],
+            rank_sums[r.seg_b],
+        )
+
 
 def test_kaplan_meier_known_fixture(spark, tmp_path):
     """Hand-computed product-limit curve: 5 signups at day 0; purchases on
