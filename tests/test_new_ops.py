@@ -1342,3 +1342,49 @@ def test_fifo_matching_matches_sequential_simulation(spark, sf_dir):
         for r in QUERIES["finance_fifo_lot_matching"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_two_way_anova_matches_python_reimplementation(spark, sf_dir):
+    """Third implementation guarding the round-9 ADVICE weighting fix:
+    the cell-count-weighted Type-I decomposition computed directly in
+    pandas (SS_A = sum_cells nij * a_dev^2 etc.) must reproduce all
+    three F statistics — the earlier nij/na weighting would be ~n/a
+    smaller and fail loudly here."""
+    import pyarrow.parquet as pq_
+
+    o = pq_.read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority", "o_totalprice"]
+    ).to_pandas()
+    c = pq_.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).to_pandas()
+    j = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    j["v"] = (j.o_totalprice * 100).round(0).astype("int64")
+    g = j.groupby(["c_mktsegment", "o_orderpriority"]).v
+    nij, sij = g.size(), g.sum()
+    ssdij = (j.assign(v2=j.v.astype(float) ** 2)
+             .groupby(["c_mktsegment", "o_orderpriority"]).v2.sum())
+    n, sg = nij.sum(), sij.sum()
+    gmean = sg / n
+    na, sa = nij.groupby(level=0).sum(), sij.groupby(level=0).sum()
+    nb, sb = nij.groupby(level=1).sum(), sij.groupby(level=1).sum()
+    ss_cells = ss_a = ss_b = ss_w = 0.0
+    for (seg, pri), cnt in nij.items():
+        cmean = sij[(seg, pri)] / cnt
+        ss_cells += cnt * (cmean - gmean) ** 2
+        ss_a += cnt * (sa[seg] / na[seg] - gmean) ** 2
+        ss_b += cnt * (sb[pri] / nb[pri] - gmean) ** 2
+        ss_w += ssdij[(seg, pri)] - sij[(seg, pri)] ** 2 / cnt
+    a, b = len(na), len(nb)
+    ss_ab = ss_cells - ss_a - ss_b
+    dfw = n - a * b
+    msw = ss_w / dfw
+    want = (
+        (ss_a / (a - 1)) / msw,
+        (ss_b / (b - 1)) / msw,
+        (ss_ab / ((a - 1) * (b - 1))) / msw,
+    )
+    got = QUERIES["stats_two_way_anova_totalprice"](spark, sf_dir).collect()[0]
+    assert got.f_a == pytest.approx(want[0], rel=1e-6)
+    assert got.f_b == pytest.approx(want[1], rel=1e-6)
+    assert got.f_ab == pytest.approx(want[2], rel=1e-6)
