@@ -1388,3 +1388,42 @@ def test_two_way_anova_matches_python_reimplementation(spark, sf_dir):
     assert got.f_a == pytest.approx(want[0], rel=1e-6)
     assert got.f_b == pytest.approx(want[1], rel=1e-6)
     assert got.f_ab == pytest.approx(want[2], rel=1e-6)
+
+
+def test_kendall_w_matches_python_reimplementation(spark, sf_dir):
+    """Third implementation of Kendall's W: the three ranker orderings
+    (retail-price cents, sold quantity, 6dp-rounded revenue — each
+    tie-broken by p_partkey) rebuilt in pandas, W from the closed form."""
+    from decimal import Decimal
+
+    import pyarrow.parquet as pq_
+
+    li = pq_.read_table(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    ).to_pandas()
+    li["rev6"] = [
+        Decimal(str(round(e * (1 - d_), 6)))
+        for e, d_ in zip(li.l_extendedprice, li.l_discount)
+    ]
+    sold = li.groupby("l_partkey").agg(
+        qty=("l_quantity", lambda s: int(sum(int(q) for q in s))),
+        rev=("rev6", "sum"),
+    )
+    p = pq_.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_retailprice"]
+    ).to_pandas().set_index("p_partkey")
+    pts = sold.join(p, how="inner")
+    pts["pc"] = (pts.p_retailprice * 100).round(0).astype("int64")
+    n = len(pts)
+    rsum = {k: 0 for k in pts.index}
+    for key in ("pc", "qty", "rev"):
+        ordered = sorted(pts.index, key=lambda k: (pts.loc[k, key], k))
+        for rk, k in enumerate(ordered, start=1):
+            rsum[k] += rk
+    s4 = sum((2 * v - 3 * (n + 1)) ** 2 for v in rsum.values())
+    want_w = s4 / (3.0 * (n ** 3 - n))
+
+    got = QUERIES["stats_kendall_w_part_rankers"](spark, sf_dir).collect()[0]
+    assert got.n == n
+    assert got.w == pytest.approx(want_w, abs=1e-6)
