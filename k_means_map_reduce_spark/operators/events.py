@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .._memo import SessionMemo, memo_persist
 from ..registry import query
 from ..sources import load_table
 from ._util import dsum, sql_dsum
@@ -1676,6 +1677,11 @@ def events_user_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# per-user (signup, first-purchase, last-event) days — shared by the
+# Kaplan-Meier estimator and (r11) the log-rank cohort comparison
+_KM_FIRSTS_CACHE = SessionMemo("events.km_firsts")
+
+
 @query(
     "events_kaplan_meier_conversion",
     oracle="""
@@ -1772,13 +1778,20 @@ def events_kaplan_meier_conversion(
     # last_day rides the same per-user rollup so the censoring horizon
     # (global max event day = max over per-user maxes) never re-scans the
     # fact — ONE events pass total (the scan-audit discipline, lesson 27)
-    firsts = e.groupBy("user_id").agg(
-        F.min(F.when(F.col("event_type") == "signup", day)).alias("signup_day"),
-        F.min(F.when(F.col("event_type") == "purchase", day)).alias(
-            "purchase_day"
+    firsts = memo_persist(
+        _KM_FIRSTS_CACHE,
+        spark,
+        sf_dir,
+        lambda: e.groupBy("user_id").agg(
+            F.min(F.when(F.col("event_type") == "signup", day)).alias(
+                "signup_day"
+            ),
+            F.min(F.when(F.col("event_type") == "purchase", day)).alias(
+                "purchase_day"
+            ),
+            F.max(day).alias("last_day"),
         ),
-        F.max(day).alias("last_day"),
-    ).persist()
+    )
     horizon = firsts.agg(F.max("last_day").alias("max_day"))
     converted = F.col("purchase_day").isNotNull() & (
         F.col("purchase_day") >= F.col("signup_day")
@@ -1832,4 +1845,338 @@ def events_kaplan_meier_conversion(
             F.round(F.exp(F.sum("logterm").over(cum).cast("double")), 6)
         )
         .alias("survival"),
+    )
+
+
+_KM_FIRSTS_SQL = """
+      SELECT user_id,
+        MIN(CASE WHEN event_type = 'signup'
+              THEN datediff('day', TIMESTAMP '1970-01-01',
+                            date_trunc('day', CAST(ts AS TIMESTAMP))) END)
+          AS signup_day,
+        MIN(CASE WHEN event_type = 'purchase'
+              THEN datediff('day', TIMESTAMP '1970-01-01',
+                            date_trunc('day', CAST(ts AS TIMESTAMP))) END)
+          AS purchase_day,
+        MAX(datediff('day', TIMESTAMP '1970-01-01',
+                     date_trunc('day', CAST(ts AS TIMESTAMP)))) AS last_day
+      FROM events GROUP BY user_id
+"""
+
+
+@query(
+    "events_logrank_signup_cohorts",
+    oracle=f"""
+    WITH firsts AS ({_KM_FIRSTS_SQL}),
+    horizon AS (
+      SELECT MAX(last_day) AS max_day,
+        (MIN(signup_day) + MAX(signup_day)) // 2 AS mid_day
+      FROM firsts
+    ),
+    obs AS (
+      SELECT
+        CASE WHEN signup_day <= mid_day THEN 1 ELSE 0 END AS g1,
+        CASE WHEN purchase_day IS NOT NULL AND purchase_day >= signup_day
+             THEN purchase_day - signup_day
+             ELSE max_day - signup_day END AS t,
+        CASE WHEN purchase_day IS NOT NULL AND purchase_day >= signup_day
+             THEN 1 ELSE 0 END AS is_event
+      FROM firsts CROSS JOIN horizon
+      WHERE signup_day IS NOT NULL
+    ),
+    grid AS (
+      SELECT t,
+        CAST(SUM(CASE WHEN g1 = 1 THEN is_event ELSE 0 END) AS BIGINT) AS d1,
+        CAST(SUM(CASE WHEN g1 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        CAST(SUM(CASE WHEN g1 = 0 THEN is_event ELSE 0 END) AS BIGINT) AS d2,
+        CAST(SUM(CASE WHEN g1 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+        CAST((SELECT SUM(CASE WHEN g1 = 1 THEN 1 ELSE 0 END) FROM obs)
+             AS BIGINT) AS n1_tot,
+        CAST((SELECT SUM(CASE WHEN g1 = 0 THEN 1 ELSE 0 END) FROM obs)
+             AS BIGINT) AS n2_tot
+      FROM obs GROUP BY t
+    ),
+    risk AS (
+      SELECT t, d1, d2, n1_tot, n2_tot,
+        n1_tot - COALESCE(SUM(c1) OVER (ORDER BY t
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n1,
+        n2_tot - COALESCE(SUM(c2) OVER (ORDER BY t
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n2
+      FROM grid
+    ),
+    terms AS (
+      SELECT n1_tot, n2_tot, d1,
+        CAST(ROUND(CAST(d1 + d2 AS DOUBLE) * CAST(n1 AS DOUBLE)
+                   / CAST(n1 + n2 AS DOUBLE), 6) AS DECIMAL(18,6)) AS e1,
+        CASE WHEN n1 + n2 >= 2 THEN CAST(ROUND(
+          CAST(d1 + d2 AS DOUBLE)
+          * (CAST(n1 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+          * (CAST(n2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+          * CAST(n1 + n2 - d1 - d2 AS DOUBLE) / CAST(n1 + n2 - 1 AS DOUBLE),
+          6) AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END AS v
+      FROM risk WHERE d1 + d2 > 0
+    )
+    SELECT
+      CAST(MAX(n1_tot) AS BIGINT) AS n_early,
+      CAST(MAX(n2_tot) AS BIGINT) AS n_late,
+      CAST(SUM(d1) AS BIGINT) AS observed_early,
+      CAST(SUM(e1) AS DOUBLE) AS expected_early,
+      CASE WHEN CAST(SUM(v) AS DOUBLE) > 0 THEN ROUND(
+        (CAST(SUM(d1) AS DOUBLE) - CAST(SUM(e1) AS DOUBLE))
+        * (CAST(SUM(d1) AS DOUBLE) - CAST(SUM(e1) AS DOUBLE))
+        / CAST(SUM(v) AS DOUBLE), 6) END AS chi2
+    FROM terms
+    """,
+)
+def events_logrank_signup_cohorts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Log-rank (Mantel-Cox) test comparing signup-to-first-purchase
+    survival between EARLY and LATE signup cohorts (signup_day at or
+    before vs after the midpoint of the observed signup-day span) — the
+    standard two-sample extension of events_kaplan_meier_conversion:
+    at each distinct event time t, observed early-cohort conversions d1
+    are compared against the hypergeometric expectation d*n1/n given the
+    pooled at-risk counts, chi2 = (O1-E1)^2 / sum V with
+    V = d*(n1/n)*(n2/n)*(n-d)/(n-1).
+
+    Determinism: every count (d1, d2, n1, n2) is an exact BIGINT derived
+    from the same censoring construction as the KM estimator; each
+    per-day expectation and variance term is round-6 then DECIMAL(18,6)
+    summed (order-insensitive), and the final chi2 divides identical
+    doubles. The day-grid includes censor-only days (they advance the
+    at-risk windows) but O/E/V terms sum only over days with d > 0.
+
+    At 100 TB: rides the SessionMemo'd per-user firsts rollup (one fact
+    pass shared with the KM curve), then day-grain windows — the test
+    statistic aggregates a few hundred grid rows regardless of event
+    volume.
+    """
+    e = load_table(spark, sf_dir, "events")
+    day = F.datediff(
+        F.date_trunc("day", "ts"), F.lit("1970-01-01").cast("timestamp_ntz")
+    )
+    firsts = memo_persist(
+        _KM_FIRSTS_CACHE,
+        spark,
+        sf_dir,
+        lambda: e.groupBy("user_id").agg(
+            F.min(F.when(F.col("event_type") == "signup", day)).alias(
+                "signup_day"
+            ),
+            F.min(F.when(F.col("event_type") == "purchase", day)).alias(
+                "purchase_day"
+            ),
+            F.max(day).alias("last_day"),
+        ),
+    )
+    horizon = firsts.agg(
+        F.max("last_day").alias("max_day"),
+        (
+            (F.min("signup_day") + F.max("signup_day"))
+            .cast("bigint")
+            / F.lit(2)
+        )
+        .cast("bigint")
+        .alias("mid_day"),
+    )
+    converted = F.col("purchase_day").isNotNull() & (
+        F.col("purchase_day") >= F.col("signup_day")
+    )
+    obs = (
+        firsts.crossJoin(horizon)
+        .where(F.col("signup_day").isNotNull())
+        .select(
+            F.when(F.col("signup_day") <= F.col("mid_day"), 1)
+            .otherwise(0)
+            .alias("g1"),
+            F.when(converted, F.col("purchase_day") - F.col("signup_day"))
+            .otherwise(F.col("max_day") - F.col("signup_day"))
+            .alias("t"),
+            F.when(converted, 1).otherwise(0).alias("is_event"),
+        )
+    )
+    wall = Window.partitionBy()
+    grid = obs.groupBy("t").agg(
+        F.sum(F.when(F.col("g1") == 1, F.col("is_event")).otherwise(0))
+        .cast("bigint")
+        .alias("d1"),
+        F.sum(F.when(F.col("g1") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("c1"),
+        F.sum(F.when(F.col("g1") == 0, F.col("is_event")).otherwise(0))
+        .cast("bigint")
+        .alias("d2"),
+        F.sum(F.when(F.col("g1") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("c2"),
+    )
+    wt = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    risk = grid.select(
+        "t",
+        "d1",
+        "d2",
+        F.sum("c1").over(wall).alias("n1_tot"),
+        F.sum("c2").over(wall).alias("n2_tot"),
+        (
+            F.sum("c1").over(wall)
+            - F.coalesce(F.sum("c1").over(wt), F.lit(0))
+        ).alias("n1"),
+        (
+            F.sum("c2").over(wall)
+            - F.coalesce(F.sum("c2").over(wt), F.lit(0))
+        ).alias("n2"),
+    )
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    d_tot = (F.col("d1") + F.col("d2")).cast("double")
+    n_tot = (F.col("n1") + F.col("n2")).cast("double")
+    terms = risk.where(F.col("d1") + F.col("d2") > 0).select(
+        "n1_tot",
+        "n2_tot",
+        "d1",
+        F.round(d_tot * dd("n1") / n_tot, 6)
+        .cast("decimal(18,6)")
+        .alias("e1"),
+        F.when(
+            F.col("n1") + F.col("n2") >= 2,
+            F.round(
+                d_tot
+                * (dd("n1") / n_tot)
+                * (dd("n2") / n_tot)
+                * (n_tot - d_tot)
+                / (n_tot - 1.0),
+                6,
+            ).cast("decimal(18,6)"),
+        )
+        .otherwise(F.lit(0).cast("decimal(18,6)"))
+        .alias("v"),
+    )
+    o1 = F.sum("d1").cast("bigint")
+    e1 = F.sum("e1").cast("double")
+    v = F.sum("v").cast("double")
+    return terms.agg(
+        F.max("n1_tot").cast("bigint").alias("n_early"),
+        F.max("n2_tot").cast("bigint").alias("n_late"),
+        o1.alias("observed_early"),
+        e1.alias("expected_early"),
+        F.when(
+            v > 0,
+            F.round(
+                (o1.cast("double") - e1) * (o1.cast("double") - e1) / v, 6
+            ),
+        ).alias("chi2"),
+    )
+
+
+@query(
+    "events_nelson_aalen_hazard",
+    oracle=f"""
+    WITH firsts AS ({_KM_FIRSTS_SQL}),
+    horizon AS (SELECT MAX(last_day) AS max_day FROM firsts),
+    obs AS (
+      SELECT
+        CASE WHEN purchase_day IS NOT NULL AND purchase_day >= signup_day
+             THEN purchase_day - signup_day
+             ELSE max_day - signup_day END AS t,
+        CASE WHEN purchase_day IS NOT NULL AND purchase_day >= signup_day
+             THEN 1 ELSE 0 END AS is_event
+      FROM firsts CROSS JOIN horizon
+      WHERE signup_day IS NOT NULL
+    ),
+    grid AS (
+      SELECT t,
+        CAST(SUM(is_event) AS BIGINT) AS d,
+        CAST(COUNT(*) AS BIGINT) AS c,
+        CAST((SELECT COUNT(*) FROM obs) AS BIGINT) AS n_total
+      FROM obs GROUP BY t
+    ),
+    risk AS (
+      SELECT t, d,
+        n_total - COALESCE(SUM(c) OVER (ORDER BY t
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_at_risk
+      FROM grid
+    )
+    SELECT CAST(t AS BIGINT) AS t_days,
+      CAST(n_at_risk AS BIGINT) AS n_at_risk,
+      d AS n_events,
+      ROUND(CAST(SUM(CAST(ROUND(
+        CAST(d AS DOUBLE) / CAST(n_at_risk AS DOUBLE), 6) AS DECIMAL(18,6)))
+        OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        AS DOUBLE), 6) AS cum_hazard
+    FROM risk WHERE d > 0
+    """,
+)
+def events_nelson_aalen_hazard(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard estimator H(t) = sum_{u<=t} d_u/n_u
+    over the same right-censored signup-to-purchase construction as
+    events_kaplan_meier_conversion — the additive counterpart of the KM
+    product-limit curve (H is the natural scale for comparing hazard
+    between pipelines and feeds the Fleming-Harrington S = exp(-H)).
+    Unlike KM, H needs no ln and never saturates: a d = n day simply
+    contributes 1.
+
+    Determinism: d and n are exact BIGINTs from the shared firsts rollup;
+    each increment d/n is round-6 then DECIMAL(18,6) cumulative-summed
+    ordered by the distinct day, so both engines sum identical decimals.
+
+    At 100 TB: identical shape to the KM query — one memoized fact pass,
+    then day-grain windows.
+    """
+    e = load_table(spark, sf_dir, "events")
+    day = F.datediff(
+        F.date_trunc("day", "ts"), F.lit("1970-01-01").cast("timestamp_ntz")
+    )
+    firsts = memo_persist(
+        _KM_FIRSTS_CACHE,
+        spark,
+        sf_dir,
+        lambda: e.groupBy("user_id").agg(
+            F.min(F.when(F.col("event_type") == "signup", day)).alias(
+                "signup_day"
+            ),
+            F.min(F.when(F.col("event_type") == "purchase", day)).alias(
+                "purchase_day"
+            ),
+            F.max(day).alias("last_day"),
+        ),
+    )
+    horizon = firsts.agg(F.max("last_day").alias("max_day"))
+    converted = F.col("purchase_day").isNotNull() & (
+        F.col("purchase_day") >= F.col("signup_day")
+    )
+    obs = (
+        firsts.crossJoin(horizon)
+        .where(F.col("signup_day").isNotNull())
+        .select(
+            F.when(converted, F.col("purchase_day") - F.col("signup_day"))
+            .otherwise(F.col("max_day") - F.col("signup_day"))
+            .alias("t"),
+            F.when(converted, 1).otherwise(0).alias("is_event"),
+        )
+    )
+    wall = Window.partitionBy()
+    grid = obs.groupBy("t").agg(
+        F.sum("is_event").cast("bigint").alias("d"),
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+    )
+    wt = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    risk = grid.select(
+        "t",
+        "d",
+        (
+            F.sum("c").over(wall)
+            - F.coalesce(F.sum("c").over(wt), F.lit(0))
+        ).alias("n_at_risk"),
+    )
+    cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    inc = F.round(
+        F.col("d").cast("double") / F.col("n_at_risk").cast("double"), 6
+    ).cast("decimal(18,6)")
+    return risk.where(F.col("d") > 0).select(
+        F.col("t").cast("bigint").alias("t_days"),
+        F.col("n_at_risk").cast("bigint").alias("n_at_risk"),
+        F.col("d").alias("n_events"),
+        F.round(F.sum(inc).over(cum).cast("double"), 6).alias("cum_hazard"),
     )

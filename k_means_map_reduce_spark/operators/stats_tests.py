@@ -2819,6 +2819,11 @@ def stats_ansari_bradley_segments(
     )
 
 
+# (segment, day, revenue-cents) rollup shared by the runs-test's median
+# and sign passes
+_RUNS_DAILY_CACHE = SessionMemo("stats.runs_daily")
+
+
 @query(
     "stats_runs_above_median_by_segment",
     oracle="""
@@ -2895,16 +2900,22 @@ def stats_runs_above_median_by_segment(
     """
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
-    daily = (
-        o.join(c, o["o_custkey"] == c["c_custkey"])
-        .groupBy(
-            F.col("c_mktsegment").alias("seg"), F.col("o_orderdate").alias("day")
-        )
-        .agg(F.sum(_cents("o_totalprice")).cast("bigint").alias("rev"))
-        # both the median rollup and the sign pass consume the daily frame;
-        # unpersisted, the orders x customer join runs once per consumer
-        # (lesson 15)
-        .persist()
+    # both the median rollup and the sign pass consume the daily frame;
+    # unpersisted, the orders x customer join runs once per consumer
+    # (lesson 15); SessionMemo'd so warm bench reps don't pin fresh blocks
+    # (lesson 30, r10 ADVICE item)
+    daily = memo_persist(
+        _RUNS_DAILY_CACHE,
+        spark,
+        sf_dir,
+        lambda: (
+            o.join(c, o["o_custkey"] == c["c_custkey"])
+            .groupBy(
+                F.col("c_mktsegment").alias("seg"),
+                F.col("o_orderdate").alias("day"),
+            )
+            .agg(F.sum(_cents("o_totalprice")).cast("bigint").alias("rev"))
+        ),
     )
     wr = Window.partitionBy("seg").orderBy("rev", "day")
     wn = Window.partitionBy("seg")
@@ -2958,4 +2969,390 @@ def stats_runs_above_median_by_segment(
             (F.col("n1") >= 1) & (F.col("n0") >= 1) & (F.col("n") >= 3),
             F.round(z, 6),
         ).alias("z_stat"),
+    )
+
+
+@query(
+    "stats_mood_median_segments",
+    oracle=f"""
+    WITH cents AS (
+      SELECT c_mktsegment AS seg, c_custkey,
+             {_CENTS_SQL.format(c='c_acctbal')} AS v
+      FROM customer
+    ),
+    med AS (
+      SELECT MIN(CASE WHEN 2 * rk >= n THEN v END) AS m FROM (
+        SELECT v, ROW_NUMBER() OVER (ORDER BY v, c_custkey) AS rk,
+               COUNT(*) OVER () AS n
+        FROM cents
+      )
+    ),
+    cells AS (
+      SELECT seg,
+        CAST(COUNT(*) AS BIGINT) AS n_i,
+        CAST(SUM(CASE WHEN v > m THEN 1 ELSE 0 END) AS BIGINT) AS a_i
+      FROM cents CROSS JOIN med GROUP BY seg
+    ),
+    tot AS (
+      SELECT *, CAST(SUM(n_i) OVER () AS BIGINT) AS n,
+             CAST(SUM(a_i) OVER () AS BIGINT) AS a
+      FROM cells
+    )
+    SELECT
+      CAST(MAX(n) AS BIGINT) AS n_total,
+      CAST(MAX(a) AS BIGINT) AS n_above,
+      CAST(COUNT(*) - 1 AS BIGINT) AS df,
+      ROUND(CAST(SUM(CAST(ROUND(
+        (CAST(a_i AS DOUBLE)
+         - CAST(n_i AS DOUBLE) * CAST(a AS DOUBLE) / CAST(n AS DOUBLE))
+        * (CAST(a_i AS DOUBLE)
+           - CAST(n_i AS DOUBLE) * CAST(a AS DOUBLE) / CAST(n AS DOUBLE))
+        / (CAST(n_i AS DOUBLE) * CAST(a AS DOUBLE) / CAST(n AS DOUBLE))
+        + (CAST(n_i - a_i AS DOUBLE)
+           - CAST(n_i AS DOUBLE) * CAST(n - a AS DOUBLE) / CAST(n AS DOUBLE))
+          * (CAST(n_i - a_i AS DOUBLE)
+             - CAST(n_i AS DOUBLE) * CAST(n - a AS DOUBLE)
+               / CAST(n AS DOUBLE))
+          / (CAST(n_i AS DOUBLE) * CAST(n - a AS DOUBLE) / CAST(n AS DOUBLE))
+      , 6) AS DECIMAL(18,6))) AS DOUBLE), 6) AS chi2
+    FROM tot
+    """,
+)
+def stats_mood_median_segments(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mood's median test across the five market segments on account
+    balance: counts above/not-above the POOLED lower median form a 5x2
+    contingency table; chi2 = sum (O-E)^2/E with E = n_i * A / N. The
+    k-sample location test that needs only counts — the contingency-
+    machinery sibling of Kruskal-Wallis (rank-based) and ANOVA
+    (moment-based) in the battery.
+
+    Determinism: the pooled cutoff is the LOWER median (an actual sample
+    value via the 2*rk >= n trick over (cents, custkey)); cell counts
+    are exact BIGINTs; each segment's two (O-E)^2/E terms are computed
+    from identical double operand chains, round-6 then DECIMAL(18,6)
+    summed.
+
+    At 100 TB: the pooled median is one sort of the customer DIMENSION
+    (or a two-phase rank at extreme cardinality); cells are one
+    conditional aggregate — the chi2 reduces 5 rows.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    cents = c.select(
+        F.col("c_mktsegment").alias("seg"),
+        "c_custkey",
+        _cents("c_acctbal").alias("v"),
+    )
+    wr = Window.orderBy("v", "c_custkey")
+    wall = Window.partitionBy()
+    med = (
+        cents.select(
+            "v",
+            F.row_number().over(wr).alias("rk"),
+            F.count(F.lit(1)).over(wall).alias("n"),
+        )
+        .groupBy()
+        .agg(F.min(F.when(2 * F.col("rk") >= F.col("n"), F.col("v"))).alias("m"))
+    )
+    cells = (
+        cents.crossJoin(F.broadcast(med))
+        .groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_i"),
+            F.sum(F.when(F.col("v") > F.col("m"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("a_i"),
+        )
+    )
+    tot = cells.select(
+        "*",
+        F.sum("n_i").over(wall).cast("bigint").alias("n"),
+        F.sum("a_i").over(wall).cast("bigint").alias("a"),
+    )
+    dd = lambda c_: F.col(c_).cast("double")  # noqa: E731
+    ea = dd("n_i") * dd("a") / dd("n")
+    eb = dd("n_i") * (F.col("n") - F.col("a")).cast("double") / dd("n")
+    term = (
+        (dd("a_i") - ea) * (dd("a_i") - ea) / ea
+        + ((F.col("n_i") - F.col("a_i")).cast("double") - eb)
+        * ((F.col("n_i") - F.col("a_i")).cast("double") - eb)
+        / eb
+    )
+    return tot.agg(
+        F.max("n").cast("bigint").alias("n_total"),
+        F.max("a").cast("bigint").alias("n_above"),
+        (F.count(F.lit(1)) - 1).cast("bigint").alias("df"),
+        F.round(
+            F.sum(F.round(term, 6).cast("decimal(18,6)")).cast("double"), 6
+        ).alias("chi2"),
+    )
+
+
+@query(
+    "stats_siegel_tukey_segments",
+    oracle=f"""
+    WITH pool AS (
+      SELECT c_custkey AS id,
+        CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS g1,
+        {_CENTS_SQL.format(c='c_acctbal')} AS v
+      FROM customer
+      WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+    ),
+    ranked AS (
+      SELECT g1, ROW_NUMBER() OVER (ORDER BY v, id) AS r,
+        CAST(COUNT(*) OVER () AS BIGINT) AS n
+      FROM pool
+    ),
+    scored AS (
+      SELECT g1, n,
+        CASE WHEN r <= 2 * (n // 4) + (CASE WHEN n % 4 = 0 THEN 0 ELSE 1 END)
+             THEN CASE WHEN r % 2 = 1 THEN 2 * r - 1 ELSE 2 * r END
+             ELSE CASE WHEN (n + 1 - r) % 2 = 1 THEN 2 * (n + 1 - r)
+                       ELSE 2 * (n + 1 - r) - 1 END
+        END AS score
+      FROM ranked
+    )
+    SELECT
+      CAST(SUM(g1) AS BIGINT) AS n1,
+      CAST(COUNT(*) - SUM(g1) AS BIGINT) AS n2,
+      CAST(SUM(CASE WHEN g1 = 1 THEN score ELSE 0 END) AS BIGINT) AS w1,
+      CASE WHEN SUM(g1) >= 1 AND COUNT(*) - SUM(g1) >= 1
+        THEN ROUND((
+          CAST(SUM(CASE WHEN g1 = 1 THEN score ELSE 0 END) AS DOUBLE)
+          - CAST(SUM(g1) AS DOUBLE) * CAST(ANY_VALUE(n) + 1 AS DOUBLE) / 2.0)
+          / sqrt(CAST(SUM(g1) AS DOUBLE)
+                 * CAST(COUNT(*) - SUM(g1) AS DOUBLE)
+                 * CAST(ANY_VALUE(n) + 1 AS DOUBLE) / 12.0), 6)
+      END AS z_stat
+    FROM scored
+    """,
+)
+def stats_siegel_tukey_segments(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Siegel-Tukey two-sample SCALE test (BUILDING vs MACHINERY account
+    balances): the pooled sample is scored by ALTERNATING extreme ranks —
+    1 to the minimum, 2-3 to the top two, 4-5 to the next two lowest, … —
+    so a dispersed sample collects LOW scores. Because the scores are a
+    permutation of 1..N, the Wilcoxon/Mann-Whitney normal moments apply
+    verbatim: E[W1] = n1(N+1)/2, Var = n1 n2 (N+1)/12. The Ansari-Bradley
+    companion (both-ends min-rank scores) is the other classic scale
+    scoring; shipping both mirrors the reference batteries.
+
+    The alternation collapses to a closed form of the strict global rank
+    r (ROW_NUMBER over (cents, custkey) — the battery's deterministic
+    tie-broken variant): positions r <= L with
+    L = 2*(N div 4) + (N mod 4 != 0) take the low-end score
+    (2r-1 if r odd else 2r); the rest take the high-end score from
+    j = N+1-r (2j if j odd else 2j-1). A brute-force alternation check
+    pins the closed form in tests/test_stats_battery.py.
+
+    At 100 TB: one global sort of the customer dimension (two-phase rank
+    at extreme cardinality) and one aggregate.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    pool = c.where(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+    ).select(
+        F.col("c_custkey").alias("id"),
+        F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0).alias(
+            "g1"
+        ),
+        _cents("c_acctbal").alias("v"),
+    )
+    wall = Window.partitionBy()
+    ranked = pool.select(
+        "g1",
+        F.row_number().over(Window.orderBy("v", "id")).cast("bigint").alias(
+            "r"
+        ),
+        F.count(F.lit(1)).over(wall).cast("bigint").alias("n"),
+    )
+    r, n = F.col("r"), F.col("n")
+    low_cut = 2 * F.floor(n / 4).cast("bigint") + F.when(
+        n % 4 == 0, 0
+    ).otherwise(1)
+    j = n + 1 - r
+    score = F.when(
+        r <= low_cut,
+        F.when(r % 2 == 1, 2 * r - 1).otherwise(2 * r),
+    ).otherwise(F.when(j % 2 == 1, 2 * j).otherwise(2 * j - 1))
+    scored = ranked.select("g1", "n", score.alias("score"))
+    n1 = F.sum("g1").cast("bigint")
+    n2 = (F.count(F.lit(1)) - F.sum("g1")).cast("bigint")
+    w1 = F.sum(F.when(F.col("g1") == 1, F.col("score")).otherwise(0)).cast(
+        "bigint"
+    )
+    nn = F.max("n").cast("double")
+    mu = n1.cast("double") * (nn + 1.0) / 2.0
+    sigma = F.sqrt(n1.cast("double") * n2.cast("double") * (nn + 1.0) / 12.0)
+    return scored.agg(
+        n1.alias("n1"),
+        n2.alias("n2"),
+        w1.alias("w1"),
+        F.when(
+            (n1 >= 1) & (n2 >= 1),
+            F.round((w1.cast("double") - mu) / sigma, 6),
+        ).alias("z_stat"),
+    )
+
+
+@query(
+    "stats_effect_sizes_rank",
+    oracle=f"""
+    WITH pool AS (
+      SELECT c_custkey AS id,
+        CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS g1,
+        {_CENTS_SQL.format(c='c_acctbal')} AS v
+      FROM customer
+      WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+    ),
+    ranked AS (
+      SELECT g1, ROW_NUMBER() OVER (ORDER BY v, id) AS r FROM pool
+    )
+    SELECT
+      CAST(SUM(g1) AS BIGINT) AS n1,
+      CAST(COUNT(*) - SUM(g1) AS BIGINT) AS n2,
+      CAST(SUM(CASE WHEN g1 = 1 THEN r ELSE 0 END)
+           - (SUM(g1) * (SUM(g1) + 1)) // 2 AS BIGINT) AS u1,
+      CASE WHEN SUM(g1) >= 1 AND COUNT(*) - SUM(g1) >= 1 THEN ROUND(
+        CAST(SUM(CASE WHEN g1 = 1 THEN r ELSE 0 END)
+             - (SUM(g1) * (SUM(g1) + 1)) // 2 AS DOUBLE)
+        / (CAST(SUM(g1) AS DOUBLE) * CAST(COUNT(*) - SUM(g1) AS DOUBLE)), 6)
+      END AS vd_a,
+      CASE WHEN SUM(g1) >= 1 AND COUNT(*) - SUM(g1) >= 1 THEN ROUND(
+        2.0 * CAST(SUM(CASE WHEN g1 = 1 THEN r ELSE 0 END)
+             - (SUM(g1) * (SUM(g1) + 1)) // 2 AS DOUBLE)
+        / (CAST(SUM(g1) AS DOUBLE) * CAST(COUNT(*) - SUM(g1) AS DOUBLE))
+        - 1.0, 6)
+      END AS cliffs_delta
+    FROM ranked
+    """,
+)
+def stats_effect_sizes_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-based effect sizes for the BUILDING-vs-MACHINERY balance
+    comparison: Vargha-Delaney A = U1/(n1 n2) (the probability a random
+    BUILDING balance exceeds a random MACHINERY one, under the battery's
+    strict tie-broken ordering) and Cliff's delta = 2A - 1. The
+    magnitude companions to the Mann-Whitney z (which only locates the
+    null): parametric Cohen's d / Hedges g shipped in round 9; these are
+    the distribution-free members.
+
+    Determinism: U1 = R1 - n1(n1+1)/2 from the strict global ROW_NUMBER
+    over (cents, custkey) — all integers; A and delta divide identical
+    exact operands once, round-6. (The deterministic variant counts a
+    tied pair by id order rather than 1/2, exactly like the MW entry —
+    documented deviation from the midrank convention.)
+
+    At 100 TB: one dimension sort + one aggregate (two-phase rank at
+    extreme cardinality — the statistic needs only rank SUMS).
+    """
+    c = load_table(spark, sf_dir, "customer")
+    pool = c.where(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+    ).select(
+        F.col("c_custkey").alias("id"),
+        F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0).alias(
+            "g1"
+        ),
+        _cents("c_acctbal").alias("v"),
+    )
+    ranked = pool.select(
+        "g1",
+        F.row_number().over(Window.orderBy("v", "id")).cast("bigint").alias(
+            "r"
+        ),
+    )
+    n1 = F.sum("g1").cast("bigint")
+    n2 = (F.count(F.lit(1)) - F.sum("g1")).cast("bigint")
+    r1 = F.sum(F.when(F.col("g1") == 1, F.col("r")).otherwise(0)).cast(
+        "bigint"
+    )
+    u1 = (r1 - F.floor((n1 * (n1 + 1)) / F.lit(2))).cast("bigint")
+    a = u1.cast("double") / (n1.cast("double") * n2.cast("double"))
+    ok = (n1 >= 1) & (n2 >= 1)
+    return ranked.agg(
+        n1.alias("n1"),
+        n2.alias("n2"),
+        u1.alias("u1"),
+        F.when(ok, F.round(a, 6)).alias("vd_a"),
+        F.when(ok, F.round(2.0 * a - 1.0, 6)).alias("cliffs_delta"),
+    )
+
+
+@query(
+    "stats_cochran_armitage_trend",
+    oracle="""
+    WITH g AS (
+      SELECT CAST(SUBSTR(o_orderpriority, 1, 1) AS BIGINT) AS s,
+        CAST(COUNT(*) AS BIGINT) AS n_i,
+        CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+             AS BIGINT) AS r_i
+      FROM orders GROUP BY 1
+    )
+    SELECT
+      CAST(SUM(n_i) AS BIGINT) AS n,
+      CAST(SUM(r_i) AS BIGINT) AS r_total,
+      CAST(SUM(s * r_i) AS BIGINT) AS t_stat,
+      CASE WHEN SUM(r_i) > 0 AND SUM(r_i) < SUM(n_i) THEN ROUND(
+        (CAST(SUM(s * r_i) AS DOUBLE)
+         - CAST(SUM(r_i) AS DOUBLE) * CAST(SUM(s * n_i) AS DOUBLE)
+           / CAST(SUM(n_i) AS DOUBLE))
+        / sqrt(
+            (CAST(SUM(r_i) AS DOUBLE) / CAST(SUM(n_i) AS DOUBLE))
+            * (1.0 - CAST(SUM(r_i) AS DOUBLE) / CAST(SUM(n_i) AS DOUBLE))
+            * (CAST(SUM(s * s * n_i) AS DOUBLE)
+               - CAST(SUM(s * n_i) AS DOUBLE) * CAST(SUM(s * n_i) AS DOUBLE)
+                 / CAST(SUM(n_i) AS DOUBLE))
+          ), 6)
+      END AS z_stat
+    FROM g
+    """,
+)
+def stats_cochran_armitage_trend(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cochran-Armitage trend test: does the fraction of FINALIZED orders
+    (o_orderstatus = 'F') trend monotonically across the ORDERED priority
+    levels (scores 1-URGENT .. 5-LOW, the leading digit)? The binary-
+    outcome-vs-ordered-groups member of the battery — chi-square GOF
+    ignores order, Jonckheere-Terpstra handles continuous responses;
+    this is the proportions-trend classic.
+
+    T = sum s_i r_i; under H0, E[T] = p * sum s_i n_i and
+    Var(T) = p(1-p)(sum s_i^2 n_i - (sum s_i n_i)^2 / N) with p = R/N.
+    Every sum is an exact BIGINT (scores 1..5, counts); E, Var, z divide
+    identical doubles once (magnitudes <= 2^53, exactly representable),
+    round-6. Degenerate guard: all-F or no-F data zeroes Var -> NULL z.
+
+    At 100 TB: one conditional aggregate over orders with map-side
+    combine into 5 rows — nothing else.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    g = o.groupBy(
+        F.substring("o_orderpriority", 1, 1).cast("bigint").alias("s")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_i"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+        .cast("bigint")
+        .alias("r_i"),
+    )
+    n = F.sum("n_i").cast("bigint")
+    rt = F.sum("r_i").cast("bigint")
+    t = F.sum(F.col("s") * F.col("r_i")).cast("bigint")
+    sn = F.sum(F.col("s") * F.col("n_i")).cast("bigint")
+    ssn = F.sum(F.col("s") * F.col("s") * F.col("n_i")).cast("bigint")
+    p = rt.cast("double") / n.cast("double")
+    var = (
+        p
+        * (1.0 - p)
+        * (ssn.cast("double") - sn.cast("double") * sn.cast("double") / n.cast("double"))
+    )
+    z = (t.cast("double") - rt.cast("double") * sn.cast("double") / n.cast("double")) / F.sqrt(var)
+    return g.agg(
+        n.alias("n"),
+        rt.alias("r_total"),
+        t.alias("t_stat"),
+        F.when((rt > 0) & (rt < n), F.round(z, 6)).alias("z_stat"),
     )

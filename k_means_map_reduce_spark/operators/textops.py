@@ -2787,7 +2787,10 @@ def text_bigram_entropy_rate_by_lang(
 
 # (applicationId, sf_dir) -> persisted (doc, true_lang, token, count)
 # rollup — the NB model tables and the scoring join all consume it.
-_NB_TOKS_CACHE = SessionMemo("textops.nb_doc_tokens")
+# three entries per sf_dir (token rollup, class_counts, doc_tot) — size 8
+# keeps two SFs resident so the parity tests' sf0.01+sf0.001 passes don't
+# thrash the memo
+_NB_TOKS_CACHE = SessionMemo("textops.nb_doc_tokens", maxsize=8)
 
 
 @query(
@@ -2910,12 +2913,22 @@ def ml_naive_bayes_lang_confusion(
     # cached token rollup besides the scoring join (3 cache reads, not 5):
     # vocab derives from class_counts (vocabulary-scale) and per-class doc
     # counts from doc_tot (doc-scale) — same values, smaller inputs.
-    class_counts = toks.groupBy(F.col("true_lang").alias("lang"), "tok").agg(
-        F.sum("c").cast("bigint").alias("cnt")
-    ).persist()
-    doc_tot = toks.groupBy("doc_id", "true_lang").agg(
-        F.sum("c").cast("bigint").alias("t_d")
-    ).persist()
+    class_counts = memo_persist(
+        _NB_TOKS_CACHE,
+        spark,
+        (sf_dir, "class_counts"),
+        lambda: toks.groupBy(F.col("true_lang").alias("lang"), "tok").agg(
+            F.sum("c").cast("bigint").alias("cnt")
+        ),
+    )
+    doc_tot = memo_persist(
+        _NB_TOKS_CACHE,
+        spark,
+        (sf_dir, "doc_tot"),
+        lambda: toks.groupBy("doc_id", "true_lang").agg(
+            F.sum("c").cast("bigint").alias("t_d")
+        ),
+    )
     vocab = class_counts.agg(
         F.countDistinct("tok").cast("bigint").alias("v")
     )
@@ -3070,7 +3083,10 @@ def text_yules_k_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("f"))
     )
     n = F.sum("f").cast("bigint")
-    s2 = F.sum(F.col("f") * F.col("f")).cast("bigint")
+    # f^2 summed as DECIMAL(38,0): at extreme type frequencies (f ~ 1e10+
+    # for stopwords at warehouse scale) SUM(BIGINT) of f^2 would overflow
+    # silently in Spark while DuckDB promotes to HUGEINT (r10 ADVICE item).
+    s2 = F.sum((F.col("f") * F.col("f")).cast("decimal(38,0)"))
     k = (
         10000.0
         * (s2.cast("double") - n.cast("double"))

@@ -398,14 +398,21 @@ def test_bench_headline_names_are_registered():
     assert not missing, f"bench names not in registry: {missing}"
     assert len(set(benched)) == len(benched), "duplicate bench entries"
     assert mod.HEADLINE == (
-        mod.LEGACY56 + mod.R7_FOLDED + mod.R8_FOLDED + mod.R9_FOLDED
+        mod.LEGACY56
+        + mod.R7_FOLDED
+        + mod.R8_FOLDED
+        + mod.R9_FOLDED
+        + mod.R10_FOLDED
     ), (
-        "HEADLINE must stay LEGACY56 + R7_FOLDED + R8_FOLDED + R9_FOLDED — "
-        "the stdout per-query map and the prev56/prev66/prev79 continuity "
-        "totals depend on that partition"
+        "HEADLINE must stay LEGACY56 + R7..R10_FOLDED — the stdout "
+        "per-query map and the prev56/66/79/96 continuity totals depend "
+        "on that partition"
     )
     assert mod.PREV66 == mod.LEGACY56 + mod.R7_FOLDED
     assert mod.PREV79 == mod.LEGACY56 + mod.R7_FOLDED + mod.R8_FOLDED
+    assert mod.PREV96 == (
+        mod.LEGACY56 + mod.R7_FOLDED + mod.R8_FOLDED + mod.R9_FOLDED
+    )
 
     # The driver keeps only the last ~2000 chars of bench stdout; the final
     # JSON line must fit or BENCH_r{N}.json records parsed=null (as it did
@@ -426,7 +433,7 @@ def test_bench_headline_names_are_registered():
                 "value_prev56": 99999.99,
                 "value_prev66": 99999.99,
                 "value_prev79": 99999.99,
-                "value_cold": 99999.99,
+                "value_prev96": 99999.99,
                 "sf": 0.1,
             },
             separators=(",", ":"),
@@ -1427,3 +1434,128 @@ def test_kendall_w_matches_python_reimplementation(spark, sf_dir):
     got = QUERIES["stats_kendall_w_part_rankers"](spark, sf_dir).collect()[0]
     assert got.n == n
     assert got.w == pytest.approx(want_w, abs=1e-6)
+
+
+def test_siegel_tukey_closed_form_matches_bruteforce():
+    """The ST alternating-rank closed form (low cut L = 2*(N div 4) +
+    (N mod 4 != 0), parity-branched 2r/2r-1 scores) must reproduce the
+    literal alternation — 1 to the min, 2-3 to the top two, 4-5 to the
+    next two lowest, … — for every N up to 200."""
+    for n in range(1, 201):
+        # literal alternation: assign scores 1..n walking (low 1, high 2,
+        # low 2, high 2, ...) over ascending positions 1..n
+        scores = {}
+        lo, hi, nxt, take_low, first = 1, n, 1, True, True
+        while lo <= hi:
+            k = 1 if first else 2
+            first = False
+            for _ in range(k):
+                if lo > hi:
+                    break
+                if take_low:
+                    scores[lo] = nxt
+                    lo += 1
+                else:
+                    scores[hi] = nxt
+                    hi -= 1
+                nxt += 1
+            take_low = not take_low
+        low_cut = 2 * (n // 4) + (0 if n % 4 == 0 else 1)
+        for r in range(1, n + 1):
+            if r <= low_cut:
+                want = 2 * r - 1 if r % 2 == 1 else 2 * r
+            else:
+                j = n + 1 - r
+                want = 2 * j if j % 2 == 1 else 2 * j - 1
+            assert scores[r] == want, (n, r, scores[r], want)
+        assert sorted(scores.values()) == list(range(1, n + 1))
+
+
+def test_logrank_matches_python_reimplementation(spark, sf_dir):
+    """Third implementation of the log-rank test: rebuild the censored
+    observations and the O/E/V day sums in plain Python from the events
+    parquet (no Spark, no DuckDB)."""
+    from collections import defaultdict
+
+    import pyarrow.parquet as pq_
+
+    t = pq_.read_table(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts"]
+    ).to_pandas()
+    t["day"] = t["ts"].values.astype("datetime64[D]").astype(int)
+    signup, purchase, last = {}, {}, {}
+    for u, et, d_ in zip(t.user_id, t.event_type, t.day):
+        if et == "signup":
+            signup[u] = min(signup.get(u, d_), d_)
+        if et == "purchase":
+            purchase[u] = min(purchase.get(u, d_), d_)
+        last[u] = max(last.get(u, d_), d_)
+    max_day = max(last.values())
+    mids = [s for s in signup.values()]
+    mid = (min(mids) + max(mids)) // 2
+    obs = []
+    for u, s in signup.items():
+        p = purchase.get(u)
+        conv = p is not None and p >= s
+        obs.append(
+            (1 if s <= mid else 0, (p - s) if conv else (max_day - s),
+             1 if conv else 0)
+        )
+    d1c, c1c, d2c, c2c = (
+        defaultdict(int), defaultdict(int), defaultdict(int), defaultdict(int)
+    )
+    for g1, tt, ev in obs:
+        if g1:
+            c1c[tt] += 1
+            d1c[tt] += ev
+        else:
+            c2c[tt] += 1
+            d2c[tt] += ev
+    n1 = sum(1 for g1, _, _ in obs if g1)
+    n2 = len(obs) - n1
+    at1, at2 = n1, n2
+    o1 = e1 = v = 0.0
+    from decimal import Decimal
+
+    e1d = vd = Decimal(0)
+    for tt in sorted(set(c1c) | set(c2c)):
+        d_ = d1c[tt] + d2c[tt]
+        nn = at1 + at2
+        if d_ > 0:
+            o1 += d1c[tt]
+            e1d += Decimal(str(round(d_ * at1 / nn, 6)))
+            if nn >= 2:
+                vd += Decimal(
+                    str(round(d_ * (at1 / nn) * (at2 / nn) * (nn - d_) / (nn - 1), 6))
+                )
+        at1 -= c1c[tt]
+        at2 -= c2c[tt]
+    e1, v = float(e1d), float(vd)
+    chi2 = (o1 - e1) ** 2 / v if v > 0 else None
+
+    got = QUERIES["events_logrank_signup_cohorts"](spark, sf_dir).collect()[0]
+    assert (got.n_early, got.n_late) == (n1, n2)
+    assert got.observed_early == int(o1)
+    assert got.expected_early == pytest.approx(e1, abs=1e-6)
+    assert got.chi2 == pytest.approx(chi2, abs=1e-4)
+
+
+def test_nelson_aalen_dominates_km_log_survival(spark, sf_dir):
+    """Invariant: -ln(S_km(t)) >= H_na(t) pointwise is FALSE in general,
+    but H is nondecreasing and 1 - S(t) <= H(t) always holds (since
+    -ln(1-x) >= x); check monotonicity and that bound on the shared
+    day grid."""
+    km = {
+        r.t_days: r.survival
+        for r in QUERIES["events_kaplan_meier_conversion"](spark, sf_dir).collect()
+    }
+    na = sorted(
+        (r.t_days, r.cum_hazard)
+        for r in QUERIES["events_nelson_aalen_hazard"](spark, sf_dir).collect()
+    )
+    prev = 0.0
+    for t_, h in na:
+        assert h >= prev - 1e-9
+        prev = h
+        if t_ in km and km[t_] is not None:
+            assert 1.0 - km[t_] <= h + 1e-4
