@@ -8,18 +8,25 @@ Each query is executed to completion (count() materializes the full plan);
 the session is warmed once with a trivial job so JVM startup isn't billed to
 the first query.
 
-Set shape (round 10 fold):
-  - HEADLINE = LEGACY56 + R7_FOLDED + R8_FOLDED + R9_FOLDED (96 queries).
-    "value" is the warm total of all 96 — the round-over-round headline
-    from round 10 on.
+Set shape (round 11 fold):
+  - HEADLINE = LEGACY56 + R7..R10_FOLDED (117 queries). "value" is the
+    warm total of all 117 — the round-over-round headline from round 11 on.
   - The stdout per-query map carries only LEGACY56 (the driver
-    tail-truncates stdout at ~2000 chars; 96 names don't fit even at 1dp),
+    tail-truncates stdout at ~2000 chars; 117 names don't fit even at 1dp),
     plus "value_prev56" (rounds <=7 comparability), "value_prev66"
-    (round-8 comparability) and "value_prev79" (round-9 comparability).
-    Full per-query cold+warm for all 96 lives in bench_detail.json.
-  - ADDITIONS = round-10 operator additions, benched identically but
-    reported detail-only this round (the r7/r8/r9 pattern); they fold into
+    (round-8), "value_prev79" (round-9) and "value_prev96" (round-10).
+    Full per-query cold+warm for all 117 lives in bench_detail.json.
+  - ADDITIONS = round-11 operator additions, benched identically but
+    reported detail-only this round (the r7..r10 pattern); they fold into
     HEADLINE next round once this round's totals exist as the baseline.
+
+Measurement-semantics note (r10 ADVICE item 3): since round 10,
+graph_triangle_count (LEGACY56) and graph_global_clustering_ratio share an
+eagerly-localCheckpointed 1-row SessionMemo — the O(E^1.5) wedge-closure
+cost lands in the COLD pass (and the warm pass of whichever query runs
+first); warm reps time a checkpoint read. Warm totals from r10 on are
+therefore not apples-to-apples with r<=9 for these two names; the cold
+column in bench_detail.json still carries the build.
 """
 
 from __future__ import annotations
@@ -166,14 +173,9 @@ R9_FOLDED = [
     "ds_q25_return_repurchase_chain",
 ]
 
-HEADLINE = LEGACY56 + R7_FOLDED + R8_FOLDED + R9_FOLDED
-PREV66 = LEGACY56 + R7_FOLDED
-PREV79 = LEGACY56 + R7_FOLDED + R8_FOLDED
-
-# Round-10 operator additions: benched identically, reported detail-only
-# (bench_detail.json "r10_additions*") so this round's 96-query totals land
-# clean as the new baseline; fold next round.
-ADDITIONS: list[str] = [
+# Round-10 operator additions, detail-only in round 10; folded into the
+# headline total from round 11 on (same arc as R7..R9_FOLDED).
+R10_FOLDED = [
     "ds_q11_two_channel_yoy_winners",
     "ds_q35_demographic_channel_census",
     "ds_q54_post_anchor_revenue_bands",
@@ -197,6 +199,16 @@ ADDITIONS: list[str] = [
     "events_kaplan_meier_conversion",
     "geo_mean_squared_displacement",
 ]
+
+HEADLINE = LEGACY56 + R7_FOLDED + R8_FOLDED + R9_FOLDED + R10_FOLDED
+PREV66 = LEGACY56 + R7_FOLDED
+PREV79 = LEGACY56 + R7_FOLDED + R8_FOLDED
+PREV96 = LEGACY56 + R7_FOLDED + R8_FOLDED + R9_FOLDED
+
+# Round-11 operator additions: benched identically, reported detail-only
+# (bench_detail.json "r11_additions*") so this round's 117-query totals land
+# clean as the new baseline; fold next round.
+ADDITIONS: list[str] = []
 
 
 def main() -> None:
@@ -244,12 +256,14 @@ def main() -> None:
     prev66_cold = round(sum(timings[n] for n in PREV66), 3)
     prev79_warm = round(sum(warm[n] for n in PREV79), 3)
     prev79_cold = round(sum(timings[n] for n in PREV79), 3)
+    prev96_warm = round(sum(warm[n] for n in PREV96), 3)
+    prev96_cold = round(sum(timings[n] for n in PREV96), 3)
     # The driver records only the LAST ~2000 chars of stdout: rounds 1-3
     # emitted one ~4.5KB line (cold+warm per-query) whose head got cut, so
     # BENCH_r{1..3}.json all have parsed=null. stdout therefore carries ONE
-    # COMPACT line — LEGACY56 warm per-query at 2dp plus the 96-query totals
-    # and the 56/66/79-query continuity totals — and the full-precision
-    # cold+warm detail for all 96 goes to bench_detail.json.
+    # COMPACT line — LEGACY56 warm per-query at 2dp plus the 117-query totals
+    # and the 56/66/79/96-query continuity totals — and the full-precision
+    # cold+warm detail for all 117 goes to bench_detail.json.
     detail = {
         "metric": "headline_queries_total",
         "value": total,
@@ -263,9 +277,11 @@ def main() -> None:
         "value_prev66_warm": prev66_warm,
         "value_prev79": prev79_cold,
         "value_prev79_warm": prev79_warm,
-        "r10_additions": add_timings,
-        "r10_additions_warm": add_warm,
-        "r10_additions_warm_total": round(sum(add_warm.values()), 3),
+        "value_prev96": prev96_cold,
+        "value_prev96_warm": prev96_warm,
+        "r11_additions": add_timings,
+        "r11_additions_warm": add_warm,
+        "r11_additions_warm_total": round(sum(add_warm.values()), 3),
         "sf": sf,
     }
     with open(os.path.join(_REPO, "bench_detail.json"), "w") as fh:
@@ -280,7 +296,7 @@ def main() -> None:
                 "value_prev56": prev56_warm,
                 "value_prev66": prev66_warm,
                 "value_prev79": prev79_warm,
-                "value_cold": total,
+                "value_prev96": prev96_warm,
                 "sf": sf,
             },
             separators=(",", ":"),
@@ -302,7 +318,7 @@ def main() -> None:
                 "value_prev56": prev56_warm,
                 "value_prev66": prev66_warm,
                 "value_prev79": prev79_warm,
-                "value_cold": total,
+                "value_prev96": prev96_warm,
                 "sf": sf,
             },
             separators=(",", ":"),
