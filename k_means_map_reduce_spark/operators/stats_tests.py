@@ -3356,3 +3356,333 @@ def stats_cochran_armitage_trend(
         t.alias("t_stat"),
         F.when((rt > 0) & (rt < n), F.round(z, 6)).alias("z_stat"),
     )
+
+
+@query(
+    "stats_jonckheere_terpstra_priority",
+    oracle=f"""
+    WITH vals AS (
+      SELECT CAST(SUBSTR(o_orderpriority, 1, 1) AS BIGINT) AS g,
+        {_CENTS_SQL.format(c='o_totalprice')} AS v,
+        o_orderkey AS id
+      FROM orders
+    ),
+    cum AS (
+      SELECT g,
+        COALESCE(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) OVER w, 0) AS c1,
+        COALESCE(SUM(CASE WHEN g = 2 THEN 1 ELSE 0 END) OVER w, 0) AS c2,
+        COALESCE(SUM(CASE WHEN g = 3 THEN 1 ELSE 0 END) OVER w, 0) AS c3,
+        COALESCE(SUM(CASE WHEN g = 4 THEN 1 ELSE 0 END) OVER w, 0) AS c4
+      FROM vals
+      WINDOW w AS (ORDER BY v, id ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING)
+    ),
+    jt AS (
+      SELECT CAST(SUM(CASE g
+        WHEN 2 THEN c1
+        WHEN 3 THEN c1 + c2
+        WHEN 4 THEN c1 + c2 + c3
+        WHEN 5 THEN c1 + c2 + c3 + c4
+        ELSE 0 END) AS BIGINT) AS jt_stat
+      FROM cum
+    ),
+    sizes AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+        CAST(SUM(cnt * cnt) AS BIGINT) AS sum_n2,
+        CAST(SUM(cnt * cnt * (2 * cnt + 3)) AS BIGINT) AS sum_n23
+      FROM (SELECT COUNT(*) AS cnt FROM vals GROUP BY g)
+    )
+    SELECT n, jt_stat,
+      CASE WHEN n >= 2 THEN ROUND(
+        (CAST(jt_stat AS DOUBLE)
+         - (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+            - CAST(sum_n2 AS DOUBLE)) / 4.0)
+        / sqrt((CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                * CAST(2 * n + 3 AS DOUBLE)
+                - CAST(sum_n23 AS DOUBLE)) / 72.0), 6)
+      END AS z_stat
+    FROM jt CROSS JOIN sizes
+    """,
+)
+def stats_jonckheere_terpstra_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Jonckheere-Terpstra test for an ORDERED alternative across the
+    five priority levels (1-URGENT .. 5-LOW) on order totalprice:
+    JT = sum over group pairs j<k of #{x in j, y in k : x < y} — the
+    continuous-response trend sibling of Cochran-Armitage (proportions)
+    and Page's L (complete blocks).
+
+    Instead of the 10 pairwise joins the textbook suggests, JT collapses
+    to ONE global ordered pass: rank all N values by (cents, orderkey)
+    — the battery's strict tie-broken order — and for each item sum the
+    running counts of all LOWER-ordinal groups among its strict
+    predecessors; the grand sum is exactly JT. Tie-free moments
+    E = (N^2 - sum n_i^2)/4, Var = (N^2(2N+3) - sum n_i^2(2n_i+3))/72
+    apply because every comparison is strict by construction (documented
+    deterministic variant, as for Mann-Whitney).
+
+    At 100 TB: one global sort of the orders fact (two-phase rank at
+    extreme scale: per-partition group counts -> offset prefix sums
+    reconstruct the running counts exactly), one aggregate.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    vals = o.select(
+        F.substring("o_orderpriority", 1, 1).cast("bigint").alias("g"),
+        _cents("o_totalprice").alias("v"),
+        F.col("o_orderkey").alias("id"),
+    )
+    w = Window.orderBy("v", "id").rowsBetween(Window.unboundedPreceding, -1)
+    cums = [
+        F.coalesce(
+            F.sum(F.when(F.col("g") == i, 1).otherwise(0)).over(w), F.lit(0)
+        ).alias(f"c{i}")
+        for i in (1, 2, 3, 4)
+    ]
+    cum = vals.select("g", *cums)
+    contrib = (
+        F.when(F.col("g") == 2, F.col("c1"))
+        .when(F.col("g") == 3, F.col("c1") + F.col("c2"))
+        .when(F.col("g") == 4, F.col("c1") + F.col("c2") + F.col("c3"))
+        .when(
+            F.col("g") == 5,
+            F.col("c1") + F.col("c2") + F.col("c3") + F.col("c4"),
+        )
+        .otherwise(F.lit(0))
+    )
+    jt = cum.agg(F.sum(contrib).cast("bigint").alias("jt_stat"))
+    sizes = (
+        vals.groupBy("g")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n"),
+            F.sum(F.col("cnt") * F.col("cnt")).cast("bigint").alias("sum_n2"),
+            F.sum(F.col("cnt") * F.col("cnt") * (2 * F.col("cnt") + 3))
+            .cast("bigint")
+            .alias("sum_n23"),
+        )
+    )
+    joined = jt.crossJoin(F.broadcast(sizes))
+    nd = F.col("n").cast("double")
+    mu = (nd * nd - F.col("sum_n2").cast("double")) / 4.0
+    var = (
+        nd * nd * (2 * F.col("n") + 3).cast("double")
+        - F.col("sum_n23").cast("double")
+    ) / 72.0
+    z = (F.col("jt_stat").cast("double") - mu) / F.sqrt(var)
+    return joined.select(
+        "n",
+        "jt_stat",
+        F.when(F.col("n") >= 2, F.round(z, 6)).alias("z_stat"),
+    )
+
+
+@query(
+    "stats_quade_nation_segment",
+    oracle="""
+    WITH cells AS (
+      SELECT c_nationkey AS blk, c_mktsegment AS seg,
+        CAST(SUM(CAST(ROUND(c_acctbal, 6) AS DECIMAL(18,6))) AS DOUBLE)
+          / COUNT(*) AS mean_bal
+      FROM customer GROUP BY 1, 2
+    ),
+    k_ AS (SELECT COUNT(DISTINCT seg) AS k FROM cells),
+    complete AS (
+      SELECT blk FROM cells CROSS JOIN k_
+      GROUP BY blk, k HAVING COUNT(*) = k
+    ),
+    ranked AS (
+      SELECT c.blk, c.seg, c.mean_bal,
+        ROW_NUMBER() OVER (PARTITION BY c.blk ORDER BY c.mean_bal, c.seg)
+          AS rk
+      FROM cells c JOIN complete USING (blk)
+    ),
+    ranges AS (
+      SELECT blk, MAX(mean_bal) - MIN(mean_bal) AS rng FROM ranked
+      GROUP BY blk
+    ),
+    qs AS (
+      SELECT blk, ROW_NUMBER() OVER (ORDER BY rng, blk) AS q FROM ranges
+    ),
+    s2 AS (
+      SELECT r.seg,
+        CAST(q.q * (2 * r.rk - ((SELECT k FROM k_) + 1)) AS BIGINT) AS s
+      FROM ranked r JOIN qs q USING (blk)
+    ),
+    parts AS (
+      SELECT CAST(SUM(s * s) AS BIGINT) AS a2,
+        (SELECT CAST(SUM(tj * tj) AS BIGINT) FROM (
+           SELECT CAST(SUM(s) AS BIGINT) AS tj FROM s2 GROUP BY seg)) AS b2,
+        (SELECT COUNT(*) FROM complete) AS b,
+        (SELECT k FROM k_) AS k
+      FROM s2
+    )
+    SELECT CAST(b AS BIGINT) AS n_blocks, CAST(k AS BIGINT) AS k,
+      CASE WHEN b * a2 - b2 > 0 THEN ROUND(
+        CAST((b - 1) AS DOUBLE) * CAST(b2 AS DOUBLE)
+        / CAST(b * a2 - b2 AS DOUBLE), 6)
+      END AS f_stat
+    FROM parts
+    """,
+)
+def stats_quade_nation_segment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quade test over the Friedman complete-block machinery: blocks
+    (nations) are WEIGHTED by the rank of their cell-value RANGE, so
+    blocks where segments differ a lot count more — the more powerful
+    small-k alternative to Friedman (which weights all blocks equally).
+
+    With 2x-scaled centered ranks S_ij = Q_i * (2 r_ij - (k+1)) every
+    intermediate stays an exact BIGINT (the /2 cancels in the F ratio):
+    F = (b-1) * B' / (b A' - B') with A' = sum S_ij^2 and
+    B' = sum_j (sum_i S_ij)^2. Cell means are the Friedman entry's
+    exact-decimal doubles; within-block ranks tie-break by segment,
+    range ranks by nation key (deterministic variant, documented).
+    Degenerate guard: constant cells make b A' = B' -> NULL (the
+    all-tied case where Quade is undefined).
+
+    At 100 TB: identical shape to Friedman — one dimension pass into
+    ~125 cells, two small windows, integer rollups.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    cells = c.groupBy(
+        F.col("c_nationkey").alias("blk"), F.col("c_mktsegment").alias("seg")
+    ).agg(
+        (
+            F.sum(F.round(F.col("c_acctbal"), 6).cast("decimal(18,6)")).cast(
+                "double"
+            )
+            / F.count(F.lit(1))
+        ).alias("mean_bal")
+    )
+    k_ = cells.agg(F.countDistinct("seg").alias("k"))
+    complete = (
+        cells.crossJoin(F.broadcast(k_))
+        .groupBy("blk", "k")
+        .agg(F.count(F.lit(1)).alias("nseg"))
+        .where(F.col("nseg") == F.col("k"))
+        .select("blk")
+    )
+    wb = Window.partitionBy("blk").orderBy("mean_bal", "seg")
+    ranked = cells.join(F.broadcast(complete), "blk").select(
+        "blk", "seg", "mean_bal", F.row_number().over(wb).alias("rk")
+    )
+    ranges = ranked.groupBy("blk").agg(
+        (F.max("mean_bal") - F.min("mean_bal")).alias("rng")
+    )
+    qs = ranges.select(
+        "blk", F.row_number().over(Window.orderBy("rng", "blk")).alias("q")
+    )
+    s2 = (
+        ranked.join(F.broadcast(qs), "blk")
+        .crossJoin(F.broadcast(k_))
+        .select(
+            "seg",
+            (F.col("q") * (2 * F.col("rk") - (F.col("k") + 1)))
+            .cast("bigint")
+            .alias("s"),
+        )
+    )
+    a2 = s2.agg(F.sum(F.col("s") * F.col("s")).cast("bigint").alias("a2"))
+    b2 = (
+        s2.groupBy("seg")
+        .agg(F.sum("s").cast("bigint").alias("tj"))
+        .agg(F.sum(F.col("tj") * F.col("tj")).cast("bigint").alias("b2"))
+    )
+    nb = complete.agg(F.count(F.lit(1)).cast("bigint").alias("b"))
+    parts = (
+        a2.crossJoin(F.broadcast(b2))
+        .crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(k_))
+    )
+    denom = F.col("b") * F.col("a2") - F.col("b2")
+    f_ = (
+        (F.col("b") - 1).cast("double")
+        * F.col("b2").cast("double")
+        / denom.cast("double")
+    )
+    return parts.select(
+        F.col("b").cast("bigint").alias("n_blocks"),
+        F.col("k").cast("bigint").alias("k"),
+        F.when(denom > 0, F.round(f_, 6)).alias("f_stat"),
+    )
+
+
+@query(
+    "stats_hodges_lehmann_shift",
+    oracle=f"""
+    WITH daily AS (
+      SELECT c.c_mktsegment AS seg, o.o_orderdate AS day,
+        CAST(SUM({_CENTS_SQL.format(c='o.o_totalprice')}) AS BIGINT) AS rev
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+      GROUP BY 1, 2
+    ),
+    diffs AS (
+      SELECT a.rev - b.rev AS d, a.day AS da, b.day AS db
+      FROM (SELECT * FROM daily WHERE seg = 'BUILDING') a
+      CROSS JOIN (SELECT * FROM daily WHERE seg = 'MACHINERY') b
+    ),
+    ranked AS (
+      SELECT d, ROW_NUMBER() OVER (ORDER BY d, da, db) AS rk,
+        COUNT(*) OVER () AS n
+      FROM diffs
+    )
+    SELECT
+      CAST(MAX(n) AS BIGINT) AS n_pairs,
+      CAST(MIN(CASE WHEN 2 * rk >= n THEN d END) AS BIGINT)
+        AS hl_shift_cents
+    FROM ranked
+    """,
+)
+def stats_hodges_lehmann_shift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hodges-Lehmann estimator of the location shift between BUILDING
+    and MACHINERY daily revenue: the median of ALL pairwise differences
+    x_i - y_j — the robust, distribution-free companion of the
+    mean-difference (Cohen's d) and rank (Mann-Whitney) entries: it
+    reports HOW MUCH one series sits above the other in the original
+    units (cents/day).
+
+    The pairwise grid is DAY x DAY — calendar-bounded (~2.4k x 2.4k =
+    5.8M integer differences at ANY data scale; ten years of data is
+    still < 1.4e7 pairs), so the quadratic blow-up that forbids
+    pairwise statistics at fact grain does not apply: the fact collapses
+    to day-grain first (one partial-agg pass) and the cross join runs
+    on dimension-scale frames. The median is the battery's LOWER-median
+    2*rk >= n rule over (diff, day_a, day_b) — exact BIGINT output.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    daily = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .where(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderdate").alias("day"),
+        )
+        .agg(F.sum(_cents("o_totalprice")).cast("bigint").alias("rev"))
+    )
+    a = daily.where(F.col("seg") == "BUILDING").select(
+        F.col("rev").alias("ra"), F.col("day").alias("da")
+    )
+    b = daily.where(F.col("seg") == "MACHINERY").select(
+        F.col("rev").alias("rb"), F.col("day").alias("db")
+    )
+    diffs = a.crossJoin(b).select(
+        (F.col("ra") - F.col("rb")).alias("d"), "da", "db"
+    )
+    wall = Window.partitionBy()
+    ranked = diffs.select(
+        "d",
+        F.row_number().over(Window.orderBy("d", "da", "db")).alias("rk"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    return ranked.agg(
+        F.max("n").cast("bigint").alias("n_pairs"),
+        F.min(F.when(2 * F.col("rk") >= F.col("n"), F.col("d")))
+        .cast("bigint")
+        .alias("hl_shift_cents"),
+    )

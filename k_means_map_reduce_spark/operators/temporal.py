@@ -1428,3 +1428,619 @@ def timeseries_seasonal_naive_error(
         (F.sum("ape").cast("double") / F.count(F.lit(1))).alias("mape"),
         (F.sum("sape").cast("double") / F.count(F.lit(1))).alias("smape"),
     )
+
+
+@query(
+    "timeseries_ljung_box_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT
+        datediff('day', DATE '1970-01-01', o_orderdate) AS day,
+        CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+          AS y
+      FROM orders GROUP BY 1
+    ),
+    consts AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS t
+      FROM daily
+    ),
+    demeaned AS (
+      SELECT day, CAST(n * y - t AS BIGINT) AS e, n
+      FROM daily CROSS JOIN consts
+    ),
+    led AS (
+      SELECT e, n,
+        LEAD(e, 1) OVER w AS e1, LEAD(e, 2) OVER w AS e2,
+        LEAD(e, 3) OVER w AS e3, LEAD(e, 4) OVER w AS e4,
+        LEAD(e, 5) OVER w AS e5, LEAD(e, 6) OVER w AS e6,
+        LEAD(e, 7) OVER w AS e7
+      FROM demeaned
+      WINDOW w AS (ORDER BY day)
+    ),
+    sums AS (
+      SELECT MAX(n) AS n,
+        SUM(CAST(e AS DECIMAL(19,0)) * CAST(e AS DECIMAL(19,0))) AS den,
+        SUM(CAST(e AS DECIMAL(19,0)) * CAST(e1 AS DECIMAL(19,0))) AS s1,
+        SUM(CAST(e AS DECIMAL(19,0)) * CAST(e2 AS DECIMAL(19,0))) AS s2,
+        SUM(CAST(e AS DECIMAL(19,0)) * CAST(e3 AS DECIMAL(19,0))) AS s3,
+        SUM(CAST(e AS DECIMAL(19,0)) * CAST(e4 AS DECIMAL(19,0))) AS s4,
+        SUM(CAST(e AS DECIMAL(19,0)) * CAST(e5 AS DECIMAL(19,0))) AS s5,
+        SUM(CAST(e AS DECIMAL(19,0)) * CAST(e6 AS DECIMAL(19,0))) AS s6,
+        SUM(CAST(e AS DECIMAL(19,0)) * CAST(e7 AS DECIMAL(19,0))) AS s7
+      FROM led
+    ),
+    rhos AS (
+      SELECT n,
+        unnest([1, 2, 3, 4, 5, 6, 7]) AS k,
+        unnest([
+          ROUND(CAST(s1 AS DOUBLE) / CAST(den AS DOUBLE), 6),
+          ROUND(CAST(s2 AS DOUBLE) / CAST(den AS DOUBLE), 6),
+          ROUND(CAST(s3 AS DOUBLE) / CAST(den AS DOUBLE), 6),
+          ROUND(CAST(s4 AS DOUBLE) / CAST(den AS DOUBLE), 6),
+          ROUND(CAST(s5 AS DOUBLE) / CAST(den AS DOUBLE), 6),
+          ROUND(CAST(s6 AS DOUBLE) / CAST(den AS DOUBLE), 6),
+          ROUND(CAST(s7 AS DOUBLE) / CAST(den AS DOUBLE), 6)]) AS rho
+      FROM sums WHERE den > 0
+    )
+    SELECT CAST(k AS BIGINT) AS k, rho,
+      ROUND(CAST(n AS DOUBLE) * CAST(n + 2 AS DOUBLE) * CAST(
+        SUM(CAST(ROUND(rho * rho / CAST(n - k AS DOUBLE), 6)
+            AS DECIMAL(18,6)))
+        OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        AS DOUBLE), 6) AS q_stat
+    FROM rhos
+    """,
+)
+def timeseries_ljung_box_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Ljung-Box portmanteau test on the daily-revenue series: classical
+    ACF rho_k at lags 1..7 (fixed full-series demeaning, denominator
+    sum e^2 — the textbook LB autocorrelation, distinct from the
+    Pearson-over-pairs lag-1 entry) and the cumulative
+    Q_k = n(n+2) sum_{j<=k} rho_j^2/(n-j).
+
+    Integer-demean trick: e'_t = n*y_t - T (exact BIGINT, y integer
+    cents) scales every residual by n, and the n^2 factors CANCEL in
+    rho = sum e'_t e'_{t+k} / sum e'_t^2 — so both engines divide
+    identical exact DECIMAL(38,0) sums and no double is rounded at
+    dangerous magnitude (the lesson-7-class ROUND-of-1e9 hazard is
+    avoided entirely). Products are cast DECIMAL(19,0) BEFORE
+    multiplying (BIGINT*BIGINT would overflow first). rho rounds to
+    6dp; each Q term rounds then decimal-cumulates.
+
+    At 100 TB: the fact collapses to day grain immediately; seven LEADs
+    ride ONE ordered window over the ~2.4k-row series, and the power
+    sums are one aggregate — nothing fact-grain after the rollup.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff("o_orderdate", F.lit("1970-01-01")).alias("day")
+    ).agg(F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint")).cast("bigint").alias("y"))
+    consts = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("t"),
+    )
+    demeaned = daily.crossJoin(F.broadcast(consts)).select(
+        "day",
+        (F.col("n") * F.col("y") - F.col("t")).cast("bigint").alias("e"),
+        "n",
+    )
+    w = Window.orderBy("day")
+    led = demeaned.select(
+        "e",
+        "n",
+        *[F.lead("e", k).over(w).alias(f"e{k}") for k in range(1, 8)],
+    )
+    d19 = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    sums = led.agg(
+        F.max("n").alias("n"),
+        F.sum(d19("e") * d19("e")).alias("den"),
+        *[F.sum(d19("e") * d19(f"e{k}")).alias(f"s{k}") for k in range(1, 8)],
+    )
+    rho_cols = [
+        F.round(
+            F.col(f"s{k}").cast("double") / F.col("den").cast("double"), 6
+        )
+        for k in range(1, 8)
+    ]
+    rhos = (
+        sums.where(F.col("den") > 0)
+        .select(
+            "n",
+            F.explode(
+                F.arrays_zip(
+                    F.array(*[F.lit(k) for k in range(1, 8)]).alias("k"),
+                    F.array(*rho_cols).alias("rho"),
+                )
+            ).alias("z"),
+        )
+        .select("n", F.col("z.k").alias("k"), F.col("z.rho").alias("rho"))
+    )
+    cum = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    term = F.round(
+        F.col("rho") * F.col("rho") / (F.col("n") - F.col("k")).cast("double"),
+        6,
+    ).cast("decimal(18,6)")
+    return rhos.select(
+        F.col("k").cast("bigint").alias("k"),
+        "rho",
+        F.round(
+            F.col("n").cast("double")
+            * (F.col("n") + 2).cast("double")
+            * F.sum(term).over(cum).cast("double"),
+            6,
+        ).alias("q_stat"),
+    )
+
+
+_DAILY_CENTS_SQL = """
+      SELECT datediff('day', DATE '1970-01-01', o_orderdate) AS day,
+        CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+          AS y
+      FROM orders GROUP BY 1
+"""
+
+
+def _daily_cents(o):
+    return o.groupBy(
+        F.datediff("o_orderdate", F.lit("1970-01-01")).alias("day")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("y")
+    )
+
+
+@query(
+    "timeseries_variance_ratio",
+    oracle=f"""
+    WITH daily AS ({_DAILY_CENTS_SQL}),
+    rets AS (
+      SELECT day,
+        CAST(ROUND(ln(CAST(y AS DOUBLE) / CAST(LAG(y) OVER (ORDER BY day)
+          AS DOUBLE)), 6) AS DECIMAL(18,6)) AS r
+      FROM daily
+      QUALIFY LAG(y) OVER (ORDER BY day) IS NOT NULL
+    ),
+    idx AS (
+      SELECT r, ROW_NUMBER() OVER (ORDER BY day) AS rn,
+        SUM(r) OVER (ORDER BY day ROWS BETWEEN 1 PRECEDING
+                     AND CURRENT ROW) AS s2,
+        SUM(r) OVER (ORDER BY day ROWS BETWEEN 4 PRECEDING
+                     AND CURRENT ROW) AS s5,
+        SUM(r) OVER (ORDER BY day ROWS BETWEEN 9 PRECEDING
+                     AND CURRENT ROW) AS s10
+      FROM rets
+    ),
+    base AS (
+      SELECT COUNT(*) AS n,
+        CAST(SUM(r) AS DOUBLE) AS sr,
+        CAST(SUM(r * r) AS DOUBLE) AS srr
+      FROM idx
+    ),
+    qs AS (
+      SELECT q,
+        COUNT(*) AS m,
+        CAST(SUM(s) AS DOUBLE) AS ss,
+        CAST(SUM(s * s) AS DOUBLE) AS sss
+      FROM (
+        SELECT 2 AS q, s2 AS s, rn FROM idx
+        UNION ALL SELECT 5, s5, rn FROM idx
+        UNION ALL SELECT 10, s10, rn FROM idx
+      ) WHERE rn >= q
+      GROUP BY q
+    )
+    SELECT CAST(q AS BIGINT) AS q, CAST(m AS BIGINT) AS m,
+      CASE WHEN (srr - sr * sr / n) / n > 0 THEN ROUND(
+        ((sss - ss * ss / m) / m)
+        / (CAST(q AS DOUBLE) * ((srr - sr * sr / n) / n)), 6)
+      END AS vr
+    FROM qs CROSS JOIN base
+    ORDER BY q
+    """,
+)
+def timeseries_variance_ratio(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Lo-MacKinlay variance-ratio diagnostic on daily revenue log
+    returns: VR(q) = Var(q-period overlapping return) / (q Var(1-period))
+    for q = 2, 5, 10 — VR near 1 means a random walk, below 1 mean
+    reversion, above 1 momentum. (The simple population-variance
+    overlapping variant, not the heteroskedasticity-robust z — the ratio
+    itself is the telemetry.)
+
+    Determinism: each ln return is round-6 then DECIMAL(18,6) (the
+    cross-entropy discipline); q-period returns are exact decimal window
+    sums of those decimals; all power sums are exact decimal sums cast
+    double once; the VR divides identical doubles, round-6. Constant
+    series zeroes Var1 -> NULL (matches DuckDB /0 via the guard).
+
+    At 100 TB: the fact collapses to day grain first; three ROWS-frame
+    window sums and four aggregates over a ~2.4k-row series.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = _daily_cents(o)
+    w = Window.orderBy("day")
+    rets = (
+        daily.select(
+            "day",
+            F.col("y"),
+            F.lag("y").over(w).alias("prev"),
+        )
+        .where(F.col("prev").isNotNull())
+        .select(
+            "day",
+            F.round(
+                F.log(F.col("y").cast("double") / F.col("prev").cast("double")),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("r"),
+        )
+    )
+    idx = rets.select(
+        "r",
+        F.row_number().over(w).alias("rn"),
+        F.sum("r").over(w.rowsBetween(-1, 0)).alias("s2"),
+        F.sum("r").over(w.rowsBetween(-4, 0)).alias("s5"),
+        F.sum("r").over(w.rowsBetween(-9, 0)).alias("s10"),
+    )
+    base = idx.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("r").cast("double").alias("sr"),
+        F.sum(F.col("r") * F.col("r")).cast("double").alias("srr"),
+    )
+    stacked = idx.select(
+        F.explode(
+            F.arrays_zip(
+                F.array(F.lit(2), F.lit(5), F.lit(10)).alias("q"),
+                F.array("s2", "s5", "s10").alias("s"),
+            )
+        ).alias("z"),
+        "rn",
+    ).select(F.col("z.q").alias("q"), F.col("z.s").alias("s"), "rn")
+    qs = (
+        stacked.where(F.col("rn") >= F.col("q"))
+        .groupBy("q")
+        .agg(
+            F.count(F.lit(1)).alias("m"),
+            F.sum("s").cast("double").alias("ss"),
+            F.sum(F.col("s") * F.col("s")).cast("double").alias("sss"),
+        )
+    )
+    j = qs.crossJoin(F.broadcast(base))
+    var1 = (F.col("srr") - F.col("sr") * F.col("sr") / F.col("n")) / F.col(
+        "n"
+    )
+    varq = (F.col("sss") - F.col("ss") * F.col("ss") / F.col("m")) / F.col(
+        "m"
+    )
+    return j.select(
+        F.col("q").cast("bigint").alias("q"),
+        F.col("m").cast("bigint").alias("m"),
+        F.when(
+            var1 > 0, F.round(varq / (F.col("q").cast("double") * var1), 6)
+        ).alias("vr"),
+    ).orderBy("q")
+
+
+@query(
+    "timeseries_hurst_rescaled_range",
+    oracle=f"""
+    WITH daily AS ({_DAILY_CENTS_SQL}),
+    idx AS (
+      SELECT y, ROW_NUMBER() OVER (ORDER BY day) - 1 AS rn FROM daily
+    ),
+    blocks AS (
+      SELECT w.w, idx.rn // w.w AS bid, idx.rn, idx.y
+      FROM idx CROSS JOIN (SELECT unnest([16, 32, 64]) AS w) w
+    ),
+    complete AS (
+      SELECT w, bid, CAST(SUM(y) AS BIGINT) AS t
+      FROM blocks GROUP BY w, bid HAVING COUNT(*) = w
+    ),
+    u AS (
+      SELECT b.w, b.bid, b.rn,
+        CAST(b.w * b.y - c.t AS BIGINT) AS u
+      FROM blocks b JOIN complete c ON b.w = c.w AND b.bid = c.bid
+    ),
+    pfx AS (
+      SELECT w, bid, u,
+        SUM(u) OVER (PARTITION BY w, bid ORDER BY rn
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+      FROM u
+    ),
+    per_block AS (
+      SELECT w, bid,
+        CAST(MAX(p) - MIN(p) AS BIGINT) AS rng,
+        SUM(CAST(u AS DECIMAL(19,0)) * CAST(u AS DECIMAL(19,0))) AS su2
+      FROM pfx GROUP BY w, bid
+    )
+    SELECT CAST(w AS BIGINT) AS w,
+      CAST(COUNT(*) AS BIGINT) AS n_blocks,
+      ROUND(CAST(SUM(CAST(ROUND(
+        CAST(rng AS DOUBLE) * sqrt(CAST(w AS DOUBLE))
+        / sqrt(CAST(su2 AS DOUBLE)), 6) AS DECIMAL(18,6))) AS DOUBLE)
+        / COUNT(*), 6) AS mean_rs
+    FROM per_block WHERE su2 > 0
+    GROUP BY w ORDER BY w
+    """,
+)
+def timeseries_hurst_rescaled_range(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Rescaled-range (R/S) statistic of daily revenue at block sizes
+    16/32/64 days — the Hurst long-memory diagnostic (mean R/S growing
+    like w^H; H=0.5 is a memoryless walk). Emits mean R/S per size; the
+    caller regresses ln(R/S) on ln(w) for H.
+
+    Integer construction: within each complete w-day block, deviations
+    are scaled u_t = w*y_t - T (exact BIGINT; they sum to 0 so the
+    cumulative range needs no zero-anchor), the range of integer prefix
+    sums is exact, and R/S = range * sqrt(w) / sqrt(sum u^2) divides
+    identical exact operands (sum u^2 as DECIMAL(19,0) products). Each
+    block's R/S is round-6 then decimal-averaged. Constant blocks
+    (sum u^2 = 0) are excluded in both engines.
+
+    At 100 TB: day-grain after one fact pass; the w-fanout is a 3x
+    dimension cross join over ~2.4k rows with per-(w, block) windows.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = _daily_cents(o)
+    idx = daily.select(
+        "y", (F.row_number().over(Window.orderBy("day")) - 1).alias("rn")
+    )
+    ws = spark.range(0, 3).select(
+        F.element_at(F.array(F.lit(16), F.lit(32), F.lit(64)), (F.col("id") + 1).cast("int")).alias("w")
+    )
+    blocks = idx.crossJoin(F.broadcast(ws)).select(
+        "w",
+        F.floor(F.col("rn") / F.col("w")).alias("bid"),
+        "rn",
+        "y",
+    )
+    complete = (
+        blocks.groupBy("w", "bid")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("y").cast("bigint").alias("t"),
+        )
+        .where(F.col("cnt") == F.col("w"))
+        .select("w", "bid", "t")
+    )
+    u = blocks.join(complete, ["w", "bid"]).select(
+        "w",
+        "bid",
+        "rn",
+        (F.col("w") * F.col("y") - F.col("t")).cast("bigint").alias("u"),
+    )
+    wp = (
+        Window.partitionBy("w", "bid")
+        .orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pfx = u.select("w", "bid", "u", F.sum("u").over(wp).alias("p"))
+    d19 = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    per_block = pfx.groupBy("w", "bid").agg(
+        (F.max("p") - F.min("p")).cast("bigint").alias("rng"),
+        F.sum(d19("u") * d19("u")).alias("su2"),
+    )
+    rs = (
+        F.col("rng").cast("double")
+        * F.sqrt(F.col("w").cast("double"))
+        / F.sqrt(F.col("su2").cast("double"))
+    )
+    return (
+        per_block.where(F.col("su2") > 0)
+        .groupBy("w")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+            F.round(
+                F.sum(F.round(rs, 6).cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_rs"),
+        )
+        .select(F.col("w").cast("bigint").alias("w"), "n_blocks", "mean_rs")
+        .orderBy("w")
+    )
+
+
+@query(
+    "finance_sharpe_sortino_daily",
+    oracle=f"""
+    WITH daily AS ({_DAILY_CENTS_SQL}),
+    rets AS (
+      SELECT CAST(ROUND(ln(CAST(y AS DOUBLE)
+        / CAST(LAG(y) OVER (ORDER BY day) AS DOUBLE)), 6)
+        AS DECIMAL(18,6)) AS r
+      FROM daily
+      QUALIFY LAG(y) OVER (ORDER BY day) IS NOT NULL
+    ),
+    m AS (
+      SELECT COUNT(*) AS n,
+        CAST(SUM(r) AS DOUBLE) AS sr,
+        CAST(SUM(r * r) AS DOUBLE) AS srr,
+        CAST(SUM(CASE WHEN r < 0 THEN r * r ELSE
+          CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS sdd
+      FROM rets
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+      ROUND(sr / n, 6) AS mean_ret,
+      CASE WHEN srr - sr * sr / n > 0 THEN
+        ROUND((sr / n) / sqrt((srr - sr * sr / n) / n), 6)
+      END AS sharpe,
+      CASE WHEN sdd > 0 THEN
+        ROUND((sr / n) / sqrt(sdd / n), 6)
+      END AS sortino
+    FROM m
+    """,
+)
+def finance_sharpe_sortino_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sharpe and Sortino ratios of the daily revenue log-return series
+    (risk-free rate 0, unannualized): Sharpe = mean/std, Sortino =
+    mean/downside-deviation (sqrt of the mean SQUARED negative return,
+    the full-n denominator convention). The risk-adjusted telemetry
+    members beside max drawdown (path risk) and Bollinger (band risk).
+
+    Determinism: returns are round-6 decimals; all three power sums are
+    exact decimal sums cast double once; population variance and the
+    downside second moment divide identical doubles. Constant series ->
+    NULL sharpe (zero variance); no negative day -> NULL sortino.
+
+    At 100 TB: one fact pass to day grain, one lag window, one
+    aggregate.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = _daily_cents(o)
+    w = Window.orderBy("day")
+    rets = (
+        daily.select("day", "y", F.lag("y").over(w).alias("prev"))
+        .where(F.col("prev").isNotNull())
+        .select(
+            F.round(
+                F.log(
+                    F.col("y").cast("double") / F.col("prev").cast("double")
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("r")
+        )
+    )
+    zero = F.lit(0).cast("decimal(18,6)")
+    m = rets.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("r").cast("double").alias("sr"),
+        F.sum(F.col("r") * F.col("r")).cast("double").alias("srr"),
+        F.sum(
+            F.when(F.col("r") < 0, F.col("r") * F.col("r")).otherwise(
+                zero.cast("decimal(37,12)")
+            )
+        )
+        .cast("double")
+        .alias("sdd"),
+    )
+    mean = F.col("sr") / F.col("n")
+    var = F.col("srr") - F.col("sr") * F.col("sr") / F.col("n")
+    return m.select(
+        F.col("n").cast("bigint").alias("n_days"),
+        F.round(mean, 6).alias("mean_ret"),
+        F.when(
+            var > 0, F.round(mean / F.sqrt(var / F.col("n")), 6)
+        ).alias("sharpe"),
+        F.when(
+            F.col("sdd") > 0,
+            F.round(mean / F.sqrt(F.col("sdd") / F.col("n")), 6),
+        ).alias("sortino"),
+    )
+
+
+@query(
+    "timeseries_changepoint_binseg",
+    oracle=f"""
+    WITH daily AS ({_DAILY_CENTS_SQL}),
+    idx AS (
+      SELECT day, y, ROW_NUMBER() OVER (ORDER BY day) AS rn,
+        SUM(y) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS p,
+        CAST(SUM(y) OVER () AS BIGINT) AS t,
+        CAST(COUNT(*) OVER () AS BIGINT) AS n
+      FROM daily
+    ),
+    g AS (
+      SELECT day, rn, n,
+        CAST((n - rn) * p - rn * (t - p) AS BIGINT) AS num
+      FROM idx WHERE rn < n
+    ),
+    scored AS (
+      SELECT day, rn, n, num,
+        CAST(CAST(num AS DECIMAL(19,0)) * CAST(num AS DECIMAL(19,0))
+             AS DOUBLE)
+          / (CAST(rn AS DOUBLE) * CAST(n - rn AS DOUBLE)) AS gs
+      FROM g
+    )
+    SELECT CAST(day AS BIGINT) AS split_day,
+      CAST(rn AS BIGINT) AS n_left,
+      CAST(n - rn AS BIGINT) AS n_right,
+      ROUND(CAST(num AS DOUBLE)
+            / (CAST(rn AS DOUBLE) * CAST(n - rn AS DOUBLE)), 6)
+        AS mean_diff_cents
+    FROM scored
+    QUALIFY ROW_NUMBER() OVER (ORDER BY gs DESC, day) = 1
+    """,
+)
+def timeseries_changepoint_binseg(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """First binary-segmentation changepoint of daily revenue: the split
+    s maximizing the between-segment sum of squares
+    G(s) = n_L n_R / n * (mean_L - mean_R)^2 — the variance-decomposition
+    changepoint (CUSUM-argmax, which already ships, maximizes the
+    centered prefix sum instead; binseg normalizes by segment sizes so
+    an early/late split isn't penalized).
+
+    Exact argmax: with prefix sums P_s, G is monotone in
+    num^2 / (s(n-s)) with num = (n-s)P_s - s(T-P_s) (exact BIGINT);
+    num^2 as DECIMAL(19,0) product cast double divided by exact s(n-s)
+    gives both engines the IDENTICAL double, so the (score desc, day)
+    argmax cannot flip cross-engine. Emits the left-right mean gap
+    (num / (s(n-s))) rather than raw G (cents^2 at 1e25 magnitude is
+    not human-meaningful).
+
+    At 100 TB: day-grain after one fact pass; two windows and an argmax
+    over ~2.4k candidate splits.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = _daily_cents(o)
+    w = Window.orderBy("day")
+    wall = Window.partitionBy()
+    idx = daily.select(
+        "day",
+        F.row_number().over(w).alias("rn"),
+        F.sum("y").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "p"
+        ),
+        F.sum("y").over(wall).cast("bigint").alias("t"),
+        F.count(F.lit(1)).over(wall).cast("bigint").alias("n"),
+    )
+    g = idx.where(F.col("rn") < F.col("n")).select(
+        "day",
+        "rn",
+        "n",
+        (
+            (F.col("n") - F.col("rn")) * F.col("p")
+            - F.col("rn") * (F.col("t") - F.col("p"))
+        )
+        .cast("bigint")
+        .alias("num"),
+    )
+    d19 = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    denom = F.col("rn").cast("double") * (F.col("n") - F.col("rn")).cast(
+        "double"
+    )
+    scored = g.select(
+        "day",
+        "rn",
+        "n",
+        "num",
+        ((d19("num") * d19("num")).cast("double") / denom).alias("gs"),
+    )
+    pick = Window.orderBy(F.col("gs").desc(), "day")
+    return (
+        scored.select(
+            "*", F.row_number().over(pick).alias("pk")
+        )
+        .where(F.col("pk") == 1)
+        .select(
+            F.col("day").cast("bigint").alias("split_day"),
+            F.col("rn").cast("bigint").alias("n_left"),
+            (F.col("n") - F.col("rn")).cast("bigint").alias("n_right"),
+            F.round(F.col("num").cast("double") / denom, 6).alias(
+                "mean_diff_cents"
+            ),
+        )
+    )
