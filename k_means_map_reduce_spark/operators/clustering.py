@@ -1503,3 +1503,152 @@ def kmeans_bic_aic_oracled(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(ok, bic).alias("bic"),
         F.when(ok, aic).alias("aic"),
     )
+
+
+@query(
+    "ml_decision_stump_gini",
+    oracle="""
+    WITH rows_ AS (
+      SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS v,
+        CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos,
+        o_orderkey AS id
+      FROM orders
+    ),
+    ranked AS (
+      SELECT v, pos,
+        ROW_NUMBER() OVER (ORDER BY v, id) - 1 AS rk,
+        CAST(COUNT(*) OVER () AS BIGINT) AS n,
+        CAST(SUM(pos) OVER () AS BIGINT) AS p_tot
+      FROM rows_
+    ),
+    buckets AS (
+      SELECT (rk * 10) // n AS b, n, p_tot,
+        CAST(COUNT(*) AS BIGINT) AS cnt,
+        CAST(SUM(pos) AS BIGINT) AS p,
+        CAST(MAX(v) AS BIGINT) AS vmax
+      FROM ranked GROUP BY 1, n, p_tot
+    ),
+    cands AS (
+      SELECT b, n, p_tot, vmax,
+        CAST(SUM(cnt) OVER wc AS BIGINT) AS n_l,
+        CAST(SUM(p) OVER wc AS BIGINT) AS p_l
+      FROM buckets
+      WINDOW wc AS (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND CURRENT ROW)
+      QUALIFY b < 9
+    ),
+    scored AS (
+      SELECT b, vmax, n_l, p_l, n - n_l AS n_r, p_tot - p_l AS p_r,
+        (1.0 - (CAST(p_tot AS DOUBLE) * CAST(p_tot AS DOUBLE)
+                + CAST(n - p_tot AS DOUBLE) * CAST(n - p_tot AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+        - (CAST(n_l AS DOUBLE) / CAST(n AS DOUBLE))
+          * (1.0 - (CAST(p_l AS DOUBLE) * CAST(p_l AS DOUBLE)
+                    + CAST(n_l - p_l AS DOUBLE) * CAST(n_l - p_l AS DOUBLE))
+                   / (CAST(n_l AS DOUBLE) * CAST(n_l AS DOUBLE)))
+        - (CAST(n - n_l AS DOUBLE) / CAST(n AS DOUBLE))
+          * (1.0 - (CAST(p_tot - p_l AS DOUBLE)
+                    * CAST(p_tot - p_l AS DOUBLE)
+                    + CAST((n - n_l) - (p_tot - p_l) AS DOUBLE)
+                      * CAST((n - n_l) - (p_tot - p_l) AS DOUBLE))
+                   / (CAST(n - n_l AS DOUBLE) * CAST(n - n_l AS DOUBLE)))
+        AS gain
+      FROM cands WHERE n_l > 0 AND n - n_l > 0
+    )
+    SELECT CAST(b AS BIGINT) AS decile, CAST(vmax AS BIGINT)
+        AS threshold_cents,
+      CAST(n_l AS BIGINT) AS n_left, CAST(p_l AS BIGINT) AS pos_left,
+      CAST(n_r AS BIGINT) AS n_right, CAST(p_r AS BIGINT) AS pos_right,
+      ROUND(gain, 6) AS gini_gain
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY gain DESC, b) AS pk FROM scored
+    ) WHERE pk = 1
+    """,
+)
+def ml_decision_stump_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best single Gini split (a depth-1 decision tree) predicting
+    FINALIZED order status from totalprice: candidate thresholds are the
+    nine decile boundaries; gain = gini(parent) - weighted child gini.
+    The distributed analogue of one boosting/random-forest split search
+    — the histogram-bucket trick every large-scale tree learner
+    (LightGBM/XGBoost hist mode) uses: rows collapse to BUCKET
+    statistics first, then every candidate split is a cumulative sum
+    over 10 bucket rows, NEVER a per-candidate fact pass.
+
+    Determinism: bucket id = rk*10 div n from the strict (cents,
+    orderkey) rank; all counts exact BIGINTs; gains are identical double
+    chains of those integers, argmax tie-breaks by bucket id; the
+    emitted threshold is the exact max cents in the left buckets.
+
+    At 100 TB: one global rank (two-phase at extreme scale), one
+    bucket rollup with map-side combine, a 10-row window.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    rows_ = o.select(
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("v"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("pos"),
+        F.col("o_orderkey").alias("id"),
+    )
+    wall = Window.partitionBy()
+    ranked = rows_.select(
+        "v",
+        "pos",
+        (F.row_number().over(Window.orderBy("v", "id")) - 1).alias("rk"),
+        F.count(F.lit(1)).over(wall).cast("bigint").alias("n"),
+        F.sum("pos").over(wall).cast("bigint").alias("p_tot"),
+    )
+    buckets = ranked.groupBy(
+        ((F.col("rk") * 10) / F.col("n")).cast("bigint").alias("b"),
+        "n",
+        "p_tot",
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum("pos").cast("bigint").alias("p"),
+        F.max("v").cast("bigint").alias("vmax"),
+    )
+    wc = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    cands = buckets.select(
+        "b",
+        "n",
+        "p_tot",
+        "vmax",
+        F.sum("cnt").over(wc).cast("bigint").alias("n_l"),
+        F.sum("p").over(wc).cast("bigint").alias("p_l"),
+    ).where(F.col("b") < 9)
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+
+    def gini(p, q):
+        return 1.0 - (p * p + q * q) / ((p + q) * (p + q))
+
+    pl, nl = dd("p_l"), dd("n_l")
+    pt, nn = dd("p_tot"), dd("n")
+    pr = pt - pl
+    nr = nn - nl
+    gain = (
+        gini(pt, nn - pt)
+        - (nl / nn) * gini(pl, nl - pl)
+        - (nr / nn) * gini(pr, nr - pr)
+    )
+    scored = cands.where((F.col("n_l") > 0) & (F.col("n") > F.col("n_l"))).select(
+        "b",
+        "vmax",
+        "n_l",
+        "p_l",
+        (F.col("n") - F.col("n_l")).cast("bigint").alias("n_r"),
+        (F.col("p_tot") - F.col("p_l")).cast("bigint").alias("p_r"),
+        gain.alias("gain"),
+    )
+    pick = Window.orderBy(F.col("gain").desc(), "b")
+    return (
+        scored.select("*", F.row_number().over(pick).alias("pk"))
+        .where(F.col("pk") == 1)
+        .select(
+            F.col("b").cast("bigint").alias("decile"),
+            F.col("vmax").alias("threshold_cents"),
+            F.col("n_l").alias("n_left"),
+            F.col("p_l").alias("pos_left"),
+            F.col("n_r").alias("n_right"),
+            F.col("p_r").alias("pos_right"),
+            F.round(F.col("gain"), 6).alias("gini_gain"),
+        )
+    )

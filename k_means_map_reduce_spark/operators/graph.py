@@ -1104,3 +1104,210 @@ def graph_global_clustering_ratio(
             ).alias("global_clustering"),
         )
     )
+
+
+@query(
+    "graph_degree_powerlaw_hill",
+    oracle="""
+    WITH li AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ), e AS (
+      SELECT DISTINCT a.pk AS u, b.pk AS v
+      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+    ), deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT u AS node FROM e UNION ALL SELECT v FROM e
+      ) GROUP BY node
+    ), ranked AS (
+      SELECT d, ROW_NUMBER() OVER (ORDER BY d DESC, node) AS rk,
+        CAST(COUNT(*) OVER () AS BIGINT) AS n_nodes
+      FROM deg
+    ), tail AS (
+      SELECT d, rk, n_nodes,
+        LEAST(200, n_nodes) AS k,
+        MIN(CASE WHEN rk = LEAST(200, n_nodes) THEN d END) OVER ()
+          AS d_min
+      FROM ranked
+    )
+    SELECT
+      CAST(MAX(n_nodes) AS BIGINT) AS n_nodes,
+      CAST(MAX(k) AS BIGINT) AS k,
+      CAST(MAX(d_min) AS BIGINT) AS d_min,
+      CASE WHEN CAST(SUM(CAST(ROUND(
+          ln(CAST(d AS DOUBLE) / CAST(d_min AS DOUBLE)), 6)
+          AS DECIMAL(18,6))) AS DOUBLE) > 0
+        THEN ROUND(1.0 + CAST(MAX(k) AS DOUBLE)
+          / CAST(SUM(CAST(ROUND(
+              ln(CAST(d AS DOUBLE) / CAST(d_min AS DOUBLE)), 6)
+              AS DECIMAL(18,6))) AS DOUBLE), 6)
+      END AS hill_alpha
+    FROM tail WHERE rk <= k
+    """,
+)
+def graph_degree_powerlaw_hill(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hill estimator of the degree-distribution tail exponent on the
+    co-purchase graph: alpha = 1 + k / sum_{i<=k} ln(d_(i)/d_(k)) over
+    the k = min(200, n) highest degrees — the standard power-law
+    diagnostic behind the log2-bucket histogram entry (is the tail
+    Pareto, and how heavy?). Feeds the skew decisions the triangle and
+    PageRank plans make.
+
+    Determinism: degrees are exact BIGINTs; the tail is a strict
+    (degree desc, node) ROW_NUMBER cut (ties at the boundary resolve by
+    node id — deterministic variant of the usual order-statistics
+    convention, documented); each ln ratio is round-6 then decimal
+    summed; all-equal tail degrees -> sum 0 -> NULL alpha.
+
+    At 100 TB: degrees are one aggregation over the deduped edge list
+    (already SessionMemo'd for the triangle family); the top-200 cut is
+    a TOP-K sort (Spark TakeOrdered — no full sort), and the estimator
+    reduces 200 rows.
+    """
+    e, _ = _copurchase_edges(spark, sf_dir)
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    wall = Window.partitionBy()
+    ranked = deg.select(
+        "d",
+        F.row_number().over(Window.orderBy(F.col("d").desc(), "node")).alias(
+            "rk"
+        ),
+        F.count(F.lit(1)).over(wall).cast("bigint").alias("n_nodes"),
+    )
+    k = F.least(F.lit(200), F.col("n_nodes"))
+    tail = ranked.select(
+        "d",
+        "rk",
+        "n_nodes",
+        k.alias("k"),
+        F.min(F.when(F.col("rk") == k, F.col("d"))).over(wall).alias("d_min"),
+    ).where(F.col("rk") <= F.col("k"))
+    lsum = F.sum(
+        F.round(
+            F.log(F.col("d").cast("double") / F.col("d_min").cast("double")),
+            6,
+        ).cast("decimal(18,6)")
+    ).cast("double")
+    return tail.agg(
+        F.max("n_nodes").cast("bigint").alias("n_nodes"),
+        F.max("k").cast("bigint").alias("k"),
+        F.max("d_min").cast("bigint").alias("d_min"),
+        F.when(
+            lsum > 0,
+            F.round(1.0 + F.max("k").cast("double") / lsum, 6),
+        ).alias("hill_alpha"),
+    )
+
+
+@query(
+    "graph_katz_centrality",
+    oracle="""
+    WITH li AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ), e AS (
+      SELECT DISTINCT a.pk AS u, b.pk AS v
+      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+    ), adj AS (
+      SELECT u AS node, v AS nbr FROM e
+      UNION ALL SELECT v, u FROM e
+    ), c1 AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS c FROM adj GROUP BY node
+    ), c2 AS (
+      SELECT a.node, CAST(SUM(c1.c) AS BIGINT) AS c
+      FROM adj a JOIN c1 ON c1.node = a.nbr GROUP BY a.node
+    ), c3 AS (
+      SELECT a.node, CAST(SUM(c2.c) AS BIGINT) AS c
+      FROM adj a JOIN c2 ON c2.node = a.nbr GROUP BY a.node
+    ), c4 AS (
+      SELECT a.node, CAST(SUM(c3.c) AS BIGINT) AS c
+      FROM adj a JOIN c3 ON c3.node = a.nbr GROUP BY a.node
+    ), scored AS (
+      SELECT c1.node,
+        CAST(512 * c1.c + 64 * c2.c + 8 * c3.c + c4.c AS BIGINT) AS key
+      FROM c1 JOIN c2 ON c2.node = c1.node
+      JOIN c3 ON c3.node = c1.node
+      JOIN c4 ON c4.node = c1.node
+    )
+    SELECT CAST(node AS BIGINT) AS part, CAST(rk AS BIGINT) AS rk,
+      CAST(key AS DOUBLE) / 4096.0 AS katz
+    FROM (
+      SELECT node, key,
+        ROW_NUMBER() OVER (ORDER BY key DESC, node) AS rk
+      FROM scored
+    ) WHERE rk <= 20
+    """,
+)
+def graph_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Katz centrality (truncated at path length 4, attenuation
+    beta = 1/8) on the co-purchase graph: katz(v) = sum_{i=1..4}
+    beta^i * (# length-i walks ending at v) — the walk-weighted
+    importance measure between degree (i = 1) and PageRank (the
+    normalized fixpoint).
+
+    Fully EXACT, no rounding anywhere: walk counts c_i are integer
+    matvecs (three join-aggregate rounds over the adjacency list), and
+    beta = 1/8 makes every term an exact binary fraction — katz is the
+    integer key 512 c1 + 64 c2 + 8 c3 + c4 divided by 4096, and the
+    top-20 ranks on that INTEGER key (tie-break node id), so the cut
+    cannot flip on a float anywhere.
+
+    At 100 TB: each matvec is one shuffle on the node key (the PageRank
+    plan shape, 3 rounds instead of 10); walk counts stay BIGINT-safe
+    through length 4 for max degree < ~55k (documented bound — beyond
+    that, widen to DECIMAL(38,0)).
+    """
+    e, _ = _copurchase_edges(spark, sf_dir)
+    adj = (
+        e.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+        .unionAll(e.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
+    )
+    c1 = adj.groupBy("node").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c1")
+    )
+    prev = c1.select("node", F.col("c1").alias("c"))
+    counts = {1: c1}
+    for i in (2, 3, 4):
+        nxt = (
+            adj.join(
+                prev.select(F.col("node").alias("nbr"), "c"), "nbr"
+            )
+            .groupBy("node")
+            .agg(F.sum("c").cast("bigint").alias(f"c{i}"))
+        )
+        counts[i] = nxt
+        prev = nxt.select("node", F.col(f"c{i}").alias("c"))
+    scored = (
+        counts[1]
+        .join(counts[2], "node")
+        .join(counts[3], "node")
+        .join(counts[4], "node")
+        .select(
+            "node",
+            (
+                512 * F.col("c1")
+                + 64 * F.col("c2")
+                + 8 * F.col("c3")
+                + F.col("c4")
+            )
+            .cast("bigint")
+            .alias("key"),
+        )
+    )
+    ranked = scored.select(
+        "node",
+        "key",
+        F.row_number()
+        .over(Window.orderBy(F.col("key").desc(), "node"))
+        .alias("rk"),
+    ).where(F.col("rk") <= 20)
+    return ranked.select(
+        F.col("node").cast("bigint").alias("part"),
+        F.col("rk").cast("bigint").alias("rk"),
+        (F.col("key").cast("double") / 4096.0).alias("katz"),
+    )

@@ -990,3 +990,96 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = picks.localCheckpoint(eager=True)
     _MMR_CACHE.put(spark, sf_dir, (out,))
     return out
+
+
+@query(
+    "ml_knn_label_confusion",
+    oracle="""
+    WITH scored AS (
+      SELECT a.vec_id AS q, a.label AS true_label,
+        b.vec_id AS nb, b.label AS nb_label,
+        list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[])) AS sim
+      FROM embeddings a JOIN embeddings b ON b.vec_id != a.vec_id
+    ),
+    nn AS (
+      SELECT q, true_label, nb_label
+      FROM (
+        SELECT q, true_label, nb_label,
+          ROW_NUMBER() OVER (PARTITION BY q ORDER BY sim DESC, nb) AS rnk
+        FROM scored
+      ) WHERE rnk <= 5
+    ),
+    votes AS (
+      SELECT q, true_label, nb_label AS pred, COUNT(*) AS c
+      FROM nn GROUP BY q, true_label, nb_label
+    ),
+    pred AS (
+      SELECT q, true_label, pred
+      FROM (
+        SELECT q, true_label, pred,
+          ROW_NUMBER() OVER (PARTITION BY q ORDER BY c DESC, pred) AS pk
+        FROM votes
+      ) WHERE pk = 1
+    )
+    SELECT true_label, pred AS pred_label,
+      CAST(COUNT(*) AS BIGINT) AS n
+    FROM pred GROUP BY 1, 2
+    """,
+)
+def ml_knn_label_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out 5-NN cosine classifier over the embeddings table,
+    reported as a confusion matrix (true_label, predicted_label, count)
+    — the standard embedding-quality probe for a training-data pipeline
+    (are the clusters separable enough that a trivial classifier
+    recovers the labels?). Complements the oracled Naive Bayes (text
+    features) with the vector-feature member.
+
+    Determinism: neighbor rank is (sim desc, vec_id) where sim is the
+    same exact double in both engines (identical fold over identical
+    floats — the sim_cosine_topk precedent); the majority vote
+    tie-breaks (count desc, label asc).
+
+    Scale: the embeddings table is DIMENSION-scale by construction
+    (vectors per corpus cluster sample, bounded); the exhaustive
+    self-join is the oracled ANCHOR tier — at fact-scale vector counts
+    the IVF/LSH tiers (sim_ann_*) provide the same neighbor lists
+    approximately with partition-pruned plans, and this query's shape
+    (rank window over (q, sim)) is unchanged on top of them.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(
+        F.col("vec_id").alias("q"),
+        F.col("label").alias("true_label"),
+        F.col("embedding").alias("qv"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("nb"),
+        F.col("label").alias("nb_label"),
+        F.col("embedding").alias("nv"),
+    )
+    scored = a.join(b, F.col("nb") != F.col("q")).select(
+        "q",
+        "true_label",
+        "nb",
+        "nb_label",
+        cosine_similarity(F.col("qv"), F.col("nv")).alias("sim"),
+    )
+    wr = Window.partitionBy("q").orderBy(F.col("sim").desc(), "nb")
+    nn = (
+        scored.withColumn("rnk", F.row_number().over(wr))
+        .where(F.col("rnk") <= 5)
+        .select("q", "true_label", "nb_label")
+    )
+    votes = nn.groupBy("q", "true_label", F.col("nb_label").alias("pred")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wp = Window.partitionBy("q").orderBy(F.col("c").desc(), "pred")
+    pred = (
+        votes.withColumn("pk", F.row_number().over(wp))
+        .where(F.col("pk") == 1)
+        .select("true_label", "pred")
+    )
+    return pred.groupBy("true_label", F.col("pred").alias("pred_label")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
