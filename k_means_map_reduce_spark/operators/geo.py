@@ -1460,3 +1460,178 @@ def geo_mean_squared_displacement(
             ).alias("msd"),
         )
     )
+
+
+@query(
+    "geo_location_entropy",
+    oracle=f"""
+    WITH walk AS ({_WALK_SQL}),
+    celled AS (
+      SELECT user_id,
+        CAST(floor((ilon + 170000) / 5000.0) AS BIGINT) AS cx,
+        CAST(floor((ilat + 60000) / 5000.0) AS BIGINT) AS cy
+      FROM walk
+    ),
+    counts AS (
+      SELECT user_id, cx, cy, CAST(COUNT(*) AS BIGINT) AS c
+      FROM celled GROUP BY 1, 2, 3
+    ),
+    tots AS (
+      SELECT user_id, CAST(SUM(c) AS BIGINT) AS n,
+        CAST(COUNT(*) AS BIGINT) AS n_cells,
+        CAST(MAX(c) AS BIGINT) AS top_c
+      FROM counts GROUP BY user_id
+    )
+    SELECT c.user_id,
+      CAST(MAX(t.n) AS BIGINT) AS n_fixes,
+      CAST(MAX(t.n_cells) AS BIGINT) AS n_cells,
+      ROUND(CAST(SUM(CAST(ROUND(
+        -(CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE))
+         * ln(CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE)), 6)
+        AS DECIMAL(18,6))) AS DOUBLE), 6) AS entropy,
+      ROUND(CAST(MAX(t.top_c) AS DOUBLE) / CAST(MAX(t.n) AS DOUBLE), 6)
+        AS top_cell_share
+    FROM counts c JOIN tots t ON t.user_id = c.user_id
+    GROUP BY c.user_id
+    """,
+)
+def geo_location_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user location entropy and top-cell share over the
+    deterministic md5-walk trajectories — the mobility-predictability
+    pair (Song et al.'s entropy bound): low entropy / high top-share
+    users are routine-bound, high entropy users roam. Distinct from
+    events_user_entropy (event-TYPE mix): this is SPATIAL (grid-cell)
+    diversity on the geo walk.
+
+    Determinism: cell visit counts are exact integers on the shared
+    5-degree grid; each -p ln p term is round-6 then DECIMAL(18,6)
+    summed per user; shares divide exact integers once. p = 1 gives
+    ln(1) = 0 exactly, so single-cell users emit entropy 0 (no ln(0)
+    hazard — p is never 0 by construction).
+
+    At 100 TB: one fact pass to (user, cell) counts with map-side
+    combine, one user rollup, one same-key join — everything after the
+    first aggregation is user x visited-cells scale.
+    """
+    w_ = _walk(spark, sf_dir)
+    celled = w_.select(
+        "user_id",
+        F.floor((F.col("ilon") + 170000) / 5000.0).cast("bigint").alias("cx"),
+        F.floor((F.col("ilat") + 60000) / 5000.0).cast("bigint").alias("cy"),
+    )
+    counts = celled.groupBy("user_id", "cx", "cy").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    tots = counts.groupBy("user_id").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.max("c").cast("bigint").alias("top_c"),
+    )
+    p = F.col("c").cast("double") / F.col("n").cast("double")
+    return (
+        counts.join(tots, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.max("n").cast("bigint").alias("n_fixes"),
+            F.max("n_cells").cast("bigint").alias("n_cells"),
+            F.round(
+                F.sum(
+                    F.round(-p * F.log(p), 6).cast("decimal(18,6)")
+                ).cast("double"),
+                6,
+            ).alias("entropy"),
+            F.round(
+                F.max("top_c").cast("double") / F.max("n").cast("double"), 6
+            ).alias("top_cell_share"),
+        )
+    )
+
+
+@query(
+    "geo_home_work_commute",
+    oracle=f"""
+    WITH walk AS ({_WALK_SQL}),
+    celled AS (
+      SELECT user_id,
+        CASE WHEN EXTRACT(HOUR FROM ts) BETWEEN 9 AND 17 THEN 'work'
+             WHEN EXTRACT(HOUR FROM ts) >= 19 OR EXTRACT(HOUR FROM ts) <= 6
+             THEN 'home' END AS slot,
+        CAST(floor((ilon + 170000) / 5000.0) AS BIGINT) AS cx,
+        CAST(floor((ilat + 60000) / 5000.0) AS BIGINT) AS cy
+      FROM walk
+    ),
+    counts AS (
+      SELECT user_id, slot, cx, cy, COUNT(*) AS c
+      FROM celled WHERE slot IS NOT NULL GROUP BY 1, 2, 3, 4
+    ),
+    best AS (
+      SELECT user_id, slot, cx, cy
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, slot
+          ORDER BY c DESC, cx, cy) AS rk
+        FROM counts
+      ) WHERE rk = 1
+    )
+    SELECT h.user_id,
+      h.cx AS home_cx, h.cy AS home_cy,
+      w.cx AS work_cx, w.cy AS work_cy,
+      CAST((h.cx - w.cx) * (h.cx - w.cx)
+           + (h.cy - w.cy) * (h.cy - w.cy) AS BIGINT) AS commute_cells2
+    FROM (SELECT * FROM best WHERE slot = 'home') h
+    JOIN (SELECT * FROM best WHERE slot = 'work') w
+      ON w.user_id = h.user_id
+    """,
+)
+def geo_home_work_commute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Home/work anchor detection per user: home = the most-visited grid
+    cell during night hours (19-23, 0-6), work = the most-visited during
+    9-17; commute = squared cell distance between them — the standard
+    anchor-inference step in mobility pipelines (commute matrices, urban
+    flow models) on the deterministic md5 walk.
+
+    Determinism: visit counts are exact; each anchor is a strict
+    (count desc, cx, cy) argmax; the walk's ts is TIMESTAMP_NTZ so the
+    hour bucket is tz-free wall-clock in both engines; squared distance
+    stays integer (no sqrt). Users lacking fixes in either slot are
+    excluded by the inner join.
+
+    At 100 TB: one fact pass to (user, slot, cell) counts, two
+    dimension-scale rank windows, one same-key join.
+    """
+    w_ = _walk(spark, sf_dir)
+    hr = F.hour("ts")
+    celled = w_.select(
+        "user_id",
+        F.when((hr >= 9) & (hr <= 17), F.lit("work"))
+        .when((hr >= 19) | (hr <= 6), F.lit("home"))
+        .alias("slot"),
+        F.floor((F.col("ilon") + 170000) / 5000.0).cast("bigint").alias("cx"),
+        F.floor((F.col("ilat") + 60000) / 5000.0).cast("bigint").alias("cy"),
+    ).where(F.col("slot").isNotNull())
+    counts = celled.groupBy("user_id", "slot", "cx", "cy").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wr = Window.partitionBy("user_id", "slot").orderBy(
+        F.col("c").desc(), "cx", "cy"
+    )
+    best = (
+        counts.withColumn("rk", F.row_number().over(wr))
+        .where(F.col("rk") == 1)
+        .select("user_id", "slot", "cx", "cy")
+    )
+    h = best.where(F.col("slot") == "home").select(
+        "user_id", F.col("cx").alias("home_cx"), F.col("cy").alias("home_cy")
+    )
+    wk = best.where(F.col("slot") == "work").select(
+        "user_id", F.col("cx").alias("work_cx"), F.col("cy").alias("work_cy")
+    )
+    dx = F.col("home_cx") - F.col("work_cx")
+    dy = F.col("home_cy") - F.col("work_cy")
+    return h.join(wk, "user_id").select(
+        "user_id",
+        "home_cx",
+        "home_cy",
+        "work_cx",
+        "work_cy",
+        (dx * dx + dy * dy).cast("bigint").alias("commute_cells2"),
+    )

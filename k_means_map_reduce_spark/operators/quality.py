@@ -859,3 +859,131 @@ def privacy_l_diversity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             "violating_share"
         ),
     )
+
+
+@query(
+    "privacy_t_closeness_emd",
+    oracle="""
+    WITH rows_ AS (
+      SELECT c_nationkey AS nk, c_mktsegment AS seg,
+        CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS b
+      FROM customer
+    ),
+    gl AS (
+      SELECT b, CAST(COUNT(*) AS BIGINT) AS qc FROM rows_ GROUP BY b
+    ),
+    grp AS (
+      SELECT nk, seg, CAST(COUNT(*) AS BIGINT) AS ng FROM rows_
+      GROUP BY 1, 2
+    ),
+    cells AS (
+      SELECT nk, seg, b, CAST(COUNT(*) AS BIGINT) AS pc FROM rows_
+      GROUP BY 1, 2, 3
+    ),
+    grid AS (
+      SELECT g.nk, g.seg, g.ng, gl.b, gl.qc, COALESCE(c.pc, 0) AS pc,
+        CAST((SELECT SUM(qc) FROM gl) AS BIGINT) AS n,
+        CAST((SELECT COUNT(*) FROM gl) AS BIGINT) AS m
+      FROM grp g CROSS JOIN gl
+      LEFT JOIN cells c ON c.nk = g.nk AND c.seg = g.seg AND c.b = gl.b
+    ),
+    cum AS (
+      SELECT nk, seg, ng, n, m,
+        ABS(SUM(pc) OVER w * n - SUM(qc) OVER w * ng) AS t_b
+      FROM grid
+      WINDOW w AS (PARTITION BY nk, seg ORDER BY b
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    emd AS (
+      SELECT nk, seg, ng, MAX(n) AS n, MAX(m) AS m,
+        CAST(SUM(t_b) AS BIGINT) AS tsum
+      FROM cum GROUP BY nk, seg, ng
+    )
+    SELECT
+      CAST(COUNT(*) AS BIGINT) AS n_groups,
+      CAST(MAX(m) AS BIGINT) AS n_buckets,
+      ROUND(MAX(CAST(tsum AS DOUBLE)
+                / (CAST(m - 1 AS DOUBLE) * CAST(ng AS DOUBLE)
+                   * CAST(n AS DOUBLE))), 6) AS max_emd,
+      CAST(COUNT(CASE WHEN 5 * tsum > (m - 1) * ng * n THEN 1 END)
+           AS BIGINT) AS n_violating_t02
+    FROM emd
+    """,
+)
+def privacy_t_closeness_emd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness check on the (nation, segment) quasi-identifier
+    groups: ordered earth-mover's distance between each group's
+    acctbal-bucket distribution and the global one,
+    EMD = sum_j |cum(p - q)| / (m-1) — the distributional-privacy member
+    beside k-anonymity (group size) and l-diversity (distinct values):
+    a group can be large AND diverse yet still leak if its sensitive
+    distribution diverges from the population's.
+
+    Integer-exact EMD: |cum(p) - cum(q)| = |cumP*N - cumQ*n_g| /
+    (n_g N), so each group's EMD is an exact integer sum divided ONCE;
+    the t = 0.2 violation test cross-multiplies (5*sum > (m-1) n_g N)
+    and never touches a float. (At warehouse scale cumP*N approaches
+    BIGINT limits — widen the products to DECIMAL(38,0); the comparison
+    stays exact.)
+
+    At 100 TB: three aggregates over the dimension, a groups x buckets
+    grid (~125 x ~40 rows), one ordered window per group.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    rows_ = c.select(
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("c_acctbal") / 1000.0).cast("bigint").alias("b"),
+    )
+    gl = rows_.groupBy("b").agg(F.count(F.lit(1)).cast("bigint").alias("qc"))
+    grp = rows_.groupBy("nk", "seg").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ng")
+    )
+    cells = rows_.groupBy("nk", "seg", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("pc")
+    )
+    consts = gl.agg(
+        F.sum("qc").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+    )
+    grid = (
+        grp.crossJoin(F.broadcast(gl))
+        .join(cells, ["nk", "seg", "b"], "left")
+        .na.fill({"pc": 0})
+        .crossJoin(F.broadcast(consts))
+    )
+    wc = (
+        Window.partitionBy("nk", "seg")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = grid.select(
+        "nk",
+        "seg",
+        "ng",
+        "n",
+        "m",
+        F.abs(
+            F.sum("pc").over(wc) * F.col("n")
+            - F.sum("qc").over(wc) * F.col("ng")
+        ).alias("t_b"),
+    )
+    emd = cum.groupBy("nk", "seg", "ng").agg(
+        F.max("n").alias("n"),
+        F.max("m").alias("m"),
+        F.sum("t_b").cast("bigint").alias("tsum"),
+    )
+    emd_val = F.col("tsum").cast("double") / (
+        (F.col("m") - 1).cast("double")
+        * F.col("ng").cast("double")
+        * F.col("n").cast("double")
+    )
+    violates = 5 * F.col("tsum") > (F.col("m") - 1) * F.col("ng") * F.col("n")
+    return emd.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.max("m").cast("bigint").alias("n_buckets"),
+        F.round(F.max(emd_val), 6).alias("max_emd"),
+        F.count(F.when(violates, 1)).cast("bigint").alias(
+            "n_violating_t02"
+        ),
+    )
