@@ -2298,3 +2298,298 @@ def contamination_winnowing_train_test(
         ).alias("contamination_rate"),
         F.max("n_shared").cast("bigint").alias("max_shared_fps"),
     )
+
+
+# Paragraph-grain winnowing (queue item since r10): the SAME 8-char/window-4
+# polynomial rolling hash as WINNOW_CTE_SQL, applied per 25-word block.
+from .textops import _WIN_POWS as _PWIN_POWS  # noqa: E402
+
+_PWIN_SQL_POWS = ", ".join(f"CAST({p} AS BIGINT)" for p in _PWIN_POWS)
+
+
+@query(
+    "contamination_paragraph_winnowing",
+    oracle=f"""
+    WITH {WINNOW_CTE_SQL},
+    split AS (
+      SELECT doc_id,
+        CASE WHEN CAST(CONCAT('0x', substr(md5('split:' || doc_id), 1, 8))
+                  AS BIGINT) % 10 < 8
+             THEN 1 ELSE 0 END AS is_train
+      FROM documents
+    ),
+    train_fps AS (
+      SELECT DISTINCT unnest(w.fps) AS fp
+      FROM winnow w JOIN split s USING (doc_id) WHERE s.is_train = 1
+    ),
+    test_norm AS (
+      SELECT d.doc_id, d.source,
+        list_filter(string_split(
+          LOWER(regexp_replace(TRIM(d.text), '\\s+', ' ', 'g')), ' '),
+          x -> x != '') AS toks
+      FROM documents d JOIN split s USING (doc_id) WHERE s.is_train = 0
+    ),
+    paras AS (
+      SELECT doc_id, source, pi,
+        array_to_string(toks[CAST((pi - 1) * 25 + 1 AS INT)
+                             :CAST(pi * 25 AS INT)], ' ') AS t
+      FROM (
+        SELECT doc_id, source, toks,
+          unnest(range(1, CAST(ceil(len(toks) / 25.0) AS BIGINT) + 1)) AS pi
+        FROM test_norm WHERE len(toks) > 0
+      )
+    ),
+    pgrams AS (
+      SELECT doc_id, source, pi,
+        list_transform(
+          range(1, length(t) - 6),
+          i -> list_sum(list_transform(range(0, 8),
+                 j -> (CAST(unicode(substring(t, CAST(i + j AS INT), 1))
+                       AS BIGINT) % 2147483647)
+                      * ([{_PWIN_SQL_POWS}][CAST(j + 1 AS INT)])
+               )) % 2147483647
+        ) AS hs
+      FROM paras WHERE length(t) >= 11
+    ),
+    pfps AS (
+      SELECT doc_id, source, pi,
+        unnest(list_distinct(list_transform(range(1, len(hs) - 2),
+          i -> list_min(hs[CAST(i AS INT):CAST(i + 3 AS INT)])))) AS fp
+      FROM pgrams
+    ),
+    per_para AS (
+      SELECT p.doc_id, p.source, p.pi,
+        CAST(COUNT(tf.fp) AS BIGINT) AS n_shared
+      FROM pfps p LEFT JOIN train_fps tf ON p.fp = tf.fp
+      GROUP BY 1, 2, 3
+    )
+    SELECT source,
+      CAST(COUNT(*) AS BIGINT) AS n_test_paras,
+      CAST(COUNT(CASE WHEN n_shared >= 4 THEN 1 END) AS BIGINT)
+        AS n_flagged_paras,
+      ROUND(CAST(COUNT(CASE WHEN n_shared >= 4 THEN 1 END) AS DOUBLE)
+            / COUNT(*), 6) AS para_rate,
+      CAST(COUNT(DISTINCT CASE WHEN n_shared >= 4 THEN doc_id END)
+           AS BIGINT) AS n_docs_hit
+    FROM per_para GROUP BY source
+    """,
+)
+def contamination_paragraph_winnowing(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PARAGRAPH-grain winnowing contamination: each 25-word block of a
+    TEST document is fingerprinted with the same 8-char/window-4 rolling
+    hash as the doc-grain entry and flagged when it shares >= 4
+    fingerprints with the distinct TRAIN fingerprint set — localizing
+    WHERE the leak sits (a quoted paragraph inside an otherwise-clean
+    doc never trips the doc-grain >= 8 bar, but its block trips this
+    one). The winnowing member of the paragraph family beside
+    dedup_paragraph_exact_kept (exact) and
+    dedup_paragraph_containment_pairs (shingle Jaccard).
+
+    Plan: train fingerprints stay DOC-grain (the memoized winnow_fps
+    scan — one rolling-hash pass per session, nothing recomputed);
+    only the 20% test split pays the paragraph-grain hash. The
+    semi-join hits the distinct train fp SET, so boilerplate can't
+    explode postings (the doc-grain entry's argument, inherited).
+
+    Determinism: md5-portable split, pure modular arithmetic hashes,
+    integer count thresholds; paragraph boundaries are integer word
+    offsets of the SAME normalization both engines apply.
+    """
+    from .textops import _WIN_M, _WIN_POWS
+
+    d = load_table(spark, sf_dir, "documents")
+    is_train = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 10
+        < 8
+    )
+    split = d.select("doc_id", "source", "text", is_train.alias("is_train"))
+    train_fps = (
+        winnow_fps(spark, sf_dir)
+        .join(split.where(F.col("is_train")).select("doc_id"), "doc_id")
+        .select(F.explode("fps").alias("_tfp"))
+        .distinct()
+    )
+    toks = F.filter(F.split(_NORM(F.col("text")), " "), lambda t: t != "")
+    test_norm = (
+        split.where(~F.col("is_train"))
+        .select("doc_id", "source", toks.alias("toks"))
+        .where(F.size("toks") > 0)
+    )
+    paras = test_norm.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.sequence(
+                F.lit(1),
+                F.ceil(F.size("toks") / F.lit(25.0)).cast("int"),
+            )
+        ).alias("pi"),
+        "toks",
+    ).select(
+        "doc_id",
+        "source",
+        "pi",
+        F.array_join(
+            F.slice(F.col("toks"), (F.col("pi") - 1) * 25 + 1, 25), " "
+        ).alias("t"),
+    )
+    pows = ", ".join(f"{p}L" for p in _WIN_POWS)
+    hs_from_t = f"""
+      transform(
+        sequence(1, char_length(t) - 7),
+        i -> aggregate(sequence(0, 7), 0L,
+               (acc, j) -> acc + (CAST(ascii(substr(t, i + j, 1)) AS BIGINT) % {_WIN_M})
+                           * element_at(array({pows}), CAST(j + 1 AS INT))
+             ) % {_WIN_M}
+      )
+    """
+    fps_from_hs = (
+        "array_distinct(transform(sequence(1, size(hs) - 3),"
+        " i -> array_min(slice(hs, i, 4))))"
+    )
+    pfps = (
+        paras.where(F.expr("char_length(t) >= 11"))
+        .select("doc_id", "source", "pi", F.expr(hs_from_t).alias("hs"))
+        .select(
+            "doc_id",
+            "source",
+            "pi",
+            F.explode(F.expr(fps_from_hs)).alias("fp"),
+        )
+    )
+    per_para = (
+        pfps.join(train_fps, F.col("fp") == F.col("_tfp"), "left")
+        .groupBy("doc_id", "source", "pi")
+        .agg(F.count("_tfp").cast("bigint").alias("n_shared"))
+    )
+    hit = F.col("n_shared") >= 4
+    return per_para.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_test_paras"),
+        F.count(F.when(hit, 1)).cast("bigint").alias("n_flagged_paras"),
+        F.round(
+            F.count(F.when(hit, 1)).cast("double") / F.count(F.lit(1)), 6
+        ).alias("para_rate"),
+        F.countDistinct(F.when(hit, F.col("doc_id")))
+        .cast("bigint")
+        .alias("n_docs_hit"),
+    )
+
+
+def _mh_err_oracle_sql() -> str:
+    n = len(_PMH_PERMS24)
+    matches = " + ".join(
+        f"CASE WHEN sa.s{j} = sb.s{j} THEN 1 ELSE 0 END" for j in range(n)
+    )
+    jac = (
+        "CAST(len(list_intersect(h1.sh, h2.sh)) AS DOUBLE)"
+        " / (len(h1.sh) + len(h2.sh) - len(list_intersect(h1.sh, h2.sh)))"
+    )
+    band_exprs = ", ".join(
+        f"CONCAT(CAST(s{2 * i} AS VARCHAR), ':', CAST(s{2 * i + 1} AS VARCHAR))"
+        f" AS band{i}"
+        for i in range(n // _PMH_R)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {i} AS band_no, band{i} AS band_key FROM bands_wide"
+        for i in range(n // _PMH_R)
+    )
+    return f"""{_pmh_sql_prefix(_PMH_PERMS24)}, bands_wide AS (
+      SELECT doc_id, {band_exprs} FROM sigs
+    ), sigs_long AS ({band_rows}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM sigs_long a JOIN sigs_long b
+        ON a.band_no = b.band_no AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ), verified AS (
+      SELECT cand.d1, cand.d2, ROUND({jac}, 6) AS jac
+      FROM cand
+      JOIN shingles h1 ON cand.d1 = h1.doc_id
+      JOIN shingles h2 ON cand.d2 = h2.doc_id
+      WHERE {jac} >= 0.4
+    ), errs AS (
+      SELECT v.d1, v.d2, v.jac,
+        CAST({matches} AS BIGINT) AS n_match
+      FROM verified v
+      JOIN sigs sa ON sa.doc_id = v.d1
+      JOIN sigs sb ON sb.doc_id = v.d2
+    )
+    SELECT
+      CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      ROUND(CAST(SUM(n_match) AS DOUBLE) / COUNT(*), 6)
+        AS mean_match_count,
+      ROUND(CAST(SUM(CAST(ROUND(
+        ABS(CAST(n_match AS DOUBLE) / {n}.0 - jac), 6)
+        AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS mean_abs_err,
+      ROUND(MAX(ABS(CAST(n_match AS DOUBLE) / {n}.0 - jac)), 6)
+        AS max_abs_err
+    FROM errs
+    """
+
+
+@query("dedup_minhash_estimate_error", oracle=_mh_err_oracle_sql())
+def dedup_minhash_estimate_error(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MEASURED estimator accuracy of the 24-permutation minhash
+    signature on the verified banding pairs: the classic unbiased
+    estimate J_hat = (#matching components)/24 compared against the
+    exact shingle Jaccard each pair was verified with — the
+    sketch-accuracy entry for the dedup stack (what sketch_bloom_fpr
+    _exact is to Bloom filters): it tells a corpus team whether 24
+    permutations justify skipping the exact verify at their threshold
+    (expected |err| ~ sqrt(J(1-J)/24) ~ 0.10 at J=0.5).
+
+    Rides the SessionMemo'd banding artifacts end-to-end: pairs from
+    the verified pipeline, signatures re-aggregated from the persisted
+    shingle sets (one cached scan, zero new fact passes). Match counts
+    are exact integers; J_hat = k/24 is an exact rational both engines
+    compute as the identical double; the error terms are round-6
+    decimal-averaged.
+    """
+    pairs = dedup_minhash_banding_pairs(spark, sf_dir)
+    hs_df = _BANDING_PAIRS_CACHE.get(spark, sf_dir)[2]
+    sig = _pmh_signatures(hs_df, _PMH_PERMS24)
+    n = len(_PMH_PERMS24)
+    sa = sig.select(
+        F.col("doc_id").alias("_a"), *[F.col(f"s{j}").alias(f"a{j}") for j in range(n)]
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("_b"), *[F.col(f"s{j}").alias(f"b{j}") for j in range(n)]
+    )
+    matches = sum(
+        F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
+        for j in range(n)
+    )
+    errs = (
+        pairs.join(sa, F.col("doc_a") == F.col("_a"))
+        .join(sb, F.col("doc_b") == F.col("_b"))
+        .select(
+            "jaccard_sim",
+            matches.cast("bigint").alias("n_match"),
+        )
+    )
+    err = F.abs(F.col("n_match").cast("double") / float(n) - F.col("jaccard_sim"))
+    return errs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.round(
+            F.sum("n_match").cast("double") / F.count(F.lit(1)), 6
+        ).alias("mean_match_count"),
+        F.round(
+            F.sum(F.round(err, 6).cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_abs_err"),
+        F.round(F.max(err), 6).alias("max_abs_err"),
+    )

@@ -3097,3 +3097,92 @@ def text_yules_k_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
         F.when(n >= 2, F.round(k, 6)).alias("yules_k"),
     )
+
+
+@query(
+    "text_term_burstiness_topk",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(string_split(
+        LOWER(regexp_replace(TRIM(text), '\\s+', ' ', 'g')), ' '),
+        x -> x != '')) AS tok
+      FROM documents
+    ),
+    stats AS (
+      SELECT tok,
+        CAST(COUNT(*) AS BIGINT) AS cf,
+        CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM toks GROUP BY tok
+    ),
+    d AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents),
+    top AS (
+      SELECT tok, cf, df, nd,
+        ROW_NUMBER() OVER (ORDER BY cf DESC, tok) AS rk
+      FROM stats CROSS JOIN d
+    )
+    SELECT tok, cf, df,
+      ROUND(CAST(nd AS DOUBLE) * (1.0 - ROUND(
+        exp(-CAST(cf AS DOUBLE) / CAST(nd AS DOUBLE)), 6)), 6)
+        AS expected_df,
+      ROUND(CAST(df AS DOUBLE)
+        / (CAST(nd AS DOUBLE) * (1.0 - ROUND(
+             exp(-CAST(cf AS DOUBLE) / CAST(nd AS DOUBLE)), 6))), 6)
+        AS burstiness
+    FROM top WHERE rk <= 50
+    """,
+)
+def text_term_burstiness_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Church-Gale term burstiness for the 50 highest-frequency terms:
+    observed document frequency vs the Poisson expectation
+    E[df] = D(1 - exp(-cf/D)) given the term's collection frequency —
+    burstiness < 1 means occurrences CLUMP into few documents (topical
+    terms), ~1 means they scatter like background (function words). The
+    dispersion member of the lexical battery beside Yule's K (global
+    repetitiveness) and JS divergence (cross-source drift); in a corpus
+    pipeline it separates keyword-stuffed documents from genuinely
+    topical ones.
+
+    Determinism: cf/df are exact integers; cf/D is the identical double
+    ratio; exp is round-6 BEFORE the multiply (the transcendental
+    discipline — exp is not cross-engine correctly-rounded in general),
+    so every later operand is identical. Top-50 cut is strict
+    (cf desc, term).
+
+    At 100 TB: one tokenize pass into a vocabulary-scale rollup with
+    map-side combine; the cut is a TOP-K, the census 50 rows.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.filter(
+        F.split(F.lower(F.regexp_replace(F.trim("text"), r"\s+", " ")), " "),
+        lambda t: t != "",
+    )
+    toks = d.select("doc_id", F.explode(ws).alias("tok"))
+    stats = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cf"),
+        F.countDistinct("doc_id").cast("bigint").alias("df"),
+    )
+    nd = d.agg(F.count(F.lit(1)).cast("bigint").alias("nd"))
+    top = (
+        stats.crossJoin(F.broadcast(nd))
+        .select(
+            "tok",
+            "cf",
+            "df",
+            "nd",
+            F.row_number()
+            .over(Window.orderBy(F.col("cf").desc(), "tok"))
+            .alias("rk"),
+        )
+        .where(F.col("rk") <= 50)
+    )
+    lam = F.col("cf").cast("double") / F.col("nd").cast("double")
+    e_df = F.col("nd").cast("double") * (1.0 - F.round(F.exp(-lam), 6))
+    return top.select(
+        "tok",
+        "cf",
+        "df",
+        F.round(e_df, 6).alias("expected_df"),
+        F.round(F.col("df").cast("double") / e_df, 6).alias("burstiness"),
+    )
