@@ -2059,3 +2059,128 @@ _query(
     FROM per_sess GROUP BY 1, 2
     """,
 )(stream_session_conversion_vs_batch)
+
+
+_EWMA_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_values", T.LongType()),
+        T.StructField("ewma", T.DoubleType()),
+    ]
+)
+_EWMA_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("y", T.DoubleType()),
+    ]
+)
+
+
+def _update_user_ewma(
+    user_id_tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Incremental per-user EWMA (alpha=0.2, adjust=False): fold
+    y <- 0.8*y + 0.2*x over the user's non-null values in (ts, event_id)
+    order. Chronological staging guarantees batch i's events all precede
+    batch i+1's, so sorting WITHIN the concatenated batch suffices; state
+    is the O(1) pair (count, last y)."""
+    (user_id,) = user_id_tuple
+    if state.exists:
+        n, y = state.get
+    else:
+        n, y = 0, None
+    chunks = [p for p in pdfs if len(p)]
+    rows = (
+        pd.concat(chunks).sort_values(["ts", "event_id"])
+        if chunks
+        else pd.DataFrame({"value": []})
+    )
+    for v in rows["value"]:
+        if pd.isna(v):
+            continue
+        v = float(v)
+        y = v if y is None else 0.8 * y + 0.2 * v
+        n += 1
+    state.update((n, y))
+    yield pd.DataFrame(
+        {"user_id": [user_id], "n_values": [n], "ewma": [y]}
+    )
+
+
+def stream_ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA as a CUSTOM stateful streaming operator — the
+    streaming twin of events_ewma_per_user: applyInPandasWithState keyed
+    by user over the CHRONOLOGICALLY staged wire files (order is part of
+    the statistic, unlike the order-insensitive user-stats twin), state
+    = (count, running y), update-mode emissions drained to each user's
+    final row.
+
+    The fold 0.8*y + 0.2*x is the identical IEEE double recurrence the
+    batch oracle's list_reduce replays, so the twin is HASH-oracled, not
+    rows-only: same recurrence, same (ts, event_id) order, same final
+    6dp round."""
+    e = read_events_stream_chronological(spark, sf_dir)
+    stats = (
+        e.select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_user_ewma,
+            outputStructType=_EWMA_OUT_SCHEMA,
+            stateStructType=_EWMA_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    sink = f"ewma_{uuid.uuid4().hex[:8]}"
+    checkpoint = tempfile.mkdtemp(prefix=f"ckpt_{sink}_", dir=_tmp_root())
+    try:
+        q = (
+            stats.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(checkpoint, ignore_errors=True)
+    from pyspark.sql import Window as _W
+
+    raw = spark.table(sink)
+    w = _W.partitionBy("user_id").orderBy(F.col("n_values").desc())
+    out = (
+        raw.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+        .select(
+            "user_id",
+            "n_values",
+            F.round("ewma", 6).alias("ewma"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    spark.catalog.dropTempView(sink)
+    return out
+
+
+_query(
+    "streaming_ewma_per_user_vs_batch",
+    oracle="""
+    WITH seq AS (
+      SELECT
+        user_id,
+        COUNT(value) AS n_values,
+        list(value ORDER BY ts, event_id) FILTER (value IS NOT NULL) AS vals
+      FROM events
+      GROUP BY user_id
+    )
+    SELECT
+      user_id,
+      CAST(n_values AS BIGINT) AS n_values,
+      CASE WHEN n_values = 0 THEN NULL
+           ELSE ROUND(list_reduce(vals, (acc, x) -> 0.8 * acc + 0.2 * x), 6)
+      END AS ewma
+    FROM seq
+    """,
+)(stream_ewma_per_user)
