@@ -1559,3 +1559,183 @@ def test_nelson_aalen_dominates_km_log_survival(spark, sf_dir):
         prev = h
         if t_ in km and km[t_] is not None:
             assert 1.0 - km[t_] <= h + 1e-4
+
+
+def test_naive_bayes_confusion_matches_python_reimplementation(spark, sf_dir):
+    """Third implementation of the multinomial NB confusion matrix: plain
+    Python dict arithmetic from the parquet — same tokenization, add-one
+    smoothing, round-6 Decimal log-probs, (score desc, lang) argmax."""
+    import math
+    import re
+    from collections import Counter, defaultdict
+    from decimal import Decimal
+
+    import pyarrow.parquet as pq_
+
+    t = pq_.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
+    ).to_pandas()
+    doc_toks, true_lang = {}, {}
+    class_counts = defaultdict(Counter)
+    for did, lang, text in zip(t.doc_id, t.lang, t.text):
+        toks = [w for w in re.split(r"\s+", text.strip().lower()) if w]
+        doc_toks[did] = Counter(toks)
+        true_lang[did] = lang
+        class_counts[lang].update(toks)
+    vocab = {tok for c in class_counts.values() for tok in c}
+    v = len(vocab)
+    nd = Counter(true_lang.values())
+    ndt = sum(nd.values())
+    langs = sorted(class_counts)
+    prior = {
+        l_: Decimal(str(round(math.log(nd[l_] / ndt), 6))) for l_ in langs
+    }
+    tot = {l_: sum(class_counts[l_].values()) for l_ in langs}
+    logp = {
+        l_: {
+            tok: Decimal(
+                str(round(math.log((class_counts[l_][tok] + 1) / (tot[l_] + v)), 6))
+            )
+            for tok in class_counts[l_]
+        }
+        for l_ in langs
+    }
+    default = {
+        l_: Decimal(str(round(math.log(1.0 / (tot[l_] + v)), 6)))
+        for l_ in langs
+    }
+    confusion = Counter()
+    for did, cnts in doc_toks.items():
+        best = None
+        for l_ in langs:
+            s = prior[l_] + sum(
+                (logp[l_].get(tok, default[l_]) * c for tok, c in cnts.items()),
+                Decimal(0),
+            )
+            if best is None or s > best[0] or (s == best[0] and l_ < best[1]):
+                best = (s, l_)
+        confusion[(true_lang[did], best[1])] += 1
+
+    got = {
+        (r.true_lang, r.predicted_lang): r.n_docs
+        for r in QUERIES["ml_naive_bayes_lang_confusion"](spark, sf_dir).collect()
+    }
+    assert got == dict(confusion)
+
+
+def test_woe_iv_matches_python_reimplementation(spark, sf_dir):
+    """Third implementation of WOE/IV: pandas value_counts over the
+    lineitem parquet, the same cross-multiplied integer ln argument and
+    round-6 Decimal IV terms."""
+    import math
+    from decimal import Decimal
+
+    import pyarrow.parquet as pq_
+
+    l = pq_.read_table(
+        f"{sf_dir}/lineitem.parquet", columns=["l_quantity", "l_returnflag"]
+    ).to_pandas()
+
+    def band(q):
+        if q <= 10:
+            return "b1_q01_10"
+        if q <= 20:
+            return "b2_q11_20"
+        if q <= 30:
+            return "b3_q21_30"
+        if q <= 40:
+            return "b4_q31_40"
+        return "b5_q41_up"
+
+    cells = {}
+    for q, rf in zip(l.l_quantity, l.l_returnflag):
+        b = band(q)
+        pos, neg = cells.get(b, (0, 0))
+        if rf == "R":
+            pos += 1
+        else:
+            neg += 1
+        cells[b] = (pos, neg)
+    pos_tot = sum(p for p, _ in cells.values())
+    neg_tot = sum(n for _, n in cells.values())
+    woe, iv = {}, Decimal(0)
+    for b, (p, n) in cells.items():
+        if p > 0 and n > 0:
+            w = round(math.log((p * neg_tot) / (n * pos_tot)), 6)
+            woe[b] = w
+            iv += Decimal(str(round((p / pos_tot - n / neg_tot) * w, 6)))
+        else:
+            woe[b] = None
+
+    rows = QUERIES["features_woe_binning_returns"](spark, sf_dir).collect()
+    for r in rows:
+        assert (r.n_pos, r.n_neg) == cells[r.band]
+        if woe[r.band] is None:
+            assert r.woe is None
+        else:
+            assert r.woe == pytest.approx(woe[r.band], abs=1e-9)
+        assert r.information_value == pytest.approx(float(iv), abs=1e-9)
+
+
+def test_survivorship_curve_matches_python_reimplementation(spark, sf_dir):
+    """Third implementation of the banding pipeline + survivorship curve:
+    hashlib md5 shingles, the 24 affine permutations, 12x2 banding,
+    candidate pairs, exact Jaccard verify, and the keep-lowest-doc_id
+    greedy at each threshold — all in plain Python sets."""
+    import hashlib
+    import re
+
+    import pyarrow.parquet as pq_
+
+    from k_means_map_reduce_spark.operators.dedup import (
+        _PMH_P,
+        _PMH_PERMS24,
+        _PMH_R,
+        _SURV_THRESHOLDS,
+    )
+
+    t = pq_.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas()
+    shingles = {}
+    for did, text in zip(t.doc_id, t.text):
+        toks = [w for w in re.split(r"\s+", text.strip().lower()) if w]
+        if len(toks) < 3:
+            continue
+        hs = {
+            int(hashlib.md5(" ".join(toks[i : i + 3]).encode()).hexdigest()[:8], 16)
+            for i in range(len(toks) - 2)
+        }
+        shingles[did] = hs
+    sigs = {
+        did: [min((a * h + b) % _PMH_P for h in hs) for (a, b) in _PMH_PERMS24]
+        for did, hs in shingles.items()
+    }
+    buckets = {}
+    for did, s in sigs.items():
+        for band in range(len(_PMH_PERMS24) // _PMH_R):
+            key = (band, f"{s[2 * band]}:{s[2 * band + 1]}")
+            buckets.setdefault(key, []).append(did)
+    cand = set()
+    for ids in buckets.values():
+        ids = sorted(ids)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                cand.add((ids[i], ids[j]))
+    pairs = []
+    for d1, d2 in cand:
+        h1, h2 = shingles[d1], shingles[d2]
+        inter = len(h1 & h2)
+        jac = inter / (len(h1) + len(h2) - inter)
+        if jac >= 0.4:
+            pairs.append((d1, d2, round(jac, 6)))
+    n_docs = len(t)
+    want = {}
+    for th in _SURV_THRESHOLDS:
+        hit = [(a, b) for a, b, j in pairs if j >= th]
+        removed = {b for _, b in hit}
+        want[th] = (len(hit), len(removed), n_docs - len(removed))
+
+    rows = QUERIES["dedup_survivorship_threshold_curve"](spark, sf_dir).collect()
+    got = {r.threshold: (r.n_pairs, r.n_removed, r.n_kept) for r in rows}
+    assert got == want
