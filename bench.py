@@ -208,7 +208,23 @@ PREV96 = LEGACY56 + R7_FOLDED + R8_FOLDED + R9_FOLDED
 # Round-11 operator additions: benched identically, reported detail-only
 # (bench_detail.json "r11_additions*") so this round's 117-query totals land
 # clean as the new baseline; fold next round.
-ADDITIONS: list[str] = []
+ADDITIONS: list[str] = [
+    "events_logrank_signup_cohorts",
+    "stats_mood_median_segments",
+    "stats_jonckheere_terpstra_priority",
+    "stats_hodges_lehmann_shift",
+    "timeseries_ljung_box_daily",
+    "timeseries_hurst_rescaled_range",
+    "graph_degree_powerlaw_hill",
+    "graph_katz_centrality",
+    "ml_decision_stump_gini",
+    "ml_knn_label_confusion",
+    "contamination_paragraph_winnowing",
+    "dedup_minhash_estimate_error",
+    "text_term_burstiness_topk",
+    "geo_location_entropy",
+    "privacy_t_closeness_emd",
+]
 
 
 def main() -> None:
