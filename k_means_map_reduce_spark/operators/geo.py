@@ -1522,15 +1522,20 @@ def geo_location_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = celled.groupBy("user_id", "cx", "cy").agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
     )
-    tots = counts.groupBy("user_id").agg(
-        F.sum("c").cast("bigint").alias("n"),
-        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
-        F.max("c").cast("bigint").alias("top_c"),
+    # per-user totals as windows over the SAME counts frame — the
+    # aggregate-then-join-back shape re-ran the fact-grain walk windows
+    # once per consumer (scan_audit/lesson 27)
+    wu = Window.partitionBy("user_id")
+    counts = counts.select(
+        "user_id",
+        "c",
+        F.sum("c").over(wu).cast("bigint").alias("n"),
+        F.count(F.lit(1)).over(wu).cast("bigint").alias("n_cells"),
+        F.max("c").over(wu).cast("bigint").alias("top_c"),
     )
     p = F.col("c").cast("double") / F.col("n").cast("double")
     return (
-        counts.join(tots, "user_id")
-        .groupBy("user_id")
+        counts.groupBy("user_id")
         .agg(
             F.max("n").cast("bigint").alias("n_fixes"),
             F.max("n_cells").cast("bigint").alias("n_cells"),

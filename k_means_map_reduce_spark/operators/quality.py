@@ -27,6 +27,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .._memo import SessionMemo, memo_persist
 from ..registry import query
 from ..sources import load_table
 
@@ -861,6 +862,11 @@ def privacy_l_diversity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# (nation, segment, bucket) counts — every t-closeness distribution
+# derives from this finest rollup
+_TCLOSE_CELLS_CACHE = SessionMemo("quality.tclose_cells")
+
+
 @query(
     "privacy_t_closeness_emd",
     oracle="""
@@ -935,12 +941,21 @@ def privacy_t_closeness_emd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_mktsegment").alias("seg"),
         F.floor(F.col("c_acctbal") / 1000.0).cast("bigint").alias("b"),
     )
-    gl = rows_.groupBy("b").agg(F.count(F.lit(1)).cast("bigint").alias("qc"))
-    grp = rows_.groupBy("nk", "seg").agg(
-        F.count(F.lit(1)).cast("bigint").alias("ng")
+    # ONE customer scan: the finest rollup (cells) is memo-persisted and
+    # every coarser distribution (bucket marginals, group sizes, global
+    # constants) derives from it (scan_audit/lesson 27; memo per
+    # lesson 30)
+    cells = memo_persist(
+        _TCLOSE_CELLS_CACHE,
+        spark,
+        sf_dir,
+        lambda: rows_.groupBy("nk", "seg", "b").agg(
+            F.count(F.lit(1)).cast("bigint").alias("pc")
+        ),
     )
-    cells = rows_.groupBy("nk", "seg", "b").agg(
-        F.count(F.lit(1)).cast("bigint").alias("pc")
+    gl = cells.groupBy("b").agg(F.sum("pc").cast("bigint").alias("qc"))
+    grp = cells.groupBy("nk", "seg").agg(
+        F.sum("pc").cast("bigint").alias("ng")
     )
     consts = gl.agg(
         F.sum("qc").cast("bigint").alias("n"),

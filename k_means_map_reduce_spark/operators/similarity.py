@@ -1063,6 +1063,10 @@ def ml_knn_label_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     # denominator, so parity with list_cosine_similarity is untouched
     # while per-pair HOF work drops 3x (76 -> 26 s measured at sf0.1
     # before the query sample below)
+    # scan_audit triage: base feeds both join sides, so embeddings scans
+    # twice — DELIBERATE: the table is bounded dimension-scale and the
+    # rescan (one norm fold over it) is cheaper than pinning vectors in
+    # executor storage
     base = e.select(
         "vec_id", "label", "embedding", l2_norm(F.col("embedding")).alias("nrm")
     )

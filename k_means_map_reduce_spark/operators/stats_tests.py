@@ -3046,24 +3046,26 @@ def stats_mood_median_segments(
     )
     wr = Window.orderBy("v", "c_custkey")
     wall = Window.partitionBy()
-    med = (
-        cents.select(
-            "v",
-            F.row_number().over(wr).alias("rk"),
-            F.count(F.lit(1)).over(wall).alias("n"),
+    # the pooled median rides a second window over the SAME ranked frame
+    # (not a separate aggregate + crossJoin): one customer scan total
+    # (scan_audit, lesson 27)
+    flagged = cents.select(
+        "seg",
+        "v",
+        F.min(
+            F.when(
+                2 * F.row_number().over(wr) >= F.count(F.lit(1)).over(wall),
+                F.col("v"),
+            )
         )
-        .groupBy()
-        .agg(F.min(F.when(2 * F.col("rk") >= F.col("n"), F.col("v"))).alias("m"))
+        .over(wall)
+        .alias("m"),
     )
-    cells = (
-        cents.crossJoin(F.broadcast(med))
-        .groupBy("seg")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_i"),
-            F.sum(F.when(F.col("v") > F.col("m"), 1).otherwise(0))
-            .cast("bigint")
-            .alias("a_i"),
-        )
+    cells = flagged.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_i"),
+        F.sum(F.when(F.col("v") > F.col("m"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("a_i"),
     )
     tot = cells.select(
         "*",
@@ -3440,6 +3442,8 @@ def stats_jonckheere_terpstra_priority(
         for i in (1, 2, 3, 4)
     ]
     cum = vals.select("g", *cums)
+    # group sizes derive from the SAME windowed frame (one orders scan,
+    # scan_audit/lesson 27): n_i = rows per g in cum
     contrib = (
         F.when(F.col("g") == 2, F.col("c1"))
         .when(F.col("g") == 3, F.col("c1") + F.col("c2"))
@@ -3450,19 +3454,18 @@ def stats_jonckheere_terpstra_priority(
         )
         .otherwise(F.lit(0))
     )
-    jt = cum.agg(F.sum(contrib).cast("bigint").alias("jt_stat"))
-    sizes = (
-        vals.groupBy("g")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
-        .agg(
-            F.sum("cnt").cast("bigint").alias("n"),
-            F.sum(F.col("cnt") * F.col("cnt")).cast("bigint").alias("sum_n2"),
-            F.sum(F.col("cnt") * F.col("cnt") * (2 * F.col("cnt") + 3))
-            .cast("bigint")
-            .alias("sum_n23"),
-        )
+    per_g = cum.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum(contrib).cast("bigint").alias("jt_g"),
     )
-    joined = jt.crossJoin(F.broadcast(sizes))
+    joined = per_g.agg(
+        F.sum("jt_g").cast("bigint").alias("jt_stat"),
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("bigint").alias("sum_n2"),
+        F.sum(F.col("cnt") * F.col("cnt") * (2 * F.col("cnt") + 3))
+        .cast("bigint")
+        .alias("sum_n23"),
+    )
     nd = F.col("n").cast("double")
     mu = (nd * nd - F.col("sum_n2").cast("double")) / 4.0
     var = (
@@ -3609,6 +3612,10 @@ def stats_quade_nation_segment(
     )
 
 
+# BUILDING/MACHINERY day-grain revenue shared by both HL pair-grid sides
+_HL_DAILY_CACHE = SessionMemo("stats.hl_daily")
+
+
 @query(
     "stats_hodges_lehmann_shift",
     oracle=f"""
@@ -3656,14 +3663,21 @@ def stats_hodges_lehmann_shift(
     """
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
-    daily = (
-        o.join(c, o["o_custkey"] == c["c_custkey"])
-        .where(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
-        .groupBy(
-            F.col("c_mktsegment").alias("seg"),
-            F.col("o_orderdate").alias("day"),
-        )
-        .agg(F.sum(_cents("o_totalprice")).cast("bigint").alias("rev"))
+    # both pair-grid sides filter the SAME day-grain rollup: memoized or
+    # the orders x customer join runs once per side (scan_audit/lesson 27)
+    daily = memo_persist(
+        _HL_DAILY_CACHE,
+        spark,
+        sf_dir,
+        lambda: (
+            o.join(c, o["o_custkey"] == c["c_custkey"])
+            .where(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+            .groupBy(
+                F.col("c_mktsegment").alias("seg"),
+                F.col("o_orderdate").alias("day"),
+            )
+            .agg(F.sum(_cents("o_totalprice")).cast("bigint").alias("rev"))
+        ),
     )
     a = daily.where(F.col("seg") == "BUILDING").select(
         F.col("rev").alias("ra"), F.col("day").alias("da")

@@ -1517,14 +1517,17 @@ def timeseries_ljung_box_daily(
     daily = o.groupBy(
         F.datediff("o_orderdate", F.lit("1970-01-01")).alias("day")
     ).agg(F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint")).cast("bigint").alias("y"))
-    consts = daily.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum("y").cast("bigint").alias("t"),
-    )
-    demeaned = daily.crossJoin(F.broadcast(consts)).select(
+    # n and T as windows over the day-grain frame, not a separate
+    # aggregate + crossJoin: one orders scan (scan_audit/lesson 27)
+    wall = Window.partitionBy()
+    demeaned = daily.select(
         "day",
-        (F.col("n") * F.col("y") - F.col("t")).cast("bigint").alias("e"),
-        "n",
+        (
+            F.count(F.lit(1)).over(wall) * F.col("y") - F.sum("y").over(wall)
+        )
+        .cast("bigint")
+        .alias("e"),
+        F.count(F.lit(1)).over(wall).cast("bigint").alias("n"),
     )
     w = Window.orderBy("day")
     led = demeaned.select(
@@ -1679,17 +1682,20 @@ def timeseries_variance_ratio(
             .alias("r"),
         )
     )
+    # the lag-1 power sums ride WALL windows on the same frame the
+    # q-sums come from, carried through the explode and recovered with
+    # max() in the group aggregate — one orders scan (scan_audit/lesson
+    # 27; the decimal sums stay order-insensitive)
+    wall = Window.partitionBy()
     idx = rets.select(
         "r",
         F.row_number().over(w).alias("rn"),
         F.sum("r").over(w.rowsBetween(-1, 0)).alias("s2"),
         F.sum("r").over(w.rowsBetween(-4, 0)).alias("s5"),
         F.sum("r").over(w.rowsBetween(-9, 0)).alias("s10"),
-    )
-    base = idx.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("r").cast("double").alias("sr"),
-        F.sum(F.col("r") * F.col("r")).cast("double").alias("srr"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+        F.sum("r").over(wall).cast("double").alias("sr"),
+        F.sum(F.col("r") * F.col("r")).over(wall).cast("double").alias("srr"),
     )
     stacked = idx.select(
         F.explode(
@@ -1699,17 +1705,24 @@ def timeseries_variance_ratio(
             )
         ).alias("z"),
         "rn",
-    ).select(F.col("z.q").alias("q"), F.col("z.s").alias("s"), "rn")
-    qs = (
+        "n",
+        "sr",
+        "srr",
+    ).select(
+        F.col("z.q").alias("q"), F.col("z.s").alias("s"), "rn", "n", "sr", "srr"
+    )
+    j = (
         stacked.where(F.col("rn") >= F.col("q"))
         .groupBy("q")
         .agg(
             F.count(F.lit(1)).alias("m"),
             F.sum("s").cast("double").alias("ss"),
             F.sum(F.col("s") * F.col("s")).cast("double").alias("sss"),
+            F.max("n").alias("n"),
+            F.max("sr").alias("sr"),
+            F.max("srr").alias("srr"),
         )
     )
-    j = qs.crossJoin(F.broadcast(base))
     var1 = (F.col("srr") - F.col("sr") * F.col("sr") / F.col("n")) / F.col(
         "n"
     )
@@ -1800,21 +1813,18 @@ def timeseries_hurst_rescaled_range(
         "rn",
         "y",
     )
-    complete = (
-        blocks.groupBy("w", "bid")
-        .agg(
-            F.count(F.lit(1)).alias("cnt"),
-            F.sum("y").cast("bigint").alias("t"),
-        )
-        .where(F.col("cnt") == F.col("w"))
-        .select("w", "bid", "t")
-    )
-    u = blocks.join(complete, ["w", "bid"]).select(
+    # per-block count and total as windows over the SAME frame (no
+    # aggregate-then-join back: one orders scan, scan_audit/lesson 27)
+    wb = Window.partitionBy("w", "bid")
+    u = blocks.select(
         "w",
         "bid",
         "rn",
-        (F.col("w") * F.col("y") - F.col("t")).cast("bigint").alias("u"),
-    )
+        (F.col("w") * F.col("y") - F.sum("y").over(wb)).cast("bigint").alias(
+            "u"
+        ),
+        F.count(F.lit(1)).over(wb).alias("cnt"),
+    ).where(F.col("cnt") == F.col("w")).drop("cnt")
     wp = (
         Window.partitionBy("w", "bid")
         .orderBy("rn")

@@ -3163,6 +3163,9 @@ def text_term_burstiness_topk(
         F.count(F.lit(1)).cast("bigint").alias("cf"),
         F.countDistinct("doc_id").cast("bigint").alias("df"),
     )
+    # scan_audit triage: the second documents scan is a count-star over
+    # parquet footers (zero columns read) — DELIBERATE; the tokenize pass
+    # runs once
     nd = d.agg(F.count(F.lit(1)).cast("bigint").alias("nd"))
     top = (
         stats.crossJoin(F.broadcast(nd))
