@@ -3002,6 +3002,7 @@ def stats_runs_above_median_by_segment(
       CAST(MAX(n) AS BIGINT) AS n_total,
       CAST(MAX(a) AS BIGINT) AS n_above,
       CAST(COUNT(*) - 1 AS BIGINT) AS df,
+      CASE WHEN MAX(a) > 0 AND MAX(a) < MAX(n) THEN
       ROUND(CAST(SUM(CAST(ROUND(
         (CAST(a_i AS DOUBLE)
          - CAST(n_i AS DOUBLE) * CAST(a AS DOUBLE) / CAST(n AS DOUBLE))
@@ -3014,7 +3015,7 @@ def stats_runs_above_median_by_segment(
              - CAST(n_i AS DOUBLE) * CAST(n - a AS DOUBLE)
                / CAST(n AS DOUBLE))
           / (CAST(n_i AS DOUBLE) * CAST(n - a AS DOUBLE) / CAST(n AS DOUBLE))
-      , 6) AS DECIMAL(18,6))) AS DOUBLE), 6) AS chi2
+      , 6) AS DECIMAL(18,6))) AS DOUBLE), 6) END AS chi2
     FROM tot
     """,
 )
@@ -3075,18 +3076,31 @@ def stats_mood_median_segments(
     dd = lambda c_: F.col(c_).cast("double")  # noqa: E731
     ea = dd("n_i") * dd("a") / dd("n")
     eb = dd("n_i") * (F.col("n") - F.col("a")).cast("double") / dd("n")
-    term = (
+    # the /ea and /eb guards live INSIDE the term (lesson 28's shape: an
+    # outer when() does not protect per-row evaluation under ANSI, which
+    # throws DIVIDE_BY_ZERO even for doubles); the outer when() below
+    # still NULLs the statistic whenever any term was degenerate
+    term = F.when(
+        (F.col("a") > 0) & (F.col("a") < F.col("n")),
         (dd("a_i") - ea) * (dd("a_i") - ea) / ea
         + ((F.col("n_i") - F.col("a_i")).cast("double") - eb)
         * ((F.col("n_i") - F.col("a_i")).cast("double") - eb)
-        / eb
-    )
+        / eb,
+    ).otherwise(F.lit(0.0))
+    # degenerate guard: constant data puts every row at/below the pooled
+    # median (a = 0) or above it (a = n) -> a zero expected count -> 0/0,
+    # where Spark's double division yields NaN but DuckDB yields NULL;
+    # the test is undefined there, so both engines emit NULL (lesson 19)
     return tot.agg(
         F.max("n").cast("bigint").alias("n_total"),
         F.max("a").cast("bigint").alias("n_above"),
         (F.count(F.lit(1)) - 1).cast("bigint").alias("df"),
-        F.round(
-            F.sum(F.round(term, 6).cast("decimal(18,6)")).cast("double"), 6
+        F.when(
+            (F.max("a") > 0) & (F.max("a") < F.max("n")),
+            F.round(
+                F.sum(F.round(term, 6).cast("decimal(18,6)")).cast("double"),
+                6,
+            ),
         ).alias("chi2"),
     )
 

@@ -632,6 +632,20 @@ def test_stats_battery_degenerate_constant_balances(spark, tmp_path):
         "stats_page_trend_segments",
         "stats_ansari_bradley_segments",
         "stats_runs_above_median_by_segment",
+        # round-11 additions: constant data must NULL (never NaN/throw)
+        "stats_mood_median_segments",
+        "stats_siegel_tukey_segments",
+        "stats_effect_sizes_rank",
+        "stats_cochran_armitage_trend",
+        "stats_jonckheere_terpstra_priority",
+        "stats_quade_nation_segment",
+        "stats_hodges_lehmann_shift",
+        "timeseries_ljung_box_daily",
+        "timeseries_variance_ratio",
+        "timeseries_hurst_rescaled_range",
+        "finance_sharpe_sortino_daily",
+        "timeseries_changepoint_binseg",
+        "ml_decision_stump_gini",
     ):
         r = compare_query(spark, name, str(two))
         assert r.ok, f"{name} on constant data: {r.detail}"
@@ -1739,3 +1753,90 @@ def test_survivorship_curve_matches_python_reimplementation(spark, sf_dir):
     rows = QUERIES["dedup_survivorship_threshold_curve"](spark, sf_dir).collect()
     got = {r.threshold: (r.n_pairs, r.n_removed, r.n_kept) for r in rows}
     assert got == want
+
+
+def test_r11_statistic_bounds(spark, sf_dir):
+    """Bounds/conservation battery for the round-11 entries (the r10
+    invariant-test pattern): each statistic must sit inside its
+    definitional range and conserve its inputs."""
+    q = lambda n: QUERIES[n](spark, sf_dir).collect()  # noqa: E731
+
+    lr = q("events_logrank_signup_cohorts")[0]
+    assert lr.chi2 is None or lr.chi2 >= 0
+    assert 0 <= lr.observed_early <= lr.n_early
+
+    md = q("stats_mood_median_segments")[0]
+    assert md.chi2 >= 0 and md.df == 4
+    assert 0 <= md.n_above <= md.n_total
+
+    st = q("stats_siegel_tukey_segments")[0]
+    n = st.n1 + st.n2
+    assert 1 <= st.w1 <= n * (n + 1) // 2
+
+    jt = q("stats_jonckheere_terpstra_priority")[0]
+    assert 0 <= jt.jt_stat <= jt.n * (jt.n - 1) // 2
+
+    qd = q("stats_quade_nation_segment")[0]
+    assert qd.f_stat is None or qd.f_stat >= 0
+
+    es = q("stats_effect_sizes_rank")[0]
+    assert 0.0 <= es.vd_a <= 1.0
+    assert -1.0 <= es.cliffs_delta <= 1.0
+    assert abs(es.cliffs_delta - (2 * es.vd_a - 1)) < 1e-5
+
+    ca = q("stats_cochran_armitage_trend")[0]
+    assert ca.t_stat <= 5 * ca.r_total and ca.t_stat >= ca.r_total
+
+    for r in q("timeseries_variance_ratio"):
+        assert r.vr is None or r.vr > 0
+
+    for r in q("timeseries_hurst_rescaled_range"):
+        assert r.mean_rs > 0
+
+    bs = q("timeseries_changepoint_binseg")[0]
+    sh = q("finance_sharpe_sortino_daily")[0]
+    assert bs.n_left + bs.n_right == sh.n_days + 1  # rets drop one day
+
+    hill = q("graph_degree_powerlaw_hill")[0]
+    assert hill.hill_alpha is None or hill.hill_alpha > 1.0
+    assert hill.k <= hill.n_nodes and hill.d_min >= 1
+
+    katz = q("graph_katz_centrality")
+    ks = [r.katz for r in sorted(katz, key=lambda r: r.rk)]
+    assert ks == sorted(ks, reverse=True) and len(ks) <= 20
+
+    stump = q("ml_decision_stump_gini")[0]
+    assert stump.gini_gain >= 0
+    assert stump.pos_left + stump.pos_right <= stump.n_left + stump.n_right
+
+    knn = q("ml_knn_label_confusion")
+    assert sum(r.n for r in knn) > 0
+    assert all(r.n > 0 for r in knn)
+
+    tc = q("privacy_t_closeness_emd")[0]
+    assert 0.0 <= tc.max_emd <= 1.0
+    assert 0 <= tc.n_violating_t02 <= tc.n_groups
+
+    for r in q("text_term_burstiness_topk"):
+        assert r.df <= r.cf and r.expected_df <= r.cf + 1e-6
+        assert r.burstiness > 0
+
+    for r in q("contamination_paragraph_winnowing"):
+        assert 0 <= r.n_flagged_paras <= r.n_test_paras
+        assert r.n_docs_hit <= r.n_flagged_paras
+
+    err = q("dedup_minhash_estimate_error")[0]
+    assert 0 <= err.mean_abs_err <= err.max_abs_err <= 1.0
+    assert 0 <= err.mean_match_count <= 24
+
+    for r in q("geo_location_entropy"):
+        assert r.entropy >= 0 and 0 < r.top_cell_share <= 1.0
+        assert r.n_cells <= r.n_fixes
+
+    hl = q("stats_hodges_lehmann_shift")[0]
+    assert hl.n_pairs > 0 and hl.hl_shift_cents is not None
+
+    lb = q("timeseries_ljung_box_daily")
+    qs = [r.q_stat for r in sorted(lb, key=lambda r: r.k)]
+    assert all(b >= a - 1e-9 for a, b in zip(qs, qs[1:]))  # Q cumulative
+    assert all(-1.0 <= r.rho <= 1.0 for r in lb)
