@@ -2593,3 +2593,39 @@ def dedup_minhash_estimate_error(
         ).alias("mean_abs_err"),
         F.round(F.max(err), 6).alias("max_abs_err"),
     )
+
+
+@query(
+    "dedup_cluster_size_histogram",
+    oracle=_banding_components_sql()
+    + """
+    , sizes AS (
+      SELECT component, CAST(COUNT(*) AS BIGINT) AS sz
+      FROM comp GROUP BY component
+    )
+    SELECT sz AS cluster_size,
+      CAST(COUNT(*) AS BIGINT) AS n_clusters,
+      CAST(SUM(sz) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY sz
+    """,
+)
+def dedup_cluster_size_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Near-dup cluster SIZE distribution over the verified banding
+    component graph: how many duplicate groups of each size exist, and
+    how many documents they hold — the census a corpus team reads to
+    choose between pair-level removal (long tail of 2-clusters) and
+    component-level collapse (a few giant boilerplate clusters). Pure
+    integer rollup riding the SessionMemo'd label-propagation fixpoint
+    (zero new passes over anything); the oracle replays the whole
+    pipeline including the recursive-CTE fixpoint.
+    """
+    comp = _banding_components(spark, sf_dir)
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz")
+    )
+    return sizes.groupBy(F.col("sz").alias("cluster_size")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        F.sum("sz").cast("bigint").alias("n_docs"),
+    )

@@ -3714,3 +3714,182 @@ def stats_hodges_lehmann_shift(
         .cast("bigint")
         .alias("hl_shift_cents"),
     )
+
+
+@query(
+    "stats_wilcoxon_signed_rank_nations",
+    oracle="""
+    WITH pairs AS (
+      SELECT c.nk, c.cm - s.sm AS d
+      FROM (
+        SELECT c_nationkey AS nk,
+          CAST(SUM(CAST(ROUND(c_acctbal, 6) AS DECIMAL(18,6))) AS DOUBLE)
+            / COUNT(*) AS cm
+        FROM customer GROUP BY 1
+      ) c
+      JOIN (
+        SELECT s_nationkey AS nk,
+          CAST(SUM(CAST(ROUND(s_acctbal, 6) AS DECIMAL(18,6))) AS DOUBLE)
+            / COUNT(*) AS sm
+        FROM supplier GROUP BY 1
+      ) s ON s.nk = c.nk
+      WHERE c.cm <> s.sm
+    ),
+    ranked AS (
+      SELECT d, ROW_NUMBER() OVER (ORDER BY ABS(d), nk) AS rk FROM pairs
+    )
+    SELECT
+      CAST(COUNT(*) AS BIGINT) AS m,
+      CAST(SUM(CASE WHEN d > 0 THEN rk ELSE 0 END) AS BIGINT) AS w_plus,
+      CASE WHEN COUNT(*) >= 2 THEN ROUND(
+        (CAST(SUM(CASE WHEN d > 0 THEN rk ELSE 0 END) AS DOUBLE)
+         - CAST(COUNT(*) * (COUNT(*) + 1) AS DOUBLE) / 4.0)
+        / sqrt(CAST(COUNT(*) * (COUNT(*) + 1) * (2 * COUNT(*) + 1)
+               AS DOUBLE) / 24.0), 6)
+      END AS z_stat
+    FROM ranked
+    """,
+)
+def stats_wilcoxon_signed_rank_nations(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Wilcoxon signed-rank test on the paired per-nation mean balances
+    (customer vs supplier — the sign test's pairing, now magnitude-
+    aware): zero differences drop, |d| gets a strict rank (tie-break
+    nation key — the battery's deterministic variant), W+ sums the
+    positive-difference ranks, z uses the exact null moments
+    m(m+1)/4 and m(m+1)(2m+1)/24. Completes the paired-location family:
+    sign test (signs only) -> signed-rank (signs + magnitudes ranks) ->
+    the parametric paired t the ANOVA battery covers.
+
+    Determinism: the means are exact-decimal sums over counts (identical
+    doubles — the sign-test construction verbatim); ranks are integers;
+    only z divides, once, round-6.
+
+    At 100 TB: two dimension aggregations, a 25-row join, a 25-row rank.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    cm = c.groupBy(F.col("c_nationkey").alias("nk")).agg(
+        (
+            F.sum(F.round(F.col("c_acctbal"), 6).cast("decimal(18,6)")).cast(
+                "double"
+            )
+            / F.count(F.lit(1))
+        ).alias("cm")
+    )
+    sm = s.groupBy(F.col("s_nationkey").alias("nk2")).agg(
+        (
+            F.sum(F.round(F.col("s_acctbal"), 6).cast("decimal(18,6)")).cast(
+                "double"
+            )
+            / F.count(F.lit(1))
+        ).alias("sm")
+    )
+    pairs = (
+        cm.join(sm, F.col("nk") == F.col("nk2"))
+        .where(F.col("cm") != F.col("sm"))
+        .select("nk", (F.col("cm") - F.col("sm")).alias("d"))
+    )
+    ranked = pairs.select(
+        "d",
+        F.row_number().over(Window.orderBy(F.abs("d"), "nk")).alias("rk"),
+    )
+    m = F.count(F.lit(1)).cast("bigint")
+    wp = F.sum(F.when(F.col("d") > 0, F.col("rk")).otherwise(0)).cast(
+        "bigint"
+    )
+    md = m.cast("double")
+    z = (wp.cast("double") - md * (md + 1.0) / 4.0) / F.sqrt(
+        md * (md + 1.0) * (2.0 * md + 1.0) / 24.0
+    )
+    return ranked.agg(
+        m.alias("m"),
+        wp.alias("w_plus"),
+        F.when(m >= 2, F.round(z, 6)).alias("z_stat"),
+    )
+
+
+@query(
+    "stats_bowker_symmetry_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS next_type
+      FROM events
+    ),
+    trans AS (
+      SELECT event_type AS a, next_type AS b, CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    cells AS (
+      SELECT t1.a, t1.b, t1.n AS n_ab, COALESCE(t2.n, 0) AS n_ba
+      FROM trans t1 LEFT JOIN trans t2 ON t2.a = t1.b AND t2.b = t1.a
+      WHERE t1.a < t1.b
+    )
+    SELECT
+      CAST(COUNT(CASE WHEN n_ab + n_ba > 0 THEN 1 END) AS BIGINT) AS df,
+      ROUND(CAST(SUM(CAST(ROUND(
+        CAST((n_ab - n_ba) * (n_ab - n_ba) AS DOUBLE)
+        / CAST(n_ab + n_ba AS DOUBLE), 6) AS DECIMAL(18,6)))
+        AS DOUBLE), 6) AS chi2
+    FROM cells WHERE n_ab + n_ba > 0
+    """,
+)
+def stats_bowker_symmetry_transitions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bowker's symmetry test on the event-type transition matrix: is
+    P(a -> b) == P(b -> a) for every unordered type pair? chi2 =
+    sum_{a<b} (n_ab - n_ba)^2 / (n_ab + n_ba) — the k x k
+    generalization of McNemar (which ships for the 2 x 2 era split);
+    rejecting symmetry means the event stream has a directional flow
+    (e.g. view -> click >> click -> view), the structure the Markov
+    entries model.
+
+    Determinism: transition counts are exact BIGINTs over the
+    (ts, event_id)-ordered per-user stream (the transition-matrix
+    construction verbatim); each pair's term divides exact integers,
+    round-6, decimal-summed. Pairs never observed in either direction
+    contribute nothing (and df counts only observed pairs).
+
+    At 100 TB: one fact pass through the per-user LEAD window (the
+    sessionization partitioning), a 25-cell rollup, a 10-row self-join.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).where(F.col("next_type").isNotNull())
+    trans = seq.groupBy(
+        F.col("event_type").alias("a"), F.col("next_type").alias("b")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    t2 = trans.select(
+        F.col("a").alias("a2"), F.col("b").alias("b2"), F.col("n").alias("n2")
+    )
+    cells = (
+        trans.where(F.col("a") < F.col("b"))
+        .join(
+            t2,
+            (F.col("a2") == F.col("b")) & (F.col("b2") == F.col("a")),
+            "left",
+        )
+        .select(
+            "a",
+            "b",
+            F.col("n").alias("n_ab"),
+            F.coalesce(F.col("n2"), F.lit(0)).alias("n_ba"),
+        )
+        .where(F.col("n_ab") + F.col("n_ba") > 0)
+    )
+    diff = (F.col("n_ab") - F.col("n_ba")).cast("double")
+    term = F.round(
+        diff * diff / (F.col("n_ab") + F.col("n_ba")).cast("double"), 6
+    ).cast("decimal(18,6)")
+    return cells.agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+        F.round(F.sum(term).cast("double"), 6).alias("chi2"),
+    )

@@ -2248,3 +2248,94 @@ def features_woe_binning_returns(
         F.col("woe").cast("double").alias("woe"),
         F.sum("iv_term").over(w_all).cast("double").alias("information_value"),
     )
+
+
+@query(
+    "training_dedup_quality_joint_census",
+    oracle="""
+    WITH kept AS (
+      SELECT doc_id, source, text,
+        CASE WHEN ROW_NUMBER() OVER (
+          PARTITION BY md5(LOWER(regexp_replace(TRIM(text), '\\s+', ' ',
+                                                'g')))
+          ORDER BY doc_id) = 1 THEN 1 ELSE 0 END AS is_kept
+      FROM documents
+    ),
+    scored AS (
+      SELECT source, is_kept,
+        CASE WHEN
+      ROUND((
+        LEAST(CAST(LENGTH(text) AS DOUBLE) / 1000.0, 1.0)
+        + (1.0 - LEAST(
+            (CASE WHEN LENGTH(text) > 0
+              THEN CAST(LENGTH(regexp_replace(text, '[A-Za-z0-9\\s]', '',
+                                              'g')) AS DOUBLE)
+                   / CAST(LENGTH(text) AS DOUBLE)
+              ELSE 0.0 END) * 5.0, 1.0))
+        + (CASE WHEN
+             (CASE WHEN len(list_filter(string_split_regex(TRIM(text),
+                        '\\s+'), t -> t != '')) > 0
+               THEN CAST(LENGTH(regexp_replace(text, '\\s+', '', 'g'))
+                         AS DOUBLE)
+                    / CAST(len(list_filter(string_split_regex(TRIM(text),
+                          '\\s+'), t -> t != '')) AS DOUBLE)
+               ELSE 0.0 END) BETWEEN 3.0 AND 10.0
+           THEN 1.0 ELSE 0.5 END)
+      ) / 3.0, 6)
+        >= 0.5 THEN 1 ELSE 0 END AS q_pass
+      FROM kept
+    )
+    SELECT source,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(is_kept) AS BIGINT) AS n_kept,
+      CAST(SUM(is_kept * q_pass) AS BIGINT) AS n_survivors,
+      ROUND(CAST(SUM(is_kept * q_pass) AS DOUBLE) / COUNT(*), 6)
+        AS survival_rate
+    FROM scored GROUP BY source
+    """,
+)
+def training_dedup_quality_joint_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """JOINT dedup x quality survivorship per source: of each source's
+    documents, how many survive exact dedup (lowest-doc_id per
+    normalized-content digest), and of those, how many also clear the
+    quality gate (heuristic score >= 0.5) — the two filters every
+    training pipeline applies IN SEQUENCE, reported jointly because
+    their interaction (boilerplate is both duplicated AND low-quality)
+    makes the separate funnels non-multiplicative. Complements
+    training_quality_filter_funnel (quality stages only) and
+    dedup_exact_kept_docs (dedup only).
+
+    Determinism: keep-choice is the md5-digest ROW_NUMBER total order;
+    the quality score is the oracled QUALITY_SQL double chain; all
+    census counts are exact integers.
+
+    At 100 TB: one documents pass computes digest + score; the window
+    shuffles (digest, doc_id, source, pass-bit) — never text; census is
+    a per-source rollup.
+    """
+    from ..functions.text import quality_score
+    from .dedup import _NORM
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5(_NORM(F.col("text")))).orderBy("doc_id")
+    scored = d.select(
+        "source",
+        F.when(F.row_number().over(w) == 1, 1).otherwise(0).alias("is_kept"),
+        F.when(F.round(quality_score(F.col("text")), 6) >= 0.5, 1)
+        .otherwise(0)
+        .alias("q_pass"),
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("is_kept").cast("bigint").alias("n_kept"),
+        F.sum(F.col("is_kept") * F.col("q_pass"))
+        .cast("bigint")
+        .alias("n_survivors"),
+        F.round(
+            F.sum(F.col("is_kept") * F.col("q_pass")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("survival_rate"),
+    )

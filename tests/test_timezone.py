@@ -97,6 +97,20 @@ DATE_SENSITIVE = [
     "streaming_session_conversion_vs_batch",
     "geo_mean_squared_displacement",
     "stats_runs_above_median_by_segment",
+    # round-11 ts-sensitive additions: survival day grids (NTZ datediff),
+    # epoch-day daily-revenue series, walk-cell hour buckets (NTZ hour),
+    # the chronologically-staged EWMA twin (UTC wire strings)
+    "events_logrank_signup_cohorts",
+    "events_nelson_aalen_hazard",
+    "timeseries_ljung_box_daily",
+    "timeseries_variance_ratio",
+    "timeseries_hurst_rescaled_range",
+    "finance_sharpe_sortino_daily",
+    "timeseries_changepoint_binseg",
+    "stats_hodges_lehmann_shift",
+    "geo_location_entropy",
+    "geo_home_work_commute",
+    "streaming_ewma_per_user_vs_batch",
 ]
 
 
@@ -124,6 +138,11 @@ DST_SENSITIVE = [
     "geo_colocation_pairs_topk",
     # KM's day grid and the censoring horizon are pure NTZ datediffs
     "events_kaplan_meier_conversion",
+    # r11: the log-rank/NA grids share KM's construction; home/work hour
+    # buckets are NTZ wall-clock fields
+    "events_logrank_signup_cohorts",
+    "events_nelson_aalen_hazard",
+    "geo_home_work_commute",
 ]
 
 
