@@ -2180,3 +2180,86 @@ def events_nelson_aalen_hazard(
         F.col("d").alias("n_events"),
         F.round(F.sum(inc).over(cum).cast("double"), 6).alias("cum_hazard"),
     )
+
+
+@query(
+    "events_bounce_rate_daily",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+        CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+               - epoch_us(LAG(CAST(ts AS TIMESTAMP)) OVER u) >= 300000000
+              OR LAG(ts) OVER u IS NULL
+             THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW u AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+        SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged
+    ),
+    per_sess AS (
+      SELECT user_id, sid,
+        CAST(COUNT(*) AS BIGINT) AS n_events,
+        date_trunc('day', CAST(MIN(ts) AS TIMESTAMP)) AS day
+      FROM sess GROUP BY 1, 2
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+      CAST(COUNT(*) AS BIGINT) AS n_sessions,
+      CAST(COUNT(CASE WHEN n_events = 1 THEN 1 END) AS BIGINT) AS n_bounces,
+      ROUND(CAST(COUNT(CASE WHEN n_events = 1 THEN 1 END) AS DOUBLE)
+            / COUNT(*), 6) AS bounce_rate
+    FROM per_sess GROUP BY 1
+    """,
+)
+def events_bounce_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate: the share of 5-minute-gap sessions holding
+    exactly ONE event, keyed by the session's START day — the classic
+    engagement-health metric the session-depth distribution generalizes
+    (this entry is its actionable daily scalar). Same gaps-and-islands
+    sessionization as events_session_windows (LAG >= 300s starts a new
+    island; tie-break (ts, event_id)).
+
+    Determinism: island ids are integer running sums over the
+    deterministic per-user order; day labels are NTZ date_trunc strings;
+    counts exact; one ratio, round-6.
+
+    At 100 TB: one fact pass through the per-user window stack (the
+    sessionization partitioning every events operator shares), a
+    session-grain rollup, a day-grain census.
+    """
+    e = load_table(spark, sf_dir, "events")
+    u = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+        F.lag(F.col("ts").cast("timestamp")).over(u)
+    )
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            gap_us.isNull() | (gap_us >= 300_000_000), 1
+        ).otherwise(0).alias("new_sess"),
+    )
+    cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sess = flagged.select(
+        "user_id", "ts", F.sum("new_sess").over(cum).alias("sid")
+    )
+    per_sess = sess.groupBy("user_id", "sid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.date_trunc("day", F.min("ts")).alias("day"),
+    )
+    bounce = F.count(F.when(F.col("n_events") == 1, 1))
+    return per_sess.groupBy(
+        F.date_format("day", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        bounce.cast("bigint").alias("n_bounces"),
+        F.round(bounce.cast("double") / F.count(F.lit(1)), 6).alias(
+            "bounce_rate"
+        ),
+    )

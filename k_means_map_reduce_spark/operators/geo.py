@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .._memo import SessionMemo
+from .._memo import SessionMemo, memo_persist
 from ..registry import query
 from ..sources import load_table
 
@@ -1640,3 +1640,163 @@ def geo_home_work_commute(spark: SparkSession, sf_dir: str) -> DataFrame:
         "work_cy",
         (dx * dx + dy * dy).cast("bigint").alias("commute_cells2"),
     )
+
+
+@query(
+    "geo_dbscan_core_census",
+    oracle=f"""
+    WITH pts AS ({_PTS_SQL}),
+    celled AS (
+      SELECT custkey, ilat, ilon,
+        CAST(floor((ilon + 170000) / 5000.0) AS BIGINT) AS cx,
+        CAST(floor((ilat + 60000) / 5000.0) AS BIGINT) AS cy
+      FROM pts
+    ),
+    fanned AS (
+      SELECT c.custkey, c.ilat, c.ilon, c.cx + dx.d AS cx, c.cy + dy.d AS cy
+      FROM celled c
+      CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) dx
+      CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) dy
+    ),
+    nbr AS (
+      SELECT a.custkey,
+        CAST(COUNT(*) AS BIGINT) AS n_nbrs
+      FROM fanned a JOIN celled b ON b.cx = a.cx AND b.cy = a.cy
+        AND b.custkey != a.custkey
+        AND (b.ilat - a.ilat) * (b.ilat - a.ilat)
+            + (b.ilon - a.ilon) * (b.ilon - a.ilon) <= 25000000
+      GROUP BY 1
+    ),
+    flags AS (
+      SELECT c.custkey,
+        CASE WHEN COALESCE(n.n_nbrs, 0) >= 4 THEN 1 ELSE 0 END AS is_core,
+        COALESCE(n.n_nbrs, 0) AS n_nbrs
+      FROM celled c LEFT JOIN nbr n ON n.custkey = c.custkey
+    ),
+    border AS (
+      SELECT DISTINCT a.custkey
+      FROM fanned a
+      JOIN celled b ON b.cx = a.cx AND b.cy = a.cy
+        AND b.custkey != a.custkey
+        AND (b.ilat - a.ilat) * (b.ilat - a.ilat)
+            + (b.ilon - a.ilon) * (b.ilon - a.ilon) <= 25000000
+      JOIN flags fb ON fb.custkey = b.custkey AND fb.is_core = 1
+      JOIN flags fa ON fa.custkey = a.custkey AND fa.is_core = 0
+    )
+    SELECT
+      CAST((SELECT COUNT(*) FROM celled) AS BIGINT) AS n_points,
+      CAST(SUM(is_core) AS BIGINT) AS n_core,
+      CAST((SELECT COUNT(*) FROM border) AS BIGINT) AS n_border,
+      CAST((SELECT COUNT(*) FROM celled) - SUM(is_core)
+           - (SELECT COUNT(*) FROM border) AS BIGINT) AS n_noise,
+      CAST(MAX(n_nbrs) AS BIGINT) AS max_neighbors
+    FROM flags
+    """,
+)
+def geo_dbscan_core_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN point classification (eps = 5000 milli-deg, minPts = 4
+    neighbors excluding self) over the md5 customer points: core points
+    (dense), border points (non-core within eps of a core), noise —
+    the density-based clustering counterpart of the k-means family
+    (DBSCAN finds arbitrary-shape clusters and an explicit noise set;
+    its expensive step IS this neighbor census).
+
+    The neighbor join is the proximity-join recipe: eps <= cell edge, so
+    the 3x3 cell fan-out is RECALL-COMPLETE and the join is a plain
+    equi-join on raw (cx, cy) (lesson 25 — never a fancy key); distances
+    are exact squared integers. Border detection re-joins the SAME
+    persisted pair construction against the core flags.
+
+    At 100 TB: candidates are bounded by cell occupancy (a data-density
+    constant times n), never n^2; both passes shuffle only ids + cells.
+    """
+    pts = _points(spark, sf_dir)
+    celled = pts.select(
+        "custkey",
+        "ilat",
+        "ilon",
+        F.floor((F.col("ilon") + 170000) / 5000.0).cast("bigint").alias("cx"),
+        F.floor((F.col("ilat") + 60000) / 5000.0).cast("bigint").alias("cy"),
+    )
+    offs = spark.range(0, 9).select(
+        (F.col("id") % 3 - 1).cast("bigint").alias("dx"),
+        (F.floor(F.col("id") / 3) - 1).cast("bigint").alias("dy"),
+    )
+    fanned = celled.crossJoin(offs).select(
+        F.col("custkey").alias("a_id"),
+        F.col("ilat").alias("a_lat"),
+        F.col("ilon").alias("a_lon"),
+        (F.col("cx") + F.col("dx")).alias("cx"),
+        (F.col("cy") + F.col("dy")).alias("cy"),
+    )
+    b = celled.select(
+        F.col("custkey").alias("b_id"),
+        F.col("ilat").alias("b_lat"),
+        F.col("ilon").alias("b_lon"),
+        "cx",
+        "cy",
+    )
+    d2 = (F.col("b_lat") - F.col("a_lat")) * (
+        F.col("b_lat") - F.col("a_lat")
+    ) + (F.col("b_lon") - F.col("a_lon")) * (F.col("b_lon") - F.col("a_lon"))
+    # both the core census and the border pass consume the pair list:
+    # persisted per session or the fan-out join runs twice (lesson 27/30)
+    pairs = memo_persist(
+        _DBSCAN_PAIRS_CACHE,
+        spark,
+        sf_dir,
+        lambda: fanned.join(b, ["cx", "cy"])
+        .where((F.col("b_id") != F.col("a_id")) & (d2 <= 25_000_000))
+        .select("a_id", "b_id"),
+    )
+    nbr = pairs.groupBy("a_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nbrs")
+    )
+    flags = (
+        celled.select("custkey")
+        .join(nbr, F.col("a_id") == F.col("custkey"), "left")
+        .select(
+            "custkey",
+            F.coalesce(F.col("n_nbrs"), F.lit(0)).alias("n_nbrs"),
+            F.when(F.coalesce(F.col("n_nbrs"), F.lit(0)) >= 4, 1)
+            .otherwise(0)
+            .alias("is_core"),
+        )
+    )
+    core_ids = flags.where(F.col("is_core") == 1).select(
+        F.col("custkey").alias("core_id")
+    )
+    noncore_ids = flags.where(F.col("is_core") == 0).select(
+        F.col("custkey").alias("nc_id")
+    )
+    border = (
+        pairs.join(core_ids, F.col("b_id") == F.col("core_id"))
+        .join(noncore_ids, F.col("a_id") == F.col("nc_id"))
+        .select(F.col("a_id").alias("border_id"))
+        .distinct()
+    )
+    n_border = border.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_border")
+    )
+    return (
+        flags.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_points"),
+            F.sum("is_core").cast("bigint").alias("n_core"),
+            F.max("n_nbrs").cast("bigint").alias("max_neighbors"),
+        )
+        .crossJoin(F.broadcast(n_border))
+        .select(
+            "n_points",
+            "n_core",
+            "n_border",
+            (F.col("n_points") - F.col("n_core") - F.col("n_border"))
+            .cast("bigint")
+            .alias("n_noise"),
+            "max_neighbors",
+        )
+    )
+
+
+# DBSCAN neighbor pairs — consumed by both the core census and the
+# border pass
+_DBSCAN_PAIRS_CACHE = SessionMemo("geo.dbscan_pairs")

@@ -3893,3 +3893,158 @@ def stats_bowker_symmetry_transitions(
         F.count(F.lit(1)).cast("bigint").alias("df"),
         F.round(F.sum(term).cast("double"), 6).alias("chi2"),
     )
+
+
+@query(
+    "stats_kendall_tau_b_brand",
+    oracle=f"""
+    WITH pts AS (
+      SELECT p.p_brand, p.p_partkey,
+        {_CENTS_SQL.format(c='p.p_retailprice')} AS pc,
+        s.qty
+      FROM part p
+      JOIN (
+        SELECT l_partkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+          AS qty
+        FROM lineitem GROUP BY 1
+      ) s ON s.l_partkey = p.p_partkey
+    ),
+    cd AS (
+      SELECT a.p_brand AS brand,
+        CAST(SUM(CASE WHEN SIGN(b.pc - a.pc) * SIGN(b.qty - a.qty) > 0
+                 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        CAST(SUM(CASE WHEN SIGN(b.pc - a.pc) * SIGN(b.qty - a.qty) < 0
+                 THEN 1 ELSE 0 END) AS BIGINT) AS d
+      FROM pts a JOIN pts b
+        ON b.p_brand = a.p_brand AND b.p_partkey > a.p_partkey
+      GROUP BY 1
+    ),
+    nn AS (
+      SELECT p_brand AS brand, CAST(COUNT(*) AS BIGINT) AS n FROM pts
+      GROUP BY 1
+    ),
+    tx AS (
+      SELECT brand, CAST(SUM(t * (t - 1) // 2) AS BIGINT) AS n1 FROM (
+        SELECT p_brand AS brand, pc, COUNT(*) AS t FROM pts GROUP BY 1, 2
+      ) GROUP BY 1
+    ),
+    ty AS (
+      SELECT brand, CAST(SUM(t * (t - 1) // 2) AS BIGINT) AS n2 FROM (
+        SELECT p_brand AS brand, qty, COUNT(*) AS t FROM pts GROUP BY 1, 2
+      ) GROUP BY 1
+    )
+    SELECT cd.brand, nn.n, cd.c, cd.d,
+      CASE WHEN (nn.n * (nn.n - 1) // 2 - tx.n1) > 0
+            AND (nn.n * (nn.n - 1) // 2 - ty.n2) > 0
+        THEN ROUND(CAST(cd.c - cd.d AS DOUBLE)
+          / sqrt(CAST(nn.n * (nn.n - 1) // 2 - tx.n1 AS DOUBLE)
+                 * CAST(nn.n * (nn.n - 1) // 2 - ty.n2 AS DOUBLE)), 6)
+      END AS tau_b
+    FROM cd
+    JOIN nn ON nn.brand = cd.brand
+    JOIN tx ON tx.brand = cd.brand
+    JOIN ty ON ty.brand = cd.brand
+    """,
+)
+def stats_kendall_tau_b_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's tau-b per brand — the TIE-CORRECTED companion of the
+    tau-a entry: tau_b = (C - D) / sqrt((n0 - n1)(n0 - n2)) with
+    n0 = C(n,2) and n1/n2 the tied-pair counts within price/quantity —
+    the variant statisticians actually report when ties are material
+    (integer cents and integer quantities tie often).
+
+    Rides the SAME SessionMemo'd per-part rollup as tau-a (one fact
+    pass per session for the whole Kendall family); C, D, and the tie
+    counts are exact integers; only tau_b divides, once, round-6.
+    Fully-tied margins (n0 = n1 or n0 = n2) NULL out.
+
+    At 100 TB: the within-brand pair join is catalog-side quadratic
+    exactly as tau-a documents (merge-inversion per brand is the
+    beyond-10^4-parts path); the tie counts are two tiny rollups.
+    """
+    cached = _KENDALL_CACHE.get(spark, sf_dir)
+    if cached is not None:
+        pts = cached[0]
+    else:
+        l = load_table(spark, sf_dir, "lineitem")
+        p = load_table(spark, sf_dir, "part")
+        sold = l.groupBy("l_partkey").agg(
+            F.sum(F.col("l_quantity").cast("bigint")).alias("qty")
+        )
+        pts = (
+            p.join(sold, F.col("l_partkey") == F.col("p_partkey"))
+            .select(
+                "p_brand",
+                "p_partkey",
+                _cents("p_retailprice").alias("pc"),
+                "qty",
+            )
+            .persist()
+        )
+        _KENDALL_CACHE.put(spark, sf_dir, (pts,))
+    a = pts.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_partkey").alias("ka"),
+        F.col("pc").alias("pa"),
+        F.col("qty").alias("qa"),
+    )
+    b = pts.select(
+        F.col("p_brand").alias("brand2"),
+        F.col("p_partkey").alias("kb"),
+        F.col("pc").alias("pb"),
+        F.col("qty").alias("qb"),
+    )
+    sgn = F.signum((F.col("pb") - F.col("pa")).cast("double")) * F.signum(
+        (F.col("qb") - F.col("qa")).cast("double")
+    )
+    cd = (
+        a.join(
+            b,
+            (F.col("brand2") == F.col("brand"))
+            & (F.col("kb") > F.col("ka")),
+        )
+        .groupBy("brand")
+        .agg(
+            F.sum(F.when(sgn > 0, 1).otherwise(0)).cast("bigint").alias("c"),
+            F.sum(F.when(sgn < 0, 1).otherwise(0)).cast("bigint").alias("d"),
+        )
+    )
+    nn = pts.groupBy(F.col("p_brand").alias("brand_n")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tx = (
+        pts.groupBy(F.col("p_brand").alias("brand_x"), "pc")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("brand_x")
+        .agg(
+            F.sum(F.floor(F.col("t") * (F.col("t") - 1) / 2))
+            .cast("bigint")
+            .alias("n1")
+        )
+    )
+    ty = (
+        pts.groupBy(F.col("p_brand").alias("brand_y"), "qty")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("brand_y")
+        .agg(
+            F.sum(F.floor(F.col("t") * (F.col("t") - 1) / 2))
+            .cast("bigint")
+            .alias("n2")
+        )
+    )
+    j = (
+        cd.join(nn, F.col("brand_n") == F.col("brand"))
+        .join(tx, F.col("brand_x") == F.col("brand"))
+        .join(ty, F.col("brand_y") == F.col("brand"))
+    )
+    n0 = F.floor(F.col("n") * (F.col("n") - 1) / 2).cast("bigint")
+    denx = (n0 - F.col("n1")).cast("double")
+    deny = (n0 - F.col("n2")).cast("double")
+    tau = (F.col("c") - F.col("d")).cast("double") / F.sqrt(denx * deny)
+    return j.select(
+        "brand",
+        "n",
+        "c",
+        "d",
+        F.when((denx > 0) & (deny > 0), F.round(tau, 6)).alias("tau_b"),
+    )

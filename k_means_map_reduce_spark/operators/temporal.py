@@ -2054,3 +2054,115 @@ def timeseries_changepoint_binseg(
             ),
         )
     )
+
+
+@query(
+    "timeseries_cusum_page_alarms",
+    oracle=f"""
+    WITH daily AS ({_DAILY_CENTS_SQL}),
+    consts AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS t,
+        CAST(ROUND(sqrt(
+          (CAST(SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+                AS DOUBLE)
+           - CAST(SUM(y) AS DOUBLE) * CAST(SUM(y) AS DOUBLE) / COUNT(*))
+          / COUNT(*)) / 2.0, 0) AS BIGINT) AS k
+      FROM daily
+    ),
+    pfx AS (
+      SELECT day,
+        SUM(CAST(n * y - t - n * k AS BIGINT)) OVER (ORDER BY day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+        n, k
+      FROM daily CROSS JOIN consts
+    ),
+    s AS (
+      SELECT day, n, k,
+        p - LEAST(MIN(p) OVER (ORDER BY day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS s_t
+      FROM pfx
+    )
+    SELECT
+      CAST(MAX(n) AS BIGINT) AS n_days,
+      CAST(MAX(k) AS BIGINT) AS slack_cents,
+      CAST(COUNT(CASE WHEN s_t > n * 10 * k THEN 1 END) AS BIGINT)
+        AS n_alarm_days,
+      ROUND(CAST(MAX(s_t) AS DOUBLE) / CAST(MAX(n) AS DOUBLE), 2)
+        AS max_cusum_cents
+    FROM s
+    """,
+)
+def timeseries_cusum_page_alarms(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Page's one-sided CUSUM with slack and threshold (k = sigma/2
+    rounded to cents, h = 5 sigma = 10k) on daily revenue: the RESET
+    recursion S_t = max(0, S_(t-1) + x_t - mu - k) is not a prefix sum —
+    but it equals P_t - min(0, min_(j<=t) P_j) with P the plain prefix
+    sum of (x - mu - k), so the whole alarm scan is two ordered windows.
+    Counts alarm days (S > h) — the sequential change-DETECTOR beside
+    the retrospective changepoint entries (CUSUM-argmax, binseg).
+
+    Integer discipline: deviations are scaled by n
+    (n*y - T - n*k, exact BIGINT) so prefix sums and running minima are
+    exact integers (never a windowed double sum — DuckDB's segment-tree
+    window aggregation sums doubles in a different ORDER than Spark's
+    running frame); the only double is sigma, collapsed to the integer
+    slack via an identical round. Alarm compare cross-multiplies
+    (S' > n*h), never divides.
+
+    At 100 TB: one fact pass to day grain, one aggregate, two ordered
+    windows over ~2.4k rows.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = _daily_cents(o)
+    d19 = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    consts = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("t"),
+        F.round(
+            F.sqrt(
+                (
+                    F.sum(d19("y") * d19("y")).cast("double")
+                    - F.sum("y").cast("double")
+                    * F.sum("y").cast("double")
+                    / F.count(F.lit(1))
+                )
+                / F.count(F.lit(1))
+            )
+            / 2.0,
+            0,
+        )
+        .cast("bigint")
+        .alias("k"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    pfx = daily.crossJoin(F.broadcast(consts)).select(
+        "day",
+        "n",
+        "k",
+        F.sum(
+            (
+                F.col("n") * F.col("y") - F.col("t") - F.col("n") * F.col("k")
+            ).cast("bigint")
+        )
+        .over(w)
+        .alias("p"),
+    )
+    s = pfx.select(
+        "n",
+        "k",
+        (F.col("p") - F.least(F.min("p").over(w), F.lit(0))).alias("s_t"),
+    )
+    return s.agg(
+        F.max("n").cast("bigint").alias("n_days"),
+        F.max("k").cast("bigint").alias("slack_cents"),
+        F.count(
+            F.when(F.col("s_t") > F.col("n") * 10 * F.col("k"), 1)
+        )
+        .cast("bigint")
+        .alias("n_alarm_days"),
+        F.round(
+            F.max("s_t").cast("double") / F.max("n").cast("double"), 2
+        ).alias("max_cusum_cents"),
+    )
