@@ -1311,3 +1311,75 @@ def graph_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rk").cast("bigint").alias("rk"),
         (F.col("key").cast("double") / 4096.0).alias("katz"),
     )
+
+
+@query(
+    "graph_degree_gini",
+    oracle="""
+    WITH li AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ), e AS (
+      SELECT DISTINCT a.pk AS u, b.pk AS v
+      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+    ), deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT u AS node FROM e UNION ALL SELECT v FROM e
+      ) GROUP BY node
+    ), ranked AS (
+      SELECT d,
+        CAST(ROW_NUMBER() OVER (ORDER BY d, node) AS BIGINT) AS i,
+        CAST(COUNT(*) OVER () AS BIGINT) AS n
+      FROM deg
+    )
+    SELECT
+      CAST(MAX(n) AS BIGINT) AS n_nodes,
+      CAST(SUM(d) AS BIGINT) AS total_degree,
+      CASE WHEN MAX(n) >= 2 AND SUM(d) > 0 THEN ROUND(
+        CAST(2 * SUM(i * d) - (MAX(n) + 1) * SUM(d) AS DOUBLE)
+        / (CAST(MAX(n) AS DOUBLE) * CAST(SUM(d) AS DOUBLE)), 6)
+      END AS degree_gini
+    FROM ranked
+    """,
+)
+def graph_degree_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of the co-purchase degree distribution — the
+    scalar inequality companion of the log2-bucket histogram and the
+    Hill tail exponent: G = (2 sum i*d_(i) - (n+1) sum d) / (n sum d)
+    over degrees sorted ascending. High degree-Gini means a few
+    celebrity parts dominate the graph (the skew the triangle/PageRank
+    plans must survive).
+
+    Determinism: the closed form is entirely integer until one final
+    division (the events_user_activity_gini recipe on graph degrees);
+    the rank tie-breaks by node id.
+
+    At 100 TB: degrees from the SessionMemo'd edge list, one sort of the
+    node-scale frame (two-phase rank at extreme cardinality), one
+    aggregate.
+    """
+    e, _ = _copurchase_edges(spark, sf_dir)
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    wall = Window.partitionBy()
+    ranked = deg.select(
+        "d",
+        F.row_number().over(Window.orderBy("d", "node")).cast("bigint").alias(
+            "i"
+        ),
+        F.count(F.lit(1)).over(wall).cast("bigint").alias("n"),
+    )
+    n = F.max("n").cast("bigint")
+    td = F.sum("d").cast("bigint")
+    num = (2 * F.sum(F.col("i") * F.col("d")) - (n + 1) * td).cast("double")
+    return ranked.agg(
+        n.alias("n_nodes"),
+        td.alias("total_degree"),
+        F.when(
+            (n >= 2) & (td > 0),
+            F.round(num / (n.cast("double") * td.cast("double")), 6),
+        ).alias("degree_gini"),
+    )

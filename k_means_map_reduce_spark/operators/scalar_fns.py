@@ -485,3 +485,37 @@ def scalar_interval_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_quarters"),
     )
+
+
+@query(
+    "agg_boolean_surface",
+    oracle="""
+    SELECT c_mktsegment AS segment,
+      bool_and(c_acctbal > -999.0) AS all_above_floor,
+      bool_or(c_acctbal < 0.0) AS any_negative,
+      CAST(COUNT(CASE WHEN c_acctbal > 9000.0 THEN 1 END) AS BIGINT)
+        AS n_rich,
+      bool_and(c_custkey IS NOT NULL) AS keys_complete
+    FROM customer GROUP BY 1
+    """,
+)
+def agg_boolean_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean-aggregate surface (bool_and / bool_or / count_if) per
+    segment — the assertion-style aggregates data-quality rules compile
+    to (Spark's every/some/any_value family; DuckDB's bool_and/bool_or).
+    count_if is expressed as COUNT(CASE ...) so both engines share the
+    formulation; all outputs are exact booleans/integers (nothing to
+    round).
+
+    At 100 TB: one conditional aggregate with map-side combine — the
+    cheapest possible full-scan shape.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.bool_and(F.col("c_acctbal") > -999.0).alias("all_above_floor"),
+        F.bool_or(F.col("c_acctbal") < 0.0).alias("any_negative"),
+        F.count(F.when(F.col("c_acctbal") > 9000.0, 1))
+        .cast("bigint")
+        .alias("n_rich"),
+        F.bool_and(F.col("c_custkey").isNotNull()).alias("keys_complete"),
+    )

@@ -4048,3 +4048,211 @@ def stats_kendall_tau_b_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         "d",
         F.when((denx > 0) & (deny > 0), F.round(tau, 6)).alias("tau_b"),
     )
+
+
+@query(
+    "stats_mantel_haenszel_or",
+    oracle=f"""
+    WITH med AS (
+      SELECT MIN(CASE WHEN 2 * rk >= n THEN v END) AS m FROM (
+        SELECT {_CENTS_SQL.format(c='c_acctbal')} AS v,
+          ROW_NUMBER() OVER (ORDER BY {_CENTS_SQL.format(c='c_acctbal')},
+                             c_custkey) AS rk,
+          COUNT(*) OVER () AS n
+        FROM customer
+      )
+    ),
+    strata AS (
+      SELECT c_nationkey AS nk,
+        CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING'
+                       AND {_CENTS_SQL.format(c='c_acctbal')} > m
+                 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING'
+                       AND {_CENTS_SQL.format(c='c_acctbal')} <= m
+                 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        CAST(SUM(CASE WHEN c_mktsegment != 'BUILDING'
+                       AND {_CENTS_SQL.format(c='c_acctbal')} > m
+                 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        CAST(SUM(CASE WHEN c_mktsegment != 'BUILDING'
+                       AND {_CENTS_SQL.format(c='c_acctbal')} <= m
+                 THEN 1 ELSE 0 END) AS BIGINT) AS d
+      FROM customer CROSS JOIN med
+      GROUP BY 1
+    )
+    SELECT
+      CAST(COUNT(*) AS BIGINT) AS n_strata,
+      CAST(SUM(a) AS BIGINT) AS n_exposed_pos,
+      CASE WHEN CAST(SUM(CAST(ROUND(
+          CAST(b AS DOUBLE) * CAST(c AS DOUBLE)
+          / CAST(a + b + c + d AS DOUBLE), 6) AS DECIMAL(18,6)))
+          AS DOUBLE) > 0
+        THEN ROUND(
+          CAST(SUM(CAST(ROUND(
+            CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+            / CAST(a + b + c + d AS DOUBLE), 6) AS DECIMAL(18,6)))
+            AS DOUBLE)
+          / CAST(SUM(CAST(ROUND(
+              CAST(b AS DOUBLE) * CAST(c AS DOUBLE)
+              / CAST(a + b + c + d AS DOUBLE), 6) AS DECIMAL(18,6)))
+              AS DOUBLE), 6)
+      END AS mh_odds_ratio
+    FROM strata WHERE a + b + c + d > 0
+    """,
+)
+def stats_mantel_haenszel_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mantel-Haenszel common odds ratio across nation strata: exposure =
+    BUILDING segment, outcome = balance above the POOLED lower median,
+    OR_MH = sum(a_i d_i / n_i) / sum(b_i c_i / n_i) — the
+    stratified-confounding classic (a nation with both many BUILDING
+    customers and high balances would bias the crude OR; MH pools the
+    per-stratum ORs weighted by b c / n). Completes the contingency
+    family beside chi-square GOF, Cramer's V, McNemar, Bowker, CMH's
+    trend cousin (Cochran-Armitage).
+
+    Determinism: cell counts are exact integers against the battery's
+    2*rk >= n pooled lower median; each stratum's a d/n and b c/n terms
+    are identical double chains, round-6 then decimal-summed; the final
+    ratio divides the two exact decimal sums once. All-concordant data
+    (zero denominator) -> NULL.
+
+    At 100 TB: one median rank pass over the dimension, one conditional
+    rollup into 25 strata, a 25-row reduce.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    cents = c.select(
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_mktsegment").alias("seg"),
+        "c_custkey",
+        _cents("c_acctbal").alias("v"),
+    )
+    wr = Window.orderBy("v", "c_custkey")
+    wall = Window.partitionBy()
+    flagged = cents.select(
+        "nk",
+        "seg",
+        "v",
+        F.min(
+            F.when(
+                2 * F.row_number().over(wr) >= F.count(F.lit(1)).over(wall),
+                F.col("v"),
+            )
+        )
+        .over(wall)
+        .alias("m"),
+    )
+    is_b = F.col("seg") == "BUILDING"
+    hi = F.col("v") > F.col("m")
+    strata = flagged.groupBy("nk").agg(
+        F.sum(F.when(is_b & hi, 1).otherwise(0)).cast("bigint").alias("a"),
+        F.sum(F.when(is_b & ~hi, 1).otherwise(0)).cast("bigint").alias("b"),
+        F.sum(F.when(~is_b & hi, 1).otherwise(0)).cast("bigint").alias("c"),
+        F.sum(F.when(~is_b & ~hi, 1).otherwise(0)).cast("bigint").alias("d"),
+    )
+    n_i = (F.col("a") + F.col("b") + F.col("c") + F.col("d")).cast("double")
+    num_t = F.round(
+        F.col("a").cast("double") * F.col("d").cast("double") / n_i, 6
+    ).cast("decimal(18,6)")
+    den_t = F.round(
+        F.col("b").cast("double") * F.col("c").cast("double") / n_i, 6
+    ).cast("decimal(18,6)")
+    agg = strata.where(
+        F.col("a") + F.col("b") + F.col("c") + F.col("d") > 0
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_strata"),
+        F.sum("a").cast("bigint").alias("n_exposed_pos"),
+        F.sum(num_t).cast("double").alias("num"),
+        F.sum(den_t).cast("double").alias("den"),
+    )
+    return agg.select(
+        "n_strata",
+        "n_exposed_pos",
+        F.when(
+            F.col("den") > 0, F.round(F.col("num") / F.col("den"), 6)
+        ).alias("mh_odds_ratio"),
+    )
+
+
+@query(
+    "stats_runs_up_down_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT datediff('day', DATE '1970-01-01', o_orderdate) AS day,
+        CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+          AS y
+      FROM orders GROUP BY 1
+    ),
+    signs AS (
+      SELECT CASE WHEN y > LAG(y) OVER (ORDER BY day) THEN 1
+                  WHEN y < LAG(y) OVER (ORDER BY day) THEN -1 END AS s,
+        day
+      FROM daily
+      QUALIFY LAG(y) OVER (ORDER BY day) IS NOT NULL
+        AND y != LAG(y) OVER (ORDER BY day)
+    ),
+    flips AS (
+      SELECT s,
+        CASE WHEN LAG(s) OVER (ORDER BY day) IS NULL
+              OR s != LAG(s) OVER (ORDER BY day) THEN 1 ELSE 0 END AS f
+      FROM signs
+    )
+    SELECT
+      CAST(COUNT(*) + 1 AS BIGINT) AS n,
+      CAST(SUM(f) AS BIGINT) AS n_runs,
+      CASE WHEN COUNT(*) + 1 >= 4 THEN ROUND(
+        (CAST(SUM(f) AS DOUBLE)
+         - (2.0 * CAST(COUNT(*) + 1 AS DOUBLE) - 1.0) / 3.0)
+        / sqrt((16.0 * CAST(COUNT(*) + 1 AS DOUBLE) - 29.0) / 90.0), 6)
+      END AS z_stat
+    FROM flips
+    """,
+)
+def stats_runs_up_down_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test UP/DOWN variant on daily revenue: signs
+    of consecutive DIFFERENCES (not above/below a median — this tests
+    local oscillation vs trend persistence, the complement of
+    runs-above-median which tests level clustering). Equal consecutive
+    values drop (the standard convention); runs = sign flips + 1;
+    z uses the up/down moments E[R] = (2n-1)/3,
+    Var = (16n-29)/90 over the n retained differences+1.
+
+    Determinism: integer cents differences give exact signs; the flip
+    count is an integer LAG sum; one division, round-6.
+
+    At 100 TB: day grain after one fact pass; two ordered windows.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff("o_orderdate", F.lit("1970-01-01")).alias("day")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("y")
+    )
+    w = Window.orderBy("day")
+    signs = (
+        daily.select("day", "y", F.lag("y").over(w).alias("prev"))
+        .where(F.col("prev").isNotNull() & (F.col("y") != F.col("prev")))
+        .select(
+            "day",
+            F.when(F.col("y") > F.col("prev"), 1).otherwise(-1).alias("s"),
+        )
+    )
+    flips = signs.select(
+        F.when(
+            F.lag("s").over(w).isNull() | (F.col("s") != F.lag("s").over(w)),
+            1,
+        )
+        .otherwise(0)
+        .alias("f")
+    )
+    n = (F.count(F.lit(1)) + 1).cast("bigint")
+    r = F.sum("f").cast("bigint")
+    nd = n.cast("double")
+    z = (r.cast("double") - (2.0 * nd - 1.0) / 3.0) / F.sqrt(
+        (16.0 * nd - 29.0) / 90.0
+    )
+    return flips.agg(
+        n.alias("n"),
+        r.alias("n_runs"),
+        F.when(n >= 4, F.round(z, 6)).alias("z_stat"),
+    )
