@@ -224,6 +224,17 @@ ADDITIONS: list[str] = [
     "text_term_burstiness_topk",
     "geo_location_entropy",
     "privacy_t_closeness_emd",
+    # waves 2-4
+    "stats_wilcoxon_signed_rank_nations",
+    "stats_bowker_symmetry_transitions",
+    "dedup_cluster_size_histogram",
+    "training_dedup_quality_joint_census",
+    "stats_kendall_tau_b_brand",
+    "timeseries_cusum_page_alarms",
+    "events_bounce_rate_daily",
+    "geo_dbscan_core_census",
+    "stats_mantel_haenszel_or",
+    "graph_degree_gini",
 ]
 
 

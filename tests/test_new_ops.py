@@ -646,6 +646,10 @@ def test_stats_battery_degenerate_constant_balances(spark, tmp_path):
         "finance_sharpe_sortino_daily",
         "timeseries_changepoint_binseg",
         "ml_decision_stump_gini",
+        "stats_mantel_haenszel_or",
+        "stats_runs_up_down_daily",
+        "timeseries_cusum_page_alarms",
+        "agg_boolean_surface",
     ):
         r = compare_query(spark, name, str(two))
         assert r.ok, f"{name} on constant data: {r.detail}"
@@ -1840,3 +1844,51 @@ def test_r11_statistic_bounds(spark, sf_dir):
     qs = [r.q_stat for r in sorted(lb, key=lambda r: r.k)]
     assert all(b >= a - 1e-9 for a, b in zip(qs, qs[1:]))  # Q cumulative
     assert all(-1.0 <= r.rho <= 1.0 for r in lb)
+
+
+def test_r11_wave234_statistic_bounds(spark, sf_dir):
+    """Bounds/conservation for the wave-2/3/4 entries."""
+    q = lambda n: QUERIES[n](spark, sf_dir).collect()  # noqa: E731
+
+    wx = q("stats_wilcoxon_signed_rank_nations")[0]
+    assert 0 <= wx.w_plus <= wx.m * (wx.m + 1) // 2
+
+    bw = q("stats_bowker_symmetry_transitions")[0]
+    assert bw.chi2 >= 0 and bw.df >= 1
+
+    hist = q("dedup_cluster_size_histogram")
+    assert all(r.cluster_size * r.n_clusters == r.n_docs for r in hist)
+    assert all(r.cluster_size >= 2 for r in hist)  # singletons aren't components
+
+    jc = q("training_dedup_quality_joint_census")
+    for r in jc:
+        assert 0 <= r.n_survivors <= r.n_kept <= r.n_docs
+
+    for r in q("stats_kendall_tau_b_brand"):
+        if r.tau_b is not None:
+            assert -1.0 - 1e-9 <= r.tau_b <= 1.0 + 1e-9
+        assert r.c + r.d <= r.n * (r.n - 1) // 2
+
+    cs = q("timeseries_cusum_page_alarms")[0]
+    assert cs.n_alarm_days <= cs.n_days and cs.max_cusum_cents >= 0
+
+    for r in q("events_bounce_rate_daily"):
+        assert 0 <= r.n_bounces <= r.n_sessions
+        assert 0.0 <= r.bounce_rate <= 1.0
+
+    db = q("geo_dbscan_core_census")[0]
+    assert db.n_core + db.n_border + db.n_noise == db.n_points
+    assert db.n_core >= 0 and db.n_border >= 0 and db.n_noise >= 0
+
+    mh = q("stats_mantel_haenszel_or")[0]
+    assert mh.mh_odds_ratio is None or mh.mh_odds_ratio > 0
+
+    ru = q("stats_runs_up_down_daily")[0]
+    assert 1 <= ru.n_runs <= ru.n
+
+    gg = q("graph_degree_gini")[0]
+    assert 0.0 <= gg.degree_gini <= 1.0
+
+    ab = q("agg_boolean_surface")
+    for r in ab:
+        assert r.keys_complete is True

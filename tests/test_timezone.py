@@ -111,6 +111,12 @@ DATE_SENSITIVE = [
     "geo_location_entropy",
     "geo_home_work_commute",
     "streaming_ewma_per_user_vs_batch",
+    # wave 3/4 ts-sensitive: day-series tests, session bounce islands,
+    # transition ordering
+    "timeseries_cusum_page_alarms",
+    "stats_runs_up_down_daily",
+    "events_bounce_rate_daily",
+    "stats_bowker_symmetry_transitions",
 ]
 
 
