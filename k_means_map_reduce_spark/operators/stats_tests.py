@@ -3820,15 +3820,18 @@ def stats_wilcoxon_signed_rank_nations(
              ) AS next_type
       FROM events
     ),
-    trans AS (
-      SELECT event_type AS a, next_type AS b, CAST(COUNT(*) AS BIGINT) AS n
-      FROM seq WHERE next_type IS NOT NULL
-      GROUP BY 1, 2
-    ),
     cells AS (
-      SELECT t1.a, t1.b, t1.n AS n_ab, COALESCE(t2.n, 0) AS n_ba
-      FROM trans t1 LEFT JOIN trans t2 ON t2.a = t1.b AND t2.b = t1.a
-      WHERE t1.a < t1.b
+      SELECT LEAST(event_type, next_type) AS a,
+        GREATEST(event_type, next_type) AS b,
+        CAST(SUM(CASE WHEN event_type < next_type THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_ab,
+        CAST(SUM(CASE WHEN event_type > next_type THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_ba
+      FROM seq
+      WHERE next_type IS NOT NULL AND event_type != next_type
+      GROUP BY 1, 2
+      HAVING SUM(CASE WHEN event_type < next_type THEN 1 ELSE 0 END)
+           + SUM(CASE WHEN event_type > next_type THEN 1 ELSE 0 END) > 0
     )
     SELECT
       CAST(COUNT(CASE WHEN n_ab + n_ba > 0 THEN 1 END) AS BIGINT) AS df,
@@ -3864,24 +3867,27 @@ def stats_bowker_symmetry_transitions(
     seq = e.select(
         "event_type", F.lead("event_type").over(w).alias("next_type")
     ).where(F.col("next_type").isNotNull())
-    trans = seq.groupBy(
-        F.col("event_type").alias("a"), F.col("next_type").alias("b")
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    t2 = trans.select(
-        F.col("a").alias("a2"), F.col("b").alias("b2"), F.col("n").alias("n2")
-    )
+    # symmetric pairing WITHOUT a self-join: key every transition by its
+    # unordered pair and split the two directions with conditional sums —
+    # one events pass total (scan_audit/lesson 27; the self-join version
+    # re-ran the fact-grain LEAD window per side)
     cells = (
-        trans.where(F.col("a") < F.col("b"))
-        .join(
-            t2,
-            (F.col("a2") == F.col("b")) & (F.col("b2") == F.col("a")),
-            "left",
+        seq.where(F.col("event_type") != F.col("next_type"))
+        .groupBy(
+            F.least("event_type", "next_type").alias("a"),
+            F.greatest("event_type", "next_type").alias("b"),
         )
-        .select(
-            "a",
-            "b",
-            F.col("n").alias("n_ab"),
-            F.coalesce(F.col("n2"), F.lit(0)).alias("n_ba"),
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") < F.col("next_type"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_ab"),
+            F.sum(
+                F.when(F.col("event_type") > F.col("next_type"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_ba"),
         )
         .where(F.col("n_ab") + F.col("n_ba") > 0)
     )

@@ -2117,18 +2117,24 @@ def timeseries_cusum_page_alarms(
     o = load_table(spark, sf_dir, "orders")
     daily = _daily_cents(o)
     d19 = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
-    consts = daily.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum("y").cast("bigint").alias("t"),
+    # n / T / the integer slack k as WALL windows over the day frame —
+    # the aggregate + crossJoin shape scanned orders twice
+    # (scan_audit/lesson 27)
+    wall = Window.partitionBy()
+    consts = daily.select(
+        "day",
+        "y",
+        F.count(F.lit(1)).over(wall).cast("bigint").alias("n"),
+        F.sum("y").over(wall).cast("bigint").alias("t"),
         F.round(
             F.sqrt(
                 (
-                    F.sum(d19("y") * d19("y")).cast("double")
-                    - F.sum("y").cast("double")
-                    * F.sum("y").cast("double")
-                    / F.count(F.lit(1))
+                    F.sum(d19("y") * d19("y")).over(wall).cast("double")
+                    - F.sum("y").over(wall).cast("double")
+                    * F.sum("y").over(wall).cast("double")
+                    / F.count(F.lit(1)).over(wall)
                 )
-                / F.count(F.lit(1))
+                / F.count(F.lit(1)).over(wall)
             )
             / 2.0,
             0,
@@ -2137,7 +2143,7 @@ def timeseries_cusum_page_alarms(
         .alias("k"),
     )
     w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
-    pfx = daily.crossJoin(F.broadcast(consts)).select(
+    pfx = consts.select(
         "day",
         "n",
         "k",
