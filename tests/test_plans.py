@@ -388,14 +388,19 @@ def test_no_forced_broadcast_of_catalog_scaling_tables():
                                     "ssb_df"},
         "operators/events.py": {"bounds", "carries", "marg", "stats", "tot", "totals"},
         # literal dims; offs = (2*reach+1)^2 ring-offset rows (9 or 25 —
-        # reach is a code constant, never data-derived)
-        "operators/geo.py": {"edges", "hubs", "offs", "offsets"},
+        # reach is a code constant, never data-derived); n_border = 1-row
+        # DBSCAN border count
+        "operators/geo.py": {"edges", "hubs", "n_border", "offs",
+                             "offsets"},
         # kdf/w = 1-row aggregates (k threshold, global wedge count)
         "operators/graph.py": {"kdf", "w"},
         "operators/incremental.py": {"delta_keys"},  # CDC delta contract
         "operators/layout.py": {"b"},  # 1-row global bounds
-        # quartiles = segment-enum rollup (5 rows)
-        "operators/quality.py": {"dangling", "quartiles", "tot"},
+        # quartiles = segment-enum rollup (5 rows); gl = acctbal/1000
+        # bucket marginals (data-model bounded, ~22 rows); consts = 1-row
+        # (N, bucket count)
+        "operators/quality.py": {"consts", "dangling", "gl", "quartiles",
+                                 "tot"},
         "operators/relational.py": {"n", "r"},  # nation/region only
         "operators/scalar_fns.py": {"r"},
         # N_QUERY-bounded, plus: hp = N_TABLES*N_BITS (16x5=80) hyperplane
@@ -406,24 +411,28 @@ def test_no_forced_broadcast_of_catalog_scaling_tables():
         # + 1-row theta/cand/member-count/set-bit-count aggregates
         "operators/sketches.py": {"bounds", "cand", "mstats", "n_bits",
                                   "n_members", "sketch", "targets", "theta"},
-        "operators/temporal.py": {"dim", "lags", "seas"},  # 8 lags; type x dow
+        # 8 lags; type x dow; ws = 3 literal Hurst window sizes
+        "operators/temporal.py": {"dim", "lags", "seas", "ws"},
         # per-lang / label-enum / scalars; vocab = fixed 1000-row rank cut;
         # consts/grand = 1-row aggregates (bigram-LM smoothing constants,
         # corpus token total)
         # + nd_tot = 1-row doc total; cand = lang-enum NB class constants
         # (5 rows)
+        # + nd = 1-row doc-count aggregate (burstiness)
         "operators/textops.py": {"bounds", "cand", "conf", "consts",
-                                 "grand", "lm", "nd_tot", "stats", "tot",
-                                 "total", "vocab"},
+                                 "grand", "lm", "nd", "nd_tot", "stats",
+                                 "tot", "total", "vocab"},
         # means = segment-enum rollup (5 rows); k_/nb/n_/grand/row_consts =
         # 1-row aggregates (level count, block count, contingency total,
         # grand mean, Cochran row-sum consts); pri_margins = 5-enum
         # priority marginals; complete = nation-enum-bounded complete-block
         # list (<= 25 rows)
         # med = per-segment lower medians (segment-enum bounded, <= 5 rows)
-        "operators/stats_tests.py": {"complete", "grand", "k_", "means",
-                                     "med", "n_", "nb", "pri_margins",
-                                     "row_consts"},
+        # qs = nation-bounded Quade block-range ranks (<= 25 rows);
+        # b2 = 1-row sum-of-squared-treatment-sums aggregate
+        "operators/stats_tests.py": {"b2", "complete", "grand", "k_",
+                                     "means", "med", "n_", "nb",
+                                     "pri_margins", "qs", "row_consts"},
         "operators/tpcds_shapes.py": {"n"},
         "operators/tpch_extra.py": {"n1", "n2", "r", "thresh"},
         "operators/tpch_full.py": {"mx", "n", "r", "total"},
