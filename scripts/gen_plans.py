@@ -252,6 +252,33 @@ PICKS = {
         "over an already-sub-quadratic structure; the corpus is never "
         "rescanned."
     ),
+    # round-11 picks
+    "stats_jonckheere_terpstra_priority": (
+        "The 10 pairwise group joins the textbook suggests collapse to "
+        "ONE global ordered window carrying four running lower-group "
+        "counts; at extreme scale the same sums reconstruct from "
+        "per-partition counts + offset prefix sums (two-phase rank), so "
+        "the plan is a sort + one aggregate at any size."
+    ),
+    "timeseries_ljung_box_daily": (
+        "The fact collapses to day grain in one partial-agg pass; n and "
+        "T ride wall windows (no aggregate + crossJoin rescan), seven "
+        "LEADs share ONE ordered window, and the integer-demean trick "
+        "(e' = n*y - T) keeps every power sum an exact DECIMAL product "
+        "— no float ever enters a window."
+    ),
+    "graph_katz_centrality": (
+        "Three matvec rounds = three shuffles on the node key over the "
+        "memoized adjacency (the PageRank shape at a third the rounds); "
+        "beta = 1/8 makes katz an exact binary fraction, so the top-20 "
+        "ranks on an INTEGER key — no float comparator anywhere."
+    ),
+    "stats_hodges_lehmann_shift": (
+        "Pairwise statistics are usually forbidden at fact grain; here "
+        "both sides collapse to DAY grain first, so the cross join is "
+        "calendar-squared (5.8M rows for 6.6 years) at ANY data volume "
+        "— the quadratic is bounded by time, not data."
+    ),
 }
 
 
