@@ -2263,3 +2263,410 @@ def events_bounce_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bounce_rate"
         ),
     )
+
+
+@query(
+    "events_rmst_conversion",
+    oracle=f"""
+    WITH firsts AS ({_KM_FIRSTS_SQL}),
+    horizon AS (SELECT MAX(last_day) AS max_day FROM firsts),
+    obs AS (
+      SELECT
+        CASE WHEN purchase_day IS NOT NULL AND purchase_day >= signup_day
+             THEN purchase_day - signup_day
+             ELSE max_day - signup_day END AS t,
+        CASE WHEN purchase_day IS NOT NULL AND purchase_day >= signup_day
+             THEN 1 ELSE 0 END AS is_event
+      FROM firsts CROSS JOIN horizon
+      WHERE signup_day IS NOT NULL
+    ),
+    grid AS (
+      SELECT t,
+        CAST(SUM(is_event) AS BIGINT) AS d,
+        CAST(COUNT(*) AS BIGINT) AS c,
+        CAST((SELECT COUNT(*) FROM obs) AS BIGINT) AS n_total
+      FROM obs GROUP BY t
+    ),
+    risk AS (
+      SELECT t, d,
+        n_total - COALESCE(SUM(c) OVER (ORDER BY t
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_at_risk
+      FROM grid
+    ),
+    terms AS (
+      SELECT t, d, n_at_risk,
+        CASE WHEN d < n_at_risk THEN CAST(ROUND(
+          ln(1.0 - CAST(d AS DOUBLE) / CAST(n_at_risk AS DOUBLE)), 6)
+          AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END AS logterm,
+        CASE WHEN d >= n_at_risk THEN 1 ELSE 0 END AS zeroed
+      FROM risk WHERE d > 0
+    ),
+    surv AS (
+      SELECT t,
+        CASE WHEN SUM(zeroed) OVER cum > 0 THEN 0.0
+             ELSE ROUND(exp(CAST(SUM(logterm) OVER cum AS DOUBLE)), 6)
+        END AS s
+      FROM terms
+      WINDOW cum AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)
+    ),
+    steps AS (
+      SELECT t, s,
+        COALESCE(LAG(t) OVER (ORDER BY t), 0) AS t_prev,
+        COALESCE(LAG(s) OVER (ORDER BY t), 1.0) AS s_prev
+      FROM surv WHERE t <= 30
+    )
+    SELECT
+      CAST(30 AS BIGINT) AS tau_days,
+      CAST(COUNT(*) AS BIGINT) AS n_steps,
+      ROUND(CAST(SUM(CAST(ROUND(s_prev * (t - t_prev), 6)
+            AS DECIMAL(18,6))) AS DOUBLE)
+        + CAST(MIN_BY(s, -t) AS DOUBLE)
+          * CAST(30 - MAX(t) AS DOUBLE), 6) AS rmst_unconverted_days
+    FROM steps
+    """,
+)
+def events_rmst_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restricted mean survival time at tau = 30 days: the area under
+    the Kaplan-Meier curve — the average number of days a signup spends
+    UNCONVERTED within the first month (the scalar growth teams compare
+    across experiments when the hazard is non-proportional and a single
+    log-rank is misleading). RMST = sum of step areas
+    S(t_{i-1}) * (t_i - t_{i-1}) plus the tail rectangle to tau.
+
+    Determinism: rides the identical KM grid/ln/exp construction
+    (shared firsts memo); survivals are the same round-6 doubles; each
+    step area is round-6 then DECIMAL-summed; step widths are exact
+    integer day gaps; the tail rectangle multiplies the LAST survival
+    (an argmax by day, integer) by an integer width.
+
+    At 100 TB: the KM plan plus two windows over the <= tau-row grid.
+    """
+    e = load_table(spark, sf_dir, "events")
+    day = F.datediff(
+        F.date_trunc("day", "ts"), F.lit("1970-01-01").cast("timestamp_ntz")
+    )
+    firsts = memo_persist(
+        _KM_FIRSTS_CACHE,
+        spark,
+        sf_dir,
+        lambda: e.groupBy("user_id").agg(
+            F.min(F.when(F.col("event_type") == "signup", day)).alias(
+                "signup_day"
+            ),
+            F.min(F.when(F.col("event_type") == "purchase", day)).alias(
+                "purchase_day"
+            ),
+            F.max(day).alias("last_day"),
+        ),
+    )
+    horizon = firsts.agg(F.max("last_day").alias("max_day"))
+    converted = F.col("purchase_day").isNotNull() & (
+        F.col("purchase_day") >= F.col("signup_day")
+    )
+    obs = (
+        firsts.crossJoin(horizon)
+        .where(F.col("signup_day").isNotNull())
+        .select(
+            F.when(converted, F.col("purchase_day") - F.col("signup_day"))
+            .otherwise(F.col("max_day") - F.col("signup_day"))
+            .alias("t"),
+            F.when(converted, 1).otherwise(0).alias("is_event"),
+        )
+    )
+    wall = Window.partitionBy()
+    grid = obs.groupBy("t").agg(
+        F.sum("is_event").cast("bigint").alias("d"),
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+    )
+    wt = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    risk = grid.select(
+        "t",
+        "d",
+        (
+            F.sum("c").over(wall)
+            - F.coalesce(F.sum("c").over(wt), F.lit(0))
+        ).alias("n_at_risk"),
+    )
+    hazard = F.col("d").cast("double") / F.col("n_at_risk").cast("double")
+    terms = risk.where(F.col("d") > 0).select(
+        "t",
+        F.when(
+            F.col("d") < F.col("n_at_risk"),
+            F.round(F.log(1.0 - hazard), 6).cast("decimal(18,6)"),
+        )
+        .otherwise(F.lit(0).cast("decimal(18,6)"))
+        .alias("logterm"),
+        F.when(F.col("d") >= F.col("n_at_risk"), 1).otherwise(0).alias(
+            "zeroed"
+        ),
+    )
+    cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    surv = terms.select(
+        "t",
+        F.when(F.sum("zeroed").over(cum) > 0, F.lit(0.0))
+        .otherwise(
+            F.round(F.exp(F.sum("logterm").over(cum).cast("double")), 6)
+        )
+        .alias("s"),
+    ).where(F.col("t") <= 30)
+    w = Window.orderBy("t")
+    steps = surv.select(
+        "t",
+        "s",
+        F.coalesce(F.lag("t").over(w), F.lit(0)).alias("t_prev"),
+        F.coalesce(F.lag("s").over(w), F.lit(1.0)).alias("s_prev"),
+    )
+    area = F.sum(
+        F.round(F.col("s_prev") * (F.col("t") - F.col("t_prev")), 6).cast(
+            "decimal(18,6)"
+        )
+    ).cast("double")
+    last_s = F.max_by("s", F.col("t")).cast("double")
+    tail = last_s * (30 - F.max("t")).cast("double")
+    return steps.agg(
+        F.lit(30).cast("bigint").alias("tau_days"),
+        F.count(F.lit(1)).cast("bigint").alias("n_steps"),
+        F.round(area + tail, 6).alias("rmst_unconverted_days"),
+    )
+
+
+@query(
+    "events_fleming_harrington_logrank",
+    oracle=f"""
+    WITH firsts AS ({_KM_FIRSTS_SQL}),
+    horizon AS (
+      SELECT MAX(last_day) AS max_day,
+        (MIN(signup_day) + MAX(signup_day)) // 2 AS mid_day
+      FROM firsts
+    ),
+    obs AS (
+      SELECT
+        CASE WHEN signup_day <= mid_day THEN 1 ELSE 0 END AS g1,
+        CASE WHEN purchase_day IS NOT NULL AND purchase_day >= signup_day
+             THEN purchase_day - signup_day
+             ELSE max_day - signup_day END AS t,
+        CASE WHEN purchase_day IS NOT NULL AND purchase_day >= signup_day
+             THEN 1 ELSE 0 END AS is_event
+      FROM firsts CROSS JOIN horizon
+      WHERE signup_day IS NOT NULL
+    ),
+    grid AS (
+      SELECT t,
+        CAST(SUM(CASE WHEN g1 = 1 THEN is_event ELSE 0 END) AS BIGINT) AS d1,
+        CAST(SUM(CASE WHEN g1 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        CAST(SUM(CASE WHEN g1 = 0 THEN is_event ELSE 0 END) AS BIGINT) AS d2,
+        CAST(SUM(CASE WHEN g1 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+        CAST((SELECT SUM(CASE WHEN g1 = 1 THEN 1 ELSE 0 END) FROM obs)
+             AS BIGINT) AS n1_tot,
+        CAST((SELECT SUM(CASE WHEN g1 = 0 THEN 1 ELSE 0 END) FROM obs)
+             AS BIGINT) AS n2_tot
+      FROM obs GROUP BY t
+    ),
+    risk AS (
+      SELECT t, d1, d2,
+        n1_tot - COALESCE(SUM(c1) OVER (ORDER BY t
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n1,
+        n2_tot - COALESCE(SUM(c2) OVER (ORDER BY t
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n2
+      FROM grid
+    ),
+    pooled AS (
+      SELECT t, d1, d2, n1, n2,
+        CASE WHEN d1 + d2 < n1 + n2 THEN CAST(ROUND(
+          ln(1.0 - CAST(d1 + d2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)), 6)
+          AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END AS logterm,
+        CASE WHEN d1 + d2 >= n1 + n2 THEN 1 ELSE 0 END AS zeroed
+      FROM risk WHERE d1 + d2 > 0
+    ),
+    survived AS (
+      SELECT t, d1, d2, n1, n2,
+        CASE WHEN SUM(zeroed) OVER cum > 0 THEN 0.0
+          ELSE ROUND(exp(CAST(SUM(logterm) OVER cum AS DOUBLE)), 6)
+        END AS s
+      FROM pooled
+      WINDOW cum AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)
+    ),
+    weighted AS (
+      SELECT t, d1, d2, n1, n2,
+        COALESCE(LAG(s) OVER (ORDER BY t), 1.0) AS w
+      FROM survived
+    ),
+    terms AS (
+      SELECT
+        CAST(ROUND(w * (CAST(d1 AS DOUBLE)
+          - CAST(d1 + d2 AS DOUBLE) * CAST(n1 AS DOUBLE)
+            / CAST(n1 + n2 AS DOUBLE)), 6) AS DECIMAL(18,6)) AS oe,
+        CASE WHEN n1 + n2 >= 2 THEN CAST(ROUND(w * w
+          * CAST(d1 + d2 AS DOUBLE)
+          * (CAST(n1 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+          * (CAST(n2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+          * CAST(n1 + n2 - d1 - d2 AS DOUBLE)
+          / CAST(n1 + n2 - 1 AS DOUBLE), 6) AS DECIMAL(18,6))
+        ELSE CAST(0 AS DECIMAL(18,6)) END AS v
+      FROM weighted
+    )
+    SELECT
+      CAST(COUNT(*) AS BIGINT) AS n_event_days,
+      CAST(SUM(oe) AS DOUBLE) AS weighted_oe,
+      CASE WHEN CAST(SUM(v) AS DOUBLE) > 0 THEN ROUND(
+        CAST(SUM(oe) AS DOUBLE) * CAST(SUM(oe) AS DOUBLE)
+        / CAST(SUM(v) AS DOUBLE), 6) END AS chi2
+    FROM terms
+    """,
+)
+def events_fleming_harrington_logrank(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Fleming-Harrington G(rho=1) weighted log-rank between the early
+    and late signup cohorts: each event day's O-E and variance terms are
+    weighted by the POOLED Kaplan-Meier survival just before the day,
+    S(t-) — emphasizing EARLY differences (rho=1 is the Peto-Peto
+    flavor), where the plain log-rank (rho=0, already registered)
+    weighs all days equally. The pair brackets the standard sensitivity
+    analysis when hazards cross.
+
+    Determinism: the pooled S(t-) rides the identical KM ln/exp chain
+    (LAG with default 1.0); weighted terms are round-6 decimal sums of
+    identical double chains; chi2 divides the two sums once.
+
+    At 100 TB: the log-rank plan plus one more window pass over the
+    day-grain grid — the memoized firsts rollup still pays the only
+    fact scan.
+    """
+    e = load_table(spark, sf_dir, "events")
+    day = F.datediff(
+        F.date_trunc("day", "ts"), F.lit("1970-01-01").cast("timestamp_ntz")
+    )
+    firsts = memo_persist(
+        _KM_FIRSTS_CACHE,
+        spark,
+        sf_dir,
+        lambda: e.groupBy("user_id").agg(
+            F.min(F.when(F.col("event_type") == "signup", day)).alias(
+                "signup_day"
+            ),
+            F.min(F.when(F.col("event_type") == "purchase", day)).alias(
+                "purchase_day"
+            ),
+            F.max(day).alias("last_day"),
+        ),
+    )
+    horizon = firsts.agg(
+        F.max("last_day").alias("max_day"),
+        (
+            (F.min("signup_day") + F.max("signup_day")).cast("bigint")
+            / F.lit(2)
+        )
+        .cast("bigint")
+        .alias("mid_day"),
+    )
+    converted = F.col("purchase_day").isNotNull() & (
+        F.col("purchase_day") >= F.col("signup_day")
+    )
+    obs = (
+        firsts.crossJoin(horizon)
+        .where(F.col("signup_day").isNotNull())
+        .select(
+            F.when(F.col("signup_day") <= F.col("mid_day"), 1)
+            .otherwise(0)
+            .alias("g1"),
+            F.when(converted, F.col("purchase_day") - F.col("signup_day"))
+            .otherwise(F.col("max_day") - F.col("signup_day"))
+            .alias("t"),
+            F.when(converted, 1).otherwise(0).alias("is_event"),
+        )
+    )
+    wall = Window.partitionBy()
+    grid = obs.groupBy("t").agg(
+        F.sum(F.when(F.col("g1") == 1, F.col("is_event")).otherwise(0))
+        .cast("bigint")
+        .alias("d1"),
+        F.sum(F.when(F.col("g1") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("c1"),
+        F.sum(F.when(F.col("g1") == 0, F.col("is_event")).otherwise(0))
+        .cast("bigint")
+        .alias("d2"),
+        F.sum(F.when(F.col("g1") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("c2"),
+    )
+    wt = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    risk = grid.select(
+        "t",
+        "d1",
+        "d2",
+        (
+            F.sum("c1").over(wall)
+            - F.coalesce(F.sum("c1").over(wt), F.lit(0))
+        ).alias("n1"),
+        (
+            F.sum("c2").over(wall)
+            - F.coalesce(F.sum("c2").over(wt), F.lit(0))
+        ).alias("n2"),
+    )
+    dd_tot = (F.col("d1") + F.col("d2")).cast("double")
+    nn_tot = (F.col("n1") + F.col("n2")).cast("double")
+    pooled = risk.where(F.col("d1") + F.col("d2") > 0).select(
+        "t",
+        "d1",
+        "d2",
+        "n1",
+        "n2",
+        F.when(
+            F.col("d1") + F.col("d2") < F.col("n1") + F.col("n2"),
+            F.round(F.log(1.0 - dd_tot / nn_tot), 6).cast("decimal(18,6)"),
+        )
+        .otherwise(F.lit(0).cast("decimal(18,6)"))
+        .alias("logterm"),
+        F.when(
+            F.col("d1") + F.col("d2") >= F.col("n1") + F.col("n2"), 1
+        )
+        .otherwise(0)
+        .alias("zeroed"),
+    )
+    cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    surv = F.when(F.sum("zeroed").over(cum) > 0, F.lit(0.0)).otherwise(
+        F.round(F.exp(F.sum("logterm").over(cum).cast("double")), 6)
+    )
+    weighted = pooled.select(
+        "t",
+        "d1",
+        "d2",
+        "n1",
+        "n2",
+        F.coalesce(
+            F.lag(surv).over(Window.orderBy("t")), F.lit(1.0)
+        ).alias("w"),
+    )
+    oe = F.round(
+        F.col("w")
+        * (F.col("d1").cast("double") - dd_tot * F.col("n1").cast("double") / nn_tot),
+        6,
+    ).cast("decimal(18,6)")
+    v = (
+        F.when(
+            F.col("n1") + F.col("n2") >= 2,
+            F.round(
+                F.col("w")
+                * F.col("w")
+                * dd_tot
+                * (F.col("n1").cast("double") / nn_tot)
+                * (F.col("n2").cast("double") / nn_tot)
+                * (nn_tot - dd_tot)
+                / (nn_tot - 1.0),
+                6,
+            ).cast("decimal(18,6)"),
+        )
+        .otherwise(F.lit(0).cast("decimal(18,6)"))
+    )
+    terms = weighted.select(oe.alias("oe"), v.alias("v"))
+    soe = F.sum("oe").cast("double")
+    sv = F.sum("v").cast("double")
+    return terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_event_days"),
+        soe.alias("weighted_oe"),
+        F.when(sv > 0, F.round(soe * soe / sv, 6)).alias("chi2"),
+    )

@@ -1800,3 +1800,130 @@ def geo_dbscan_core_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 # DBSCAN neighbor pairs — consumed by both the core census and the
 # border pass
 _DBSCAN_PAIRS_CACHE = SessionMemo("geo.dbscan_pairs")
+
+
+@query(
+    "geo_straightness_index",
+    oracle=f"""
+    WITH walk AS ({_WALK_SQL}),
+    seq AS (
+      SELECT user_id,
+        CAST(strftime(ts, '%Y-%m-%d') AS VARCHAR) AS day,
+        ilat, ilon,
+        ROW_NUMBER() OVER (PARTITION BY user_id,
+          CAST(strftime(ts, '%Y-%m-%d') AS VARCHAR)
+          ORDER BY ts, event_id) AS rn,
+        COUNT(*) OVER (PARTITION BY user_id,
+          CAST(strftime(ts, '%Y-%m-%d') AS VARCHAR)) AS n
+      FROM walk
+    ),
+    seg_rows AS (
+      SELECT user_id, day,
+        CAST(ROUND(sqrt(
+          CAST((ilat - LAG(ilat) OVER w) * (ilat - LAG(ilat) OVER w)
+             + (ilon - LAG(ilon) OVER w) * (ilon - LAG(ilon) OVER w)
+            AS DOUBLE)), 6) AS DECIMAL(18,6)) AS sl
+      FROM seq
+      WINDOW w AS (PARTITION BY user_id, day ORDER BY rn)
+    ),
+    segs AS (
+      SELECT user_id, day, CAST(SUM(sl) AS DOUBLE) AS path_len
+      FROM seg_rows GROUP BY user_id, day
+    ),
+    ends AS (
+      SELECT user_id, day,
+        ROUND(sqrt(CAST(
+          (MAX_BY(ilat, rn) - MIN_BY(ilat, rn))
+          * (MAX_BY(ilat, rn) - MIN_BY(ilat, rn))
+          + (MAX_BY(ilon, rn) - MIN_BY(ilon, rn))
+            * (MAX_BY(ilon, rn) - MIN_BY(ilon, rn)) AS DOUBLE)), 6)
+          AS net_disp,
+        CAST(MAX(n) AS BIGINT) AS n_fixes
+      FROM seq GROUP BY user_id, day
+    )
+    SELECT e.user_id, e.day, e.n_fixes,
+      ROUND(s.path_len, 2) AS path_len,
+      ROUND(e.net_disp, 2) AS net_disp,
+      CASE WHEN s.path_len > 0
+        THEN ROUND(e.net_disp / s.path_len, 6) END AS straightness
+    FROM ends e JOIN segs s ON s.user_id = e.user_id AND s.day = e.day
+    WHERE e.n_fixes >= 3
+    """,
+)
+def geo_straightness_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user-day straightness index: net displacement (first fix to
+    last fix) divided by total path length — 1 means a beeline, near 0
+    means wandering that returns home. The direction-free trajectory
+    shape member beside polyline length (total distance), radius of
+    gyration (spread), and MSD (diffusion rate) on the shared md5 walk.
+
+    Determinism: segment and end-to-end lengths are sqrt of exact
+    integer squared distances (sqrt is IEEE correctly-rounded), each
+    segment round-6 then decimal-summed in the ordered per-day frame;
+    first/last fixes are min_by/max_by on the strict (ts, event_id) row
+    number. Zero-length paths (all fixes in one cell) -> NULL ratio.
+
+    At 100 TB: one fact pass through per-(user, day) windows — the
+    polyline plan with one extra endpoints aggregate.
+    """
+    w_ = _walk(spark, sf_dir)
+    seq = w_.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "ilat",
+        "ilon",
+        F.row_number()
+        .over(
+            Window.partitionBy(
+                "user_id", F.date_format("ts", "yyyy-MM-dd")
+            ).orderBy("ts", "event_id")
+        )
+        .alias("rn"),
+        F.count(F.lit(1))
+        .over(
+            Window.partitionBy(
+                "user_id", F.date_format("ts", "yyyy-MM-dd")
+            )
+        )
+        .alias("n"),
+    )
+    wo = Window.partitionBy("user_id", "day").orderBy("rn")
+    dlat = F.col("ilat") - F.lag("ilat").over(wo)
+    dlon = F.col("ilon") - F.lag("ilon").over(wo)
+    seg_len = F.round(
+        F.sqrt((dlat * dlat + dlon * dlon).cast("double")), 6
+    ).cast("decimal(18,6)")
+    segs = (
+        seq.select("user_id", "day", seg_len.alias("sl"))
+        .groupBy("user_id", "day")
+        .agg(F.sum("sl").cast("double").alias("path_len"))
+    )
+    ends = seq.groupBy("user_id", "day").agg(
+        (
+            (F.max_by("ilat", "rn") - F.min_by("ilat", "rn"))
+            * (F.max_by("ilat", "rn") - F.min_by("ilat", "rn"))
+            + (F.max_by("ilon", "rn") - F.min_by("ilon", "rn"))
+            * (F.max_by("ilon", "rn") - F.min_by("ilon", "rn"))
+        ).alias("d2"),
+        F.max("n").cast("bigint").alias("n_fixes"),
+    ).select(
+        "user_id",
+        "day",
+        F.round(F.sqrt(F.col("d2").cast("double")), 6).alias("net_disp"),
+        "n_fixes",
+    )
+    return (
+        ends.join(segs, ["user_id", "day"])
+        .where(F.col("n_fixes") >= 3)
+        .select(
+            "user_id",
+            "day",
+            "n_fixes",
+            F.round("path_len", 2).alias("path_len"),
+            F.round("net_disp", 2).alias("net_disp"),
+            F.when(
+                F.col("path_len") > 0,
+                F.round(F.col("net_disp") / F.col("path_len"), 6),
+            ).alias("straightness"),
+        )
+    )

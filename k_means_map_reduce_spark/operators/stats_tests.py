@@ -4262,3 +4262,228 @@ def stats_runs_up_down_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         r.alias("n_runs"),
         F.when(n >= 4, F.round(z, 6)).alias("z_stat"),
     )
+
+
+@query(
+    "stats_conover_squared_ranks",
+    oracle=f"""
+    WITH pool AS (
+      SELECT c_custkey AS id,
+        CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS g1,
+        {_CENTS_SQL.format(c='c_acctbal')} AS v
+      FROM customer
+      WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+    ),
+    means AS (
+      SELECT g1,
+        CAST(SUM(v) AS BIGINT) AS sv, CAST(COUNT(*) AS BIGINT) AS ng
+      FROM pool GROUP BY g1
+    ),
+    devs AS (
+      SELECT p.g1, p.id,
+        ABS(CAST(m.ng * p.v - m.sv AS BIGINT)) AS adev, m.ng
+      FROM pool p JOIN means m ON m.g1 = p.g1
+    ),
+    ranked AS (
+      SELECT g1,
+        CAST(ROW_NUMBER() OVER (
+          ORDER BY CAST(adev AS DOUBLE) / CAST(ng AS DOUBLE), g1, id)
+          AS BIGINT) AS r
+      FROM devs
+    ),
+    sums AS (
+      SELECT
+        CAST(SUM(CASE WHEN g1 = 1 THEN r * r ELSE 0 END) AS BIGINT) AS t1,
+        CAST(SUM(g1) AS BIGINT) AS n1,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(r * r) AS BIGINT) AS sr2,
+        SUM(CAST(r AS DECIMAL(19,0)) * CAST(r AS DECIMAL(19,0))
+            * CAST(r AS DECIMAL(19,0)) * CAST(r AS DECIMAL(19,0))) AS sr4
+      FROM ranked
+    )
+    SELECT n1, n - n1 AS n2, t1,
+      CASE WHEN n >= 2 AND n1 >= 1 AND n - n1 >= 1 THEN ROUND(
+        (CAST(t1 AS DOUBLE)
+         - CAST(n1 AS DOUBLE) * CAST(sr2 AS DOUBLE) / CAST(n AS DOUBLE))
+        / sqrt(
+            CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE)
+            / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))
+            * (CAST(sr4 AS DOUBLE)
+               - CAST(sr2 AS DOUBLE) * CAST(sr2 AS DOUBLE)
+                 / CAST(n AS DOUBLE))
+          ), 6)
+      END AS z_stat
+    FROM sums
+    """,
+)
+def stats_conover_squared_ranks(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Conover's squared-ranks test for equality of VARIANCES (BUILDING
+    vs MACHINERY balances): rank |x - group mean| over the pooled
+    sample, T = sum of SQUARED ranks in group 1, with the exact
+    finite-sample moments E[T] = n1 avg(r^2) and
+    Var = n1 n2 / (n(n-1)) * (sum r^4 - (sum r^2)^2 / n). The third
+    scale test beside Ansari-Bradley (both-ends ranks) and Siegel-Tukey
+    (alternating extremes) — Conover keeps more power when the
+    locations differ because deviations are group-mean-centered.
+
+    Determinism: |x - mean_g| is computed as the exact INTEGER
+    |n_g * x - sum_g| ranked on the double ratio /n_g (identical
+    operands; tie-break (g, id)); r^2 sums are BIGINT and r^4 sums
+    DECIMAL(38,0) (r^4 at warehouse scale overflows BIGINT); only z
+    divides.
+
+    At 100 TB: two dimension aggregates, one global sort (two-phase at
+    extreme scale), one aggregate.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    pool = c.where(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+    ).select(
+        F.col("c_custkey").alias("id"),
+        F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0).alias(
+            "g1"
+        ),
+        _cents("c_acctbal").alias("v"),
+    )
+    means = pool.groupBy("g1").agg(
+        F.sum("v").cast("bigint").alias("sv"),
+        F.count(F.lit(1)).cast("bigint").alias("ng"),
+    )
+    devs = pool.join(means, "g1").select(
+        "g1",
+        "id",
+        F.abs(F.col("ng") * F.col("v") - F.col("sv")).alias("adev"),
+        "ng",
+    )
+    ranked = devs.select(
+        "g1",
+        F.row_number()
+        .over(
+            Window.orderBy(
+                F.col("adev").cast("double") / F.col("ng").cast("double"),
+                "g1",
+                "id",
+            )
+        )
+        .cast("bigint")
+        .alias("r"),
+    )
+    d19 = lambda x: F.col(x).cast("decimal(19,0)")  # noqa: E731
+    sums = ranked.agg(
+        F.sum(F.when(F.col("g1") == 1, F.col("r") * F.col("r")).otherwise(0))
+        .cast("bigint")
+        .alias("t1"),
+        F.sum("g1").cast("bigint").alias("n1"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("r") * F.col("r")).cast("bigint").alias("sr2"),
+        F.sum(d19("r") * d19("r") * d19("r") * d19("r")).alias("sr4"),
+    )
+    n1, n = F.col("n1"), F.col("n")
+    n2 = n - n1
+    e_t = n1.cast("double") * F.col("sr2").cast("double") / n.cast("double")
+    var = (
+        n1.cast("double")
+        * n2.cast("double")
+        / (n.cast("double") * (n - 1).cast("double"))
+        * (
+            F.col("sr4").cast("double")
+            - F.col("sr2").cast("double")
+            * F.col("sr2").cast("double")
+            / n.cast("double")
+        )
+    )
+    z = (F.col("t1").cast("double") - e_t) / F.sqrt(var)
+    return sums.select(
+        n1.alias("n1"),
+        n2.alias("n2"),
+        F.col("t1").alias("t1"),
+        F.when((n >= 2) & (n1 >= 1) & (n2 >= 1), F.round(z, 6)).alias(
+            "z_stat"
+        ),
+    )
+
+
+@query(
+    "stats_cuzick_trend_priority",
+    oracle=f"""
+    WITH vals AS (
+      SELECT CAST(SUBSTR(o_orderpriority, 1, 1) AS BIGINT) AS s,
+        {_CENTS_SQL.format(c='o_totalprice')} AS v,
+        o_orderkey AS id
+      FROM orders
+    ),
+    ranked AS (
+      SELECT s,
+        CAST(ROW_NUMBER() OVER (ORDER BY v, id) AS BIGINT) AS r
+      FROM vals
+    ),
+    sums AS (
+      SELECT
+        CAST(SUM(s * r) AS BIGINT) AS t,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(s) AS BIGINT) AS ss,
+        CAST(SUM(s * s) AS BIGINT) AS ss2
+      FROM ranked
+    )
+    SELECT n, t,
+      CASE WHEN n >= 2 THEN ROUND(
+        (CAST(t AS DOUBLE)
+         - CAST(ss AS DOUBLE) * CAST(n + 1 AS DOUBLE) / 2.0)
+        / sqrt(CAST(n + 1 AS DOUBLE) / 12.0
+               * (CAST(n AS DOUBLE) * CAST(ss2 AS DOUBLE)
+                  - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE))), 6)
+      END AS z_stat
+    FROM sums
+    """,
+)
+def stats_cuzick_trend_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cuzick's Wilcoxon-type trend test across the ordered priority
+    groups on totalprice: T = sum s_i R_i over GLOBAL ranks R with group
+    scores s = 1..5; E[T] = (N+1)/2 * sum s_i,
+    Var = (N+1)/12 * (N sum s_i^2 - (sum s_i)^2). The rank-sum trend
+    sibling of Jonckheere-Terpstra (pairwise counts) and
+    Cochran-Armitage (proportions) — one global rank instead of JT's
+    running group counts, so it is the cheaper screen when only a z is
+    needed.
+
+    Determinism: strict ranks over (cents, orderkey); T and the score
+    sums are exact BIGINTs (T <= 5 * N(N+1)/2 ~ 6e10 at sf0.1 — BIGINT
+    safe to ~1.3e9 rows, DECIMAL beyond); one division, round-6.
+
+    At 100 TB: one global sort (two-phase at extreme scale), one
+    aggregate.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    vals = o.select(
+        F.substring("o_orderpriority", 1, 1).cast("bigint").alias("s"),
+        _cents("o_totalprice").alias("v"),
+        F.col("o_orderkey").alias("id"),
+    )
+    ranked = vals.select(
+        "s",
+        F.row_number().over(Window.orderBy("v", "id")).cast("bigint").alias(
+            "r"
+        ),
+    )
+    sums = ranked.agg(
+        F.sum(F.col("s") * F.col("r")).cast("bigint").alias("t"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("s").cast("bigint").alias("ss"),
+        F.sum(F.col("s") * F.col("s")).cast("bigint").alias("ss2"),
+    )
+    n = F.col("n")
+    e_t = F.col("ss").cast("double") * (n + 1).cast("double") / 2.0
+    var = (n + 1).cast("double") / 12.0 * (
+        n.cast("double") * F.col("ss2").cast("double")
+        - F.col("ss").cast("double") * F.col("ss").cast("double")
+    )
+    z = (F.col("t").cast("double") - e_t) / F.sqrt(var)
+    return sums.select(
+        "n",
+        "t",
+        F.when(n >= 2, F.round(z, 6)).alias("z_stat"),
+    )

@@ -3189,3 +3189,117 @@ def text_term_burstiness_topk(
         F.round(e_df, 6).alias("expected_df"),
         F.round(F.col("df").cast("double") / e_df, 6).alias("burstiness"),
     )
+
+
+@query(
+    "text_term_dispersion_dp",
+    oracle="""
+    WITH toks AS (
+      SELECT source, unnest(list_filter(string_split(
+        LOWER(regexp_replace(TRIM(text), '\\s+', ' ', 'g')), ' '),
+        x -> x != '')) AS tok
+      FROM documents
+    ),
+    src_tot AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS st FROM toks
+      GROUP BY source
+    ),
+    corpus AS (SELECT CAST(SUM(st) AS BIGINT) AS n FROM src_tot),
+    term_src AS (
+      SELECT tok, source, CAST(COUNT(*) AS BIGINT) AS c FROM toks
+      GROUP BY 1, 2
+    ),
+    term_tot AS (
+      SELECT tok, CAST(SUM(c) AS BIGINT) AS cf FROM term_src GROUP BY tok
+    ),
+    top AS (
+      SELECT tok, cf, ROW_NUMBER() OVER (ORDER BY cf DESC, tok) AS rk
+      FROM term_tot
+    ),
+    grid AS (
+      SELECT t.tok, t.cf, s.source, s.st, c.n,
+        COALESCE(ts.c, 0) AS c
+      FROM top t
+      CROSS JOIN src_tot s
+      CROSS JOIN corpus c
+      LEFT JOIN term_src ts ON ts.tok = t.tok AND ts.source = s.source
+      WHERE t.rk <= 20
+    )
+    SELECT tok, CAST(MAX(cf) AS BIGINT) AS cf,
+      ROUND(0.5 * CAST(SUM(CAST(ROUND(ABS(
+        CAST(c AS DOUBLE) / CAST(cf AS DOUBLE)
+        - CAST(st AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+        AS DECIMAL(18,6))) AS DOUBLE), 6) AS dp
+    FROM grid GROUP BY tok
+    """,
+)
+def text_term_dispersion_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gries' DP (deviation of proportions) for the 20 most frequent
+    terms: DP = 0.5 * sum_s |share of the term's tokens in source s -
+    source s's share of the corpus| — 0 means the term spreads exactly
+    like the corpus, 1 means it concentrates in one source. The
+    PER-SOURCE dispersion companion of Church-Gale burstiness (which is
+    per-document): together they tell a corpus team whether a term is a
+    universal function word, a source-specific artifact, or a bursty
+    topical term.
+
+    Determinism: both shares are exact integer ratios cast to identical
+    doubles; each |diff| is round-6 then decimal-summed over the
+    bounded source enum; the 20-term cut is a strict (cf desc, tok)
+    rank.
+
+    At 100 TB: one tokenize pass feeds BOTH the (term, source) rollup
+    and the source totals (map-side combine); the grid is 20 terms x
+    sources — dimension-scale.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.filter(
+        F.split(F.lower(F.regexp_replace(F.trim("text"), r"\s+", " ")), " "),
+        lambda t: t != "",
+    )
+    toks = d.select("source", F.explode(ws).alias("tok"))
+    term_src = toks.groupBy("tok", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    src_tot = term_src.groupBy(F.col("source").alias("src")).agg(
+        F.sum("c").cast("bigint").alias("st")
+    )
+    corpus = src_tot.agg(F.sum("st").cast("bigint").alias("n"))
+    term_tot = term_src.groupBy(F.col("tok").alias("tk")).agg(
+        F.sum("c").cast("bigint").alias("cf")
+    )
+    top = term_tot.select(
+        "tk",
+        "cf",
+        F.row_number()
+        .over(Window.orderBy(F.col("cf").desc(), "tk"))
+        .alias("rk"),
+    ).where(F.col("rk") <= 20)
+    grid = (
+        top.crossJoin(src_tot)
+        .crossJoin(F.broadcast(corpus))
+        .join(
+            term_src,
+            (F.col("tok") == F.col("tk")) & (F.col("source") == F.col("src")),
+            "left",
+        )
+        .select(
+            "tk",
+            "cf",
+            "st",
+            "n",
+            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+        )
+    )
+    diff = F.abs(
+        F.col("c").cast("double") / F.col("cf").cast("double")
+        - F.col("st").cast("double") / F.col("n").cast("double")
+    )
+    return grid.groupBy(F.col("tk").alias("tok")).agg(
+        F.max("cf").cast("bigint").alias("cf"),
+        F.round(
+            0.5
+            * F.sum(F.round(diff, 6).cast("decimal(18,6)")).cast("double"),
+            6,
+        ).alias("dp"),
+    )
