@@ -235,6 +235,11 @@ ADDITIONS: list[str] = [
     "geo_dbscan_core_census",
     "stats_mantel_haenszel_or",
     "graph_degree_gini",
+    # continuation wave
+    "events_rmst_conversion",
+    "stats_conover_squared_ranks",
+    "text_term_dispersion_dp",
+    "geo_straightness_index",
 ]
 
 

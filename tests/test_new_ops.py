@@ -650,6 +650,8 @@ def test_stats_battery_degenerate_constant_balances(spark, tmp_path):
         "stats_runs_up_down_daily",
         "timeseries_cusum_page_alarms",
         "agg_boolean_surface",
+        "stats_conover_squared_ranks",
+        "stats_cuzick_trend_priority",
     ):
         r = compare_query(spark, name, str(two))
         assert r.ok, f"{name} on constant data: {r.detail}"
@@ -1892,3 +1894,33 @@ def test_r11_wave234_statistic_bounds(spark, sf_dir):
     ab = q("agg_boolean_surface")
     for r in ab:
         assert r.keys_complete is True
+
+
+def test_r11_continuation_bounds(spark, sf_dir):
+    """Bounds for the continuation-wave entries."""
+    q = lambda n: QUERIES[n](spark, sf_dir).collect()  # noqa: E731
+
+    rm = q("events_rmst_conversion")[0]
+    assert 0.0 <= rm.rmst_unconverted_days <= rm.tau_days
+
+    fh = q("events_fleming_harrington_logrank")[0]
+    assert fh.chi2 is None or fh.chi2 >= 0
+    lr = q("events_logrank_signup_cohorts")[0]
+    assert fh.n_event_days == 9 or fh.n_event_days > 0  # same grid family
+    # FH weights <= 1, so |weighted O-E| <= plain |O-E|
+    assert abs(fh.weighted_oe) <= abs(lr.observed_early - lr.expected_early) + 1e-6
+
+    cv = q("stats_conover_squared_ranks")[0]
+    n = cv.n1 + cv.n2
+    assert 0 <= cv.t1 <= n * n * n  # sum of squared ranks bound
+
+    cz = q("stats_cuzick_trend_priority")[0]
+    assert 1 * cz.n * (cz.n + 1) // 2 <= cz.t <= 5 * cz.n * (cz.n + 1) // 2
+
+    for r in q("text_term_dispersion_dp"):
+        assert -1e-9 <= r.dp <= 1.0 + 1e-9
+
+    for r in q("geo_straightness_index"):
+        if r.straightness is not None:
+            assert -1e-6 <= r.straightness <= 1.0 + 1e-4
+        assert r.net_disp <= r.path_len + 1e-2

@@ -117,6 +117,10 @@ DATE_SENSITIVE = [
     "stats_runs_up_down_daily",
     "events_bounce_rate_daily",
     "stats_bowker_symmetry_transitions",
+    # continuation wave: KM-grid day arithmetic, per-day walk windows
+    "events_rmst_conversion",
+    "events_fleming_harrington_logrank",
+    "geo_straightness_index",
 ]
 
 
