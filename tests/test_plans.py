@@ -418,10 +418,11 @@ def test_no_forced_broadcast_of_catalog_scaling_tables():
         # corpus token total)
         # + nd_tot = 1-row doc total; cand = lang-enum NB class constants
         # (5 rows)
-        # + nd = 1-row doc-count aggregate (burstiness)
+        # + nd = 1-row doc-count aggregate (burstiness); corpus = 1-row
+        # token grand total (DP dispersion)
         "operators/textops.py": {"bounds", "cand", "conf", "consts",
-                                 "grand", "lm", "nd", "nd_tot", "stats",
-                                 "tot", "total", "vocab"},
+                                 "corpus", "grand", "lm", "nd", "nd_tot",
+                                 "stats", "tot", "total", "vocab"},
         # means = segment-enum rollup (5 rows); k_/nb/n_/grand/row_consts =
         # 1-row aggregates (level count, block count, contingency total,
         # grand mean, Cochran row-sum consts); pri_margins = 5-enum
