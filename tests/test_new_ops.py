@@ -1924,3 +1924,60 @@ def test_r11_continuation_bounds(spark, sf_dir):
         if r.straightness is not None:
             assert -1e-6 <= r.straightness <= 1.0 + 1e-4
         assert r.net_disp <= r.path_len + 1e-2
+
+
+def test_hodges_lehmann_matches_pandas_reimplementation(spark, sf_dir):
+    """Third implementation: HL shift via a full pandas pairwise-diff
+    median over the day-grain revenues (numpy broadcasting, lower-median
+    by sorting)."""
+    import numpy as np
+    import pyarrow.parquet as pq_
+
+    o = pq_.read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate", "o_totalprice"]
+    ).to_pandas()
+    c = pq_.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).to_pandas()
+    m = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    m = m[m.c_mktsegment.isin(["BUILDING", "MACHINERY"])]
+    m["cents"] = (m.o_totalprice * 100).round(0).astype("int64")
+    daily = m.groupby(["c_mktsegment", "o_orderdate"])["cents"].sum()
+    a = daily["BUILDING"].to_numpy()
+    b = daily["MACHINERY"].to_numpy()
+    diffs = np.sort((a[:, None] - b[None, :]).ravel())
+    n = diffs.size
+    # the battery's LOWER median: first rank rk with 2*rk >= n (1-based)
+    lower_median = int(diffs[(n + 1) // 2 - 1])
+
+    got = QUERIES["stats_hodges_lehmann_shift"](spark, sf_dir).collect()[0]
+    assert got.n_pairs == n
+    assert got.hl_shift_cents == lower_median
+
+
+def test_cuzick_trend_matches_python_reimplementation(spark, sf_dir):
+    """Third implementation: Cuzick's T, E, Var and z from plain sorted
+    Python lists over the orders parquet."""
+    import math
+
+    import pyarrow.parquet as pq_
+
+    t = pq_.read_table(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority", "o_totalprice"],
+    ).to_pandas()
+    rows = sorted(
+        (int(round(v * 100)), int(k), int(p[0]))
+        for k, p, v in zip(t.o_orderkey, t.o_orderpriority, t.o_totalprice)
+    )
+    n = len(rows)
+    tt = sum(s * r for r, (_, _, s) in enumerate(rows, start=1))
+    ss = sum(s for _, _, s in rows)
+    ss2 = sum(s * s for _, _, s in rows)
+    e = ss * (n + 1) / 2.0
+    var = (n + 1) / 12.0 * (n * ss2 - ss * ss)
+    z = round((tt - e) / math.sqrt(var), 6)
+
+    got = QUERIES["stats_cuzick_trend_priority"](spark, sf_dir).collect()[0]
+    assert (got.n, got.t) == (n, tt)
+    assert got.z_stat == pytest.approx(z, abs=1e-6)
