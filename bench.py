@@ -8,16 +8,18 @@ Each query is executed to completion (count() materializes the full plan);
 the session is warmed once with a trivial job so JVM startup isn't billed to
 the first query.
 
-Set shape (round 11 fold):
-  - HEADLINE = LEGACY56 + R7..R10_FOLDED (117 queries). "value" is the
-    warm total of all 117 — the round-over-round headline from round 11 on.
+Set shape (round 12 fold):
+  - HEADLINE = LEGACY56 + R7..R11_FOLDED (146 queries). "value" is the
+    warm total of all 146 — the round-over-round headline from round 12 on.
   - The stdout per-query map carries only LEGACY56 (the driver
-    tail-truncates stdout at ~2000 chars; 117 names don't fit even at 1dp),
-    plus "value_prev56" (rounds <=7 comparability), "value_prev66"
-    (round-8), "value_prev79" (round-9) and "value_prev96" (round-10).
-    Full per-query cold+warm for all 117 lives in bench_detail.json.
-  - ADDITIONS = round-11 operator additions, benched identically but
-    reported detail-only this round (the r7..r10 pattern); they fold into
+    tail-truncates stdout at ~2000 chars; 146 names don't fit even at 1dp),
+    plus "value_prev79" (round-9 comparability), "value_prev96" (round-10)
+    and "value_prev117" (round-11). value_prev56/value_prev66 retired from
+    stdout this round (lesson 40: adding value_prev117 pushed the 1dp worst
+    case to 1962 > 1950); they live on in bench_detail.json with full
+    cold+warm per-query for all 146.
+  - ADDITIONS = round-12 operator additions, benched identically but
+    reported detail-only this round (the r7..r11 pattern); they fold into
     HEADLINE next round once this round's totals exist as the baseline.
 
 Measurement-semantics note (r10 ADVICE item 3): since round 10,
@@ -200,15 +202,10 @@ R10_FOLDED = [
     "geo_mean_squared_displacement",
 ]
 
-HEADLINE = LEGACY56 + R7_FOLDED + R8_FOLDED + R9_FOLDED + R10_FOLDED
-PREV66 = LEGACY56 + R7_FOLDED
-PREV79 = LEGACY56 + R7_FOLDED + R8_FOLDED
-PREV96 = LEGACY56 + R7_FOLDED + R8_FOLDED + R9_FOLDED
-
-# Round-11 operator additions: benched identically, reported detail-only
-# (bench_detail.json "r11_additions*") so this round's 117-query totals land
-# clean as the new baseline; fold next round.
-ADDITIONS: list[str] = [
+# Round-11 operator additions, detail-only in round 11; folded into the
+# headline total from round 12 on (same arc as R7..R10_FOLDED). 29 names:
+# the 25 main-wave representatives plus the 4 continuation-wave reps.
+R11_FOLDED = [
     "events_logrank_signup_cohorts",
     "stats_mood_median_segments",
     "stats_jonckheere_terpstra_priority",
@@ -241,6 +238,20 @@ ADDITIONS: list[str] = [
     "text_term_dispersion_dp",
     "geo_straightness_index",
 ]
+
+HEADLINE = (
+    LEGACY56 + R7_FOLDED + R8_FOLDED + R9_FOLDED + R10_FOLDED + R11_FOLDED
+)
+PREV56 = LEGACY56
+PREV66 = LEGACY56 + R7_FOLDED
+PREV79 = LEGACY56 + R7_FOLDED + R8_FOLDED
+PREV96 = LEGACY56 + R7_FOLDED + R8_FOLDED + R9_FOLDED
+PREV117 = LEGACY56 + R7_FOLDED + R8_FOLDED + R9_FOLDED + R10_FOLDED
+
+# Round-12 operator additions: benched identically, reported detail-only
+# (bench_detail.json "r12_additions*") so this round's 146-query totals land
+# clean as the new baseline; fold next round.
+ADDITIONS: list[str] = []
 
 
 def main() -> None:
@@ -282,20 +293,28 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     total_warm = round(sum(warm.values()), 3)
-    prev56_warm = round(sum(warm[n] for n in LEGACY56), 3)
-    prev56_cold = round(sum(timings[n] for n in LEGACY56), 3)
-    prev66_warm = round(sum(warm[n] for n in PREV66), 3)
-    prev66_cold = round(sum(timings[n] for n in PREV66), 3)
-    prev79_warm = round(sum(warm[n] for n in PREV79), 3)
-    prev79_cold = round(sum(timings[n] for n in PREV79), 3)
-    prev96_warm = round(sum(warm[n] for n in PREV96), 3)
-    prev96_cold = round(sum(timings[n] for n in PREV96), 3)
+    prev_sets = {
+        "prev56": PREV56,
+        "prev66": PREV66,
+        "prev79": PREV79,
+        "prev96": PREV96,
+        "prev117": PREV117,
+    }
+    prev_warm = {
+        k: round(sum(warm[n] for n in names), 3)
+        for k, names in prev_sets.items()
+    }
+    prev_cold = {
+        k: round(sum(timings[n] for n in names), 3)
+        for k, names in prev_sets.items()
+    }
     # The driver records only the LAST ~2000 chars of stdout: rounds 1-3
     # emitted one ~4.5KB line (cold+warm per-query) whose head got cut, so
     # BENCH_r{1..3}.json all have parsed=null. stdout therefore carries ONE
-    # COMPACT line — LEGACY56 warm per-query at 2dp plus the 117-query totals
-    # and the 56/66/79/96-query continuity totals — and the full-precision
-    # cold+warm detail for all 117 goes to bench_detail.json.
+    # COMPACT line — LEGACY56 warm per-query at 2dp plus the 146-query totals
+    # and the 79/96/117-query continuity totals (prev56/prev66 retired to
+    # bench_detail.json, lesson 40) — and the full-precision cold+warm detail
+    # for all 146 goes to bench_detail.json.
     detail = {
         "metric": "headline_queries_total",
         "value": total,
@@ -303,36 +322,32 @@ def main() -> None:
         "queries": timings,
         "queries_warm": warm,
         "value_warm": total_warm,
-        "value_prev56": prev56_cold,
-        "value_prev56_warm": prev56_warm,
-        "value_prev66": prev66_cold,
-        "value_prev66_warm": prev66_warm,
-        "value_prev79": prev79_cold,
-        "value_prev79_warm": prev79_warm,
-        "value_prev96": prev96_cold,
-        "value_prev96_warm": prev96_warm,
-        "r11_additions": add_timings,
-        "r11_additions_warm": add_warm,
-        "r11_additions_warm_total": round(sum(add_warm.values()), 3),
         "sf": sf,
+        "r12_additions": add_timings,
+        "r12_additions_warm": add_warm,
+        "r12_additions_warm_total": round(sum(add_warm.values()), 3),
     }
+    for k in prev_sets:
+        detail[f"value_{k}"] = prev_cold[k]
+        detail[f"value_{k}_warm"] = prev_warm[k]
     with open(os.path.join(_REPO, "bench_detail.json"), "w") as fh:
         json.dump(detail, fh, indent=1)
+
+    def stdout_payload(dp: int | None) -> dict:
+        qmap = {} if dp is None else {n: round(warm[n], dp) for n in LEGACY56}
+        return {
+            "metric": "headline_queries_warm_total",
+            "value": total_warm,
+            "unit": "sec",
+            "queries": qmap,
+            "value_prev79": prev_warm["prev79"],
+            "value_prev96": prev_warm["prev96"],
+            "value_prev117": prev_warm["prev117"],
+            "sf": sf,
+        }
+
     for dp in (2, 1):  # degrade precision before ever exceeding the budget
-        line = json.dumps(
-            {
-                "metric": "headline_queries_warm_total",
-                "value": total_warm,
-                "unit": "sec",
-                "queries": {n: round(warm[n], dp) for n in LEGACY56},
-                "value_prev56": prev56_warm,
-                "value_prev66": prev66_warm,
-                "value_prev79": prev79_warm,
-                "value_prev96": prev96_warm,
-                "sf": sf,
-            },
-            separators=(",", ":"),
-        )
+        line = json.dumps(stdout_payload(dp), separators=(",", ":"))
         if len(line) < 1950:
             break
     else:
@@ -341,20 +356,7 @@ def main() -> None:
         # by the driver, whereas dying here after every query already ran
         # would record nothing at all — and an assert would be stripped
         # under python -O anyway.
-        line = json.dumps(
-            {
-                "metric": "headline_queries_warm_total",
-                "value": total_warm,
-                "unit": "sec",
-                "queries": {},
-                "value_prev56": prev56_warm,
-                "value_prev66": prev66_warm,
-                "value_prev79": prev79_warm,
-                "value_prev96": prev96_warm,
-                "sf": sf,
-            },
-            separators=(",", ":"),
-        )
+        line = json.dumps(stdout_payload(None), separators=(",", ":"))
     print(line)
     spark.stop()
 

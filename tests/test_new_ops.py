@@ -403,23 +403,35 @@ def test_bench_headline_names_are_registered():
         + mod.R8_FOLDED
         + mod.R9_FOLDED
         + mod.R10_FOLDED
+        + mod.R11_FOLDED
     ), (
-        "HEADLINE must stay LEGACY56 + R7..R10_FOLDED — the stdout "
-        "per-query map and the prev56/66/79/96 continuity totals depend "
+        "HEADLINE must stay LEGACY56 + R7..R11_FOLDED — the stdout "
+        "per-query map and the prev79/96/117 continuity totals depend "
         "on that partition"
     )
+    assert mod.PREV56 == mod.LEGACY56
     assert mod.PREV66 == mod.LEGACY56 + mod.R7_FOLDED
     assert mod.PREV79 == mod.LEGACY56 + mod.R7_FOLDED + mod.R8_FOLDED
     assert mod.PREV96 == (
         mod.LEGACY56 + mod.R7_FOLDED + mod.R8_FOLDED + mod.R9_FOLDED
     )
+    assert mod.PREV117 == (
+        mod.LEGACY56
+        + mod.R7_FOLDED
+        + mod.R8_FOLDED
+        + mod.R9_FOLDED
+        + mod.R10_FOLDED
+    )
+    assert len(mod.HEADLINE) == 146 and len(mod.R11_FOLDED) == 29
 
     # The driver keeps only the last ~2000 chars of bench stdout; the final
     # JSON line must fit or BENCH_r{N}.json records parsed=null (as it did
     # rounds 1-3). Worst-case render: every query at 99.99s. Only LEGACY56
-    # rides the stdout map (96 names don't fit even at 1dp). bench.py
+    # rides the stdout map (146 names don't fit even at 1dp). bench.py
     # degrades 2dp -> 1dp before exceeding the budget — mirror that here:
-    # at least ONE precision tier must fit the worst case.
+    # at least ONE precision tier must fit the worst case. prev56/prev66
+    # retired from stdout in round 12 (lesson 40 re-check: adding
+    # value_prev117 pushed the 1dp worst case to 1962 > 1950).
     import json
 
     fits = False
@@ -430,10 +442,9 @@ def test_bench_headline_names_are_registered():
                 "value": 99999.99,
                 "unit": "sec",
                 "queries": {n: per_q for n in mod.LEGACY56},
-                "value_prev56": 99999.99,
-                "value_prev66": 99999.99,
                 "value_prev79": 99999.99,
                 "value_prev96": 99999.99,
+                "value_prev117": 99999.99,
                 "sf": 0.1,
             },
             separators=(",", ":"),
