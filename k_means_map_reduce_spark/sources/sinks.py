@@ -115,6 +115,46 @@ def merge_upsert_parquet(
     shutil.rmtree(old)
 
 
+def merge_apply_parquet(
+    spark: SparkSession,
+    path: str,
+    upserts: DataFrame,
+    deletes: DataFrame,
+    key_cols: list[str],
+) -> None:
+    """Full MERGE INTO against a parquet snapshot: WHEN MATCHED (delete
+    keys) DELETE, WHEN MATCHED (upsert keys) UPDATE, WHEN NOT MATCHED
+    INSERT — the three-clause Delta/Iceberg MERGE reduced to two keyed
+    anti-joins + a union, committed with the same copy-on-write
+    staging-dir swap as merge_upsert_parquet.
+
+    Relationally:  result = upserts ∪ (base ⟂ deletes ⟂ upserts on key).
+    Both key sets are change-batch-sized (broadcast inside merge_upsert;
+    the delete anti-join joins keys only), so at 100 TB the cost is one
+    scan of the touched partitions plus the swap — bytes of untouched
+    rows are rewritten only because plain parquet has no file-level
+    manifest; write_partitioned + partition-pruned anti-joins confine the
+    rewrite, which is exactly the gap table formats close.
+    """
+    import os
+    import shutil
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    base = spark.read.parquet(path)
+    survivors = base.join(
+        F.broadcast(deletes.select(*key_cols)), key_cols, "left_anti"
+    )
+    merged = merge_upsert(survivors, upserts, key_cols)
+    staging = f"{path}__staging_{uuid.uuid4().hex[:8]}"
+    merged.write.mode("overwrite").parquet(staging)
+    old = f"{path}__old_{uuid.uuid4().hex[:8]}"
+    os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old)
+
+
 def compact_files(
     spark: SparkSession, path: str, target_rows_per_file: int
 ) -> tuple[int, int]:

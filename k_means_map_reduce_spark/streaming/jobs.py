@@ -2184,3 +2184,132 @@ _query(
     FROM seq
     """,
 )(stream_ewma_per_user)
+
+
+def stream_merge_upsert_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MERGE-upsert twin (the 17th oracled vs-batch equivalence):
+    a change stream of full MERGE batches — WHEN MATCHED DELETE, WHEN
+    MATCHED UPDATE, WHEN NOT MATCHED INSERT — folds into a parquet serving
+    table through foreachBatch + sources/sinks.merge_apply_parquet's
+    copy-on-write staging swap. This is the streaming face of the
+    merge_upsert / merge_upsert_parquet sink family (batch CDC coverage:
+    stream_cdc_apply handles upsert-only revisions via its own epoch state;
+    here the MERGE itself — all three clauses — runs against the real sink
+    API, so the same code path a batch writer uses is what the stream
+    drives).
+
+    Change batches are synthesized deterministically from customer
+    residues r = c_custkey % 16; batch i in 0..3 carries
+      - DELETE  for r == i          (matched-delete),
+      - UPDATE  for r == i + 4      (balance_units += (i+1)*1000, integer
+        1/100-dollar units — NEXT.md lesson 3: double ROUND half-ties
+        diverge between engines, so money stays integral),
+      - INSERT  for r == i + 8      (new key k + 20_000_000 — above any
+        real custkey at every SF — with balance_units = (i+1)*500).
+    Residues 12..15 are never touched. Batch key sets are DISJOINT, so the
+    fold is order- and replay-insensitive by construction: maxFilesPerTrigger=1
+    delivers one batch per micro-batch in no guaranteed order, a redelivered
+    batch re-deletes absent keys (no-op) and re-upserts identical rows
+    (idempotent) — the property a foreachBatch sink must have, since
+    foreachBatch is at-least-once. DuckDB recomputes the final table
+    relationally (survivors ∪ bumped updates ∪ inserts).
+    """
+    import os as _os
+
+    from ..sources import load_table
+    from ..sources.sinks import merge_apply_parquet
+
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cust_key"),
+        (F.round(F.col("c_acctbal") * 100, 0).cast("long")).alias(
+            "balance_units"
+        ),
+        F.pmod(F.col("c_custkey"), F.lit(16)).alias("r"),
+    )
+    stage = tempfile.mkdtemp(prefix="merge_stage_", dir=_tmp_root())
+    for i in range(4):
+        batch = (
+            c.where(F.col("r") == i)
+            .select(
+                F.lit("D").alias("op"),
+                "cust_key",
+                F.lit(None).cast("long").alias("balance_units"),
+            )
+            .unionByName(
+                c.where(F.col("r") == i + 4).select(
+                    F.lit("U").alias("op"),
+                    "cust_key",
+                    (
+                        F.col("balance_units")
+                        + F.lit((i + 1) * 1000).cast("long")
+                    ).alias("balance_units"),
+                )
+            )
+            .unionByName(
+                c.where(F.col("r") == i + 8).select(
+                    F.lit("I").alias("op"),
+                    (F.col("cust_key") + F.lit(20_000_000)).alias(
+                        "cust_key"
+                    ),
+                    F.lit((i + 1) * 500).cast("long").alias("balance_units"),
+                )
+            )
+        )
+        batch.coalesce(1).write.mode("append").parquet(stage)
+
+    state_path = _os.path.join(
+        tempfile.mkdtemp(prefix="merge_state_", dir=_tmp_root()), "serving"
+    )
+    c.select("cust_key", "balance_units").write.parquet(state_path)
+
+    def apply_batch(bdf: DataFrame, epoch_id: int) -> None:
+        merge_apply_parquet(
+            spark,
+            state_path,
+            upserts=bdf.where(F.col("op") != "D").select(
+                "cust_key", "balance_units"
+            ),
+            deletes=bdf.where(F.col("op") == "D").select("cust_key"),
+            key_cols=["cust_key"],
+        )
+
+    schema = "op STRING, cust_key LONG, balance_units LONG"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    checkpoint = tempfile.mkdtemp(prefix="ckpt_merge_", dir=_tmp_root())
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(state_path).select(
+        "cust_key", "balance_units"
+    )
+
+
+_MERGE_UPSERT_ORACLE = """
+    WITH base AS (
+      SELECT
+        c_custkey AS cust_key,
+        CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS balance_units,
+        c_custkey % 16 AS r
+      FROM customer
+    )
+    SELECT cust_key, balance_units FROM base WHERE r >= 8
+    UNION ALL
+    SELECT cust_key, balance_units + (r - 3) * 1000 AS balance_units
+    FROM base WHERE r BETWEEN 4 AND 7
+    UNION ALL
+    SELECT cust_key + 20000000 AS cust_key,
+           CAST((r - 7) * 500 AS BIGINT) AS balance_units
+    FROM base WHERE r BETWEEN 8 AND 11
+"""
+
+_query("streaming_merge_upsert_vs_batch", oracle=_MERGE_UPSERT_ORACLE)(
+    stream_merge_upsert_apply
+)

@@ -442,7 +442,10 @@ def test_no_forced_broadcast_of_catalog_scaling_tables():
         "operators/training.py": {"bounds", "epochs", "j", "offsets", "tot",
                                   "tots", "total", "tot2"},
         "operators/windows.py": {"n", "r"},
-        "sources/sinks.py": {"updates.select"},  # CDC delta keys
+        # updates.select / deletes.select = CDC change-batch key sets —
+        # smallness is the MERGE operator's contract (a change batch is
+        # micro-batch-sized by construction, never catalog-scaling)
+        "sources/sinks.py": {"updates.select", "deletes.select"},
         "streaming/jobs.py": {"dim", "mstats", "sketch"},
     }
     banned_names = {"p", "s", "c", "part", "supplier", "customer", "orders",

@@ -235,6 +235,60 @@ def test_merge_upsert_parquet_roundtrip(spark, sf_dir, tmp_path):
     assert spark.read.parquet(path).count() == n0 + 1
 
 
+def test_merge_apply_parquet_full_merge(spark, sf_dir, tmp_path):
+    """Three-clause MERGE: matched keys delete, matched keys update,
+    unmatched keys insert — and with disjoint-key change batches the fold
+    is replay-idempotent and order-insensitive (the at-least-once contract
+    a foreachBatch sink needs)."""
+    import pyspark.sql.functions as F
+
+    from k_means_map_reduce_spark.sources import load_table
+    from k_means_map_reduce_spark.sources.sinks import merge_apply_parquet
+
+    base = (
+        load_table(spark, sf_dir, "customer")
+        .limit(40)
+        .select("c_custkey", (F.round(F.col("c_acctbal") * 100, 0).cast("long")).alias("units"))
+    )
+    keys = sorted(r.c_custkey for r in base.select("c_custkey").collect())
+    del_keys, upd_keys, ins_base = keys[:5], keys[5:10], keys[10:15]
+
+    def batch(dk, uk, ik):
+        dels = base.where(F.col("c_custkey").isin(dk)).select("c_custkey")
+        ups = base.where(F.col("c_custkey").isin(uk)).select(
+            "c_custkey", (F.col("units") + 7).alias("units")
+        )
+        ins = base.where(F.col("c_custkey").isin(ik)).select(
+            (F.col("c_custkey") + 10_000_000).alias("c_custkey"),
+            F.lit(42).cast("long").alias("units"),
+        )
+        return ups.unionByName(ins), dels
+
+    def run(order):
+        path = str(tmp_path / f"serving_{order}")
+        base.write.parquet(path)
+        b1 = batch(del_keys[:3], upd_keys[:3], ins_base[:3])
+        b2 = batch(del_keys[3:], upd_keys[3:], ins_base[3:])
+        seq = [b1, b2] if order == "fwd" else [b2, b1]
+        if order == "replay":
+            seq = [b1, b1, b2]  # redelivered micro-batch
+        for ups, dels in seq:
+            merge_apply_parquet(spark, path, ups, dels, ["c_custkey"])
+        return {
+            (r.c_custkey, r.units)
+            for r in spark.read.parquet(path).collect()
+        }
+
+    fwd = run("fwd")
+    assert run("rev") == fwd and run("replay") == fwd
+    got_keys = {k for k, _ in fwd}
+    assert not (set(del_keys) & got_keys)
+    assert {k + 10_000_000 for k in ins_base} <= got_keys
+    base_units = {r.c_custkey: r.units for r in base.collect()}
+    for k in upd_keys:
+        assert (k, base_units[k] + 7) in fwd
+
+
 def test_incremental_combine_late_data_refresh(spark):
     """A late batch touching one (day, user) must update exactly that row
     and leave every other state row byte-identical (the no-rewrite
