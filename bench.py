@@ -251,7 +251,9 @@ PREV117 = LEGACY56 + R7_FOLDED + R8_FOLDED + R9_FOLDED + R10_FOLDED
 # Round-12 operator additions: benched identically, reported detail-only
 # (bench_detail.json "r12_additions*") so this round's 146-query totals land
 # clean as the new baseline; fold next round.
-ADDITIONS: list[str] = []
+ADDITIONS: list[str] = [
+    "text_mtld_diversity",
+]
 
 
 def main() -> None:

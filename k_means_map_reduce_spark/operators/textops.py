@@ -3303,3 +3303,140 @@ def text_term_dispersion_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("dp"),
     )
+
+
+def _mtld_walk_batches(batches):
+    """mapInPandas body for text_mtld_diversity: per doc, replay the MTLD
+    factor walk (McCarthy & Jarvis 2010) over the token sequence and emit
+    the O(1) integer end-state — (n_tokens, completed factors, remainder
+    segment length, remainder segment types). The TTR < 0.72 trigger is
+    evaluated in INTEGERS (types*100 < 72*tokens), so the factor count is
+    exact cross-engine; the one floating division (the final MTLD value)
+    happens plan-side where Spark and DuckDB share HALF_UP rounding."""
+    import pandas as pd
+
+    for pdf in batches:
+        out = {
+            "doc_id": [],
+            "n_tokens": [],
+            "factors": [],
+            "rem_tokens": [],
+            "rem_types": [],
+        }
+        for doc_id, toks in zip(pdf["doc_id"], pdf["toks"]):
+            f = c = t = 0
+            seen: set = set()
+            for tok in toks:
+                c += 1
+                if tok not in seen:
+                    t += 1
+                    seen.add(tok)
+                if t * 100 < 72 * c:
+                    f += 1
+                    c = t = 0
+                    seen = set()
+            out["doc_id"].append(doc_id)
+            out["n_tokens"].append(len(toks))
+            out["factors"].append(f)
+            out["rem_tokens"].append(c)
+            out["rem_types"].append(t)
+        yield pd.DataFrame(out)
+
+
+@query(
+    "text_mtld_diversity",
+    oracle="""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, list_filter(string_split(
+        LOWER(regexp_replace(TRIM(text), '\\s+', ' ', 'g')), ' '),
+        x -> x != '') AS ts
+      FROM documents
+    ),
+    walk AS (
+      SELECT doc_id, ts, 0 AS i, 0 AS f, 0 AS c, 0 AS t FROM toks
+      UNION ALL
+      SELECT doc_id, ts, i + 1,
+        CASE WHEN (t + is_new) * 100 < 72 * (c + 1) THEN f + 1 ELSE f END,
+        CASE WHEN (t + is_new) * 100 < 72 * (c + 1) THEN 0 ELSE c + 1 END,
+        CASE WHEN (t + is_new) * 100 < 72 * (c + 1) THEN 0
+             ELSE t + is_new END
+      FROM (
+        SELECT doc_id, ts, i, f, c, t,
+          CASE WHEN c = 0 OR NOT list_contains(ts[i - c + 1 : i], ts[i + 1])
+               THEN 1 ELSE 0 END AS is_new
+        FROM walk WHERE i < len(ts)
+      ) step
+    ),
+    final AS (SELECT * FROM walk WHERE i = len(ts))
+    SELECT
+      doc_id,
+      CAST(len(ts) AS INT) AS n_tokens,
+      CAST(f AS INT) AS factors,
+      CAST(c AS INT) AS rem_tokens,
+      CAST(t AS INT) AS rem_types,
+      CASE
+        WHEN c > 0 AND 28 * c * f + 100 * (c - t) > 0 THEN
+          ROUND(CAST(len(ts) AS DOUBLE) * 28 * c
+                / (28 * c * f + 100 * (c - t)), 6)
+        WHEN c = 0 AND f > 0 THEN
+          ROUND(CAST(len(ts) AS DOUBLE) / f, 6)
+        ELSE NULL
+      END AS mtld_fwd
+    FROM final
+    """,
+)
+def text_mtld_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MTLD lexical diversity per document (McCarthy & Jarvis 2010), the
+    inherently-SEQUENTIAL member of the diversity family beside Yule's K /
+    hapax ratio / vocab coverage: walk the token sequence keeping a
+    running type-token ratio; each time TTR falls below 0.72 a 'factor'
+    completes and the segment resets; MTLD_fwd = n_tokens / (factors +
+    partial), partial = (1 - TTR_rem) / 0.28 for the unfinished tail.
+
+    Determinism: the trigger is integer (types*100 < 72*tokens) so the
+    factor census is exact; the final value reduces to ONE division of
+    integer-derived operands — n*28*c / (28*c*f + 100*(c - t)) — rounded
+    6dp plan-side (Spark HALF_UP == DuckDB half-away for positives; never
+    Python round(), which is banker's). The oracle replays the walk as a
+    recursive CTE carrying the token list and testing segment membership
+    with list_contains over the ts[seg_start : i] slice.
+
+    Scale: one tokenize pass; the per-doc walk is O(len) inside an Arrow
+    batch (mapInPandas) with O(1) integer output per doc — text never
+    shuffles, the post-UDF plan sees only 5 small columns. A 100 TB corpus
+    streams doc-parallel with no state beyond the open batch; the DuckDB
+    recursion is oracle-only machinery."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.filter(
+            F.split(
+                F.lower(F.regexp_replace(F.trim("text"), r"\s+", " ")), " "
+            ),
+            lambda x: x != "",
+        ).alias("toks"),
+    )
+    state = docs.mapInPandas(
+        _mtld_walk_batches,
+        schema=(
+            "doc_id long, n_tokens int, factors int, "
+            "rem_tokens int, rem_types int"
+        ),
+    )
+    n = F.col("n_tokens").cast("double")
+    c = F.col("rem_tokens").cast("long")
+    f = F.col("factors").cast("long")
+    t = F.col("rem_types").cast("long")
+    den = 28 * c * f + 100 * (c - t)
+    mtld = (
+        F.when((c > 0) & (den > 0), n * 28 * c / den)
+        .when((c == F.lit(0)) & (f > 0), n / f)
+        .otherwise(F.lit(None).cast("double"))
+    )
+    return state.select(
+        "doc_id",
+        "n_tokens",
+        "factors",
+        "rem_tokens",
+        "rem_types",
+        F.round(mtld, 6).alias("mtld_fwd"),
+    )

