@@ -253,6 +253,13 @@ PREV117 = LEGACY56 + R7_FOLDED + R8_FOLDED + R9_FOLDED + R10_FOLDED
 # clean as the new baseline; fold next round.
 ADDITIONS: list[str] = [
     "text_mtld_diversity",
+    "text_tokenizer_vocab_ablation",
+    "stats_cohens_kappa_raters",
+    "stats_anderson_darling_segments",
+    "events_gehan_wilcoxon_logrank",
+    "geo_dbscan_clusters",
+    "dedup_banding_br_ablation",
+    "graph_edge_triangle_support",
 ]
 
 

@@ -509,14 +509,14 @@ def _min_label_components(pairs: DataFrame) -> DataFrame:
     edges = edges.union(
         edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).toDF("src", "dst").cache()
+    # localCheckpoint (not cache) so the initial frame never leaks storage
+    # across long-lived sessions — per-round frames below follow suit.
     labels = (
         edges.select(F.col("src").alias("node")).distinct()
         .withColumn("label", F.col("node"))
-        .cache()
+        .localCheckpoint(eager=True)
     )
-    labels.count()
     ltype = labels.schema["label"].dataType
-    cached = labels
     while True:
         neighbor_min = (
             edges.join(labels, edges.src == labels.node)
@@ -529,6 +529,17 @@ def _min_label_components(pairs: DataFrame) -> DataFrame:
         # join per round, where the join-new-against-old formulation cost
         # an extra join plus a second job per round (pure stage-floor at
         # dedup sizes, an extra labels-sized shuffle at cluster scale).
+        #
+        # Per-round EAGER localCheckpoint, not cache: each round references
+        # `labels` TWICE (union branch + join build), so with cache the
+        # logical plan tree doubles per round — ~2^rounds copies of the
+        # base lineage. Dedup graphs converge in 2-3 rounds and never
+        # noticed; the DBSCAN core graph needs 9+ (long spatial chains),
+        # where merely RENDERING the plan string OOMed a default 1g
+        # driver. The checkpoint materializes the same labels-sized frame
+        # the cache did, but resets lineage so every round's plan is
+        # constant-size; blocks are reclaimed by the ContextCleaner when
+        # the previous round's frame drops out of scope.
         new_full = (
             labels.select("node", "label", F.col("label").alias("old"))
             .unionByName(
@@ -538,21 +549,15 @@ def _min_label_components(pairs: DataFrame) -> DataFrame:
             )
             .groupBy("node")
             .agg(F.min("label").alias("label"), F.max("old").alias("old"))
-            .cache()
+            .localCheckpoint(eager=True)
         )
         changed = new_full.where(F.col("label") != F.col("old")).count()
-        cached.unpersist()
-        cached = new_full
         labels = new_full.select("node", "label")
         if changed == 0:
             break
-    # Cut lineage with an eager localCheckpoint (blocks are reclaimed by the
-    # ContextCleaner once the result is dropped), then release the explicit
-    # caches so long-lived sessions don't accumulate storage across calls.
     result = labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("component")
     ).localCheckpoint(eager=True)
-    cached.unpersist()
     edges.unpersist()
     return result
 
@@ -2628,4 +2633,173 @@ def dedup_cluster_size_histogram(
     return sizes.groupBy(F.col("sz").alias("cluster_size")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
         F.sum("sz").cast("bigint").alias("n_docs"),
+    )
+
+
+_BR_CONFIGS = [(24, 1), (12, 2), (8, 3), (6, 4)]  # b bands x r rows = 24
+
+
+def _br_ablation_oracle_sql() -> str:
+    """Replay every (b, r) banding config over the same 24 signatures:
+    per config, candidate pairs (any shared band) and verified pairs
+    (exact shingle Jaccard >= 0.4)."""
+    blocks = []
+    for b, r in _BR_CONFIGS:
+        band_rows = " UNION ALL ".join(
+            "SELECT doc_id, {i} AS band_no, {key} AS band_key FROM sigs".format(
+                i=i,
+                key=" || ':' || ".join(
+                    f"CAST(s{r * i + j} AS VARCHAR)" for j in range(r)
+                ),
+            )
+            for i in range(b)
+        )
+        blocks.append(
+            f"""
+    SELECT {b} AS b, {r} AS r, a.doc_id AS d1, b2.doc_id AS d2
+    FROM ({band_rows}) a JOIN ({band_rows}) b2
+      ON a.band_no = b2.band_no AND a.band_key = b2.band_key
+     AND a.doc_id < b2.doc_id
+    GROUP BY 1, 2, 3, 4"""
+        )
+    all_cand = " UNION ALL ".join(blocks)
+    jac = (
+        "CAST(len(list_intersect(h1.sh, h2.sh)) AS DOUBLE)"
+        " / (len(h1.sh) + len(h2.sh) - len(list_intersect(h1.sh, h2.sh)))"
+    )
+    return f"""{_pmh_sql_prefix(_PMH_PERMS24)}, cand AS ({all_cand}),
+    verified AS (
+      SELECT c.b, c.r,
+        CAST(COUNT(*) AS BIGINT) AS n_candidates,
+        CAST(SUM(CASE WHEN {jac} >= 0.4 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_verified
+      FROM cand c
+      JOIN shingles h1 ON c.d1 = h1.doc_id
+      JOIN shingles h2 ON c.d2 = h2.doc_id
+      GROUP BY c.b, c.r
+    )
+    SELECT
+      CAST(b AS INT) AS b, CAST(r AS INT) AS r,
+      n_candidates, n_verified,
+      CASE WHEN n_candidates > 0 THEN
+        ROUND(CAST(n_verified AS DOUBLE) / CAST(n_candidates AS DOUBLE), 6)
+      END AS precision_at_04,
+      ROUND(CAST(n_verified AS DOUBLE)
+            / CAST(MAX(CASE WHEN r = 1 THEN n_verified END) OVER ()
+                   AS DOUBLE), 6) AS recall_vs_b24r1,
+      ROUND(POW(1.0 / b, 1.0 / r), 6) AS lsh_threshold
+    FROM verified
+    """
+
+
+@query("dedup_banding_br_ablation", oracle=_br_ablation_oracle_sql())
+def dedup_banding_br_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding-parameter ablation over the SAME 24-permutation minhash
+    signatures: for every (b bands x r rows) factorization of 24 —
+    (24,1), (12,2), (8,3), (6,4) — the candidate-pair volume, the pairs
+    that survive the exact Jaccard >= 0.4 verify, precision, recall
+    relative to the most permissive config, and the theoretical LSH
+    S-curve threshold (1/b)^(1/r). This is the tuning table behind the
+    production tier's b=12, r=2 choice (threshold ~0.29 for tau=0.4):
+    r=1 floods candidates (threshold 0.04), r=4 starts missing true
+    pairs. Completes the dedup ablation family beside the Jaccard-cut
+    survivorship curve and the measured estimator error.
+
+    Rides the SessionMemo'd banding artifacts: signatures re-aggregated
+    once from the persisted shingle sets, ONE self-join over the
+    all-config band table (config is part of the join key), the exact
+    verify joins shingle sets only for DISTINCT candidate pairs. Counts
+    are integers; the three ratios are single divisions, round-6.
+
+    At 100 TB this is how b/r gets chosen before a full run: the ablation
+    costs one signature pass plus band-key self-joins — it never touches
+    text, and candidates stay bucket-bounded per config."""
+    # fill the memo (and reuse everything if it is already warm)
+    dedup_minhash_banding_pairs(spark, sf_dir)
+    hs_df = _BANDING_PAIRS_CACHE.get(spark, sf_dir)[2]
+    sig = _pmh_signatures(hs_df, _PMH_PERMS24)
+    n = len(_PMH_PERMS24)
+    band_frames = []
+    for b, r in _BR_CONFIGS:
+        stack_args = []
+        for i in range(b):
+            key = F.concat_ws(
+                ":", *[F.col(f"s{r * i + j}").cast("string") for j in range(r)]
+            )
+            stack_args.append((i, key))
+        long = sig.select(
+            F.lit(b).alias("b"),
+            F.lit(r).alias("r"),
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("band_no"), key.alias("band_key")
+                        )
+                        for i, key in stack_args
+                    ]
+                )
+            ).alias("bb"),
+        ).select("b", "r", "doc_id", "bb.band_no", "bb.band_key")
+        band_frames.append(long)
+    bands = band_frames[0]
+    for bf in band_frames[1:]:
+        bands = bands.unionByName(bf)
+    a = bands.select("b", "r", F.col("doc_id").alias("d1"), "band_no", "band_key")
+    b_ = bands.select("b", "r", F.col("doc_id").alias("d2"), "band_no", "band_key")
+    cand = (
+        a.join(b_, ["b", "r", "band_no", "band_key"])
+        .where(F.col("d1") < F.col("d2"))
+        .select("b", "r", "d1", "d2")
+        .distinct()
+    )
+    # exact verify once per DISTINCT pair, then re-attach per config
+    pair_ids = cand.select("d1", "d2").distinct()
+    h1 = hs_df.select(F.col("doc_id").alias("d1"), F.col("sh").alias("sh1"))
+    h2 = hs_df.select(F.col("doc_id").alias("d2"), F.col("sh").alias("sh2"))
+    inter = F.size(F.array_intersect("sh1", "sh2")).cast("double")
+    union = (F.size("sh1") + F.size("sh2")).cast("double") - inter
+    verified_pairs = (
+        pair_ids.join(h1, "d1")
+        .join(h2, "d2")
+        .select(
+            "d1",
+            "d2",
+            F.when(inter / union >= 0.4, 1).otherwise(0).alias("is_dup"),
+        )
+    )
+    per_cfg = (
+        cand.join(verified_pairs, ["d1", "d2"])
+        .groupBy("b", "r")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+            F.sum("is_dup").cast("bigint").alias("n_verified"),
+        )
+    )
+    w_all = Window.partitionBy()
+    base_verified = F.max(
+        F.when(F.col("r") == 1, F.col("n_verified"))
+    ).over(w_all)
+    return per_cfg.select(
+        F.col("b").cast("int").alias("b"),
+        F.col("r").cast("int").alias("r"),
+        "n_candidates",
+        "n_verified",
+        F.when(
+            F.col("n_candidates") > 0,
+            F.round(
+                F.col("n_verified").cast("double")
+                / F.col("n_candidates").cast("double"),
+                6,
+            ),
+        ).alias("precision_at_04"),
+        F.round(
+            F.col("n_verified").cast("double") / base_verified.cast("double"),
+            6,
+        ).alias("recall_vs_b24r1"),
+        F.round(
+            F.pow(1.0 / F.col("b").cast("double"), 1.0 / F.col("r").cast("double")),
+            6,
+        ).alias("lsh_threshold"),
     )

@@ -2670,3 +2670,178 @@ def events_fleming_harrington_logrank(
         soe.alias("weighted_oe"),
         F.when(sv > 0, F.round(soe * soe / sv, 6)).alias("chi2"),
     )
+
+
+@query(
+    "events_gehan_wilcoxon_logrank",
+    oracle=f"""
+    WITH firsts AS ({_KM_FIRSTS_SQL}),
+    horizon AS (
+      SELECT MAX(last_day) AS max_day,
+        (MIN(signup_day) + MAX(signup_day)) // 2 AS mid_day
+      FROM firsts
+    ),
+    obs AS (
+      SELECT
+        CASE WHEN signup_day <= mid_day THEN 1 ELSE 0 END AS g1,
+        CASE WHEN purchase_day IS NOT NULL AND purchase_day >= signup_day
+             THEN purchase_day - signup_day
+             ELSE max_day - signup_day END AS t,
+        CASE WHEN purchase_day IS NOT NULL AND purchase_day >= signup_day
+             THEN 1 ELSE 0 END AS is_event
+      FROM firsts CROSS JOIN horizon
+      WHERE signup_day IS NOT NULL
+    ),
+    grid AS (
+      SELECT t,
+        CAST(SUM(CASE WHEN g1 = 1 THEN is_event ELSE 0 END) AS BIGINT) AS d1,
+        CAST(SUM(CASE WHEN g1 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        CAST(SUM(CASE WHEN g1 = 0 THEN is_event ELSE 0 END) AS BIGINT) AS d2,
+        CAST(SUM(CASE WHEN g1 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+        CAST((SELECT SUM(CASE WHEN g1 = 1 THEN 1 ELSE 0 END) FROM obs)
+             AS BIGINT) AS n1_tot,
+        CAST((SELECT SUM(CASE WHEN g1 = 0 THEN 1 ELSE 0 END) FROM obs)
+             AS BIGINT) AS n2_tot
+      FROM obs GROUP BY t
+    ),
+    risk AS (
+      SELECT t, d1, d2,
+        n1_tot - COALESCE(SUM(c1) OVER (ORDER BY t
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n1,
+        n2_tot - COALESCE(SUM(c2) OVER (ORDER BY t
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n2
+      FROM grid
+    ),
+    terms AS (
+      SELECT t,
+        CAST((n1 + n2) * d1 - (d1 + d2) * n1 AS BIGINT) AS oe,
+        CASE WHEN n1 + n2 >= 2 THEN CAST(ROUND(
+          CAST((d1 + d2) * n1 * n2 * (n1 + n2 - d1 - d2) AS DOUBLE)
+          / CAST(n1 + n2 - 1 AS DOUBLE), 6) AS DECIMAL(38,6))
+        ELSE CAST(0 AS DECIMAL(38,6)) END AS v
+      FROM risk WHERE d1 + d2 > 0
+    )
+    SELECT
+      CAST(COUNT(*) AS BIGINT) AS n_event_days,
+      CAST(SUM(oe) AS BIGINT) AS gehan_oe,
+      CASE WHEN CAST(SUM(v) AS DOUBLE) > 0 THEN ROUND(
+        CAST(SUM(oe) AS DOUBLE) * CAST(SUM(oe) AS DOUBLE)
+        / CAST(SUM(v) AS DOUBLE), 6) END AS chi2
+    FROM terms
+    """,
+)
+def events_gehan_wilcoxon_logrank(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Gehan-Breslow-Wilcoxon weighted log-rank between the early/late
+    signup cohorts: weight each event day by the POOLED AT-RISK COUNT
+    n_t = n1 + n2 — the third member of the weighting family (rho=0
+    flat, rho=1 Peto-Peto S(t-), Gehan n_t), most sensitive to the very
+    start of follow-up where everyone is still at risk.
+
+    The integer weight makes this the EXACT member: per-day
+    O-E = d1 - (d1+d2)*n1/n_t scaled by n_t is n_t*d1 - (d1+d2)*n1 —
+    pure BIGINT, so the weighted O-E SUM carries no float at all. The
+    variance term n_t^2 * Var_hypergeom collapses to
+    (d1+d2)*n1*n2*(n_t-d1-d2)/(n_t-1): one integer product over one
+    integer divisor, round-6 decimal sum. chi2 divides the two sums
+    once.
+
+    At 100 TB: identical plan shape to the plain log-rank — the
+    SessionMemo'd per-user firsts rollup pays the only fact scan; the
+    day-grain grid rides two calendar-bounded windows."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.datediff(
+        F.date_trunc("day", "ts"), F.lit("1970-01-01").cast("timestamp_ntz")
+    )
+    firsts = memo_persist(
+        _KM_FIRSTS_CACHE,
+        spark,
+        sf_dir,
+        lambda: e.groupBy("user_id").agg(
+            F.min(F.when(F.col("event_type") == "signup", day)).alias(
+                "signup_day"
+            ),
+            F.min(F.when(F.col("event_type") == "purchase", day)).alias(
+                "purchase_day"
+            ),
+            F.max(day).alias("last_day"),
+        ),
+    )
+    horizon = firsts.agg(
+        F.max("last_day").alias("max_day"),
+        (
+            (F.min("signup_day") + F.max("signup_day")).cast("bigint")
+            / F.lit(2)
+        )
+        .cast("bigint")
+        .alias("mid_day"),
+    )
+    converted = F.col("purchase_day").isNotNull() & (
+        F.col("purchase_day") >= F.col("signup_day")
+    )
+    obs = (
+        firsts.crossJoin(horizon)
+        .where(F.col("signup_day").isNotNull())
+        .select(
+            F.when(F.col("signup_day") <= F.col("mid_day"), 1)
+            .otherwise(0)
+            .alias("g1"),
+            F.when(converted, F.col("purchase_day") - F.col("signup_day"))
+            .otherwise(F.col("max_day") - F.col("signup_day"))
+            .alias("t"),
+            F.when(converted, 1).otherwise(0).alias("is_event"),
+        )
+    )
+    wall = Window.partitionBy()
+    grid = obs.groupBy("t").agg(
+        F.sum(F.when(F.col("g1") == 1, F.col("is_event")).otherwise(0))
+        .cast("bigint")
+        .alias("d1"),
+        F.sum(F.when(F.col("g1") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("c1"),
+        F.sum(F.when(F.col("g1") == 0, F.col("is_event")).otherwise(0))
+        .cast("bigint")
+        .alias("d2"),
+        F.sum(F.when(F.col("g1") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("c2"),
+    )
+    wt = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    risk = grid.select(
+        "t",
+        "d1",
+        "d2",
+        (
+            F.sum("c1").over(wall)
+            - F.coalesce(F.sum("c1").over(wt), F.lit(0))
+        ).alias("n1"),
+        (
+            F.sum("c2").over(wall)
+            - F.coalesce(F.sum("c2").over(wt), F.lit(0))
+        ).alias("n2"),
+    )
+    nn = F.col("n1") + F.col("n2")
+    dd = F.col("d1") + F.col("d2")
+    oe = (nn * F.col("d1") - dd * F.col("n1")).cast("bigint")
+    v = (
+        F.when(
+            nn >= 2,
+            F.round(
+                (dd * F.col("n1") * F.col("n2") * (nn - dd)).cast("double")
+                / (nn - 1).cast("double"),
+                6,
+            ).cast("decimal(38,6)"),
+        )
+        .otherwise(F.lit(0).cast("decimal(38,6)"))
+    )
+    terms = risk.where(dd > 0).select(oe.alias("oe"), v.alias("v"))
+    soe = F.sum("oe").cast("bigint")
+    soed = soe.cast("double")
+    sv = F.sum("v").cast("double")
+    return terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_event_days"),
+        soe.alias("gehan_oe"),
+        F.when(sv > 0, F.round(soed * soed / sv, 6)).alias("chi2"),
+    )

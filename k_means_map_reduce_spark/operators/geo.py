@@ -1710,59 +1710,7 @@ def geo_dbscan_core_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB: candidates are bounded by cell occupancy (a data-density
     constant times n), never n^2; both passes shuffle only ids + cells.
     """
-    pts = _points(spark, sf_dir)
-    celled = pts.select(
-        "custkey",
-        "ilat",
-        "ilon",
-        F.floor((F.col("ilon") + 170000) / 5000.0).cast("bigint").alias("cx"),
-        F.floor((F.col("ilat") + 60000) / 5000.0).cast("bigint").alias("cy"),
-    )
-    offs = spark.range(0, 9).select(
-        (F.col("id") % 3 - 1).cast("bigint").alias("dx"),
-        (F.floor(F.col("id") / 3) - 1).cast("bigint").alias("dy"),
-    )
-    fanned = celled.crossJoin(offs).select(
-        F.col("custkey").alias("a_id"),
-        F.col("ilat").alias("a_lat"),
-        F.col("ilon").alias("a_lon"),
-        (F.col("cx") + F.col("dx")).alias("cx"),
-        (F.col("cy") + F.col("dy")).alias("cy"),
-    )
-    b = celled.select(
-        F.col("custkey").alias("b_id"),
-        F.col("ilat").alias("b_lat"),
-        F.col("ilon").alias("b_lon"),
-        "cx",
-        "cy",
-    )
-    d2 = (F.col("b_lat") - F.col("a_lat")) * (
-        F.col("b_lat") - F.col("a_lat")
-    ) + (F.col("b_lon") - F.col("a_lon")) * (F.col("b_lon") - F.col("a_lon"))
-    # both the core census and the border pass consume the pair list:
-    # persisted per session or the fan-out join runs twice (lesson 27/30)
-    pairs = memo_persist(
-        _DBSCAN_PAIRS_CACHE,
-        spark,
-        sf_dir,
-        lambda: fanned.join(b, ["cx", "cy"])
-        .where((F.col("b_id") != F.col("a_id")) & (d2 <= 25_000_000))
-        .select("a_id", "b_id"),
-    )
-    nbr = pairs.groupBy("a_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_nbrs")
-    )
-    flags = (
-        celled.select("custkey")
-        .join(nbr, F.col("a_id") == F.col("custkey"), "left")
-        .select(
-            "custkey",
-            F.coalesce(F.col("n_nbrs"), F.lit(0)).alias("n_nbrs"),
-            F.when(F.coalesce(F.col("n_nbrs"), F.lit(0)) >= 4, 1)
-            .otherwise(0)
-            .alias("is_core"),
-        )
-    )
+    celled, pairs, flags = _dbscan_parts(spark, sf_dir)
     core_ids = flags.where(F.col("is_core") == 1).select(
         F.col("custkey").alias("core_id")
     )
@@ -1797,9 +1745,214 @@ def geo_dbscan_core_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# DBSCAN neighbor pairs — consumed by both the core census and the
-# border pass
+# DBSCAN neighbor pairs — consumed by the core census, the border pass,
+# and the cluster extraction
 _DBSCAN_PAIRS_CACHE = SessionMemo("geo.dbscan_pairs")
+
+
+def _dbscan_parts(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared DBSCAN machinery (eps = 5000 milli-deg cells, minPts = 4):
+    (celled points, eps-neighbor pair list, core flags). The pair list is
+    the expensive fan-out join — SessionMemo'd so the census and the
+    cluster extraction never rebuild it (lesson 27/30); flags are one
+    cheap aggregation over the persisted pairs."""
+    pts = _points(spark, sf_dir)
+    celled = pts.select(
+        "custkey",
+        "ilat",
+        "ilon",
+        F.floor((F.col("ilon") + 170000) / 5000.0).cast("bigint").alias("cx"),
+        F.floor((F.col("ilat") + 60000) / 5000.0).cast("bigint").alias("cy"),
+    )
+    offs = spark.range(0, 9).select(
+        (F.col("id") % 3 - 1).cast("bigint").alias("dx"),
+        (F.floor(F.col("id") / 3) - 1).cast("bigint").alias("dy"),
+    )
+    fanned = celled.crossJoin(offs).select(
+        F.col("custkey").alias("a_id"),
+        F.col("ilat").alias("a_lat"),
+        F.col("ilon").alias("a_lon"),
+        (F.col("cx") + F.col("dx")).alias("cx"),
+        (F.col("cy") + F.col("dy")).alias("cy"),
+    )
+    b = celled.select(
+        F.col("custkey").alias("b_id"),
+        F.col("ilat").alias("b_lat"),
+        F.col("ilon").alias("b_lon"),
+        "cx",
+        "cy",
+    )
+    d2 = (F.col("b_lat") - F.col("a_lat")) * (
+        F.col("b_lat") - F.col("a_lat")
+    ) + (F.col("b_lon") - F.col("a_lon")) * (F.col("b_lon") - F.col("a_lon"))
+    pairs = memo_persist(
+        _DBSCAN_PAIRS_CACHE,
+        spark,
+        sf_dir,
+        lambda: fanned.join(b, ["cx", "cy"])
+        .where((F.col("b_id") != F.col("a_id")) & (d2 <= 25_000_000))
+        .select("a_id", "b_id"),
+    )
+    nbr = pairs.groupBy("a_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nbrs")
+    )
+    flags = (
+        celled.select("custkey")
+        .join(nbr, F.col("a_id") == F.col("custkey"), "left")
+        .select(
+            "custkey",
+            F.coalesce(F.col("n_nbrs"), F.lit(0)).alias("n_nbrs"),
+            F.when(F.coalesce(F.col("n_nbrs"), F.lit(0)) >= 4, 1)
+            .otherwise(0)
+            .alias("is_core"),
+        )
+    )
+    return celled, pairs, flags
+
+
+@query(
+    "geo_dbscan_clusters",
+    oracle=f"""
+    WITH RECURSIVE pts AS ({_PTS_SQL}),
+    celled AS (
+      SELECT custkey, ilat, ilon,
+        CAST(floor((ilon + 170000) / 5000.0) AS BIGINT) AS cx,
+        CAST(floor((ilat + 60000) / 5000.0) AS BIGINT) AS cy
+      FROM pts
+    ),
+    fanned AS (
+      SELECT c.custkey, c.ilat, c.ilon, c.cx + dx.d AS cx, c.cy + dy.d AS cy
+      FROM celled c
+      CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) dx
+      CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) dy
+    ),
+    prs AS (
+      SELECT a.custkey AS a_id, b.custkey AS b_id
+      FROM fanned a JOIN celled b ON b.cx = a.cx AND b.cy = a.cy
+        AND b.custkey != a.custkey
+        AND (b.ilat - a.ilat) * (b.ilat - a.ilat)
+            + (b.ilon - a.ilon) * (b.ilon - a.ilon) <= 25000000
+    ),
+    flags AS (
+      SELECT c.custkey,
+        CASE WHEN COALESCE(n.n_nbrs, 0) >= 4 THEN 1 ELSE 0 END AS is_core
+      FROM celled c LEFT JOIN (
+        SELECT a_id, COUNT(*) AS n_nbrs FROM prs GROUP BY a_id
+      ) n ON n.a_id = c.custkey
+    ),
+    core_edges AS (
+      SELECT p.a_id AS src, p.b_id AS dst
+      FROM prs p
+      JOIN flags fa ON fa.custkey = p.a_id AND fa.is_core = 1
+      JOIN flags fb ON fb.custkey = p.b_id AND fb.is_core = 1
+    ),
+    w(node, label) AS (
+      SELECT src, src FROM (SELECT DISTINCT src FROM core_edges)
+      UNION
+      SELECT e.dst, w.label FROM w JOIN core_edges e ON e.src = w.node
+    ),
+    core_labels AS (
+      SELECT f.custkey,
+        COALESCE(m.component, f.custkey) AS cluster_id
+      FROM flags f
+      LEFT JOIN (SELECT node, MIN(label) AS component FROM w GROUP BY node)
+        m ON m.node = f.custkey
+      WHERE f.is_core = 1
+    ),
+    border_assign AS (
+      SELECT p.a_id AS custkey, MIN(cl.cluster_id) AS cluster_id
+      FROM prs p
+      JOIN flags fa ON fa.custkey = p.a_id AND fa.is_core = 0
+      JOIN core_labels cl ON cl.custkey = p.b_id
+      GROUP BY p.a_id
+    )
+    SELECT cluster_id,
+      CAST(SUM(is_core) AS BIGINT) AS n_core,
+      CAST(SUM(1 - is_core) AS BIGINT) AS n_border,
+      CAST(COUNT(*) AS BIGINT) AS n_points
+    FROM (
+      SELECT cluster_id, 1 AS is_core FROM core_labels
+      UNION ALL
+      SELECT cluster_id, 0 AS is_core FROM border_assign
+    ) members
+    GROUP BY cluster_id
+    """,
+)
+def geo_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full DBSCAN cluster EXTRACTION on top of the core census: clusters
+    are connected components of the CORE-CORE eps-graph (density-connected
+    cores), labeled by the smallest core custkey; border points attach to
+    the MINIMUM adjacent cluster label (classic DBSCAN assigns the first
+    claimant — arrival order — which no distributed engine should
+    reproduce; min-label is the deterministic choice, identical cross-
+    engine). Output: per-cluster census (cores, borders, total).
+
+    Reuses the SessionMemo'd eps-neighbor pair list (_dbscan_parts) and
+    the min-label-propagation fixpoint machinery from
+    dedup._min_label_components (one shuffle join + one aggregation per
+    round, rounds = component diameter; large-star/small-star for
+    O(log^2 n) rounds at trillion-edge scale). Isolated cores — dense
+    points with no core neighbor — are their own singleton clusters
+    (label coalesced to self), which the edges-only label init would
+    otherwise drop. The oracle replays the whole pipeline: pair join,
+    flags, core-edge fixpoint via recursive CTE, min-label border
+    attachment."""
+    from .dedup import _min_label_components
+
+    _celled, pairs, flags = _dbscan_parts(spark, sf_dir)
+    cores = flags.where(F.col("is_core") == 1).select("custkey")
+    # Eager localCheckpoint BEFORE the fixpoint loop: core_edges' lineage
+    # embeds the fan-out pair join TWICE (directly and through flags), and
+    # _min_label_components re-renders the full plan tree every round —
+    # without the cut, the plan STRING alone OOMs a default 1g driver.
+    # The frame is core-core pairs: bounded by cell occupancy, small.
+    core_edges = (
+        pairs.join(
+            cores.select(F.col("custkey").alias("a_id")), "a_id"
+        )
+        .join(cores.select(F.col("custkey").alias("b_id")), "b_id")
+        .select("a_id", "b_id")
+        .localCheckpoint(eager=True)
+    )
+    comp = _min_label_components(core_edges).select(
+        F.col("doc_id").alias("custkey"),
+        F.col("component").alias("cluster_id"),
+    )
+    core_labels = (
+        cores.join(comp, "custkey", "left")
+        .select(
+            "custkey",
+            F.coalesce(F.col("cluster_id"), F.col("custkey")).alias(
+                "cluster_id"
+            ),
+        )
+    )
+    noncore = flags.where(F.col("is_core") == 0).select(
+        F.col("custkey").alias("nc_id")
+    )
+    border_assign = (
+        pairs.join(noncore, F.col("a_id") == F.col("nc_id"))
+        .join(
+            core_labels.select(
+                F.col("custkey").alias("b_id"), "cluster_id"
+            ),
+            "b_id",
+        )
+        .groupBy(F.col("a_id").alias("custkey"))
+        .agg(F.min("cluster_id").alias("cluster_id"))
+    )
+    members = core_labels.select(
+        "cluster_id", F.lit(1).alias("is_core")
+    ).unionByName(
+        border_assign.select("cluster_id", F.lit(0).alias("is_core"))
+    )
+    return members.groupBy("cluster_id").agg(
+        F.sum("is_core").cast("bigint").alias("n_core"),
+        F.sum(1 - F.col("is_core")).cast("bigint").alias("n_border"),
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+    )
 
 
 @query(

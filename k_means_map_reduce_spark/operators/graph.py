@@ -1383,3 +1383,86 @@ def graph_degree_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(num / (n.cast("double") * td.cast("double")), 6),
         ).alias("degree_gini"),
     )
+
+
+@query(
+    "graph_edge_triangle_support",
+    oracle="""
+    WITH li AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ), e AS (
+      SELECT DISTINCT a.pk AS u, b.pk AS v
+      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+    ), tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e e1 JOIN e e2 ON e1.v = e2.u
+                JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    ), sup AS (
+      SELECT u, v, CAST(COUNT(*) AS BIGINT) AS support FROM (
+        SELECT a AS u, b AS v FROM tri
+        UNION ALL SELECT b AS u, c AS v FROM tri
+        UNION ALL SELECT a AS u, c AS v FROM tri
+      ) GROUP BY u, v
+    )
+    SELECT COALESCE(s.support, 0) AS support,
+      CAST(COUNT(*) AS BIGINT) AS n_edges
+    FROM e LEFT JOIN sup s ON s.u = e.u AND s.v = e.v
+    GROUP BY 1
+    """,
+)
+def graph_edge_triangle_support(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-edge triangle SUPPORT census over the co-purchase graph: how
+    many triangles each edge participates in, rolled into a (support,
+    n_edges) histogram including the support-0 tail — the k-truss
+    kernel (an edge survives the k-truss iff support >= k-2) and the
+    strength-of-tie diagnostic (high-support edges sit inside cohesive
+    communities; support-0 edges are bridges).
+
+    Plan: the SAME degree-ordered compact-forward closure as
+    graph_triangle_count, but keeping the wedge SOURCE so each closed
+    wedge yields the full (u, x, z) triangle, exploded into its three
+    id-canonical edges and counted — O(E^1.5) wedge bound, SHUFFLE_HASH
+    closure (broadcast loses, see _triangle_count_build), one extra
+    3x-explode + count over triangle-cardinality rows. The support-0
+    tail comes from a LEFT anti-style join of the canonical edge list
+    against the support rollup — edges never re-derived. The count is
+    orientation-invariant, so the naive id-oriented oracle verifies the
+    degree-ordered plan."""
+    und, oe = _copurchase_edges(spark, sf_dir)
+    a, b = oe.alias("a"), oe.alias("b")
+    wedges = a.join(
+        b, (F.col("a.src") == F.col("b.src")) & (F.col("a.dst") < F.col("b.dst"))
+    ).select(
+        F.col("a.src").alias("w0"),
+        F.col("a.dst").alias("x"),
+        F.col("b.dst").alias("z"),
+    )
+    closer = oe.select(
+        F.least("src", "dst").alias("x"), F.greatest("src", "dst").alias("z")
+    )
+    tri = wedges.join(closer.hint("SHUFFLE_HASH"), ["x", "z"])
+    edges3 = (
+        tri.select(
+            F.least("w0", "x").alias("eu"), F.greatest("w0", "x").alias("ev")
+        )
+        .unionAll(
+            tri.select(
+                F.least("w0", "z").alias("eu"),
+                F.greatest("w0", "z").alias("ev"),
+            )
+        )
+        .unionAll(tri.select(F.col("x").alias("eu"), F.col("z").alias("ev")))
+    )
+    sup = edges3.groupBy("eu", "ev").agg(
+        F.count(F.lit(1)).cast("bigint").alias("support")
+    )
+    canon = und.select(
+        F.least("u", "v").alias("eu"), F.greatest("u", "v").alias("ev")
+    )
+    return (
+        canon.join(sup, ["eu", "ev"], "left")
+        .groupBy(F.coalesce(F.col("support"), F.lit(0)).alias("support"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    )

@@ -4487,3 +4487,260 @@ def stats_cuzick_trend_priority(
         "t",
         F.when(n >= 2, F.round(z, 6)).alias("z_stat"),
     )
+
+
+@query(
+    "stats_cohens_kappa_raters",
+    oracle="""
+    WITH rated AS (
+      SELECT
+        c.c_custkey,
+        NTILE(3) OVER (ORDER BY CAST(ROUND(c.c_acctbal * 100, 0) AS BIGINT),
+                       c.c_custkey) AS acct_r,
+        NTILE(3) OVER (ORDER BY COALESCE(o.n_orders, 0), c.c_custkey)
+          AS ord_r
+      FROM customer c
+      LEFT JOIN (
+        SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY o_custkey
+      ) o ON o.o_custkey = c.c_custkey
+    ),
+    cells AS (
+      SELECT acct_r AS i, ord_r AS j, CAST(COUNT(*) AS BIGINT) AS o
+      FROM rated GROUP BY 1, 2
+    ),
+    rows_m AS (SELECT i, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY i),
+    cols_m AS (SELECT j, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY j),
+    consts AS (
+      SELECT
+        (SELECT CAST(SUM(o) AS BIGINT) FROM cells) AS n,
+        (SELECT CAST(SUM(o) AS BIGINT) FROM cells WHERE i = j) AS diag,
+        (SELECT CAST(SUM(r.r * c.c) AS BIGINT)
+         FROM rows_m r JOIN cols_m c ON c.j = r.i) AS spp,
+        (SELECT CAST(SUM(ABS(i - j) * o) AS BIGINT) FROM cells) AS swo,
+        (SELECT CAST(SUM(ABS(r.i - c.j) * r.r * c.c) AS BIGINT)
+         FROM rows_m r CROSS JOIN cols_m c) AS swrc
+    )
+    SELECT
+      n AS n_customers,
+      diag AS diag_agree,
+      CASE WHEN n * n - spp = 0 THEN NULL
+           ELSE ROUND(CAST(n * diag - spp AS DOUBLE)
+                      / CAST(n * n - spp AS DOUBLE), 6) END AS kappa,
+      CASE WHEN swrc = 0 THEN NULL
+           ELSE ROUND(1.0 - CAST(n * swo AS DOUBLE)
+                      / CAST(swrc AS DOUBLE), 6) END AS kappa_linear
+    FROM consts
+    """,
+)
+def stats_cohens_kappa_raters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa inter-rater agreement (plus linear-weighted kappa)
+    between two deterministic 'raters' of customer value: tercile by
+    account balance vs tercile by order count — the chance-corrected
+    agreement metric every labeling/annotation pipeline reports. Both
+    ratings are NTILE(3) over a TOTAL order (value, custkey), so the
+    contingency table is exact cross-engine.
+
+    Integer-exact to the last division: unweighted kappa reduces to
+    (N*diag - S_pp) / (N^2 - S_pp) and linear-weighted kappa to
+    1 - N*S_wo / S_wrc, where diag, S_pp = sum r_i*c_i,
+    S_wo = sum |i-j|*o_ij and S_wrc = sum |i-j|*r_i*c_j are all BIGINT
+    sums over the 3x3 grid — one double division each, round-6.
+
+    At 100 TB: the order-count rollup is map-side; the two NTILE windows
+    rank the CUSTOMER dimension (the MW/global-rank precedent — two-phase
+    partition-rank + offset merge when even the dimension outgrows one
+    task); everything after is a 9-row grid."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100, 0).cast("bigint").alias("cents"),
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+    )
+    rated = (
+        c.join(o, "c_custkey", "left")
+        .select(
+            "c_custkey",
+            F.ntile(3)
+            .over(Window.orderBy("cents", "c_custkey"))
+            .alias("i"),
+            F.ntile(3)
+            .over(
+                Window.orderBy(
+                    F.coalesce(F.col("n_orders"), F.lit(0)), "c_custkey"
+                )
+            )
+            .alias("j"),
+        )
+    )
+    cells = rated.groupBy("i", "j").agg(
+        F.count(F.lit(1)).cast("bigint").alias("o")
+    )
+    rows_m = cells.groupBy("i").agg(F.sum("o").cast("bigint").alias("r"))
+    cols_m = cells.groupBy("j").agg(F.sum("o").cast("bigint").alias("c"))
+    grid = rows_m.crossJoin(cols_m)
+    consts = (
+        cells.agg(
+            F.sum("o").cast("bigint").alias("n"),
+            F.sum(F.when(F.col("i") == F.col("j"), F.col("o")).otherwise(0))
+            .cast("bigint")
+            .alias("diag"),
+            F.sum(F.abs(F.col("i") - F.col("j")) * F.col("o"))
+            .cast("bigint")
+            .alias("swo"),
+        )
+        .crossJoin(
+            grid.agg(
+                F.sum(
+                    F.when(F.col("i") == F.col("j"), F.col("r") * F.col("c"))
+                    .otherwise(0)
+                )
+                .cast("bigint")
+                .alias("spp"),
+                F.sum(F.abs(F.col("i") - F.col("j")) * F.col("r") * F.col("c"))
+                .cast("bigint")
+                .alias("swrc"),
+            )
+        )
+    )
+    n, diag = F.col("n"), F.col("diag")
+    spp, swo, swrc = F.col("spp"), F.col("swo"), F.col("swrc")
+    return consts.select(
+        n.alias("n_customers"),
+        diag.alias("diag_agree"),
+        F.when(
+            n * n - spp != 0,
+            F.round(
+                (n * diag - spp).cast("double")
+                / (n * n - spp).cast("double"),
+                6,
+            ),
+        ).alias("kappa"),
+        F.when(
+            swrc != 0,
+            F.round(
+                F.lit(1.0) - (n * swo).cast("double") / swrc.cast("double"),
+                6,
+            ),
+        ).alias("kappa_linear"),
+    )
+
+
+@query(
+    "stats_anderson_darling_segments",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT c_mktsegment,
+        ROW_NUMBER() OVER (
+          ORDER BY {_CENTS_SQL.format(c='c_acctbal')}, c_custkey) AS r,
+        COUNT(*) OVER () AS n
+      FROM customer
+    ),
+    segs AS (SELECT DISTINCT c_mktsegment AS seg FROM customer),
+    expanded AS (
+      SELECT s.seg, k.r, k.n,
+        CASE WHEN k.c_mktsegment = s.seg THEN 1 ELSE 0 END AS ind
+      FROM ranked k CROSS JOIN segs s
+    ),
+    walked AS (
+      SELECT seg, r, n,
+        CAST(SUM(ind) OVER (PARTITION BY seg ORDER BY r
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS m,
+        CAST(SUM(ind) OVER (PARTITION BY seg) AS BIGINT) AS n1
+      FROM expanded
+    ),
+    terms AS (
+      SELECT seg, n1, n,
+        CAST(ROUND(
+          (CAST(m * n - n1 * r AS DOUBLE) * CAST(m * n - n1 * r AS DOUBLE))
+          / (CAST(r AS DOUBLE) * CAST(n - r AS DOUBLE)), 6)
+          AS DECIMAL(38,6)) AS t
+      FROM walked WHERE r < n
+    )
+    SELECT seg AS segment,
+      CAST(MAX(n1) AS BIGINT) AS n1,
+      CAST(MAX(n) - MAX(n1) AS BIGINT) AS n2,
+      CASE WHEN MAX(n1) > 0 AND MAX(n) - MAX(n1) > 0 THEN
+        ROUND(CAST(SUM(t) AS DOUBLE)
+              / (CAST(MAX(n1) AS DOUBLE) * CAST(MAX(n) - MAX(n1) AS DOUBLE)),
+              6) END AS a2
+    FROM terms GROUP BY seg
+    """,
+)
+def stats_anderson_darling_segments(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Two-sample Anderson-Darling statistic of account balance for each
+    market segment against the rest (Pettitt 1976 rank form): A2 =
+    (1/(n1*n2)) * sum_{i=1}^{N-1} (M_i*N - n1*i)^2 / (i*(N-i)), with
+    M_i = members of the segment among the i smallest pooled values —
+    the EDF test that out-weights the TAILS, completing the family next
+    to KS (sup-gap) and Mann-Whitney (location) and Ansari-Bradley
+    (scale). Same deterministic tie-broken ROW_NUMBER pooled ranking as
+    the MW test (documented deviation from SciPy's midrank variant).
+
+    Determinism: M_i*N - n1*i is exact BIGINT; the per-rank term divides
+    two exact integers in ONE double expression identical cross-engine,
+    rounds 6dp, and sums as DECIMAL(38,6) — order-free. Final A2 is one
+    double division, round-6.
+
+    At 100 TB: one sort of the customer DIMENSION serves all five
+    segment-vs-rest tests (the 5-row segment enum expands the ranking,
+    then one partitioned running-sum window per segment slice); the
+    two-phase partition-rank + offset merge replaces the global sort if
+    the dimension outgrows one task (lesson 41's selection rule)."""
+    c = load_table(spark, sf_dir, "customer")
+    ranked = c.select(
+        "c_mktsegment",
+        F.row_number()
+        .over(Window.orderBy(_cents("c_acctbal"), F.col("c_custkey")))
+        .cast("bigint")
+        .alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("bigint").alias("n"),
+    )
+    segs = c.select(F.col("c_mktsegment").alias("seg")).distinct()
+    expanded = ranked.crossJoin(segs).select(
+        "seg",
+        "r",
+        "n",
+        F.when(F.col("c_mktsegment") == F.col("seg"), 1)
+        .otherwise(0)
+        .alias("ind"),
+    )
+    wseg = Window.partitionBy("seg")
+    wrun = wseg.orderBy("r").rowsBetween(Window.unboundedPreceding, 0)
+    walked = expanded.select(
+        "seg",
+        "r",
+        "n",
+        F.sum("ind").over(wrun).cast("bigint").alias("m"),
+        F.sum("ind").over(wseg).cast("bigint").alias("n1"),
+    )
+    diff = (F.col("m") * F.col("n") - F.col("n1") * F.col("r")).cast("double")
+    term = F.round(
+        diff * diff / (F.col("r").cast("double") * (F.col("n") - F.col("r")).cast("double")),
+        6,
+    ).cast("decimal(38,6)")
+    terms = walked.where(F.col("r") < F.col("n")).select(
+        "seg", "n1", "n", term.alias("t")
+    )
+    return terms.groupBy(F.col("seg").alias("segment")).agg(
+        F.max("n1").cast("bigint").alias("n1"),
+        (F.max("n") - F.max("n1")).cast("bigint").alias("n2"),
+        # one-segment degenerate fixtures make n2 = 0: guard the final
+        # division (ANSI Spark throws; DuckDB double /0 is NULL, lesson 38)
+        F.when(
+            (F.max("n1") > 0) & (F.max("n") - F.max("n1") > 0),
+            F.round(
+                F.sum("t").cast("double")
+                / (
+                    F.max("n1").cast("double")
+                    * (F.max("n") - F.max("n1")).cast("double")
+                ),
+                6,
+            ),
+        ).alias("a2"),
+    )

@@ -3440,3 +3440,115 @@ def text_mtld_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rem_types",
         F.round(mtld, 6).alias("mtld_fwd"),
     )
+
+
+@query(
+    "text_tokenizer_vocab_ablation",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split_regex(TRIM(LOWER(text)), '\\s+'),
+                                t -> t != '')) AS tok
+      FROM documents
+    ),
+    vocab AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(LENGTH(tok) AS BIGINT) AS len
+      FROM toks GROUP BY tok
+    ),
+    ranked AS (
+      SELECT cnt, len,
+        ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS rk
+      FROM vocab
+    ),
+    cuts AS (SELECT unnest([4, 8, 16, 32]) AS vocab_cut),
+    cells AS (
+      SELECT c.vocab_cut, r.cnt, r.len, r.rk <= c.vocab_cut AS in_vocab
+      FROM cuts c CROSS JOIN ranked r
+    )
+    SELECT
+      CAST(vocab_cut AS INT) AS vocab_cut,
+      CAST(SUM(CASE WHEN in_vocab THEN 1 ELSE 0 END) AS BIGINT)
+        AS in_vocab_types,
+      CAST(SUM(CASE WHEN in_vocab THEN cnt ELSE 0 END) AS BIGINT)
+        AS covered_occurrences,
+      CAST(SUM(cnt) AS BIGINT) AS n_occurrences,
+      CAST(SUM(CASE WHEN in_vocab THEN cnt ELSE cnt * len END) AS BIGINT)
+        AS n_tokens,
+      ROUND(CAST(SUM(CASE WHEN in_vocab THEN cnt ELSE cnt * len END)
+                 AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE), 6)
+        AS tokens_per_word,
+      ROUND(CAST(SUM(cnt * len) AS DOUBLE)
+            / CAST(SUM(CASE WHEN in_vocab THEN cnt ELSE cnt * len END)
+                   AS DOUBLE), 6)
+        AS chars_per_token
+    FROM cells
+    GROUP BY vocab_cut
+    """,
+)
+def text_tokenizer_vocab_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer vocab-size ablation curve: the fertility/compression a
+    word-level tokenizer achieves at each vocabulary budget, with
+    character fallback for out-of-vocab words (the degenerate limit of
+    the BPE family: a word in the top-V vocab costs 1 token, an OOV word
+    falls back to its characters). Per cut V: tokens_per_word (fertility,
+    ->1.0 as V covers the vocabulary) and chars_per_token (compression,
+    rising with V) — the curve that sizes a tokenizer against a corpus.
+    Cuts at 4/8/16/32 because this synthetic corpus's vocabulary is ~31
+    types (lesson 9: cuts the data never reaches make degenerate rows);
+    real corpora ablate 8k..256k.
+
+    All integer arithmetic until the two final divisions (identical
+    operands both engines, round-6). At 100 TB: one tokenize pass into
+    the Heaps-bounded vocabulary rollup; the rank window sorts the
+    VOCABULARY, not the corpus; the cuts frame is a 4-row literal enum,
+    so the ablation grid is 4x vocab — no corpus re-scan per cut."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks_arr = F.filter(
+        F.split(F.trim(F.lower("text")), r"\s+"), lambda t: t != ""
+    )
+    toks = d.select(F.explode(toks_arr).alias("tok"))
+    vocab = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.length(F.first("tok")).cast("bigint").alias("len"),
+    )
+    ranked = vocab.select(
+        "cnt",
+        "len",
+        F.row_number()
+        .over(Window.orderBy(F.col("cnt").desc(), "tok"))
+        .alias("rk"),
+    )
+    cuts = spark.range(2, 6).selectExpr(
+        "shiftleft(1, cast(id AS int)) AS vocab_cut"
+    )
+    cells = cuts.crossJoin(ranked).select(
+        "vocab_cut",
+        "cnt",
+        "len",
+        (F.col("rk") <= F.col("vocab_cut")).alias("in_vocab"),
+    )
+    n_tokens = F.sum(
+        F.when(F.col("in_vocab"), F.col("cnt")).otherwise(
+            F.col("cnt") * F.col("len")
+        )
+    ).cast("bigint")
+    n_occ = F.sum("cnt").cast("bigint")
+    total_chars = F.sum(F.col("cnt") * F.col("len")).cast("bigint")
+    return cells.groupBy(F.col("vocab_cut").cast("int").alias("vocab_cut")).agg(
+        F.sum(F.when(F.col("in_vocab"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("in_vocab_types"),
+        F.sum(F.when(F.col("in_vocab"), F.col("cnt")).otherwise(0))
+        .cast("bigint")
+        .alias("covered_occurrences"),
+        n_occ.alias("n_occurrences"),
+        n_tokens.alias("n_tokens"),
+        F.round(
+            n_tokens.cast("double") / n_occ.cast("double"), 6
+        ).alias("tokens_per_word"),
+        F.round(
+            total_chars.cast("double") / n_tokens.cast("double"), 6
+        ).alias("chars_per_token"),
+    )
