@@ -1992,3 +1992,64 @@ def test_cuzick_trend_matches_python_reimplementation(spark, sf_dir):
     got = QUERIES["stats_cuzick_trend_priority"](spark, sf_dir).collect()[0]
     assert (got.n, got.t) == (n, tt)
     assert got.z_stat == pytest.approx(z, abs=1e-6)
+
+
+def test_r12_statistic_bounds(spark, sf_dir):
+    """Bounds/conservation battery for the round-12 entries (the r10/r11
+    invariant-test pattern): each statistic inside its definitional range,
+    each census conserving its inputs."""
+    q = lambda n: QUERIES[n](spark, sf_dir).collect()  # noqa: E731
+
+    kp = q("stats_cohens_kappa_raters")[0]
+    assert 0 <= kp.diag_agree <= kp.n_customers
+    assert kp.kappa is None or -1.0 <= kp.kappa <= 1.0
+    assert kp.kappa_linear is None or kp.kappa_linear <= 1.0
+
+    ad = q("stats_anderson_darling_segments")
+    assert len(ad) == 5
+    n_tot = ad[0].n1 + ad[0].n2
+    for r in ad:
+        assert r.n1 + r.n2 == n_tot and (r.a2 is None or r.a2 >= 0)
+
+    gh = q("events_gehan_wilcoxon_logrank")[0]
+    assert gh.n_event_days > 0
+    assert gh.chi2 is None or gh.chi2 >= 0
+
+    # DBSCAN extraction must conserve the census's core/border partition
+    census = q("geo_dbscan_core_census")[0]
+    clusters = q("geo_dbscan_clusters")
+    assert sum(r.n_core for r in clusters) == census.n_core
+    assert sum(r.n_border for r in clusters) == census.n_border
+    for r in clusters:
+        assert r.n_core >= 1  # every cluster contains at least one core
+        assert r.n_points == r.n_core + r.n_border
+
+    # banding ablation: the r=1 config is the recall baseline by
+    # construction; aligned-block containment makes verified counts
+    # monotone along r=1 -> r=2 -> r=4 (r=3 only nests under r<=2)
+    br = {(r.b, r.r): r for r in q("dedup_banding_br_ablation")}
+    assert set(br) == {(24, 1), (12, 2), (8, 3), (6, 4)}
+    assert br[(24, 1)].recall_vs_b24r1 == 1.0
+    for r in br.values():
+        assert 0 <= r.n_verified <= r.n_candidates
+        assert r.precision_at_04 is None or 0 <= r.precision_at_04 <= 1
+        assert 0 <= r.recall_vs_b24r1 <= 1
+        assert 0 < r.lsh_threshold < 1
+    assert br[(24, 1)].n_verified >= br[(12, 2)].n_verified >= br[(6, 4)].n_verified
+    assert br[(12, 2)].n_verified >= br[(8, 3)].n_verified
+
+    # vocab ablation: fertility >= 1 and monotone improvement with budget
+    va = sorted(q("text_tokenizer_vocab_ablation"), key=lambda r: r.vocab_cut)
+    for r in va:
+        assert r.tokens_per_word >= 1.0 and r.chars_per_token >= 1.0
+        assert r.covered_occurrences <= r.n_occurrences
+    for a, b in zip(va, va[1:]):
+        assert b.n_tokens <= a.n_tokens
+        assert b.covered_occurrences >= a.covered_occurrences
+
+    # edge support histogram conserves edges AND triangle incidences:
+    # sum(support * n_edges) = 3 * n_triangles, sum(n_edges) = n_edges
+    sup = q("graph_edge_triangle_support")
+    tc = q("graph_triangle_count")[0]
+    assert sum(r.n_edges for r in sup) == tc.n_edges
+    assert sum(r.support * r.n_edges for r in sup) == 3 * tc.n_triangles

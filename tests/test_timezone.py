@@ -121,6 +121,9 @@ DATE_SENSITIVE = [
     "events_rmst_conversion",
     "events_fleming_harrington_logrank",
     "geo_straightness_index",
+    # round-12 ts-sensitive addition: the Gehan weight rides the same
+    # NTZ day grid as the other log-rank members
+    "events_gehan_wilcoxon_logrank",
 ]
 
 
@@ -153,6 +156,8 @@ DST_SENSITIVE = [
     "events_logrank_signup_cohorts",
     "events_nelson_aalen_hazard",
     "geo_home_work_commute",
+    # r12: same day-grid construction
+    "events_gehan_wilcoxon_logrank",
 ]
 
 
