@@ -260,6 +260,8 @@ ADDITIONS: list[str] = [
     "geo_dbscan_clusters",
     "dedup_banding_br_ablation",
     "graph_edge_triangle_support",
+    "stats_brunner_munzel_segments",
+    "stats_two_pass_median_extendedprice",
 ]
 
 
