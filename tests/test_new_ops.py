@@ -2053,3 +2053,115 @@ def test_r12_statistic_bounds(spark, sf_dir):
     tc = q("graph_triangle_count")[0]
     assert sum(r.n_edges for r in sup) == tc.n_edges
     assert sum(r.support * r.n_edges for r in sup) == 3 * tc.n_triangles
+
+
+def test_gehan_logrank_matches_python_reimplementation(spark, sf_dir):
+    """Third implementation of the Gehan-Breslow-Wilcoxon log-rank: the
+    n_t-weighted O-E sum rebuilt in plain Python integers from the events
+    parquet (no Spark, no DuckDB) — the weighted sum must match EXACTLY
+    (it is pure BIGINT by construction)."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    import pyarrow.parquet as pq_
+
+    t = pq_.read_table(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts"]
+    ).to_pandas()
+    t["day"] = t["ts"].values.astype("datetime64[D]").astype(int)
+    signup, purchase, last = {}, {}, {}
+    for u, et, d_ in zip(t.user_id, t.event_type, t.day):
+        if et == "signup":
+            signup[u] = min(signup.get(u, d_), d_)
+        if et == "purchase":
+            purchase[u] = min(purchase.get(u, d_), d_)
+        last[u] = max(last.get(u, d_), d_)
+    max_day = max(last.values())
+    mid = (min(signup.values()) + max(signup.values())) // 2
+    d1c, c1c, d2c, c2c = (
+        defaultdict(int), defaultdict(int), defaultdict(int), defaultdict(int)
+    )
+    n1 = n2 = 0
+    for u, s in signup.items():
+        p = purchase.get(u)
+        conv = p is not None and p >= s
+        tt = (p - s) if conv else (max_day - s)
+        if s <= mid:
+            n1 += 1
+            c1c[tt] += 1
+            d1c[tt] += 1 if conv else 0
+        else:
+            n2 += 1
+            c2c[tt] += 1
+            d2c[tt] += 1 if conv else 0
+    at1, at2 = n1, n2
+    oe = 0
+    vd = Decimal(0)
+    n_days = 0
+    for tt in sorted(set(c1c) | set(c2c)):
+        dd = d1c[tt] + d2c[tt]
+        nn = at1 + at2
+        if dd > 0:
+            n_days += 1
+            oe += nn * d1c[tt] - dd * at1  # exact integer
+            if nn >= 2:
+                vd += Decimal(
+                    str(round(dd * at1 * at2 * (nn - dd) / (nn - 1), 6))
+                )
+        at1 -= c1c[tt]
+        at2 -= c2c[tt]
+    row = QUERIES["events_gehan_wilcoxon_logrank"](spark, sf_dir).collect()[0]
+    assert row.n_event_days == n_days
+    assert row.gehan_oe == oe
+    if row.chi2 is not None:
+        assert abs(row.chi2 - round(oe * oe / float(vd), 6)) < 1e-4
+
+
+def test_cohens_kappa_matches_python_reimplementation(spark, sf_dir):
+    """Third implementation of Cohen's kappa: NTILE(3) raters, the 3x3
+    contingency table, and both kappas rebuilt in plain Python from the
+    customer/orders parquet."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq_
+
+    c = pq_.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_acctbal"]
+    ).to_pydict()
+    o = pq_.read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"]
+    ).to_pydict()
+    n_orders = Counter(o["o_custkey"])
+
+    def ntile3(keys_sorted):
+        n = len(keys_sorted)
+        base, extra = divmod(n, 3)
+        out, pos = {}, 0
+        for b in range(3):
+            size = base + (1 if b < extra else 0)
+            for k in keys_sorted[pos : pos + size]:
+                out[k] = b + 1
+            pos += size
+        return out
+
+    cents = {k: round(v * 100) for k, v in zip(c["c_custkey"], c["c_acctbal"])}
+    by_acct = sorted(cents, key=lambda k: (cents[k], k))
+    by_ord = sorted(cents, key=lambda k: (n_orders.get(k, 0), k))
+    ra, rb = ntile3(by_acct), ntile3(by_ord)
+    cells = Counter((ra[k], rb[k]) for k in cents)
+    n = sum(cells.values())
+    diag = sum(v for (i, j), v in cells.items() if i == j)
+    rows = Counter()
+    cols = Counter()
+    for (i, j), v in cells.items():
+        rows[i] += v
+        cols[j] += v
+    spp = sum(rows[i] * cols[i] for i in (1, 2, 3))
+    swo = sum(abs(i - j) * v for (i, j), v in cells.items())
+    swrc = sum(
+        abs(i - j) * rows[i] * cols[j] for i in (1, 2, 3) for j in (1, 2, 3)
+    )
+    row = QUERIES["stats_cohens_kappa_raters"](spark, sf_dir).collect()[0]
+    assert row.n_customers == n and row.diag_agree == diag
+    assert abs(row.kappa - round((n * diag - spp) / (n * n - spp), 6)) < 1e-9
+    assert abs(row.kappa_linear - round(1 - n * swo / swrc, 6)) < 1e-9
