@@ -262,6 +262,7 @@ ADDITIONS: list[str] = [
     "graph_edge_triangle_support",
     "stats_brunner_munzel_segments",
     "stats_two_pass_median_extendedprice",
+    "layout_compaction_census",
 ]
 
 

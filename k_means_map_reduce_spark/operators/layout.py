@@ -234,3 +234,50 @@ def _zidx_artifacts(spark: SparkSession, sf_dir: str, e: DataFrame):
     index = build_file_index(spark, path, "user_id").persist()
     _ZIDX_CACHE.put(spark, os.path.abspath(sf_dir), (path, index))
     return path, index
+
+
+@query(
+    "layout_compaction_census",
+    oracle="""
+    WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM orders)
+    SELECT
+      CAST(16 AS INT) AS files_before,
+      CAST((n_rows + ((n_rows + 3) // 4) - 1) // ((n_rows + 3) // 4)
+           AS INT) AS files_after,
+      n_rows,
+      n_rows AS rows_after
+    FROM n
+    """,
+)
+def layout_compaction_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction exercised END-TO-END as a registered query:
+    stage the orders table as 16 parquet files (the streaming-ingest
+    fragmentation shape), run sources/sinks.compact_files with a
+    quarter-table target, and report (files_before, files_after, rows
+    before/after) — the silent killer of 100 TB tables is file count
+    (every file = a task + an open + a footer parse), and this registers
+    the maintenance pass that fixes it, with row conservation as the
+    correctness claim. Deterministic: 16 is pinned by repartition(16),
+    files_after = ceil(n / ceil(n/4)) is pure integer arithmetic the
+    oracle recomputes from COUNT(*) alone."""
+    import math
+    import shutil
+    import tempfile
+
+    o = load_table(spark, sf_dir, "orders")
+    path = tempfile.mkdtemp(prefix="kmmr_compact_") + "/orders"
+    o.repartition(16).write.parquet(path)
+    n = spark.read.parquet(path).count()
+    from ..sources.sinks import compact_files
+
+    before, after = compact_files(
+        spark, path, target_rows_per_file=math.ceil(n / 4)
+    )
+    rows_after = spark.read.parquet(path).count()
+    shutil.rmtree(path, ignore_errors=True)
+    return spark.range(1).select(
+        F.lit(before).cast("int").alias("files_before"),
+        F.lit(after).cast("int").alias("files_after"),
+        F.lit(n).cast("bigint").alias("n_rows"),
+        F.lit(rows_after).cast("bigint").alias("rows_after"),
+    )
