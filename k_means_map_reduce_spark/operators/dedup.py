@@ -2717,7 +2717,10 @@ def dedup_banding_br_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fill the memo (and reuse everything if it is already warm)
     dedup_minhash_banding_pairs(spark, sf_dir)
     hs_df = _BANDING_PAIRS_CACHE.get(spark, sf_dir)[2]
-    sig = _pmh_signatures(hs_df, _PMH_PERMS24)
+    # four per-config band frames each consume sig: checkpoint the small
+    # (n_docs x 25) signature frame so the explode+min aggregation over
+    # the shingle sets runs once, not once per config
+    sig = _pmh_signatures(hs_df, _PMH_PERMS24).localCheckpoint(eager=True)
     n = len(_PMH_PERMS24)
     band_frames = []
     for b, r in _BR_CONFIGS:

@@ -1748,6 +1748,10 @@ def geo_dbscan_core_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 # DBSCAN neighbor pairs — consumed by the core census, the border pass,
 # and the cluster extraction
 _DBSCAN_PAIRS_CACHE = SessionMemo("geo.dbscan_pairs")
+# core/noise flags: a dimension-scale rollup over the persisted pairs,
+# consumed by several branches in BOTH the census and the extraction —
+# memoized or the nbr aggregation re-runs once per consumer
+_DBSCAN_FLAGS_CACHE = SessionMemo("geo.dbscan_flags")
 
 
 def _dbscan_parts(
@@ -1795,20 +1799,23 @@ def _dbscan_parts(
         .where((F.col("b_id") != F.col("a_id")) & (d2 <= 25_000_000))
         .select("a_id", "b_id"),
     )
-    nbr = pairs.groupBy("a_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_nbrs")
-    )
-    flags = (
-        celled.select("custkey")
-        .join(nbr, F.col("a_id") == F.col("custkey"), "left")
-        .select(
-            "custkey",
-            F.coalesce(F.col("n_nbrs"), F.lit(0)).alias("n_nbrs"),
-            F.when(F.coalesce(F.col("n_nbrs"), F.lit(0)) >= 4, 1)
-            .otherwise(0)
-            .alias("is_core"),
+    def _flags() -> DataFrame:
+        nbr = pairs.groupBy("a_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nbrs")
         )
-    )
+        return (
+            celled.select("custkey")
+            .join(nbr, F.col("a_id") == F.col("custkey"), "left")
+            .select(
+                "custkey",
+                F.coalesce(F.col("n_nbrs"), F.lit(0)).alias("n_nbrs"),
+                F.when(F.coalesce(F.col("n_nbrs"), F.lit(0)) >= 4, 1)
+                .otherwise(0)
+                .alias("is_core"),
+            )
+        )
+
+    flags = memo_persist(_DBSCAN_FLAGS_CACHE, spark, sf_dir, _flags)
     return celled, pairs, flags
 
 
@@ -2046,37 +2053,41 @@ def geo_straightness_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     seg_len = F.round(
         F.sqrt((dlat * dlat + dlon * dlon).cast("double")), 6
     ).cast("decimal(18,6)")
-    segs = (
-        seq.select("user_id", "day", seg_len.alias("sl"))
+    # ONE aggregation carries both the path-length fold and the endpoint
+    # displacement (max_by/min_by on rn) — the previous segs/ends split
+    # re-ran the walk + window pass once per branch (scan audit:
+    # events x2 with InMemoryTableScan=0); same rounding chain as before.
+    both = (
+        seq.select(
+            "user_id", "day", "rn", "n", "ilat", "ilon", seg_len.alias("sl")
+        )
         .groupBy("user_id", "day")
-        .agg(F.sum("sl").cast("double").alias("path_len"))
-    )
-    ends = seq.groupBy("user_id", "day").agg(
-        (
-            (F.max_by("ilat", "rn") - F.min_by("ilat", "rn"))
-            * (F.max_by("ilat", "rn") - F.min_by("ilat", "rn"))
-            + (F.max_by("ilon", "rn") - F.min_by("ilon", "rn"))
-            * (F.max_by("ilon", "rn") - F.min_by("ilon", "rn"))
-        ).alias("d2"),
-        F.max("n").cast("bigint").alias("n_fixes"),
-    ).select(
-        "user_id",
-        "day",
-        F.round(F.sqrt(F.col("d2").cast("double")), 6).alias("net_disp"),
-        "n_fixes",
-    )
-    return (
-        ends.join(segs, ["user_id", "day"])
-        .where(F.col("n_fixes") >= 3)
+        .agg(
+            F.sum("sl").cast("double").alias("path_len"),
+            (
+                (F.max_by("ilat", "rn") - F.min_by("ilat", "rn"))
+                * (F.max_by("ilat", "rn") - F.min_by("ilat", "rn"))
+                + (F.max_by("ilon", "rn") - F.min_by("ilon", "rn"))
+                * (F.max_by("ilon", "rn") - F.min_by("ilon", "rn"))
+            ).alias("d2"),
+            F.max("n").cast("bigint").alias("n_fixes"),
+        )
         .select(
             "user_id",
             "day",
             "n_fixes",
-            F.round("path_len", 2).alias("path_len"),
-            F.round("net_disp", 2).alias("net_disp"),
-            F.when(
-                F.col("path_len") > 0,
-                F.round(F.col("net_disp") / F.col("path_len"), 6),
-            ).alias("straightness"),
+            "path_len",
+            F.round(F.sqrt(F.col("d2").cast("double")), 6).alias("net_disp"),
         )
+    )
+    return both.where(F.col("n_fixes") >= 3).select(
+        "user_id",
+        "day",
+        "n_fixes",
+        F.round("path_len", 2).alias("path_len"),
+        F.round("net_disp", 2).alias("net_disp"),
+        F.when(
+            F.col("path_len") > 0,
+            F.round(F.col("net_disp") / F.col("path_len"), 6),
+        ).alias("straightness"),
     )

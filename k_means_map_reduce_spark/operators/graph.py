@@ -1442,7 +1442,13 @@ def graph_edge_triangle_support(
     closer = oe.select(
         F.least("src", "dst").alias("x"), F.greatest("src", "dst").alias("z")
     )
-    tri = wedges.join(closer.hint("SHUFFLE_HASH"), ["x", "z"])
+    # the 3-way unionAll below consumes tri once per branch: without a
+    # lineage cut the O(E^1.5) closure join runs THREE times (scan audit
+    # caught lineitem x273 in the executed plan)
+    tri = (
+        wedges.join(closer.hint("SHUFFLE_HASH"), ["x", "z"])
+        .localCheckpoint(eager=True)
+    )
     edges3 = (
         tri.select(
             F.least("w0", "x").alias("eu"), F.greatest("w0", "x").alias("ev")

@@ -4576,9 +4576,12 @@ def stats_cohens_kappa_raters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("j"),
         )
     )
+    # cells feeds the marginals AND the consts aggregate: an eager
+    # localCheckpoint of the 9-row grid keeps the two NTILE global sorts
+    # from re-running once per consumer (scan-audit lesson 15/27)
     cells = rated.groupBy("i", "j").agg(
         F.count(F.lit(1)).cast("bigint").alias("o")
-    )
+    ).localCheckpoint(eager=True)
     rows_m = cells.groupBy("i").agg(F.sum("o").cast("bigint").alias("r"))
     cols_m = cells.groupBy("j").agg(F.sum("o").cast("bigint").alias("c"))
     grid = rows_m.crossJoin(cols_m)
@@ -4956,11 +4959,14 @@ def stats_two_pass_median_extendedprice(
     cents = load_table(spark, sf_dir, "lineitem").select(
         F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("v")
     )
+    # bounds is consumed by both passes and the probe: checkpoint the
+    # 1-row frame so the min/max/count scan runs once (at 100 TB these
+    # bounds come from table stats, not a scan at all)
     bounds = cents.agg(
         F.min("v").alias("lo"),
         F.max("v").alias("hi"),
         F.count(F.lit(1)).cast("bigint").alias("n"),
-    )
+    ).localCheckpoint(eager=True)
     bucket = F.floor(
         ((F.col("v") - F.col("lo")) * 1024).cast("double")
         / (F.col("hi") - F.col("lo") + 1).cast("double")
@@ -4990,6 +4996,8 @@ def stats_two_pass_median_extendedprice(
             F.col("cnt").alias("bucket_rows"),
             (F.col("k") - F.col("before")).alias("offset_in_bucket"),
         )
+        # 1-row probe: checkpoint so pass 2's join doesn't re-run pass 1
+        .localCheckpoint(eager=True)
     )
     in_bucket = bucketed.join(
         probe, F.col("b") == F.col("probe_bucket")

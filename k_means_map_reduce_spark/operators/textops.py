@@ -3258,9 +3258,13 @@ def text_term_dispersion_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda t: t != "",
     )
     toks = d.select("source", F.explode(ws).alias("tok"))
+    # term_src feeds the source totals, the term totals AND the grid
+    # join: checkpoint the vocabulary x source rollup so the tokenize +
+    # explode pass runs once, not once per consumer (scan audit:
+    # documents x4 with InMemoryTableScan=0)
     term_src = toks.groupBy("tok", "source").agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
-    )
+    ).localCheckpoint(eager=True)
     src_tot = term_src.groupBy(F.col("source").alias("src")).agg(
         F.sum("c").cast("bigint").alias("st")
     )
