@@ -495,14 +495,27 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _min_label_components(pairs)
 
 
-def _min_label_components(pairs: DataFrame) -> DataFrame:
+def _min_label_components(
+    pairs: DataFrame, shortcut: bool = False
+) -> DataFrame:
     """Min-label propagation to a fixpoint over an undirected pair list.
 
     Per round: every node takes the min of its own label and its neighbors'
     (one shuffle join + one aggregation), stopping when no label changes.
     Rounds = graph diameter; dedup graphs (small dense clusters) finish in
-    2-3. At trillion-edge scale the same loop with large-star/small-star
-    rewrites (Kiveris et al., SoCC'14) converges in O(log² n) rounds.
+    2-3 and use the plain loop. With shortcut=True each round ALSO takes
+    the min of its label's CURRENT label (pointer jumping / hash-to-min —
+    one extra labels-self-join per round), which collapses label chains
+    geometrically: rounds drop from O(diameter) to O(log diameter). The
+    DBSCAN core graph needs this — its components are long spatial chains
+    (measured diameter 9 at sf0.01, far larger at sf0.1; the plain loop
+    cost geo_dbscan_clusters 24 s warm at sf0.1, the shortcut loop
+    converges in a handful of rounds). Shortcutting is sound: a node's
+    label is always a node of the same component, so label-of-label stays
+    within the component and the min is still monotone toward the
+    component minimum. At trillion-edge scale the same loop with
+    large-star/small-star rewrites (Kiveris et al., SoCC'14) is the
+    O(log² n) formulation; the per-round dataflow is unchanged.
     Shared by the oracled (jaccard-pair) and LSH (banding-pair) variants.
     """
     edges = pairs.toDF("doc_a", "doc_b")
@@ -540,14 +553,25 @@ def _min_label_components(pairs: DataFrame) -> DataFrame:
         # the cache did, but resets lineage so every round's plan is
         # constant-size; blocks are reclaimed by the ContextCleaner when
         # the previous round's frame drops out of scope.
-        new_full = (
-            labels.select("node", "label", F.col("label").alias("old"))
-            .unionByName(
-                neighbor_min.select(
-                    "node", "label", F.lit(None).cast(ltype).alias("old")
-                )
+        branches = labels.select(
+            "node", "label", F.col("label").alias("old")
+        ).unionByName(
+            neighbor_min.select(
+                "node", "label", F.lit(None).cast(ltype).alias("old")
             )
-            .groupBy("node")
+        )
+        if shortcut:
+            la, lb = labels.alias("la"), labels.alias("lb")
+            label_of_label = la.join(
+                lb, F.col("la.label") == F.col("lb.node")
+            ).select(
+                F.col("la.node").alias("node"),
+                F.col("lb.label").alias("label"),
+                F.lit(None).cast(ltype).alias("old"),
+            )
+            branches = branches.unionByName(label_of_label)
+        new_full = (
+            branches.groupBy("node")
             .agg(F.min("label").alias("label"), F.max("old").alias("old"))
             .localCheckpoint(eager=True)
         )
@@ -2805,4 +2829,99 @@ def dedup_banding_br_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.pow(1.0 / F.col("b").cast("double"), 1.0 / F.col("r").cast("double")),
             6,
         ).alias("lsh_threshold"),
+    )
+
+
+def _star_contraction_components(pairs: DataFrame) -> DataFrame:
+    """Connected components via alternating large-star / small-star edge
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) — O(log^2 n) rounds irrespective of diameter.
+
+    _min_label_components needs DIAMETER rounds (the minimum travels one
+    hop per round; a label-of-label shortcut collapses stale chains but
+    does NOT speed the frontier). Dedup pair graphs are dense blobs of
+    diameter 2-3, so the plain loop wins there; the DBSCAN core graph is
+    a long spatial mesh (diameter ~70+ at sf0.1 — the plain loop cost
+    24 s warm), where contraction wins decisively.
+
+    Per round: large-star connects every neighbor v > u to
+    m(u) = min(N(u) ∪ {u}); small-star connects every neighbor v <= u
+    (and u) to m(u). Both preserve connectivity and strictly contract
+    toward the star rooted at each component's minimum; fixpoint = edge
+    set stable (checked with a count + xxhash64 checksum, one cheap agg
+    per round). Every round's edge set is eagerly localCheckpointed —
+    constant-size plans, blocks reclaimed by the ContextCleaner.
+
+    Returns (doc_id, component) for every node IN the pair list, labeled
+    by the component minimum — the same contract as
+    _min_label_components."""
+    E = (
+        pairs.toDF("a", "b")
+        .where(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        E.select(F.col("u").alias("node"))
+        .unionByName(E.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def star(edges: DataFrame, large: bool) -> DataFrame:
+        sym = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        m = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        joined = sym.join(m, "u")
+        cond = F.col("v") > F.col("u") if large else F.col("v") <= F.col("u")
+        out = joined.where(cond).select(
+            F.least("v", "m").alias("u"), F.greatest("v", "m").alias("v")
+        )
+        if not large:
+            out = out.unionByName(
+                m.select(
+                    F.least("u", "m").alias("u"),
+                    F.greatest("u", "m").alias("v"),
+                )
+            )
+        return (
+            out.where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+
+    def sig(edges: DataFrame):
+        row = edges.agg(
+            F.count(F.lit(1)).alias("c"),
+            # DECIMAL(38,0): a BIGINT sum of 64-bit hashes overflows
+            # under ANSI (lesson 28's shape)
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return (row["c"], row["h"])
+
+    prev = sig(E)
+    while True:
+        E = star(star(E, large=True), large=False)
+        cur = sig(E)
+        if cur == prev:
+            break
+        prev = cur
+    labeled = (
+        E.select(F.col("v").alias("node"), F.col("u").alias("label"))
+        .groupBy("node")
+        .agg(F.min("label").alias("label"))
+    )
+    return (
+        nodes.join(labeled, "node", "left")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.coalesce(F.col("label"), F.col("node")).alias("component"),
+        )
+        .localCheckpoint(eager=True)
     )

@@ -1906,7 +1906,7 @@ def geo_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     otherwise drop. The oracle replays the whole pipeline: pair join,
     flags, core-edge fixpoint via recursive CTE, min-label border
     attachment."""
-    from .dedup import _min_label_components
+    from .dedup import _star_contraction_components
 
     _celled, pairs, flags = _dbscan_parts(spark, sf_dir)
     cores = flags.where(F.col("is_core") == 1).select("custkey")
@@ -1923,7 +1923,7 @@ def geo_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a_id", "b_id")
         .localCheckpoint(eager=True)
     )
-    comp = _min_label_components(core_edges).select(
+    comp = _star_contraction_components(core_edges).select(
         F.col("doc_id").alias("custkey"),
         F.col("component").alias("cluster_id"),
     )

@@ -2165,3 +2165,25 @@ def test_cohens_kappa_matches_python_reimplementation(spark, sf_dir):
     assert row.n_customers == n and row.diag_agree == diag
     assert abs(row.kappa - round((n * diag - spp) / (n * n - spp), 6)) < 1e-9
     assert abs(row.kappa_linear - round(1 - n * swo / swrc, 6)) < 1e-9
+
+
+def test_r12_wave2_statistic_bounds(spark, sf_dir):
+    """Bounds battery for the round-12 second wave."""
+    q = lambda n: QUERIES[n](spark, sf_dir).collect()  # noqa: E731
+
+    bm = q("stats_brunner_munzel_segments")
+    assert len(bm) == 5
+    n_tot = bm[0].n1 + bm[0].n2
+    for r in bm:
+        assert r.n1 + r.n2 == n_tot
+        assert 0.0 <= r.p_hat <= 1.0
+
+    med = q("stats_two_pass_median_extendedprice")[0]
+    assert med.bucket_rows >= 1 and 0 <= med.probe_bucket < 1024
+    # the bucket must be a small fraction of the table — the point of
+    # the two-pass selection (1024 buckets, roughly uniform cents)
+    assert med.bucket_rows < max(64, med.n_rows // 64)
+
+    comp = q("layout_compaction_census")[0]
+    assert comp.files_before == 16 and comp.files_after == 4
+    assert comp.rows_after == comp.n_rows
