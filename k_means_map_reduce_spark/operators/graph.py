@@ -894,9 +894,6 @@ def graph_local_clustering_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (count-invariant under orientation, so the simple DuckDB plan
     verifies the clever one).
     """
-    cached = _TRI_SUPPORT_CACHE.get(spark, sf_dir)
-    if cached is not None:
-        return cached
     und, oe = _copurchase_edges(spark, sf_dir)
     a, b = oe.alias("a"), oe.alias("b")
     wedges = a.join(
