@@ -263,6 +263,7 @@ ADDITIONS: list[str] = [
     "stats_brunner_munzel_segments",
     "stats_two_pass_median_extendedprice",
     "layout_compaction_census",
+    "graph_ktruss_edges",
 ]
 
 

@@ -1485,3 +1485,157 @@ def graph_edge_triangle_support(
     )
     _TRI_SUPPORT_CACHE.put(spark, sf_dir, out)
     return out
+
+
+# 1-row result built by three full support recomputations — memoized like
+# the other closure-family results
+_KTRUSS_CACHE = SessionMemo("graph.ktruss")
+
+
+def _ktruss_oracle_sql() -> str:
+    """Unrolled 3-round 4-truss peel: e0 -> e1 -> e2 -> e3, each round
+    keeping edges with triangle support >= k-2 = 2 on the SURVIVING
+    subgraph. Support is orientation-invariant, so the naive id-oriented
+    triangle enumeration verifies the degree-ordered Spark plan."""
+    parts = [
+        """
+    WITH li AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ), e0 AS MATERIALIZED (
+      SELECT DISTINCT a.pk AS u, b.pk AS v
+      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+    )"""
+    ]
+    for i in range(1, 4):
+        p, c = f"e{i - 1}", f"e{i}"
+        parts.append(
+            # MATERIALIZED throughout: every CTE here is referenced 3-4
+            # times and DuckDB re-inlines plain CTEs — ~4^rounds subtree
+            # re-executions otherwise (the graph_kcore_members lesson)
+            f""", tri{i} AS MATERIALIZED (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM {p} e1 JOIN {p} e2 ON e1.v = e2.u
+                  JOIN {p} e3 ON e3.u = e1.u AND e3.v = e2.v
+    ), sup{i} AS MATERIALIZED (
+      SELECT u, v, CAST(COUNT(*) AS BIGINT) AS sup FROM (
+        SELECT a AS u, b AS v FROM tri{i}
+        UNION ALL SELECT b AS u, c AS v FROM tri{i}
+        UNION ALL SELECT a AS u, c AS v FROM tri{i}
+      ) GROUP BY u, v
+    ), {c} AS MATERIALIZED (
+      SELECT e.u, e.v FROM {p} e
+      JOIN sup{i} s ON s.u = e.u AND s.v = e.v AND s.sup >= 2
+    )"""
+        )
+    parts.append(
+        """
+    SELECT CAST(4 AS INT) AS k, CAST(3 AS INT) AS rounds,
+      CAST((SELECT COUNT(*) FROM e3) AS BIGINT) AS n_edges_truss,
+      CAST((SELECT COUNT(DISTINCT node) FROM (
+         SELECT u AS node FROM e3 UNION ALL SELECT v AS node FROM e3))
+         AS BIGINT) AS n_nodes_truss,
+      CAST((SELECT COUNT(*) FROM e2) - (SELECT COUNT(*) FROM e3)
+         AS BIGINT) AS removed_last_round
+    """
+    )
+    return "".join(parts)
+
+
+@query("graph_ktruss_edges", oracle=_ktruss_oracle_sql())
+def graph_ktruss_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-truss extraction over the co-purchase graph: iteratively peel
+    edges whose triangle support on the SURVIVING subgraph falls below
+    k-2 = 2 — the community-core primitive one level above the support
+    census (every edge in a k-truss sits in >= k-2 triangles with both
+    endpoints inside; trusses are the cohesive cores k-core over-
+    approximates). THREE peel rounds are unrolled IDENTICALLY in both
+    engines — deterministic whether or not the peel has converged — and
+    the output carries removed_last_round so convergence is visible
+    in-band (0 = round 3 was a fixpoint; the invariant battery asserts
+    it at test scale).
+
+    Each round recomputes support with the same degree-ordered compact-
+    forward closure as the census (O(E^1.5) wedges, SHUFFLE_HASH
+    closure), orientation re-derived on the shrinking edge set, each
+    round's survivor list eagerly checkpointed (lesson 42). Result is
+    1 row — memoized per (session, sf_dir)."""
+    cached = _KTRUSS_CACHE.get(spark, sf_dir)
+    if cached is not None:
+        return cached
+    und, _oe = _copurchase_edges(spark, sf_dir)
+    E = und.select(
+        F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+    ).localCheckpoint(eager=True)
+    counts = []
+    for _ in range(3):
+        deg = (
+            E.select(F.col("u").alias("node"))
+            .unionAll(E.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+        dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+        ranked = E.join(du, "u").join(dv, "v")
+        lower_first = (F.col("du") < F.col("dv")) | (
+            (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+        )
+        oe = ranked.select(
+            F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        )
+        a, b = oe.alias("a"), oe.alias("b")
+        wedges = a.join(
+            b,
+            (F.col("a.src") == F.col("b.src"))
+            & (F.col("a.dst") < F.col("b.dst")),
+        ).select(
+            F.col("a.src").alias("w0"),
+            F.col("a.dst").alias("x"),
+            F.col("b.dst").alias("z"),
+        )
+        closer = oe.select(
+            F.least("src", "dst").alias("x"),
+            F.greatest("src", "dst").alias("z"),
+        )
+        tri = wedges.join(closer.hint("SHUFFLE_HASH"), ["x", "z"])
+        edges3 = (
+            tri.select(
+                F.least("w0", "x").alias("u"),
+                F.greatest("w0", "x").alias("v"),
+            )
+            .unionAll(
+                tri.select(
+                    F.least("w0", "z").alias("u"),
+                    F.greatest("w0", "z").alias("v"),
+                )
+            )
+            .unionAll(tri.select(F.col("x").alias("u"), F.col("z").alias("v")))
+        )
+        sup = edges3.groupBy("u", "v").agg(
+            F.count(F.lit(1)).alias("sup")
+        )
+        E = (
+            E.join(sup, ["u", "v"])
+            .where(F.col("sup") >= 2)
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        counts.append(E.count())
+    nodes = (
+        E.select(F.col("u").alias("node"))
+        .unionAll(E.select(F.col("v").alias("node")))
+        .agg(F.countDistinct("node").cast("bigint").alias("n"))
+        .collect()[0]["n"]
+    )
+    out = spark.range(1).select(
+        F.lit(4).cast("int").alias("k"),
+        F.lit(3).cast("int").alias("rounds"),
+        F.lit(counts[2]).cast("bigint").alias("n_edges_truss"),
+        F.lit(nodes).cast("bigint").alias("n_nodes_truss"),
+        F.lit(counts[1] - counts[2]).cast("bigint").alias(
+            "removed_last_round"
+        ),
+    )
+    _KTRUSS_CACHE.put(spark, sf_dir, out)
+    return out

@@ -2187,3 +2187,18 @@ def test_r12_wave2_statistic_bounds(spark, sf_dir):
     comp = q("layout_compaction_census")[0]
     assert comp.files_before == 16 and comp.files_after == 4
     assert comp.rows_after == comp.n_rows
+
+
+def test_ktruss_nested_in_support_census(spark, sf_dir):
+    """The 4-truss is the support-filtered cohesive core: its edge count
+    can't exceed the edges with support >= 2 in the FULL-graph census
+    (peeling only removes more), and the unrolled 3 rounds must have
+    converged on this data (removed_last_round = 0)."""
+    kt = QUERIES["graph_ktruss_edges"](spark, sf_dir).collect()[0]
+    sup = QUERIES["graph_edge_triangle_support"](spark, sf_dir).collect()
+    ge2 = sum(r.n_edges for r in sup if r.support >= 2)
+    assert kt.k == 4 and kt.rounds == 3
+    assert kt.removed_last_round == 0
+    assert 0 <= kt.n_edges_truss <= ge2
+    if kt.n_edges_truss:
+        assert kt.n_nodes_truss >= 3
