@@ -8,18 +8,20 @@ Each query is executed to completion (count() materializes the full plan);
 the session is warmed once with a trivial job so JVM startup isn't billed to
 the first query.
 
-Set shape (round 12 fold):
-  - HEADLINE = LEGACY56 + R7..R11_FOLDED (146 queries). "value" is the
-    warm total of all 146 — the round-over-round headline from round 12 on.
+Set shape (round 13 fold):
+  - HEADLINE = LEGACY56 + R7..R12_FOLDED (158 queries). "value" is the
+    warm total of all 158 — the round-over-round headline from round 13 on.
   - The stdout per-query map carries only LEGACY56 (the driver
-    tail-truncates stdout at ~2000 chars; 146 names don't fit even at 1dp),
-    plus "value_prev79" (round-9 comparability), "value_prev96" (round-10)
-    and "value_prev117" (round-11). value_prev56/value_prev66 retired from
-    stdout this round (lesson 40: adding value_prev117 pushed the 1dp worst
-    case to 1962 > 1950); they live on in bench_detail.json with full
-    cold+warm per-query for all 146.
-  - ADDITIONS = round-12 operator additions, benched identically but
-    reported detail-only this round (the r7..r11 pattern); they fold into
+    tail-truncates stdout at ~2000 chars; 158 names don't fit even at 1dp),
+    plus "value_prev79" (round-9 comparability), "value_prev96" (round-10),
+    "value_prev117" (round-11) and "value_prev146" (round-12).
+    value_prev56/value_prev66 retired from stdout in round 12 (lesson 40);
+    they live on in bench_detail.json with full cold+warm per-query for all
+    158. Round-13 re-check: the 1dp worst case with all four prev keys is
+    1939 < 1950, so prev79 survives one more round — the NEXT key added
+    forces a retirement.
+  - ADDITIONS = round-13 operator additions, benched identically but
+    reported detail-only this round (the r7..r12 pattern); they fold into
     HEADLINE next round once this round's totals exist as the baseline.
 
 Measurement-semantics note (r10 ADVICE item 3): since round 10,
@@ -239,19 +241,9 @@ R11_FOLDED = [
     "geo_straightness_index",
 ]
 
-HEADLINE = (
-    LEGACY56 + R7_FOLDED + R8_FOLDED + R9_FOLDED + R10_FOLDED + R11_FOLDED
-)
-PREV56 = LEGACY56
-PREV66 = LEGACY56 + R7_FOLDED
-PREV79 = LEGACY56 + R7_FOLDED + R8_FOLDED
-PREV96 = LEGACY56 + R7_FOLDED + R8_FOLDED + R9_FOLDED
-PREV117 = LEGACY56 + R7_FOLDED + R8_FOLDED + R9_FOLDED + R10_FOLDED
-
-# Round-12 operator additions: benched identically, reported detail-only
-# (bench_detail.json "r12_additions*") so this round's 146-query totals land
-# clean as the new baseline; fold next round.
-ADDITIONS: list[str] = [
+# Round-12 operator additions, detail-only in round 12; folded into the
+# headline total from round 13 on (same arc as R7..R11_FOLDED).
+R12_FOLDED = [
     "text_mtld_diversity",
     "text_tokenizer_vocab_ablation",
     "stats_cohens_kappa_raters",
@@ -264,6 +256,29 @@ ADDITIONS: list[str] = [
     "stats_two_pass_median_extendedprice",
     "layout_compaction_census",
     "graph_ktruss_edges",
+]
+
+HEADLINE = (
+    LEGACY56
+    + R7_FOLDED
+    + R8_FOLDED
+    + R9_FOLDED
+    + R10_FOLDED
+    + R11_FOLDED
+    + R12_FOLDED
+)
+PREV56 = LEGACY56
+PREV66 = LEGACY56 + R7_FOLDED
+PREV79 = LEGACY56 + R7_FOLDED + R8_FOLDED
+PREV96 = LEGACY56 + R7_FOLDED + R8_FOLDED + R9_FOLDED
+PREV117 = LEGACY56 + R7_FOLDED + R8_FOLDED + R9_FOLDED + R10_FOLDED
+PREV146 = PREV117 + R11_FOLDED
+
+# Round-13 operator additions: benched identically, reported detail-only
+# (bench_detail.json "r13_additions*") so this round's 158-query totals land
+# clean as the new baseline; fold next round.
+ADDITIONS: list[str] = [
+    "timeseries_acf_pacf_table",
 ]
 
 
@@ -312,6 +327,7 @@ def main() -> None:
         "prev79": PREV79,
         "prev96": PREV96,
         "prev117": PREV117,
+        "prev146": PREV146,
     }
     prev_warm = {
         k: round(sum(warm[n] for n in names), 3)
@@ -324,10 +340,10 @@ def main() -> None:
     # The driver records only the LAST ~2000 chars of stdout: rounds 1-3
     # emitted one ~4.5KB line (cold+warm per-query) whose head got cut, so
     # BENCH_r{1..3}.json all have parsed=null. stdout therefore carries ONE
-    # COMPACT line — LEGACY56 warm per-query at 2dp plus the 146-query totals
-    # and the 79/96/117-query continuity totals (prev56/prev66 retired to
+    # COMPACT line — LEGACY56 warm per-query at 2dp plus the 158-query totals
+    # and the 79/96/117/146-query continuity totals (prev56/prev66 retired to
     # bench_detail.json, lesson 40) — and the full-precision cold+warm detail
-    # for all 146 goes to bench_detail.json.
+    # for all 158 goes to bench_detail.json.
     detail = {
         "metric": "headline_queries_total",
         "value": total,
@@ -336,9 +352,9 @@ def main() -> None:
         "queries_warm": warm,
         "value_warm": total_warm,
         "sf": sf,
-        "r12_additions": add_timings,
-        "r12_additions_warm": add_warm,
-        "r12_additions_warm_total": round(sum(add_warm.values()), 3),
+        "r13_additions": add_timings,
+        "r13_additions_warm": add_warm,
+        "r13_additions_warm_total": round(sum(add_warm.values()), 3),
     }
     for k in prev_sets:
         detail[f"value_{k}"] = prev_cold[k]
@@ -356,6 +372,7 @@ def main() -> None:
             "value_prev79": prev_warm["prev79"],
             "value_prev96": prev_warm["prev96"],
             "value_prev117": prev_warm["prev117"],
+            "value_prev146": prev_warm["prev146"],
             "sf": sf,
         }
 

@@ -495,27 +495,20 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _min_label_components(pairs)
 
 
-def _min_label_components(
-    pairs: DataFrame, shortcut: bool = False
-) -> DataFrame:
+def _min_label_components(pairs: DataFrame) -> DataFrame:
     """Min-label propagation to a fixpoint over an undirected pair list.
 
     Per round: every node takes the min of its own label and its neighbors'
     (one shuffle join + one aggregation), stopping when no label changes.
-    Rounds = graph diameter; dedup graphs (small dense clusters) finish in
-    2-3 and use the plain loop. With shortcut=True each round ALSO takes
-    the min of its label's CURRENT label (pointer jumping / hash-to-min —
-    one extra labels-self-join per round), which collapses label chains
-    geometrically: rounds drop from O(diameter) to O(log diameter). The
-    DBSCAN core graph needs this — its components are long spatial chains
-    (measured diameter 9 at sf0.01, far larger at sf0.1; the plain loop
-    cost geo_dbscan_clusters 24 s warm at sf0.1, the shortcut loop
-    converges in a handful of rounds). Shortcutting is sound: a node's
-    label is always a node of the same component, so label-of-label stays
-    within the component and the min is still monotone toward the
-    component minimum. At trillion-edge scale the same loop with
-    large-star/small-star rewrites (Kiveris et al., SoCC'14) is the
-    O(log² n) formulation; the per-round dataflow is unchanged.
+    Rounds = graph diameter, so this is the right loop ONLY for
+    small-diameter graphs: dedup pair graphs are dense blobs of diameter
+    2-3 and finish in 2-3 rounds. High-diameter meshes (the DBSCAN core
+    graph: diameter ~70+ at sf0.1, 24 s warm through this loop) use
+    _star_contraction_components instead — O(log² n) rounds irrespective
+    of diameter (a label-of-label shortcut was tried here first and does
+    NOT help: it collapses stale label chains but the frontier still
+    advances one hop per round). The algorithm-selection rule lives in
+    both docstrings and NEXT.md lesson 43.
     Shared by the oracled (jaccard-pair) and LSH (banding-pair) variants.
     """
     edges = pairs.toDF("doc_a", "doc_b")
@@ -560,16 +553,6 @@ def _min_label_components(
                 "node", "label", F.lit(None).cast(ltype).alias("old")
             )
         )
-        if shortcut:
-            la, lb = labels.alias("la"), labels.alias("lb")
-            label_of_label = la.join(
-                lb, F.col("la.label") == F.col("lb.node")
-            ).select(
-                F.col("la.node").alias("node"),
-                F.col("lb.label").alias("label"),
-                F.lit(None).cast(ltype).alias("old"),
-            )
-            branches = branches.unionByName(label_of_label)
         new_full = (
             branches.groupBy("node")
             .agg(F.min("label").alias("label"), F.max("old").alias("old"))
@@ -2905,13 +2888,28 @@ def _star_contraction_components(pairs: DataFrame) -> DataFrame:
         ).collect()[0]
         return (row["c"], row["h"])
 
+    # Backstop (r12 advice): convergence is detected by a (count,
+    # hash-sum) signature with no round cap, and the small-star here uses
+    # min over ALL neighbors rather than the paper's exact formulation —
+    # contraction is monotone in practice but unproven here, and a
+    # signature collision could stop early or an oscillation loop forever.
+    # 64 rounds = O(log² n) headroom for any graph that fits a cluster;
+    # hitting it means non-monotone behavior worth a loud failure, not a
+    # silent wrong answer.
+    max_rounds = 64
     prev = sig(E)
-    while True:
+    for _round in range(max_rounds):
         E = star(star(E, large=True), large=False)
         cur = sig(E)
         if cur == prev:
             break
         prev = cur
+    else:
+        raise RuntimeError(
+            "_star_contraction_components did not reach a fixpoint in "
+            f"{max_rounds} rounds — non-monotone contraction or a "
+            "signature oscillation; investigate before trusting labels"
+        )
     labeled = (
         E.select(F.col("v").alias("node"), F.col("u").alias("label"))
         .groupBy("node")

@@ -257,24 +257,33 @@ def layout_compaction_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     before/after) — the silent killer of 100 TB tables is file count
     (every file = a task + an open + a footer parse), and this registers
     the maintenance pass that fixes it, with row conservation as the
-    correctness claim. Deterministic: 16 is pinned by repartition(16),
-    files_after = ceil(n / ceil(n/4)) is pure integer arithmetic the
-    oracle recomputes from COUNT(*) alone."""
+    correctness claim. Deterministic: 16 is pinned by repartition(16)
+    (round-robin leaves no empty partitions while orders ≥ 16 rows —
+    1,500 at the smallest shipped SF), files_after = ceil(n / ceil(n/4))
+    is pure integer arithmetic the oracle recomputes from COUNT(*)
+    alone."""
     import math
     import shutil
     import tempfile
 
     o = load_table(spark, sf_dir, "orders")
-    path = tempfile.mkdtemp(prefix="kmmr_compact_") + "/orders"
-    o.repartition(16).write.parquet(path)
-    n = spark.read.parquet(path).count()
-    from ..sources.sinks import compact_files
+    # try/finally on the mkdtemp PARENT (r12 advice): rmtree'ing only the
+    # /orders subdir leaked one empty kmmr_compact_* dir per invocation
+    # (every warm bench rep), and a mid-run failure leaked the whole
+    # staged 16-file copy.
+    tmp_root = tempfile.mkdtemp(prefix="kmmr_compact_")
+    try:
+        path = tmp_root + "/orders"
+        o.repartition(16).write.parquet(path)
+        n = spark.read.parquet(path).count()
+        from ..sources.sinks import compact_files
 
-    before, after = compact_files(
-        spark, path, target_rows_per_file=math.ceil(n / 4)
-    )
-    rows_after = spark.read.parquet(path).count()
-    shutil.rmtree(path, ignore_errors=True)
+        before, after = compact_files(
+            spark, path, target_rows_per_file=math.ceil(n / 4)
+        )
+        rows_after = spark.read.parquet(path).count()
+    finally:
+        shutil.rmtree(tmp_root, ignore_errors=True)
     return spark.range(1).select(
         F.lit(before).cast("int").alias("files_before"),
         F.lit(after).cast("int").alias("files_after"),

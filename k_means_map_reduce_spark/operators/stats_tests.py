@@ -4928,12 +4928,12 @@ def stats_brunner_munzel_segments(
     SELECT
       CAST(b.n AS BIGINT) AS n_rows,
       m.median_cents,
-      CAST(floor(CAST((m.median_cents - b.lo) * 1024 AS DOUBLE)
-                 / (b.hi - b.lo + 1)) AS BIGINT) AS probe_bucket,
+      CAST(((m.median_cents - b.lo) * 1024)
+           // (b.hi - b.lo + 1) AS BIGINT) AS probe_bucket,
       CAST((SELECT COUNT(*) FROM cents c WHERE
-         floor(CAST((c.v - b.lo) * 1024 AS DOUBLE) / (b.hi - b.lo + 1))
-         = floor(CAST((m.median_cents - b.lo) * 1024 AS DOUBLE)
-                 / (b.hi - b.lo + 1))) AS BIGINT) AS bucket_rows
+         ((c.v - b.lo) * 1024) // (b.hi - b.lo + 1)
+         = ((m.median_cents - b.lo) * 1024)
+           // (b.hi - b.lo + 1)) AS BIGINT) AS bucket_rows
     FROM bounds b CROSS JOIN med m
     """,
 )
@@ -4951,11 +4951,13 @@ def stats_two_pass_median_extendedprice(
     where stats_hodges_lehmann_shift's calendar-bounded global rank
     would be the wrong shape (the judge-advisory rule, applied).
 
-    Everything before the final pick is exact integer arithmetic
-    (bucket = floor((v - lo)*1024 / (hi - lo + 1)) on cents); the output
-    is the k-th order statistic itself — no interpolation, no float.
-    The oracle cross-checks with a direct ORDER BY ... OFFSET pick plus
-    the same bucket metadata."""
+    Everything before the final pick is exact integer arithmetic —
+    bucket = (v - lo)*1024 DIV (hi - lo + 1) as BIGINT floor-division
+    (operands non-negative, so DIV == floor; the r12 advisory's
+    double-division route is gone on BOTH engines), k = (n + 1) DIV 2 —
+    and the output is the k-th order statistic itself: no interpolation,
+    no float anywhere. The oracle cross-checks with a direct
+    ORDER BY ... OFFSET pick plus the same bucket metadata."""
     cents = load_table(spark, sf_dir, "lineitem").select(
         F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("v")
     )
@@ -4967,10 +4969,9 @@ def stats_two_pass_median_extendedprice(
         F.max("v").alias("hi"),
         F.count(F.lit(1)).cast("bigint").alias("n"),
     ).localCheckpoint(eager=True)
-    bucket = F.floor(
-        ((F.col("v") - F.col("lo")) * 1024).cast("double")
-        / (F.col("hi") - F.col("lo") + 1).cast("double")
-    ).cast("bigint")
+    # BIGINT floor-division: (v-lo) ≥ 0 and the divisor > 0, so DIV's
+    # truncation IS floor; (v-lo)*1024 peaks ~1e10 at sf1 — no overflow.
+    bucket = F.expr("((v - lo) * 1024) div (hi - lo + 1)").cast("bigint")
     bucketed = cents.crossJoin(bounds).select(
         "v", "lo", "hi", "n", bucket.alias("b")
     )
@@ -4978,9 +4979,10 @@ def stats_two_pass_median_extendedprice(
         F.count(F.lit(1)).cast("bigint").alias("cnt")
     )
     wcum = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
-    k = (F.col("n") + 1) / 2
     probe = (
-        hist.crossJoin(bounds.select(F.floor(k).cast("bigint").alias("k")))
+        hist.crossJoin(
+            bounds.select(F.expr("(n + 1) div 2").cast("bigint").alias("k"))
+        )
         .select(
             "b",
             "cnt",

@@ -1596,6 +1596,206 @@ def _daily_cents(o):
 
 
 @query(
+    "timeseries_acf_pacf_table",
+    oracle=f"""
+    WITH daily AS ({_DAILY_CENTS_SQL}),
+    consts AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS t
+      FROM daily
+    ),
+    demeaned AS (
+      SELECT day, CAST(n * y - t AS BIGINT) AS e FROM daily CROSS JOIN consts
+    ),
+    led AS (
+      SELECT e,
+        LEAD(e, 1) OVER w AS e1, LEAD(e, 2) OVER w AS e2,
+        LEAD(e, 3) OVER w AS e3, LEAD(e, 4) OVER w AS e4,
+        LEAD(e, 5) OVER w AS e5
+      FROM demeaned
+      WINDOW w AS (ORDER BY day)
+    ),
+    sums AS (
+      SELECT
+        SUM(CAST(e AS DECIMAL(19,0)) * CAST(e AS DECIMAL(19,0))) AS den,
+        SUM(CAST(e AS DECIMAL(19,0)) * CAST(e1 AS DECIMAL(19,0))) AS s1,
+        SUM(CAST(e AS DECIMAL(19,0)) * CAST(e2 AS DECIMAL(19,0))) AS s2,
+        SUM(CAST(e AS DECIMAL(19,0)) * CAST(e3 AS DECIMAL(19,0))) AS s3,
+        SUM(CAST(e AS DECIMAL(19,0)) * CAST(e4 AS DECIMAL(19,0))) AS s4,
+        SUM(CAST(e AS DECIMAL(19,0)) * CAST(e5 AS DECIMAL(19,0))) AS s5
+      FROM led
+    ),
+    rho AS (
+      SELECT
+        ROUND(CAST(s1 AS DOUBLE) / CAST(den AS DOUBLE), 6) AS r1,
+        ROUND(CAST(s2 AS DOUBLE) / CAST(den AS DOUBLE), 6) AS r2,
+        ROUND(CAST(s3 AS DOUBLE) / CAST(den AS DOUBLE), 6) AS r3,
+        ROUND(CAST(s4 AS DOUBLE) / CAST(den AS DOUBLE), 6) AS r4,
+        ROUND(CAST(s5 AS DOUBLE) / CAST(den AS DOUBLE), 6) AS r5
+      FROM sums WHERE den > 0
+    ),
+    k2a AS (SELECT *, r1 AS p11, 1 - r1 * r1 AS d2 FROM rho),
+    k2b AS (SELECT *, CASE WHEN d2 <> 0
+        THEN ROUND((r2 - p11 * r1) / d2, 6) END AS p22 FROM k2a),
+    k2c AS (SELECT *, ROUND(p11 - p22 * p11, 6) AS p21 FROM k2b),
+    k3a AS (SELECT *,
+        r3 - (p21 * r2 + p22 * r1) AS n3,
+        1 - (p21 * r1 + p22 * r2) AS d3 FROM k2c),
+    k3b AS (SELECT *, CASE WHEN d3 <> 0
+        THEN ROUND(n3 / d3, 6) END AS p33 FROM k3a),
+    k3c AS (SELECT *, ROUND(p21 - p33 * p22, 6) AS p31,
+        ROUND(p22 - p33 * p21, 6) AS p32 FROM k3b),
+    k4a AS (SELECT *,
+        r4 - (p31 * r3 + p32 * r2 + p33 * r1) AS n4,
+        1 - (p31 * r1 + p32 * r2 + p33 * r3) AS d4 FROM k3c),
+    k4b AS (SELECT *, CASE WHEN d4 <> 0
+        THEN ROUND(n4 / d4, 6) END AS p44 FROM k4a),
+    k4c AS (SELECT *, ROUND(p31 - p44 * p33, 6) AS p41,
+        ROUND(p32 - p44 * p32, 6) AS p42,
+        ROUND(p33 - p44 * p31, 6) AS p43 FROM k4b),
+    k5a AS (SELECT *,
+        r5 - (p41 * r4 + p42 * r3 + p43 * r2 + p44 * r1) AS n5,
+        1 - (p41 * r1 + p42 * r2 + p43 * r3 + p44 * r4) AS d5 FROM k4c),
+    k5b AS (SELECT *, CASE WHEN d5 <> 0
+        THEN ROUND(n5 / d5, 6) END AS p55 FROM k5a)
+    SELECT CAST(k AS BIGINT) AS k, rho, pacf FROM (
+      SELECT unnest([1, 2, 3, 4, 5]) AS k,
+             unnest([r1, r2, r3, r4, r5]) AS rho,
+             unnest([p11, p22, p33, p44, p55]) AS pacf
+      FROM k5b
+    )
+    """,
+)
+def timeseries_acf_pacf_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-identification lag table on the daily-revenue series: ACF
+    rho_k at lags 1..5 (the same fixed-demeaning autocorrelations that
+    feed timeseries_ljung_box_daily) PLUS the partial autocorrelation
+    pacf_k via the Durbin-Levinson recursion unrolled to order 5 — the
+    Box-Jenkins AR(p)/MA(q) order-selection instrument (ACF cuts off for
+    MA, PACF cuts off for AR).
+
+    Cross-engine determinism: the ACF inputs are exact — the integer-
+    demean trick e'_t = n*y_t - T keeps every autocovariance a
+    DECIMAL(38,0) sum of BIGINT-cents products, and the n^2 scale cancels
+    in the ratio — and every Durbin-Levinson intermediate (each phi_kj)
+    is ROUNDED TO 6dp before the next step consumes it, so both engines
+    walk the recursion on identical IEEE-double inputs with identical
+    operation order (the established round-then-continue discipline).
+    Each reflection-coefficient division is when()-guarded on its
+    denominator (lesson 38: the guard sits on the projected term itself);
+    a zero denominator NULLs that and all deeper pacf values in BOTH
+    engines.
+
+    At 100 TB: orders collapses to day grain immediately; five LEADs ride
+    one ordered window over the ~2.4k-row series, the power sums are one
+    aggregate, and the whole recursion is expression algebra on a 1-row
+    frame."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = _daily_cents(o)
+    wall = Window.partitionBy()
+    demeaned = daily.select(
+        "day",
+        (
+            F.count(F.lit(1)).over(wall) * F.col("y") - F.sum("y").over(wall)
+        )
+        .cast("bigint")
+        .alias("e"),
+    )
+    w = Window.orderBy("day")
+    led = demeaned.select(
+        "e",
+        *[F.lead("e", k).over(w).alias(f"e{k}") for k in range(1, 6)],
+    )
+    d19 = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    sums = led.agg(
+        F.sum(d19("e") * d19("e")).alias("den"),
+        *[F.sum(d19("e") * d19(f"e{k}")).alias(f"s{k}") for k in range(1, 6)],
+    )
+    rho = sums.where(F.col("den") > 0).select(
+        *[
+            F.round(
+                F.col(f"s{k}").cast("double") / F.col("den").cast("double"), 6
+            ).alias(f"r{k}")
+            for k in range(1, 6)
+        ]
+    )
+    c = F.col
+    p = (
+        rho.withColumn("p11", c("r1"))
+        .withColumn("d2", F.lit(1) - c("r1") * c("r1"))
+        .withColumn(
+            "p22",
+            F.when(
+                c("d2") != 0, F.round((c("r2") - c("p11") * c("r1")) / c("d2"), 6)
+            ),
+        )
+        .withColumn("p21", F.round(c("p11") - c("p22") * c("p11"), 6))
+        .withColumn("n3", c("r3") - (c("p21") * c("r2") + c("p22") * c("r1")))
+        .withColumn(
+            "d3", F.lit(1) - (c("p21") * c("r1") + c("p22") * c("r2"))
+        )
+        .withColumn(
+            "p33", F.when(c("d3") != 0, F.round(c("n3") / c("d3"), 6))
+        )
+        .withColumn("p31", F.round(c("p21") - c("p33") * c("p22"), 6))
+        .withColumn("p32", F.round(c("p22") - c("p33") * c("p21"), 6))
+        .withColumn(
+            "n4",
+            c("r4")
+            - (c("p31") * c("r3") + c("p32") * c("r2") + c("p33") * c("r1")),
+        )
+        .withColumn(
+            "d4",
+            F.lit(1)
+            - (c("p31") * c("r1") + c("p32") * c("r2") + c("p33") * c("r3")),
+        )
+        .withColumn(
+            "p44", F.when(c("d4") != 0, F.round(c("n4") / c("d4"), 6))
+        )
+        .withColumn("p41", F.round(c("p31") - c("p44") * c("p33"), 6))
+        .withColumn("p42", F.round(c("p32") - c("p44") * c("p32"), 6))
+        .withColumn("p43", F.round(c("p33") - c("p44") * c("p31"), 6))
+        .withColumn(
+            "n5",
+            c("r5")
+            - (
+                c("p41") * c("r4")
+                + c("p42") * c("r3")
+                + c("p43") * c("r2")
+                + c("p44") * c("r1")
+            ),
+        )
+        .withColumn(
+            "d5",
+            F.lit(1)
+            - (
+                c("p41") * c("r1")
+                + c("p42") * c("r2")
+                + c("p43") * c("r3")
+                + c("p44") * c("r4")
+            ),
+        )
+        .withColumn(
+            "p55", F.when(c("d5") != 0, F.round(c("n5") / c("d5"), 6))
+        )
+    )
+    return p.select(
+        F.explode(
+            F.arrays_zip(
+                F.array(*[F.lit(k) for k in range(1, 6)]).alias("k"),
+                F.array(*[c(f"r{k}") for k in range(1, 6)]).alias("rho"),
+                F.array(
+                    c("p11"), c("p22"), c("p33"), c("p44"), c("p55")
+                ).alias("pacf"),
+            )
+        ).alias("z")
+    ).select(
+        c("z.k").cast("bigint").alias("k"),
+        c("z.rho").alias("rho"),
+        c("z.pacf").alias("pacf"),
+    )
+
+
+@query(
     "timeseries_variance_ratio",
     oracle=f"""
     WITH daily AS ({_DAILY_CENTS_SQL}),

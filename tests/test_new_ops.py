@@ -404,9 +404,10 @@ def test_bench_headline_names_are_registered():
         + mod.R9_FOLDED
         + mod.R10_FOLDED
         + mod.R11_FOLDED
+        + mod.R12_FOLDED
     ), (
-        "HEADLINE must stay LEGACY56 + R7..R11_FOLDED — the stdout "
-        "per-query map and the prev79/96/117 continuity totals depend "
+        "HEADLINE must stay LEGACY56 + R7..R12_FOLDED — the stdout "
+        "per-query map and the prev79/96/117/146 continuity totals depend "
         "on that partition"
     )
     assert mod.PREV56 == mod.LEGACY56
@@ -422,16 +423,18 @@ def test_bench_headline_names_are_registered():
         + mod.R9_FOLDED
         + mod.R10_FOLDED
     )
-    assert len(mod.HEADLINE) == 146 and len(mod.R11_FOLDED) == 29
+    assert mod.PREV146 == mod.PREV117 + mod.R11_FOLDED
+    assert len(mod.HEADLINE) == 158 and len(mod.R12_FOLDED) == 12
 
     # The driver keeps only the last ~2000 chars of bench stdout; the final
     # JSON line must fit or BENCH_r{N}.json records parsed=null (as it did
     # rounds 1-3). Worst-case render: every query at 99.99s. Only LEGACY56
-    # rides the stdout map (146 names don't fit even at 1dp). bench.py
+    # rides the stdout map (158 names don't fit even at 1dp). bench.py
     # degrades 2dp -> 1dp before exceeding the budget — mirror that here:
     # at least ONE precision tier must fit the worst case. prev56/prev66
-    # retired from stdout in round 12 (lesson 40 re-check: adding
-    # value_prev117 pushed the 1dp worst case to 1962 > 1950).
+    # retired from stdout in round 12 (lesson 40); the round-13 re-check
+    # measured prev79+prev96+prev117+prev146 at 1939 < 1950 at 1dp, so
+    # prev79 survives — the next key added retires it.
     import json
 
     fits = False
@@ -445,6 +448,7 @@ def test_bench_headline_names_are_registered():
                 "value_prev79": 99999.99,
                 "value_prev96": 99999.99,
                 "value_prev117": 99999.99,
+                "value_prev146": 99999.99,
                 "sf": 0.1,
             },
             separators=(",", ":"),
@@ -537,6 +541,7 @@ def test_stats_family_degenerate_constant_series(spark, tmp_path):
         "timeseries_autocorr_daily_revenue",
         "events_anomaly_daily_zscore",
         "events_runs_test_daily",
+        "timeseries_acf_pacf_table",
     ):
         r = compare_query(spark, name, str(tmp_path))
         assert r.ok, f"{name}: {r.detail}"
@@ -544,6 +549,10 @@ def test_stats_family_degenerate_constant_series(spark, tmp_path):
     assert got[0]["lag1_autocorr"] is None  # constant series: undefined, NULL
     z = QUERIES["events_runs_test_daily"](spark, str(tmp_path)).collect()
     assert all(r["z_score"] is None for r in z)
+    # constant series: den = sum e'^2 = 0 -> the den > 0 gate empties the
+    # whole lag table in BOTH engines (no NULL rows, no /0 throw)
+    acf = QUERIES["timeseries_acf_pacf_table"](spark, str(tmp_path)).collect()
+    assert acf == []
 
 
 def test_position_based_attribution_conserves_value(spark, sf_dir):
@@ -2202,3 +2211,36 @@ def test_ktruss_nested_in_support_census(spark, sf_dir):
     assert 0 <= kt.n_edges_truss <= ge2
     if kt.n_edges_truss:
         assert kt.n_nodes_truss >= 3
+
+
+def test_acf_pacf_durbin_levinson_replay(spark, sf_dir):
+    """Third-implementation check on the r13 lag table: |rho_k| <= 1,
+    pacf_1 == rho_1, and a plain-Python Durbin-Levinson replay on the
+    SAME rounded rho values reproduces every pacf (tolerance covers
+    half-tie rounding divergence between Python's banker's rounding and
+    the engines' HALF_UP; any recursion mistake is orders larger)."""
+    rows = {
+        r["k"]: r
+        for r in QUERIES["timeseries_acf_pacf_table"](spark, sf_dir).collect()
+    }
+    assert set(rows) == {1, 2, 3, 4, 5}
+    rho = {k: rows[k]["rho"] for k in rows}
+    for k in rho:
+        assert abs(rho[k]) <= 1.0
+    assert rows[1]["pacf"] == rows[1]["rho"]
+    phi = {1: rho[1]}
+    pac = {1: rho[1]}
+    for k in range(2, 6):
+        num = rho[k] - sum(phi[j] * rho[k - j] for j in range(1, k))
+        den = 1 - sum(phi[j] * rho[j] for j in range(1, k))
+        pkk = round(num / den, 6)
+        phi = {j: round(phi[j] - pkk * phi[k - j], 6) for j in range(1, k)} | {
+            k: pkk
+        }
+        pac[k] = pkk
+    for k in range(1, 6):
+        assert abs(pac[k] - rows[k]["pacf"]) <= 2e-6, (
+            k,
+            pac[k],
+            rows[k]["pacf"],
+        )

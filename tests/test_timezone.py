@@ -124,6 +124,9 @@ DATE_SENSITIVE = [
     # round-12 ts-sensitive addition: the Gehan weight rides the same
     # NTZ day grid as the other log-rank members
     "events_gehan_wilcoxon_logrank",
+    # round-13: the ACF/PACF table rides the same epoch-day daily-revenue
+    # series as Ljung-Box
+    "timeseries_acf_pacf_table",
 ]
 
 
