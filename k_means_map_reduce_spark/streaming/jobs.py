@@ -2313,3 +2313,175 @@ _MERGE_UPSERT_ORACLE = """
 _query("streaming_merge_upsert_vs_batch", oracle=_MERGE_UPSERT_ORACLE)(
     stream_merge_upsert_apply
 )
+
+
+def _stage_events_with_horizon(spark: SparkSession, sf_dir: str) -> str:
+    """The chronological JSONL shards (read_events_stream_chronological's
+    layout) PLUS one final HORIZON shard: two sentinel rows (user_id -1,
+    one view + one click) placed 10 days past the real max event time.
+
+    Why: a left-outer stream-stream join emits a NULL-padded row for an
+    unmatched left row only once the watermark proves no match can still
+    arrive (view_ts + join upper bound < global watermark). With the raw
+    stream, views inside the final watermark window never flush, so the
+    stream result would equal the batch left join MINUS a trailing
+    retention set whose exact boundary (< vs <=, eviction batch timing)
+    is engine-internal. The horizon batch pushes BOTH sides' end-of-stream
+    watermark (horizon - 1 h) beyond every real view's emission deadline
+    (max real ts + 10 min), so the final no-data micro-batch flushes EVERY
+    real unmatched view and the twin equals the FULL left join — the
+    boundary rule never has to be encoded in the oracle. The sentinels
+    themselves sit past the final watermark (they are the watermark), stay
+    buffered, and are filtered by user_id >= 0 anyway."""
+    key = ("events_horizon", sf_dir)
+    stage = _STAGE_CACHE.get(key)
+    if stage is not None and os.path.isdir(stage):
+        return stage
+    import datetime as _dt
+    import glob as _glob
+    import json as _json
+    import time as _time
+
+    # build (or reuse) the chronological stage, then copy its shards so the
+    # shared cache entry is never mutated
+    read_events_stream_chronological(spark, sf_dir)
+    src = _STAGE_CACHE[("events_chrono", sf_dir)]
+    stage = tempfile.mkdtemp(prefix="events_horizon_", dir=_tmp_root())
+    base = _time.time()
+    chunks = sorted(_glob.glob(os.path.join(src, "chunk-*.json")))
+    for i, f in enumerate(chunks):
+        dest = os.path.join(stage, os.path.basename(f))
+        shutil.copy(f, dest)
+        os.utime(dest, (base + i, base + i))
+    from ..sources.catalog import load_table
+
+    mx = (
+        load_table(spark, sf_dir, "events")
+        .agg(F.max("ts").alias("m"))
+        .collect()[0]["m"]
+    )
+    rows = []
+    for j, et in enumerate(("view", "click")):
+        ts_str = (mx + _dt.timedelta(days=10, seconds=j)).strftime(
+            "%Y-%m-%d %H:%M:%S.%f"
+        )
+        rows.append(
+            _json.dumps(
+                {
+                    "event_id": -(j + 1),
+                    "ts": ts_str,
+                    "user_id": -1,
+                    "event_type": et,
+                    "value": None,
+                }
+            )
+        )
+    dest = os.path.join(stage, f"chunk-{len(chunks):03d}.json")
+    with open(dest, "w") as fh:
+        fh.write("\n".join(rows) + "\n")
+    os.utime(dest, (base + len(chunks), base + len(chunks)))
+    _STAGE_CACHE[key] = stage
+    return stage
+
+
+def _read_horizon_stream(spark: SparkSession, stage: str) -> DataFrame:
+    schema = (
+        "event_id BIGINT, ts STRING, user_id BIGINT, event_type STRING, "
+        "value DOUBLE"
+    )
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(stage)
+        .withColumn(
+            "ts",
+            F.expr(
+                "cast(convert_timezone('UTC', current_timezone(), "
+                "to_timestamp_ntz(ts, 'yyyy-MM-dd HH:mm:ss.SSSSSS')) as timestamp)"
+            ),
+        )
+    )
+
+
+def stream_left_outer_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join — the outer-emission
+    discipline none of the inner twins exercise: each view joins the same
+    user's clicks in the next 10 minutes, and views with NO such click
+    must still emit exactly one NULL-padded row, which Structured
+    Streaming only releases once the watermark passes the view's match
+    deadline (state cannot know "no match" until then). Chronological
+    shards + the horizon sentinel batch (_stage_events_with_horizon) drive
+    the end-of-stream watermark past every real deadline, so the final
+    no-data micro-batch flushes the complete outer set and the result
+    equals the batch LEFT JOIN the oracle runs — the 18th ORACLED
+    vs-batch equivalence, and like the MERGE twin it is proven by
+    construction, not assumed.
+
+    At 100 TB/day: both join states are watermark-bounded (10 min of
+    views, the interval bound on clicks); the horizon trick is test
+    scaffolding — production streams advance the watermark forever and
+    flush outer rows continuously."""
+    stage = _stage_events_with_horizon(spark, sf_dir)
+    views = (
+        _read_horizon_stream(spark, stage)
+        .where(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            "user_id",
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "1 hour")
+    )
+    clicks = (
+        _read_horizon_stream(spark, stage)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    joined = views.join(
+        clicks,
+        (F.col("user_id") == F.col("click_user"))
+        & (F.col("click_ts") > F.col("view_ts"))
+        & (
+            F.col("click_ts")
+            <= F.col("view_ts") + F.expr("INTERVAL 10 MINUTES")
+        ),
+        "left_outer",
+    ).select("view_id", "user_id", "view_ts", "click_id", "click_ts")
+    out = _run_available_now(joined, "stream_louter_join", mode="append")
+    return (
+        out.where(F.col("user_id") >= 0)
+        .select(
+            "view_id",
+            "user_id",
+            _fmt_utc(F.col("view_ts")).alias("view_ts"),
+            "click_id",
+            _fmt_utc(F.col("click_ts")).alias("click_ts"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
+_LEFT_OUTER_JOIN_ORACLE = """
+    SELECT
+      v.event_id AS view_id,
+      v.user_id,
+      strftime(CAST(v.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS view_ts,
+      c.event_id AS click_id,
+      strftime(CAST(c.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS click_ts
+    FROM events v
+    LEFT JOIN events c
+      ON v.user_id = c.user_id
+     AND c.event_type = 'click'
+     AND c.ts > v.ts
+     AND c.ts <= v.ts + INTERVAL 10 MINUTE
+    WHERE v.event_type = 'view'
+"""
+
+_query(
+    "streaming_left_outer_join_vs_batch", oracle=_LEFT_OUTER_JOIN_ORACLE
+)(stream_left_outer_interval_join)

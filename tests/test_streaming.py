@@ -282,3 +282,30 @@ def test_streaming_kmv_absorbs_replay_without_epoch_skip(spark, sf_dir):
     assert sorted(r.hv for r in once.collect()) == sorted(
         r.hv for r in replayed.collect()
     )
+
+
+def test_left_outer_join_stream_flushes_all_unmatched_views(spark, sf_dir):
+    """The r13 left-outer twin: the matched subset must equal the inner
+    interval-join twin exactly, every view must appear (outer totality —
+    the horizon batch flushed ALL unmatched views, the property the twin
+    exists to prove), unmatched rows must be NULL-padded, and no sentinel
+    (user_id < 0) may leak."""
+    from k_means_map_reduce_spark.registry import QUERIES
+    from k_means_map_reduce_spark.sources import load_table
+
+    out = QUERIES["streaming_left_outer_join_vs_batch"](spark, sf_dir)
+    rows = out.collect()
+    assert all(r["user_id"] >= 0 for r in rows)
+    matched = {(r["view_id"], r["click_id"]) for r in rows if r["click_id"] is not None}
+    inner = QUERIES["streaming_interval_join_vs_batch"](spark, sf_dir)
+    inner_pairs = {(r["view_id"], r["click_id"]) for r in inner.collect()}
+    assert matched == inner_pairs
+    for r in rows:
+        if r["click_id"] is None:
+            assert r["click_ts"] is None
+    n_views = (
+        load_table(spark, sf_dir, "events")
+        .where("event_type = 'view'")
+        .count()
+    )
+    assert len({r["view_id"] for r in rows}) == n_views

@@ -125,8 +125,10 @@ DATE_SENSITIVE = [
     # NTZ day grid as the other log-rank members
     "events_gehan_wilcoxon_logrank",
     # round-13: the ACF/PACF table rides the same epoch-day daily-revenue
-    # series as Ljung-Box
+    # series as Ljung-Box; the left-outer join twin routes wire strings
+    # through the session zone on read and back to UTC strings on output
     "timeseries_acf_pacf_table",
+    "streaming_left_outer_join_vs_batch",
 ]
 
 
