@@ -279,6 +279,7 @@ PREV146 = PREV117 + R11_FOLDED
 # clean as the new baseline; fold next round.
 ADDITIONS: list[str] = [
     "timeseries_acf_pacf_table",
+    "stats_grouped_two_pass_median",
 ]
 
 

@@ -5018,3 +5018,144 @@ def stats_two_pass_median_extendedprice(
         "probe_bucket",
         "bucket_rows",
     )
+
+@query(
+    "stats_grouped_two_pass_median",
+    oracle="""
+    WITH cents AS (
+      SELECT o_orderpriority AS grp,
+        CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS v
+      FROM orders
+    ),
+    bounds AS (
+      SELECT grp, MIN(v) AS lo, MAX(v) AS hi, COUNT(*) AS n
+      FROM cents GROUP BY grp
+    ),
+    med AS (
+      SELECT grp, v AS median_cents FROM (
+        SELECT grp, v,
+          ROW_NUMBER() OVER (PARTITION BY grp ORDER BY v) AS rn,
+          COUNT(*) OVER (PARTITION BY grp) AS cnt
+        FROM cents
+      ) WHERE rn = (cnt + 1) // 2
+    ),
+    bk AS (
+      SELECT c.grp,
+        ((c.v - b.lo) * 1024) // (b.hi - b.lo + 1) AS bb,
+        CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM cents c JOIN bounds b USING (grp)
+      GROUP BY 1, 2
+    )
+    SELECT b.grp, CAST(b.n AS BIGINT) AS n_rows, m.median_cents,
+      CAST(((m.median_cents - b.lo) * 1024) // (b.hi - b.lo + 1)
+           AS BIGINT) AS probe_bucket,
+      k.cnt AS bucket_rows
+    FROM bounds b
+    JOIN med m ON m.grp = b.grp
+    JOIN bk k ON k.grp = b.grp
+      AND k.bb = ((m.median_cents - b.lo) * 1024) // (b.hi - b.lo + 1)
+    """,
+)
+def stats_grouped_two_pass_median(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT lower median PER GROUP (o_totalprice cents by order
+    priority) via the same two-pass distributed selection as
+    stats_two_pass_median_extendedprice, GROUPED: pass 1 buckets every
+    value into 1024 per-group range buckets and locates each group's
+    k-th element's bucket from per-group cumulative counts (a
+    groups x 1024 rollup — never a per-group sort of the fact); pass 2
+    ranks ONLY the probe buckets (~n_g/1024 rows per group). This is the
+    shape that replaces percentile_approx/global sorts when a 100 TB
+    fact needs exact per-segment medians: every step is a grouped
+    aggregate or a bounded-bucket window, all arithmetic BIGINT
+    floor-division (operands non-negative, DIV == floor, no doubles
+    anywhere). The oracle recomputes the median independently with a
+    per-group ROW_NUMBER pick and replays the same integer bucket
+    formula."""
+    cents = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("v"),
+    )
+    bounds = (
+        cents.groupBy("grp")
+        .agg(
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        # consumed by both passes and the probe: one row per group
+        .localCheckpoint(eager=True)
+    )
+    bucketed = cents.join(bounds, "grp").select(
+        "grp",
+        "v",
+        "n",
+        F.expr("((v - lo) * 1024) div (hi - lo + 1)")
+        .cast("bigint")
+        .alias("b"),
+    )
+    hist = bucketed.groupBy("grp", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    wcum = (
+        Window.partitionBy("grp")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    probe = (
+        hist.join(
+            bounds.select(
+                "grp", F.expr("(n + 1) div 2").cast("bigint").alias("k")
+            ),
+            "grp",
+        )
+        .select(
+            "grp",
+            "b",
+            "cnt",
+            "k",
+            F.coalesce(F.sum("cnt").over(wcum), F.lit(0)).alias("before"),
+        )
+        .where(
+            (F.col("before") < F.col("k"))
+            & (F.col("before") + F.col("cnt") >= F.col("k"))
+        )
+        .select(
+            "grp",
+            F.col("b").alias("probe_bucket"),
+            F.col("cnt").alias("bucket_rows"),
+            (F.col("k") - F.col("before")).alias("offset_in_bucket"),
+        )
+        # one row per group: checkpoint so pass 2's join doesn't re-run
+        # pass 1
+        .localCheckpoint(eager=True)
+    )
+    in_bucket = bucketed.join(
+        probe,
+        (bucketed.grp == probe.grp) & (F.col("b") == F.col("probe_bucket")),
+    ).select(
+        bucketed.grp.alias("grp"),
+        "v",
+        "n",
+        "probe_bucket",
+        "bucket_rows",
+        "offset_in_bucket",
+    )
+    wrank = Window.partitionBy("grp").orderBy("v")
+    picked = in_bucket.select(
+        "grp",
+        "v",
+        "n",
+        "probe_bucket",
+        "bucket_rows",
+        "offset_in_bucket",
+        F.row_number().over(wrank).alias("rn"),
+    ).where(F.col("rn") == F.col("offset_in_bucket"))
+    return picked.select(
+        "grp",
+        F.col("n").alias("n_rows"),
+        F.col("v").alias("median_cents"),
+        "probe_bucket",
+        "bucket_rows",
+    )

@@ -2244,3 +2244,31 @@ def test_acf_pacf_durbin_levinson_replay(spark, sf_dir):
             pac[k],
             rows[k]["pacf"],
         )
+
+
+def test_grouped_two_pass_median_invariants(spark, sf_dir):
+    """One row per priority group; every probe bucket in [0, 1024); each
+    group's probe bucket holds a small fraction of that group (the point
+    of the grouped selection); the picked value is that group's true
+    lower median per a driver-side replay on the collected group."""
+    from k_means_map_reduce_spark.sources import load_table
+
+    rows = QUERIES["stats_grouped_two_pass_median"](spark, sf_dir).collect()
+    assert len(rows) == 5
+    cents = (
+        load_table(spark, sf_dir, "orders")
+        .selectExpr(
+            "o_orderpriority AS grp",
+            "CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS v",
+        )
+        .collect()
+    )
+    by_grp: dict = {}
+    for r in cents:
+        by_grp.setdefault(r.grp, []).append(r.v)
+    for r in rows:
+        assert 0 <= r.probe_bucket < 1024
+        assert 1 <= r.bucket_rows < max(64, r.n_rows // 64)
+        vals = sorted(by_grp[r.grp])
+        assert r.n_rows == len(vals)
+        assert r.median_cents == vals[(len(vals) + 1) // 2 - 1]
