@@ -30,7 +30,12 @@ eagerly-localCheckpointed 1-row SessionMemo — the O(E^1.5) wedge-closure
 cost lands in the COLD pass (and the warm pass of whichever query runs
 first); warm reps time a checkpoint read. Warm totals from r10 on are
 therefore not apples-to-apples with r<=9 for these two names; the cold
-column in bench_detail.json still carries the build.
+column in bench_detail.json still carries the build. Since round 13 the
+same applies to graph_edge_triangle_support and graph_ktruss_edges: they
+share the per-edge support memo (_edge_support_full), so the one O(E^1.5)
+closure lands in whichever of the two runs first (census, in this file's
+order) and the k-truss cold pass pays only peel rounds 2-3 (~29 s -> ~19 s
+at sf0.1; combined cold ~40 s -> ~35 s).
 """
 
 from __future__ import annotations
