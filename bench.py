@@ -285,6 +285,7 @@ PREV146 = PREV117 + R11_FOLDED
 ADDITIONS: list[str] = [
     "timeseries_acf_pacf_table",
     "stats_grouped_two_pass_median",
+    "stats_grouped_exact_quartiles",
 ]
 
 

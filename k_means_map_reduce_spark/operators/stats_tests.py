@@ -5159,3 +5159,144 @@ def stats_grouped_two_pass_median(
         "probe_bucket",
         "bucket_rows",
     )
+
+@query(
+    "stats_grouped_exact_quartiles",
+    oracle="""
+    WITH cents AS (
+      SELECT o_orderpriority AS grp,
+        CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS v
+      FROM orders
+    ),
+    bounds AS (
+      SELECT grp, COUNT(*) AS n FROM cents GROUP BY grp
+    ),
+    ks AS (
+      SELECT grp, n, 1 AS q, GREATEST((n + 1) // 4, 1) AS k FROM bounds
+      UNION ALL
+      SELECT grp, n, 2 AS q, (n + 1) // 2 AS k FROM bounds
+      UNION ALL
+      SELECT grp, n, 3 AS q, GREATEST((3 * (n + 1)) // 4, 1) AS k
+      FROM bounds
+    ),
+    ranked AS (
+      SELECT grp, v,
+        ROW_NUMBER() OVER (PARTITION BY grp ORDER BY v) AS rn
+      FROM cents
+    )
+    SELECT k.grp, CAST(k.q AS INT) AS quartile,
+      CAST(k.n AS BIGINT) AS n_rows, r.v AS value_cents
+    FROM ks k JOIN ranked r ON r.grp = k.grp AND r.rn = k.k
+    """,
+)
+def stats_grouped_exact_quartiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT per-group quartiles (q1 / median / q3 of o_totalprice cents
+    by priority) — MULTI-k selection through ONE shared two-pass plan:
+    all three order statistics per group ride the SAME bucket histogram
+    and cumulative rollup (pass 1 runs once, not per quantile), and
+    pass 2 ranks only the union of probe buckets, partitioned by
+    (group, quantile) so a bucket serving two quantiles is ranked per
+    target. Lower order statistics at ranks max((n+1) DIV 4, 1),
+    (n+1) DIV 2, max((3(n+1)) DIV 4, 1) — all BIGINT floor-division,
+    exact for n >= 3 per group (3(n+1)/4 <= n). This is the exact-IQR /
+    outlier-fence primitive at fact scale: one fact scan, a
+    groups x 1024 rollup, and a probe-bucket sort — never a per-group
+    global sort, never percentile_approx. The oracle picks the same
+    ranks from an independent per-group ROW_NUMBER."""
+    cents = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("v"),
+    )
+    bounds = (
+        cents.groupBy("grp")
+        .agg(
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    bucketed = cents.join(bounds, "grp").select(
+        "grp",
+        "v",
+        "n",
+        F.expr("((v - lo) * 1024) div (hi - lo + 1)")
+        .cast("bigint")
+        .alias("b"),
+    )
+    hist = bucketed.groupBy("grp", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    ks = bounds.select(
+        "grp",
+        "n",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).alias("q"),
+                    F.expr("greatest((n + 1) div 4, 1)")
+                    .cast("bigint")
+                    .alias("k"),
+                ),
+                F.struct(
+                    F.lit(2).alias("q"),
+                    F.expr("(n + 1) div 2").cast("bigint").alias("k"),
+                ),
+                F.struct(
+                    F.lit(3).alias("q"),
+                    F.expr("greatest((3 * (n + 1)) div 4, 1)")
+                    .cast("bigint")
+                    .alias("k"),
+                ),
+            )
+        ).alias("z"),
+    ).select("grp", F.col("z.q").alias("q"), F.col("z.k").alias("k"))
+    wcum = (
+        Window.partitionBy("grp")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = hist.select(
+        "grp",
+        "b",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(wcum), F.lit(0)).alias("before"),
+    )
+    probe = (
+        cum.join(ks, "grp")
+        .where(
+            (F.col("before") < F.col("k"))
+            & (F.col("before") + F.col("cnt") >= F.col("k"))
+        )
+        .select(
+            "grp",
+            "q",
+            F.col("b").alias("probe_bucket"),
+            (F.col("k") - F.col("before")).alias("offset_in_bucket"),
+        )
+        # <= 3 rows per group: checkpoint so pass 2 doesn't re-run pass 1
+        .localCheckpoint(eager=True)
+    )
+    in_bucket = bucketed.join(
+        probe,
+        (bucketed.grp == probe.grp) & (F.col("b") == F.col("probe_bucket")),
+    ).select(
+        bucketed.grp.alias("grp"), "v", "n", "q", "offset_in_bucket"
+    )
+    wrank = Window.partitionBy("grp", "q").orderBy("v")
+    picked = in_bucket.select(
+        "grp",
+        "v",
+        "n",
+        "q",
+        "offset_in_bucket",
+        F.row_number().over(wrank).alias("rn"),
+    ).where(F.col("rn") == F.col("offset_in_bucket"))
+    return picked.select(
+        "grp",
+        F.col("q").cast("int").alias("quartile"),
+        F.col("n").alias("n_rows"),
+        F.col("v").alias("value_cents"),
+    )

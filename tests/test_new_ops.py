@@ -542,6 +542,10 @@ def test_stats_family_degenerate_constant_series(spark, tmp_path):
         "events_anomaly_daily_zscore",
         "events_runs_test_daily",
         "timeseries_acf_pacf_table",
+        # constant values: hi == lo -> divisor 1, every row in bucket 0 —
+        # the selection degenerates gracefully, no /0 anywhere
+        "stats_grouped_two_pass_median",
+        "stats_grouped_exact_quartiles",
     ):
         r = compare_query(spark, name, str(tmp_path))
         assert r.ok, f"{name}: {r.detail}"
@@ -2272,3 +2276,41 @@ def test_grouped_two_pass_median_invariants(spark, sf_dir):
         vals = sorted(by_grp[r.grp])
         assert r.n_rows == len(vals)
         assert r.median_cents == vals[(len(vals) + 1) // 2 - 1]
+
+
+def test_grouped_exact_quartiles_invariants(spark, sf_dir):
+    """15 rows (5 groups x 3 quartiles); within each group
+    q1 <= median <= q3; the median row agrees with
+    stats_grouped_two_pass_median; and a driver-side replay confirms
+    each value is the exact k-th order statistic of its group."""
+    from k_means_map_reduce_spark.sources import load_table
+
+    rows = QUERIES["stats_grouped_exact_quartiles"](spark, sf_dir).collect()
+    assert len(rows) == 15
+    by_grp: dict = {}
+    for r in rows:
+        by_grp.setdefault(r.grp, {})[r.quartile] = r
+    meds = {
+        r.grp: r.median_cents
+        for r in QUERIES["stats_grouped_two_pass_median"](spark, sf_dir).collect()
+    }
+    cents = (
+        load_table(spark, sf_dir, "orders")
+        .selectExpr(
+            "o_orderpriority AS grp",
+            "CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS v",
+        )
+        .collect()
+    )
+    vals: dict = {}
+    for r in cents:
+        vals.setdefault(r.grp, []).append(r.v)
+    for grp, qs in by_grp.items():
+        assert set(qs) == {1, 2, 3}
+        assert qs[1].value_cents <= qs[2].value_cents <= qs[3].value_cents
+        assert qs[2].value_cents == meds[grp]
+        sv = sorted(vals[grp])
+        n = len(sv)
+        assert qs[1].value_cents == sv[max((n + 1) // 4, 1) - 1]
+        assert qs[2].value_cents == sv[(n + 1) // 2 - 1]
+        assert qs[3].value_cents == sv[max(3 * (n + 1) // 4, 1) - 1]
