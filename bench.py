@@ -286,6 +286,7 @@ ADDITIONS: list[str] = [
     "timeseries_acf_pacf_table",
     "stats_grouped_two_pass_median",
     "stats_grouped_exact_quartiles",
+    "stats_weighted_two_pass_median",
 ]
 
 

@@ -5300,3 +5300,117 @@ def stats_grouped_exact_quartiles(
         F.col("n").alias("n_rows"),
         F.col("v").alias("value_cents"),
     )
+
+@query(
+    "stats_weighted_two_pass_median",
+    oracle="""
+    WITH wv AS (
+      SELECT CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS v,
+        CAST(l_quantity AS BIGINT) AS w
+      FROM lineitem
+    ),
+    bounds AS (
+      SELECT MIN(v) AS lo, MAX(v) AS hi, SUM(w) AS tw FROM wv
+    ),
+    ranked AS (
+      SELECT v, w,
+        SUM(w) OVER (ORDER BY v, w
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+      FROM wv
+    ),
+    med AS (
+      SELECT v AS median_cents FROM ranked, bounds
+      WHERE cw - w < (tw + 1) // 2 AND cw >= (tw + 1) // 2
+      ORDER BY v LIMIT 1
+    )
+    SELECT CAST(b.tw AS BIGINT) AS total_weight, m.median_cents,
+      CAST(((m.median_cents - b.lo) * 1024)
+           // (b.hi - b.lo + 1) AS BIGINT) AS probe_bucket
+    FROM bounds b CROSS JOIN med m
+    """,
+)
+def stats_weighted_two_pass_median(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT WEIGHTED lower median of l_extendedprice cents with
+    l_quantity as integer weights — the value v* at which the cumulative
+    weight first reaches ceil(W/2) (the 50th weighted-percentile order
+    statistic, the robust-center primitive when rows carry volume).
+
+    Same two-pass distributed selection as the unweighted entry, but
+    pass 1's histogram accumulates WEIGHT SUMS per bucket (SUM(w), not
+    COUNT), the target k = (W+1) DIV 2 indexes weight units, and pass 2
+    sorts only the probe bucket accumulating a running weight to locate
+    the first value whose cumulative weight crosses k. All BIGINT:
+    cents values, integer quantities, floor-division buckets. Ties in v
+    inside the probe bucket are absorbed by grouping per value before
+    the running sum, so the pick is value-deterministic. The oracle
+    verifies with a direct global cumulative-weight pick plus the same
+    bucket formula."""
+    wv = load_table(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("v"),
+        F.col("l_quantity").cast("bigint").alias("w"),
+    )
+    bounds = wv.agg(
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+        F.sum("w").cast("bigint").alias("tw"),
+    ).localCheckpoint(eager=True)
+    bucketed = wv.crossJoin(bounds).select(
+        "v",
+        "w",
+        "tw",
+        F.expr("((v - lo) * 1024) div (hi - lo + 1)")
+        .cast("bigint")
+        .alias("b"),
+    )
+    hist = bucketed.groupBy("b").agg(
+        F.sum("w").cast("bigint").alias("bw")
+    )
+    wcum = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    probe = (
+        hist.crossJoin(
+            bounds.select(F.expr("(tw + 1) div 2").cast("bigint").alias("k"))
+        )
+        .select(
+            "b",
+            "k",
+            F.coalesce(F.sum("bw").over(wcum), F.lit(0)).alias("before"),
+        )
+        .where(
+            (F.col("before") < F.col("k"))
+            & (F.col("before") + F.col("bw") >= F.col("k"))
+        )
+        .select(
+            F.col("b").alias("probe_bucket"),
+            (F.col("k") - F.col("before")).alias("k_in_bucket"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    # pass 2: per-VALUE weight rollup inside the probe bucket, running
+    # weight in value order, first value crossing the in-bucket target
+    in_bucket = (
+        bucketed.join(probe, F.col("b") == F.col("probe_bucket"))
+        .groupBy("v", "tw", "probe_bucket", "k_in_bucket")
+        .agg(F.sum("w").cast("bigint").alias("vw"))
+    )
+    wrun = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    picked = (
+        in_bucket.select(
+            "v",
+            "tw",
+            "probe_bucket",
+            "k_in_bucket",
+            F.sum("vw").over(wrun).alias("cw"),
+            (F.sum("vw").over(wrun) - F.col("vw")).alias("cw_prev"),
+        )
+        .where(
+            (F.col("cw_prev") < F.col("k_in_bucket"))
+            & (F.col("cw") >= F.col("k_in_bucket"))
+        )
+    )
+    return picked.select(
+        F.col("tw").alias("total_weight"),
+        F.col("v").alias("median_cents"),
+        "probe_bucket",
+    )

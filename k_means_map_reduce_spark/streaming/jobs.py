@@ -2485,3 +2485,87 @@ _LEFT_OUTER_JOIN_ORACLE = """
 _query(
     "streaming_left_outer_join_vs_batch", oracle=_LEFT_OUTER_JOIN_ORACLE
 )(stream_left_outer_interval_join)
+
+
+def stream_full_outer_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER stream-stream interval join — completes the join-mode
+    family (inner twin since r3, left-outer r13): unmatched VIEWS and
+    unmatched CLICKS both emit NULL-padded rows, each side released only
+    when the watermark proves no match can still arrive. The same
+    horizon sentinel batch pushes the end-of-stream watermark past every
+    real row's match window on BOTH sides (a click can match views up to
+    10 minutes BEFORE it, so its deadline is its own timestamp), and the
+    final no-data micro-batch flushes both complete outer sets — equal
+    to the batch FULL JOIN by construction; 19th ORACLED vs-batch
+    equivalence. The sentinel view+click pair (1 s apart, user -1)
+    intentionally match each other and are filtered by user >= 0.
+
+    At 100 TB/day both join states stay watermark-bounded exactly as in
+    the left-outer twin; full-outer adds no extra state, only the
+    symmetric eviction-emission rule."""
+    stage = _stage_events_with_horizon(spark, sf_dir)
+    views = (
+        _read_horizon_stream(spark, stage)
+        .where(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("view_user"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "1 hour")
+    )
+    clicks = (
+        _read_horizon_stream(spark, stage)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    joined = views.join(
+        clicks,
+        (F.col("view_user") == F.col("click_user"))
+        & (F.col("click_ts") > F.col("view_ts"))
+        & (
+            F.col("click_ts")
+            <= F.col("view_ts") + F.expr("INTERVAL 10 MINUTES")
+        ),
+        "full_outer",
+    ).select(
+        "view_id", "view_user", "view_ts", "click_id", "click_user", "click_ts"
+    )
+    out = _run_available_now(joined, "stream_fouter_join", mode="append")
+    return (
+        out.where(F.coalesce(F.col("view_user"), F.col("click_user")) >= 0)
+        .select(
+            "view_id",
+            F.coalesce(F.col("view_user"), F.col("click_user")).alias(
+                "user_id"
+            ),
+            _fmt_utc(F.col("view_ts")).alias("view_ts"),
+            "click_id",
+            _fmt_utc(F.col("click_ts")).alias("click_ts"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
+_FULL_OUTER_JOIN_ORACLE = """
+    SELECT
+      v.event_id AS view_id,
+      COALESCE(v.user_id, c.user_id) AS user_id,
+      strftime(CAST(v.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS view_ts,
+      c.event_id AS click_id,
+      strftime(CAST(c.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON v.user_id = c.user_id
+     AND c.ts > v.ts
+     AND c.ts <= v.ts + INTERVAL 10 MINUTE
+"""
+
+_query(
+    "streaming_full_outer_join_vs_batch", oracle=_FULL_OUTER_JOIN_ORACLE
+)(stream_full_outer_interval_join)

@@ -2314,3 +2314,33 @@ def test_grouped_exact_quartiles_invariants(spark, sf_dir):
         assert qs[1].value_cents == sv[max((n + 1) // 4, 1) - 1]
         assert qs[2].value_cents == sv[(n + 1) // 2 - 1]
         assert qs[3].value_cents == sv[max(3 * (n + 1) // 4, 1) - 1]
+
+
+def test_weighted_two_pass_median_replay(spark, sf_dir):
+    """Driver-side replay: the weighted median is the first value whose
+    cumulative quantity reaches ceil(W/2), recomputed from a plain
+    sorted fold over the collected (value, weight) pairs."""
+    from k_means_map_reduce_spark.sources import load_table
+
+    row = QUERIES["stats_weighted_two_pass_median"](spark, sf_dir).collect()[0]
+    pairs = (
+        load_table(spark, sf_dir, "lineitem")
+        .selectExpr(
+            "CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS v",
+            "CAST(l_quantity AS BIGINT) AS w",
+        )
+        .collect()
+    )
+    agg: dict = {}
+    for r in pairs:
+        agg[r.v] = agg.get(r.v, 0) + r.w
+    tw = sum(agg.values())
+    assert row.total_weight == tw
+    k = (tw + 1) // 2
+    cw = 0
+    for v in sorted(agg):
+        cw += agg[v]
+        if cw >= k:
+            assert row.median_cents == v
+            break
+    assert 0 <= row.probe_bucket < 1024

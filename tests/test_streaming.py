@@ -309,3 +309,30 @@ def test_left_outer_join_stream_flushes_all_unmatched_views(spark, sf_dir):
         .count()
     )
     assert len({r["view_id"] for r in rows}) == n_views
+
+
+def test_full_outer_join_stream_completes_both_outer_sets(spark, sf_dir):
+    """The r13 full-outer twin: its matched + view-outer rows must equal
+    the left-outer twin exactly, every click must appear (click-side
+    outer totality — the symmetric property the full-outer mode adds),
+    and no sentinel may leak."""
+    from k_means_map_reduce_spark.registry import QUERIES
+    from k_means_map_reduce_spark.sources import load_table
+
+    rows = QUERIES["streaming_full_outer_join_vs_batch"](spark, sf_dir).collect()
+    assert all(r["user_id"] >= 0 for r in rows)
+    left = QUERIES["streaming_left_outer_join_vs_batch"](spark, sf_dir).collect()
+    full_left_part = sorted(
+        (r["view_id"], r["click_id"]) for r in rows if r["view_id"] is not None
+    )
+    assert full_left_part == sorted((r["view_id"], r["click_id"]) for r in left)
+    click_ids = {r["click_id"] for r in rows if r["click_id"] is not None}
+    n_clicks = (
+        load_table(spark, sf_dir, "events")
+        .where("event_type = 'click'")
+        .count()
+    )
+    assert len(click_ids) == n_clicks
+    for r in rows:
+        if r["view_id"] is None:
+            assert r["view_ts"] is None and r["click_id"] is not None

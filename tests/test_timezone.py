@@ -129,6 +129,7 @@ DATE_SENSITIVE = [
     # through the session zone on read and back to UTC strings on output
     "timeseries_acf_pacf_table",
     "streaming_left_outer_join_vs_batch",
+    "streaming_full_outer_join_vs_batch",
 ]
 
 
