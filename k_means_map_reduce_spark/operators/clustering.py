@@ -198,8 +198,14 @@ def _kmeans_contract_df(
         for d in range(dim)
     ]
     mass_ok = max(abs(wmean[d] - mean_by_d[d]) for d in range(dim)) < 1e-6
-    pts = load_table(spark, sf_dir, "embeddings").select(
-        F.col("embedding").cast("array<double>").alias("v")
+    # r13 optimization: the single-row-group scan would run the k×dim HOF
+    # argmin on one core (guide §2.5); the WSSSE feeds only the boolean
+    # bound below, so partition-order-dependent double summation cannot
+    # change the reported row.
+    pts = (
+        load_table(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(F.col("embedding").cast("array<double>").alias("v"))
     )
     wssse = float(
         assign_clusters(pts, centers, vec_col="v")

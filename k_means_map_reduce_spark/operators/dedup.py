@@ -2763,6 +2763,13 @@ def dedup_banding_br_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("d1") < F.col("d2"))
         .select("b", "r", "d1", "d2")
         .distinct()
+        # r13 optimization: cand is consumed TWICE (the distinct pair set
+        # for the verify AND the per-config rejoin) — without a lineage cut
+        # the all-config band self-join ran twice per invocation (the
+        # before-plan holds 16 Generate nodes = 2 × the 8-branch explode;
+        # plans/r13/dedup_banding_br_ablation_before.txt). Candidate rows
+        # are 4 small ints — bounded by the banded candidate volume.
+        .localCheckpoint(eager=True)
     )
     # exact verify once per DISTINCT pair, then re-attach per config
     pair_ids = cand.select("d1", "d2").distinct()

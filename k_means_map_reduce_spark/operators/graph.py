@@ -1267,8 +1267,19 @@ def graph_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
         .unionAll(e.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
     )
-    c1 = adj.groupBy("node").agg(
-        F.count(F.lit(1)).cast("bigint").alias("c1")
+    # r13 optimization: each round's walk counts are consumed TWICE (the
+    # next round's matvec AND the final 4-way join), so without a lineage
+    # cut the c1/c2/c3 subtrees replicate down the chain — the executed
+    # plan held 39 joins (1+2+3+4 = 10 matvecs instead of 3; see
+    # plans/r13/graph_katz_centrality_before.txt). Eagerly checkpointing
+    # the NODE-grain rollup (~|V| rows, never edges) caps every round at
+    # one matvec (guide §2.4 / §3.3: materialize multiply-consumed
+    # intermediates to truncate the plan). Values are integer walk counts —
+    # unchanged by construction.
+    c1 = (
+        adj.groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c1"))
+        .localCheckpoint(eager=True)
     )
     prev = c1.select("node", F.col("c1").alias("c"))
     counts = {1: c1}
@@ -1280,6 +1291,9 @@ def graph_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("node")
             .agg(F.sum("c").cast("bigint").alias(f"c{i}"))
         )
+        if i < 4:
+            # c4 is consumed exactly once (the final join) — no cut needed
+            nxt = nxt.localCheckpoint(eager=True)
         counts[i] = nxt
         prev = nxt.select("node", F.col(f"c{i}").alias("c"))
     scored = (
@@ -1396,6 +1410,44 @@ _TRI_SUPPORT_CACHE = SessionMemo("graph.edge_triangle_support")
 # computations were byte-identical; one O(E^1.5) closure now serves both,
 # cutting a third off the peel's cold cost).
 _EDGE_SUPPORT_CACHE = SessionMemo("graph.edge_support_full")
+# The FULL-graph triangle list (w0, x, z) the support build enumerates —
+# memoized alongside the support rollup (r13 optimization) because the
+# k-truss peel can derive EVERY later round's support from it: survivor
+# edge sets shrink monotonically (e_i ⊆ e_{i-1} ⊆ e0), so the triangles of
+# round i's subgraph are EXACTLY the full-graph triangles whose three edges
+# all survive — 3 semi-joins over ~1.9M triangles instead of re-running the
+# O(E^1.5) wedge closure (~41M wedges at sf0.1) per round.
+_TRI_LIST_CACHE = SessionMemo("graph.full_triangle_list")
+
+
+def _full_triangle_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(w0, x, z) with x < z: every triangle of the full co-purchase graph,
+    enumerated once by the degree-ordered compact-forward closure
+    (O(E^1.5) wedge bound, SHUFFLE_HASH — broadcast loses, see
+    _triangle_count_build) and eagerly checkpointed. The 3-way unionAll in
+    the support rollup consumes it once per branch, and the k-truss peel
+    re-filters it per round — without the lineage cut the closure join
+    would run once per consumer (scan audit once caught lineitem ×273)."""
+    cached = _TRI_LIST_CACHE.get(spark, sf_dir)
+    if cached is not None:
+        return cached
+    _, oe = _copurchase_edges(spark, sf_dir)
+    a, b = oe.alias("a"), oe.alias("b")
+    wedges = a.join(
+        b, (F.col("a.src") == F.col("b.src")) & (F.col("a.dst") < F.col("b.dst"))
+    ).select(
+        F.col("a.src").alias("w0"),
+        F.col("a.dst").alias("x"),
+        F.col("b.dst").alias("z"),
+    )
+    closer = oe.select(
+        F.least("src", "dst").alias("x"), F.greatest("src", "dst").alias("z")
+    )
+    tri = (
+        wedges.join(closer.hint("SHUFFLE_HASH"), ["x", "z"])
+        .localCheckpoint(eager=True)
+    )
+    return _TRI_LIST_CACHE.put(spark, sf_dir, tri)
 
 
 def _edge_support_full(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1414,25 +1466,8 @@ def _edge_support_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = _EDGE_SUPPORT_CACHE.get(spark, sf_dir)
     if cached is not None:
         return cached
-    und, oe = _copurchase_edges(spark, sf_dir)
-    a, b = oe.alias("a"), oe.alias("b")
-    wedges = a.join(
-        b, (F.col("a.src") == F.col("b.src")) & (F.col("a.dst") < F.col("b.dst"))
-    ).select(
-        F.col("a.src").alias("w0"),
-        F.col("a.dst").alias("x"),
-        F.col("b.dst").alias("z"),
-    )
-    closer = oe.select(
-        F.least("src", "dst").alias("x"), F.greatest("src", "dst").alias("z")
-    )
-    # the 3-way unionAll below consumes tri once per branch: without a
-    # lineage cut the O(E^1.5) closure join runs THREE times (scan audit
-    # caught lineitem x273 in the executed plan)
-    tri = (
-        wedges.join(closer.hint("SHUFFLE_HASH"), ["x", "z"])
-        .localCheckpoint(eager=True)
-    )
+    und, _ = _copurchase_edges(spark, sf_dir)
+    tri = _full_triangle_list(spark, sf_dir)
     edges3 = (
         tri.select(
             F.least("w0", "x").alias("eu"), F.greatest("w0", "x").alias("ev")
@@ -1607,50 +1642,47 @@ def graph_ktruss_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     counts = [E.count()]
+    # r13 optimization: rounds 2-3 used to re-derive orientation and re-run
+    # the O(E^1.5) wedge closure on the survivor subgraph (~9 s/round at
+    # sf0.1 — 41M wedges for 1.9M triangles). Since e_i ⊆ e_{i-1} ⊆ e0, the
+    # triangles of each round's subgraph are EXACTLY the full-graph
+    # triangles whose three edges all survive, so each round filters the
+    # memoized round-1 triangle list with three semi-joins (edge-cardinality
+    # shuffles, no wedge enumeration) and recounts. Support values are
+    # identical by construction — the oracle's unrolled per-round closure
+    # verifies that (hash-green at both SFs).
+    alive = _full_triangle_list(spark, sf_dir)  # (w0, x, z), x < z
+    tri_edges = (
+        (F.least("w0", "x"), F.greatest("w0", "x")),
+        (F.least("w0", "z"), F.greatest("w0", "z")),
+        (F.col("x"), F.col("z")),
+    )
     for _ in range(2):
-        deg = (
-            E.select(F.col("u").alias("node"))
-            .unionAll(E.select(F.col("v").alias("node")))
-            .groupBy("node")
-            .agg(F.count(F.lit(1)).alias("deg"))
-        )
-        du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
-        dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
-        ranked = E.join(du, "u").join(dv, "v")
-        lower_first = (F.col("du") < F.col("dv")) | (
-            (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
-        )
-        oe = ranked.select(
-            F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src"),
-            F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
-        )
-        a, b = oe.alias("a"), oe.alias("b")
-        wedges = a.join(
-            b,
-            (F.col("a.src") == F.col("b.src"))
-            & (F.col("a.dst") < F.col("b.dst")),
-        ).select(
-            F.col("a.src").alias("w0"),
-            F.col("a.dst").alias("x"),
-            F.col("b.dst").alias("z"),
-        )
-        closer = oe.select(
-            F.least("src", "dst").alias("x"),
-            F.greatest("src", "dst").alias("z"),
-        )
-        tri = wedges.join(closer.hint("SHUFFLE_HASH"), ["x", "z"])
+        for cu, cv in tri_edges:
+            surv = E.select(F.col("u").alias("su"), F.col("v").alias("sv"))
+            alive = alive.join(
+                surv.hint("SHUFFLE_HASH"),
+                (cu == F.col("su")) & (cv == F.col("sv")),
+                "left_semi",
+            )
+        # edges3 consumes the filtered list three times: cut lineage so the
+        # semi-join chain runs once per round (lesson 42 / the tri
+        # checkpoint above)
+        alive = alive.localCheckpoint(eager=True)
         edges3 = (
-            tri.select(
+            alive.select(
                 F.least("w0", "x").alias("u"),
                 F.greatest("w0", "x").alias("v"),
             )
             .unionAll(
-                tri.select(
+                alive.select(
                     F.least("w0", "z").alias("u"),
                     F.greatest("w0", "z").alias("v"),
                 )
             )
-            .unionAll(tri.select(F.col("x").alias("u"), F.col("z").alias("v")))
+            .unionAll(
+                alive.select(F.col("x").alias("u"), F.col("z").alias("v"))
+            )
         )
         sup = edges3.groupBy("u", "v").agg(
             F.count(F.lit(1)).alias("sup")

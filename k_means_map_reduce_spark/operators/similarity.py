@@ -76,8 +76,13 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.where(F.col("vec_id") < N_QUERY).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
+    # r13 optimization: the corpus side streams through the broadcast join,
+    # and the single-row-group testdata scan would stream it as ONE task —
+    # every pairwise cosine on one core (guide §2.5). Dimension-scale rows,
+    # so the fan-out shuffle is noise at any scale.
+    corpus = e.repartition(spark.sparkContext.defaultParallelism, "vec_id")
     scored = (
-        e.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+        corpus.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
         .select(
             "q_id",
             "vec_id",
@@ -1055,7 +1060,8 @@ def ml_knn_label_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     approximately with partition-pruned plans, and this query's shape
     (rank window over (q, sim)) is unchanged on top of them.
     """
-    from ..functions.vectors import dot, l2_norm
+    from ..functions.vectors import dot_unrolled as dot
+    from ..functions.vectors import l2_norm_unrolled as l2_norm
 
     e = load_table(spark, sf_dir, "embeddings")
     # lesson 31: norms once per VECTOR (not 2 extra folds per PAIR) —
@@ -1067,8 +1073,17 @@ def ml_knn_label_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     # twice — DELIBERATE: the table is bounded dimension-scale and the
     # rescan (one norm fold over it) is cheaper than pinning vectors in
     # executor storage
-    base = e.select(
-        "vec_id", "label", "embedding", l2_norm(F.col("embedding")).alias("nrm")
+    # r13 optimization: testdata ships ONE parquet row group, so the scan —
+    # and therefore the streamed side of the BroadcastNestedLoopJoin below —
+    # is a single task: every pairwise dot evaluated on one core. Fan the
+    # base out by vec_id first (guide §2.5: unsplittable input ⇒ repartition
+    # right after the read); at real file-split scales this repartition of
+    # dimension-scale rows is noise.
+    base = (
+        e.repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .select(
+            "vec_id", "label", "embedding", l2_norm(F.col("embedding")).alias("nrm")
+        )
     )
     a = base.where(F.col("vec_id") % 4 == 0).select(
         F.col("vec_id").alias("q"),

@@ -231,3 +231,80 @@ def test_pmh_signature_agg_matches_python(spark, shingle_sets):
     for i, hs in enumerate(shingle_sets):
         want = [min((a * h + b) % _PMH_P for h in hs) for a, b in _PMH_PERMS24]
         assert got[i] == want, (i, hs)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.floats(
+                min_value=-1e6,
+                max_value=1e6,
+                allow_nan=False,
+                width=32,
+            ),
+            min_size=64,
+            max_size=64,
+        ),
+        min_size=2,
+        max_size=6,
+    )
+)
+def test_unrolled_vector_math_bitwise_equals_fold(spark, vecs):
+    """dot_unrolled / l2_norm_unrolled (the r13 opt-in codegen fast path)
+    must be BIT-IDENTICAL to the aggregate/zip_with folds: same leading
+    0.0 literal, same left-associated addition order. Compared via
+    to_binary so -0.0 vs 0.0 or any last-ulp drift fails loudly."""
+    from k_means_map_reduce_spark.functions.vectors import (
+        dot,
+        dot_unrolled,
+        l2_norm,
+        l2_norm_unrolled,
+    )
+
+    pairs = [(vecs[i], vecs[(i + 1) % len(vecs)]) for i in range(len(vecs))]
+    df = spark.createDataFrame(pairs, "a array<float>, b array<float>")
+    rows = df.select(
+        dot(F.col("a"), F.col("b")).alias("fold_dot"),
+        dot_unrolled(F.col("a"), F.col("b")).alias("un_dot"),
+        l2_norm(F.col("a")).alias("fold_norm"),
+        l2_norm_unrolled(F.col("a")).alias("un_norm"),
+    ).collect()
+    import struct
+
+    for r in rows:
+        assert struct.pack("<d", r["fold_dot"]) == struct.pack(
+            "<d", r["un_dot"]
+        )
+        assert struct.pack("<d", r["fold_norm"]) == struct.pack(
+            "<d", r["un_norm"]
+        )
+
+
+def test_unrolled_vector_math_fallback_path(spark):
+    """Non-UNROLL_DIM lengths and NULL arrays must route to the fold branch
+    (same values), and never raise under ANSI element_at."""
+    from k_means_map_reduce_spark.functions.vectors import (
+        dot,
+        dot_unrolled,
+        l2_norm,
+        l2_norm_unrolled,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ([1.5, -2.0, 3.25], [2.0, 0.5, -1.0]),
+            (None, [1.0, 2.0, 3.0]),
+            ([0.0] * 64, [1.0] * 64),
+        ],
+        "a array<float>, b array<float>",
+    )
+    rows = df.select(
+        dot(F.col("a"), F.col("b")).alias("fd"),
+        dot_unrolled(F.col("a"), F.col("b")).alias("ud"),
+        l2_norm(F.col("a")).alias("fn"),
+        l2_norm_unrolled(F.col("a")).alias("un"),
+    ).collect()
+    for r in rows:
+        assert r["fd"] == r["ud"]
+        assert r["fn"] == r["un"]
