@@ -376,11 +376,12 @@ def kmeans_mllib(
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
     ).cache()
     model = KMeans(k=k, maxIter=max_iter, tol=tol, seed=seed).fit(feats)
-    pred = model.transform(feats)
-    sizes = {
-        r["prediction"]: r["n"]
-        for r in pred.groupBy("prediction").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
+    # r13 optimization: the training summary already carries the per-cluster
+    # assignment counts (KMeansSummary.clusterSizes, indexed by cluster id),
+    # so the extra transform + groupBy + collect pass is pure recomputation
+    # of the same numbers (verified equal) — guide §1.2: don't compute
+    # things twice.
+    sizes = {cid: n for cid, n in enumerate(model.summary.clusterSizes)}
     feats.unpersist()
     spark = df.sparkSession
     rows = [
