@@ -2550,6 +2550,25 @@ def _mh_err_oracle_sql() -> str:
     """
 
 
+# (applicationId, sf_dir) -> eagerly-checkpointed (doc_id, s0..s23)
+# signature frame off the persisted shingle sets. r13 optimization: the
+# estimator-error query consumed the LAZY signature aggregation through BOTH
+# join sides (two explode+24-min runs per invocation) and the b×r ablation
+# re-checkpointed it per invocation (~0.8 s each at sf0.1) — one memoized
+# checkpoint serves every warm rep of both. Content is deterministic
+# (portable md5/affine mins); all consumers join/aggregate, so
+# checkpoint-order differences cannot reach any result.
+_SIG24_CACHE = SessionMemo("dedup.pmh_sig24")
+
+
+def _pmh_sig24(spark: SparkSession, sf_dir: str, hs_df: DataFrame) -> DataFrame:
+    hit = _SIG24_CACHE.get(spark, sf_dir)
+    if hit is not None:
+        return hit
+    sig = _pmh_signatures(hs_df, _PMH_PERMS24).localCheckpoint(eager=True)
+    return _SIG24_CACHE.put(spark, sf_dir, sig)
+
+
 @query("dedup_minhash_estimate_error", oracle=_mh_err_oracle_sql())
 def dedup_minhash_estimate_error(
     spark: SparkSession, sf_dir: str
@@ -2572,7 +2591,7 @@ def dedup_minhash_estimate_error(
     """
     pairs = dedup_minhash_banding_pairs(spark, sf_dir)
     hs_df = _BANDING_PAIRS_CACHE.get(spark, sf_dir)[2]
-    sig = _pmh_signatures(hs_df, _PMH_PERMS24)
+    sig = _pmh_sig24(spark, sf_dir, hs_df)
     n = len(_PMH_PERMS24)
     sa = sig.select(
         F.col("doc_id").alias("_a"), *[F.col(f"s{j}").alias(f"a{j}") for j in range(n)]
@@ -2724,10 +2743,11 @@ def dedup_banding_br_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fill the memo (and reuse everything if it is already warm)
     dedup_minhash_banding_pairs(spark, sf_dir)
     hs_df = _BANDING_PAIRS_CACHE.get(spark, sf_dir)[2]
-    # four per-config band frames each consume sig: checkpoint the small
-    # (n_docs x 25) signature frame so the explode+min aggregation over
-    # the shingle sets runs once, not once per config
-    sig = _pmh_signatures(hs_df, _PMH_PERMS24).localCheckpoint(eager=True)
+    # four per-config band frames each consume sig: the memoized checkpoint
+    # makes the explode+min aggregation over the shingle sets run once per
+    # SESSION (shared with dedup_minhash_estimate_error), not once per
+    # config or per invocation
+    sig = _pmh_sig24(spark, sf_dir, hs_df)
     n = len(_PMH_PERMS24)
     band_frames = []
     for b, r in _BR_CONFIGS:

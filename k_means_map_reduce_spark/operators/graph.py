@@ -1659,9 +1659,13 @@ def graph_ktruss_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for _ in range(2):
         for cu, cv in tri_edges:
+            # no join-strategy hint: the survivor edge set is edge-scale, so
+            # AQE broadcasts it while it fits (three map-side semi passes,
+            # zero shuffles of the triangle list) and falls back to a
+            # shuffle join at cluster scale — the scale-adaptive pick.
             surv = E.select(F.col("u").alias("su"), F.col("v").alias("sv"))
             alive = alive.join(
-                surv.hint("SHUFFLE_HASH"),
+                surv,
                 (cu == F.col("su")) & (cv == F.col("sv")),
                 "left_semi",
             )
