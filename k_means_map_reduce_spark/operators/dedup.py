@@ -2433,8 +2433,13 @@ def contamination_paragraph_winnowing(
         .distinct()
     )
     toks = F.filter(F.split(_NORM(F.col("text")), " "), lambda t: t != "")
+    # r13 optimization: the per-paragraph rolling-hash HOF below is the
+    # expensive part of this query, and the single-row-group documents scan
+    # would evaluate it all in ONE task (guide §2.5 — the simhash
+    # repartition precedent). Fan the test split out by doc_id first.
     test_norm = (
         split.where(~F.col("is_train"))
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
         .select("doc_id", "source", toks.alias("toks"))
         .where(F.size("toks") > 0)
     )
