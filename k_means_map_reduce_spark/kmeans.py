@@ -543,43 +543,79 @@ def kmeans_arrow(
         # single executor task over the coalesced data. The init replays
         # pyspark's own takeSample machinery at split=0, so the trajectory
         # is identical to the driver-side init below. See docstring.
-        def run_all(rows_iter, _k=k, _mi=max_iter, _tol=tol, _seed=seed):
+        #
+        # r14 (guide §4): the handoff is mapInArrow — vectors cross the
+        # JVM→Python boundary as Arrow list<double> batches instead of
+        # pickled Rows. Row ORDER is unchanged (same single coalesced
+        # partition, batches concatenated in order), and Arrow transports
+        # doubles exactly, so the seeded sample — and therefore the whole
+        # trajectory — is bit-identical to the .rdd handoff it replaces
+        # (gated by test_arrow_equals_native).
+        def run_all(batch_iter, _k=k, _mi=max_iter, _tol=tol, _seed=seed):
             import numpy as _np
+            import pyarrow as _pa
 
-            rows = list(rows_iter)
-            if not rows:
+            out_schema = _pa.schema(
+                [
+                    ("status", _pa.string()),
+                    ("cents", _pa.list_(_pa.list_(_pa.float64()))),
+                    ("it", _pa.int32()),
+                    ("converged", _pa.bool_()),
+                    ("wssse", _pa.list_(_pa.float64())),
+                    ("cnt", _pa.list_(_pa.int64())),
+                ]
+            )
+            batches = list(batch_iter)
+            if sum(b.num_rows for b in batches) == 0:
                 return
-            sample = _take_sample_local(rows, 4 * _k, _seed)
+            tbl = _pa.Table.from_batches(batches)
+            vecs = tbl.column("vec").to_pylist()
+            sample = _take_sample_local(vecs, 4 * _k, _seed)
             cents: list[list[float]] = []
             seen: set = set()
-            for r in sample:
-                key = tuple(r["vec"])
+            for v in sample:
+                key = tuple(v)
                 if key not in seen:
                     seen.add(key)
-                    cents.append(list(r["vec"]))
+                    cents.append(list(v))
                 if len(cents) == _k:
                     break
             if len(cents) < _k:
                 # <k distinct in the 4k oversample: defer to the general
                 # path, whose init falls back to a full distinct() sample.
-                yield ("degenerate", None)
+                yield _pa.RecordBatch.from_pylist(
+                    [{"status": "degenerate", "cents": None, "it": None,
+                      "converged": None, "wssse": None, "cnt": None}],
+                    schema=out_schema,
+                )
                 return
-            X = _np.asarray([r["vec"] for r in rows], dtype=_np.float64)
-            yield (
-                "ok",
-                _lloyd_single(
-                    X, _np.asarray(cents, dtype=_np.float64), _mi, _tol
-                ),
+            X = _np.asarray(vecs, dtype=_np.float64)
+            final_c, it, converged, hist, cnt = _lloyd_single(
+                X, _np.asarray(cents, dtype=_np.float64), _mi, _tol
+            )
+            yield _pa.RecordBatch.from_pylist(
+                [{"status": "ok", "cents": final_c, "it": it,
+                  "converged": converged, "wssse": hist, "cnt": cnt}],
+                schema=out_schema,
             )
 
-        out = base.coalesce(1).rdd.mapPartitions(run_all).collect()
+        out = (
+            base.coalesce(1)
+            .mapInArrow(
+                run_all,
+                "status string, cents array<array<double>>, it int, "
+                "converged boolean, wssse array<double>, cnt array<bigint>",
+            )
+            .collect()
+        )
         if not out:
             raise ValueError("empty input")
-        if out[0][0] == "ok":
-            final_c, it, converged, wssse_history, cnt_list = out[0][1]
+        if out[0]["status"] == "ok":
+            r = out[0]
             return KMeansResult(
-                final_c, it, converged, wssse_history,
-                {cid: n for cid, n in enumerate(cnt_list)},
+                [list(c) for c in r["cents"]], r["it"], r["converged"],
+                list(r["wssse"]),
+                {cid: n for cid, n in enumerate(r["cnt"])},
             )
         # fall through: degenerate sample → general path below
 

@@ -1776,11 +1776,26 @@ def dedup_semantic_cluster_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         4,
     )
-    return (
-        a.join(b, (F.col("cid") == F.col("cid_b")) & (F.col("vec_a") < F.col("vec_b")))
-        .select("cid", "vec_a", "vec_b", sim.alias("sim"))
-        .where(F.col("sim") >= 0.4)
-    )
+    # r14 (guide §4.4's anti-duplication recipe applied to a pure
+    # expression): with a plain `.where(sim >= 0.4)` the optimizer inlines
+    # the whole fold into the BroadcastHashJoin CONDITION and keeps a second
+    # copy in the projection — the 64-dim dot ran TWICE per candidate pair.
+    # Adding `+ 0.0 * rand(1)` to the FILTER operand only (never the output
+    # column) makes the predicate non-pushable, so the join emits pairs on
+    # the cheap (cid, vec_a < vec_b) condition, the projection evaluates sim
+    # ONCE per pair, and the filter compares the materialized column.
+    # Values are untouched: 0.0 * rand is exactly +0.0 and x + 0.0 changes
+    # no comparison outcome (-0.0 vs +0.0 compare equal), and the output
+    # `sim` column is the unmodified expression. A/B (interleaved min-of-3
+    # x2): 0.64/0.65 s -> 0.61/0.58 s. Two r13-verdict suggestions were
+    # measured and REJECTED here: dot_unrolled (planning cost of the 130-
+    # node chain exceeds the win at ~250k pairs — 1.2-1.5 s/run) and a
+    # defaultParallelism repartition of the streamed side (the BHJ already
+    # runs at the cached corpus's full parallelism; +0.25 s/run).
+    joined = a.join(
+        b, (F.col("cid") == F.col("cid_b")) & (F.col("vec_a") < F.col("vec_b"))
+    ).select("cid", "vec_a", "vec_b", sim.alias("sim"))
+    return joined.where((F.col("sim") + F.lit(0.0) * F.rand(1)) >= 0.4)
 
 
 _CONTAIN_DF_CAP = 50  # stop-shingle cap: postings hotter than this don't vote
@@ -2029,6 +2044,15 @@ def dedup_paragraph_containment_pairs(
                     )
                 ).alias("hs"),
             )
+            # r14 (guide §2.5): the documents scan is one parquet row group,
+            # so without this the whole candidate build (postings explode ×2,
+            # rare-filtered pair join, map-side distinct partials — measured
+            # 1.2 s of the 1.49 s warm total) ran in ONE task off the
+            # single-partition cache. Fan the memoized table out once at
+            # build time; every consumer inherits the parallel layout.
+            .repartition(
+                spark.sparkContext.defaultParallelism, "doc_id", "para_idx"
+            )
             .persist()
         )
         _PARA_SHINGLES_CACHE.put(spark, sf_dir, (sh,))
@@ -2048,9 +2072,18 @@ def dedup_paragraph_containment_pairs(
     pb = postings.select(
         F.col("doc_id").alias("doc_b"), F.col("para_idx").alias("pb"), "h"
     )
+    # r14 optimization (guide §3.1/§3.2): the pair join used to build its
+    # broadcast from the FULL b-side postings explode (before-plan:
+    # BroadcastExchange over Generate over the whole posting list) — the
+    # collect+rebroadcast of every posting row was the warm cost. Semi-
+    # filtering pb by the rare-shingle list first (rare is tiny and
+    # broadcasts map-side) shrinks the pair join's build side to the
+    # rare-keyed postings only. Candidates are unchanged: the pair join is
+    # on h ∈ rare either way.
+    pb_rare = pb.join(rare, "h", "left_semi")
     cands = (
         pa.join(rare, "h")
-        .join(pb, "h")
+        .join(pb_rare, "h")
         .where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "pa", "doc_b", "pb")
         .distinct()

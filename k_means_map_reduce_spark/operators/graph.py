@@ -37,6 +37,31 @@ from ..sources import load_table
 _DAMPING = 0.85
 _ROUNDS = 10
 
+_PLAN_DUMP_SEQ: dict[str, int] = {}
+
+
+def _maybe_dump_plan(df: DataFrame, name: str) -> None:
+    """Evidence hook for driver-side-loop queries (r13 verdict item 7):
+    when $SPARK_GRAFT_PLAN_DUMP_DIR is set, write the formatted plan of an
+    intermediate per-round frame to <dir>/<name>_<seq>.txt. Off (a single
+    env lookup) in every normal/bench run — never in the timed path."""
+    import os
+
+    out_dir = os.environ.get("SPARK_GRAFT_PLAN_DUMP_DIR")
+    if not out_dir:
+        return
+    import contextlib
+    import io
+
+    seq = _PLAN_DUMP_SEQ.get(name, 0)
+    _PLAN_DUMP_SEQ[name] = seq + 1
+    os.makedirs(out_dir, exist_ok=True)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    with open(os.path.join(out_dir, f"{name}_{seq}.txt"), "w") as fh:
+        fh.write(buf.getvalue())
+
 # (applicationId, sf_dir) -> (undirected co-purchase edges, degree-oriented
 # edges), both persisted. The edge list feeds MANY consumers inside one
 # query (degree calc, wedge join both sides, closure, counts) — without a
@@ -1267,52 +1292,36 @@ def graph_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
         .unionAll(e.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
     )
-    # r13 optimization: each round's walk counts are consumed TWICE (the
-    # next round's matvec AND the final 4-way join), so without a lineage
-    # cut the c1/c2/c3 subtrees replicate down the chain — the executed
-    # plan held 39 joins (1+2+3+4 = 10 matvecs instead of 3; see
-    # plans/r13/graph_katz_centrality_before.txt). Eagerly checkpointing
-    # the NODE-grain rollup (~|V| rows, never edges) caps every round at
-    # one matvec (guide §2.4 / §3.3: materialize multiply-consumed
-    # intermediates to truncate the plan). Values are integer walk counts —
-    # unchanged by construction.
+    # r14 optimization (guide §1.2/§2.4 — Horner the walk chain): the key
+    # 512c1 + 64c2 + 8c3 + c4 factors as A(A(A c1 + 8 c1) + 64 c1) + 512 c1
+    # over the adjacency matvec A, and every operand is a BIGINT walk count,
+    # so integer distributivity makes the Horner accumulation EXACTLY equal
+    # to computing the four powers separately (no float enters anywhere).
+    # Each "scale-and-add" rides the matvec's own aggregation — the scaled
+    # c1 rows are unioned into the contribution stream BEFORE the groupBy —
+    # so each accumulator state z_i is consumed exactly ONCE (the next
+    # matvec) and the whole chain plans as one linear job: 3 matvec
+    # shuffles + the window, with no per-round checkpoints and no final
+    # 4-way join (r13's shape paid 4 aggregation jobs + 3 eager checkpoint
+    # jobs + a 4-way node join per run). Only c1 is multiply-consumed
+    # (weights 8/64/512) — one checkpoint serves all four reads.
     c1 = (
         adj.groupBy("node")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c1"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
         .localCheckpoint(eager=True)
     )
-    prev = c1.select("node", F.col("c1").alias("c"))
-    counts = {1: c1}
-    for i in (2, 3, 4):
-        nxt = (
-            adj.join(
-                prev.select(F.col("node").alias("nbr"), "c"), "nbr"
-            )
+    z = c1
+    for w in (8, 64, 512):
+        contrib = adj.join(
+            z.select(F.col("node").alias("nbr"), "c"), "nbr"
+        ).select("node", "c")
+        boost = c1.select("node", (F.lit(w) * F.col("c")).alias("c"))
+        z = (
+            contrib.unionAll(boost)
             .groupBy("node")
-            .agg(F.sum("c").cast("bigint").alias(f"c{i}"))
+            .agg(F.sum("c").cast("bigint").alias("c"))
         )
-        if i < 4:
-            # c4 is consumed exactly once (the final join) — no cut needed
-            nxt = nxt.localCheckpoint(eager=True)
-        counts[i] = nxt
-        prev = nxt.select("node", F.col(f"c{i}").alias("c"))
-    scored = (
-        counts[1]
-        .join(counts[2], "node")
-        .join(counts[3], "node")
-        .join(counts[4], "node")
-        .select(
-            "node",
-            (
-                512 * F.col("c1")
-                + 64 * F.col("c2")
-                + 8 * F.col("c3")
-                + F.col("c4")
-            )
-            .cast("bigint")
-            .alias("key"),
-        )
-    )
+    scored = z.select("node", F.col("c").cast("bigint").alias("key"))
     ranked = scored.select(
         "node",
         "key",
@@ -1625,78 +1634,136 @@ def graph_ktruss_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     Round 1's support on the FULL graph is byte-identical to the census
     computation, so it comes straight from the shared _edge_support_full
     memo (r12 verdict item 2 — one closure serves both queries, a third
-    off this cold build). Rounds 2-3 recompute support with the same
-    degree-ordered compact-forward closure (O(E^1.5) wedges, SHUFFLE_HASH
-    closure) on the SHRINKING survivor subgraph, orientation re-derived
-    per round, each round's survivor list eagerly checkpointed
-    (lesson 42). Result is 1 row — memoized per (session, sf_dir)."""
+    off this cold build). Rounds 2-3 are INCREMENTAL support decrements
+    (r14, guide §1.2): removing edge wave R kills exactly the alive
+    triangles touching R, and each surviving edge's support drops by the
+    number of killed triangles containing it — so each round probes the
+    memoized full-graph triangle list with the (tiny) removal wave
+    instead of recounting every alive triangle.
+
+    Correctness argument (oracle-proven at both SFs):
+    - T(E_i) (triangles of the induced subgraph) = full-graph triangles
+      whose 3 edges all lie in E_i (r13's monotonicity fact).
+    - killed_i = T(E_{i-1}) \\ T(E_i) = alive triangles with >= 1 edge in
+      the wave R_i = E_{i-1} \\ E_i. Each killed triangle is ONE ROW of
+      the filtered list, so a triangle losing 2-3 edges in one wave still
+      decrements its other edges exactly once (no double-decrement).
+    - For e in E_i: sup_i(e) = sup_{i-1}(e) - |{t in killed_i : e in t}|.
+    - Probe pruning: an edge leaves E with residual support 0 or 1; a
+      residual-0 edge is in NO alive triangle, so only residual-1 edges
+      can kill anything — the wave frames carry just those. A triangle
+      touching wave i+1 might also touch wave i (already dead), hence the
+      no-edge-in-prior-wave filter on the round-3 probe.
+
+    Result is 1 row — memoized per (session, sf_dir)."""
     cached = _KTRUSS_CACHE.get(spark, sf_dir)
     if cached is not None:
         return cached
-    # round 1: full-graph support >= k-2 (the inner join in the loop body
-    # drops support-0 edges the same way this filter does)
-    E = (
-        _edge_support_full(spark, sf_dir)
-        .where(F.col("support") >= 2)
-        .select(F.col("eu").alias("u"), F.col("ev").alias("v"))
-        .localCheckpoint(eager=True)
+    # round 1: full-graph support >= k-2, support carried into the loop so
+    # later rounds can decrement it instead of recounting
+    sup0 = _edge_support_full(spark, sf_dir)
+    E = sup0.where(F.col("support") >= 2).select(
+        F.col("eu").alias("u"), F.col("ev").alias("v"), F.col("support")
     )
     counts = [E.count()]
-    # r13 optimization: rounds 2-3 used to re-derive orientation and re-run
-    # the O(E^1.5) wedge closure on the survivor subgraph (~9 s/round at
-    # sf0.1 — 41M wedges for 1.9M triangles). Since e_i ⊆ e_{i-1} ⊆ e0, the
-    # triangles of each round's subgraph are EXACTLY the full-graph
-    # triangles whose three edges all survive, so each round filters the
-    # memoized round-1 triangle list with three semi-joins (edge-cardinality
-    # shuffles, no wedge enumeration) and recounts. Support values are
-    # identical by construction — the oracle's unrolled per-round closure
-    # verifies that (hash-green at both SFs).
-    alive = _full_triangle_list(spark, sf_dir)  # (w0, x, z), x < z
+    # wave 1: edges removed by round 1 that can still touch an alive
+    # triangle — exactly the full-support-1 edges (support-0 edges are in
+    # no triangle at all). The wave/dec frames are PERSISTED AND
+    # MATERIALIZED before the joins that consume them: checkpointed-RDD
+    # scans carry no statistics, so without this the planner assumed both
+    # sides huge and planned SortMergeJoins that shuffled the 1.9M-row
+    # triangle list and the 1.1M-row survivor table EVERY round. A
+    # materialized cache reports its true byte size, so the planner
+    # broadcasts these wave-scale frames while they fit the configured
+    # threshold and falls back to shuffle joins at cluster scale — the
+    # stats-driven, scale-adaptive pick (guide §3.1). All pins are
+    # released before returning (the result is memoized; nothing leaks).
+    pinned = []
+
+    def _mat(df: DataFrame) -> DataFrame:
+        df = df.persist()
+        df.count()
+        pinned.append(df)
+        return df
+
+    wave = _mat(
+        sup0.where(F.col("support") == 1).select(
+            F.col("eu").alias("u"), F.col("ev").alias("v")
+        )
+    )
+    tri = _full_triangle_list(spark, sf_dir)  # (w0, x, z), x < z
     tri_edges = (
         (F.least("w0", "x"), F.greatest("w0", "x")),
         (F.least("w0", "z"), F.greatest("w0", "z")),
         (F.col("x"), F.col("z")),
     )
-    for _ in range(2):
-        for cu, cv in tri_edges:
-            # no join-strategy hint: the survivor edge set is edge-scale, so
-            # AQE broadcasts it while it fits (three map-side semi passes,
-            # zero shuffles of the triangle list) and falls back to a
-            # shuffle join at cluster scale — the scale-adaptive pick.
-            surv = E.select(F.col("u").alias("su"), F.col("v").alias("sv"))
-            alive = alive.join(
-                surv,
-                (cu == F.col("su")) & (cv == F.col("sv")),
-                "left_semi",
+
+    def _touches(base: DataFrame, probe: DataFrame, tag: str, want: bool):
+        """Filter `base` triangles by whether ANY of their 3 edges is in
+        `probe`: one pass, three LEFT joins against the (tiny) probe frame
+        carrying a flag column — AQE broadcasts it, so the triangle list is
+        never shuffled."""
+        out = base
+        flags = []
+        for s, (cu, cv) in enumerate(tri_edges):
+            flag = f"_{tag}{s}"
+            pr = probe.select(
+                F.col("u").alias(f"_{tag}u{s}"),
+                F.col("v").alias(f"_{tag}v{s}"),
+                F.lit(1).alias(flag),
             )
-        # edges3 consumes the filtered list three times: cut lineage so the
-        # semi-join chain runs once per round (lesson 42 / the tri
-        # checkpoint above)
-        alive = alive.localCheckpoint(eager=True)
-        edges3 = (
-            alive.select(
-                F.least("w0", "x").alias("u"),
-                F.greatest("w0", "x").alias("v"),
+            out = out.join(
+                pr,
+                (cu == F.col(f"_{tag}u{s}")) & (cv == F.col(f"_{tag}v{s}")),
+                "left",
+            )
+            flags.append(F.col(flag).isNotNull())
+        hit = flags[0] | flags[1] | flags[2]
+        return out.where(hit if want else ~hit).select("w0", "x", "z")
+
+    prior_wave = None
+    for _ in range(2):
+        killed = _touches(tri, wave, "w", want=True)
+        if prior_wave is not None:
+            # triangles touching an EARLIER wave are already dead — they
+            # must not decrement again (the double-accounting guard)
+            killed = _touches(killed, prior_wave, "p", want=False)
+        # the 3-way edge explode consumes killed three times: cut lineage so
+        # the probe joins run once (killed is wave-scale, tiny)
+        killed = killed.localCheckpoint(eager=True)
+        dec = (
+            killed.select(
+                F.least("w0", "x").alias("u"), F.greatest("w0", "x").alias("v")
             )
             .unionAll(
-                alive.select(
+                killed.select(
                     F.least("w0", "z").alias("u"),
                     F.greatest("w0", "z").alias("v"),
                 )
             )
             .unionAll(
-                alive.select(F.col("x").alias("u"), F.col("z").alias("v"))
+                killed.select(F.col("x").alias("u"), F.col("z").alias("v"))
             )
+            .groupBy("u", "v")
+            .agg(F.count(F.lit(1)).alias("dcnt"))
         )
-        sup = edges3.groupBy("u", "v").agg(
-            F.count(F.lit(1)).alias("sup")
+        dec = _mat(dec)
+        supd = E.join(dec, ["u", "v"], "left").select(
+            "u",
+            "v",
+            (F.col("support") - F.coalesce(F.col("dcnt"), F.lit(0))).alias(
+                "support"
+            ),
         )
-        E = (
-            E.join(sup, ["u", "v"])
-            .where(F.col("sup") >= 2)
-            .select("u", "v")
-            .localCheckpoint(eager=True)
-        )
+        # evidence hook (r13 verdict item 7): the query returns a 1-row
+        # literal, so explain() on the result cannot show the peel shape —
+        # dump each round's support-update plan BEFORE the lineage cut
+        _maybe_dump_plan(supd, "ktruss_round_support")
+        # consumed twice (survivors + next wave): cut lineage
+        supd = supd.localCheckpoint(eager=True)
+        prior_wave = wave
+        wave = _mat(supd.where(F.col("support") == 1).select("u", "v"))
+        E = supd.where(F.col("support") >= 2)
         counts.append(E.count())
     nodes = (
         E.select(F.col("u").alias("node"))
@@ -1704,6 +1771,11 @@ def graph_ktruss_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("node").cast("bigint").alias("n"))
         .collect()[0]["n"]
     )
+    # every count above is final — release the wave/dec pins (lesson 30:
+    # bench reps must not accumulate pinned storage; the 1-row result below
+    # is what the memo holds)
+    for df in pinned:
+        df.unpersist()
     out = spark.range(1).select(
         F.lit(4).cast("int").alias("k"),
         F.lit(3).cast("int").alias("rounds"),

@@ -2787,10 +2787,10 @@ def text_bigram_entropy_rate_by_lang(
 
 # (applicationId, sf_dir) -> persisted (doc, true_lang, token, count)
 # rollup — the NB model tables and the scoring join all consume it.
-# three entries per sf_dir (token rollup, class_counts, doc_tot) — size 8
-# keeps two SFs resident so the parity tests' sf0.01+sf0.001 passes don't
-# thrash the memo
-_NB_TOKS_CACHE = SessionMemo("textops.nb_doc_tokens", maxsize=8)
+# five entries per sf_dir (token rollup, class_counts, doc_tot, and since
+# r14 the langs/delta model tables) — size 12 keeps two SFs resident so the
+# parity tests' sf0.01+sf0.001 passes don't thrash the memo
+_NB_TOKS_CACHE = SessionMemo("textops.nb_doc_tokens", maxsize=12)
 
 
 @query(
@@ -2940,23 +2940,39 @@ def ml_naive_bayes_lang_confusion(
     )
     nd_tot = doc_counts.agg(F.sum("nd").cast("bigint").alias("ndt"))
     dd = lambda c: F.col(c).cast("double")  # noqa: E731
-    langs = (
-        class_tot.join(
-            doc_counts, F.col("lang") == F.col("lang_d")
-        )
-        .crossJoin(F.broadcast(vocab))
-        .crossJoin(F.broadcast(nd_tot))
-        .select(
-            "lang",
-            "tot",
-            "v",
-            F.round(F.log(1.0 / (F.col("tot") + F.col("v")).cast("double")), 6)
-            .cast("decimal(18,6)")
-            .alias("default_logp"),
-            F.round(F.log(dd("nd") / dd("ndt")), 6)
-            .cast("decimal(18,6)")
-            .alias("prior_logp"),
-        )
+    # r14 (guide §2.4/§3.3 — truncate multiply-consumed plans): langs is a
+    # 5-row model table consumed by THREE lazy arms (logps, delta's second
+    # join side, the scoring scaffold's cand broadcast) and delta by the
+    # token-grain scoring join — without a cut the whole class_tot/
+    # doc_counts/vocab/nd_tot aggregation chain re-ran once per consumer
+    # per invocation (sub-frame attribution: scores alone cost +0.86 s of
+    # which most was subtree recompute). Both tables are vocabulary-scale
+    # (5 and |V|x5 rows), deterministic per sf_dir, and now memo_persist'd
+    # beside the class_counts/doc_tot rollups they derive from.
+    langs = memo_persist(
+        _NB_TOKS_CACHE,
+        spark,
+        (sf_dir, "nb_langs"),
+        lambda: (
+            class_tot.join(
+                doc_counts, F.col("lang") == F.col("lang_d")
+            )
+            .crossJoin(F.broadcast(vocab))
+            .crossJoin(F.broadcast(nd_tot))
+            .select(
+                "lang",
+                "tot",
+                "v",
+                F.round(
+                    F.log(1.0 / (F.col("tot") + F.col("v")).cast("double")), 6
+                )
+                .cast("decimal(18,6)")
+                .alias("default_logp"),
+                F.round(F.log(dd("nd") / dd("ndt")), 6)
+                .cast("decimal(18,6)")
+                .alias("prior_logp"),
+            )
+        ),
     )
     logps = class_counts.join(
         langs.select("lang", "tot", "v"), "lang"
@@ -2985,13 +3001,18 @@ def ml_naive_bayes_lang_confusion(
     # token-grain join is now an INNER join on tok alone (fan-out = classes
     # actually holding the token), and the 5-way scaffold lives at DOC
     # grain, not token grain.
-    delta = logps.join(
-        langs.select(F.col("lang").alias("_dl"), "default_logp"),
-        F.col("lang") == F.col("_dl"),
-    ).select(
-        F.col("lang").alias("cand_l"),
-        F.col("tok").alias("tok_l"),
-        (F.col("logp") - F.col("default_logp")).alias("dlp"),
+    delta = memo_persist(
+        _NB_TOKS_CACHE,
+        spark,
+        (sf_dir, "nb_delta"),
+        lambda: logps.join(
+            langs.select(F.col("lang").alias("_dl"), "default_logp"),
+            F.col("lang") == F.col("_dl"),
+        ).select(
+            F.col("lang").alias("cand_l"),
+            F.col("tok").alias("tok_l"),
+            (F.col("logp") - F.col("default_logp")).alias("dlp"),
+        ),
     )
     matched = (
         toks.join(delta, F.col("tok") == F.col("tok_l"))

@@ -490,6 +490,18 @@ def _q25_base(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_returnflag").alias("f"),
             F.col("l_quantity").cast("long").alias("q"),
         )
+        # r14 optimization (guide §2.4): EVERY downstream consumer keys on
+        # (c, p) — ds_q25/ds_q29 run four join+groupBy stages each over this
+        # fact, and without a keyed layout each stage re-exchanges the full
+        # base (plans/r14/ds_q29_..._before.txt: 4 base-side Exchanges + 4
+        # aggregate Exchanges). Persisting the cache hash-partitioned by
+        # (c, p) makes each stage's ClusteredDistribution requirement already
+        # satisfied — groupBy("c","p",...) and join(["c","p"]) reuse the
+        # cached partitioning (hash partitioning on a SUBSET of the grouping
+        # keys satisfies the distribution), so the one build-time shuffle
+        # (spark.sql.shuffle.partitions-wide, conf-driven) replaces ~8
+        # per-run exchanges. Values unchanged: partitioning is layout only.
+        .repartition("c", "p")
         .persist()
     )
     _Q25_CACHE.put(spark, sf_dir, (base,))
