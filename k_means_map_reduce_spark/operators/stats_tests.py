@@ -4911,6 +4911,36 @@ def stats_brunner_munzel_segments(
     )
 
 
+# r14 (guide §1.2): the two-pass selection family runs 3 sequential jobs
+# per query (bounds -> probe -> pick), and EVERY job re-scanned its fact.
+# The two lineitem members share one (v cents, w qty) projection, persisted
+# ONCE per (session, sf_dir); every pass then reads the cache instead of
+# re-scanning parquet (at 100 TB that is 3 fact scans saved per query).
+# Two counter-findings recorded: (a) ALSO repartitioning the cache to
+# defaultParallelism measured SLOWER at sf0.1 (weighted median 1.45 vs
+# 1.13 s warm) — each pass is a light scan+agg, so 32-task stage overhead
+# exceeds the single-partition read; the single-row-group fan-out recipe
+# only pays where per-task compute is substantial. (b) The same memo on the
+# orders-side grouped pair measured flat-to-worse (orders is 4x smaller) —
+# reverted; the grouped members keep their direct scans.
+_TP_CENTS_CACHE = SessionMemo("stats.twopass_cents")
+
+
+def _tp_lineitem_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return memo_persist(
+        _TP_CENTS_CACHE,
+        spark,
+        (sf_dir, "li"),
+        lambda: load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.round(F.col("l_extendedprice") * 100, 0)
+            .cast("bigint")
+            .alias("v"),
+            F.col("l_quantity").cast("bigint").alias("w"),
+        ),
+    )
+
+
 @query(
     "stats_two_pass_median_extendedprice",
     oracle="""
@@ -4958,9 +4988,7 @@ def stats_two_pass_median_extendedprice(
     and the output is the k-th order statistic itself: no interpolation,
     no float anywhere. The oracle cross-checks with a direct
     ORDER BY ... OFFSET pick plus the same bucket metadata."""
-    cents = load_table(spark, sf_dir, "lineitem").select(
-        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("v")
-    )
+    cents = _tp_lineitem_cents(spark, sf_dir).select("v")
     # bounds is consumed by both passes and the probe: checkpoint the
     # 1-row frame so the min/max/count scan runs once (at 100 TB these
     # bounds come from table stats, not a scan at all)
@@ -5347,10 +5375,7 @@ def stats_weighted_two_pass_median(
     the running sum, so the pick is value-deterministic. The oracle
     verifies with a direct global cumulative-weight pick plus the same
     bucket formula."""
-    wv = load_table(spark, sf_dir, "lineitem").select(
-        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("v"),
-        F.col("l_quantity").cast("bigint").alias("w"),
-    )
+    wv = _tp_lineitem_cents(spark, sf_dir)
     bounds = wv.agg(
         F.min("v").alias("lo"),
         F.max("v").alias("hi"),

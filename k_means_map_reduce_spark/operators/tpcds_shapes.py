@@ -672,14 +672,24 @@ def ds_q72_inventory_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     wk = lambda col: F.floor(  # noqa: E731
         F.datediff(F.col(col), F.lit("1990-01-01").cast("date")) / 7
     )
-    inv = l.groupBy(
-        F.col("l_partkey").alias("pk"), wk("l_shipdate").alias("wk")
-    ).agg(F.sum(F.col("l_quantity").cast("long")).alias("inv_qty"))
-    sales = l.select(
+    # r14 (guide §2.4 — one exchange serves both consumers): inv and sales
+    # both derive from the IDENTICAL 3-column projection, repartitioned by
+    # l_partkey. The two subtrees canonicalize equal, so the plan carries
+    # ONE shuffle (ReusedExchange on the second consumer); hash(l_partkey)
+    # is a subset of both the aggregation key (pk, wk) and the join key
+    # (pk, wk = sale_wk + 1), so neither the inventory rollup nor the
+    # window-equi-join re-exchanges — and the single-row-group scan's
+    # downstream work fans out across the repartition instead of running
+    # one-task (§2.5). Values unchanged: layout only.
+    base = l.select(
         "l_partkey",
         wk("l_shipdate").alias("sale_wk"),
         F.col("l_quantity").cast("long").alias("qty"),
-    )
+    ).repartition("l_partkey")
+    inv = base.groupBy(
+        F.col("l_partkey").alias("pk"), F.col("sale_wk").alias("wk")
+    ).agg(F.sum("qty").alias("inv_qty"))
+    sales = base
     shortage = sales.join(
         inv,
         (F.col("pk") == F.col("l_partkey"))
@@ -1870,8 +1880,15 @@ def ds_q89_rolling_brand_deviation(spark: SparkSession, sf_dir: str) -> DataFram
     """
     l = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
+    # r14 (guide §2.5): the single-row-group scan ran the whole
+    # join + month-format + decimal partial-aggregation stage in ONE task;
+    # repartitioning the projected fact first spreads it across the cores
+    # (scale-adaptive: defaultParallelism) for the price of one narrow
+    # 4-column shuffle.
     monthly = (
-        l.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        l.select("l_partkey", "l_shipdate", "l_extendedprice", "l_discount")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .join(p, F.col("p_partkey") == F.col("l_partkey"))
         .groupBy(
             F.col("p_brand").alias("brand"),
             F.date_format("l_shipdate", "yyyy-MM").alias("month"),

@@ -308,3 +308,20 @@ def test_unrolled_vector_math_fallback_path(spark):
     for r in rows:
         assert r["fd"] == r["ud"]
         assert r["fn"] == r["un"]
+
+
+def test_embeddings_dim_matches_unroll_dim(spark, sf_dir):
+    """r13 advice item 3: the unrolled fast path only fires at UNROLL_DIM —
+    if the embeddings tables ever change dimension, every opted-in call
+    site would silently route through the slow fold. Pin the testdata dim
+    to the constant so a drift is loud."""
+    from k_means_map_reduce_spark.functions.vectors import UNROLL_DIM
+    from k_means_map_reduce_spark.sources import load_table
+
+    dims = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(F.size("embedding").alias("d"))
+        .distinct()
+        .collect()
+    )
+    assert [r["d"] for r in dims] == [UNROLL_DIM]
