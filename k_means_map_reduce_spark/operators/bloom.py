@@ -87,7 +87,11 @@ def bloom_might_contain(
     array literal — Catalyst broadcasts it inside the serialized expression
     tree, so every executor tests locally with zero extra I/O."""
     num_bits = len(words) * 64
-    bitset = F.lit(words)
+    # r14: F.lit(list) assembles the array literal one py4j call per
+    # element (~0.7 s for 1024 words, re-paid on EVERY query construction);
+    # one SQL-text parse builds the identical array literal JVM-side in a
+    # single call.
+    bitset = F.expr("array(" + ",".join(f"{w}L" for w in words) + ")")
     probe = F.lit(True)
     for p in _positions(key, num_bits, num_hashes):
         word = F.element_at(bitset, (p / 64).cast("int") + 1)

@@ -842,10 +842,16 @@ def geo_knn_ring_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("qk").alias("custkey"), "rk",
         F.col("nk").alias("neighbor_key"), "sq_dist", "ring",
     )
-    # memoized WITH the persisted ring1 so LRU eviction / clear_all_memos
-    # releases the pinned blocks (the round-7 ADVICE discipline — ring1
-    # feeds three consumers: counts, the semi-join, and top1)
-    return _KNN_CACHE.put(spark, sf_dir, (out, ring1))[0]
+    # r14: the memo held a LAZY frame, so every warm rep re-ran the ring-2
+    # candidate join and both top-k windows off the persisted ring1; the
+    # result is <= k rows per point — eager-checkpoint it so the memo is a
+    # materialized artifact like the closure-family results (guide §1.2).
+    out = out.localCheckpoint(eager=True)
+    # ring1's three consumers (counts, the semi-join, top1) all ran inside
+    # the checkpoint materialization above — release the pin now instead of
+    # carrying it in the memo (round-7 ADVICE discipline, simplified)
+    ring1.unpersist()
+    return _KNN_CACHE.put(spark, sf_dir, (out,))[0]
 
 
 # Deterministic random-walk trajectories over the events stream: each user
@@ -876,36 +882,50 @@ _WALK_SQL = """
 """
 
 
+# (applicationId, sf_dir) -> persisted (user_id, event_id, ts, ilat, ilon)
+# trajectory table — ~10 geo queries derive from it, and each used to
+# re-run the 4x md5 step derivation + per-user prefix-sum window per
+# invocation (r14, guide §1.2: compute the shared primitive once).
+_WALK_CACHE = SessionMemo("geo.walk_fixes")
+
+
 def _walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(user_id, event_id, ts, ilat, ilon): the deterministic random-walk
-    trajectory mirror of _WALK_SQL."""
-    e = load_table(spark, sf_dir, "events")
-    h8 = lambda salt, col: F.conv(  # noqa: E731
-        F.substring(F.md5(F.concat(F.lit(salt), col.cast("string"))), 1, 8),
-        16,
-        10,
-    ).cast("bigint")
-    stepped = e.select(
-        "user_id",
-        "event_id",
-        "ts",
-        (h8("blat:", F.col("user_id")) % 120000 - 60000).alias("base_lat"),
-        (h8("blon:", F.col("user_id")) % 340000 - 170000).alias("base_lon"),
-        (h8("dlat:", F.col("event_id")) % 2001 - 1000).alias("dlat"),
-        (h8("dlon:", F.col("event_id")) % 2001 - 1000).alias("dlon"),
-    )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    return stepped.select(
-        "user_id",
-        "event_id",
-        "ts",
-        (F.col("base_lat") + F.sum("dlat").over(w)).alias("ilat"),
-        (F.col("base_lon") + F.sum("dlon").over(w)).alias("ilon"),
-    )
+    trajectory mirror of _WALK_SQL. Memoized + persisted per
+    (session, sf_dir)."""
+
+    def build() -> DataFrame:
+        e = load_table(spark, sf_dir, "events")
+        h8 = lambda salt, col: F.conv(  # noqa: E731
+            F.substring(
+                F.md5(F.concat(F.lit(salt), col.cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        stepped = e.select(
+            "user_id",
+            "event_id",
+            "ts",
+            (h8("blat:", F.col("user_id")) % 120000 - 60000).alias("base_lat"),
+            (h8("blon:", F.col("user_id")) % 340000 - 170000).alias("base_lon"),
+            (h8("dlat:", F.col("event_id")) % 2001 - 1000).alias("dlat"),
+            (h8("dlon:", F.col("event_id")) % 2001 - 1000).alias("dlon"),
+        )
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        return stepped.select(
+            "user_id",
+            "event_id",
+            "ts",
+            (F.col("base_lat") + F.sum("dlat").over(w)).alias("ilat"),
+            (F.col("base_lon") + F.sum("dlon").over(w)).alias("ilon"),
+        )
+
+    return memo_persist(_WALK_CACHE, spark, sf_dir, build)
 
 
 @query(
