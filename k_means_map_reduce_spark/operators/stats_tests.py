@@ -747,6 +747,14 @@ def stats_kendall_tau_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
                 _cents("p_retailprice").alias("pc"),
                 "qty",
             )
+            # r14 (guide §2.5): the tau family's within-brand pair join
+            # streams this cache through a broadcast join — ~8M sign
+            # evaluations per rep ran at the cache's coalesced partition
+            # count; fan the build out once so the quadratic verify uses
+            # every core.
+            .repartition(
+                spark.sparkContext.defaultParallelism, "p_partkey"
+            )
             .persist()
         )
         _KENDALL_CACHE.put(spark, sf_dir, (pts,))
@@ -3984,6 +3992,14 @@ def stats_kendall_tau_b_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "p_partkey",
                 _cents("p_retailprice").alias("pc"),
                 "qty",
+            )
+            # r14 (guide §2.5): the tau family's within-brand pair join
+            # streams this cache through a broadcast join — ~8M sign
+            # evaluations per rep ran at the cache's coalesced partition
+            # count; fan the build out once so the quadratic verify uses
+            # every core.
+            .repartition(
+                spark.sparkContext.defaultParallelism, "p_partkey"
             )
             .persist()
         )

@@ -2174,7 +2174,12 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         bigr = d.select("doc_id", F.explode(bigrams).alias("bg"))
         model = bigr.groupBy("bg").agg(F.count(F.lit(1)).alias("cnt")).persist()
         _BIGRAM_LM_CACHE.put(spark, sf_dir, (model,))
-    d = load_table(spark, sf_dir, "documents")
+    # r14 (guide §2.5): the scoring tokenize+explode re-runs per rep off
+    # the single-row-group documents scan — one task for the whole bigram
+    # stream; fan it out (the winnowing/simhash precedent).
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     arr = F.filter(F.split(F.trim(F.lower("text")), r"\s+"), lambda t: t != "")
     bigrams = F.when(
         F.size(arr) >= 2,

@@ -1896,14 +1896,24 @@ def contamination_crosslingual_fingerprints(
             .distinct()
         ),
     )
-    fp = (
-        grams.groupBy("g")
-        .agg(
-            F.count(F.lit(1)).alias("df"),
-            F.countDistinct("lang").alias("nl"),
-        )
-        .where((F.col("df") >= 2) & (F.col("df") <= 10) & (F.col("nl") >= 2))
-        .select("g")
+    # r14 (guide §1.2): the fingerprint table (df/language census over the
+    # ~2M-row gram cache) is deterministic per sf_dir and was re-aggregated
+    # every invocation — memoized beside the gram cache it derives from.
+    fp = memo_persist(
+        _XLING_GRAMS_CACHE,
+        spark,
+        (sf_dir, "fp"),
+        lambda: (
+            grams.groupBy("g")
+            .agg(
+                F.count(F.lit(1)).alias("df"),
+                F.countDistinct("lang").alias("nl"),
+            )
+            .where(
+                (F.col("df") >= 2) & (F.col("df") <= 10) & (F.col("nl") >= 2)
+            )
+            .select("g")
+        ),
     )
     a = grams.select(
         F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a"), "g"
@@ -1911,6 +1921,10 @@ def contamination_crosslingual_fingerprints(
     b = grams.select(
         F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b"), "g"
     )
+    # semi-filter the pair join's build side by the (tiny) fingerprint set
+    # so the broadcast carries rare-gram postings only (guide §3.1/§3.2 —
+    # the dedup_paragraph_containment_pairs fix)
+    b = b.join(fp, "g", "left_semi")
     return (
         a.join(fp, "g")
         .join(b, "g")
